@@ -1,0 +1,110 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Column-level scoring / similarity kernels of the reference engine,
+  * re-expressed as pure Catalyst column math (whole-stage-codegen'd,
+  * no UDFs, no Python boundary).
+  *
+  * Reference semantics (see SURVEY.md §2.7):
+  *  - haversine score: `src/search_ranking_peers.py:248-260`
+  *  - NAICS "hops" score: `src/search_ranking_peers.py:262-274`
+  *    (intended prefix-sensitive semantics; the checked-in formula is
+  *    constant — defect d13)
+  *  - blended score: `src/search_ranking_peers.py:310-312`
+  */
+object functions {
+
+  /** Earth radius used by the reference (km), `search_ranking_peers.py:254`. */
+  val EarthRadiusKm = 6373.0
+
+  /** Max surface distance normalizer (km), `search_ranking_peers.py:259`. */
+  val MaxDistanceKm = 20020.0
+
+  /** Great-circle distance in km between two (lat, lon) pairs, in degrees.
+    * Pure column math — codegen-friendly, distributable, no collect.
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** Reference geo score: `1 - haversine_km/20020`; any null coordinate
+    * scores the neutral 0.5 (`search_ranking_peers.py:248-250`).
+    */
+  def haversineScore(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    when(lat1.isNull || lon1.isNull || lat2.isNull || lon2.isNull, lit(0.5))
+      .otherwise(lit(1.0) - haversineKm(lat1, lon1, lat2, lon2) / lit(MaxDistanceKm))
+
+  /** NAICS taxonomy "hops" score between two industry codes of length
+    * `codeLen` (reference uses 6-char L6 codes).
+    *
+    * Intended semantics (`search_ranking_peers.py:262-274`, defect d13 fixed):
+    *  - either code not exactly `codeLen` chars -> -1.0
+    *  - first char differs                      ->  0.0
+    *  - full match                              ->  1.0
+    *  - else, with l = common-prefix length,    ->  1 - (codeLen - l) * 2 / 10
+    */
+  def hopsScore(a: Column, b: Column, codeLen: Int = 6): Column = {
+    val prefixLen = (2 to codeLen).foldLeft(lit(1)) { (acc, l) =>
+      when(substring(a, 1, l) === substring(b, 1, l), lit(l)).otherwise(acc)
+    }
+    when(length(a) =!= codeLen || length(b) =!= codeLen, lit(-1.0))
+      .when(substring(a, 1, 1) =!= substring(b, 1, 1), lit(0.0))
+      .when(a === b, lit(1.0))
+      .otherwise(lit(1.0) - (lit(codeLen) - prefixLen) * lit(2.0) / lit(10.0))
+  }
+
+  /** Blended peer score `(1-wHops-wHavs)*cos + wHops*hops + wHavs*havs`
+    * (`search_ranking_peers.py:310-312`; default weights `:608-611`).
+    */
+  def blendedScore(cosine: Column, hops: Column, havs: Column,
+                   wHops: Double = 0.399, wHavs: Double = 0.001): Column =
+    lit(1.0 - wHops - wHavs) * cosine + lit(wHops) * hops + lit(wHavs) * havs
+
+  // ---------------------------------------------------------------------
+  // Dense-vector kernels over ArrayType columns (the engine's native
+  // embedding representation; VectorUDT only at the ML boundary).
+  // All fold left-to-right in index order for cross-engine determinism.
+  // ---------------------------------------------------------------------
+
+  /** Dot product of two equal-length numeric array columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of a numeric array column. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Element-wise L2 normalization (x / ||x||2); zero vector maps to itself. */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    transform(a, x => when(n === 0.0, x.cast("double")).otherwise(x.cast("double") / n))
+  }
+
+  /** Cosine similarity of two numeric array columns (0 if either is a
+    * zero vector).
+    */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
+  }
+
+  /** Min-max scale a column over the whole frame: (x-min)/(max-min);
+    * constant columns map to 0.5 (matches `ml.feature.MinMaxScaler`'s
+    * (max+min)/2 convention for min==max ranges scaled to [0,1]).
+    * Implemented as an unpartitioned window — one pass, no collect.
+    */
+  def minmaxScale(c: Column): Column = {
+    val w = Window.partitionBy()
+    val mn = min(c).over(w)
+    val mx = max(c).over(w)
+    when(mx === mn, lit(0.5)).otherwise((c - mn) / (mx - mn))
+  }
+}

@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{functions => F}
+import graft.ops.TopK
+
+/** The reference's three headline flows re-expressed over the driver test
+  * tables (role mapping in FIXTURES.md §B):
+  *
+  *  - peer search & ranking (`src/search_ranking_peers.py`): blended
+  *    similarity (attribute sim × NAICS hops × haversine geo) + per-target
+  *    top-K — [[peerPairs]] / q22_peer_search;
+  *  - confidence table (`src/inference_postprocess.py:69-96`) —
+  *    q13_confidence;
+  *  - penetration table (`src/inference_postprocess.py:98-122`, rank
+  *    direction fixed per defect d17) — q14_penetration.
+  *
+  * Geo coordinates and NAICS codes are synthesized deterministically from
+  * customer attributes (the test tables have none); the identical formulas
+  * appear in the DuckDB oracles.
+  */
+object Reports {
+
+  /** Customers + synthesized lat/lon/NAICS. Nulls are injected (custkey
+    * % 23) to exercise the haversine null-neutral path; short codes
+    * (custkey % 19) exercise the hops -1 path.
+    */
+  def customerGeo(spark: SparkSession, dir: String): DataFrame = {
+    val c = T(spark, dir, "customer")
+    val latRaw = ((col("c_custkey") * 13) % 160 - 80 + lit(0.25)).cast("double")
+    val lonRaw = ((col("c_custkey") * 31) % 340 - 170 + lit(0.5)).cast("double")
+    val naics6 = concat(substring(md5(col("c_mktsegment")), 1, 3),
+      substring(md5(col("c_nationkey").cast("string")), 1, 3))
+    c.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+      when(col("c_custkey") % 23 === 0, lit(null).cast("double")).otherwise(latRaw).as("lat"),
+      lonRaw.as("lon"),
+      when(col("c_custkey") % 19 === 0, substring(naics6, 1, 5)).otherwise(naics6).as("naics"))
+  }
+
+  /** SQL twin of [[customerGeo]] (CTEs `base` + `geo`). */
+  val geoSql: String = """
+    base AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             substr(md5(c_mktsegment), 1, 3) || substr(md5(CAST(c_nationkey AS VARCHAR)), 1, 3) AS naics6
+      FROM customer),
+    geo AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             CASE WHEN c_custkey % 23 = 0 THEN NULL
+                  ELSE CAST((c_custkey * 13) % 160 - 80 + 0.25 AS DOUBLE) END AS lat,
+             CAST((c_custkey * 31) % 340 - 170 + 0.5 AS DOUBLE) AS lon,
+             CASE WHEN c_custkey % 19 = 0 THEN substr(naics6, 1, 5) ELSE naics6 END AS naics
+      FROM base)"""
+
+  /** SQL twin of `engine.functions.haversineScore` for geo aliases t, s. */
+  val havsSql: String = """
+    CASE WHEN t.lat IS NULL OR t.lon IS NULL OR s.lat IS NULL OR s.lon IS NULL THEN 0.5
+         ELSE 1.0 - (2.0 * 6373.0) * asin(sqrt(
+             pow(sin(radians(s.lat - t.lat) / 2), 2)
+             + cos(radians(t.lat)) * cos(radians(s.lat)) * pow(sin(radians(s.lon - t.lon) / 2), 2)
+           )) / 20020.0
+    END"""
+
+  /** SQL twin of `engine.functions.hopsScore(t.naics, s.naics)`. */
+  val hopsSql: String = """
+    CASE WHEN length(t.naics) <> 6 OR length(s.naics) <> 6 THEN -1.0
+         WHEN substr(t.naics, 1, 1) <> substr(s.naics, 1, 1) THEN 0.0
+         WHEN t.naics = s.naics THEN 1.0
+         ELSE 1.0 - (6 - (CASE WHEN substr(t.naics, 1, 6) = substr(s.naics, 1, 6) THEN 6
+                               WHEN substr(t.naics, 1, 5) = substr(s.naics, 1, 5) THEN 5
+                               WHEN substr(t.naics, 1, 4) = substr(s.naics, 1, 4) THEN 4
+                               WHEN substr(t.naics, 1, 3) = substr(s.naics, 1, 3) THEN 3
+                               WHEN substr(t.naics, 1, 2) = substr(s.naics, 1, 2) THEN 2
+                               ELSE 1 END)) * 2.0 / 10.0
+    END"""
+
+  /** Blended-score peer pairs: targets (custkey % 7 = 0) × same-nation
+    * candidates, score = blend(attribute sim, hops, haversine) rounded to
+    * 6 dp. The same-nation equi-key makes this a hash join (not a cross
+    * join) — the shuffle key that keeps it tractable at scale.
+    */
+  def peerPairs(spark: SparkSession, dir: String): DataFrame = {
+    val g = customerGeo(spark, dir)
+    val t = g.select(g.columns.map(c => col(c).as(s"t_$c")): _*)
+      .filter(col("t_c_custkey") % 7 === 0)
+    val s = g.select(g.columns.map(c => col(c).as(s"s_$c")): _*)
+    val sim = lit(1.0) - abs(col("t_c_acctbal") - col("s_c_acctbal")) / lit(11000.0)
+    val hops = F.hopsScore(col("t_naics"), col("s_naics"))
+    val havs = F.haversineScore(col("t_lat"), col("t_lon"), col("s_lat"), col("s_lon"))
+    t.join(s, col("t_c_nationkey") === col("s_c_nationkey") &&
+        col("s_c_custkey") =!= col("t_c_custkey"))
+      .select(col("t_c_custkey").as("prospect"), col("s_c_custkey").as("src_custkey"),
+        round(F.blendedScore(sim, hops, havs), 6).as("score"))
+  }
+
+  /** SQL twin of [[peerPairs]] (CTE `pairs`, needs [[geoSql]]). */
+  val pairsSql: String = s"""
+    pairs AS (
+      SELECT t.c_custkey AS prospect, s.c_custkey AS src_custkey,
+             round((1.0 - 0.399 - 0.001) * (1.0 - abs(t.c_acctbal - s.c_acctbal) / 11000.0)
+                   + 0.399 * ($hopsSql)
+                   + 0.001 * ($havsSql), 6) AS score
+      FROM geo t JOIN geo s ON t.c_nationkey = s.c_nationkey AND s.c_custkey <> t.c_custkey
+      WHERE t.c_custkey % 7 = 0)"""
+
+  /** Top-30 peers per prospect (reference NUM_PEERS=30,
+    * `inference_postprocess.py:164`).
+    */
+  def peers(spark: SparkSession, dir: String): DataFrame =
+    TopK.exactPerKey(peerPairs(spark, dir), Seq("prospect"),
+      Seq(col("score").desc, col("src_custkey").asc), 30).drop("rn")
+
+  val peersSql: String = """
+    peers AS (
+      SELECT prospect, src_custkey, score
+      FROM (SELECT *, row_number() OVER (PARTITION BY prospect ORDER BY score DESC, src_custkey) AS rn
+            FROM pairs)
+      WHERE rn <= 30)"""
+
+  /** Product usage with min-max-normalized rating (stand-in for the
+    * reference's normalized `rating` column, `inference_postprocess.py:52-67`).
+    */
+  def ratedUsage(spark: SparkSession, dir: String): DataFrame = {
+    val usage = T(spark, dir, "orders")
+      .join(T(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(T(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("cust"), col("p_brand"))
+      .agg(sum(col("l_quantity")).as("intensity"))
+    usage.select(col("cust"), col("p_brand"),
+      round(F.minmaxScale(col("intensity")), 6).as("rating"))
+  }
+
+  val ratedSql: String = """
+    usage AS (
+      SELECT o_custkey AS cust, p_brand, sum(l_quantity) AS intensity
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      JOIN part ON l_partkey = p_partkey
+      GROUP BY o_custkey, p_brand),
+    rated AS (
+      SELECT cust, p_brand,
+             round((intensity - min(intensity) OVER ()) /
+                   (max(intensity) OVER () - min(intensity) OVER ()), 6) AS rating
+      FROM usage)"""
+
+  /** Peers × usage right join, prospect-not-null + nonzero-rating filters
+    * (defect d18 fixed: AND, not OR).
+    */
+  private def joinedUsage(spark: SparkSession, dir: String): DataFrame =
+    peers(spark, dir)
+      .join(ratedUsage(spark, dir), col("src_custkey") === col("cust"), "right")
+      .filter(col("prospect").isNotNull && col("rating") =!= 0.0)
+
+  private val joinedSql: String = """
+    joined AS (
+      SELECT p.prospect, p.score, r.p_brand, r.rating
+      FROM peers p RIGHT JOIN rated r ON p.src_custkey = r.cust
+      WHERE p.prospect IS NOT NULL AND r.rating <> 0.0)"""
+
+  private val brandMetaSql: String = """
+    brandmeta AS (
+      SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_retail
+      FROM part GROUP BY p_brand)"""
+
+  private def brandMeta(spark: SparkSession, dir: String): DataFrame =
+    T(spark, dir, "part").groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 4).as("avg_retail"))
+
+  /** Confidence table: per-prospect product confidence = Σ score·rating/30
+    * over peers, top-20 per prospect, enriched with item metadata.
+    */
+  def confidence(spark: SparkSession, dir: String): DataFrame = {
+    val conf = joinedUsage(spark, dir)
+      .groupBy("prospect", "p_brand")
+      .agg(round(sum(col("score") * col("rating") / lit(30.0)), 6).as("confidence"))
+    TopK.exactPerKey(conf, Seq("prospect"),
+        Seq(col("confidence").desc, col("p_brand").asc), 20, "rnk")
+      .withColumn("rnk", col("rnk").cast("int"))
+      .join(brandMeta(spark, dir), "p_brand")
+      .select("prospect", "p_brand", "confidence", "rnk", "n_parts", "avg_retail")
+  }
+
+  val confidenceSql: String = s"""
+    WITH $geoSql, $pairsSql, $peersSql, $ratedSql, $joinedSql,
+    conf AS (
+      SELECT prospect, p_brand, round(sum(score * rating / 30.0), 6) AS confidence
+      FROM joined GROUP BY prospect, p_brand),
+    topk AS (
+      SELECT prospect, p_brand, confidence, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY prospect ORDER BY confidence DESC, p_brand) AS rnk
+            FROM conf)
+      WHERE rnk <= 20),
+    $brandMetaSql
+    SELECT t.prospect, t.p_brand, t.confidence, t.rnk, m.n_parts, m.avg_retail
+    FROM topk t JOIN brandmeta m ON t.p_brand = m.p_brand"""
+
+  /** Penetration table: per-prospect product penetration = peer-usage
+    * count / 30, top-20 per prospect descending (d17 fixed).
+    */
+  def penetration(spark: SparkSession, dir: String): DataFrame = {
+    val pen = joinedUsage(spark, dir)
+      .groupBy("prospect", "p_brand")
+      .agg(round(count(col("rating")) / lit(30.0), 6).as("penetration"))
+    TopK.exactPerKey(pen, Seq("prospect"),
+        Seq(col("penetration").desc, col("p_brand").asc), 20, "rnk")
+      .withColumn("rnk", col("rnk").cast("int"))
+      .join(brandMeta(spark, dir), "p_brand")
+      .select("prospect", "p_brand", "penetration", "rnk", "n_parts", "avg_retail")
+  }
+
+  val penetrationSql: String = s"""
+    WITH $geoSql, $pairsSql, $peersSql, $ratedSql, $joinedSql,
+    pen AS (
+      SELECT prospect, p_brand, round(count(rating) / 30.0, 6) AS penetration
+      FROM joined GROUP BY prospect, p_brand),
+    topk AS (
+      SELECT prospect, p_brand, penetration, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY prospect ORDER BY penetration DESC, p_brand) AS rnk
+            FROM pen)
+      WHERE rnk <= 20),
+    $brandMetaSql
+    SELECT t.prospect, t.p_brand, t.penetration, t.rnk, m.n_parts, m.avg_retail
+    FROM topk t JOIN brandmeta m ON t.p_brand = m.p_brand"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q13_confidence", Some(confidenceSql), (s, d) => confidence(s, d)),
+
+    QueryDef("q14_penetration", Some(penetrationSql), (s, d) => penetration(s, d)),
+
+    // F5 standalone: haversine geo score over same-nation customer pairs,
+    // null coordinates -> neutral 0.5.
+    QueryDef("q20_haversine", Some(s"""
+      WITH $geoSql
+      SELECT t.c_custkey AS a_custkey, s.c_custkey AS b_custkey,
+             round($havsSql, 6) AS geo_score
+      FROM geo t JOIN geo s ON t.c_nationkey = s.c_nationkey AND t.c_custkey < s.c_custkey
+      WHERE t.c_custkey % 5 = 0"""),
+      (spark, dir) => {
+        val g = customerGeo(spark, dir)
+        val t = g.select(g.columns.map(c => col(c).as(s"t_$c")): _*)
+          .filter(col("t_c_custkey") % 5 === 0)
+        val s = g.select(g.columns.map(c => col(c).as(s"s_$c")): _*)
+        t.join(s, col("t_c_nationkey") === col("s_c_nationkey") &&
+            col("t_c_custkey") < col("s_c_custkey"))
+          .select(col("t_c_custkey").as("a_custkey"), col("s_c_custkey").as("b_custkey"),
+            round(F.haversineScore(col("t_lat"), col("t_lon"), col("s_lat"), col("s_lon")), 6)
+              .as("geo_score"))
+      }),
+
+    // F6 standalone: NAICS-hops taxonomy score (intended semantics, d13
+    // fixed) over same-nation customer pairs; short codes -> -1.
+    QueryDef("q21_hops", Some(s"""
+      WITH $geoSql
+      SELECT t.c_custkey AS a_custkey, s.c_custkey AS b_custkey,
+             round($hopsSql, 4) AS hops_score
+      FROM geo t JOIN geo s ON t.c_nationkey = s.c_nationkey AND t.c_custkey < s.c_custkey
+      WHERE t.c_custkey % 5 = 0"""),
+      (spark, dir) => {
+        val g = customerGeo(spark, dir)
+        val t = g.select(g.columns.map(c => col(c).as(s"t_$c")): _*)
+          .filter(col("t_c_custkey") % 5 === 0)
+        val s = g.select(g.columns.map(c => col(c).as(s"s_$c")): _*)
+        t.join(s, col("t_c_nationkey") === col("s_c_nationkey") &&
+            col("t_c_custkey") < col("s_c_custkey"))
+          .select(col("t_c_custkey").as("a_custkey"), col("s_c_custkey").as("b_custkey"),
+            round(F.hopsScore(col("t_naics"), col("s_naics")), 4).as("hops_score"))
+      }),
+
+    // Flagship peer-search report: top-15 blended-score peers per target
+    // (reference topK=15, `search_ranking_peers.py:612`), with attribute
+    // join-back (J1) to customer names.
+    QueryDef("q22_peer_search", Some(s"""
+      WITH $geoSql, $pairsSql,
+      ranked AS (
+        SELECT prospect, src_custkey, score, CAST(rn AS INTEGER) AS peer_rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY prospect ORDER BY score DESC, src_custkey) AS rn
+              FROM pairs)
+        WHERE rn <= 15)
+      SELECT r.prospect, r.src_custkey, r.score, r.peer_rank,
+             c.c_name AS src_name, c.c_mktsegment AS src_segment
+      FROM ranked r JOIN customer c ON r.src_custkey = c.c_custkey"""),
+      (spark, dir) => {
+        val ranked = TopK.exactPerKey(peerPairs(spark, dir), Seq("prospect"),
+            Seq(col("score").desc, col("src_custkey").asc), 15, "peer_rank")
+          .withColumn("peer_rank", col("peer_rank").cast("int"))
+        ranked.join(broadcast(T(spark, dir, "customer")),
+            col("src_custkey") === col("c_custkey"))
+          .select(col("prospect"), col("src_custkey"), col("score"), col("peer_rank"),
+            col("c_name").as("src_name"), col("c_mktsegment").as("src_segment"))
+      })
+  )
+}
