@@ -2,7 +2,6 @@ package graft.engine
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Column-level scoring / similarity kernels of the reference engine,
   * re-expressed as pure Catalyst column math (whole-stage-codegen'd,
@@ -96,15 +95,4 @@ object functions {
     when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
   }
 
-  /** Min-max scale a column over the whole frame: (x-min)/(max-min);
-    * constant columns map to 0.5 (matches `ml.feature.MinMaxScaler`'s
-    * (max+min)/2 convention for min==max ranges scaled to [0,1]).
-    * Implemented as an unpartitioned window — one pass, no collect.
-    */
-  def minmaxScale(c: Column): Column = {
-    val w = Window.partitionBy()
-    val mn = min(c).over(w)
-    val mx = max(c).over(w)
-    when(mx === mn, lit(0.5)).otherwise((c - mn) / (mx - mn))
-  }
 }

@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora.
+  *
+  * Scale design (the 100 TB path): LSH banding turns the O(n²) all-pairs
+  * problem into (1) one narrow projection computing per-doc signatures,
+  * (2) one shuffle on (band, signature) — collisions only — and (3) a
+  * verify join over candidate pairs. No cross join ever materializes.
+  *
+  * Hashes are md5-based and salt-parameterized, so signatures are
+  * deterministic across engines/runs (and SQL-oracle-able).
+  */
+object DedupOps {
+
+  /** Min-hash of a shingle array under salt `i`: lexicographic min of the
+    * salted md5 hex digests (a uniform 128-bit hash family member).
+    */
+  def minhash(shingles: Column, i: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(s"${i}_"), s))))
+
+  /** LSH band values: `bands` bands of `rowsPerBand` concatenated
+    * min-hashes each. Docs agreeing on any band become candidate pairs.
+    */
+  def bandSignatures(shingles: Column, bands: Int, rowsPerBand: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      concat((0 until rowsPerBand).map(r => minhash(shingles, b * rowsPerBand + r)): _*)
+    }
+
+  /** Jaccard similarity of two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** 32-bit SimHash of a token array: bit j is set iff the sum over
+    * tokens of ±1 (by bit j of the token's hash) is positive. Built from
+    * md5's first 8 hex chars -> int, expanded per bit — pure column math.
+    */
+  def simhash32(tokens: Column): Column = {
+    val tokHash = (t: Column) => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    val bits: Seq[Column] = (0 until 32).map { j =>
+      val votes = aggregate(tokens, lit(0),
+        (acc, t) => acc + when(shiftright(tokHash(t), j) % 2 === 1, 1).otherwise(-1))
+      when(votes > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** End-to-end MinHash-LSH near-dup candidates over `df`.
+    *
+    * @param idCol unique document id
+    * @param shinglesCol column holding the distinct shingle array
+    * @return (idA, idB) candidate pairs (idA < idB), deduplicated across
+    *         bands, with the verified jaccard of their shingle sets
+    */
+  def lshCandidates(df: DataFrame, idCol: String, shinglesCol: String,
+                    bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val sigs = bandSignatures(col(shinglesCol), bands, rowsPerBand)
+    val banded = df.select(col(idCol), col(shinglesCol),
+      posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+    val a = banded.select(col("band"), col("sig"),
+      col(idCol).as("id_a"), col(shinglesCol).as("sh_a"))
+    val b = banded.select(col("band"), col("sig"),
+      col(idCol).as("id_b"), col(shinglesCol).as("sh_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+}

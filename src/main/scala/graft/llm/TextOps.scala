@@ -1,0 +1,38 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, fingerprinting. All pure
+  * column expressions (codegen'd, no UDFs), designed to run inside one
+  * projection over a 100 TB documents table — no shuffle until an
+  * explicit aggregation.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the engine's canonical split; a BPE-ish
+    * regex variant is [[tokenizeRegex]]).
+    */
+  def tokenize(text: Column): Column = split(text, " ")
+
+  /** Regex tokenization: letter runs, digit runs, or single non-space
+    * symbols — a deterministic BPE-ish pre-tokenizer.
+    */
+  def tokenizeRegex(text: Column): Column =
+    filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => t =!= "" && t =!= " ")
+
+  /** Distinct word n-gram shingles of an array-of-token column. */
+  def shingles(tokens: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), size(tokens) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*))
+    array_distinct(grams)
+  }
+
+  /** Count of tokens belonging to `stop` (set membership per element). */
+  def stopCount(tokens: Column, stop: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(stop.map(lit): _*)))
+
+  /** 128-bit content fingerprint (md5 hex) — the exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(text)
+}

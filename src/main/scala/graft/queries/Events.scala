@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics: tumbling windows (batch + Structured
+  * Streaming twins), gap-based sessionization, JSON property extraction.
+  */
+object Events {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Tumbling 1-hour windows, batch formulation.
+    QueryDef("q33_events_hourly", Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+             event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2"""),
+      (spark, dir) =>
+        T(spark, dir, "events")
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))),
+
+    // The same aggregation executed by a real Structured Streaming query
+    // (file source → watermark → window agg → memory sink); oracle is
+    // the batch SQL — stream/batch parity is the check.
+    QueryDef("q34_streaming_hourly", Some("""
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+             event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2"""),
+      (spark, dir) => graft.streaming.EventStreams.hourlyStreaming(spark, dir)),
+
+    // Gap-based sessionization (30-min inactivity), pure window functions:
+    // lag -> new-session flag -> running sum as session id -> per-session agg.
+    QueryDef("q35_sessionize", Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+      f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_s FROM l),
+      s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM f)
+      SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+             count(*) AS n_events, min(ms) AS start_ms,
+             max(ms) - min(ms) AS duration_ms
+      FROM s GROUP BY user_id, session_id"""),
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+          .withColumn("prev_ms", lag(col("ms"), 1).over(w))
+          .withColumn("new_s",
+            when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000, 1).otherwise(0))
+          .withColumn("session_id", sum(col("new_s")).over(run).cast("int"))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"), min(col("ms")).as("start_ms"),
+            (max(col("ms")) - min(col("ms"))).as("duration_ms"))
+      }),
+
+    // JSON property extraction + per-type aggregate.
+    QueryDef("q36_json_props", Some("""
+      SELECT event_type,
+             round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+             CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k,
+             count(*) AS n
+      FROM events GROUP BY event_type"""),
+      (spark, dir) =>
+        T(spark, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy("event_type")
+          .agg(round(avg(col("k")), 6).as("avg_k"), max(col("k")).as("max_k"),
+            count(lit(1)).as("n")))
+  )
+}

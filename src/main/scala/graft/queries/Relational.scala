@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.{Dedup, Indexing, TopK}
-import graft.engine.{functions => F}
 
 /** Relational operator coverage (SURVEY.md §2.1-2.6): scans, projections,
   * filters, casts, conditionals, joins of every flavor the reference uses,
@@ -244,7 +243,7 @@ object Relational {
              round((c_acctbal - min(c_acctbal) OVER ()) / (max(c_acctbal) OVER () - min(c_acctbal) OVER ()), 6) AS acctbal_scaled
       FROM customer"""),
       (spark, dir) =>
-        T(spark, dir, "customer").select(col("c_custkey"),
-          round(F.minmaxScale(col("c_acctbal")), 6).as("acctbal_scaled")))
+        graft.ops.Scale.minmax(T(spark, dir, "customer"), "c_acctbal", "__scaled")
+          .select(col("c_custkey"), round(col("__scaled"), 6).as("acctbal_scaled")))
   )
 }

@@ -126,8 +126,8 @@ object Reports {
       .join(T(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("o_custkey").as("cust"), col("p_brand"))
       .agg(sum(col("l_quantity")).as("intensity"))
-    usage.select(col("cust"), col("p_brand"),
-      round(F.minmaxScale(col("intensity")), 6).as("rating"))
+    graft.ops.Scale.minmax(usage, "intensity", "__rating")
+      .select(col("cust"), col("p_brand"), round(col("__rating"), 6).as("rating"))
   }
 
   val ratedSql: String = """

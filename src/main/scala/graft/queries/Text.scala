@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.llm.TextOps
+import graft.ops.TopK
+
+/** Text-analysis pipeline over the documents table: token statistics,
+  * quality scoring, token frequency, fingerprinting, corpus-driven
+  * language ID. All single-projection column math until the explicit
+  * aggregations — the shape that scales to a 100 TB corpus.
+  */
+object Text {
+
+  /** Stopword list shared by Spark and oracle sides. */
+  val Stop: Seq[String] = Seq("a", "the", "of", "and", "to")
+  private val stopSqlList = Stop.map(s => s"'$s'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokens, distinct tokens, stopword hits.
+    QueryDef("q27_token_stats", Some(s"""
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+             CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSqlList))) AS INTEGER) AS n_stop,
+             n_chars
+      FROM documents"""),
+      (spark, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        T(spark, dir, "documents").select(col("doc_id"), col("lang"),
+          size(toks).as("n_tokens"),
+          size(array_distinct(toks)).as("n_distinct"),
+          TextOps.stopCount(toks, Stop).as("n_stop"),
+          col("n_chars"))
+      }),
+
+    // Quality scoring: stopword ratio, short-token ratio, mean token
+    // length — integer-exact per-row arithmetic, then a blended score.
+    QueryDef("q28_quality_score", Some(s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(list_filter(toks, x -> x IN ($stopSqlList))) AS DOUBLE) / len(toks) AS stop_ratio,
+               CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks) AS short_ratio,
+               CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) AS mean_len
+        FROM t)
+      SELECT doc_id, round(stop_ratio, 6) AS stop_ratio, round(short_ratio, 6) AS short_ratio,
+             round(mean_len, 6) AS mean_len,
+             round(0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - short_ratio)
+                   + 0.2 * least(mean_len / 10.0, 1.0), 6) AS quality
+      FROM m"""),
+      (spark, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        val n = size(toks)
+        val stopRatio = TextOps.stopCount(toks, Stop).cast("double") / n
+        val shortRatio = size(filter(toks, t => length(t) <= 2)).cast("double") / n
+        val meanLen = aggregate(transform(toks, t => length(t)), lit(0),
+          (acc, x) => acc + x).cast("double") / n
+        T(spark, dir, "documents").select(col("doc_id"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(shortRatio, 6).as("short_ratio"),
+          round(meanLen, 6).as("mean_len"),
+          round(lit(0.5) * (lit(1.0) - stopRatio) + lit(0.3) * (lit(1.0) - shortRatio)
+            + lit(0.2) * least(meanLen / lit(10.0), lit(1.0)), 6).as("quality"))
+      }),
+
+    // F12-shaped generator: explode tokens -> global top-20 frequency.
+    QueryDef("q29_token_freq", Some("""
+      SELECT token, n, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT token, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, token) AS rnk
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token)
+      WHERE rnk <= 20"""),
+      (spark, dir) => {
+        val counts = T(spark, dir, "documents")
+          .select(explode(TextOps.tokenize(col("text"))).as("token"))
+          .groupBy("token").agg(count(lit(1)).as("n"))
+        TopK.exactPerKey(counts, Seq.empty, Seq(col("n").desc, col("token").asc), 20, "rnk")
+          .withColumn("rnk", col("rnk").cast("int"))
+          .select("token", "n", "rnk")
+      }),
+
+    // Document fingerprinting: md5 content hash + 2-hex shard key (the
+    // exact-dedup + routing key of a 100 TB dedup pipeline).
+    QueryDef("q30_fingerprint", Some("""
+      SELECT doc_id, md5(text) AS fp, substr(md5(text), 1, 2) AS shard
+      FROM documents"""),
+      (spark, dir) =>
+        T(spark, dir, "documents").select(col("doc_id"),
+          TextOps.fingerprint(col("text")).as("fp"),
+          substring(TextOps.fingerprint(col("text")), 1, 2).as("shard"))),
+
+    // Unigram token-set Jaccard near-dup: targets (doc_id % 25 = 0) vs
+    // same-lang docs, keep pairs >= 0.7.
+    QueryDef("q31_token_jaccard", Some("""
+      WITH s AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents)
+      SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+             round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+      FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 25 = 0
+        AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.t, b.t))) >= 0.7"""),
+      (spark, dir) => {
+        val s = T(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            array_distinct(TextOps.tokenize(col("text"))).as("t"))
+        val a = s.select(col("doc_id").as("a_doc"), col("lang"), col("t").as("t_a"))
+          .filter(col("a_doc") % 25 === 0)
+        val b = s.select(col("doc_id").as("b_doc"), col("lang"), col("t").as("t_b"))
+        val jac = graft.llm.DedupOps.jaccard(col("t_a"), col("t_b"))
+        a.join(b, Seq("lang")).filter(col("a_doc") < col("b_doc"))
+          .filter(jac >= 0.7)
+          .select(col("a_doc"), col("b_doc"), round(jac, 6).as("jaccard"))
+      }),
+
+    // Corpus-driven language ID: build top-5 token profiles per lang,
+    // then classify each doc as the best-matching profile (hit count,
+    // lang-name tiebreak). A self-contained n-gram-profile LID pipeline.
+    QueryDef("q32_lang_id", Some("""
+      WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      counts AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),
+      profile AS (
+        SELECT lang, token
+        FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn FROM counts)
+        WHERE rn <= 5),
+      dtok AS (SELECT doc_id, lang AS true_lang, unnest(list_distinct(string_split(text, ' '))) AS token
+               FROM documents),
+      scores AS (SELECT d.doc_id, d.true_lang, p.lang AS cand_lang, count(*) AS hits
+                 FROM dtok d JOIN profile p ON d.token = p.token
+                 GROUP BY d.doc_id, d.true_lang, p.lang)
+      SELECT doc_id, true_lang, cand_lang AS guessed_lang
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+            FROM scores)
+      WHERE rn = 1"""),
+      (spark, dir) => {
+        val docs = T(spark, dir, "documents")
+        val counts = docs.select(col("lang"), explode(TextOps.tokenize(col("text"))).as("token"))
+          .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+        val profile = TopK.exactPerKey(counts, Seq("lang"),
+          Seq(col("n").desc, col("token").asc), 5).select("lang", "token")
+        val dtok = docs.select(col("doc_id"), col("lang").as("true_lang"),
+          explode(array_distinct(TextOps.tokenize(col("text")))).as("token"))
+        val scores = dtok.join(broadcast(profile.withColumnRenamed("lang", "cand_lang")), "token")
+          .groupBy("doc_id", "true_lang", "cand_lang").agg(count(lit(1)).as("hits"))
+        TopK.exactPerKey(scores, Seq("doc_id"),
+          Seq(col("hits").desc, col("cand_lang").asc), 1)
+          .select(col("doc_id"), col("true_lang"), col("cand_lang").as("guessed_lang"))
+      })
+  )
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.engine.{functions => F}
+import graft.llm.{DedupOps, SimSearch, TextOps}
+
+/** Embedding similarity search + MinHash-LSH near-dedup over the
+  * embeddings/documents tables. Cosine is accumulated in double on both
+  * engines (DuckDB's `list_cosine_similarity` built-in accumulates in
+  * float32 — measured ~1e-8 off double accumulation, too coarse for
+  * hash-compare — so the oracle spells out the same double fold).
+  */
+object Vector {
+
+  /** DuckDB double-accumulation cosine between list exprs `a` and `b`. */
+  private def cosSql(a: String, b: String): String = s"""
+    (list_aggregate(list_transform(range(1, len($a) + 1),
+        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')
+     / (sqrt(list_aggregate(list_transform(range(1, len($a) + 1),
+          i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), 'sum'))
+        * sqrt(list_aggregate(list_transform(range(1, len($b) + 1),
+            i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum'))))"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Brute-force exact ANN baseline: top-10 cosine neighbors for each
+    // query vector (vec_id % 50 = 0), broadcast-queries × corpus scan.
+    QueryDef("q23_cosine_topk", Some(s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
+      pairs AS (
+        SELECT q.query_id, e.vec_id, round(${cosSql("q.q_emb", "e.embedding")}, 6) AS cos_sim
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+      SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM pairs)
+      WHERE rnk <= 10"""),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        SimSearch.bruteForceTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", 10)
+          .select("query_id", "vec_id", "cos_sim", "rnk")
+      }),
+
+    // Embedding near-dup: all pairs >= 0.35 cosine within a sampled slice.
+    QueryDef("q24_cosine_pairs", Some(s"""
+      WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+      WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.35"""),
+      (spark, dir) =>
+        SimSearch.thresholdPairs(
+          T(spark, dir, "embeddings").filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", 0.35)),
+
+    // L2 normalization audit: norms + first normalized component.
+    QueryDef("q25_embedding_norms", Some("""
+      SELECT vec_id, label,
+             round(sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')), 6) AS l2_norm,
+             round(CAST(embedding[1] AS DOUBLE)
+                   / sqrt(list_aggregate(list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), 'sum')), 6) AS first_unit
+      FROM embeddings"""),
+      (spark, dir) =>
+        T(spark, dir, "embeddings").select(col("vec_id"), col("label"),
+          round(F.l2Norm(col("embedding")), 6).as("l2_norm"),
+          round(element_at(F.l2Normalize(col("embedding")), 1), 6).as("first_unit"))),
+
+    // MinHash-LSH near-dup candidates over 2-gram shingles: 4 bands × 2
+    // salted md5 min-hashes, candidates verified with true Jaccard.
+    QueryDef("q26_minhash_lsh", Some {
+      val mh = (i: Int) => s"list_min(list_transform(sh, x -> md5('${i}_' || x)))"
+      val bandSelects = (0 until 4).map { b =>
+        s"SELECT doc_id, sh, $b AS band, ${mh(2 * b)} || ${mh(2 * b + 1)} AS sig FROM shingled"
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      shingled AS (
+        SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
+            i -> t[i] || ' ' || t[i + 1])) AS sh
+        FROM tok),
+      banded AS (
+      $bandSelects),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+      SELECT c.id_a, c.id_b,
+             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+      FROM cand c
+      JOIN shingled sa ON c.id_a = sa.doc_id
+      JOIN shingled sb ON c.id_b = sb.doc_id"""
+    },
+      (spark, dir) => {
+        val shingled = T(spark, dir, "documents").select(col("doc_id"),
+          TextOps.shingles(TextOps.tokenize(col("text")), 2).as("sh"))
+        DedupOps.lshCandidates(shingled, "doc_id", "sh", bands = 4, rowsPerBand = 2)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      })
+  )
+}

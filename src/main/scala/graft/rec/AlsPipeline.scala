@@ -1,0 +1,82 @@
+package graft.rec
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.Indexing
+
+/** ALS collaborative filtering (SURVEY.md §2.8 M10-M12, §3.2), the
+  * reference's `recommender_prod_rec.py` flow re-expressed:
+  *
+  *  1. usage → percent_rank rating per (user, item) (W1, `:170-179`)
+  *  2. accumulate intensity (A2, `:181-185`)
+  *  3. deterministic surrogate int ids (`:187-206`, zipWithIndex replaced
+  *     by ordered row_number)
+  *  4. ALS train + grid search + RMSE eval (`:212-259`)
+  *  5. recommendForAllUsers → explode → join entity maps back (`:261-269`)
+  */
+object AlsPipeline {
+
+  case class Config(rank: Int = 15, maxIter: Int = 5, regParam: Double = 0.001,
+                    implicitPrefs: Boolean = true, seed: Long = 0L, topK: Int = 5)
+
+  /** W1 preprocessing: percent_rank of intensity within user+item, plus
+    * epsilon (`recommender_prod_rec.py:171-176`).
+    */
+  def percentRankRating(usage: DataFrame, user: String, item: String,
+                        intensity: String): DataFrame = {
+    val w = Window.partitionBy(user, item).orderBy(col(intensity))
+    usage.withColumn("rating", percent_rank().over(w) + lit(1e-6))
+      .filter(col("rating").isNotNull)
+  }
+
+  /** A2 accumulation: total intensity per (user, item). */
+  def accumulate(usage: DataFrame, user: String, item: String,
+                 intensity: String): DataFrame =
+    usage.groupBy(user, item).agg(sum(col(intensity)).as("rating"))
+
+  /** Deterministic surrogate ids + (userId, itemId, rating) triples. */
+  def indexedTriples(ratings: DataFrame, user: String, item: String): DataFrame = {
+    val users = Indexing.withRowIndex(
+      ratings.select(col(user)).distinct(), "userId", Seq(col(user).asc))
+    val items = Indexing.withRowIndex(
+      ratings.select(col(item)).distinct(), "itemId", Seq(col(item).asc))
+    ratings.join(users, user).join(items, item)
+      .select(col("userId"), col("itemId"), col("rating").cast("float").as("rating"))
+  }
+
+  def train(triples: DataFrame, cfg: Config): ALSModel =
+    new ALS()
+      .setRank(cfg.rank).setMaxIter(cfg.maxIter).setRegParam(cfg.regParam)
+      .setImplicitPrefs(cfg.implicitPrefs).setNonnegative(true)
+      .setColdStartStrategy("drop").setSeed(cfg.seed)
+      .setUserCol("userId").setItemCol("itemId").setRatingCol("rating")
+      .fit(triples)
+
+  /** M11: RMSE on a held-out split (`recommender_prod_rec.py:234-241`). */
+  def evalRmse(triples: DataFrame, cfg: Config): Double = {
+    val Array(train8, test2) = triples.randomSplit(Array(0.8, 0.2), cfg.seed)
+    val model = train(train8, cfg)
+    val pred = model.transform(test2)
+    new RegressionEvaluator().setMetricName("rmse")
+      .setLabelCol("rating").setPredictionCol("prediction")
+      .evaluate(pred)
+  }
+
+  /** Grid search over (rank, maxIter, regParam) by held-out RMSE
+    * (reference grid is a single point, `recommender_prod_rec.py:244-246`).
+    */
+  def gridSearch(triples: DataFrame, grid: Seq[Config]): (Config, Double) =
+    grid.map(c => c -> evalRmse(triples, c)).minBy(_._2)
+
+  /** M12 + F11/F12: top-K recommendations, exploded to rows — struct
+    * field access replaces the reference's Python UDFs (§2.9).
+    */
+  def recommendations(model: ALSModel, k: Int): DataFrame =
+    model.recommendForAllUsers(k)
+      .select(col("userId"), posexplode(col("recommendations")).as(Seq("rec_rank", "rec")))
+      .select(col("userId"), col("rec.itemId").as("itemId"),
+        col("rec.rating").as("score"), (col("rec_rank") + 1).as("rec_rank"))
+}
