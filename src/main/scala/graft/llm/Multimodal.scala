@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video travel as opaque
+  * `binary` payloads with typed metadata; decode/feature-extract runs
+  * partition-wise so a real codec slots in without touching the plan.
+  *
+  * The decode step itself is STUBBED (this container ships no image or
+  * audio codecs): [[fakeDecode]] is a deterministic stand-in — a 16-bin
+  * byte histogram, L1-normalized — with the same shape a real decoder
+  * would have (bytes in, fixed-dim float features out). Everything
+  * around it (schema, batch iteration, partition preservation, column
+  * contracts) is real and tested.
+  */
+object Multimodal {
+
+  val featureDim = 16
+
+  /** Payload schema: one row per asset. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  /** STUB decoder: deterministic 16-bin byte histogram, L1-normalized.
+    * Replace with a real codec (JNI/FFM) keeping the signature.
+    */
+  def fakeDecode(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](featureDim)
+    if (payload == null || payload.isEmpty) return bins
+    var i = 0
+    while (i < payload.length) {
+      bins((payload(i) & 0xff) / featureDim) += 1f
+      i += 1
+    }
+    val n = payload.length.toFloat
+    var j = 0
+    while (j < featureDim) { bins(j) /= n; j += 1 }
+    bins
+  }
+
+  /** Decode + feature-extract, partition-wise (the Scala analogue of a
+    * batched `mapInPandas` decode UDF): no shuffle, codec state
+    * amortized per partition, output schema fixed.
+    */
+  def extractFeatures(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val rdd = assets.select("asset_id", "modality", "payload").rdd.mapPartitions { it =>
+      // Real codecs initialize here, once per partition.
+      it.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        Row(r.getLong(0), r.getString(1),
+          if (payload == null) 0 else payload.length,
+          fakeDecode(payload).toSeq)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size chunk of the payload
+    * (a video's frame-sample analogue), as pure column ops — slicing
+    * binary needs no decode.
+    */
+  def sampleChunks(assets: DataFrame, chunkBytes: Int, stride: Int): DataFrame =
+    assets.select(col("asset_id"),
+      posexplode(transform(
+        sequence(lit(0), ((length(col("payload")) - 1) / (chunkBytes * stride)).cast("int")),
+        i => substring(col("payload"), (i * chunkBytes * stride + 1).cast("int"), lit(chunkBytes))))
+        .as(Seq("chunk_idx", "chunk")))
+
+  /** Build an assets frame from the documents table (text bytes as the
+    * stand-in payload) — the fixture generator for tests and queries.
+    */
+  def assetsFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("asset_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("modality"),
+      col("text").cast("binary").as("payload"),
+      lit(64).as("width"), lit(48).as("height"))
+}

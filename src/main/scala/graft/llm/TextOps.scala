@@ -20,7 +20,9 @@ object TextOps {
     * symbols — a deterministic BPE-ish pre-tokenizer.
     */
   def tokenizeRegex(text: Column): Column =
-    filter(split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"), t => t =!= "" && t =!= " ")
+    filter(split(text,
+      "(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])|(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+      t => t =!= "" && t =!= " ")
 
   /** Distinct word n-gram shingles of an array-of-token column. */
   def shingles(tokens: Column, n: Int): Column = {

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.io.Sources
+import graft.streaming.EventStreams
+
+class EngineIntegrationSpec extends SparkSuite {
+
+  test("entry flagship returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every oracle key exists in queries; names are stable") {
+    val qs = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
+    assert(qs.forall(_.matches("q\\d+_[a-z0-9_]+")))
+  }
+
+  test("Sources.latestDatePartition picks max yyyyMMdd dir") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_snap").toFile
+    Seq("20240101", "20240301", "20231231", "not_a_date").foreach { d =>
+      new java.io.File(tmp, d).mkdirs()
+    }
+    val got = Sources.latestDatePartition(spark, tmp.getAbsolutePath)
+    assert(got.exists(_.endsWith("20240301")))
+    assert(Sources.latestDatePartition(spark, tmp.getAbsolutePath + "/missing").isEmpty)
+  }
+
+  test("Sources csv pipe + inferred round-trip via Sinks") {
+    import spark.implicits._
+    val df = Seq((1, "x|y"), (2, "plain")).toDF("id", "s")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    graft.io.Sinks.csv(df.select(col("id"), regexp_replace(col("s"), "\\|", "_").as("s")),
+      dir + "/out", singleFile = true)
+    val back = Sources.csvInferred(spark, dir + "/out")
+    assert(back.count() == 2)
+    assert(back.schema("id").dataType.typeName == "integer")
+  }
+
+  test("streaming sliding windows: rows cover both hour offsets") {
+    val out = EventStreams.slidingRate(spark, sf)
+    assert(out.count() > 0)
+    val starts = out.select("win_start").collect().map(_.getString(0))
+    assert(starts.exists(_.endsWith(":30:00")) && starts.exists(_.endsWith(":00:00")))
+  }
+
+  test("literal table injection + unionByName (S5/O5)") {
+    val lit = Sources.literalTable(spark, Seq("a", "b"), Seq(Seq("1", "x"), Seq("2", null)))
+    assert(lit.count() == 2)
+    val merged = lit.unionByName(Sources.literalTable(spark, Seq("b", "a"), Seq(Seq("y", "3"))))
+    assert(merged.count() == 3)
+    assert(merged.filter(col("b").isNull).count() == 1)
+  }
+
+  test("randomSplit with fixed seed is reproducible (O6)") {
+    val df = spark.range(1000).toDF("id")
+    val a = df.randomSplit(Array(0.9, 0.1), seed = 100)(0).count()
+    val b = df.randomSplit(Array(0.9, 0.1), seed = 100)(0).count()
+    assert(a == b)
+  }
+}

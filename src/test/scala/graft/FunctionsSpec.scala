@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{functions => F}
+
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    spark.range(1).select(c.as("v")).head.get(0)
+
+  test("hopsScore: non-6-char code -> -1") {
+    assert(eval1(F.hopsScore(lit("12345"), lit("123456"))) == -1.0)
+    assert(eval1(F.hopsScore(lit("1234567"), lit("123456"))) == -1.0)
+  }
+
+  test("hopsScore: first-char mismatch -> 0") {
+    assert(eval1(F.hopsScore(lit("912345"), lit("123456"))) == 0.0)
+  }
+
+  test("hopsScore: full match -> 1") {
+    assert(eval1(F.hopsScore(lit("123456"), lit("123456"))) == 1.0)
+  }
+
+  test("hopsScore: prefix-sensitive partial scores (defect d13 intended semantics)") {
+    // common prefix l -> 1 - (6-l)*0.2
+    assert(eval1(F.hopsScore(lit("123456"), lit("123459"))) == 1.0 - 1 * 2.0 / 10.0) // l=5
+    assert(eval1(F.hopsScore(lit("123456"), lit("123999"))) == 1.0 - 3 * 2.0 / 10.0) // l=3
+    assert(eval1(F.hopsScore(lit("123456"), lit("199999"))) == 1.0 - 5 * 2.0 / 10.0) // l=1
+  }
+
+  test("hopsScore is symmetric") {
+    val a = eval1(F.hopsScore(lit("123456"), lit("123999"))).asInstanceOf[Double]
+    val b = eval1(F.hopsScore(lit("123999"), lit("123456"))).asInstanceOf[Double]
+    assert(a == b)
+  }
+
+  test("haversineScore: identical point -> 1.0") {
+    val v = eval1(F.haversineScore(lit(40.0), lit(-74.0), lit(40.0), lit(-74.0)))
+      .asInstanceOf[Double]
+    assert(math.abs(v - 1.0) < 1e-12)
+  }
+
+  test("haversineScore: any null coordinate -> neutral 0.5") {
+    val nullD = lit(null).cast("double")
+    assert(eval1(F.haversineScore(nullD, lit(0.0), lit(1.0), lit(1.0))) == 0.5)
+    assert(eval1(F.haversineScore(lit(0.0), lit(0.0), lit(1.0), nullD)) == 0.5)
+  }
+
+  test("haversineKm: known distance (London->Paris ~343km at R=6373)") {
+    val v = eval1(F.haversineKm(lit(51.5074), lit(-0.1278), lit(48.8566), lit(2.3522)))
+      .asInstanceOf[Double]
+    assert(v > 330 && v < 350, s"got $v")
+  }
+
+  test("dot/l2/cosine on known vectors") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 0.0f))).toDF("a", "b")
+    val r = df.select(
+      F.dotProduct(col("a"), col("b")).as("dot"),
+      F.l2Norm(col("a")).as("na"),
+      F.cosineSimilarity(col("a"), col("b")).as("cos")).head
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == 3.0)
+    assert(math.abs(r.getDouble(2) - 2.0 / (3.0 * 2.0)) < 1e-12)
+  }
+
+  test("cosineSimilarity: zero vector -> 0.0") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(F.cosineSimilarity(col("a"), col("b"))).head.getDouble(0) == 0.0)
+  }
+
+  test("l2Normalize produces unit vectors") {
+    val df = Seq(Tuple1(Array(3.0f, 4.0f))).toDF("a")
+    val n = df.select(F.l2Norm(F.l2Normalize(col("a")))).head.getDouble(0)
+    assert(math.abs(n - 1.0) < 1e-12)
+  }
+
+  test("blendedScore default weights sum correctly") {
+    val v = eval1(F.blendedScore(lit(1.0), lit(1.0), lit(1.0))).asInstanceOf[Double]
+    assert(math.abs(v - 1.0) < 1e-12)
+    val cosOnly = eval1(F.blendedScore(lit(1.0), lit(0.0), lit(0.0))).asInstanceOf[Double]
+    assert(math.abs(cosOnly - 0.6) < 1e-12)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{DedupOps, Multimodal, SimSearch, TextOps}
+
+class LlmOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("TextOps.shingles: distinct n-grams in order") {
+    val df = Seq("a b c b c").toDF("text")
+    val got = df.select(TextOps.shingles(TextOps.tokenize(col("text")), 2))
+      .head.getSeq[String](0)
+    assert(got == Seq("a b", "b c", "c b"))
+  }
+
+  test("TextOps.tokenizeRegex splits letters/digits/symbols") {
+    val got = Seq("ab12 cd-ef").toDF("t")
+      .select(TextOps.tokenizeRegex(col("t"))).head.getSeq[String](0)
+    assert(got == Seq("ab", "12", "cd", "-", "ef"))
+  }
+
+  test("DedupOps.jaccard exact on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    assert(df.select(DedupOps.jaccard(col("x"), col("y"))).head.getDouble(0) == 0.5)
+  }
+
+  test("DedupOps.minhash is deterministic and order-insensitive") {
+    val df = Seq(Seq("a", "b", "c"), Seq("c", "b", "a")).toDF("sh")
+    val sigs = df.select(DedupOps.minhash(col("sh"), 0)).as[String].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("DedupOps.lshCandidates finds a planted near-duplicate") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok30", "tokX") // 29/31 shingles shared
+    val noise = (1 to 30).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, noise)).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokenize(col("text")), 2).as("sh"))
+    val pairs = DedupOps.lshCandidates(df, "doc_id", "sh")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("DedupOps.simhash32: identical docs same hash; near dups close in hamming") {
+    val df = Seq(
+      (1L, "spark scala data engine fast"),
+      (2L, "spark scala data engine fast"),
+      (3L, "spark scala data engine slow"),
+      (4L, "completely different words entirely here")).toDF("id", "text")
+      .select(col("id"), DedupOps.simhash32(TextOps.tokenize(col("text"))).as("h"))
+    val m = df.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+
+  test("SimSearch.bruteForceTopK returns the true nearest neighbor") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = SimSearch.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", 1)
+    val top = got.head
+    assert(top.getAs[Long]("vec_id") == 2L)
+  }
+
+  test("SimSearch.ivfTopK recall vs brute force on sf0.001 embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = SimSearch.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 4).select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall") // nProbe=4 of 8 buckets on random vectors
+  }
+
+  test("Multimodal.extractFeatures: deterministic histogram, L1-normalized") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val assets = Multimodal.assetsFromDocuments(docs)
+    val f1 = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
+    val f2 = Multimodal.extractFeatures(assets).orderBy("asset_id").collect()
+    assert(f1.sameElements(f2))
+    f1.foreach { r =>
+      val feats = r.getSeq[Float](3)
+      assert(feats.length == Multimodal.featureDim)
+      assert(math.abs(feats.sum - 1.0f) < 1e-3)
+    }
+  }
+
+  test("Multimodal.fakeDecode: known byte histogram") {
+    val feats = Multimodal.fakeDecode("aaaa".getBytes("UTF-8")) // 'a'=97 -> bin 6
+    assert(feats(6) == 1.0f)
+    assert(feats.sum == 1.0f)
+  }
+}

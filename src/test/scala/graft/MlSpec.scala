@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.feature.FeaturePipeline
+import graft.rec.AlsPipeline
+
+class MlSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ALS recovers planted low-rank preference structure") {
+    // Two user blocks × two item blocks: block users strongly prefer
+    // block items (rating 5 vs 0.1 noise).
+    val rows = for {
+      u <- 0 until 40; i <- 0 until 20
+      r = if ((u < 20) == (i < 10)) 5.0 else 0.1
+    } yield (u, i, r.toFloat)
+    val triples = rows.toDF("userId", "itemId", "rating")
+    val model = AlsPipeline.train(triples,
+      AlsPipeline.Config(rank = 4, maxIter = 10, regParam = 0.05, implicitPrefs = false))
+    val recs = AlsPipeline.recommendations(model, 3)
+      .select("userId", "itemId").as[(Int, Int)].collect()
+    val inBlock = recs.count { case (u, i) => (u < 20) == (i < 10) }
+    assert(inBlock.toDouble / recs.length > 0.9, s"in-block ratio ${inBlock.toDouble / recs.length}")
+  }
+
+  test("ALS RMSE on planted structure is small") {
+    val rows = for {
+      u <- 0 until 40; i <- 0 until 20
+      r = if ((u < 20) == (i < 10)) 4.0 else 1.0
+    } yield (u, i, r.toFloat)
+    val rmse = AlsPipeline.evalRmse(rows.toDF("userId", "itemId", "rating"),
+      AlsPipeline.Config(rank = 4, maxIter = 10, regParam = 0.05, implicitPrefs = false))
+    assert(rmse < 1.0, s"rmse $rmse")
+  }
+
+  test("percentRankRating bounds and epsilon") {
+    val usage = Seq((1, 1, 10.0), (1, 1, 20.0), (1, 1, 30.0), (2, 2, 5.0))
+      .toDF("u", "i", "x")
+    val got = AlsPipeline.percentRankRating(usage, "u", "i", "x")
+      .select("rating").as[Double].collect()
+    assert(got.forall(r => r >= 1e-6 && r <= 1.0 + 1e-6))
+    assert(got.count(_ == 1e-6) == 2) // first of each group
+  }
+
+  test("indexedTriples: contiguous int ids, one per entity") {
+    val rated = Seq(("ca", "px", 1.0), ("cb", "px", 2.0), ("cc", "py", 3.0))
+      .toDF("cust", "item", "rating")
+    val t = AlsPipeline.indexedTriples(rated, "cust", "item")
+    val users = t.select("userId").as[Int].collect().toSet
+    val items = t.select("itemId").as[Int].collect().toSet
+    assert(users == Set(0, 1, 2) && items == Set(0, 1))
+  }
+
+  test("FeaturePipeline: imputation fills nulls, scaled features in [0,1] pre-weight") {
+    val df = Seq(
+      (1L, Some(10.0), 1.0, "A"), (2L, None, 2.0, "B"),
+      (3L, Some(30.0), 3.0, "A"), (4L, Some(20.0), 4.0, "C"))
+      .toDF("id", "bal", "age", "seg")
+      .withColumn("bal", col("bal").cast("double"))
+    val out = FeaturePipeline.build(df, Seq("bal", "age"), "seg",
+      Map("bal" -> 1.0, "age" -> 1.0), wCat = 1.0)
+    val feats = out.select("features_arr").as[Seq[Double]].collect()
+    assert(feats.forall(_.forall(v => v >= 0.0 && v <= 1.0)))
+    // 2 numeric + 4 OHE slots (3 categories + keep-invalid slot)
+    assert(feats.head.length == 2 + 4)
+    // imputed row present (no NaN/null)
+    assert(feats.forall(_.forall(v => !v.isNaN)))
+  }
+
+  test("FeaturePipeline.evenSplits covers [0, max+1] with infinities") {
+    val df = Seq(1.0, 5.0, 9.0).toDF("x")
+    val splits = FeaturePipeline.evenSplits(df, "x", 4)
+    assert(splits.length == 5)
+    assert(splits.head == Double.NegativeInfinity && splits.last == Double.PositiveInfinity)
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Indexing, Scale, TopK}
+
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val kv = Seq(
+    ("a", 3, "x"), ("a", 1, "y"), ("a", 2, "z"),
+    ("b", 5, "p"), ("b", 4, "q")).toDF("k", "v", "tag")
+
+  test("Dedup.firstPerKey keeps exactly the first row under the total order") {
+    val got = Dedup.firstPerKey(kv, Seq("k"), Seq(col("v").asc))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq(("a", 1, "y"), ("b", 4, "q")))
+  }
+
+  test("Dedup.byFingerprint collapses identical content") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val got = Dedup.byFingerprint(df, Seq("text"), Seq(col("id").asc))
+    assert(got.count() == 2)
+    assert(got.filter(col("text") === "same text").head.getLong(0) == 1L)
+  }
+
+  test("TopK.perKey: ties kept by rank; exactPerKey: exactly k") {
+    val df = Seq(("a", 2), ("a", 2), ("a", 1), ("b", 9)).toDF("k", "v")
+    assert(TopK.perKey(df, Seq("k"), Seq(col("v").desc), 1).count() == 3) // tie at 2
+    assert(TopK.exactPerKey(df, Seq("k"), Seq(col("v").desc), 1).count() == 2)
+  }
+
+  test("Indexing.withRowIndex: contiguous 0-based, deterministic") {
+    val df = Seq("c", "a", "b").toDF("s")
+    val got = Indexing.withRowIndex(df, "idx", Seq(col("s").asc))
+      .orderBy("idx").collect().map(r => (r.getInt(1), r.getString(0)))
+    assert(got.toSeq == Seq((0, "a"), (1, "b"), (2, "c")))
+  }
+
+  test("Indexing.zipWithIndexOrdered matches withRowIndex on sorted ids") {
+    val df = spark.range(100).toDF("id")
+    val a = Indexing.withRowIndex(df, "idx", Seq(col("id").asc))
+      .select("idx", "id").as[(Int, Long)].collect().toSet
+    val b = Indexing.zipWithIndexOrdered(df, "idx", Seq(col("id").asc))
+      .select("idx", "id").as[(Int, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("Scale.minmax bounds + constant-column midpoint") {
+    val df = Seq(0.0, 5.0, 10.0).toDF("x")
+    val got = Scale.minmax(df, "x", "s").select("s").as[Double].collect().sorted
+    assert(got.toSeq == Seq(0.0, 0.5, 1.0))
+    val const = Seq(7.0, 7.0).toDF("x")
+    assert(Scale.minmax(const, "x", "s").select("s").as[Double].collect().toSet == Set(0.5))
+  }
+
+  test("Scale.standard zero-mean unit-variance") {
+    val df = Seq(1.0, 2.0, 3.0).toDF("x")
+    val got = Scale.standard(df, "x", "z").select("z").as[Double].collect().sorted
+    assert(math.abs(got.sum) < 1e-12)
+    assert(math.abs(got.max - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based tests (SURVEY.md §5.3) using ScalaCheck generators
+  * driven from a fixed seed (no scalatestplus bridge in the dependency
+  * set). Column expressions are evaluated through a one-row frame so the
+  * tested path is the real Catalyst expression.
+  */
+class PropertiesSpec extends SparkSuite {
+  import graft.engine.{functions => F}
+
+  /** Deterministic sample stream from a Gen. */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private def evalHops(a: String, b: String): Double =
+    spark.range(1).select(F.hopsScore(lit(a), lit(b)).as("v")).head.getDouble(0)
+
+  private val code6 = Gen.listOfN(6, Gen.numChar).map(_.mkString)
+
+  test("hops: bounded in [-1,1], symmetric, identity=1") {
+    samples(Gen.zip(code6, code6), 40).foreach { case (a, b) =>
+      val v = evalHops(a, b)
+      assert(v >= -1.0 && v <= 1.0)
+      assert(v == evalHops(b, a))
+      assert(evalHops(a, a) == 1.0)
+    }
+  }
+
+  test("hops: longer shared prefix never scores lower") {
+    samples(code6, 25).foreach { a =>
+      val scores = (1 to 5).map { p =>
+        val b = a.substring(0, p) + (if (a.charAt(p) == '9') '0' else '9') + a.substring(p + 1)
+        evalHops(a, b)
+      }
+      assert(scores == scores.sorted, s"not monotone for $a: $scores")
+    }
+  }
+
+  test("haversineScore bounded above by 1; 1 at zero distance") {
+    val coord = Gen.zip(Gen.choose(-89.0, 89.0), Gen.choose(-179.0, 179.0))
+    samples(Gen.zip(coord, coord), 40).foreach { case (p, q) =>
+      val v = spark.range(1).select(
+        F.haversineScore(lit(p._1), lit(p._2), lit(q._1), lit(q._2)).as("v"))
+        .head.getDouble(0)
+      assert(v <= 1.0 + 1e-12, s"$p $q -> $v")
+    }
+    samples(coord, 10).foreach { p =>
+      val v = spark.range(1).select(
+        F.haversineScore(lit(p._1), lit(p._2), lit(p._1), lit(p._2)).as("v"))
+        .head.getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-9)
+    }
+  }
+
+  test("minmax scale lands in [0,1] and keeps order") {
+    import spark.implicits._
+    samples(Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6)), 15).foreach { xs =>
+      val df = xs.toDF("x")
+      val got = graft.ops.Scale.minmax(df, "x", "s")
+        .select("x", "s").as[(Double, Double)].collect().sortBy(_._1)
+      assert(got.forall { case (_, s) => s >= 0.0 && s <= 1.0 })
+      assert(got.map(_._2).toSeq == got.map(_._2).sorted.toSeq)
+    }
+  }
+
+  test("topK returns at most k rows per key, all among the true top") {
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(50, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0, 1000)))
+    samples(rowsGen, 10).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("k", "v")
+      val k = 3
+      val got = graft.ops.TopK.exactPerKey(df, Seq("k"), Seq(col("v").desc), k)
+        .select("k", "v").as[(String, Int)].collect().toSeq
+      val byKey = got.groupBy(_._1)
+      assert(byKey.values.forall(_.size <= k))
+      byKey.foreach { case (key, kept) =>
+        val all = rows.filter(_._1 == key).map(_._2).sorted.reverse
+        val threshold = all.take(k).last
+        assert(kept.map(_._2).min >= threshold)
+      }
+    }
+  }
+
+  test("jaccard in [0,1]; 1 for identical non-empty sets") {
+    import spark.implicits._
+    val toks = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.distinct)
+    samples(Gen.zip(toks, toks), 20).foreach { case (x, y) =>
+      val v = Seq((x, y)).toDF("x", "y")
+        .select(graft.llm.DedupOps.jaccard(col("x"), col("y"))).head.getDouble(0)
+      assert(v >= 0.0 && v <= 1.0)
+      val ident = Seq((x, x)).toDF("x", "y")
+        .select(graft.llm.DedupOps.jaccard(col("x"), col("y"))).head.getDouble(0)
+      assert(ident == 1.0)
+    }
+  }
+}
