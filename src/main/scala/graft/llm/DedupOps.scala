@@ -57,8 +57,11 @@ object DedupOps {
   def lshCandidates(df: DataFrame, idCol: String, shinglesCol: String,
                     bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val sigs = bandSignatures(col(shinglesCol), bands, rowsPerBand)
+    // Cache: the signature projection (bands × rowsPerBand salted md5
+    // passes over every shingle) feeds BOTH sides of the self-join —
+    // without materialization Spark computes it twice.
     val banded = df.select(col(idCol), col(shinglesCol),
-      posexplode(array(sigs: _*)).as(Seq("band", "sig")))
+      posexplode(array(sigs: _*)).as(Seq("band", "sig"))).cache()
     val a = banded.select(col("band"), col("sig"),
       col(idCol).as("id_a"), col(shinglesCol).as("sh_a"))
     val b = banded.select(col("band"), col("sig"),

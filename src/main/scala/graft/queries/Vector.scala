@@ -12,24 +12,33 @@ import graft.llm.{DedupOps, SimSearch, TextOps}
   */
 object Vector {
 
-  /** DuckDB double-accumulation cosine between list exprs `a` and `b`. */
-  private def cosSql(a: String, b: String): String = s"""
-    (list_aggregate(list_transform(range(1, len($a) + 1),
-        i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')
-     / (sqrt(list_aggregate(list_transform(range(1, len($a) + 1),
-          i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)), 'sum'))
-        * sqrt(list_aggregate(list_transform(range(1, len($b) + 1),
-            i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum'))))"""
+  /** CTE producing unit-normalized double embeddings (`un(vec_id, ne)`) —
+    * mirrors SimSearch's normalize-once formulation: cast to double,
+    * divide by the L2 norm accumulated left-to-right.
+    */
+  private val unitSql: String = """
+    du AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+           FROM embeddings),
+    un AS (SELECT vec_id,
+                  list_transform(de, x -> x / sqrt(list_aggregate(
+                      list_transform(de, y -> y * y), 'sum'))) AS ne
+           FROM du)"""
+
+  /** Dot product of two unit lists, sequential left-to-right sum. */
+  private def dotSql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, len($a) + 1),
+        i -> $a[i] * $b[i]), 'sum')"""
 
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force exact ANN baseline: top-10 cosine neighbors for each
     // query vector (vec_id % 50 = 0), broadcast-queries × corpus scan.
     QueryDef("q23_cosine_topk", Some(s"""
-      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
+      WITH $unitSql,
+      q AS (SELECT vec_id AS query_id, ne AS qe FROM un WHERE vec_id % 50 = 0),
       pairs AS (
-        SELECT q.query_id, e.vec_id, round(${cosSql("q.q_emb", "e.embedding")}, 6) AS cos_sim
-        FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+        SELECT q.query_id, e.vec_id, round(${dotSql("q.qe", "e.ne")}, 6) AS cos_sim
+        FROM un e JOIN q ON e.vec_id <> q.query_id)
       SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
             FROM pairs)
@@ -43,11 +52,12 @@ object Vector {
 
     // Embedding near-dup: all pairs >= 0.35 cosine within a sampled slice.
     QueryDef("q24_cosine_pairs", Some(s"""
-      WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0)
+      WITH $unitSql,
+      s AS (SELECT vec_id, ne FROM un WHERE vec_id % 3 = 0)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+             round(${dotSql("a.ne", "b.ne")}, 6) AS cos_sim
       FROM s a JOIN s b ON a.vec_id < b.vec_id
-      WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.35"""),
+      WHERE round(${dotSql("a.ne", "b.ne")}, 6) >= 0.35"""),
       (spark, dir) =>
         SimSearch.thresholdPairs(
           T(spark, dir, "embeddings").filter(col("vec_id") % 3 === 0),
