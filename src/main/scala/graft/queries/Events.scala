@@ -56,6 +56,25 @@ object Events {
             (max(col("ms")) - min(col("ms"))).as("duration_ms"))
       }),
 
+    // Native session windows (Spark's streaming-capable session_window
+    // operator run in batch mode); oracle re-derives the same sessions
+    // with lag/cumsum SQL. Session breaks at gap >= 30 min (half-open
+    // [start, last+gap) window semantics).
+    QueryDef("q37_session_window", Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      l AS (SELECT *, lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev_ms FROM e),
+      f AS (SELECT *, CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END AS new_s FROM l),
+      s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+      SELECT user_id, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms, count(*) AS n_events
+      FROM s GROUP BY user_id, sid"""),
+      (spark, dir) =>
+        T(spark, dir, "events")
+          .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
+            unix_millis(col("sw.end")).as("end_ms"), col("n_events"))),
+
     // JSON property extraction + per-type aggregate.
     QueryDef("q36_json_props", Some("""
       SELECT event_type,

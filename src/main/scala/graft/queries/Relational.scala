@@ -236,6 +236,58 @@ object Relational {
         Indexing.withRowIndex(T(spark, dir, "customer"), "idx", Seq(col("c_custkey").asc))
           .select("idx", "c_custkey")),
 
+    // A9: describe()-equivalent summary statistics (count/mean/stddev/
+    // min/max), computed explicitly so types and rounding are pinned.
+    QueryDef("q15_summary_stats", Some("""
+      SELECT 'o_totalprice' AS col_name,
+             count(o_totalprice) AS n,
+             round(avg(o_totalprice), 4) AS mean,
+             round(stddev_samp(o_totalprice), 4) AS std,
+             round(min(o_totalprice), 4) AS min_v,
+             round(max(o_totalprice), 4) AS max_v
+      FROM orders
+      UNION ALL
+      SELECT 'c_acctbal' AS col_name,
+             count(c_acctbal) AS n,
+             round(avg(c_acctbal), 4) AS mean,
+             round(stddev_samp(c_acctbal), 4) AS std,
+             round(min(c_acctbal), 4) AS min_v,
+             round(max(c_acctbal), 4) AS max_v
+      FROM customer"""),
+      (spark, dir) => {
+        def stats(t: String, c: String) =
+          T(spark, dir, t).agg(
+            count(col(c)).as("n"),
+            round(avg(col(c)), 4).as("mean"),
+            round(stddev_samp(col(c)), 4).as("std"),
+            round(min(col(c)), 4).as("min_v"),
+            round(max(col(c)), 4).as("max_v"))
+            .select(lit(c).as("col_name"), col("n"), col("mean"),
+              col("std"), col("min_v"), col("max_v"))
+        stats("orders", "o_totalprice").unionByName(stats("customer", "c_acctbal"))
+      }),
+
+    // J7 + F2/F3: join on trim-normalized keys (reference normalizes
+    // pup_measure_name with trim before the itemMap join,
+    // `inference_postprocess.py:88-90`) + upper projection.
+    QueryDef("q38_trim_join", Some("""
+      WITH padded AS (
+        SELECT DISTINCT '  ' || p_type || ' ' AS padded_type FROM part),
+      agg AS (
+        SELECT p_type, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+        FROM part GROUP BY p_type)
+      SELECT p.padded_type, upper(a.p_type) AS type_upper, a.n_parts, a.avg_price
+      FROM padded p JOIN agg a ON trim(p.padded_type) = a.p_type"""),
+      (spark, dir) => {
+        val p = T(spark, dir, "part")
+        val padded = p.select(concat(lit("  "), col("p_type"), lit(" ")).as("padded_type")).distinct()
+        val agg = p.groupBy("p_type")
+          .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 4).as("avg_price"))
+        padded.join(agg, trim(col("padded_type")) === col("p_type"))
+          .select(col("padded_type"), upper(col("p_type")).as("type_upper"),
+            col("n_parts"), col("avg_price"))
+      }),
+
     // M6-equivalent min-max scaling as pure SQL ((x-min)/(max-min) over the
     // whole frame) — the ML-parity MinMaxScaler path is tested in ScalaTest.
     QueryDef("q19_minmax_scale", Some("""

@@ -77,6 +77,42 @@ object Vector {
           round(F.l2Norm(col("embedding")), 6).as("l2_norm"),
           round(element_at(F.l2Normalize(col("embedding")), 1), 6).as("first_unit"))),
 
+    // IVF-bucketed approximate ANN: deterministic centroids (16 lowest
+    // vec_ids), corpus bucketed by nearest centroid, queries probe their
+    // 4 nearest buckets. The full bucketing + probe + top-K pipeline is
+    // mirrored in SQL.
+    QueryDef("q43_ivf_ann", Some(s"""
+      WITH $unitSql,
+      cents AS (SELECT vec_id AS cent_id, ne AS ce FROM un ORDER BY vec_id LIMIT 16),
+      assign AS (
+        SELECT u.vec_id, u.ne, c.cent_id, ${dotSql("u.ne", "c.ce")} AS s
+        FROM un u CROSS JOIN cents c),
+      bucketed AS (
+        SELECT vec_id, ne, cent_id AS bucket
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM assign)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, ne AS qe FROM un WHERE vec_id % 50 = 0),
+      qassign AS (
+        SELECT q.query_id, q.qe, c.cent_id, ${dotSql("q.qe", "c.ce")} AS s
+        FROM q CROSS JOIN cents c),
+      probed AS (
+        SELECT query_id, qe, cent_id AS bucket
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cent_id) AS rn FROM qassign)
+        WHERE rn <= 4),
+      pairs AS (
+        SELECT p.query_id, b.vec_id, round(${dotSql("p.qe", "b.ne")}, 6) AS cos_sim
+        FROM probed p JOIN bucketed b ON p.bucket = b.bucket AND b.vec_id <> p.query_id)
+      SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM pairs)
+      WHERE rnk <= 10"""),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        SimSearch.ivfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", 10, nCentroids = 16, nProbe = 4)
+          .select("query_id", "vec_id", "cos_sim", "rnk")
+      }),
+
     // MinHash-LSH near-dup candidates over 2-gram shingles: 4 bands × 2
     // salted md5 min-hashes, candidates verified with true Jaccard.
     QueryDef("q26_minhash_lsh", Some {

@@ -39,6 +39,39 @@ object EventStreams {
     out
   }
 
+  /** Custom streaming state: per-user running event counts via
+    * `mapGroupsWithState` (the engine's KeyValueGroupedDataset custom-
+    * state surface; update mode, state keyed by user). The memory sink
+    * accumulates update rows — the caller reduces to the latest per key
+    * (here: max, counts are monotone).
+    */
+  def statefulUserCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(col("user_id")).as[Long]
+    val counted = stream.groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user, events, state) =>
+          val n = state.getOption.getOrElse(0L) + events.size
+          state.update(n)
+          (user, n)
+      }
+      .toDF("user_id", "n_events")
+    val name = s"graft_state_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = counted.writeStream.outputMode("update")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name)
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n_events"))
+      .cache()
+    out.count()
+    out
+  }
+
   /** Sliding-window event rate (30-min slide over 1-h windows) — same
     * streaming machinery, finer reporting grain.
     */

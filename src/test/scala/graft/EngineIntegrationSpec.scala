@@ -51,6 +51,16 @@ class EngineIntegrationSpec extends SparkSuite {
     assert(starts.exists(_.endsWith(":30:00")) && starts.exists(_.endsWith(":00:00")))
   }
 
+  test("stateful streaming user counts match batch groupBy") {
+    import spark.implicits._
+    val streamed = EventStreams.statefulUserCounts(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.queries.T(spark, sf, "events")
+      .groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("literal table injection + unionByName (S5/O5)") {
     val lit = Sources.literalTable(spark, Seq("a", "b"), Seq(Seq("1", "x"), Seq("2", null)))
     assert(lit.count() == 2)
