@@ -46,6 +46,13 @@ object FeaturePipeline {
     val imputed = numCols.map(c => s"${c}_imp")
     val imputer = new Imputer().setStrategy("median")
       .setInputCols(numCols.toArray).setOutputCols(imputed.toArray)
+    // M3: even-width buckets over [0, max+1] per numeric column (the
+    // reference's np.linspace splits; A5 max pull happens here).
+    val bucketizers = numCols.map { c =>
+      new Bucketizer().setHandleInvalid("keep")
+        .setSplits(evenSplits(df.filter(col(c).isNotNull), c, 9))
+        .setInputCol(s"${c}_imp").setOutputCol(s"${c}_bkt")
+    }
     val indexer = new StringIndexer().setHandleInvalid("keep")
       .setInputCol(catCol).setOutputCol(s"${catCol}_cat")
     val ohe = new OneHotEncoder().setDropLast(false)
@@ -57,7 +64,7 @@ object FeaturePipeline {
     val scalers = numCols.map { c =>
       new MinMaxScaler().setInputCol(s"${c}_vec").setOutputCol(s"${c}_mm")
     }
-    val stages = Seq(imputer, indexer, ohe) ++ toVec ++ scalers
+    val stages = Seq(imputer) ++ bucketizers ++ Seq(indexer, ohe) ++ toVec ++ scalers
     val fitted = new Pipeline().setStages(stages.toArray).fit(df)
     val out = fitted.transform(df)
 

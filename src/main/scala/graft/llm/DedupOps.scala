@@ -56,11 +56,18 @@ object DedupOps {
     */
   def lshCandidates(df: DataFrame, idCol: String, shinglesCol: String,
                     bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val sigs = bandSignatures(col(shinglesCol), bands, rowsPerBand)
-    // Cache: the signature projection (bands × rowsPerBand salted md5
-    // passes over every shingle) feeds BOTH sides of the self-join —
+    graft.engine.expressions.MinHashSignatures.register(df.sparkSession)
+    // All k min-hashes in one pass (engine.expressions.MinHashSignatures),
+    // then one band column per (rowsPerBand) consecutive hashes.
+    val mh = graft.engine.expressions.MinHashSignatures
+      .minhashes(col(shinglesCol), bands * rowsPerBand)
+    val withSig = df.withColumn("__mh", mh)
+    val sigs = (0 until bands).map { b =>
+      concat((0 until rowsPerBand).map(r => col("__mh")(b * rowsPerBand + r)): _*)
+    }
+    // Cache: the signature projection feeds BOTH sides of the self-join —
     // without materialization Spark computes it twice.
-    val banded = df.select(col(idCol), col(shinglesCol),
+    val banded = withSig.select(col(idCol), col(shinglesCol),
       posexplode(array(sigs: _*)).as(Seq("band", "sig"))).cache()
     val a = banded.select(col("band"), col("sig"),
       col(idCol).as("id_a"), col(shinglesCol).as("sh_a"))

@@ -16,9 +16,12 @@ object ML {
     // surrogate ids → implicit ALS → top-5 recs per user, joined back to
     // the entity maps.
     QueryDef("q40_als_recommend", None, (spark, dir) => {
+      // Item universe is brand-level (FIXTURES.md: products ≈ part ⋈
+      // lineitem), matching the reference's SKU-scale item space.
       val usage = T(spark, dir, "orders")
         .join(T(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("item"))
+        .join(broadcast(T(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("o_custkey").as("cust"), col("p_brand").as("item"))
         .agg(sum(col("l_quantity")).as("intensity"))
       val rated = AlsPipeline.accumulate(usage, "cust", "item", "intensity")
       val triples = AlsPipeline.indexedTriples(rated, "cust", "item")

@@ -20,7 +20,8 @@ import graft.ops.Indexing
 object AlsPipeline {
 
   case class Config(rank: Int = 15, maxIter: Int = 5, regParam: Double = 0.001,
-                    implicitPrefs: Boolean = true, seed: Long = 0L, topK: Int = 5)
+                    implicitPrefs: Boolean = true, seed: Long = 0L, topK: Int = 5,
+                    numBlocks: Int = 8)
 
   /** W1 preprocessing: percent_rank of intensity within user+item, plus
     * epsilon (`recommender_prod_rec.py:171-176`).
@@ -37,13 +38,18 @@ object AlsPipeline {
                  intensity: String): DataFrame =
     usage.groupBy(user, item).agg(sum(col(intensity)).as("rating"))
 
-  /** Deterministic surrogate ids + (userId, itemId, rating) triples. */
+  /** Deterministic surrogate ids + (userId, itemId, rating) triples.
+    * The ratings input feeds three plan branches (triples + both entity
+    * distincts) — cached here so the upstream pipeline runs once, not
+    * three times.
+    */
   def indexedTriples(ratings: DataFrame, user: String, item: String): DataFrame = {
+    val r = ratings.cache()
     val users = Indexing.withRowIndex(
-      ratings.select(col(user)).distinct(), "userId", Seq(col(user).asc))
+      r.select(col(user)).distinct(), "userId", Seq(col(user).asc))
     val items = Indexing.withRowIndex(
-      ratings.select(col(item)).distinct(), "itemId", Seq(col(item).asc))
-    ratings.join(users, user).join(items, item)
+      r.select(col(item)).distinct(), "itemId", Seq(col(item).asc))
+    r.join(users, user).join(items, item)
       .select(col("userId"), col("itemId"), col("rating").cast("float").as("rating"))
   }
 
@@ -52,6 +58,10 @@ object AlsPipeline {
       .setRank(cfg.rank).setMaxIter(cfg.maxIter).setRegParam(cfg.regParam)
       .setImplicitPrefs(cfg.implicitPrefs).setNonnegative(true)
       .setColdStartStrategy("drop").setSeed(cfg.seed)
+      // Block count sized to the ratings volume, not defaultParallelism:
+      // 32 blocks over ~150k ratings is all scheduling overhead. On a
+      // real cluster callers raise this with data volume.
+      .setNumUserBlocks(cfg.numBlocks).setNumItemBlocks(cfg.numBlocks)
       .setUserCol("userId").setItemCol("itemId").setRatingCol("rating")
       .fit(triples)
 
