@@ -1,0 +1,114 @@
+package graft.flows
+
+import org.apache.spark.ml.feature.Imputer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{functions => F}
+import graft.engine.expressions.DotProduct
+import graft.ops.{Dedup, Indexing, Scale, TopK}
+import graft.queries.T
+
+/** End-to-end re-expression of the reference's flagship entry point
+  * `SearchRankPeers.main()` (SURVEY.md §3.1; `src/search_ranking_peers.py:457-571`)
+  * over the customer test table:
+  *
+  *  1. clean: filter + casts (`:342-349`)
+  *  2. literal prospect row injected + unionByName (`:464-471`, defect
+  *     d7 fixed: arity-correct row)
+  *  3. median imputation of numeric features (`:473-476`)
+  *  4. key dedup (`:484`, deterministic variant)
+  *  5. surrogate ids + seeded batch split (`:486-494`)
+  *  6. weighted min-max features (`:497-524` — the full OHE chain lives
+  *     in feature.FeaturePipeline; this flow uses the SQL-parity scalers)
+  *  7. similarity: L2-normalized feature dot (codegen) blended with
+  *     NAICS hops + haversine (`:238-243,310-312`)
+  *  8. per-target top-K + attribute join-back + report sort (`:327-340`)
+  *
+  * Differences by design: no collect-to-driver anywhere (the reference
+  * collects the right matrix and the L6/lat/lon lists); batching is a
+  * knob, not a memory requirement — each batch is a filtered branch of
+  * one distributed plan, unioned back (`O5`/`O6` parity).
+  */
+object PeerSearchFlow {
+
+  case class Config(wHops: Double = 0.399, wHavs: Double = 0.001,
+                    topK: Int = 15, minBatch: Int = 1, seed: Long = 100L,
+                    threshold: Double = 0.0)
+
+  /** Run the full flow; returns the final report frame. */
+  def run(spark: SparkSession, sfDir: String, cfg: Config = Config()): DataFrame = {
+    DotProduct.register(spark)
+
+    // 1. clean — drop the sentinel segment (reference drops coname 'RST')
+    // and cast features.
+    val raw = T(spark, sfDir, "customer")
+      .filter(col("c_name").isNotNull && col("c_acctbal").isNotNull)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal").cast("double").as("acctbal"), col("c_mktsegment"))
+
+    // 2. literal prospect row (S5) + unionByName — d7 fixed: right arity.
+    val prospect = spark.range(1).select(
+      lit(-1L).as("c_custkey"), lit("PROSPECT CO").as("c_name"),
+      lit(0).cast("int").as("c_nationkey"),
+      lit(null).cast("double").as("acctbal"), lit("BUILDING").as("c_mktsegment"))
+    val unioned = raw.unionByName(prospect)
+
+    // 3. median imputation (M1) of the injected null.
+    val imputed = new Imputer().setStrategy("median")
+      .setInputCols(Array("acctbal")).setOutputCols(Array("acctbal_imp"))
+      .fit(unioned).transform(unioned)
+
+    // 4. deterministic key dedup (A1).
+    val deduped = Dedup.firstPerKey(imputed, Seq("c_custkey"), Seq(col("c_name").asc))
+
+    // 5. surrogate ids + seeded batch assignment (O6 parity: randomSplit
+    // replaced by a uniform deterministic batch key — same distribution,
+    // no resampling job per batch).
+    val indexed = Indexing.withRowIndex(deduped, "idx", Seq(col("c_custkey").asc))
+      .withColumn("batch", pmod(hash(col("c_custkey"), lit(cfg.seed)), lit(cfg.minBatch)))
+
+    // 6. weighted scaled features (M6/M7): [0.8 * minmax(acctbal), 0.2 *
+    // minmax(nation)] — then L2-normalize for the cosine kernel.
+    val scaled = Scale.minmax(
+      Scale.minmax(indexed, "acctbal_imp", "f_bal"), "c_nationkey", "f_nat")
+      .withColumn("features", array(col("f_bal") * 0.8, col("f_nat") * 0.2))
+    val geo = scaled
+      .withColumn("lat", when(col("c_custkey") % 23 === 0, lit(null).cast("double"))
+        .otherwise(((col("c_custkey") * 13) % 160 - 80 + lit(0.25)).cast("double")))
+      .withColumn("lon", ((col("c_custkey") * 31) % 340 - 170 + lit(0.5)).cast("double"))
+      .withColumn("naics", concat(substring(md5(col("c_mktsegment")), 1, 3),
+        substring(md5(col("c_nationkey").cast("string")), 1, 3)))
+      .withColumn("nrm", sqrt(DotProduct.dot(col("features"), col("features"))))
+      .withColumn("unit", when(col("nrm") === 0.0, col("features"))
+        .otherwise(transform(col("features"), x => x / col("nrm"))))
+
+    // 7-8. per-batch similarity + top-K, unioned (the reference's batch
+    // loop, as plan branches of one job).
+    val tgt = geo.select(geo.columns.map(c => col(c).as(s"t_$c")): _*)
+    val src = geo.select(geo.columns.map(c => col(c).as(s"s_$c")): _*)
+    val reports = (0 until cfg.minBatch).map { b =>
+      val pairs = tgt.filter(col("t_batch") === b)
+        .join(src, col("t_c_nationkey") === col("s_c_nationkey") &&
+          col("t_idx") =!= col("s_idx"))
+        .select(col("t_c_custkey").as("tgt_custkey"), col("s_c_custkey").as("src_custkey"),
+          round(F.blendedScore(
+            DotProduct.dot(col("t_unit"), col("s_unit")),
+            F.hopsScore(col("t_naics"), col("s_naics")),
+            F.haversineScore(col("t_lat"), col("t_lon"), col("s_lat"), col("s_lon")),
+            cfg.wHops, cfg.wHavs), 6).as("score"))
+        .filter(col("score") >= cfg.threshold)
+      TopK.exactPerKey(pairs, Seq("tgt_custkey"),
+        Seq(col("score").desc, col("src_custkey").asc), cfg.topK, "peer_rank")
+    }
+    val allPeers = reports.reduce(_ unionByName _)
+
+    // attribute join-back (J1/J2) + report sort (O1).
+    allPeers
+      .join(broadcast(T(spark, sfDir, "customer")
+        .select(col("c_custkey").as("src_custkey"), col("c_name").as("src_name"),
+          col("c_mktsegment").as("src_segment"))), Seq("src_custkey"))
+      .withColumn("peer_rank", col("peer_rank").cast("int"))
+      .select("tgt_custkey", "src_custkey", "score", "peer_rank", "src_name", "src_segment")
+      .orderBy(col("tgt_custkey").asc, col("score").desc, col("src_custkey").asc)
+  }
+}

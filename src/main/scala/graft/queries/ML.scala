@@ -31,6 +31,14 @@ object ML {
           col("rec_rank"))
     }),
 
+    // Reference flagship §3.1 end-to-end: clean → literal prospect →
+    // impute → dedup → index/batch → weighted features → blended
+    // similarity → top-K → report. Imputer's approx-median makes it
+    // non-oracle-able; determinism is ScalaTest-checked.
+    QueryDef("q44_peer_search_flow", None, (spark, dir) =>
+      graft.flows.PeerSearchFlow.run(spark, dir,
+        graft.flows.PeerSearchFlow.Config(minBatch = 2))),
+
     // Feature pipeline end-to-end: nulls injected → median impute →
     // string-index + OHE → min-max scale → weighted assembly.
     QueryDef("q41_feature_pipeline", None, (spark, dir) => {

@@ -51,6 +51,16 @@ class EngineIntegrationSpec extends SparkSuite {
     assert(starts.exists(_.endsWith(":30:00")) && starts.exists(_.endsWith(":00:00")))
   }
 
+  test("peer-search flow: deterministic, prospect served, topK bounded") {
+    val flow = graft.flows.PeerSearchFlow
+    val r1 = flow.run(spark, sf, flow.Config(minBatch = 2)).collect()
+    val r2 = flow.run(spark, sf, flow.Config(minBatch = 2)).collect()
+    assert(r1.sameElements(r2))
+    assert(r1.exists(_.getAs[Long]("tgt_custkey") == -1L)) // injected prospect ranked
+    val perTgt = r1.groupBy(_.getAs[Long]("tgt_custkey")).values.map(_.length)
+    assert(perTgt.forall(_ <= 15))
+  }
+
   test("stateful streaming user counts match batch groupBy") {
     import spark.implicits._
     val streamed = EventStreams.statefulUserCounts(spark, sf)
