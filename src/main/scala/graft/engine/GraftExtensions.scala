@@ -1,0 +1,29 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.engine.expressions.{DotProduct, MinHashSignatures}
+
+/** SparkSessionExtensions entry point: makes the engine's custom
+  * Catalyst expressions SQL-callable in any session built with
+  * `spark.sql.extensions=graft.engine.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`).
+  *
+  * No custom analyzer/optimizer rules or strategies are injected — the
+  * engine's operators plan through stock Catalyst (SURVEY.md §4/§7.3).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("graft_dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot_product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhashes"),
+      new ExpressionInfo(classOf[MinHashSignatures].getName, "graft_minhashes"),
+      (exprs: Seq[Expression]) =>
+        MinHashSignatures(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+  }
+}

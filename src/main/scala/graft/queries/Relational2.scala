@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Beyond-the-reference relational breadth: multi-dimensional aggregates,
+  * set operations, pivots, date/string scalar surfaces, and a shared-SQL
+  * query (identical text runs on Spark SQL and the DuckDB oracle).
+  */
+object Relational2 {
+
+  /** One SQL text, two engines (Spark `spark.sql` + DuckDB oracle). */
+  private val sharedSql: String = """
+      SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ROLLUP: hierarchical subtotals (nation ⊂ segment), NULL markers
+    // normalized to a sentinel so both engines hash identically.
+    QueryDef("q45_rollup", Some("""
+      SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+             CAST(coalesce(c_nationkey, -1) AS INTEGER) AS nationkey,
+             count(*) AS n, round(sum(c_acctbal), 4) AS total_bal
+      FROM customer
+      GROUP BY ROLLUP (c_mktsegment, c_nationkey)"""),
+      (spark, dir) =>
+        T(spark, dir, "customer")
+          .rollup(col("c_mktsegment"), col("c_nationkey"))
+          .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 4).as("total_bal"))
+          .select(coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            coalesce(col("c_nationkey"), lit(-1)).cast("int").as("nationkey"),
+            col("n"), col("total_bal"))),
+
+    // INTERSECT / EXCEPT set operations on key sets.
+    QueryDef("q46_set_ops", Some("""
+      SELECT 'both' AS tag, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      UNION ALL
+      SELECT 'only_rich' AS tag, c_custkey FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')"""),
+      (spark, dir) => {
+        val c = T(spark, dir, "customer")
+        val rich = c.filter(col("c_acctbal") > 5000).select("c_custkey")
+        val building = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        rich.intersect(building).select(lit("both").as("tag"), col("c_custkey"))
+          .unionByName(rich.except(building)
+            .select(lit("only_rich").as("tag"), col("c_custkey")))
+      }),
+
+    // Pivot: per-user event counts by type (Spark .pivot with pinned
+    // values; oracle uses conditional aggregation).
+    QueryDef("q47_pivot", Some("""
+      SELECT user_id,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'view') AS view,
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY user_id"""),
+      (spark, dir) =>
+        T(spark, dir, "events")
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0L)),
+
+    // Date/time scalar surface: extraction + interval arithmetic.
+    QueryDef("q48_date_math", Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(month(o_orderdate) AS INTEGER) AS mo,
+             count(*) AS n,
+             strftime(min(o_orderdate + INTERVAL 30 DAY), '%Y-%m-%d') AS first_due
+      FROM orders GROUP BY 1, 2"""),
+      (spark, dir) =>
+        T(spark, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+          .agg(count(lit(1)).as("n"),
+            date_format(min(col("o_orderdate") + expr("INTERVAL 30 DAYS")),
+              "yyyy-MM-dd").as("first_due"))),
+
+    // String scalar surface: lpad/substr/replace/length/reverse.
+    QueryDef("q49_string_ops", Some("""
+      SELECT c_custkey,
+             lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+             substr(c_name, 1, 8) AS name_prefix,
+             replace(c_mktsegment, 'A', '@') AS seg_masked,
+             CAST(length(c_name) AS INTEGER) AS name_len,
+             reverse(c_mktsegment) AS seg_rev
+      FROM customer"""),
+      (spark, dir) =>
+        T(spark, dir, "customer").select(col("c_custkey"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          regexp_replace(col("c_mktsegment"), "A", "@").as("seg_masked"),
+          length(col("c_name")).as("name_len"),
+          reverse(col("c_mktsegment")).as("seg_rev"))),
+
+    // Shared-SQL surface: the identical ANSI text runs through
+    // spark.sql(...) over temp views AND as the DuckDB oracle.
+    QueryDef("q50_sql_surface", Some(sharedSql),
+      (spark, dir) => {
+        Seq("orders", "customer", "nation", "region").foreach { t =>
+          T(spark, dir, t).createOrReplaceTempView(t)
+        }
+        spark.sql(sharedSql)
+      })
+  )
+}

@@ -51,6 +51,16 @@ class EngineIntegrationSpec extends SparkSuite {
     assert(starts.exists(_.endsWith(":30:00")) && starts.exists(_.endsWith(":00:00")))
   }
 
+  test("GraftExtensions: custom expressions SQL-callable") {
+    val dot = spark.sql(
+      "SELECT graft_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS v")
+      .head.getDouble(0)
+    assert(dot == 11.0)
+    val mh = spark.sql(
+      "SELECT graft_minhashes(array('a', 'b'), 2) AS sigs").head.getSeq[String](0)
+    assert(mh.length == 2 && mh.forall(_.length == 32))
+  }
+
   test("peer-search flow: deterministic, prospect served, topK bounded") {
     val flow = graft.flows.PeerSearchFlow
     val r1 = flow.run(spark, sf, flow.Config(minBatch = 2)).collect()
