@@ -81,6 +81,10 @@ object PeerSearchFlow {
       .withColumn("nrm", sqrt(DotProduct.dot(col("features"), col("features"))))
       .withColumn("unit", when(col("nrm") === 0.0, col("features"))
         .otherwise(transform(col("features"), x => x / col("nrm"))))
+    // NOTE: deliberately NOT cached — measured 2× slower cached (the
+    // InMemoryRelation breaks whole-stage fusion of the downstream
+    // self-join branches; recomputing the narrow 15k-row projection is
+    // cheaper than dematerializing it).
 
     // 7-8. per-batch similarity + top-K, unioned (the reference's batch
     // loop, as plan branches of one job).

@@ -103,6 +103,20 @@ object Relational2 {
           length(col("c_name")).as("name_len"),
           reverse(col("c_mktsegment")).as("seg_rev"))),
 
+    // O6: seeded randomSplit — per-partition Bernoulli sampling, no
+    // shuffle. Not SQL-reproducible (Spark's sampler), so rows-only:
+    // the output records split sizes + totals; reproducibility is
+    // additionally spec-checked.
+    QueryDef("q51_random_split", None,
+      (spark, dir) => {
+        val splits = T(spark, dir, "orders").randomSplit(Array(0.9, 0.1), seed = 100L)
+        val sizes = splits.zipWithIndex.map { case (s, i) =>
+          s.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
+            .select(lit(i).as("split_id"), col("n"), col("total"))
+        }
+        sizes.reduce(_ unionByName _)
+      }),
+
     // Shared-SQL surface: the identical ANSI text runs through
     // spark.sql(...) over temp views AND as the DuckDB oracle.
     QueryDef("q50_sql_surface", Some(sharedSql),

@@ -121,11 +121,14 @@ object Reports {
     * reference's normalized `rating` column, `inference_postprocess.py:52-67`).
     */
   def ratedUsage(spark: SparkSession, dir: String): DataFrame = {
+    // Cached: Scale.minmax branches this aggregate (stats + main pass) —
+    // without materialization the 3-table join + groupBy runs twice.
     val usage = T(spark, dir, "orders")
       .join(T(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .join(T(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("o_custkey").as("cust"), col("p_brand"))
       .agg(sum(col("l_quantity")).as("intensity"))
+      .cache()
     graft.ops.Scale.minmax(usage, "intensity", "__rating")
       .select(col("cust"), col("p_brand"), round(col("__rating"), 6).as("rating"))
   }
