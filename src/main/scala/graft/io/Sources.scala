@@ -27,6 +27,10 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** JSON-lines scan (schema inferred or supplied by the caller). */
+  def json(spark: SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
   /** Convenience: read one of the driver test tables from an sf dir. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -92,6 +92,27 @@ object Text {
           TextOps.fingerprint(col("text")).as("fp"),
           substring(TextOps.fingerprint(col("text")), 1, 2).as("shard"))),
 
+    // Rolling polynomial fingerprint: tokens -> int codes -> left fold
+    // (acc*31 + code) mod 1e9+7. Exact int64 arithmetic on both engines
+    // (max intermediate ~3.1e10 << 2^63), so no rounding needed.
+    QueryDef("q52_rolling_hash", Some("""
+      WITH codes AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                 t -> CAST(length(t) * 17 + ascii(substr(t, 1, 1)) AS BIGINT)) AS cs
+        FROM documents)
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+               (a, x) -> (a * 31 + x) % 1000000007) AS rhash
+      FROM codes"""),
+      (spark, dir) => {
+        val codes = transform(TextOps.tokenize(col("text")),
+          t => (length(t) * 17 + ascii(substring(t, 1, 1))).cast("long"))
+        T(spark, dir, "documents").select(col("doc_id"),
+          aggregate(codes, lit(0L),
+            (acc, x) => (acc * 31 + x) % 1000000007L).as("rhash"))
+      }),
+
     // Unigram token-set Jaccard near-dup: targets (doc_id % 25 = 0) vs
     // same-lang docs, keep pairs >= 0.7.
     QueryDef("q31_token_jaccard", Some("""
