@@ -82,9 +82,43 @@ object SimSearch {
       .withColumn("rnk", col("rnk").cast("int"))
   }
 
+  /** Random-hyperplane LSH near-dup over cosine similarity: signature
+    * bit j = sign(<x, h_j>) for `nBits` deterministic pseudo-random ±1
+    * hyperplanes (seeded per (bit, dim) via Spark's xxhash64 — no RNG
+    * state, fully reproducible). Vectors agreeing on the whole signature
+    * become candidate pairs; candidates are verified with the exact
+    * codegen dot. P[bit collision] = 1 - θ/π, so nBits tunes
+    * precision/recall.
+    *
+    * This is the 100 TB shape for embedding near-dup: one narrow
+    * projection per vector, one shuffle on the signature, exact dots
+    * only inside buckets — no quadratic join ever materializes
+    * (replaces [[thresholdPairs]] beyond small filtered sets).
+    */
+  def hyperplaneLshPairs(corpus: DataFrame, idCol: String, embCol: String,
+                         minCos: Double, nBits: Int = 12): DataFrame = {
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne")
+    // signature: for bit j, sum_i ne[i] * (±1 from xxhash64(j, i)) > 0
+    val bits = (0 until nBits).map { j =>
+      val signed = aggregate(
+        zip_with(col("__ne"), sequence(lit(0), size(col("__ne")) - 1),
+          (x, i) => when(pmod(xxhash64(lit(j), i), lit(2)) === 0, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x)
+      when(signed > 0, lit(1)).otherwise(lit(0)).cast("string")
+    }
+    val sig = c.withColumn("__sig", concat(bits: _*))
+    val a = sig.select(col("__sig"), col(idCol).as("id_a"), col("__ne").as("__ea"))
+    val b = sig.select(col("__sig"), col(idCol).as("id_b"), col("__ne").as("__eb"))
+    a.join(b, Seq("__sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("__ea"), col("__eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
   /** All pairs above a cosine threshold within a (filtered) corpus —
     * embedding near-dup detection. Quadratic in the filtered size; the
-    * scale path buckets first ([[ivfTopK]]-style or LSH).
+    * scale path buckets first ([[ivfTopK]] or [[hyperplaneLshPairs]]).
     */
   def thresholdPairs(corpus: DataFrame, idCol: String, embCol: String,
                      minCos: Double): DataFrame = {

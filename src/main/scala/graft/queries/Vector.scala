@@ -77,6 +77,15 @@ object Vector {
           round(F.l2Norm(col("embedding")), 6).as("l2_norm"),
           round(element_at(F.l2Normalize(col("embedding")), 1), 6).as("first_unit"))),
 
+    // Random-hyperplane LSH cosine near-dup (the 100 TB replacement for
+    // the quadratic q24): signature shuffle + in-bucket exact verify.
+    // xxhash64-seeded hyperplanes are not DuckDB-reproducible → rows-only
+    // gate; recall/determinism are spec-checked (LlmOpsSpec).
+    QueryDef("q53_hyperplane_lsh", None,
+      (spark, dir) =>
+        SimSearch.hyperplaneLshPairs(T(spark, dir, "embeddings"),
+          "vec_id", "embedding", minCos = 0.15, nBits = 6)),
+
     // IVF-bucketed approximate ANN: deterministic centroids (16 lowest
     // vec_ids), corpus bucketed by nearest centroid, queries probe their
     // 4 nearest buckets. The full bucketing + probe + top-K pipeline is

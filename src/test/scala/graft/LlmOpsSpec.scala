@@ -76,6 +76,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall") // nProbe=4 of 8 buckets on random vectors
   }
 
+  test("hyperplaneLshPairs finds planted near-duplicate vectors, deterministically") {
+    // 3 tight clusters (near-dups) + noise: near-dup pairs have cos≈1.
+    val base = (0 until 3).map(c => Array.tabulate(16)(i =>
+      math.sin(c * 37 + i).toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, c) =>
+      Seq((c * 10L, v), (c * 10L + 1, v.map(x => x * 1.01f + 0.001f)))
+    } ++ (100 until 120).map(i => (i.toLong, Array.tabulate(16)(d =>
+      math.cos(i * 131 + d * 17).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = SimSearch.hyperplaneLshPairs(df, "vec_id", "embedding", 0.95, nBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // all 3 planted pairs survive bucketing + verification
+    assert(Set((0L, 1L), (10L, 11L), (20L, 21L)).subsetOf(got), s"got $got")
+    val again = SimSearch.hyperplaneLshPairs(df, "vec_id", "embedding", 0.95, nBits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == again)
+  }
+
   test("Multimodal.extractFeatures: deterministic histogram, L1-normalized") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
     val assets = Multimodal.assetsFromDocuments(docs)
