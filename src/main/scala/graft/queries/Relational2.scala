@@ -117,6 +117,91 @@ object Relational2 {
         sizes.reduce(_ unionByName _)
       }),
 
+    // Classic OLAP composite: shipping-priority shape (TPC-H Q3) —
+    // 3-way join, date predicates on both sides, grouped revenue, top-N
+    // by rounded revenue with key tiebreak.
+    QueryDef("q54_shipping_priority", Some("""
+      SELECT o_orderkey, revenue, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+             o_orderpriority
+      FROM (
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               row_number() OVER (ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 4) DESC, o_orderkey) AS rn
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority)
+      WHERE rn <= 50"""),
+      (spark, dir) => {
+        val grouped = T(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .join(T(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .join(T(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > to_timestamp(lit("1996-01-01 00:00:00")))
+          .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        graft.ops.TopK.exactPerKey(grouped, Seq.empty,
+            Seq(col("revenue").desc, col("o_orderkey").asc), 50)
+          .select(col("o_orderkey"), col("revenue"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+            col("o_orderpriority"))
+      }),
+
+    // Local-supplier-volume shape (TPC-H Q5): 5-way snowflake join,
+    // revenue per nation within one region.
+    QueryDef("q55_supplier_volume", Some("""
+      SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = (SELECT min(r_name) FROM region)
+      GROUP BY n_name"""),
+      (spark, dir) => {
+        val minRegion = T(spark, dir, "region").agg(min(col("r_name")).as("r_min"))
+        T(spark, dir, "customer")
+          .join(T(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(T(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .join(T(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+          .join(T(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+          .join(T(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(minRegion), col("r_name") === col("r_min"))
+          .groupBy("n_name")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      }),
+
+    // Returned-items shape (TPC-H Q10): per-customer revenue of returned
+    // line items, top-20.
+    QueryDef("q56_returned_items", Some("""
+      SELECT c_custkey, c_name, revenue, c_mktsegment
+      FROM (
+        SELECT c_custkey, c_name, c_mktsegment,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               row_number() OVER (ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 4) DESC, c_custkey) AS rn
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_mktsegment)
+      WHERE rn <= 20"""),
+      (spark, dir) => {
+        val grouped = T(spark, dir, "customer")
+          .join(T(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+          .join(T(spark, dir, "lineitem").filter(col("l_returnflag") === "R"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("c_custkey", "c_name", "c_mktsegment")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        graft.ops.TopK.exactPerKey(grouped, Seq.empty,
+            Seq(col("revenue").desc, col("c_custkey").asc), 20)
+          .select("c_custkey", "c_name", "revenue", "c_mktsegment")
+      }),
+
     // Shared-SQL surface: the identical ANSI text runs through
     // spark.sql(...) over temp views AND as the DuckDB oracle.
     QueryDef("q50_sql_surface", Some(sharedSql),
