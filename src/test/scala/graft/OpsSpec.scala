@@ -53,6 +53,15 @@ class OpsSpec extends SparkSuite {
     assert(Scale.minmax(const, "x", "s").select("s").as[Double].collect().toSet == Set(0.5))
   }
 
+  test("approx_count_distinct within 5% of exact (HLL sketch path)") {
+    val li = spark.read.parquet(s"${TestSession.sf0001}/lineitem.parquet")
+    val r = li.agg(
+      org.apache.spark.sql.functions.countDistinct(col("l_partkey")).as("exact"),
+      org.apache.spark.sql.functions.approx_count_distinct(col("l_partkey")).as("approx")).head
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
+  }
+
   test("Scale.standard zero-mean unit-variance") {
     val df = Seq(1.0, 2.0, 3.0).toDF("x")
     val got = Scale.standard(df, "x", "z").select("z").as[Double].collect().sorted
