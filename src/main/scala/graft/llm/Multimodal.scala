@@ -78,6 +78,20 @@ object Multimodal {
         i => substring(col("payload"), (i * chunkBytes * stride + 1).cast("int"), lit(chunkBytes))))
         .as(Seq("chunk_idx", "chunk")))
 
+  /** STUB resize: updates the (width, height) metadata and subsamples
+    * the payload by the area ratio — a real image resize keeps this
+    * exact signature and column contract (payload in, payload out,
+    * metadata consistent). Pure column ops, no shuffle.
+    */
+  def resizeStub(assets: DataFrame, newW: Int, newH: Int): DataFrame = {
+    val ratio = (col("width") * col("height")).cast("double") / (newW * newH)
+    val newLen = greatest(lit(1),
+      (length(col("payload")) / greatest(ratio, lit(1.0))).cast("int"))
+    assets.withColumn("payload", col("payload").substr(lit(1), newLen))
+      .withColumn("width", lit(newW))
+      .withColumn("height", lit(newH))
+  }
+
   /** Build an assets frame from the documents table (text bytes as the
     * stand-in payload) — the fixture generator for tests and queries.
     */

@@ -24,6 +24,15 @@ object TextOps {
       "(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])|(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
       t => t =!= "" && t =!= " ")
 
+  /** Extraction-form BPE-ish tokenizer: same token classes as
+    * [[tokenizeRegex]] but via `regexp_extract_all` — RE2-compatible (no
+    * lookarounds), so the identical pattern runs in engines without PCRE
+    * (and in the DuckDB oracle).
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def tokenizeBpe(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Distinct word n-gram shingles of an array-of-token column. */
   def shingles(tokens: Column, n: Int): Column = {
     val grams = transform(sequence(lit(1), size(tokens) - (n - 1)),

@@ -23,6 +23,7 @@ object Text {
              CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
              CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
              CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopSqlList))) AS INTEGER) AS n_stop,
+             CAST(len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS INTEGER) AS n_tokens_bpe,
              n_chars
       FROM documents"""),
       (spark, dir) => {
@@ -31,6 +32,7 @@ object Text {
           size(toks).as("n_tokens"),
           size(array_distinct(toks)).as("n_distinct"),
           TextOps.stopCount(toks, Stop).as("n_stop"),
+          size(TextOps.tokenizeBpe(col("text"))).as("n_tokens_bpe"),
           col("n_chars"))
       }),
 

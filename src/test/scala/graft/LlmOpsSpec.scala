@@ -107,6 +107,24 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("Multimodal.resizeStub: metadata updated, payload shrunk proportionally") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
+    val assets = Multimodal.assetsFromDocuments(docs) // 64x48
+    val resized = Multimodal.resizeStub(assets, 32, 24) // quarter area
+    val r = resized.select(col("width"), col("height"),
+      length(col("payload")).as("len")).collect()
+    assert(r.forall(x => x.getInt(0) == 32 && x.getInt(1) == 24))
+    val orig = assets.select(length(col("payload"))).collect().map(_.getInt(0))
+    val news = resized.select(length(col("payload"))).collect().map(_.getInt(0))
+    orig.zip(news).foreach { case (o, n) => assert(n <= o / 4 + 1 && n >= 1) }
+  }
+
+  test("TextOps.tokenizeBpe: extraction semantics, RE2-safe pattern") {
+    val got = Seq("ab12 cd-ef!").toDF("t")
+      .select(TextOps.tokenizeBpe(col("t"))).head.getSeq[String](0)
+    assert(got == Seq("ab", "12", "cd", "-", "ef", "!"))
+  }
+
   test("Multimodal.fakeDecode: known byte histogram") {
     val feats = Multimodal.fakeDecode("aaaa".getBytes("UTF-8")) // 'a'=97 -> bin 6
     assert(feats(6) == 1.0f)
