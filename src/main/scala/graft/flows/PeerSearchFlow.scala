@@ -88,8 +88,8 @@ object PeerSearchFlow {
 
     // 7-8. per-batch similarity + top-K, unioned (the reference's batch
     // loop, as plan branches of one job).
-    val tgt = geo.select(geo.columns.map(c => col(c).as(s"t_$c")): _*)
-    val src = geo.select(geo.columns.map(c => col(c).as(s"s_$c")): _*)
+    val tgt = geo.select(geo.columns.toSeq.map(c => col(c).as(s"t_$c")): _*)
+    val src = geo.select(geo.columns.toSeq.map(c => col(c).as(s"s_$c")): _*)
     val reports = (0 until cfg.minBatch).map { b =>
       val pairs = tgt.filter(col("t_batch") === b)
         .join(src, col("t_c_nationkey") === col("s_c_nationkey") &&

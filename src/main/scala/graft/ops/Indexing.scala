@@ -31,7 +31,7 @@ object Indexing {
   def zipWithIndexOrdered(df: DataFrame, idxCol: String, order: Seq[Column]): DataFrame = {
     val sorted = df.orderBy(order: _*)
     val spark = df.sparkSession
-    val indexed = sorted.rdd.zipWithIndex.map { case (row, i) =>
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq(i.toInt +: row.toSeq)
     }
     val schema = org.apache.spark.sql.types.StructType(

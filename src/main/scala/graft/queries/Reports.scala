@@ -81,9 +81,9 @@ object Reports {
     */
   def peerPairs(spark: SparkSession, dir: String): DataFrame = {
     val g = customerGeo(spark, dir)
-    val t = g.select(g.columns.map(c => col(c).as(s"t_$c")): _*)
+    val t = g.select(g.columns.toSeq.map(c => col(c).as(s"t_$c")): _*)
       .filter(col("t_c_custkey") % 7 === 0)
-    val s = g.select(g.columns.map(c => col(c).as(s"s_$c")): _*)
+    val s = g.select(g.columns.toSeq.map(c => col(c).as(s"s_$c")): _*)
     val sim = lit(1.0) - abs(col("t_c_acctbal") - col("s_c_acctbal")) / lit(11000.0)
     val hops = F.hopsScore(col("t_naics"), col("s_naics"))
     val havs = F.haversineScore(col("t_lat"), col("t_lon"), col("s_lat"), col("s_lon"))
@@ -241,9 +241,9 @@ object Reports {
       WHERE t.c_custkey % 5 = 0"""),
       (spark, dir) => {
         val g = customerGeo(spark, dir)
-        val t = g.select(g.columns.map(c => col(c).as(s"t_$c")): _*)
+        val t = g.select(g.columns.toSeq.map(c => col(c).as(s"t_$c")): _*)
           .filter(col("t_c_custkey") % 5 === 0)
-        val s = g.select(g.columns.map(c => col(c).as(s"s_$c")): _*)
+        val s = g.select(g.columns.toSeq.map(c => col(c).as(s"s_$c")): _*)
         t.join(s, col("t_c_nationkey") === col("s_c_nationkey") &&
             col("t_c_custkey") < col("s_c_custkey"))
           .select(col("t_c_custkey").as("a_custkey"), col("s_c_custkey").as("b_custkey"),
@@ -261,9 +261,9 @@ object Reports {
       WHERE t.c_custkey % 5 = 0"""),
       (spark, dir) => {
         val g = customerGeo(spark, dir)
-        val t = g.select(g.columns.map(c => col(c).as(s"t_$c")): _*)
+        val t = g.select(g.columns.toSeq.map(c => col(c).as(s"t_$c")): _*)
           .filter(col("t_c_custkey") % 5 === 0)
-        val s = g.select(g.columns.map(c => col(c).as(s"s_$c")): _*)
+        val s = g.select(g.columns.toSeq.map(c => col(c).as(s"s_$c")): _*)
         t.join(s, col("t_c_nationkey") === col("s_c_nationkey") &&
             col("t_c_custkey") < col("s_c_custkey"))
           .select(col("t_c_custkey").as("a_custkey"), col("s_c_custkey").as("b_custkey"),

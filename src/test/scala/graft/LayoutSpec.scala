@@ -29,6 +29,24 @@ class LayoutSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("partitioned parquet prunes partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = graft.queries.T(spark, sf, "events") // handles ns timestamps
+    graft.io.Sinks.parquetPartitioned(
+      events.select(col("event_id"), col("user_id"), col("event_type"), col("value")),
+      dir, Seq("event_type"))
+    val scan = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(event_type") || plan.contains("event_type#"),
+      s"expected partition filter in:\n$plan")
+    val expected = events.filter(col("event_type") === "click").count()
+    assert(scan.count() == expected)
+    // pruned read: only the click partition's files are touched
+    val allFiles = scan.queryExecution.executedPlan.collectLeaves().toString
+    assert(!allFiles.contains("event_type=view"))
+  }
+
   test("saltedJoin matches plain join results") {
     val big = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_custkey").as("k"), col("o_totalprice").as("v"))
