@@ -35,6 +35,24 @@ object Relational2 {
             coalesce(col("c_nationkey"), lit(-1)).cast("int").as("nationkey"),
             col("n"), col("total_bal"))),
 
+    // Explicit GROUPING SETS: per-segment, per-nation, and grand-total
+    // aggregates in one pass.
+    QueryDef("q57_grouping_sets", Some("""
+      SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+             CAST(coalesce(c_nationkey, -1) AS INTEGER) AS nationkey,
+             count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())"""),
+      (spark, dir) => {
+        T(spark, dir, "customer").createOrReplaceTempView("customer")
+        spark.sql("""
+          SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+                 CAST(coalesce(c_nationkey, -1) AS INT) AS nationkey,
+                 count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+          FROM customer
+          GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""")
+      }),
+
     // INTERSECT / EXCEPT set operations on key sets.
     QueryDef("q46_set_ops", Some("""
       SELECT 'both' AS tag, c_custkey FROM (

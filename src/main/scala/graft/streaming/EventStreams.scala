@@ -39,6 +39,27 @@ object EventStreams {
     out
   }
 
+  /** Production sink pattern: stream → `foreachBatch` → idempotent
+    * parquet appends (per-batch dedup/upsert logic plugs into the batch
+    * function; checkpointing makes it exactly-once on a cluster).
+    * Returns the materialized parquet as a DataFrame.
+    */
+  def foreachBatchToParquet(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Custom streaming state: per-user running event counts via
     * `mapGroupsWithState` (the engine's KeyValueGroupedDataset custom-
     * state surface; update mode, state keyed by user). The memory sink

@@ -71,6 +71,16 @@ class EngineIntegrationSpec extends SparkSuite {
     assert(perTgt.forall(_ <= 15))
   }
 
+  test("foreachBatch parquet sink matches batch aggregation") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_feb").toString + "/agg"
+    val streamed = EventStreams.foreachBatchToParquet(spark, sf, out)
+      .as[(String, Long)].collect().toMap
+    val batch = graft.queries.T(spark, sf, "events")
+      .groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("stateful streaming user counts match batch groupBy") {
     import spark.implicits._
     val streamed = EventStreams.statefulUserCounts(spark, sf)
