@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Correctness-sensitive surfaces where engine defaults genuinely differ
+  * and must be pinned: exact quantiles, window navigation frames, and
+  * null ordering/filter semantics.
+  */
+object Relational3 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact (interpolating) quantiles per group — Spark `percentile` ==
+    // DuckDB `quantile_cont`. (percentile_approx/approx sketches are NOT
+    // oracle-able and are covered by spec instead.)
+    QueryDef("q58_quantiles", Some("""
+      SELECT c_mktsegment,
+             round(median(c_acctbal), 4) AS med_bal,
+             round(quantile_cont(c_acctbal, 0.25), 4) AS q25,
+             round(quantile_cont(c_acctbal, 0.75), 4) AS q75,
+             count(*) AS n
+      FROM customer GROUP BY c_mktsegment"""),
+      (spark, dir) =>
+        T(spark, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(round(expr("percentile(c_acctbal, 0.5)"), 4).as("med_bal"),
+            round(expr("percentile(c_acctbal, 0.25)"), 4).as("q25"),
+            round(expr("percentile(c_acctbal, 0.75)"), 4).as("q75"),
+            count(lit(1)).as("n"))),
+
+    // Window navigation: lag/lead/first_value/last_value with explicit
+    // frames and a total order (frame defaults differ between engines for
+    // last_value — RANGE UNBOUNDED PRECEDING..CURRENT ROW — so the frame
+    // is spelled out).
+    QueryDef("q59_window_nav", Some("""
+      SELECT user_id, event_id,
+             lag(event_id) OVER w AS prev_event,
+             lead(event_id) OVER w AS next_event,
+             first_value(event_id) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+             last_value(event_id) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)"""),
+      (spark, dir) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T(spark, dir, "events")
+          .withColumn("ms", unix_millis(col("ts")))
+          .select(col("user_id"), col("event_id"),
+            lag(col("event_id"), 1).over(w).as("prev_event"),
+            lead(col("event_id"), 1).over(w).as("next_event"),
+            first(col("event_id")).over(full).as("first_event"),
+            last(col("event_id")).over(full).as("last_event"))
+      }),
+
+    // Null semantics pinned explicitly: injected nulls, coalesce/nullif,
+    // count(col) vs count(*), and rank ordering with NULLS LAST spelled
+    // out on BOTH engines (Spark's asc default is NULLS FIRST, DuckDB's
+    // is NULLS LAST — never rely on either).
+    QueryDef("q60_null_semantics", Some("""
+      WITH v AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS bal,
+               nullif(c_mktsegment, 'MACHINERY') AS seg
+        FROM customer)
+      SELECT coalesce(seg, 'OTHER') AS seg_grp,
+             count(*) AS n_rows, count(bal) AS n_bal,
+             round(sum(coalesce(bal, 0.0)), 4) AS total,
+             CAST(min(rnk) AS INTEGER) AS best_rank
+      FROM (SELECT *, row_number() OVER (ORDER BY bal DESC NULLS LAST, c_custkey) AS rnk FROM v)
+      GROUP BY coalesce(seg, 'OTHER')"""),
+      (spark, dir) => {
+        val v = T(spark, dir, "customer").select(col("c_custkey"),
+          when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
+            .otherwise(col("c_acctbal")).as("bal"),
+          nullif(col("c_mktsegment"), lit("MACHINERY")).as("seg"))
+        val ranked = v.withColumn("rnk",
+          row_number().over(Window.orderBy(col("bal").desc_nulls_last, col("c_custkey"))))
+        ranked.groupBy(coalesce(col("seg"), lit("OTHER")).as("seg_grp"))
+          .agg(count(lit(1)).as("n_rows"), count(col("bal")).as("n_bal"),
+            round(sum(coalesce(col("bal"), lit(0.0))), 4).as("total"),
+            min(col("rnk")).cast("int").as("best_rank"))
+      })
+  )
+}
