@@ -55,6 +55,30 @@ object Relational3 {
             last(col("event_id")).over(full).as("last_event"))
       }),
 
+    // Unpivot (wide -> long): Spark `stack`; oracle via UNION ALL.
+    QueryDef("q61_unpivot", Some("""
+      SELECT s_suppkey, 'acctbal' AS metric, round(s_acctbal, 4) AS value FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS value FROM supplier"""),
+      (spark, dir) =>
+        T(spark, dir, "supplier").select(col("s_suppkey"),
+          expr("stack(2, 'acctbal', round(s_acctbal, 4), 'nationkey', CAST(s_nationkey AS DOUBLE))")
+            .as(Seq("metric", "value")))),
+
+    // Array aggregation surfaced as a canonical string (sorted,
+    // comma-joined) — list-typed outputs are deliberately avoided in
+    // oracled results (engine list stringification differs).
+    QueryDef("q62_array_agg", Some("""
+      SELECT c_mktsegment,
+             array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+             CAST(len(list(DISTINCT c_nationkey)) AS INTEGER) AS n_nations
+      FROM customer GROUP BY c_mktsegment"""),
+      (spark, dir) =>
+        T(spark, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(array_join(sort_array(collect_set(col("c_nationkey"))), ",").as("nations"),
+            size(collect_set(col("c_nationkey"))).as("n_nations"))),
+
     // Null semantics pinned explicitly: injected nulls, coalesce/nullif,
     // count(col) vs count(*), and rank ordering with NULLS LAST spelled
     // out on BOTH engines (Spark's asc default is NULLS FIRST, DuckDB's
