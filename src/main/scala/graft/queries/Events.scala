@@ -75,6 +75,31 @@ object Events {
           .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
             unix_millis(col("sw.end")).as("end_ms"), col("n_events"))),
 
+    // Click->purchase attribution (batch twin of the stream-stream join
+    // in EventStreams.streamStreamAttribution; parity spec-checked):
+    // same-user purchase within [click, click + 30 min).
+    QueryDef("q63_attribution", Some("""
+      WITH c AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'purchase')
+      SELECT c.user_id, c.event_id AS click_event, p.event_id AS purchase_event,
+             p.ms - c.ms AS gap_ms
+      FROM c JOIN p ON c.user_id = p.user_id
+        AND p.ms >= c.ms AND p.ms < c.ms + 1800000"""),
+      (spark, dir) => {
+        val e = T(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_millis(col("ts")).as("ms"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_event"), col("ms").as("c_ms"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_event"),
+            col("ms").as("p_ms"))
+        c.join(p, col("user_id") === col("p_user") &&
+            col("p_ms") >= col("c_ms") && col("p_ms") < col("c_ms") + 1800000L)
+          .select(col("user_id"), col("click_event"), col("purchase_event"),
+            (col("p_ms") - col("c_ms")).as("gap_ms"))
+      }),
+
     // JSON property extraction + per-type aggregate.
     QueryDef("q36_json_props", Some("""
       SELECT event_type,

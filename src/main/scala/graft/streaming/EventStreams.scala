@@ -39,6 +39,42 @@ object EventStreams {
     out
   }
 
+  /** Stream-stream join: click→purchase attribution within a 30-minute
+    * window, both sides watermarked (state on each side is bounded by
+    * the watermark + the join's time-range condition — the production
+    * shape for event attribution at scale).
+    */
+  def streamStreamAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def side(tpe: String, prefix: String) =
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+        // truncate to ms so the join condition matches the batch twin's
+        // epoch_ms floor exactly
+        .withColumn("ts", timestamp_millis(unix_millis(timestamp_micros(expr("ts div 1000")))))
+        .filter(col("event_type") === tpe)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as(s"${prefix}_user"), col("event_id").as(s"${prefix}_event"),
+          col("ts").as(s"${prefix}_ts"))
+    val clicks = side("click", "c")
+    val purchases = side("purchase", "p")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") < col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c_user").as("user_id"), col("c_event").as("click_event"),
+        col("p_event").as("purchase_event"),
+        (unix_millis(col("p_ts")) - unix_millis(col("c_ts"))).as("gap_ms"))
+    val name = s"graft_attr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
+
   /** Production sink pattern: stream → `foreachBatch` → idempotent
     * parquet appends (per-batch dedup/upsert logic plugs into the batch
     * function; checkpointing makes it exactly-once on a cluster).

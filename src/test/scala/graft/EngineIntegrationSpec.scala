@@ -71,6 +71,15 @@ class EngineIntegrationSpec extends SparkSuite {
     assert(perTgt.forall(_ <= 15))
   }
 
+  test("stream-stream attribution join matches batch twin") {
+    import spark.implicits._
+    val streamed = EventStreams.streamStreamAttribution(spark, sf)
+      .select("click_event", "purchase_event").as[(Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("q63_attribution")(spark, sf)
+      .select("click_event", "purchase_event").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("foreachBatch parquet sink matches batch aggregation") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_feb").toString + "/agg"
