@@ -48,13 +48,19 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName per instance: with non-nullable children the snippet is
+      // inlined without an enclosing brace scope, so fixed local names
+      // would collide when two DotProducts land in one generated function.
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int graft_n = Math.min($a.numElements(), $b.numElements());
-         |double graft_acc = 0.0;
-         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |  graft_acc += $a.getDouble(graft_i) * $b.getDouble(graft_i);
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = graft_acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -33,10 +33,18 @@ object TextOps {
   def tokenizeBpe(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
-  /** Distinct word n-gram shingles of an array-of-token column. */
+  /** Distinct word n-gram shingles of an array-of-token column.
+    *
+    * Short inputs (fewer than `n` tokens, including null arrays) yield an
+    * empty shingle set: `sequence(1, stop)` with `stop < 1` would otherwise
+    * infer step -1 and produce a descending index range whose
+    * out-of-range `element_at` throws under ANSI mode.
+    */
   def shingles(tokens: Column, n: Int): Column = {
-    val grams = transform(sequence(lit(1), size(tokens) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*))
+    val grams = when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
     array_distinct(grams)
   }
 

@@ -27,16 +27,21 @@ object Indexing {
   /** Scalable variant: sort by `order`, then assign contiguous ids with
     * `zipWithIndex` (one extra count job, no single-task bottleneck).
     * Deterministic because the input is range-partitioned by the sort.
+    *
+    * Ids are LongType: this is the fact-table path, and an Int id wraps
+    * negative past ~2.1B rows — precisely the scale this variant exists
+    * for. Callers that need Int (the MLlib ALS boundary) should
+    * range-check and fail fast rather than truncate.
     */
   def zipWithIndexOrdered(df: DataFrame, idxCol: String, order: Seq[Column]): DataFrame = {
     val sorted = df.orderBy(order: _*)
     val spark = df.sparkSession
     val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(i.toInt +: row.toSeq)
+      org.apache.spark.sql.Row.fromSeq(i +: row.toSeq)
     }
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField(idxCol,
-        org.apache.spark.sql.types.IntegerType, nullable = false) +: sorted.schema.fields)
+        org.apache.spark.sql.types.LongType, nullable = false) +: sorted.schema.fields)
     spark.createDataFrame(indexed, schema)
   }
 }

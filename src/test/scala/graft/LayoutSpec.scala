@@ -38,13 +38,19 @@ class LayoutSpec extends SparkSuite {
     val scan = spark.read.parquet(dir).filter(col("event_type") === "click")
     val plan = scan.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
-      plan.contains("isnotnull(event_type") || plan.contains("event_type#"),
+      (plan.contains("isnotnull(event_type") || plan.contains("event_type#")),
       s"expected partition filter in:\n$plan")
     val expected = events.filter(col("event_type") === "click").count()
     assert(scan.count() == expected)
-    // pruned read: only the click partition's files are touched
-    val allFiles = scan.queryExecution.executedPlan.collectLeaves().toString
-    assert(!allFiles.contains("event_type=view"))
+    // Pruned read, asserted on the files the scan actually selects: every
+    // input file sits under the click partition directory, none elsewhere.
+    val files = scan.inputFiles
+    assert(files.nonEmpty, "scan selected no files")
+    assert(files.forall(_.contains("event_type=click")),
+      s"expected only event_type=click files, got:\n${files.mkString("\n")}")
+    val allPartitions = spark.read.parquet(dir).inputFiles
+    assert(allPartitions.exists(_.contains("event_type=view")),
+      "unfiltered read should see other partitions (else the pruning assertion is vacuous)")
   }
 
   test("saltedJoin matches plain join results") {
