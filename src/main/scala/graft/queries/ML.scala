@@ -50,8 +50,11 @@ object ML {
       val out = FeaturePipeline.build(withNulls,
         numCols = Seq("acctbal", "nation_d"), catCol = "c_mktsegment",
         weights = Map("acctbal" -> 0.8, "nation_d" -> 0.2), wCat = 0.05)
+      // Canonical string form: the driver's rows-only check sorts the
+      // result in pandas, which can't order raw array columns.
       out.select(col("c_custkey"),
-        transform(col("features_arr"), v => round(v, 6)).as("features"))
+        array_join(transform(col("features_arr"), v => round(v, 6)), ",")
+          .as("features"))
     })
   )
 }

@@ -42,9 +42,14 @@ class LayoutSpec extends SparkSuite {
       s"expected partition filter in:\n$plan")
     val expected = events.filter(col("event_type") === "click").count()
     assert(scan.count() == expected)
-    // Pruned read, asserted on the files the scan actually selects: every
-    // input file sits under the click partition directory, none elsewhere.
-    val files = scan.inputFiles
+    // Pruned read, asserted on the files the scan exec actually selects
+    // (inputFiles reflects the unfiltered relation, so it can't see
+    // pruning): every selected file sits under the click partition.
+    val scanExec = scan.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val files = scanExec.selectedPartitions.toPartitionArray
+      .map(_.filePath.toString)
     assert(files.nonEmpty, "scan selected no files")
     assert(files.forall(_.contains("event_type=click")),
       s"expected only event_type=click files, got:\n${files.mkString("\n")}")

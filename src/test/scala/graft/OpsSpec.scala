@@ -39,9 +39,10 @@ class OpsSpec extends SparkSuite {
   test("Indexing.zipWithIndexOrdered matches withRowIndex on sorted ids") {
     val df = spark.range(100).toDF("id")
     val a = Indexing.withRowIndex(df, "idx", Seq(col("id").asc))
-      .select("idx", "id").as[(Int, Long)].collect().toSet
+      .select(col("idx").cast("long"), col("id")).as[(Long, Long)].collect().toSet
+    // zipWithIndexOrdered emits LongType ids by design (100 TB path).
     val b = Indexing.zipWithIndexOrdered(df, "idx", Seq(col("id").asc))
-      .select("idx", "id").as[(Int, Long)].collect().toSet
+      .select("idx", "id").as[(Long, Long)].collect().toSet
     assert(a == b)
   }
 
