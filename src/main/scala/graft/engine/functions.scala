@@ -59,6 +59,34 @@ object functions {
       .otherwise(lit(1.0) - (lit(codeLen) - prefixLen) * lit(2.0) / lit(10.0))
   }
 
+  /** Numeric fast path of [[hopsScore]] for 6-hex-char codes (the engine's
+    * synthesized NAICS codes are md5 prefixes; real NAICS digits 0-9 are
+    * hex-safe too). Callers precompute each side ONCE as a 24-bit value —
+    * `hopsCode(naics)` below — so the per-pair work is an xor plus a log,
+    * instead of ~10 UTF8String allocations: on an O(n·m) pair explosion
+    * the string form dominated the whole stage profile.
+    *
+    * Common-prefix nibbles from the xor: highest set bit p (0-based) sits
+    * in nibble `floor(p/4)` from the LSB, so the shared prefix length is
+    * `5 - floor(p/4)`. Semantics identical to [[hopsScore]]:
+    * null (wrong length) -> -1, first char differs -> 0, equal -> 1,
+    * else 1 - (6-l)*2/10.
+    */
+  def hopsScoreHex(aNum: Column, bNum: Column): Column = {
+    val x = aNum.bitwiseXOR(bNum)
+    val prefixLen = lit(5) - floor(log(2.0, x) / 4.0).cast("int")
+    when(aNum.isNull || bNum.isNull, lit(-1.0))
+      .when(x === 0, lit(1.0))
+      .when(prefixLen === 0, lit(0.0))
+      .otherwise(lit(1.0) - (lit(6) - prefixLen) * lit(2.0) / lit(10.0))
+  }
+
+  /** Per-side encoding for [[hopsScoreHex]]: a 6-hex-char code as a 24-bit
+    * long; null when the code is not exactly `codeLen` chars (the -1 case).
+    */
+  def hopsCode(a: Column, codeLen: Int = 6): Column =
+    when(length(a) === codeLen, conv(a, 16, 10).cast("long"))
+
   /** Blended peer score `(1-wHops-wHavs)*cos + wHops*hops + wHavs*havs`
     * (`search_ranking_peers.py:310-312`; default weights `:608-611`).
     */

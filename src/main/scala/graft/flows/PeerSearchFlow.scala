@@ -64,7 +64,13 @@ object PeerSearchFlow {
     // 5. surrogate ids + seeded batch assignment (O6 parity: randomSplit
     // replaced by a uniform deterministic batch key — same distribution,
     // no resampling job per batch).
+    // The unpartitioned row_number window collapses the frame to ONE
+    // partition; everything downstream (feature math, the explosive
+    // similarity join, md5 NAICS synth) would inherit it and run
+    // single-threaded. Fan back out immediately — one tiny shuffle.
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val indexed = Indexing.withRowIndex(deduped, "idx", Seq(col("c_custkey").asc))
+      .repartition(n)
       .withColumn("batch", pmod(hash(col("c_custkey"), lit(cfg.seed)), lit(cfg.minBatch)))
 
     // 6. weighted scaled features (M6/M7): [0.8 * minmax(acctbal), 0.2 *
@@ -78,6 +84,7 @@ object PeerSearchFlow {
       .withColumn("lon", ((col("c_custkey") * 31) % 340 - 170 + lit(0.5)).cast("double"))
       .withColumn("naics", concat(substring(md5(col("c_mktsegment")), 1, 3),
         substring(md5(col("c_nationkey").cast("string")), 1, 3)))
+      .withColumn("naics_num", F.hopsCode(col("naics")))
       .withColumn("nrm", sqrt(DotProduct.dot(col("features"), col("features"))))
       .withColumn("unit", when(col("nrm") === 0.0, col("features"))
         .otherwise(transform(col("features"), x => x / col("nrm"))))
@@ -97,12 +104,18 @@ object PeerSearchFlow {
         .select(col("t_c_custkey").as("tgt_custkey"), col("s_c_custkey").as("src_custkey"),
           round(F.blendedScore(
             DotProduct.dot(col("t_unit"), col("s_unit")),
-            F.hopsScore(col("t_naics"), col("s_naics")),
+            F.hopsScoreHex(col("t_naics_num"), col("s_naics_num")),
             F.haversineScore(col("t_lat"), col("t_lon"), col("s_lat"), col("s_lon")),
             cfg.wHops, cfg.wHavs), 6).as("score"))
-        .filter(col("score") >= cfg.threshold)
+      // Threshold AFTER the rank window, not before: ordering is score-desc,
+      // so {score>=th then top-K} and {top-K then score>=th} keep the same
+      // rows with the same ranks — but a pre-window filter gets pushed
+      // below the projection and re-evaluates the whole blend per pair,
+      // while the window blocks pushdown and the score is computed once.
       TopK.exactPerKey(pairs, Seq("tgt_custkey"),
-        Seq(col("score").desc, col("src_custkey").asc), cfg.topK, "peer_rank")
+        Seq(col("score").desc, col("src_custkey").asc), cfg.topK, "peer_rank",
+        prepartition = true)
+        .filter(col("score") >= cfg.threshold)
     }
     val allPeers = reports.reduce(_ unionByName _)
 

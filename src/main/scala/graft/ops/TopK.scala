@@ -25,10 +25,21 @@ object TopK {
     df.withColumn(rankCol, rank().over(w)).filter(col(rankCol) <= k)
   }
 
-  /** row_number variant — exactly k rows per key, ties broken by `order`. */
+  /** row_number variant — exactly k rows per key, ties broken by `order`.
+    *
+    * `prepartition = true` hash-repartitions on `keys` before the window
+    * instead of letting EnsureRequirements insert the exchange. That
+    * suppresses the partial WindowGroupLimit pass, which pays for itself
+    * only when each map partition holds many more than k rows per key —
+    * when groups are spread thin across partitions (k=30 over 32
+    * partitions of ~600-candidate groups) the partial pass is a full
+    * local sort that eliminates nothing (measured 4× slower at sf0.1).
+    * Leave it false when map-side groups are large and skewed.
+    */
   def exactPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
-                  rankCol: String = "rn"): DataFrame = {
+                  rankCol: String = "rn", prepartition: Boolean = false): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+    val in = if (prepartition) df.repartition(keys.map(col): _*) else df
+    in.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 }

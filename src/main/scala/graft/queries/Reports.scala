@@ -36,6 +36,10 @@ object Reports {
       when(col("c_custkey") % 23 === 0, lit(null).cast("double")).otherwise(latRaw).as("lat"),
       lonRaw.as("lon"),
       when(col("c_custkey") % 19 === 0, substring(naics6, 1, 5)).otherwise(naics6).as("naics"))
+      // Per-side numeric encoding, computed once per row so the O(n·m)
+      // pair stage scores via integer math (F.hopsScoreHex) instead of
+      // per-pair substring chains.
+      .withColumn("naics_num", F.hopsCode(col("naics")))
   }
 
   /** SQL twin of [[customerGeo]] (CTEs `base` + `geo`). */
@@ -81,11 +85,19 @@ object Reports {
     */
   def peerPairs(spark: SparkSession, dir: String): DataFrame = {
     val g = customerGeo(spark, dir)
+    // Round-robin repartition of the probe side: the candidate side is
+    // broadcast, so the join + per-pair scoring inherit the probe side's
+    // partitioning — a single-file scan would otherwise run the whole
+    // O(pairs) blend single-threaded. One tiny shuffle of the targets
+    // buys full-width parallelism for the explosive stage (the same
+    // pattern a 1000-executor cluster needs when the probe side arrives
+    // in a handful of splits).
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val t = g.select(g.columns.toSeq.map(c => col(c).as(s"t_$c")): _*)
-      .filter(col("t_c_custkey") % 7 === 0)
+      .filter(col("t_c_custkey") % 7 === 0).repartition(n)
     val s = g.select(g.columns.toSeq.map(c => col(c).as(s"s_$c")): _*)
     val sim = lit(1.0) - abs(col("t_c_acctbal") - col("s_c_acctbal")) / lit(11000.0)
-    val hops = F.hopsScore(col("t_naics"), col("s_naics"))
+    val hops = F.hopsScoreHex(col("t_naics_num"), col("s_naics_num"))
     val havs = F.haversineScore(col("t_lat"), col("t_lon"), col("s_lat"), col("s_lon"))
     t.join(s, col("t_c_nationkey") === col("s_c_nationkey") &&
         col("s_c_custkey") =!= col("t_c_custkey"))
@@ -108,7 +120,8 @@ object Reports {
     */
   def peers(spark: SparkSession, dir: String): DataFrame =
     TopK.exactPerKey(peerPairs(spark, dir), Seq("prospect"),
-      Seq(col("score").desc, col("src_custkey").asc), 30).drop("rn")
+      Seq(col("score").desc, col("src_custkey").asc), 30,
+      prepartition = true).drop("rn")
 
   val peersSql: String = """
     peers AS (
@@ -177,7 +190,8 @@ object Reports {
       .groupBy("prospect", "p_brand")
       .agg(round(sum(col("score") * col("rating") / lit(30.0)), 6).as("confidence"))
     TopK.exactPerKey(conf, Seq("prospect"),
-        Seq(col("confidence").desc, col("p_brand").asc), 20, "rnk")
+        Seq(col("confidence").desc, col("p_brand").asc), 20, "rnk",
+        prepartition = true)
       .withColumn("rnk", col("rnk").cast("int"))
       .join(brandMeta(spark, dir), "p_brand")
       .select("prospect", "p_brand", "confidence", "rnk", "n_parts", "avg_retail")
@@ -205,7 +219,8 @@ object Reports {
       .groupBy("prospect", "p_brand")
       .agg(round(count(col("rating")) / lit(30.0), 6).as("penetration"))
     TopK.exactPerKey(pen, Seq("prospect"),
-        Seq(col("penetration").desc, col("p_brand").asc), 20, "rnk")
+        Seq(col("penetration").desc, col("p_brand").asc), 20, "rnk",
+        prepartition = true)
       .withColumn("rnk", col("rnk").cast("int"))
       .join(brandMeta(spark, dir), "p_brand")
       .select("prospect", "p_brand", "penetration", "rnk", "n_parts", "avg_retail")
@@ -267,7 +282,7 @@ object Reports {
         t.join(s, col("t_c_nationkey") === col("s_c_nationkey") &&
             col("t_c_custkey") < col("s_c_custkey"))
           .select(col("t_c_custkey").as("a_custkey"), col("s_c_custkey").as("b_custkey"),
-            round(F.hopsScore(col("t_naics"), col("s_naics")), 4).as("hops_score"))
+            round(F.hopsScoreHex(col("t_naics_num"), col("s_naics_num")), 4).as("hops_score"))
       }),
 
     // Flagship peer-search report: top-15 blended-score peers per target
@@ -285,7 +300,8 @@ object Reports {
       FROM ranked r JOIN customer c ON r.src_custkey = c.c_custkey"""),
       (spark, dir) => {
         val ranked = TopK.exactPerKey(peerPairs(spark, dir), Seq("prospect"),
-            Seq(col("score").desc, col("src_custkey").asc), 15, "peer_rank")
+            Seq(col("score").desc, col("src_custkey").asc), 15, "peer_rank",
+            prepartition = true)
           .withColumn("peer_rank", col("peer_rank").cast("int"))
         ranked.join(broadcast(T(spark, dir, "customer")),
             col("src_custkey") === col("c_custkey"))
