@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhashes"),
       new ExpressionInfo(classOf[MinHashSignatures].getName, "graft_minhashes"),
       (exprs: Seq[Expression]) =>
-        MinHashSignatures(exprs.head, exprs(1).eval().asInstanceOf[Int])))
+        MinHashSignatures(exprs.head, exprs(1).eval().asInstanceOf[Int],
+          if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 1)))
   }
 }

@@ -11,23 +11,33 @@ import org.apache.spark.sql.functions.{call_function, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** All `numHashes` MinHash values of a shingle set in ONE pass.
+/** All `numHashes` MinHash values of a shingle set in ONE pass,
+  * optionally pre-grouped into LSH band signatures.
   *
   * Semantically identical to
   * `array_min(transform(shingles, s -> md5(concat('<i>_', s))))` per
-  * salt i (the formulation the DuckDB oracles use), but:
+  * salt i (the formulation the DuckDB oracles use), concatenated in
+  * groups of `rowsPerBand` consecutive salts when banding, but:
   *  - one traversal computes every salt's min (k× fewer array walks),
   *  - digests are compared as raw unsigned bytes (hex encoding is
   *    monotone in the digest bytes, so the winner is identical; hex is
   *    materialized only once per salt at the end),
   *  - a single MessageDigest instance is reused across elements instead
-  *    of interpreted lambda allocation per element.
+  *    of interpreted lambda allocation per element,
+  *  - banding inside the expression matters for PLAN shape: projecting
+  *    the raw array and concat-ing `mh[i]` slices in a later select gets
+  *    collapsed by CollapseProject into one projection that re-evaluates
+  *    the whole minhash loop once per element reference (measured 8×
+  *    for 8 hashes). One expression → one evaluation per row.
   *
   * CodegenFallback: the md5 calls dominate; compiled loop bookkeeping
   * would not pay for the codegen complexity here.
   */
-case class MinHashSignatures(child: Expression, numHashes: Int)
+case class MinHashSignatures(child: Expression, numHashes: Int, rowsPerBand: Int = 1)
     extends UnaryExpression with CodegenFallback {
+
+  require(numHashes % rowsPerBand == 0,
+    s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand)")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "minhash_signatures"
@@ -63,11 +73,21 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
       }
       e += 1
     }
-    val out = new Array[AnyRef](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      out(i) = if (mins(i) == null) null else UTF8String.fromString(toHex(mins(i)))
-      i += 1
+    val bands = numHashes / rowsPerBand
+    val out = new Array[AnyRef](bands)
+    var b = 0
+    while (b < bands) {
+      // concat() of any null digest is null (empty input sets) — matches
+      // the Column-API formulation exactly.
+      var sb = new java.lang.StringBuilder(32 * rowsPerBand)
+      var r = 0
+      while (r < rowsPerBand && sb != null) {
+        val m = mins(b * rowsPerBand + r)
+        if (m == null) sb = null else appendHex(sb, m)
+        r += 1
+      }
+      out(b) = if (sb == null) null else UTF8String.fromString(sb.toString)
+      b += 1
     }
     new GenericArrayData(out)
   }
@@ -82,12 +102,9 @@ case class MinHashSignatures(child: Expression, numHashes: Int)
     a.length - b.length
   }
 
-  private def toHex(bytes: Array[Byte]): String = {
-    val sb = new java.lang.StringBuilder(bytes.length * 2)
+  private def appendHex(sb: java.lang.StringBuilder, bytes: Array[Byte]): Unit =
     bytes.foreach { b => sb.append(Character.forDigit((b >> 4) & 0xf, 16))
       .append(Character.forDigit(b & 0xf, 16)) }
-    sb.toString
-  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -100,9 +117,16 @@ object MinHashSignatures {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => MinHashSignatures(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "built-in")
+        exprs(1).eval().asInstanceOf[Int],
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 1), "built-in")
 
   /** Column API: array of `k` MinHash hex digests of a string-array column. */
   def minhashes(shingles: Column, k: Int): Column =
     call_function(name, shingles, lit(k))
+
+  /** Column API: array of `bands` LSH band signatures — each the concat of
+    * `rowsPerBand` consecutive MinHash hex digests.
+    */
+  def bandSignatures(shingles: Column, bands: Int, rowsPerBand: Int): Column =
+    call_function(name, shingles, lit(bands * rowsPerBand), lit(rowsPerBand))
 }

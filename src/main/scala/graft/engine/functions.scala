@@ -75,17 +75,30 @@ object functions {
   def hopsScoreHex(aNum: Column, bNum: Column): Column = {
     val x = aNum.bitwiseXOR(bNum)
     val prefixLen = lit(5) - floor(log(2.0, x) / 4.0).cast("int")
-    when(aNum.isNull || bNum.isNull, lit(-1.0))
+    // NULL input falls through [[hopsScore]]'s CASE chain to the 0.0
+    // otherwise-branch (every comparison is null), so the numeric path
+    // must do the same; the wrong-length sentinel (-1L) keeps scoring -1.
+    when(aNum.isNull || bNum.isNull, lit(0.0))
+      .when(aNum === WrongLengthCode || bNum === WrongLengthCode, lit(-1.0))
       .when(x === 0, lit(1.0))
       .when(prefixLen === 0, lit(0.0))
       .otherwise(lit(1.0) - (lit(6) - prefixLen) * lit(2.0) / lit(10.0))
   }
 
-  /** Per-side encoding for [[hopsScoreHex]]: a 6-hex-char code as a 24-bit
-    * long; null when the code is not exactly `codeLen` chars (the -1 case).
+  /** [[hopsCode]] sentinel for codes that are not exactly 6 chars: outside
+    * the 24-bit value range, so it can never collide with a real code.
     */
-  def hopsCode(a: Column, codeLen: Int = 6): Column =
-    when(length(a) === codeLen, conv(a, 16, 10).cast("long"))
+  val WrongLengthCode: Long = -1L
+
+  /** Per-side encoding for [[hopsScoreHex]]: a 6-hex-char code as a 24-bit
+    * long; [[WrongLengthCode]] when the code is not exactly 6 chars (the
+    * -1.0 score case), null for null input (the 0.0 fall-through case —
+    * kept distinct so [[hopsScoreHex]] matches [[hopsScore]] on both).
+    */
+  def hopsCode(a: Column): Column =
+    when(a.isNull, lit(null).cast("long"))
+      .when(length(a) === 6, conv(a, 16, 10).cast("long"))
+      .otherwise(lit(WrongLengthCode))
 
   /** Blended peer score `(1-wHops-wHavs)*cos + wHops*hops + wHavs*havs`
     * (`search_ranking_peers.py:310-312`; default weights `:608-611`).

@@ -68,7 +68,7 @@ object PeerSearchFlow {
     // partition; everything downstream (feature math, the explosive
     // similarity join, md5 NAICS synth) would inherit it and run
     // single-threaded. Fan back out immediately — one tiny shuffle.
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = spark.sessionState.conf.numShufflePartitions
     val indexed = Indexing.withRowIndex(deduped, "idx", Seq(col("c_custkey").asc))
       .repartition(n)
       .withColumn("batch", pmod(hash(col("c_custkey"), lit(cfg.seed)), lit(cfg.minBatch)))

@@ -29,9 +29,14 @@ object DedupOps {
       concat((0 until rowsPerBand).map(r => minhash(shingles, b * rowsPerBand + r)): _*)
     }
 
-  /** Jaccard similarity of two distinct-element array columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  /** Jaccard similarity of two distinct-element array columns.
+    * |a ∪ b| = |a| + |b| - |a ∩ b| for distinct elements, so one
+    * intersect pass replaces the intersect + union pair.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
 
   /** 32-bit SimHash of a token array: bit j is set iff the sum over
     * tokens of ±1 (by bit j of the token's hash) is positive. Built from
@@ -56,26 +61,34 @@ object DedupOps {
     */
   def lshCandidates(df: DataFrame, idCol: String, shinglesCol: String,
                     bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    graft.engine.expressions.MinHashSignatures.register(df.sparkSession)
-    // All k min-hashes in one pass (engine.expressions.MinHashSignatures),
-    // then one band column per (rowsPerBand) consecutive hashes.
-    val mh = graft.engine.expressions.MinHashSignatures
-      .minhashes(col(shinglesCol), bands * rowsPerBand)
-    val withSig = df.withColumn("__mh", mh)
-    val sigs = (0 until bands).map { b =>
-      concat((0 until rowsPerBand).map(r => col("__mh")(b * rowsPerBand + r)): _*)
-    }
-    // Cache: the signature projection feeds BOTH sides of the self-join —
-    // without materialization Spark computes it twice.
-    val banded = withSig.select(col(idCol), col(shinglesCol),
-      posexplode(array(sigs: _*)).as(Seq("band", "sig"))).cache()
-    val a = banded.select(col("band"), col("sig"),
-      col(idCol).as("id_a"), col(shinglesCol).as("sh_a"))
-    val b = banded.select(col("band"), col("sig"),
-      col(idCol).as("id_b"), col(shinglesCol).as("sh_b"))
-    a.join(b, Seq("band", "sig"))
+    graft.engine.expressions.MinHashBands.register(df.sparkSession)
+    // All k min-hashes AND the band concats in one expression pass
+    // (engine.expressions.MinHashBands: one md5 + k affine mixes per
+    // shingle) — banding in a separate projection would be collapsed by
+    // CollapseProject into per-element re-evaluation of the whole
+    // minhash loop (measured k×; see the expression's Scaladoc).
+    val sigArr = graft.engine.expressions.MinHashBands
+      .bandSignatures(col(shinglesCol), bands, rowsPerBand)
+    // Only (id, band, sig) enters the collision shuffle: signatures are
+    // fixed-width digests, so the banded frame is a sliver of corpus
+    // bytes — the wide shingle arrays never leave their scan stage.
+    // Cached because it feeds both sides of the self-join.
+    val banded = df.select(col(idCol), posexplode(sigArr).as(Seq("band", "sig")))
+      .cache()
+    val cand = banded.select(col("band"), col("sig"), col(idCol).as("id_a"))
+      .join(banded.select(col("band"), col("sig"), col(idCol).as("id_b")),
+        Seq("band", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // Verify: exact Jaccard, computed once per unique candidate pair.
+    // Candidates are a tiny fraction of the corpus, so they broadcast to
+    // the shingle scan (no corpus shuffle); the second join's small side
+    // is the candidate × left-shingles frame, which AQE broadcasts at
+    // runtime once its size is known.
+    val sh = df.select(col(idCol), col(shinglesCol))
+    sh.select(col(idCol).as("id_a"), col(shinglesCol).as("sh_a"))
+      .join(broadcast(cand), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col(shinglesCol).as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -39,14 +39,23 @@ object TextOps {
     * empty shingle set: `sequence(1, stop)` with `stop < 1` would otherwise
     * infer step -1 and produce a descending index range whose
     * out-of-range `element_at` throws under ANSI mode.
+    *
+    * The incoming `tokens` expression is bound to a lambda variable (the
+    * single-element `transform(array(...))` wrapper) before any per-gram
+    * reference. Without the binding, a caller passing a computed column
+    * like `tokenize(text)` gets the tokenizer INLINED into the per-element
+    * lambda — 2 regex splits of the full text per shingle (measured 5× on
+    * the LSH signature stage; interpreted eval has no common-subexpression
+    * elimination to save it).
     */
-  def shingles(tokens: Column, n: Int): Column = {
-    val grams = when(size(tokens) >= n,
-      transform(sequence(lit(1), size(tokens) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
-    array_distinct(grams)
-  }
+  def shingles(tokens: Column, n: Int): Column =
+    element_at(transform(array(tokens), ts => {
+      val grams = when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+      array_distinct(grams)
+    }), 1)
 
   /** Count of tokens belonging to `stop` (set membership per element). */
   def stopCount(tokens: Column, stop: Seq[String]): Column =

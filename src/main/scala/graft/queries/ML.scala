@@ -53,7 +53,9 @@ object ML {
       // Canonical string form: the driver's rows-only check sorts the
       // result in pandas, which can't order raw array columns.
       out.select(col("c_custkey"),
-        array_join(transform(col("features_arr"), v => round(v, 6)), ",")
+        // nullReplacement keeps a (never-expected) null element visible
+        // instead of silently shifting positions in the canonical string.
+        array_join(transform(col("features_arr"), v => round(v, 6)), ",", "null")
           .as("features"))
     })
   )

@@ -92,7 +92,7 @@ object Reports {
     // buys full-width parallelism for the explosive stage (the same
     // pattern a 1000-executor cluster needs when the probe side arrives
     // in a handful of splits).
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = spark.sessionState.conf.numShufflePartitions
     val t = g.select(g.columns.toSeq.map(c => col(c).as(s"t_$c")): _*)
       .filter(col("t_c_custkey") % 7 === 0).repartition(n)
     val s = g.select(g.columns.toSeq.map(c => col(c).as(s"s_$c")): _*)

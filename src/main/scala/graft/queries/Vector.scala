@@ -123,11 +123,14 @@ object Vector {
       }),
 
     // MinHash-LSH near-dup candidates over 2-gram shingles: 4 bands × 2
-    // salted md5 min-hashes, candidates verified with true Jaccard.
+    // universal-hash min-hashes (one md5 per shingle + affine mixes,
+    // MinHashBands bit-for-bit), candidates verified with true Jaccard.
     QueryDef("q26_minhash_lsh", Some {
-      val mh = (i: Int) => s"list_min(list_transform(sh, x -> md5('${i}_' || x)))"
+      import graft.engine.expressions.MinHashBands.sqlMinhash
       val bandSelects = (0 until 4).map { b =>
-        s"SELECT doc_id, sh, $b AS band, ${mh(2 * b)} || ${mh(2 * b + 1)} AS sig FROM shingled"
+        s"""SELECT doc_id, sh, $b AS band,
+            CAST(${sqlMinhash("sh", 2 * b)} AS VARCHAR) || '_' ||
+            CAST(${sqlMinhash("sh", 2 * b + 1)} AS VARCHAR) AS sig FROM shingled"""
       }.mkString("\n      UNION ALL\n      ")
       s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
