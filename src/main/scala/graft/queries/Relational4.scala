@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AsOfJoin, RangeJoin}
+
+/** Relational breadth beyond the reference, part 4: as-of join, binned
+  * range join, CUBE. The first two are whole-operator capabilities Spark
+  * has no native node for — implemented as scalable compositions
+  * (ops.AsOfJoin, ops.RangeJoin) and oracled against DuckDB's native
+  * ASOF JOIN / BETWEEN join.
+  */
+object Relational4 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // As-of join: each purchase matched to the same user's most recent
+    // click at-or-before it (union-and-window plan: one shuffle, no pair
+    // explosion). Oracle uses DuckDB's native ASOF LEFT JOIN.
+    QueryDef("q64_asof_join", Some("""
+      WITH c AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events WHERE event_type = 'purchase')
+      SELECT p.user_id, p.event_id AS purchase_event, p.ms AS p_ms,
+             c.event_id AS click_event, p.ms - c.ms AS gap_ms
+      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ms >= c.ms"""),
+      (spark, dir) => {
+        val e = T(spark, dir, "events").select(col("user_id"), col("event_id"),
+          col("event_type"), unix_millis(col("ts")).as("ms"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_event"), col("ms"))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ms").as("c_ms"),
+            col("event_id").as("click_event"), col("ms").as("click_ms"))
+        AsOfJoin.backward(p, c, Seq("user_id"), "ms", "c_ms",
+            payload = Seq("click_event", "click_ms"))
+          .select(col("user_id"), col("purchase_event"), col("ms").as("p_ms"),
+            col("click_event"), (col("ms") - col("click_ms")).as("gap_ms"))
+      }),
+
+    // Range join: orders price-points against supplier [acctbal,
+    // acctbal+1000] intervals via integer binning (shuffle join on the
+    // bin key — no nested-loop cross product). Oracle is the plain
+    // quadratic BETWEEN join.
+    QueryDef("q65_range_join", Some("""
+      WITH pts AS (SELECT o_orderkey, o_totalprice / 100.0 AS price_pt
+                   FROM orders WHERE o_orderkey % 13 = 0),
+      iv AS (SELECT s_suppkey, s_acctbal AS lo, s_acctbal + 1000.0 AS hi FROM supplier)
+      SELECT s_suppkey, count(*) AS n_orders, round(avg(price_pt), 4) AS avg_price
+      FROM iv JOIN pts ON price_pt BETWEEN lo AND hi
+      GROUP BY s_suppkey"""),
+      (spark, dir) => {
+        val pts = T(spark, dir, "orders").filter(col("o_orderkey") % 13 === 0)
+          .select(col("o_orderkey"), (col("o_totalprice") / 100.0).as("price_pt"))
+        val iv = T(spark, dir, "supplier")
+          .select(col("s_suppkey"), col("s_acctbal").as("lo"),
+            (col("s_acctbal") + 1000.0).as("hi"))
+        RangeJoin.pointInInterval(pts, "price_pt", iv, "lo", "hi", binWidth = 1000.0)
+          .groupBy("s_suppkey")
+          .agg(count(lit(1)).as("n_orders"), round(avg(col("price_pt")), 4).as("avg_price"))
+      }),
+
+    // CUBE: all 4 grouping combinations over region × market segment in
+    // one pass, grouping-id disambiguated (completes the ROLLUP/GROUPING
+    // SETS family of q45/q57).
+    QueryDef("q66_cube", Some("""
+      SELECT coalesce(r_name, 'ALL') AS region, coalesce(c_mktsegment, 'ALL') AS segment,
+             CAST(grouping(r_name) * 2 + grouping(c_mktsegment) AS INTEGER) AS gid,
+             count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY CUBE (r_name, c_mktsegment)"""),
+      (spark, dir) =>
+        T(spark, dir, "customer")
+          .join(broadcast(T(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(T(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .cube(col("r_name"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total_bal"),
+            (grouping(col("r_name")) * 2 + grouping(col("c_mktsegment"))).cast("int").as("gid"))
+          .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+            col("gid"), col("n"), col("total_bal"))),
+
+    // Statistical aggregates: correlation / covariance / variance of
+    // order price vs item count per order priority.
+    QueryDef("q68_stats_corr", Some("""
+      WITH o AS (
+        SELECT o_orderpriority, o_totalprice AS price,
+               CAST(epoch_ms(o_orderdate) AS DOUBLE) / 86400000.0 AS dayno
+        FROM orders)
+      SELECT o_orderpriority,
+             round(corr(price, dayno), 6) AS corr_pd,
+             round(covar_samp(price, dayno), 4) AS cov_pd,
+             round(var_samp(price), 4) AS var_p,
+             round(stddev_samp(dayno), 6) AS sd_d,
+             count(*) AS n
+      FROM o GROUP BY o_orderpriority"""),
+      (spark, dir) =>
+        T(spark, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice").as("price"),
+            // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so the
+            // cast is the identity epoch DuckDB's epoch_ms computes.
+            (unix_millis(col("o_orderdate").cast("timestamp")).cast("double")
+              / 86400000.0).as("dayno"))
+          .groupBy("o_orderpriority")
+          .agg(round(corr(col("price"), col("dayno")), 6).as("corr_pd"),
+            round(covar_samp(col("price"), col("dayno")), 4).as("cov_pd"),
+            round(var_samp(col("price")), 4).as("var_p"),
+            round(stddev_samp(col("dayno")), 6).as("sd_d"),
+            count(lit(1)).as("n"))),
+
+    // Linear-regression aggregates: slope/intercept/R² of acctbal vs
+    // nationkey per market segment (the SQL-standard regr_* family).
+    QueryDef("q69_regression", Some("""
+      SELECT c_mktsegment,
+             round(regr_slope(c_acctbal, c_nationkey), 6) AS slope,
+             round(regr_intercept(c_acctbal, c_nationkey), 4) AS intercept,
+             round(regr_r2(c_acctbal, c_nationkey), 6) AS r2,
+             count(*) AS n
+      FROM customer GROUP BY c_mktsegment"""),
+      (spark, dir) =>
+        T(spark, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(round(regr_slope(col("c_acctbal"), col("c_nationkey")), 6).as("slope"),
+            round(regr_intercept(col("c_acctbal"), col("c_nationkey")), 4).as("intercept"),
+            round(regr_r2(col("c_acctbal"), col("c_nationkey")), 6).as("r2"),
+            count(lit(1)).as("n"))),
+
+    // Equi-width histogram: 25k-wide price bins with per-bin bounds —
+    // the single-shuffle binning shape (no windows, no sort).
+    QueryDef("q70_histogram", Some("""
+      SELECT CAST(floor(o_totalprice / 25000.0) AS INTEGER) AS bin,
+             count(*) AS n,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi
+      FROM orders GROUP BY 1"""),
+      (spark, dir) =>
+        T(spark, dir, "orders")
+          .groupBy(floor(col("o_totalprice") / 25000.0).cast("int").as("bin"))
+          .agg(count(lit(1)).as("n"), round(min(col("o_totalprice")), 2).as("lo"),
+            round(max(col("o_totalprice")), 2).as("hi"))))
+}

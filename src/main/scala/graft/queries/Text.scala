@@ -139,6 +139,62 @@ object Text {
           .select(col("a_doc"), col("b_doc"), round(jac, 6).as("jaccard"))
       }),
 
+    // TF-IDF: term frequency per doc × inverse document frequency over
+    // the corpus, top-5 terms per doc. Corpus size reaches the score
+    // via a broadcast one-row aggregate (no driver-side count).
+    QueryDef("q67_tfidf", Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term,
+               round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+      SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+            FROM scored)
+      WHERE rnk <= 5"""),
+      (spark, dir) => {
+        val docs = T(spark, dir, "documents")
+        val tf = docs.select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+        TopK.exactPerKey(scored, Seq("doc_id"),
+            Seq(col("tfidf").desc, col("term").asc), 5, "rnk", prepartition = true)
+          .withColumn("rnk", col("rnk").cast("int"))
+          .select("doc_id", "term", "tfidf", "rnk")
+      }),
+
+    // Token-distribution Shannon entropy per document (natural log):
+    // high entropy ≈ diverse vocabulary, a standard quality signal.
+    QueryDef("q71_entropy", Some("""
+      WITH tf AS (
+        SELECT doc_id, term, count(*) AS c
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY doc_id, term),
+      tot AS (SELECT doc_id, sum(c) AS n FROM tf GROUP BY doc_id)
+      SELECT tf.doc_id,
+             round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 6) AS entropy,
+             CAST(count(*) AS INTEGER) AS n_terms
+      FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+      GROUP BY tf.doc_id"""),
+      (spark, dir) => {
+        val tf = T(spark, dir, "documents")
+          .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+        val tot = tf.groupBy("doc_id").agg(sum(col("c")).as("n"))
+        val p = col("c").cast("double") / col("n")
+        tf.join(tot, "doc_id")
+          .groupBy("doc_id")
+          .agg(round(-sum(p * log(p)), 6).as("entropy"),
+            count(lit(1)).cast("int").as("n_terms"))
+      }),
+
     // Corpus-driven language ID: build top-5 token profiles per lang,
     // then classify each doc as the best-matching profile (hit count,
     // lang-name tiebreak). A self-contained n-gram-profile LID pipeline.

@@ -69,4 +69,29 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(got.sum) < 1e-12)
     assert(math.abs(got.max - 1.0) < 1e-12)
   }
+
+  test("AsOfJoin.backward: latest at-or-before per key, equal ts matches, no match -> null") {
+    val left = Seq((1, 10L, "p1"), (1, 20L, "p2"), (1, 5L, "p0"), (2, 7L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1, 10L, "r10"), (1, 15L, "r15"), (3, 1L, "rX"))
+      .toDF("k", "rt", "tag")
+    val got = graft.ops.AsOfJoin.backward(left, right, Seq("k"), "t", "rt", Seq("tag"))
+      .select("k", "t", "name", "tag").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(got == Set(
+      (1, 10L, "p1", "r10"),  // equal timestamp: right row matches
+      (1, 20L, "p2", "r15"),  // latest at-or-before
+      (1, 5L, "p0", null),    // before any right row
+      (2, 7L, "p3", null)))   // key with no right rows
+  }
+
+  test("RangeJoin.pointInInterval matches the naive BETWEEN join") {
+    val pts = (0 until 200).map(i => (i, i * 7.3 % 100)).toDF("pid", "x")
+    val iv = (0 until 30).map(i => (i, i * 3.1, i * 3.1 + 12.5)).toDF("iid", "lo", "hi")
+    val binned = graft.ops.RangeJoin.pointInInterval(pts, "x", iv, "lo", "hi", 10.0)
+      .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val naive = pts.join(iv, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(binned == naive && binned.nonEmpty)
+  }
 }
