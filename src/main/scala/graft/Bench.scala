@@ -19,6 +19,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE's parallelism-first coalescing merges a compact (sub-1MB)
+      // map stage to ONE partition; when that stage feeds an exploding
+      // similarity self-join (15k rows -> 9M pairs) the whole join runs
+      // single-threaded (measured 3x on the flow queries). A 16k floor
+      // keeps tiny-but-fanning stages wide and still lets AQE coalesce
+      // genuinely empty splits.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

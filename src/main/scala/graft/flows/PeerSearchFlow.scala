@@ -93,31 +93,37 @@ object PeerSearchFlow {
     // self-join branches; recomputing the narrow 15k-row projection is
     // cheaper than dematerializing it).
 
-    // 7-8. per-batch similarity + top-K, unioned (the reference's batch
-    // loop, as plan branches of one job).
+    // 7-8. similarity + top-K. The reference's batch loop exists to bound
+    // the memory of a client-side matmul; here each batch would be a
+    // filtered branch of the SAME distributed plan, and since batches
+    // partition the TARGETS and top-K/threshold are per-target, the
+    // union over batches is row-identical to one unbatched join. Running
+    // the join once instead of minBatch times avoids re-executing the
+    // whole upstream pipeline per batch (measured 2× at minBatch = 2);
+    // the batch column stays on the frame as the audit/parity surface.
     val tgt = geo.select(geo.columns.toSeq.map(c => col(c).as(s"t_$c")): _*)
     val src = geo.select(geo.columns.toSeq.map(c => col(c).as(s"s_$c")): _*)
-    val reports = (0 until cfg.minBatch).map { b =>
-      val pairs = tgt.filter(col("t_batch") === b)
-        .join(src, col("t_c_nationkey") === col("s_c_nationkey") &&
-          col("t_idx") =!= col("s_idx"))
-        .select(col("t_c_custkey").as("tgt_custkey"), col("s_c_custkey").as("src_custkey"),
-          round(F.blendedScore(
-            DotProduct.dot(col("t_unit"), col("s_unit")),
-            F.hopsScoreHex(col("t_naics_num"), col("s_naics_num")),
-            F.haversineScore(col("t_lat"), col("t_lon"), col("s_lat"), col("s_lon")),
-            cfg.wHops, cfg.wHavs), 6).as("score"))
-      // Threshold AFTER the rank window, not before: ordering is score-desc,
-      // so {score>=th then top-K} and {top-K then score>=th} keep the same
-      // rows with the same ranks — but a pre-window filter gets pushed
-      // below the projection and re-evaluates the whole blend per pair,
-      // while the window blocks pushdown and the score is computed once.
-      TopK.exactPerKey(pairs, Seq("tgt_custkey"),
-        Seq(col("score").desc, col("src_custkey").asc), cfg.topK, "peer_rank",
-        prepartition = true)
-        .filter(col("score") >= cfg.threshold)
-    }
-    val allPeers = reports.reduce(_ unionByName _)
+    val pairs = tgt
+      .join(src, col("t_c_nationkey") === col("s_c_nationkey") &&
+        col("t_idx") =!= col("s_idx"))
+      .select(col("t_c_custkey").as("tgt_custkey"), col("s_c_custkey").as("src_custkey"),
+        round(F.blendedScore(
+          DotProduct.dot(col("t_unit"), col("s_unit")),
+          F.hopsScoreHex(col("t_naics_num"), col("s_naics_num")),
+          F.haversineScore(col("t_lat"), col("t_lon"), col("s_lat"), col("s_lon")),
+          cfg.wHops, cfg.wHavs), 6).as("score"))
+    // Threshold AFTER the rank window, not before: ordering is score-desc,
+    // so {score>=th then top-K} and {top-K then score>=th} keep the same
+    // rows with the same ranks — but a pre-window filter gets pushed
+    // below the projection and re-evaluates the whole blend per pair,
+    // while the window blocks pushdown and the score is computed once.
+    // prepartition = false: with the explosion running wide (see the AQE
+    // minPartitionSize note in Bench.scala), the map-side WindowGroupLimit
+    // prunes ~600-candidate groups to 15 BEFORE the shuffle — measured
+    // faster than the repartition-first form at sf0.1.
+    val allPeers = TopK.exactPerKey(pairs, Seq("tgt_custkey"),
+        Seq(col("score").desc, col("src_custkey").asc), cfg.topK, "peer_rank")
+      .filter(col("score") >= cfg.threshold)
 
     // attribute join-back (J1/J2) + report sort (O1).
     allPeers

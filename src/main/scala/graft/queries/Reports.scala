@@ -193,7 +193,7 @@ object Reports {
         Seq(col("confidence").desc, col("p_brand").asc), 20, "rnk",
         prepartition = true)
       .withColumn("rnk", col("rnk").cast("int"))
-      .join(brandMeta(spark, dir), "p_brand")
+      .join(broadcast(brandMeta(spark, dir)), "p_brand")
       .select("prospect", "p_brand", "confidence", "rnk", "n_parts", "avg_retail")
   }
 
@@ -222,7 +222,7 @@ object Reports {
         Seq(col("penetration").desc, col("p_brand").asc), 20, "rnk",
         prepartition = true)
       .withColumn("rnk", col("rnk").cast("int"))
-      .join(brandMeta(spark, dir), "p_brand")
+      .join(broadcast(brandMeta(spark, dir)), "p_brand")
       .select("prospect", "p_brand", "penetration", "rnk", "n_parts", "avg_retail")
   }
 
