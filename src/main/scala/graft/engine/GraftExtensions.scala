@@ -6,16 +6,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.engine.expressions.{DotProduct, MinHashSignatures}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
-  * Catalyst expressions SQL-callable in any session built with
+  * Catalyst expressions SQL-callable and injects the range-join
+  * optimizer rewrite in any session built with
   * `spark.sql.extensions=graft.engine.GraftExtensions` (or
   * `.withExtensions(new GraftExtensions)`).
   *
-  * No custom analyzer/optimizer rules or strategies are injected — the
-  * engine's operators plan through stock Catalyst (SURVEY.md §4/§7.3).
+  * The engine's other operators plan through stock Catalyst
+  * (SURVEY.md §4/§7.3); `rules.RangeJoinRewrite` only fires on inner
+  * joins that would otherwise become nested-loop range joins.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.engine.rules.RangeJoinRewrite())
     e.injectFunction((
       FunctionIdentifier("graft_dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot_product"),
