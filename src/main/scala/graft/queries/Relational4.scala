@@ -125,6 +125,28 @@ object Relational4 {
             round(regr_r2(col("c_acctbal"), col("c_nationkey")), 6).as("r2"),
             count(lit(1)).as("n"))),
 
+    // Deterministic weighted sampling (Efraimidis-Spirakis with
+    // hash-derived uniforms): 100 customers drawn w/o replacement with
+    // probability ∝ acctbal+1001, reproducible across engines — the
+    // oracle replays the identical selection keys.
+    QueryDef("q73_weighted_sample", Some("""
+      WITH w AS (
+        SELECT c_custkey, c_name, c_acctbal + 1001.0 AS wt,
+               (('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                % 1000003 + 1) / 1000004.0 AS u
+        FROM customer)
+      SELECT c_custkey, c_name, round(wt, 2) AS wt
+      FROM w
+      ORDER BY ln(u) / wt DESC, c_custkey
+      LIMIT 100"""),
+      (spark, dir) =>
+        graft.ops.Sampling.weightedSample(
+          T(spark, dir, "customer")
+            .select(col("c_custkey"), col("c_name"),
+              (col("c_acctbal") + 1001.0).as("wt")),
+          "c_custkey", col("wt"), 100)
+          .withColumn("wt", round(col("wt"), 2))),
+
     // Equi-width histogram: 25k-wide price bins with per-bin bounds —
     // the single-shuffle binning shape (no windows, no sort).
     QueryDef("q70_histogram", Some("""

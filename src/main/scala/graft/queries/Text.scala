@@ -170,6 +170,32 @@ object Text {
           .select("doc_id", "term", "tfidf", "rnk")
       }),
 
+    // Heavy hitters, sketch + verify: a 40-counter Misra-Gries pass
+    // produces candidates (bounded state — no full-vocabulary groupBy at
+    // corpus scale), then only the candidates are exactly counted and
+    // thresholded at n/(k+1). The MG guarantee (no item above the
+    // threshold is ever dropped; spec-checked on a skewed stream) makes
+    // the two-pass result EQUAL to the exact HAVING query the oracle runs.
+    QueryDef("q72_heavy_hitters", Some("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      SELECT token, count(*) AS n
+      FROM tok GROUP BY token
+      HAVING count(*) * 41 > (SELECT count(*) FROM tok)"""),
+      (spark, dir) => {
+        graft.engine.expressions.MisraGries.register(spark)
+        val toks = T(spark, dir, "documents")
+          .select(explode(TextOps.tokenize(col("text"))).as("token"))
+        val candidates = toks
+          .agg(graft.engine.expressions.MisraGries.sketch(col("token"), 40).as("mg"))
+          .select(explode(col("mg")).as("s")).select(col("s.item").as("token"))
+        val total = toks.agg(count(lit(1)).as("n_tok"))
+        toks.join(broadcast(candidates), "token")
+          .groupBy("token").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(total))
+          .filter(col("n") * 41 > col("n_tok"))
+          .select("token", "n")
+      }),
+
     // Token-distribution Shannon entropy per document (natural log):
     // high entropy ≈ diverse vocabulary, a standard quality signal.
     QueryDef("q71_entropy", Some("""

@@ -85,6 +85,41 @@ class OpsSpec extends SparkSuite {
       (2, 7L, "p3", null)))   // key with no right rows
   }
 
+  test("MisraGries: guarantee holds on a skewed multi-partition stream") {
+    graft.engine.expressions.MisraGries.register(spark)
+    val items = Seq.fill(500)("a") ++ Seq.fill(300)("b") ++ Seq.fill(150)("c") ++
+      (0 until 200).map(i => s"x$i")
+    val n = items.size
+    val k = 5
+    val df = spark.createDataset(scala.util.Random.shuffle(items))(
+      org.apache.spark.sql.Encoders.STRING).repartition(7).toDF("item")
+    val sketch = df.agg(graft.engine.expressions.MisraGries.sketch(col("item"), k).as("mg"))
+      .select(explode(col("mg")).as("s"))
+      .select(col("s.item"), col("s.count_lo")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slack = n / (k + 1)
+    // guarantee: every item with true count > n/(k+1) survives, with
+    // count_lo in [true - n/(k+1), true]
+    for ((item, truth) <- Seq("a" -> 500L, "b" -> 300L) if truth > slack) {
+      assert(sketch.contains(item), s"$item missing from sketch $sketch")
+      assert(sketch(item) <= truth && sketch(item) >= truth - slack,
+        s"$item count ${sketch(item)} outside [${truth - slack}, $truth]")
+    }
+    assert(sketch.size <= k)
+  }
+
+  test("Sampling.weightedSample: deterministic across partitionings, weight-sensitive") {
+    val df = (0 until 1000).map(i => (i.toLong, if (i < 500) 1000.0 else 1.0))
+      .toDF("id", "wt")
+    val s1 = graft.ops.Sampling.weightedSample(df.repartition(3), "id", col("wt"), 200)
+      .select("id").as[Long].collect().toSet
+    val s2 = graft.ops.Sampling.weightedSample(df.repartition(11), "id", col("wt"), 200)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size == 200)
+    // ids 0-499 carry 1000x the weight: they should dominate the sample
+    assert(s1.count(_ < 500) > 150)
+  }
+
   test("RangeJoin.pointInInterval matches the naive BETWEEN join") {
     val pts = (0 until 200).map(i => (i, i * 7.3 % 100)).toDF("pid", "x")
     val iv = (0 until 30).map(i => (i, i * 3.1, i * 3.1 + 12.5)).toDF("iid", "lo", "hi")
