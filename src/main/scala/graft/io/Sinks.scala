@@ -32,6 +32,10 @@ object Sinks {
                          mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(dir)
 
+  /** ORC sink (columnar alternative; same writer surface as parquet). */
+  def orc(df: DataFrame, dir: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(dir)
+
   /** K3 — JSON sink (`src/recommender_prod_rec.py:156-159`). */
   def json(df: DataFrame, dir: String, mode: SaveMode = SaveMode.Overwrite,
            singleFile: Boolean = false): Unit = {

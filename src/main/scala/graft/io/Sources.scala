@@ -31,6 +31,27 @@ object Sources {
   def json(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** ORC scan (the second columnar format Spark ships natively). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw text scan: one row per line (`value` string) — the ingestion
+    * shape for unstructured LLM corpora before any parsing.
+    */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Binary-file scan: (path, modificationTime, length, content) — the
+    * ingestion path for multimodal payloads (images/audio/video) into
+    * opaque binary columns (see llm.Multimodal). `pathGlobFilter`
+    * narrows to one media type without listing twice.
+    */
+  def binaryFiles(spark: SparkSession, path: String,
+                  glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** Convenience: read one of the driver test tables from an sf dir. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -151,4 +151,30 @@ object EventStreams {
     out.count()
     out
   }
+
+  /** Streaming exact dedup on a key, state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`): duplicates arriving within the
+    * watermark delay of the first sighting are dropped, and state for
+    * keys older than the watermark is evicted — the only dedup shape
+    * whose state does not grow with an unbounded stream. Batch twin for
+    * parity: `dropDuplicates` on the same key over the same file.
+    */
+  def streamingDedup(spark: SparkSession, sfDir: String,
+                     keyCols: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "31 days")
+      .dropDuplicatesWithinWatermark(keyCols)
+      .select(keyCols.map(col): _*)
+    val name = s"graft_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
 }

@@ -44,6 +44,36 @@ class EngineIntegrationSpec extends SparkSuite {
     assert(back.schema("id").dataType.typeName == "integer")
   }
 
+  test("Sources orc round-trip, text lines, binaryFile ingestion") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
+    // orc: write via Sinks, read via Sources, schema + rows preserved
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    graft.io.Sinks.orc(df, dir + "/orc")
+    val orcBack = Sources.orc(spark, dir + "/orc")
+    assert(orcBack.count() == 2 && orcBack.schema("id").dataType.typeName == "long")
+    // text: one row per line
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "corpus.txt"),
+      "line one\nline two\nline three".getBytes)
+    assert(Sources.text(spark, dir + "/corpus.txt").count() == 3)
+    // binaryFile: content + length surface as columns; glob filters
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "img.bin"),
+      Array[Byte](1, 2, 3, 4))
+    val bin = Sources.binaryFiles(spark, dir, Some("*.bin"))
+    val row = bin.select("length", "content").head
+    assert(row.getLong(0) == 4L && row.getAs[Array[Byte]](1).length == 4)
+  }
+
+  test("streaming dedup within watermark matches batch dropDuplicates keys") {
+    import spark.implicits._
+    val streamed = EventStreams.streamingDedup(spark, sf)
+      .as[(Long, String)].collect().toSet
+    val batch = graft.queries.T(spark, sf, "events")
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type").as[(Long, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming sliding windows: rows cover both hour offsets") {
     val out = EventStreams.slidingRate(spark, sf)
     assert(out.count() > 0)
