@@ -11,6 +11,26 @@ import graft.ops.{AsOfJoin, RangeJoin}
   */
 object Relational4 {
 
+  /** Shared ANSI text (Spark + DuckDB verbatim): correlated scalar
+    * subquery — decorrelated by Catalyst into agg + join.
+    */
+  val CorrelatedSql: String = """
+      SELECT s_suppkey, s_name, s_acctbal
+      FROM supplier s
+      WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+      ORDER BY s_suppkey"""
+
+  /** Shared ANSI text: EXISTS / NOT EXISTS → semi/anti joins. */
+  val ExistsSql: String = """
+      SELECT n_nationkey, n_name
+      FROM nation n
+      WHERE EXISTS (SELECT 1 FROM supplier s
+                    WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 500)
+        AND NOT EXISTS (SELECT 1 FROM supplier s
+                        WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal < 0)
+      ORDER BY n_nationkey"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // As-of join: each purchase matched to the same user's most recent
@@ -146,6 +166,27 @@ object Relational4 {
               (col("c_acctbal") + 1001.0).as("wt")),
           "c_custkey", col("wt"), 100)
           .withColumn("wt", round(col("wt"), 2))),
+
+    // Correlated scalar subquery (TPC-H Q2 shape): suppliers whose
+    // account balance equals their nation's maximum. The same ANSI text
+    // runs through spark.sql (exercising Catalyst's decorrelation — the
+    // subquery plans as an aggregate + join, not a per-row loop) and
+    // DuckDB.
+    QueryDef("q74_correlated_subquery", Some(CorrelatedSql),
+      (spark, dir) => {
+        T(spark, dir, "supplier").createOrReplaceTempView("supplier")
+        T(spark, dir, "nation").createOrReplaceTempView("nation")
+        spark.sql(CorrelatedSql)
+      }),
+
+    // EXISTS / NOT EXISTS subqueries (plan as semi/anti joins): nations
+    // with at least one high-balance supplier and no low-balance one.
+    QueryDef("q75_exists", Some(ExistsSql),
+      (spark, dir) => {
+        T(spark, dir, "supplier").createOrReplaceTempView("supplier")
+        T(spark, dir, "nation").createOrReplaceTempView("nation")
+        spark.sql(ExistsSql)
+      }),
 
     // Equi-width histogram: 25k-wide price bins with per-bin bounds —
     // the single-shuffle binning shape (no windows, no sort).

@@ -42,6 +42,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("DedupOps.lshCandidates: no shuffle ever carries shingle arrays") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.shingles(TextOps.tokenize(col("text")), 2).as("sh"))
+    val out = DedupOps.lshCandidates(df, "doc_id", "sh")
+    out.count() // materialize so AQE's final plan (with real exchanges) exists
+    val formatted = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // every "(n) Exchange" block's Input list must be shingle-free — the
+    // collision shuffle stays (id, band, sig)-narrow (the 100 TB property
+    // the round-4 reshape bought)
+    val exchangeBlocks = formatted.split("\\(\\d+\\) ").toSeq
+      .filter(b => b.startsWith("Exchange") || b.startsWith("ShuffleExchange"))
+    assert(exchangeBlocks.nonEmpty, s"no exchange found in:\n$formatted")
+    assert(exchangeBlocks.forall(b => !b.contains("sh#")),
+      s"shingles leaked into a shuffle:\n${exchangeBlocks.mkString("\n---\n")}")
+  }
+
   test("DedupOps.simhash32: identical docs same hash; near dups close in hamming") {
     val df = Seq(
       (1L, "spark scala data engine fast"),
