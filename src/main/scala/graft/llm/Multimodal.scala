@@ -92,6 +92,24 @@ object Multimodal {
       .withColumn("height", lit(newH))
   }
 
+  /** 16-bin byte histogram of a payload as EXACT integer counts, pure
+    * column ops: bin j = #bytes with b div 16 == j. The codec-free
+    * content fingerprint for opaque payloads (sniffing, near-dup) — and
+    * being integer-exact it is engine-independent, so an external oracle
+    * can replay it bit-for-bit (ASCII payloads equal their string form).
+    * The payload is bound to a lambda variable before the per-byte loop
+    * (see TextOps.shingles for why).
+    */
+  def byteHistogramCounts(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // one split pass per payload; the codes array is itself bound before
+    // the 16 bin filters reference it (each reference would otherwise
+    // re-evaluate the whole per-byte loop)
+    val codes = transform(split(payload.cast("string"), ""), c => ascii(c))
+    element_at(transform(array(codes), cs =>
+      transform(sequence(lit(0), lit(featureDim - 1)),
+        j => size(filter(cs, c => floor(c / featureDim) === j)))), 1)
+  }
+
   /** Build an assets frame from the documents table (text bytes as the
     * stand-in payload) — the fixture generator for tests and queries.
     */

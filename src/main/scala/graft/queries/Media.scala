@@ -28,6 +28,58 @@ object Media {
           .groupBy("asset_id").agg(count(lit(1)).cast("int").as("n_chunks"))
         feats.join(chunks, "asset_id")
           .select("asset_id", "modality", "n_bytes", "n_chunks")
+      }),
+
+    // Codec-free media near-dup: integer byte-histogram fingerprints
+    // (llm.Multimodal.byteHistogramCounts — exact, engine-independent),
+    // cosine over same-modality pairs, top-3 most similar per target.
+    // This oracle-checks the multimodal NUMERIC path end to end, not
+    // just the structural outputs.
+    QueryDef("q76_media_fingerprint", Some {
+      val dot = "list_aggregate(list_transform(range(1, 17), i -> CAST(a.h[i] * b.h[i] AS DOUBLE)), 'sum')"
+      val norm = (s: String) =>
+        s"sqrt(list_aggregate(list_transform(range(1, 17), i -> CAST($s.h[i] * $s.h[i] AS DOUBLE)), 'sum'))"
+      s"""
+      WITH codes AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS modality,
+               list_transform(range(1, length(text) + 1), i -> ascii(text[i])) AS cs
+        FROM documents),
+      hist AS (
+        SELECT doc_id, modality,
+               list_transform(range(0, 16), j -> len(list_filter(cs, c -> c // 16 = j))) AS h
+        FROM codes),
+      pairs AS (
+        SELECT a.doc_id AS asset_id, b.doc_id AS other_id,
+               round($dot / (${norm("a")} * ${norm("b")}), 6) AS cos_sim
+        FROM hist a JOIN hist b
+          ON a.modality = b.modality AND a.doc_id <> b.doc_id
+        WHERE a.doc_id % 7 = 0)
+      SELECT asset_id, other_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY asset_id ORDER BY cos_sim DESC, other_id) AS rnk
+            FROM pairs)
+      WHERE rnk <= 3"""
+    },
+      (spark, dir) => {
+        import graft.engine.{functions => F}
+        val hist = Multimodal.assetsFromDocuments(T(spark, dir, "documents"))
+          .select(col("asset_id"), col("modality"),
+            transform(Multimodal.byteHistogramCounts(col("payload")),
+              c => c.cast("double")).as("h"))
+        val a = hist.select(col("asset_id"), col("modality"), col("h").as("h_a"))
+          .filter(col("asset_id") % 7 === 0)
+        val b = hist.select(col("asset_id").as("other_id"), col("modality"), col("h").as("h_b"))
+        val pairs = a.join(b, Seq("modality"))
+          .filter(col("asset_id") =!= col("other_id"))
+          .select(col("asset_id"), col("other_id"),
+            round(F.dotProduct(col("h_a"), col("h_b"))
+              / (F.l2Norm(col("h_a")) * F.l2Norm(col("h_b"))), 6).as("cos_sim"))
+        graft.ops.TopK.exactPerKey(pairs, Seq("asset_id"),
+            Seq(col("cos_sim").desc, col("other_id").asc), 3, "rnk")
+          .withColumn("rnk", col("rnk").cast("int"))
+          .select("asset_id", "other_id", "cos_sim", "rnk")
       })
   )
 }
