@@ -29,10 +29,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Warm-up (untimed): exercise codegen, shuffle machinery, and the
-    // parquet reader once.
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
+    // Warm-up (untimed): exercise the parquet reader, shuffle machinery,
+    // and the JIT paths the suite leans on (whole-stage codegen compile,
+    // WindowExec, broadcast + sort-merge joins, object hash agg) with
+    // tiny sf-independent plans. Queries still compile their own codegen
+    // classes; this warms the compiler and executor hot loops.
+    {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000).cache()
+      li.groupBy("l_returnflag").count().collect()
+      li.withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("l_orderkey")))
+        .filter(col("rn") <= 5).count()
+      val dim = li.select("l_returnflag").distinct()
+      li.join(broadcast(dim), "l_returnflag").count()
+      li.alias("a").join(li.alias("b"), Seq("l_orderkey")).count()
+      li.unpersist()
+      spark.catalog.clearCache()
+    }
 
     // Optional local-iteration filter (unset in driver runs): benchmark
     // only the named queries.

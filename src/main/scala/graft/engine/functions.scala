@@ -113,6 +113,16 @@ object functions {
   // All fold left-to-right in index order for cross-engine determinism.
   // ---------------------------------------------------------------------
 
+  /** Let-binding for column expressions: evaluate `c` ONCE and pass the
+    * bound value to `f`. Catalyst has no let-form; a computed column
+    * referenced k times (worse: referenced inside a higher-order-function
+    * lambda) is re-evaluated per reference, which turns an O(n) pipeline
+    * into O(k·n) — measured 17× on the media-fingerprint normalize stage.
+    * The single-element transform(array(c)) wrapper is the binding.
+    */
+  def let(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Dot product of two equal-length numeric array columns. */
   def dotProduct(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),

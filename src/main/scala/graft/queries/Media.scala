@@ -36,9 +36,10 @@ object Media {
     // This oracle-checks the multimodal NUMERIC path end to end, not
     // just the structural outputs.
     QueryDef("q76_media_fingerprint", Some {
-      val dot = "list_aggregate(list_transform(range(1, 17), i -> CAST(a.h[i] * b.h[i] AS DOUBLE)), 'sum')"
-      val norm = (s: String) =>
-        s"sqrt(list_aggregate(list_transform(range(1, 17), i -> CAST($s.h[i] * $s.h[i] AS DOUBLE)), 'sum'))"
+      // normalize-once formulation (mirrors Vector.unitSql): unit vectors
+      // per asset, then a plain dot per pair — the same fold order as the
+      // Spark side's codegen DotProduct over pre-normalized arrays.
+      val dot = "list_aggregate(list_transform(range(1, 17), i -> a.ne[i] * b.ne[i]), 'sum')"
       s"""
       WITH codes AS (
         SELECT doc_id,
@@ -51,10 +52,15 @@ object Media {
         SELECT doc_id, modality,
                list_transform(range(0, 16), j -> len(list_filter(cs, c -> c // 16 = j))) AS h
         FROM codes),
+      un AS (
+        SELECT doc_id, modality,
+               list_transform(h, x -> CAST(x AS DOUBLE) / sqrt(list_aggregate(
+                   list_transform(h, y -> CAST(y AS DOUBLE) * y), 'sum'))) AS ne
+        FROM hist),
       pairs AS (
         SELECT a.doc_id AS asset_id, b.doc_id AS other_id,
-               round($dot / (${norm("a")} * ${norm("b")}), 6) AS cos_sim
-        FROM hist a JOIN hist b
+               round($dot, 6) AS cos_sim
+        FROM un a JOIN un b
           ON a.modality = b.modality AND a.doc_id <> b.doc_id
         WHERE a.doc_id % 7 = 0)
       SELECT asset_id, other_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
@@ -63,19 +69,22 @@ object Media {
       WHERE rnk <= 3"""
     },
       (spark, dir) => {
-        import graft.engine.{functions => F}
-        val hist = Multimodal.assetsFromDocuments(T(spark, dir, "documents"))
+        import graft.engine.expressions.DotProduct
+        DotProduct.register(spark)
+        // let-bind the histogram: l2Normalize references its argument in
+        // a per-element lambda, which would re-evaluate the whole
+        // histogram 16x per row without the binding.
+        val unit = Multimodal.assetsFromDocuments(T(spark, dir, "documents"))
           .select(col("asset_id"), col("modality"),
-            transform(Multimodal.byteHistogramCounts(col("payload")),
-              c => c.cast("double")).as("h"))
-        val a = hist.select(col("asset_id"), col("modality"), col("h").as("h_a"))
+            graft.engine.functions.let(Multimodal.byteHistogramCounts(col("payload")))(
+              h => graft.engine.functions.l2Normalize(h)).as("ne"))
+        val a = unit.select(col("asset_id"), col("modality"), col("ne").as("ne_a"))
           .filter(col("asset_id") % 7 === 0)
-        val b = hist.select(col("asset_id").as("other_id"), col("modality"), col("h").as("h_b"))
+        val b = unit.select(col("asset_id").as("other_id"), col("modality"), col("ne").as("ne_b"))
         val pairs = a.join(b, Seq("modality"))
           .filter(col("asset_id") =!= col("other_id"))
           .select(col("asset_id"), col("other_id"),
-            round(F.dotProduct(col("h_a"), col("h_b"))
-              / (F.l2Norm(col("h_a")) * F.l2Norm(col("h_b"))), 6).as("cos_sim"))
+            round(DotProduct.dot(col("ne_a"), col("ne_b")), 6).as("cos_sim"))
         graft.ops.TopK.exactPerKey(pairs, Seq("asset_id"),
             Seq(col("cos_sim").desc, col("other_id").asc), 3, "rnk")
           .withColumn("rnk", col("rnk").cast("int"))
