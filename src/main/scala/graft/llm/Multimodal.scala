@@ -105,9 +105,9 @@ object Multimodal {
     // the 16 bin filters reference it (each reference would otherwise
     // re-evaluate the whole per-byte loop)
     val codes = transform(split(payload.cast("string"), ""), c => ascii(c))
-    element_at(transform(array(codes), cs =>
+    graft.engine.functions.let(codes)(cs =>
       transform(sequence(lit(0), lit(featureDim - 1)),
-        j => size(filter(cs, c => floor(c / featureDim) === j)))), 1)
+        j => size(filter(cs, c => floor(c / featureDim) === j))))
   }
 
   /** Build an assets frame from the documents table (text bytes as the

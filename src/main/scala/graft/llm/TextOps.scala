@@ -49,13 +49,13 @@ object TextOps {
     * elimination to save it).
     */
   def shingles(tokens: Column, n: Int): Column =
-    element_at(transform(array(tokens), ts => {
+    graft.engine.functions.let(tokens) { ts =>
       val grams = when(size(ts) >= n,
         transform(sequence(lit(1), size(ts) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))
         .otherwise(array().cast("array<string>"))
       array_distinct(grams)
-    }), 1)
+    }
 
   /** Count of tokens belonging to `stop` (set membership per element). */
   def stopCount(tokens: Column, stop: Seq[String]): Column =

@@ -125,15 +125,50 @@ object Vector {
     // MinHash-LSH near-dup candidates over 2-gram shingles: 4 bands × 2
     // universal-hash min-hashes (one md5 per shingle + affine mixes,
     // MinHashBands bit-for-bit), candidates verified with true Jaccard.
-    QueryDef("q26_minhash_lsh", Some {
-      import graft.engine.expressions.MinHashBands.sqlMinhash
-      val bandSelects = (0 until 4).map { b =>
-        s"""SELECT doc_id, sh, $b AS band,
-            CAST(${sqlMinhash("sh", 2 * b)} AS VARCHAR) || '_' ||
-            CAST(${sqlMinhash("sh", 2 * b + 1)} AS VARCHAR) AS sig FROM shingled"""
-      }.mkString("\n      UNION ALL\n      ")
-      s"""
-      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    QueryDef("q26_minhash_lsh", Some(s"""
+      WITH $LshCtes
+      SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verified"""),
+      (spark, dir) =>
+        lshPairs(spark, dir)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // Dedup clustering: strong near-dup pairs (jaccard >= 0.5) become
+    // duplicate GROUPS via min-label connected components
+    // (ops.ConnectedComponents — O(diameter) label-join rounds). The
+    // oracle derives the same components with a recursive-CTE transitive
+    // closure (tractable at oracle scale; the Spark side is the one that
+    // scales).
+    QueryDef("q77_dedup_components", Some(s"""
+      WITH RECURSIVE $LshCtes,
+      strong AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      sym AS (SELECT id_a AS a, id_b AS b FROM strong
+              UNION SELECT id_b, id_a FROM strong
+              UNION SELECT id_a, id_a FROM strong
+              UNION SELECT id_b, id_b FROM strong),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+      SELECT a AS node, min(b) AS component
+      FROM reach GROUP BY a"""),
+      (spark, dir) => {
+        val strong = lshPairs(spark, dir).filter(col("jaccard") >= 0.5)
+        graft.ops.ConnectedComponents.labelPropagation(strong, "id_a", "id_b")
+      })
+  )
+
+  /** Shared DuckDB CTE chain ending in `verified(id_a, id_b, jaccard)` —
+    * the oracle twin of `DedupOps.lshCandidates` (bands = 4,
+    * rowsPerBand = 2), reused by q26 and q77.
+    */
+  private lazy val LshCtes: String = {
+    import graft.engine.expressions.MinHashBands.sqlMinhash
+    val bandSelects = (0 until 4).map { b =>
+      s"""SELECT doc_id, sh, $b AS band,
+          CAST(${sqlMinhash("sh", 2 * b)} AS VARCHAR) || '_' ||
+          CAST(${sqlMinhash("sh", 2 * b + 1)} AS VARCHAR) AS sig FROM shingled"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       shingled AS (
         SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
             i -> t[i] || ' ' || t[i + 1])) AS sh
@@ -142,19 +177,20 @@ object Vector {
       $bandSelects),
       cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
-      SELECT c.id_a, c.id_b,
-             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
-      FROM cand c
-      JOIN shingled sa ON c.id_a = sa.doc_id
-      JOIN shingled sb ON c.id_b = sb.doc_id"""
-    },
-      (spark, dir) => {
-        val shingled = T(spark, dir, "documents").select(col("doc_id"),
-          TextOps.shingles(TextOps.tokenize(col("text")), 2).as("sh"))
-        DedupOps.lshCandidates(shingled, "doc_id", "sh", bands = 4, rowsPerBand = 2)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      })
-  )
+        FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+        FROM cand c
+        JOIN shingled sa ON c.id_a = sa.doc_id
+        JOIN shingled sb ON c.id_b = sb.doc_id)"""
+  }
+
+  /** Spark twin of [[LshCtes]]: verified LSH candidate pairs. */
+  private def lshPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val shingled = T(spark, dir, "documents").select(col("doc_id"),
+      TextOps.shingles(TextOps.tokenize(col("text")), 2).as("sh"))
+    DedupOps.lshCandidates(shingled, "doc_id", "sh", bands = 4, rowsPerBand = 2)
+  }
 }

@@ -120,6 +120,22 @@ class OpsSpec extends SparkSuite {
     assert(s1.count(_ < 500) > 150)
   }
 
+  test("ConnectedComponents: chains, cliques, isolated pairs; dedup keeps min id") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("s", "d")
+    val comps = graft.ops.ConnectedComponents.labelPropagation(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val docs = (1L to 25L).toDF("id")
+    val kept = graft.ops.ConnectedComponents
+      .dedupByComponents(docs, "id", edges, "s", "d")
+      .as[Long].collect().toSet
+    // losers 2,3,4,11,12,21 dropped; reps 1,10,20 + untouched rows stay
+    assert(kept == (1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 12L, 21L))
+  }
+
   test("RangeJoin.pointInInterval matches the naive BETWEEN join") {
     val pts = (0 until 200).map(i => (i, i * 7.3 % 100)).toDF("pid", "x")
     val iv = (0 until 30).map(i => (i, i * 3.1, i * 3.1 + 12.5)).toDF("iid", "lo", "hi")
