@@ -100,6 +100,37 @@ object Events {
             (col("p_ms") - col("c_ms")).as("gap_ms"))
       }),
 
+    // Time-series gap filling (resample): per-user hourly event counts
+    // with missing hours zero-filled. The hour spine is generated
+    // per-user with sequence+explode (distributed, no driver loop, no
+    // cross join against a global calendar); oracle uses generate_series.
+    QueryDef("q78_gap_fill", Some("""
+      WITH e AS (
+        SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms FROM events
+        WHERE user_id % 30 = 0),
+      counts AS (SELECT user_id, hour_ms, count(*) AS n FROM e GROUP BY 1, 2),
+      bounds AS (SELECT user_id, min(hour_ms) AS lo, max(hour_ms) AS hi
+                 FROM counts GROUP BY user_id),
+      spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, 3600000)) AS hour_ms
+        FROM bounds)
+      SELECT s.user_id, s.hour_ms, coalesce(c.n, 0) AS n
+      FROM spine s LEFT JOIN counts c
+        ON s.user_id = c.user_id AND s.hour_ms = c.hour_ms"""),
+      (spark, dir) => {
+        val counts = T(spark, dir, "events")
+          .filter(col("user_id") % 30 === 0)
+          .groupBy(col("user_id"),
+            unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"))
+          .agg(count(lit(1)).as("n"))
+        val spine = counts.groupBy("user_id")
+          .agg(min(col("hour_ms")).as("lo"), max(col("hour_ms")).as("hi"))
+          .select(col("user_id"),
+            explode(sequence(col("lo"), col("hi"), lit(3600000L))).as("hour_ms"))
+        spine.join(counts, Seq("user_id", "hour_ms"), "left")
+          .select(col("user_id"), col("hour_ms"), coalesce(col("n"), lit(0L)).as("n"))
+      }),
+
     // JSON property extraction + per-type aggregate.
     QueryDef("q36_json_props", Some("""
       SELECT event_type,

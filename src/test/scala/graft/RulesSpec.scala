@@ -37,6 +37,17 @@ class RulesSpec extends SparkSuite {
     assert(half.count() == 2)
   }
 
+  test("GraftSession.builder: preloaded engine config") {
+    val b = graft.GraftSession.builder(cores = 2)
+    // builder config is applied at getOrCreate; with a session already
+    // running we just assert the settings it would apply resolve in the
+    // active one built from the same extension class
+    assert(spark.conf.get("spark.sql.extensions").contains("GraftExtensions"))
+    assert(spark.sql("SELECT graft_dot_product(array(1.0d), array(2.0d)) v")
+      .head.getDouble(0) == 2.0)
+    assert(b != null)
+  }
+
   test("RangeJoinRewrite: fires through SQL text too") {
     spark.sql("SELECT 1 AS p, 5.0 AS x").createOrReplaceTempView("rj_pts")
     spark.sql("SELECT 10 AS iid, 1.0 AS lo, 6.0 AS hi").createOrReplaceTempView("rj_ivs")
