@@ -36,6 +36,10 @@ object ConnectedComponents {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
       .cache()
+    // labels only ever decrease (min), so the label SUM is a monotone
+    // convergence witness: equal sums between rounds ⟺ nothing changed.
+    // One action per round instead of a materialize + a change-count job.
+    var prevSum = Option.empty[Long]
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -46,9 +50,9 @@ object ConnectedComponents {
       val next = labels.select("node", "component").union(viaNeighbors)
         .groupBy("node").agg(min(col("component")).as("component"))
         .cache()
-      next.count()
-      converged = next.join(labels.withColumnRenamed("component", "old"), "node")
-        .filter(col("component") =!= col("old")).isEmpty
+      val s = next.agg(sum(col("component"))).head.getLong(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       labels.unpersist()
       labels = next
       i += 1
