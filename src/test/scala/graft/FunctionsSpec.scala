@@ -14,6 +14,23 @@ class FunctionsSpec extends SparkSuite {
     assert(eval1(F.hopsScore(lit("1234567"), lit("123456"))) == -1.0)
   }
 
+  test("hopsScoreHex agrees with hopsScore on every input class, including NULL") {
+    val cases = Seq(
+      ("1a2b3c", "1a2b3c"),  // equal -> 1.0
+      ("1a2b3c", "1a2b3d"),  // prefix 5 -> 0.8
+      ("1a2b3c", "9a2b3c"),  // first char differs -> 0.0
+      ("1a2b3",  "1a2b3c"),  // wrong length -> -1.0
+      (null,     "1a2b3c"),  // null input -> CASE fall-through 0.0
+      (null,     null))
+    cases.foreach { case (a, b) =>
+      val str = eval1(F.hopsScore(lit(a), lit(b)))
+      val hex = eval1(F.hopsScoreHex(F.hopsCode(lit(a)), F.hopsCode(lit(b))))
+      assert(hex == str, s"($a, $b): hex=$hex str=$str")
+    }
+    assert(eval1(F.hopsScoreHex(F.hopsCode(lit(null)), F.hopsCode(lit("1a2b3c")))) == 0.0)
+    assert(eval1(F.hopsScoreHex(F.hopsCode(lit("1a2b3")), F.hopsCode(lit("1a2b3c")))) == -1.0)
+  }
+
   test("hopsScore: first-char mismatch -> 0") {
     assert(eval1(F.hopsScore(lit("912345"), lit("123456"))) == 0.0)
   }

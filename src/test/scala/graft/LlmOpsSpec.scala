@@ -59,6 +59,19 @@ class LlmOpsSpec extends SparkSuite {
       s"shingles leaked into a shuffle:\n${exchangeBlocks.mkString("\n---\n")}")
   }
 
+  test("MinHashBands: deterministic, order-insensitive, null sig on empty set") {
+    graft.engine.expressions.MinHashBands.register(spark)
+    val sig = (sh: Seq[String]) => Seq(sh).toDF("sh")
+      .select(graft.engine.expressions.MinHashBands.bandSignatures(col("sh"), 4, 2))
+      .head.getSeq[String](0)
+    val a = sig(Seq("x y", "y z", "z w"))
+    val b = sig(Seq("z w", "x y", "y z")) // same set, different order
+    assert(a == b && a.length == 4 && a.forall(_.contains("_")))
+    assert(sig(Seq.empty).forall(_ == null)) // empty shingle set -> null sigs
+    // distinct-set sensitivity: different sets produce different sigs
+    assert(sig(Seq("completely", "different")) != a)
+  }
+
   test("DedupOps.simhash32: identical docs same hash; near dups close in hamming") {
     val df = Seq(
       (1L, "spark scala data engine fast"),
