@@ -1,0 +1,55 @@
+package graft.flows
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.llm.{DedupOps, TextOps}
+import graft.ops.{ConnectedComponents, Dedup, Sampling}
+
+/** The training-corpus preparation pipeline, end to end — the composition
+  * a 100 TB pretraining-data job runs, assembled entirely from the
+  * engine's operators:
+  *
+  *  1. quality filter    — blended heuristic score (TextOps.qualityScore)
+  *  2. exact dedup       — md5 fingerprint, min-id representative
+  *  3. near-dup dedup    — MinHash-LSH candidates -> exact Jaccard ->
+  *                         connected components -> min-id representative
+  *  4. split assignment  — deterministic hash split (pure function of the
+  *                         data, reproducible across partitionings)
+  *
+  * Every stage is a narrow projection or an LSH-bounded shuffle; nothing
+  * is quadratic in the corpus and nothing collects to the driver (the
+  * component loop's per-round reduction is a scalar convergence witness).
+  */
+object CorpusPipeline {
+
+  case class Config(stop: Seq[String], minQuality: Double = 0.8,
+                    minJaccard: Double = 0.5, trainFraction: Double = 0.9)
+
+  /** @param docs (doc_id, lang, text) corpus frame
+    * @return surviving docs: (doc_id, lang, n_tokens, quality, split)
+    */
+  def run(docs: DataFrame, cfg: Config): DataFrame = {
+    val toks = TextOps.tokenize(col("text"))
+    // 1. quality
+    val scored = docs.select(col("doc_id"), col("lang"), col("text"),
+      size(toks).as("n_tokens"),
+      TextOps.qualityScore(toks, cfg.stop).as("quality"))
+    val kept1 = scored.filter(col("quality") >= cfg.minQuality)
+    // 2. exact dedup (16-byte fingerprints shuffle, never documents)
+    val kept2 = Dedup.firstPerKey(kept1.withColumn("__fp", md5(col("text"))),
+      Seq("__fp"), Seq(col("doc_id").asc)).drop("__fp")
+    // 3. near-dup dedup: LSH pairs -> strong edges -> components
+    val shingled = kept2.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokenize(col("text")), 2).as("sh"))
+    val strong = DedupOps.lshCandidates(shingled, "doc_id", "sh")
+      .filter(col("jaccard") >= cfg.minJaccard)
+    val deduped = ConnectedComponents.dedupByComponents(
+      kept2, "doc_id", strong, "id_a", "id_b")
+    // 4. deterministic split
+    deduped.select(col("doc_id"), col("lang"), col("n_tokens"),
+      round(col("quality"), 6).as("quality"),
+      when(Sampling.hashUniform(col("doc_id")) < cfg.trainFraction, "train")
+        .otherwise("val").as("split"))
+  }
+}

@@ -61,6 +61,22 @@ object TextOps {
   def stopCount(tokens: Column, stop: Seq[String]): Column =
     size(filter(tokens, t => t.isin(stop.map(lit): _*)))
 
+  /** Blended document quality score (the q28 formula, reusable):
+    * `0.5·(1-stopRatio) + 0.3·(1-shortRatio) + 0.2·min(meanLen/10, 1)`.
+    * The token array is let-bound so a computed tokenizer argument is
+    * evaluated once, not once per ratio.
+    */
+  def qualityScore(tokens: Column, stop: Seq[String]): Column =
+    graft.engine.functions.let(tokens) { ts =>
+      val n = size(ts)
+      val stopRatio = stopCount(ts, stop).cast("double") / n
+      val shortRatio = size(filter(ts, t => length(t) <= 2)).cast("double") / n
+      val meanLen = aggregate(transform(ts, t => length(t)), lit(0),
+        (acc, x) => acc + x).cast("double") / n
+      lit(0.5) * (lit(1.0) - stopRatio) + lit(0.3) * (lit(1.0) - shortRatio) +
+        lit(0.2) * least(meanLen / lit(10.0), lit(1.0))
+    }
+
   /** 128-bit content fingerprint (md5 hex) — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(text)
 }

@@ -126,7 +126,7 @@ object Vector {
     // universal-hash min-hashes (one md5 per shingle + affine mixes,
     // MinHashBands bit-for-bit), candidates verified with true Jaccard.
     QueryDef("q26_minhash_lsh", Some(s"""
-      WITH $LshCtes
+      WITH ${lshCtes("documents")}
       SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verified"""),
       (spark, dir) =>
         lshPairs(spark, dir)
@@ -139,7 +139,7 @@ object Vector {
     // closure (tractable at oracle scale; the Spark side is the one that
     // scales).
     QueryDef("q77_dedup_components", Some(s"""
-      WITH RECURSIVE $LshCtes,
+      WITH RECURSIVE ${lshCtes("documents")},
       strong AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
       sym AS (SELECT id_a AS a, id_b AS b FROM strong
               UNION SELECT id_b, id_a FROM strong
@@ -154,21 +154,66 @@ object Vector {
       (spark, dir) => {
         val strong = lshPairs(spark, dir).filter(col("jaccard") >= 0.5)
         graft.ops.ConnectedComponents.labelPropagation(strong, "id_a", "id_b")
-      })
+      }),
+
+    // The full training-corpus pipeline (flows.CorpusPipeline): quality
+    // filter → exact dedup → LSH near-dup + components dedup →
+    // deterministic split. The oracle replays every stage, including
+    // the recursive-CTE component closure and the hash-derived split.
+    QueryDef("q79_corpus_pipeline", Some {
+      val stopList = Text.Stop.map(s => s"'$s'").mkString(", ")
+      s"""
+      WITH RECURSIVE
+      t0 AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+      scored AS (
+        SELECT doc_id, lang, text, len(toks) AS n_tokens,
+               0.5 * (1.0 - CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE) / len(toks))
+             + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks))
+             + 0.2 * least(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                           / len(toks) / 10.0, 1.0) AS quality
+        FROM t0),
+      kept1 AS (SELECT * FROM scored WHERE quality >= 0.8),
+      kept2 AS (
+        SELECT k.* FROM kept1 k
+        JOIN (SELECT md5(text) AS fp, min(doc_id) AS keep FROM kept1 GROUP BY 1) d
+          ON md5(k.text) = d.fp AND k.doc_id = d.keep),
+      ${lshCtes("kept2")},
+      strong AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      sym AS (SELECT id_a AS a, id_b AS b FROM strong
+              UNION SELECT id_b, id_a FROM strong
+              UNION SELECT id_a, id_a FROM strong
+              UNION SELECT id_b, id_b FROM strong),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+      losers AS (SELECT node FROM comp WHERE node <> component)
+      SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
+             round(quality, 6) AS quality,
+             CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 1000003 + 1) / 1000004.0 < 0.9 THEN 'train' ELSE 'val' END AS split
+      FROM kept2 WHERE doc_id NOT IN (SELECT node FROM losers)"""
+    },
+      (spark, dir) =>
+        graft.flows.CorpusPipeline.run(T(spark, dir, "documents"),
+            graft.flows.CorpusPipeline.Config(stop = Text.Stop))
+          .withColumn("n_tokens", col("n_tokens").cast("int")))
   )
 
   /** Shared DuckDB CTE chain ending in `verified(id_a, id_b, jaccard)` —
     * the oracle twin of `DedupOps.lshCandidates` (bands = 4,
-    * rowsPerBand = 2), reused by q26 and q77.
+    * rowsPerBand = 2) over relation `src(doc_id, text)`; reused by q26,
+    * q77 and the corpus pipeline.
     */
-  private lazy val LshCtes: String = {
+  private[queries] def lshCtes(src: String): String = {
     import graft.engine.expressions.MinHashBands.sqlMinhash
     val bandSelects = (0 until 4).map { b =>
       s"""SELECT doc_id, sh, $b AS band,
           CAST(${sqlMinhash("sh", 2 * b)} AS VARCHAR) || '_' ||
           CAST(${sqlMinhash("sh", 2 * b + 1)} AS VARCHAR) AS sig FROM shingled"""
     }.mkString("\n      UNION ALL\n      ")
-    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
       shingled AS (
         SELECT doc_id, list_distinct(list_transform(range(1, len(t)),
             i -> t[i] || ' ' || t[i + 1])) AS sh
@@ -187,7 +232,7 @@ object Vector {
         JOIN shingled sb ON c.id_b = sb.doc_id)"""
   }
 
-  /** Spark twin of [[LshCtes]]: verified LSH candidate pairs. */
+  /** Spark twin of [[lshCtes]]: verified LSH candidate pairs. */
   private def lshPairs(spark: org.apache.spark.sql.SparkSession, dir: String) = {
     val shingled = T(spark, dir, "documents").select(col("doc_id"),
       TextOps.shingles(TextOps.tokenize(col("text")), 2).as("sh"))
