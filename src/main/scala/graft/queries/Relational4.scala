@@ -188,6 +188,34 @@ object Relational4 {
         spark.sql(ExistsSql)
       }),
 
+    // Key-based upsert (MERGE semantics without a table format):
+    // updates win on collision, unmatched rows survive, new keys append.
+    // Updates are synthesized deterministically from the customer table.
+    QueryDef("q80_upsert", Some("""
+      WITH updates AS (
+        SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS acctbal
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW ' || c_name, 0.0
+        FROM customer WHERE c_custkey % 500 = 0),
+      current AS (SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer)
+      SELECT c.c_custkey, c.c_name, c.acctbal
+      FROM current c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM updates)
+      UNION ALL
+      SELECT * FROM updates"""),
+      (spark, dir) => {
+        val cur = T(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"))
+        val updates = T(spark, dir, "customer").filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal") + 100.0, 2).as("acctbal"))
+          .unionByName(T(spark, dir, "customer").filter(col("c_custkey") % 500 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              concat(lit("NEW "), col("c_name")).as("c_name"),
+              lit(0.0).as("acctbal")))
+        graft.ops.Upsert.merge(cur, updates, Seq("c_custkey"))
+      }),
+
     // Equi-width histogram: 25k-wide price bins with per-bin bounds —
     // the single-shuffle binning shape (no windows, no sort).
     QueryDef("q70_histogram", Some("""

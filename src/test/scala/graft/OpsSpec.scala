@@ -63,6 +63,23 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("Upsert.merge: updates win, unmatched survive, new keys append") {
+    val current = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val updates = Seq((2, "B"), (9, "z")).toDF("k", "v")
+    val got = graft.ops.Upsert.merge(current, updates, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a", 2 -> "B", 3 -> "c", 9 -> "z"))
+  }
+
+  test("percentile_approx tracks exact percentile within accuracy bound") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val r = li.agg(
+      expr("percentile(l_quantity, 0.5)").as("exact"),
+      expr("percentile_approx(l_quantity, 0.5, 100)").as("approx")).head
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 2.0,
+      s"exact=${r.getDouble(0)} approx=${r.getDouble(1)}")
+  }
+
   test("Scale.standard zero-mean unit-variance") {
     val df = Seq(1.0, 2.0, 3.0).toDF("x")
     val got = Scale.standard(df, "x", "z").select("z").as[Double].collect().sorted
