@@ -141,10 +141,17 @@ class OpsSpec extends SparkSuite {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("s", "d")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find path (default threshold)
     val comps = graft.ops.ConnectedComponents.labelPropagation(edges, "s", "d")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(comps == expected)
+    // distributed label-propagation path (threshold forced to 0)
+    val compsDist = graft.ops.ConnectedComponents
+      .labelPropagation(edges, "s", "d", driverThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(compsDist == expected)
     val docs = (1L to 25L).toDF("id")
     val kept = graft.ops.ConnectedComponents
       .dedupByComponents(docs, "id", edges, "s", "d")
