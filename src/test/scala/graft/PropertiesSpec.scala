@@ -85,6 +85,35 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("as-of join preserves left cardinality and never matches later rows") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.choose(1, 4), Gen.choose(0L, 50L))
+    samples(Gen.listOfN(30, gen), 5).foreach { rows =>
+      val left = rows.zipWithIndex.map { case ((k, t), i) => (k, t, s"l$i") }
+        .toDF("k", "t", "lname")
+      val right = rows.zipWithIndex.map { case ((k, t), i) => (k, t + 1, s"r$i", t + 1) }
+        .toDF("k", "rt", "tag", "rtime")
+      val out = graft.ops.AsOfJoin.backward(left, right, Seq("k"), "t", "rt",
+        Seq("tag", "rtime")).collect()
+      assert(out.length == rows.length) // exactly one output row per left row
+      out.foreach { r =>
+        if (!r.isNullAt(r.fieldIndex("rtime")))
+          assert(r.getAs[Long]("rtime") <= r.getAs[Long]("t")) // never a later match
+      }
+    }
+  }
+
+  test("weighted sample: subset of input, exact size, dedup-free") {
+    import spark.implicits._
+    samples(Gen.choose(50, 200), 3).foreach { n =>
+      val df = (0 until n).map(i => (i.toLong, (i % 7 + 1).toDouble)).toDF("id", "w")
+      val s = graft.ops.Sampling.weightedSample(df, "id", col("w"), 25)
+        .select("id").as[Long].collect()
+      assert(s.length == 25 && s.distinct.length == 25)
+      assert(s.forall(i => i >= 0 && i < n))
+    }
+  }
+
   test("jaccard in [0,1]; 1 for identical non-empty sets") {
     import spark.implicits._
     val toks = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e")).map(_.distinct)
