@@ -58,9 +58,37 @@ object SimSearch {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = unitized(corpus, idCol, embCol, idCol, "__ne")
-    val q = unitized(queries, idCol, embCol, "query_id", "__qe")
     val cents = c.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_id"), col("__ne").as("cent_emb"))
+    ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
+  }
+
+  /** [[ivfTopK]] with LEARNED centroids: a seeded MLlib KMeans fit
+    * replaces the id-order seeding stand-in — the real centroid path at
+    * scale (KMeans‖ init, one distributed fit, deterministic for a given
+    * data + seed). Probe machinery is shared with [[ivfTopK]].
+    */
+  def ivfTopKKMeans(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    embCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                    seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne")
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("__v")
+      .fit(c.select(array_to_vector(col("__ne")).as("__v")))
+    val session = corpus.sparkSession
+    import session.implicits._
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("cent_id", "cent_emb")
+    ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
+  }
+
+  private def ivfWithCentroids(c: DataFrame, queries: DataFrame, cents: DataFrame,
+                               idCol: String, embCol: String, k: Int,
+                               nProbe: Int): DataFrame = {
+    val q = unitized(queries, idCol, embCol, "query_id", "__qe")
 
     def nearestBuckets(df: DataFrame, id: String, emb: String, n: Int) =
       TopK.exactPerKey(
@@ -106,11 +134,19 @@ object SimSearch {
         lit(0.0), (acc, x) => acc + x)
       when(signed > 0, lit(1)).otherwise(lit(0)).cast("string")
     }
-    val sig = c.withColumn("__sig", concat(bits: _*))
-    val a = sig.select(col("__sig"), col(idCol).as("id_a"), col("__ne").as("__ea"))
-    val b = sig.select(col("__sig"), col(idCol).as("id_b"), col("__ne").as("__eb"))
-    a.join(b, Seq("__sig"))
+    // Only (id, sig) enters the collision shuffle — at real embedding
+    // widths (1024-dim, ~8 KB/vector) shuffling vectors through the
+    // signature join would dominate; candidates broadcast back to the
+    // vector scan for the exact-dot verify instead (same shape as
+    // DedupOps.lshCandidates).
+    val sig = c.select(col(idCol), concat(bits: _*).as("__sig")).cache()
+    val cand = sig.select(col("__sig"), col(idCol).as("id_a"))
+      .join(sig.select(col("__sig"), col(idCol).as("id_b")), Seq("__sig"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    c.select(col(idCol).as("id_a"), col("__ne").as("__ea"))
+      .join(broadcast(cand), "id_a")
+      .join(c.select(col(idCol).as("id_b"), col("__ne").as("__eb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(dot(col("__ea"), col("__eb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)

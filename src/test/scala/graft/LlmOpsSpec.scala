@@ -106,6 +106,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall") // nProbe=4 of 8 buckets on random vectors
   }
 
+  test("SimSearch.ivfTopKKMeans: learned centroids, recall vs brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = SimSearch.ivfTopKKMeans(emb, queries, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    // learned centroids should do at least as well as the id-order stand-in
+    assert(recall >= 0.3, s"KMeans-IVF recall $recall")
+    val again = SimSearch.ivfTopKKMeans(emb, queries, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(approx == again) // seeded fit -> deterministic buckets
+  }
+
   test("hyperplaneLshPairs finds planted near-duplicate vectors, deterministically") {
     // 3 tight clusters (near-dups) + noise: near-dup pairs have cos≈1.
     val base = (0 until 3).map(c => Array.tabulate(16)(i =>
