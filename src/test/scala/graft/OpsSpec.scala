@@ -63,6 +63,17 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(approx - exact) / exact < 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("Metrics.observe: counts collected during the action, no extra job") {
+    val df = Seq((1, "a"), (2, null), (3, "c")).toDF("id", "s")
+    val (observed, obs) = graft.ops.Metrics.observeQuality(df, "stage1", Seq("s"))
+    val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    observed.collect() // the one action
+    val m = obs.get
+    assert(m("rows") == 3L && m("nulls_s") == 1L)
+    val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(jobsAfter - jobsBefore <= 1, "metrics must not spawn extra jobs")
+  }
+
   test("Upsert.merge: updates win, unmatched survive, new keys append") {
     val current = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
     val updates = Seq((2, "B"), (9, "z")).toDF("k", "v")
