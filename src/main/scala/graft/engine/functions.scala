@@ -113,6 +113,21 @@ object functions {
   // All fold left-to-right in index order for cross-engine determinism.
   // ---------------------------------------------------------------------
 
+  /** 2-D Morton (Z-order) key: interleave the low 16 bits of two
+    * non-negative int columns — the multi-dimensional sort key for
+    * data-skipping layouts (sort by z before writing parquet and range
+    * predicates on EITHER dimension prune row groups via min/max stats).
+    * Pure column bit math, codegen'd.
+    */
+  def zorder2(a: Column, b: Column): Column = {
+    // 64-bit lanes: bit 31 of the interleave would overflow an int
+    val (al, bl) = (a.cast("long"), b.cast("long"))
+    (0 until 16).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(1L), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+
   /** Let-binding for column expressions: evaluate `c` ONCE and pass the
     * bound value to `f`. Catalyst has no let-form; a computed column
     * referenced k times (worse: referenced inside a higher-order-function

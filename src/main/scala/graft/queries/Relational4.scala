@@ -216,6 +216,31 @@ object Relational4 {
         graft.ops.Upsert.merge(cur, updates, Seq("c_custkey"))
       }),
 
+    // Incremental aggregate maintenance: the old partition's aggregate
+    // merged with the delta partition's aggregate must equal the
+    // full-table aggregate (the oracle) — re-aggregation of partials is
+    // exact for sum/count/min/max.
+    QueryDef("q81_incremental_agg", Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total,
+             round(min(o_totalprice), 2) AS lo,
+             round(max(o_totalprice), 2) AS hi
+      FROM orders GROUP BY o_orderpriority"""),
+      (spark, dir) => {
+        def part(pred: org.apache.spark.sql.Column) =
+          T(spark, dir, "orders").filter(pred)
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"),
+              min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+        val cut = to_timestamp(lit("1997-01-01"))
+        val old = part(col("o_orderdate") < cut)
+        val delta = part(col("o_orderdate") >= cut)
+        graft.ops.IncrementalAgg.merge(Seq(old, delta), Seq("o_orderpriority"),
+            sumCols = Seq("n", "total"), minCols = Seq("lo"), maxCols = Seq("hi"))
+          .select(col("o_orderpriority"), col("n"), round(col("total"), 2).as("total"),
+            round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"))
+      }),
+
     // Equi-width histogram: 25k-wide price bins with per-bin bounds —
     // the single-shuffle binning shape (no windows, no sort).
     QueryDef("q70_histogram", Some("""

@@ -31,6 +31,20 @@ class FunctionsSpec extends SparkSuite {
     assert(eval1(F.hopsScoreHex(F.hopsCode(lit("1a2b3")), F.hopsCode(lit("1a2b3c")))) == -1.0)
   }
 
+  test("zorder2 matches the reference bit interleave; sorts preserve 2-D locality") {
+    def ref(a: Int, b: Int): Long =
+      (0 until 16).map(i => (((a >> i) & 1).toLong << (2 * i)) |
+        (((b >> i) & 1).toLong << (2 * i + 1))).reduce(_ | _)
+    val pts = Seq((0, 0), (1, 0), (0, 1), (3, 5), (255, 17), (65535, 65535))
+    pts.foreach { case (a, b) =>
+      val got = eval1(F.zorder2(lit(a), lit(b)))
+      assert(got.toString.toLong == ref(a, b), s"($a,$b)")
+    }
+    // locality: points in the same 2x2 cell are z-adjacent before any
+    // point of a far cell
+    assert(ref(0, 0) < ref(2, 2) && ref(1, 1) < ref(2, 2))
+  }
+
   test("hopsScore: first-char mismatch -> 0") {
     assert(eval1(F.hopsScore(lit("912345"), lit("123456"))) == 0.0)
   }
