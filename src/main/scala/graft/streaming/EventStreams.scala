@@ -152,6 +152,31 @@ object EventStreams {
     out
   }
 
+  /** Stream-static enrichment: the event stream joined to a STATIC
+    * dimension (re-read per micro-batch, broadcast when small) — the
+    * production shape for attaching slowly-changing reference data to a
+    * stream without any state. Batch twin: the same join on the static
+    * frames.
+    */
+  def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select((col("c_custkey") % 150).as("user_id"), col("c_mktsegment"))
+      .groupBy("user_id").agg(min(col("c_mktsegment")).as("segment"))
+    val joined = stream.join(broadcast(dim), Seq("user_id"), "left")
+    val name = s"graft_enrich_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
+
   /** Streaming exact dedup on a key, state bounded by the watermark
     * (`dropDuplicatesWithinWatermark`): duplicates arriving within the
     * watermark delay of the first sighting are dropped, and state for

@@ -64,6 +64,31 @@ class EngineIntegrationSpec extends SparkSuite {
     assert(row.getLong(0) == 4L && row.getAs[Array[Byte]](1).length == 4)
   }
 
+  test("stream-static enrichment matches the batch join") {
+    import spark.implicits._
+    val streamed = EventStreams.streamStaticEnrich(spark, sf)
+      .select("event_id", "segment").as[(Long, String)].collect().toSet
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+      .select((col("c_custkey") % 150).as("user_id"), col("c_mktsegment"))
+      .groupBy("user_id").agg(min(col("c_mktsegment")).as("segment"))
+    val batch = graft.queries.T(spark, sf, "events")
+      .select(col("event_id"), col("user_id"))
+      .join(dim, Seq("user_id"), "left")
+      .select("event_id", "segment").as[(Long, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("parquet schema evolution: mergeSchema unions column sets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir + "/p=1")
+    Seq((2L, "b", 9.9)).toDF("id", "v1", "v2").write.parquet(dir + "/p=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "p"))
+    // old files surface the new column as null
+    assert(merged.filter(col("p") === 1).head.isNullAt(merged.columns.indexOf("v2")))
+  }
+
   test("streaming dedup within watermark matches batch dropDuplicates keys") {
     import spark.implicits._
     val streamed = EventStreams.streamingDedup(spark, sf)
