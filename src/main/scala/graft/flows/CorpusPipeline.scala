@@ -46,9 +46,11 @@ object CorpusPipeline {
       .filter(col("jaccard") >= cfg.minJaccard)
     val deduped = ConnectedComponents.dedupByComponents(
       kept2, "doc_id", strong, "id_a", "id_b")
-    // 4. deterministic split
+    // 4. deterministic split. Quality is NOT rounded: the score chain is
+    // IEEE-identical across engines, while fixed-precision rounding can
+    // disagree at exact half-boundaries (see q28's note).
     deduped.select(col("doc_id"), col("lang"), col("n_tokens"),
-      round(col("quality"), 6).as("quality"),
+      col("quality"),
       when(Sampling.hashUniform(col("doc_id")) < cfg.trainFraction, "train")
         .otherwise("val").as("split"))
   }

@@ -38,6 +38,12 @@ object Text {
 
     // Quality scoring: stopword ratio, short-token ratio, mean token
     // length — integer-exact per-row arithmetic, then a blended score.
+    // Deliberately NOT rounded: the whole chain is IEEE-identical on
+    // both engines (integer counts, one division each, same op order),
+    // so the raw doubles compare bit-for-bit — while round(x, 6) can
+    // DISAGREE when a ratio of small integers lands exactly on a
+    // .5e-6 boundary (Spark rounds the exact binary value via
+    // BigDecimal, DuckDB via float multiply; observed at sf0.1).
     QueryDef("q28_quality_score", Some(s"""
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -47,10 +53,9 @@ object Text {
                CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks) AS short_ratio,
                CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) AS mean_len
         FROM t)
-      SELECT doc_id, round(stop_ratio, 6) AS stop_ratio, round(short_ratio, 6) AS short_ratio,
-             round(mean_len, 6) AS mean_len,
-             round(0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - short_ratio)
-                   + 0.2 * least(mean_len / 10.0, 1.0), 6) AS quality
+      SELECT doc_id, stop_ratio, short_ratio, mean_len,
+             0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - short_ratio)
+                   + 0.2 * least(mean_len / 10.0, 1.0) AS quality
       FROM m"""),
       (spark, dir) => {
         val toks = TextOps.tokenize(col("text"))
@@ -60,11 +65,11 @@ object Text {
         val meanLen = aggregate(transform(toks, t => length(t)), lit(0),
           (acc, x) => acc + x).cast("double") / n
         T(spark, dir, "documents").select(col("doc_id"),
-          round(stopRatio, 6).as("stop_ratio"),
-          round(shortRatio, 6).as("short_ratio"),
-          round(meanLen, 6).as("mean_len"),
-          round(lit(0.5) * (lit(1.0) - stopRatio) + lit(0.3) * (lit(1.0) - shortRatio)
-            + lit(0.2) * least(meanLen / lit(10.0), lit(1.0)), 6).as("quality"))
+          stopRatio.as("stop_ratio"),
+          shortRatio.as("short_ratio"),
+          meanLen.as("mean_len"),
+          (lit(0.5) * (lit(1.0) - stopRatio) + lit(0.3) * (lit(1.0) - shortRatio)
+            + lit(0.2) * least(meanLen / lit(10.0), lit(1.0))).as("quality"))
       }),
 
     // F12-shaped generator: explode tokens -> global top-20 frequency.

@@ -190,7 +190,7 @@ object Vector {
       comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
       losers AS (SELECT node FROM comp WHERE node <> component)
       SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
-             round(quality, 6) AS quality,
+             quality,
              CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                         % 1000003 + 1) / 1000004.0 < 0.9 THEN 'train' ELSE 'val' END AS split
       FROM kept2 WHERE doc_id NOT IN (SELECT node FROM losers)"""
