@@ -125,8 +125,8 @@ object Text {
     QueryDef("q31_token_jaccard", Some("""
       WITH s AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents)
       SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
-             round(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+             CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.t, b.t))) AS jaccard
       FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
       WHERE a.doc_id % 25 = 0
         AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
@@ -141,7 +141,7 @@ object Text {
         val jac = graft.llm.DedupOps.jaccard(col("t_a"), col("t_b"))
         a.join(b, Seq("lang")).filter(col("a_doc") < col("b_doc"))
           .filter(jac >= 0.7)
-          .select(col("a_doc"), col("b_doc"), round(jac, 6).as("jaccard"))
+          .select(col("a_doc"), col("b_doc"), jac.as("jaccard"))
       }),
 
     // TF-IDF: term frequency per doc × inverse document frequency over

@@ -127,10 +127,10 @@ object Vector {
     // MinHashBands bit-for-bit), candidates verified with true Jaccard.
     QueryDef("q26_minhash_lsh", Some(s"""
       WITH ${lshCtes("documents")}
-      SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verified"""),
+      SELECT id_a, id_b, jaccard FROM verified"""),
       (spark, dir) =>
         lshPairs(spark, dir)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+          .select(col("id_a"), col("id_b"), col("jaccard"))),
 
     // Dedup clustering: strong near-dup pairs (jaccard >= 0.5) become
     // duplicate GROUPS via min-label connected components
