@@ -78,6 +78,26 @@ class EngineIntegrationSpec extends SparkSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("csv malformed rows: PERMISSIVE nulls + captures, DROPMALFORMED drops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bad").toString
+    // row 2 is structurally malformed (MORE tokens than the schema); bad
+    // casts merely null the field and short rows are null-padded in
+    // Spark 4 — only excess tokens trip the mode machinery
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in.csv"),
+      "id,v\n1,10\n2,20,extra,tokens\n3,30".getBytes)
+    val schema = "id INT, v INT, _corrupt STRING"
+    val permissive = spark.read.option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(schema).csv(dir).cache()
+    assert(permissive.count() == 3)
+    assert(permissive.filter(col("_corrupt").isNotNull).count() == 1)
+    val dropped = spark.read.option("header", "true").option("mode", "DROPMALFORMED")
+      .schema("id INT, v INT").csv(dir)
+    // collect, not count: a bare count() prunes ALL columns from the CSV
+    // parse, and unparsed rows can't be detected as malformed
+    assert(dropped.collect().length == 2)
+  }
+
   test("parquet schema evolution: mergeSchema unions column sets") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
