@@ -131,6 +131,24 @@ object Events {
           .select(col("user_id"), col("hour_ms"), coalesce(col("n"), lit(0L)).as("n"))
       }),
 
+    // MapType surface: JSON props parsed into map<string,int>, exploded
+    // to (key, value) rows, aggregated per key — the dynamic-schema
+    // pattern for property bags too irregular for fixed columns.
+    QueryDef("q82_map_explode", Some("""
+      SELECT key, count(*) AS n, sum(value) AS total,
+             CAST(min(value) AS INTEGER) AS lo, CAST(max(value) AS INTEGER) AS hi
+      FROM (SELECT t.k AS key, CAST(json_extract_string(props, '$.' || t.k) AS INTEGER) AS value
+            FROM events, unnest(json_keys(props)) AS t(k))
+      GROUP BY key"""),
+      (spark, dir) =>
+        T(spark, dir, "events")
+          .select(explode(from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,int>")))
+            .as(Seq("key", "value")))
+          .groupBy("key")
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
+            min(col("value")).as("lo"), max(col("value")).as("hi"))),
+
     // JSON property extraction + per-type aggregate.
     QueryDef("q36_json_props", Some("""
       SELECT event_type,
