@@ -26,6 +26,19 @@ object CorpusPipeline {
   case class Config(stop: Seq[String], minQuality: Double = 0.8,
                     minJaccard: Double = 0.5, trainFraction: Double = 0.9)
 
+  /** Typed row of the pipeline output (SURVEY §1.1: Dataset[T] views
+    * where compile-time safety helps downstream consumers).
+    */
+  case class CorpusDoc(doc_id: Long, lang: String, n_tokens: Int,
+                       quality: Double, split: String)
+
+  /** [[run]] with a typed surface. */
+  def runTyped(docs: DataFrame, cfg: Config): org.apache.spark.sql.Dataset[CorpusDoc] = {
+    val session = docs.sparkSession
+    import session.implicits._
+    run(docs, cfg).withColumn("n_tokens", col("n_tokens").cast("int")).as[CorpusDoc]
+  }
+
   /** @param docs (doc_id, lang, text) corpus frame
     * @return surviving docs: (doc_id, lang, n_tokens, quality, split)
     */

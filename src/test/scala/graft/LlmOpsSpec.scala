@@ -59,6 +59,16 @@ class LlmOpsSpec extends SparkSuite {
       s"shingles leaked into a shuffle:\n${exchangeBlocks.mkString("\n---\n")}")
   }
 
+  test("CorpusPipeline.runTyped: typed rows, valid splits, quality floor") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.flows.CorpusPipeline.runTyped(docs,
+      graft.flows.CorpusPipeline.Config(stop = graft.queries.Text.Stop)).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(d => d.split == "train" || d.split == "val"))
+    assert(out.forall(_.quality >= 0.8))
+    assert(out.map(_.doc_id).distinct.length == out.length)
+  }
+
   test("MinHashBands: deterministic, order-insensitive, null sig on empty set") {
     graft.engine.expressions.MinHashBands.register(spark)
     val sig = (sh: Seq[String]) => Seq(sh).toDF("sh")
