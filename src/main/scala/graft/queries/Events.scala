@@ -131,6 +131,58 @@ object Events {
           .select(col("user_id"), col("hour_ms"), coalesce(col("n"), lit(0L)).as("n"))
       }),
 
+    // SCD2 dimension versioning: each (user, ts, value) event becomes a
+    // version row with [valid_from, valid_to) bounds via lead() — the
+    // slowly-changing-dimension build that as-of joins (q64) then query.
+    QueryDef("q83_scd2", Some("""
+      SELECT user_id, event_id, epoch_ms(ts) AS valid_from,
+             lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS valid_to,
+             CASE WHEN lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_current,
+             round(value, 4) AS value
+      FROM events WHERE event_type = 'signup'"""),
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("valid_from"), col("event_id"))
+        T(spark, dir, "events").filter(col("event_type") === "signup")
+          .select(col("user_id"), col("event_id"),
+            unix_millis(col("ts")).as("valid_from"), round(col("value"), 4).as("value"))
+          .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+          .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+          .select("user_id", "event_id", "valid_from", "valid_to", "is_current", "value")
+      }),
+
+    // Funnel analysis: per-user first occurrence of each step, ordered
+    // progression counted (view -> click -> purchase within the whole
+    // window) — one conditional-aggregate pass, no self-joins.
+    QueryDef("q84_funnel", Some("""
+      WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_buy
+        FROM events GROUP BY user_id)
+      SELECT count(*) AS n_users,
+             sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
+             sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS step_click,
+             sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click
+                 THEN 1 ELSE 0 END) AS step_purchase
+      FROM f"""),
+      (spark, dir) => {
+        val f = T(spark, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", unix_millis(col("ts")))).as("t_view"),
+            min(when(col("event_type") === "click", unix_millis(col("ts")))).as("t_click"),
+            min(when(col("event_type") === "purchase", unix_millis(col("ts")))).as("t_buy"))
+        f.agg(count(lit(1)).as("n_users"),
+          sum(when(col("t_view").isNotNull, 1).otherwise(0)).as("step_view"),
+          sum(when(col("t_view").isNotNull && col("t_click") > col("t_view"), 1)
+            .otherwise(0)).as("step_click"),
+          sum(when(col("t_view").isNotNull && col("t_click") > col("t_view") &&
+            col("t_buy") > col("t_click"), 1).otherwise(0)).as("step_purchase"))
+      }),
+
     // MapType surface: JSON props parsed into map<string,int>, exploded
     // to (key, value) rows, aggregated per key — the dynamic-schema
     // pattern for property bags too irregular for fixed columns.
