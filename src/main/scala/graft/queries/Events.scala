@@ -183,6 +183,29 @@ object Events {
             col("t_buy") > col("t_click"), 1).otherwise(0)).as("step_purchase"))
       }),
 
+    // Cohort retention: users grouped by first-activity week, counted in
+    // each subsequent activity week — the cohort matrix in two
+    // aggregations (no per-week scans).
+    QueryDef("q85_cohort_retention", Some("""
+      WITH act AS (
+        SELECT DISTINCT user_id, epoch_ms(date_trunc('week', ts)) AS wk FROM events),
+      cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id)
+      SELECT c.cohort_wk, (a.wk - c.cohort_wk) // 604800000 AS week_offset,
+             count(*) AS n_users
+      FROM act a JOIN cohort c ON a.user_id = c.user_id
+      GROUP BY 1, 2"""),
+      (spark, dir) => {
+        val act = T(spark, dir, "events")
+          .select(col("user_id"),
+            unix_millis(date_trunc("week", col("ts"))).as("wk"))
+          .distinct()
+        val cohort = act.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+        act.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"),
+            ((col("wk") - col("cohort_wk")) / lit(604800000L)).cast("long").as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      }),
+
     // MapType surface: JSON props parsed into map<string,int>, exploded
     // to (key, value) rows, aggregated per key — the dynamic-schema
     // pattern for property bags too irregular for fixed columns.

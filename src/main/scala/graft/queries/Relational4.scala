@@ -241,6 +241,33 @@ object Relational4 {
             round(col("lo"), 2).as("lo"), round(col("hi"), 2).as("hi"))
       }),
 
+    // Welch's t statistic between two customer segments' balances — the
+    // A/B comparison aggregate, one conditional-aggregate pass.
+    QueryDef("q86_ab_test", Some("""
+      WITH g AS (
+        SELECT avg(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END) AS m1,
+               var_samp(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END) AS v1,
+               count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n1,
+               avg(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END) AS m2,
+               var_samp(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END) AS v2,
+               count(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 END) AS n2
+        FROM customer)
+      SELECT n1, n2, round(m1 - m2, 4) AS mean_diff,
+             round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat
+      FROM g"""),
+      (spark, dir) => {
+        val b = when(col("c_mktsegment") === "BUILDING", col("c_acctbal"))
+        val m = when(col("c_mktsegment") === "MACHINERY", col("c_acctbal"))
+        T(spark, dir, "customer")
+          .agg(avg(b).as("m1"), var_samp(b).as("v1"),
+            count(when(col("c_mktsegment") === "BUILDING", 1)).as("n1"),
+            avg(m).as("m2"), var_samp(m).as("v2"),
+            count(when(col("c_mktsegment") === "MACHINERY", 1)).as("n2"))
+          .select(col("n1"), col("n2"), round(col("m1") - col("m2"), 4).as("mean_diff"),
+            round((col("m1") - col("m2"))
+              / sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 6).as("t_stat"))
+      }),
+
     // Equi-width histogram: 25k-wide price bins with per-bin bounds —
     // the single-shuffle binning shape (no windows, no sort).
     QueryDef("q70_histogram", Some("""
