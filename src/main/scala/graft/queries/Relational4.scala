@@ -268,6 +268,28 @@ object Relational4 {
               / sqrt(col("v1") / col("n1") + col("v2") / col("n2")), 6).as("t_stat"))
       }),
 
+    // Fuzzy string matching: sampled targets joined to same-nation
+    // candidates within Levenshtein distance 2 — the fuzzy-dedup /
+    // entity-resolution primitive (the equi-key bounds the pair
+    // explosion, exactly like the peer-search join).
+    QueryDef("q87_fuzzy_match", Some("""
+      SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+             CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      WHERE a.c_custkey % 97 = 0 AND levenshtein(a.c_name, b.c_name) <= 2"""),
+      (spark, dir) => {
+        val c = T(spark, dir, "customer")
+        val a = c.select(col("c_custkey").as("a_key"), col("c_nationkey"),
+          col("c_name").as("a_name")).filter(col("a_key") % 97 === 0)
+        val b = c.select(col("c_custkey").as("b_key"), col("c_nationkey"),
+          col("c_name").as("b_name"))
+        a.join(b, Seq("c_nationkey")).filter(col("a_key") < col("b_key"))
+          .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+          .filter(col("dist") <= 2)
+          .select(col("a_key"), col("b_key"), col("dist"))
+      }),
+
     // Equi-width histogram: 25k-wide price bins with per-bin bounds —
     // the single-shuffle binning shape (no windows, no sort).
     QueryDef("q70_histogram", Some("""
