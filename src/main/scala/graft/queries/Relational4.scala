@@ -290,6 +290,24 @@ object Relational4 {
           .select(col("a_key"), col("b_key"), col("dist"))
       }),
 
+    // Per-group exact quantiles: median + quartiles + IQR per segment
+    // (grouped variant of q58's global quantiles).
+    QueryDef("q88_group_median", Some("""
+      SELECT c_mktsegment,
+             round(quantile_cont(c_acctbal, 0.25), 4) AS q1,
+             round(quantile_cont(c_acctbal, 0.5), 4) AS median,
+             round(quantile_cont(c_acctbal, 0.75), 4) AS q3,
+             round(quantile_cont(c_acctbal, 0.75) - quantile_cont(c_acctbal, 0.25), 4) AS iqr
+      FROM customer GROUP BY c_mktsegment"""),
+      (spark, dir) =>
+        T(spark, dir, "customer")
+          .groupBy("c_mktsegment")
+          .agg(round(percentile(col("c_acctbal"), lit(0.25)), 4).as("q1"),
+            round(percentile(col("c_acctbal"), lit(0.5)), 4).as("median"),
+            round(percentile(col("c_acctbal"), lit(0.75)), 4).as("q3"),
+            round(percentile(col("c_acctbal"), lit(0.75))
+              - percentile(col("c_acctbal"), lit(0.25)), 4).as("iqr"))),
+
     // Equi-width histogram: 25k-wide price bins with per-bin bounds —
     // the single-shuffle binning shape (no windows, no sort).
     QueryDef("q70_histogram", Some("""
