@@ -308,6 +308,39 @@ object Relational4 {
             round(percentile(col("c_acctbal"), lit(0.75))
               - percentile(col("c_acctbal"), lit(0.25)), 4).as("iqr"))),
 
+    // Snapshot diff (CDC classification): customer vs the q80-style
+    // upserted version — per-key inserted/deleted/updated/unchanged
+    // counts via one full-outer join.
+    QueryDef("q89_snapshot_diff", Some("""
+      WITH before AS (
+        SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+        WHERE c_custkey % 7 <> 0),
+      after AS (
+        SELECT c_custkey, round(c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 100.0 ELSE 0.0 END, 2) AS acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 500 = 0)
+      SELECT CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+                  WHEN a.c_custkey IS NULL THEN 'deleted'
+                  WHEN b.acctbal IS DISTINCT FROM a.acctbal THEN 'updated'
+                  ELSE 'unchanged' END AS change_type,
+             count(*) AS n
+      FROM before b FULL OUTER JOIN after a ON b.c_custkey = a.c_custkey
+      GROUP BY 1"""),
+      (spark, dir) => {
+        val c = T(spark, dir, "customer")
+        val before = c.filter(col("c_custkey") % 7 =!= 0)
+          .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+        val after = c.select(col("c_custkey"),
+            round(col("c_acctbal") + when(col("c_custkey") % 10 === 0, 100.0)
+              .otherwise(0.0), 2).as("acctbal"))
+          .unionByName(c.filter(col("c_custkey") % 500 === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              lit(0.0).as("acctbal")))
+        graft.ops.Diff.snapshotDiff(before, after, Seq("c_custkey"), Seq("acctbal"))
+          .groupBy("change_type").agg(count(lit(1)).as("n"))
+      }),
+
     // Equi-width histogram: 25k-wide price bins with per-bin bounds —
     // the single-shuffle binning shape (no windows, no sort).
     QueryDef("q70_histogram", Some("""

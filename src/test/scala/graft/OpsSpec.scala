@@ -74,6 +74,15 @@ class OpsSpec extends SparkSuite {
     assert(jobsAfter - jobsBefore <= 1, "metrics must not spawn extra jobs")
   }
 
+  test("Diff.snapshotDiff classifies inserted/deleted/updated/unchanged") {
+    val before = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val after = Seq((2, "B"), (3, "c"), (9, "z")).toDF("k", "v")
+    val got = graft.ops.Diff.snapshotDiff(before, after, Seq("k"), Seq("v"))
+      .select("k", "change_type").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "deleted", 2 -> "updated", 3 -> "unchanged", 9 -> "inserted"))
+  }
+
   test("Upsert.merge: updates win, unmatched survive, new keys append") {
     val current = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
     val updates = Seq((2, "B"), (9, "z")).toDF("k", "v")
