@@ -183,6 +183,33 @@ object Events {
             col("t_buy") > col("t_click"), 1).otherwise(0)).as("step_purchase"))
       }),
 
+    // Event-type transition matrix: per-user ordered event stream ->
+    // (prev, next) bigram counts + row-normalized probability — the
+    // Markov-chain view of user behavior, one lag window + one agg.
+    QueryDef("q90_transitions", Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_type
+        FROM events),
+      t AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+             CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+      FROM t"""),
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+        val t = T(spark, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_millis(col("ts")).as("ms"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+        val rowTotal = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+        t.withColumn("p", col("n").cast("double") / sum(col("n")).over(rowTotal))
+      }),
+
     // Cohort retention: users grouped by first-activity week, counted in
     // each subsequent activity week — the cohort matrix in two
     // aggregations (no per-week scans).
