@@ -156,6 +156,30 @@ object Vector {
         graft.ops.ConnectedComponents.labelPropagation(strong, "id_a", "id_b")
       }),
 
+    // Higher-order array functions as a first-class surface: filter /
+    // exists / transform+aggregate / zip_with over the embedding column
+    // (the same primitives the similarity kernels build on).
+    QueryDef("q91_array_hof", Some("""
+      WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                  FROM embeddings)
+      SELECT vec_id,
+             CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_pos,
+             CAST(CASE WHEN len(list_filter(e, x -> x > 0.9)) > 0 THEN 1 ELSE 0 END AS INTEGER) AS any_big,
+             round(list_aggregate(list_transform(e, x -> greatest(x, 0.0)), 'sum'), 6) AS clipped_sum,
+             round(list_aggregate(list_transform(range(1, len(e) + 1),
+                 i -> e[i] * e[len(e) - i + 1]), 'sum'), 6) AS rev_dot
+      FROM de"""),
+      (spark, dir) =>
+        T(spark, dir, "embeddings")
+          .withColumn("e", transform(col("embedding"), x => x.cast("double")))
+          .select(col("vec_id"),
+            size(filter(col("e"), x => x > 0)).as("n_pos"),
+            when(exists(col("e"), x => x > 0.9), 1).otherwise(0).as("any_big"),
+            round(aggregate(transform(col("e"), x => greatest(x, lit(0.0))),
+              lit(0.0), (acc, x) => acc + x), 6).as("clipped_sum"),
+            round(aggregate(zip_with(col("e"), reverse(col("e")), (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x), 6).as("rev_dot"))),
+
     // The full training-corpus pipeline (flows.CorpusPipeline): quality
     // filter → exact dedup → LSH near-dup + components dedup →
     // deterministic split. The oracle replays every stage, including
