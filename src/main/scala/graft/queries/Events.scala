@@ -163,10 +163,10 @@ object Events {
                min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_buy
         FROM events GROUP BY user_id)
       SELECT count(*) AS n_users,
-             sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
-             sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS step_click,
-             sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click
-                 THEN 1 ELSE 0 END) AS step_purchase
+             CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+             CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS step_click,
+             CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_buy > t_click
+                 THEN 1 ELSE 0 END) AS BIGINT) AS step_purchase
       FROM f"""),
       (spark, dir) => {
         val f = T(spark, dir, "events")
@@ -237,7 +237,7 @@ object Events {
     // to (key, value) rows, aggregated per key — the dynamic-schema
     // pattern for property bags too irregular for fixed columns.
     QueryDef("q82_map_explode", Some("""
-      SELECT key, count(*) AS n, sum(value) AS total,
+      SELECT key, count(*) AS n, CAST(sum(value) AS BIGINT) AS total,
              CAST(min(value) AS INTEGER) AS lo, CAST(max(value) AS INTEGER) AS hi
       FROM (SELECT t.k AS key, CAST(json_extract_string(props, '$.' || t.k) AS INTEGER) AS value
             FROM events, unnest(json_keys(props)) AS t(k))

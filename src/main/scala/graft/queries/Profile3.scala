@@ -47,7 +47,7 @@ object Profile3 {
       m.transform(unioned)
     }
     val deduped = Dedup.firstPerKey(imputed, Seq("c_custkey"), Seq(col("c_name").asc))
-    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = spark.sessionState.conf.numShufflePartitions
     val indexed = Indexing.withRowIndex(deduped, "idx", Seq(col("c_custkey").asc))
       .repartition(n)
       .withColumn("batch", pmod(hash(col("c_custkey"), lit(seed)), lit(minBatch)))

@@ -58,6 +58,18 @@ def main():
                 f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
             g_names = [d[0] for d in got.description]
             g_cols, g_rows = frame_key(g_names, got.fetchall())
+            # The driver's gate fetches DuckDB results via Arrow, where
+            # HUGEINT (e.g. sum(INTEGER)) renders as decimal and hash-
+            # mismatches Spark's int64 even when values agree (round 4:
+            # q82/q84). Flag it here so the oracle SQL gets a BIGINT cast.
+            rel = con.sql(sql)
+            hug = [c for c, t in zip(rel.columns, map(str, rel.types))
+                   if "HUGEINT" in t]
+            if hug:
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) {hug}; "
+                      f"CAST(... AS BIGINT) in the oracle SQL")
+                n_fail += 1
+                continue
             want = con.execute(sql)
             w_names = [d[0] for d in want.description]
             w_cols, w_rows = frame_key(w_names, want.fetchall())
