@@ -52,6 +52,35 @@ object DedupOps {
     bits.reduce((a, b) => a + b)
   }
 
+  /** SimHash near-duplicate pairs within `hamMax` bits of each other.
+    *
+    * Scale path: the 32-bit signature splits into 4 8-bit blocks; by
+    * pigeonhole, any pair within hamming distance 3 agrees exactly on at
+    * least one block, so the only shuffle is the (block-index,
+    * block-value) collision self-join — never an all-pairs compare. The
+    * per-pair verify is one xor + bit_count, applied before the
+    * candidate dedup so the distinct only sees surviving pairs.
+    *
+    * @return (id_a, id_b, hamming) with id_a < id_b and hamming <= hamMax
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, tokensCol: String,
+                      hamMax: Int = 3): DataFrame = {
+    require(hamMax <= 3, s"4-block banding only guarantees recall to hamming 3 (got $hamMax)")
+    // Signature frame is narrow (id + 8 bytes) and feeds both join sides.
+    val sig = df.select(col(idCol).as("__id"), simhash32(col(tokensCol)).as("__sh")).cache()
+    val blocks = sig.select(col("__id"), col("__sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("__sh"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("b", "blk")))
+    blocks.select(col("b"), col("blk"), col("__id").as("id_a"), col("__sh").as("sh_a"))
+      .join(blocks.select(col("b"), col("blk"), col("__id").as("id_b"), col("__sh").as("sh_b")),
+        Seq("b", "blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= hamMax)
+      .distinct()
+  }
+
   /** End-to-end MinHash-LSH near-dup candidates over `df`.
     *
     * @param idCol unique document id

@@ -132,6 +132,29 @@ object Vector {
         lshPairs(spark, dir)
           .select(col("id_a"), col("id_b"), col("jaccard"))),
 
+    // SimHash near-dup pairs (hamming <= 3 over 32-bit signatures):
+    // 4x8-bit block banding makes the candidate join collision-only
+    // (pigeonhole recall guarantee), verify is xor + bit_count. The
+    // oracle replays the identical md5-derived bit votes.
+    QueryDef("q92_simhash_neardup", Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM tok),
+      bits AS (SELECT doc_id, j, sum(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+               FROM h CROSS JOIN (SELECT unnest(range(32)) AS j) js GROUP BY doc_id, j),
+      sig AS (SELECT doc_id, CAST(sum(CASE WHEN votes > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS sh
+              FROM bits GROUP BY doc_id),
+      blocks AS (SELECT doc_id, sh, b, (sh >> (8 * b)) & 255 AS blk
+                 FROM sig CROSS JOIN (SELECT unnest(range(4)) AS b) bs),
+      cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+               FROM blocks a JOIN blocks b ON a.b = b.b AND a.blk = b.blk AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+      FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3"""),
+      (spark, dir) =>
+        DedupOps.simhashNearDups(
+          T(spark, dir, "documents")
+            .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks")),
+          "doc_id", "toks")),
+
     // Dedup clustering: strong near-dup pairs (jaccard >= 0.5) become
     // duplicate GROUPS via min-label connected components
     // (ops.ConnectedComponents — O(diameter) label-join rounds). The
