@@ -61,6 +61,13 @@ object DedupOps {
     * per-pair verify is one xor + bit_count, applied before the
     * candidate dedup so the distinct only sees surviving pairs.
     *
+    * Corpus-scale note: 8-bit blocks give 256 buckets per band, so
+    * bucket occupancy grows linearly with corpus size and the collision
+    * join is quadratic per bucket — right for up to ~10M docs. Beyond
+    * that, widen the signature (64-bit hash, 16-bit blocks = 65k
+    * buckets) or add a second-level split on a few extra signature bits;
+    * the banding algebra is unchanged.
+    *
     * @return (id_a, id_b, hamming) with id_a < id_b and hamming <= hamMax
     */
   def simhashNearDups(df: DataFrame, idCol: String, tokensCol: String,

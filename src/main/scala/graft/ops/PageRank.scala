@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration weighted PageRank as join-based iteration.
+  *
+  * Each iteration is one hash join (transition edges x current ranks) +
+  * one aggregation — the standard scale-out formulation: rank state and
+  * edges both stay partitioned by node key, so a 10^9-node graph runs as
+  * `iters` shuffles of the (node, rank) sliver, never materializing a
+  * matrix. The edge/transition frame is cached once; dangling nodes
+  * (no in-edges after a hop) keep the teleport term via the left join.
+  *
+  * Determinism contract for oracle parity: ranks are rounded to 10 dp
+  * each iteration, so cross-engine float-sum ordering differences
+  * (~1e-15) cannot accumulate; callers round the final output coarser.
+  */
+object PageRank {
+
+  /** @param edges   directed weighted edges
+    * @param damping teleport-complement factor (classic 0.85)
+    * @return (node, rank) after `iters` synchronous updates from the
+    *         uniform start 1/N
+    */
+  def run(edges: DataFrame, src: String, dst: String, weight: String,
+          iters: Int, damping: Double = 0.85): DataFrame = {
+    val nodes = edges.select(col(src).as("node"))
+      .union(edges.select(col(dst).as("node"))).distinct().cache()
+    val n = nodes.count()
+    val outW = edges.groupBy(col(src)).agg(sum(col(weight)).as("__out_w"))
+    val trans = edges.join(outW, src)
+      .select(col(src).as("__u"), col(dst).as("__v"),
+        (col(weight) / col("__out_w")).as("__p"))
+      .cache()
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = trans.join(ranks, trans("__u") === ranks("node"))
+        .groupBy(col("__v")).agg(sum(col("rank") * col("__p")).as("__in"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("__v"), "left")
+        .select(col("node"),
+          round(lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)), 10).as("rank"))
+    }
+    ranks
+  }
+}

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ops.PageRank
+
+/** Graph-analytics queries over graphs derived from the trade tables.
+  * (Connected components — the other graph op — is oracled via
+  * q77_dedup_components.)
+  */
+object Graph {
+
+  /** One PageRank iteration as a DuckDB CTE: `rPrev` -> `rCur`. Mirrors
+    * ops.PageRank.run exactly: teleport (1-d)/n, damping d, left join for
+    * dangling nodes, 10 dp per-iteration rounding.
+    */
+  private def iterSql(rPrev: String, rCur: String): String = s"""
+    $rCur AS (
+      SELECT nodes.node,
+             round((1.0 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0.0), 10) AS rank
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (SELECT t.v, sum($rPrev.rank * t.p) AS s
+                 FROM t JOIN $rPrev ON t.u = $rPrev.node GROUP BY t.v) c
+        ON nodes.node = c.v)"""
+
+  private val pagerankSql: String = {
+    val iters = (1 to 5).map(i => iterSql(s"r${i - 1}", s"r$i")).mkString(",")
+    s"""
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY src),
+    t AS (SELECT e.src AS u, e.dst AS v, e.w / o.out_w AS p
+          FROM e JOIN outw o ON e.src = o.src),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+    $iters
+    SELECT node, round(rank, 6) AS rank FROM r5"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Weighted PageRank over the nation-level trade graph (edge weight =
+    // lineitem count from customer nation to supplier nation), 5 fixed
+    // synchronous iterations, damping 0.85. Spark side is join-based
+    // iteration (ops.PageRank); the oracle chains one CTE per iteration.
+    QueryDef("q94_pagerank", Some(pagerankSql), (spark, dir) => {
+      val e = T(spark, dir, "lineitem")
+        .join(T(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      PageRank.run(e, "src", "dst", "w", iters = 5)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    })
+  )
+}

@@ -38,6 +38,8 @@ object ProfileQ13 {
     }
     time("q13 warmup")(Reports.confidence(spark, dir))
     time("q13 #2")(Reports.confidence(spark, dir))
+    time("q14 #1")(Reports.penetration(spark, dir))
+    time("q14 #2")(Reports.penetration(spark, dir))
     spark.stop()
   }
 }

@@ -353,5 +353,23 @@ object Relational4 {
         T(spark, dir, "orders")
           .groupBy(floor(col("o_totalprice") / 25000.0).cast("int").as("bin"))
           .agg(count(lit(1)).as("n"), round(min(col("o_totalprice")), 2).as("lo"),
-            round(max(col("o_totalprice")), 2).as("hi"))))
+            round(max(col("o_totalprice")), 2).as("hi"))),
+
+    // Bloom-pruned selective join (ops.BloomPrune): the fact scan drops
+    // non-Brand#13 lineitems via might_contain BEFORE the shuffle; the
+    // exact join then removes false positives, so the oracle is the
+    // plain join — the filter changes cost, never results.
+    QueryDef("q95_bloom_join", Some("""
+      SELECT p_type, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#13'
+      GROUP BY p_type"""),
+      (spark, dir) =>
+        graft.ops.BloomPrune.prunedInnerJoin(
+          T(spark, dir, "lineitem"), "l_partkey",
+          T(spark, dir, "part").filter(col("p_brand") === "Brand#13"), "p_partkey")
+          .groupBy("p_type")
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+            count(lit(1)).as("n_items"))))
 }

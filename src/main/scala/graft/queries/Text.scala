@@ -258,6 +258,37 @@ object Text {
         TopK.exactPerKey(scores, Seq("doc_id"),
           Seq(col("hits").desc, col("cand_lang").asc), 1)
           .select(col("doc_id"), col("true_lang"), col("cand_lang").as("guessed_lang"))
-      })
+      }),
+
+    // BM25 keyword retrieval (llm.Bm25): corpus stats (N, avgdl, df per
+    // term) in ONE broadcast row, per-doc tf in the scoring scan, top-20
+    // via TakeOrderedAndProject. The oracle replays the identical
+    // IEEE chain (same op order, same folded constants).
+    QueryDef("q93_bm25", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      base AS (SELECT doc_id, len(toks) AS dl,
+                      len(list_filter(toks, x -> x = 'spark')) AS tf0,
+                      len(list_filter(toks, x -> x = 'vector')) AS tf1,
+                      len(list_filter(toks, x -> x = 'stream')) AS tf2
+               FROM tok),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+                FROM base),
+      scored AS (
+        SELECT doc_id, dl,
+               round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                   + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+        FROM base CROSS JOIN stats)
+      SELECT doc_id, dl, score, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM scored)
+      WHERE rnk <= 20"""),
+      (spark, dir) =>
+        graft.llm.Bm25.topK(
+          T(spark, dir, "documents")
+            .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks")),
+          "doc_id", "toks", Seq("spark", "vector", "stream"), 20))
   )
 }

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{BloomPrune, PageRank}
+import graft.llm.{Bm25, DedupOps, TextOps}
+
+class GraphRetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("PageRank: two-node cycle converges to uniform; sink keeps teleport mass") {
+    val cycle = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("s", "d", "w")
+    val r = PageRank.run(cycle, "s", "d", "w", iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.5) < 1e-9 && math.abs(r(2L) - 0.5) < 1e-9)
+
+    // 1 -> 2, 2 -> 2 (self loop): node 1 only ever holds the teleport share.
+    val chain = Seq((1L, 2L, 1L), (2L, 2L, 1L)).toDF("s", "d", "w")
+    val r2 = PageRank.run(chain, "s", "d", "w", iters = 20)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r2(1L) - 0.075) < 1e-9) // (1-0.85)/2
+    assert(r2(2L) > 0.9)
+  }
+
+  test("PageRank: ranks sum to ~1 when no dangling mass leaks") {
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L))
+      .toDF("s", "d", "w")
+    val total = PageRank.run(edges, "s", "d", "w", iters = 8)
+      .agg(sum("rank")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6)
+  }
+
+  test("Bm25: higher tf scores higher at equal length; rarer term outweighs common") {
+    val docs = Seq(
+      (1L, "cat cat cat dog"),
+      (2L, "cat dog dog dog"),
+      (3L, "dog dog dog dog"),
+      (4L, "cat dog pig owl")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+    val s = Bm25.score(docs, "doc_id", "toks", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(1L) > s(2L) && s(2L) > s(3L))
+    assert(s(3L) == 0.0)
+    // 'pig' (df=1) must contribute more than 'cat' (df=3) at equal tf/dl.
+    val two = Bm25.score(docs, "doc_id", "toks", Seq("pig"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(two(4L) > s(4L))
+  }
+
+  test("Bm25.topK: rank is contiguous and ordered by rounded score then id") {
+    val docs = Seq.tabulate(20)(i => (i.toLong, if (i % 3 == 0) "hit miss" else "miss miss"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+    val got = Bm25.topK(docs, "doc_id", "toks", Seq("hit"), 5).collect()
+    assert(got.map(_.getInt(3)).toSeq == (1 to 5))
+    assert(got.forall(r => r.getLong(0) % 3 == 0)) // ties broken by id: hits first
+  }
+
+  test("BloomPrune.prunedInnerJoin equals the plain join; filter actually prunes") {
+    val big = spark.range(0, 10000).toDF("k")
+    val small = spark.range(0, 10000).filter(col("id") % 100 === 0).toDF("sk")
+    val got = BloomPrune.prunedInnerJoin(big, "k", small, "sk")
+      .select("k").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 10000L by 100).toSeq)
+
+    // The bloom filter alone (before the verify join) must cut the big
+    // side dramatically — allow fpp slack but require real pruning.
+    BloomPrune.register(spark)
+    val n = small.count()
+    val bits = BloomPrune.optimalNumBits(n, 0.01)
+    val bf = small.select(call_function("graft_bloom_agg", col("sk"), lit(n), lit(bits)))
+      .head().getAs[Array[Byte]](0)
+    val kept = big.filter(call_function("graft_bloom_might_contain", lit(bf), col("k"))).count()
+    assert(kept >= 100 && kept < 400, s"bloom kept $kept of 10000")
+  }
+
+  test("DedupOps.simhashNearDups: permuted tokens collide, disjoint docs don't") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f")),
+      (2L, Seq("f", "e", "d", "c", "b", "a")), // same multiset -> same simhash
+      (3L, Seq("q", "r", "s", "t", "u", "v"))).toDF("id", "toks")
+    val pairs = DedupOps.simhashNearDups(docs, "id", "toks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+}
