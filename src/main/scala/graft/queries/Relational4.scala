@@ -355,6 +355,55 @@ object Relational4 {
           .agg(count(lit(1)).as("n"), round(min(col("o_totalprice")), 2).as("lo"),
             round(max(col("o_totalprice")), 2).as("hi"))),
 
+    // Rolling 90-day spend per customer: a RANGE frame over event-time
+    // millis — the time-window aggregation that ROWS frames get wrong
+    // when events cluster (frame must follow the clock, not row count).
+    QueryDef("q96_rolling_window", Some("""
+      SELECT o_custkey, o_orderkey, ms,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY ms
+               RANGE BETWEEN 7776000000 PRECEDING AND CURRENT ROW), 4) AS spend_90d,
+             CAST(count(*) OVER (
+               PARTITION BY o_custkey ORDER BY ms
+               RANGE BETWEEN 7776000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_90d
+      FROM (SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS ms, o_totalprice
+            FROM orders WHERE o_custkey % 50 = 0)"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("ms")
+          .rangeBetween(-7776000000L, Window.currentRow)
+        T(spark, dir, "orders")
+          .filter(col("o_custkey") % 50 === 0)
+          .select(col("o_custkey"), col("o_orderkey"),
+            // o_orderdate is TIMESTAMP_NTZ; session TZ is pinned UTC, so
+            // the cast is the identity epoch DuckDB's epoch_ms computes.
+            unix_millis(col("o_orderdate").cast("timestamp")).as("ms"), col("o_totalprice"))
+          .select(col("o_custkey"), col("o_orderkey"), col("ms"),
+            round(sum(col("o_totalprice")).over(w), 4).as("spend_90d"),
+            count(lit(1)).over(w).as("n_90d"))
+      }),
+
+    // NTILE deciles: equal-frequency bucketing of customers by balance
+    // (unique tiebreak pins the bucket boundaries on both engines).
+    QueryDef("q97_ntile", Some("""
+      WITH d AS (SELECT c_mktsegment, c_acctbal,
+                        ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+                 FROM customer)
+      SELECT decile, count(*) AS n, round(min(c_acctbal), 2) AS lo,
+             round(max(c_acctbal), 2) AS hi,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+      FROM d GROUP BY decile"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        T(spark, dir, "customer")
+          .withColumn("decile",
+            ntile(10).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n"), round(min(col("c_acctbal")), 2).as("lo"),
+            round(max(col("c_acctbal")), 2).as("hi"),
+            countDistinct(col("c_mktsegment")).as("n_segments"))
+      }),
+
     // Bloom-pruned selective join (ops.BloomPrune): the fact scan drops
     // non-Brand#13 lineitems via might_contain BEFORE the shuffle; the
     // exact join then removes false positives, so the oracle is the

@@ -202,4 +202,69 @@ object EventStreams {
     out.count()
     out
   }
+
+  /** Closed-session extraction via `flatMapGroupsWithState` + event-time
+    * timeout — the custom-state API for emitting COMPLETED aggregates
+    * ([[statefulUserCounts]]' `mapGroupsWithState` emits running ones).
+    * Sessions that close inside a batch (gap exceeded by a later event)
+    * emit immediately; each user's open tail session emits when the
+    * watermark passes `session_end + gap` (the no-data batch after the
+    * file source drains fires those timeouts). Tail sessions within
+    * `gap` of the stream's maximum event time stay open by definition —
+    * exactly the rows a restart would still be allowed to extend.
+    *
+    * @return (user_id, start_ms, end_ms, n_events) per closed session
+    */
+  def sessionsStateful(spark: SparkSession, sfDir: String,
+                       gapMin: Int = 30): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val gapMs = gapMin * 60000L
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    val sessions = stream.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, events: Iterator[(Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (s, e, n) = state.get
+            state.remove()
+            Iterator.single((user, s, e, n))
+          } else {
+            // A batch delivers an unsorted slice of the user's events:
+            // sort, then fold into (start, end, n) runs split on gap.
+            val ms = events.map(_._2.getTime).toArray
+            java.util.Arrays.sort(ms)
+            val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+            var cur = state.getOption
+            ms.foreach { m =>
+              cur = cur match {
+                case Some((s, e, n)) if m - e <= gapMs => Some((s, m, n + 1))
+                case Some((s, e, n)) => closed += ((user, s, e, n)); Some((m, m, 1L))
+                case None => Some((m, m, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 + gapMs)
+            }
+            closed.iterator
+          }
+      }
+      .toDF("user_id", "start_ms", "end_ms", "n_events")
+    val name = s"graft_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).cache()
+    out.count()
+    out
+  }
 }

@@ -165,6 +165,38 @@ class EngineIntegrationSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState sessionizer matches batch gap-split sessions") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = 30 * 60000L
+    val streamed = EventStreams.sessionsStateful(spark, sf, gapMin = 30)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // Batch twin: lag-gap boundaries -> running session id -> bounds.
+    val ev = graft.queries.T(spark, sf, "events")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+    val w = Window.partitionBy("user_id").orderBy("ms")
+    val sess = ev
+      .withColumn("new_s", when(
+        col("ms") - lag("ms", 1).over(w) > gapMs || lag("ms", 1).over(w).isNull, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ms").as("start_ms"), max("ms").as("end_ms"),
+        count(lit(1)).as("n_events"))
+    val maxMs = ev.agg(max("ms")).head.getLong(0)
+    val expectedClosed = sess
+      .filter(col("end_ms") + gapMs < maxMs)
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val all = sess.select("user_id", "start_ms", "end_ms", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.subsetOf(all), "streamed sessions must be exact batch sessions")
+    assert(expectedClosed.subsetOf(streamed),
+      "every watermark-closed session must be emitted")
+    assert(streamed.nonEmpty && expectedClosed.nonEmpty)
+  }
+
   test("stateful streaming user counts match batch groupBy") {
     import spark.implicits._
     val streamed = EventStreams.statefulUserCounts(spark, sf)
