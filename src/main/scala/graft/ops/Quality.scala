@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the validation gate every
+  * large-scale ingest pipeline runs before training data is trusted.
+  *
+  * All row-level constraints evaluate in ONE pass over the table (each
+  * check is a conditional-count aggregate in the same projection — no
+  * per-check scans); referential checks are anti-join counts. Output is
+  * one row per check: (check, n_violations, n_rows) — tiny, joinable
+  * into a run report, and SQL-oracle-able.
+  */
+object Quality {
+
+  /** One named row-level constraint: `violated` flags BAD rows. */
+  final case class Check(name: String, violated: Column)
+
+  /** Evaluate row-level checks in a single aggregation pass. */
+  def rowChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val total = count(lit(1))
+    val aggs = checks.map(c =>
+      sum(when(c.violated, 1L).otherwise(0L)).as(c.name)) :+ total.as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to (check, n_violations, n_rows)
+    val pairs = checks.flatMap(c => Seq(lit(c.name), col(c.name)))
+    wide.select(explode(map(pairs: _*)).as(Seq("check", "n_violations")),
+      col("__n").as("n_rows"))
+  }
+
+  /** Referential-integrity violation count: rows of `child` whose
+    * `fk` has no match in `parent.pk` (null FKs excluded — use a
+    * row check for null-rate). Plans as a broadcast/shuffled anti join.
+    */
+  def fkViolations(child: DataFrame, fk: String,
+                   parent: DataFrame, pk: String, name: String): DataFrame = {
+    val orphans = child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+    orphans.agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("check"), col("n_violations"),
+        lit(null).cast("long").as("n_rows"))
+  }
+}

@@ -26,7 +26,10 @@ object ML {
       val rated = AlsPipeline.accumulate(usage, "cust", "item", "intensity")
       val triples = AlsPipeline.indexedTriples(rated, "cust", "item")
       val model = AlsPipeline.train(triples, AlsPipeline.Config())
-      AlsPipeline.recommendations(model, 5)
+      // Direct path: the brand item space fits a broadcast, so blockified
+      // recommendForAllUsers is pure overhead (see recommendationsDirect;
+      // MlSpec pins score parity between the two paths).
+      AlsPipeline.recommendationsDirect(model, 5)
         .select(col("userId"), col("itemId"), round(col("score"), 3).as("score"),
           col("rec_rank"))
     }),

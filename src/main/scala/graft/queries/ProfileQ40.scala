@@ -46,6 +46,12 @@ object ProfileQ40 {
     time("full recs again") {
       AlsPipeline.recommendations(model, 5).count()
     }
+    time("recommendationsDirect") {
+      AlsPipeline.recommendationsDirect(model, 5).count()
+    }
+    time("direct again") {
+      AlsPipeline.recommendationsDirect(model, 5).count()
+    }
     spark.stop()
   }
 }

@@ -404,6 +404,37 @@ object Relational4 {
             countDistinct(col("c_mktsegment")).as("n_segments"))
       }),
 
+    // Data-quality gate (ops.Quality): all row-level constraints in ONE
+    // aggregation pass over the fact table (conditional counts in a
+    // single projection), plus an anti-join referential check — the
+    // validation report a training-data ingest runs before trusting a
+    // drop.
+    QueryDef("q98_data_quality", Some("""
+      SELECT * FROM (
+        SELECT 'qty_out_of_range' AS check, CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, count(*) AS n_rows FROM lineitem
+        UNION ALL
+        SELECT 'deep_discount', CAST(sum(CASE WHEN l_discount > 0.08 THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM lineitem
+        UNION ALL
+        SELECT 'taxed_return', CAST(sum(CASE WHEN l_tax > 0.0 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM lineitem
+        UNION ALL
+        SELECT 'null_partkey', CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM lineitem
+        UNION ALL
+        SELECT 'orphan_order_cust', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+        FROM orders o WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))"""),
+      (spark, dir) => {
+        import graft.ops.Quality
+        val li = T(spark, dir, "lineitem")
+        val rows = Quality.rowChecks(li, Seq(
+          Quality.Check("qty_out_of_range", col("l_quantity") < 1 || col("l_quantity") > 50),
+          Quality.Check("deep_discount", col("l_discount") > 0.08),
+          Quality.Check("taxed_return", col("l_tax") > 0.0 && col("l_returnflag") === "R"),
+          Quality.Check("null_partkey", col("l_partkey").isNull)))
+        rows.unionByName(Quality.fkViolations(
+          T(spark, dir, "orders"), "o_custkey",
+          T(spark, dir, "customer"), "c_custkey", "orphan_order_cust"))
+      }),
+
     // Bloom-pruned selective join (ops.BloomPrune): the fact scan drops
     // non-Brand#13 lineitems via might_contain BEFORE the shuffle; the
     // exact join then removes false positives, so the oracle is the

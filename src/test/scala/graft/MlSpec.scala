@@ -23,6 +23,28 @@ class MlSpec extends SparkSuite {
     assert(inBlock.toDouble / recs.length > 0.9, s"in-block ratio ${inBlock.toDouble / recs.length}")
   }
 
+  test("recommendationsDirect matches recommendForAllUsers scores") {
+    val rows = for {
+      u <- 0 until 40; i <- 0 until 20
+      r = if ((u < 20) == (i < 10)) 5.0 else 0.1
+    } yield (u, i, r.toFloat)
+    val model = AlsPipeline.train(rows.toDF("userId", "itemId", "rating"),
+      AlsPipeline.Config(rank = 4, maxIter = 10, regParam = 0.05, implicitPrefs = false))
+    val viaMllib = AlsPipeline.recommendations(model, 3)
+      .select("userId", "score").as[(Int, Float)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val direct = AlsPipeline.recommendationsDirect(model, 3)
+      .select("userId", "score").as[(Int, Float)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(viaMllib.keySet == direct.keySet)
+    viaMllib.foreach { case (u, scores) =>
+      scores.zip(direct(u)).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= 1e-4f * math.max(1f, math.abs(a)),
+          s"user $u: mllib $a vs direct $b")
+      }
+    }
+  }
+
   test("ALS RMSE on planted structure is small") {
     val rows = for {
       u <- 0 until 40; i <- 0 until 20
