@@ -2,7 +2,9 @@ package graft.engine
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast, Expression, ExpressionInfo, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.types.LongType
 import graft.engine.expressions.{DotProduct, MinHashSignatures}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
@@ -29,5 +31,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         MinHashSignatures(exprs.head, exprs(1).eval().asInstanceOf[Int],
           if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 1)))
+    // Runtime-filter sketch pair (ops.BloomPrune's SQL surface), keys
+    // xxhash64-ed as InjectRuntimeFilter plans them internally.
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new BloomFilterAggregate(new XxHash64(Seq(exprs.head)),
+          Cast(exprs(1), LongType), Cast(exprs(2), LongType))))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_might_contain"),
+      (exprs: Seq[Expression]) =>
+        BloomFilterMightContain(exprs.head, new XxHash64(Seq(exprs(1))))))
   }
 }

@@ -85,22 +85,19 @@ object SimSearch {
     ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
   }
 
-  private def ivfWithCentroids(c: DataFrame, queries: DataFrame, cents: DataFrame,
-                               idCol: String, embCol: String, k: Int,
-                               nProbe: Int): DataFrame = {
-    val q = unitized(queries, idCol, embCol, "query_id", "__qe")
+  /** Nearest-`n` centroid assignment of (`id`, `emb`) rows. */
+  private def nearestBuckets(df: DataFrame, cents: DataFrame,
+                             id: String, emb: String, n: Int): DataFrame =
+    TopK.exactPerKey(
+      df.crossJoin(broadcast(cents))
+        .select(col(id), col(emb), col("cent_id"),
+          dot(col(emb), col("cent_emb")).as("__c")),
+      Seq(id), Seq(col("__c").desc, col("cent_id").asc), n, "__cr")
+      .select(col(id), col(emb), col("cent_id").as("bucket"))
 
-    def nearestBuckets(df: DataFrame, id: String, emb: String, n: Int) =
-      TopK.exactPerKey(
-        df.crossJoin(broadcast(cents))
-          .select(col(id), col(emb), col("cent_id"),
-            dot(col(emb), col("cent_emb")).as("__c")),
-        Seq(id), Seq(col("__c").desc, col("cent_id").asc), n, "__cr")
-        .select(col(id), col(emb), col("cent_id").as("bucket"))
-
-    val bucketed = nearestBuckets(c, idCol, "__ne", 1)
-    val probed = nearestBuckets(q, "query_id", "__qe", nProbe)
-
+  /** Probe the bucketed corpus with probed queries, rank exact cosine. */
+  private def probeRank(probed: DataFrame, bucketed: DataFrame,
+                        idCol: String, k: Int): DataFrame = {
     val pairs = probed.join(bucketed, Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),
@@ -108,6 +105,57 @@ object SimSearch {
     TopK.exactPerKey(pairs.dropDuplicates("query_id", idCol), Seq("query_id"),
       Seq(col("cos_sim").desc, col(idCol).asc), k, "rnk")
       .withColumn("rnk", col("rnk").cast("int"))
+  }
+
+  private def ivfWithCentroids(c: DataFrame, queries: DataFrame, cents: DataFrame,
+                               idCol: String, embCol: String, k: Int,
+                               nProbe: Int): DataFrame = {
+    val q = unitized(queries, idCol, embCol, "query_id", "__qe")
+    val bucketed = nearestBuckets(c, cents, idCol, "__ne", 1)
+    val probed = nearestBuckets(q, cents, "query_id", "__qe", nProbe)
+    probeRank(probed, bucketed, idCol, k)
+  }
+
+  /** Persist an IVF index: learned centroids + bucket-PARTITIONED
+    * postings parquet. The layout is the scale feature — each posting
+    * list is its own partition directory, so a query batch probing
+    * `nProbe` of `nCentroids` buckets reads only that fraction of the
+    * index files (partition pruning on the `bucket` join/filter), and
+    * index build cost amortizes across every later query batch.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, embCol: String,
+                    path: String, nCentroids: Int = 16, seed: Long = 42L): Unit = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne").cache()
+    val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("__v")
+      .fit(c.select(array_to_vector(col("__ne")).as("__v")))
+    val session = corpus.sparkSession
+    import session.implicits._
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("cent_id", "cent_emb")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    nearestBuckets(c, cents, idCol, "__ne", 1)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    c.unpersist()
+  }
+
+  /** Query a [[buildIvfIndex]] layout: probe `nProbe` buckets, rank
+    * exact cosine within them. Identical results to [[ivfTopKKMeans]]
+    * with the same centroid config (spec-pinned) — minus the per-batch
+    * assignment pass, plus posting-file pruning.
+    */
+  def queryIvfIndex(queries: DataFrame, idCol: String, embCol: String,
+                    path: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val bucketed = spark.read.parquet(s"$path/postings")
+    val probed = nearestBuckets(
+      unitized(queries, idCol, embCol, "query_id", "__qe"), cents,
+      "query_id", "__qe", nProbe)
+    probeRank(probed, bucketed, idCol, k)
   }
 
   /** Random-hyperplane LSH near-dup over cosine similarity: signature

@@ -33,11 +33,17 @@ object BloomPrune {
     * `graft_bloom_agg(key, estimatedItems, numBits)` and
     * `graft_bloom_might_contain(bloom, key)`. Keys are xxhash64-ed
     * inside the builders, matching InjectRuntimeFilter's hashing.
+    * Build and probe key TYPES must match (xxhash64 hashes by width:
+    * INT 5 and BIGINT 5 differ) — the same rule as join key types.
+    * The bloom argument of might_contain must be a literal or scalar
+    * subquery (Spark's BloomFilterMightContain constraint).
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       AggName,
-      exprs => new BloomFilterAggregate(new XxHash64(Seq(exprs.head)), exprs(1), exprs(2)),
+      exprs => new BloomFilterAggregate(new XxHash64(Seq(exprs.head)),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(2), org.apache.spark.sql.types.LongType)),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       MightName,

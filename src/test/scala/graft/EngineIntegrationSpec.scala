@@ -134,6 +134,19 @@ class EngineIntegrationSpec extends SparkSuite {
     val mh = spark.sql(
       "SELECT graft_minhashes(array('a', 'b'), 2) AS sigs").head.getSeq[String](0)
     assert(mh.length == 2 && mh.forall(_.length == 32))
+    // bloom pair: build over 0..9, membership hits inside, misses
+    // outside. The filter side must be a scalar subquery (or literal) —
+    // the same constraint Spark's own runtime filter satisfies — and the
+    // probe key TYPE must match the build key type (xxhash64 hashes by
+    // width: INT 5 and BIGINT 5 hash differently, like join key types).
+    val hits = spark.sql("""
+      SELECT graft_bloom_might_contain(
+               (SELECT graft_bloom_agg(id, 10, 200) FROM range(10)),
+               CAST(5 AS BIGINT)) AS hit,
+             graft_bloom_might_contain(
+               (SELECT graft_bloom_agg(id, 10, 200) FROM range(10)),
+               CAST(123456 AS BIGINT)) AS miss""").head
+    assert(hits.getBoolean(0) && !hits.getBoolean(1))
   }
 
   test("peer-search flow: deterministic, prospect served, topK bounded") {

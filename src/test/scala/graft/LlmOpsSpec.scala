@@ -133,6 +133,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(approx == again) // seeded fit -> deterministic buckets
   }
 
+  test("persisted IVF index: queryIvfIndex == ivfTopKKMeans, postings bucket-partitioned") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/idx"
+    SimSearch.buildIvfIndex(emb, "vec_id", "embedding", path, nCentroids = 8)
+    val fromIndex = SimSearch.queryIvfIndex(queries, "vec_id", "embedding", path, 5, nProbe = 4)
+      .select("query_id", "vec_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val inMemory = SimSearch.ivfTopKKMeans(emb, queries, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = 4)
+      .select("query_id", "vec_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(fromIndex == inMemory && fromIndex.nonEmpty)
+    // the scale feature: one partition directory per posting list
+    val dirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket="))
+    assert(dirs.length > 1, s"expected bucket=* partition dirs, got ${dirs.mkString(",")}")
+  }
+
   test("hyperplaneLshPairs finds planted near-duplicate vectors, deterministically") {
     // 3 tight clusters (near-dups) + noise: near-dup pairs have cos≈1.
     val base = (0 until 3).map(c => Array.tabulate(16)(i =>
