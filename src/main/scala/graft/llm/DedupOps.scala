@@ -49,10 +49,19 @@ object DedupOps {
     * slower on the signature stage. Votes are ±1 integer sums, so the
     * result is fold-order-independent and oracle-identical.
     */
-  def simhash32(tokens: Column): Column = {
-    val powers = array((0 until 32).map(j => lit(1L << j)): _*)
-    val hashes = transform(tokens, t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    val votes = aggregate(hashes, array_repeat(lit(0), 32),
+  def simhash32(tokens: Column): Column = simhash(tokens, 32)
+
+  /** Width-parameterized SimHash (the widening switch point from the
+    * [[simhashNearDups]] scale note): `nBits` of md5-derived signature,
+    * up to 60 (15 hex chars — the widest value that cannot overflow a
+    * signed BIGINT on either engine; bit 63 would).
+    */
+  def simhash(tokens: Column, nBits: Int): Column = {
+    require(nBits >= 1 && nBits <= 60, s"nBits must be in [1, 60], got $nBits")
+    val powers = array((0 until nBits).map(j => lit(1L << j)): _*)
+    val hashes = transform(tokens,
+      t => conv(substring(md5(t), 1, (nBits + 3) / 4), 16, 10).cast("long"))
+    val votes = aggregate(hashes, array_repeat(lit(0), nBits),
       (acc, h) => zip_with(acc, powers,
         (a, p) => a + when(h.bitwiseAND(p) =!= 0, 1).otherwise(-1)))
     aggregate(zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
@@ -61,30 +70,35 @@ object DedupOps {
 
   /** SimHash near-duplicate pairs within `hamMax` bits of each other.
     *
-    * Scale path: the 32-bit signature splits into 4 8-bit blocks; by
-    * pigeonhole, any pair within hamming distance 3 agrees exactly on at
-    * least one block, so the only shuffle is the (block-index,
-    * block-value) collision self-join — never an all-pairs compare. The
+    * Scale path: the signature splits into `nBlocks` equal blocks; by
+    * pigeonhole, any pair within hamming distance `nBlocks - 1` agrees
+    * exactly on at least one block, so the only shuffle is the
+    * (block-index, block-value) collision self-join — never an
+    * all-pairs compare. The
     * per-pair verify is one xor + bit_count, applied before the
     * candidate dedup so the distinct only sees surviving pairs.
     *
-    * Corpus-scale note: 8-bit blocks give 256 buckets per band, so
-    * bucket occupancy grows linearly with corpus size and the collision
-    * join is quadratic per bucket — right for up to ~10M docs. Beyond
-    * that, widen the signature (64-bit hash, 16-bit blocks = 65k
-    * buckets) or add a second-level split on a few extra signature bits;
-    * the banding algebra is unchanged.
+    * Corpus-scale note: the default 32/4 config gives 8-bit blocks =
+    * 256 buckets per band; bucket occupancy grows linearly with corpus
+    * size and the collision join is quadratic per bucket — right for up
+    * to ~10M docs. Beyond that, pass `nBits = 60, nBlocks = 4` (15-bit
+    * blocks = 32k buckets; 60 is the widest BIGINT-safe md5 prefix on
+    * both engines) — the banding algebra is unchanged.
     *
     * @return (id_a, id_b, hamming) with id_a < id_b and hamming <= hamMax
     */
   def simhashNearDups(df: DataFrame, idCol: String, tokensCol: String,
-                      hamMax: Int = 3): DataFrame = {
-    require(hamMax <= 3, s"4-block banding only guarantees recall to hamming 3 (got $hamMax)")
+                      hamMax: Int = 3, nBits: Int = 32, nBlocks: Int = 4): DataFrame = {
+    require(nBits % nBlocks == 0, s"nBits ($nBits) must split evenly into $nBlocks blocks")
+    require(hamMax < nBlocks,
+      s"$nBlocks-block banding only guarantees recall to hamming ${nBlocks - 1} (got $hamMax)")
+    val blockBits = nBits / nBlocks
+    val blockMask = (1L << blockBits) - 1
     // Signature frame is narrow (id + 8 bytes) and feeds both join sides.
-    val sig = df.select(col(idCol).as("__id"), simhash32(col(tokensCol)).as("__sh")).cache()
+    val sig = df.select(col(idCol).as("__id"), simhash(col(tokensCol), nBits).as("__sh")).cache()
     val blocks = sig.select(col("__id"), col("__sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("__sh"), 8 * b).bitwiseAND(lit(255L))): _*)).as(Seq("b", "blk")))
+      posexplode(array((0 until nBlocks).map(b =>
+        shiftright(col("__sh"), blockBits * b).bitwiseAND(lit(blockMask))): _*)).as(Seq("b", "blk")))
     blocks.select(col("b"), col("blk"), col("__id").as("id_a"), col("__sh").as("sh_a"))
       .join(blocks.select(col("b"), col("blk"), col("__id").as("id_b"), col("__sh").as("sh_b")),
         Seq("b", "blk"))

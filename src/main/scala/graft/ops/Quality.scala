@@ -29,6 +29,20 @@ object Quality {
       col("__n").as("n_rows"))
   }
 
+  /** Zero-extra-pass variant: attach the checks to `df` as an
+    * `observe()` metric set. The violation counts ride along with
+    * WHATEVER action the caller runs next (the write, the count) —
+    * validation without a second scan of a 100 TB input. Read
+    * `observation.get` after the action completes.
+    */
+  def observed(df: DataFrame, checks: Seq[Check],
+               name: String = "graft_quality"): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val aggs = checks.map(c =>
+      sum(when(c.violated, 1L).otherwise(0L)).as(c.name)) :+ count(lit(1)).as("n_rows")
+    (df.observe(obs, aggs.head, aggs.tail: _*), obs)
+  }
+
   /** Referential-integrity violation count: rows of `child` whose
     * `fk` has no match in `parent.pk` (null FKs excluded — use a
     * row check for null-rate). Plans as a broadcast/shuffled anti join.

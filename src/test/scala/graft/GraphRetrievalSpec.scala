@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{BloomPrune, PageRank}
+import graft.ops.{BloomPrune, PageRank, Quality}
 import graft.llm.{Bm25, DedupOps, TextOps}
 
 class GraphRetrievalSpec extends SparkSuite {
@@ -71,6 +71,43 @@ class GraphRetrievalSpec extends SparkSuite {
       .head().getAs[Array[Byte]](0)
     val kept = big.filter(call_function("graft_bloom_might_contain", lit(bf), col("k"))).count()
     assert(kept >= 100 && kept < 400, s"bloom kept $kept of 10000")
+  }
+
+  test("Quality: rowChecks counts match observed() metrics riding the same action") {
+    val df = Seq((1, 10.0), (2, -5.0), (3, 200.0), (4, 30.0)).toDF("id", "v")
+    val checks = Seq(
+      Quality.Check("negative", col("v") < 0),
+      Quality.Check("too_big", col("v") > 100))
+    val viaAgg = Quality.rowChecks(df, checks)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaAgg == Map("negative" -> 1L, "too_big" -> 1L))
+    val (observedDf, obs) = Quality.observed(df, checks)
+    assert(observedDf.count() == 4) // the "real" action the metrics ride
+    val m = obs.get
+    assert(m("negative") == 1L && m("too_big") == 1L && m("n_rows") == 4L)
+  }
+
+  test("Quality.fkViolations counts orphans via anti join") {
+    val child = Seq((1L, 10L), (2L, 99L), (3L, 10L), (4L, -1L)).toDF("id", "fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val got = Quality.fkViolations(child, "fk", parent, "pk", "orphans").head
+    assert(got.getString(0) == "orphans" && got.getLong(1) == 2L) // 99 and -1
+  }
+
+  test("DedupOps.simhash width switch: 60-bit banding keeps exact-dup recall") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f")),
+      (2L, Seq("f", "e", "d", "c", "b", "a")),
+      (3L, Seq("q", "r", "s", "t", "u", "v"))).toDF("id", "toks")
+    val pairs = DedupOps.simhashNearDups(docs, "id", "toks",
+        hamMax = 3, nBits = 60, nBlocks = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+    // 60-bit signatures separate the disjoint doc far beyond hamming 3
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+    // signature stays within BIGINT (bit 63 never set)
+    val sh = docs.select(DedupOps.simhash(col("toks"), 60)).collect().map(_.getLong(0))
+    assert(sh.forall(v => v >= 0 && v < (1L << 60)))
   }
 
   test("DedupOps.simhashNearDups: permuted tokens collide, disjoint docs don't") {
