@@ -1,11 +1,13 @@
 package graft.engine
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast, Expression, ExpressionInfo, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.LongType
 import graft.engine.expressions.{DotProduct, MinHashSignatures}
+import graft.engine.{functions => F}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
   * Catalyst expressions SQL-callable and injects the range-join
@@ -18,6 +20,15 @@ import graft.engine.expressions.{DotProduct, MinHashSignatures}
   * joins that would otherwise become nested-loop range joins.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Lift a Column-combinator kernel (engine.functions) into a catalyst
+    * expression builder: wrap the argument expressions as Columns, apply
+    * the combinator, unwrap the resulting tree (graftbridge.ColumnBridge).
+    * The kernels are pure column math, so the lifted tree is ordinary
+    * codegen'd Catalyst — no UDF boundary is introduced.
+    */
+  private def lift(builder: Seq[Column] => Column)(exprs: Seq[Expression]): Expression =
+    ColumnBridge.toExpr(builder(exprs.map(ColumnBridge.toCol)))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => graft.engine.rules.RangeJoinRewrite())
@@ -44,5 +55,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_might_contain"),
       (exprs: Seq[Expression]) =>
         BloomFilterMightContain(exprs.head, new XxHash64(Seq(exprs(1))))))
+    // Scoring kernels F5/F6/F8 (SURVEY.md §2.7/§2.9) — SQL parity for the
+    // blended-similarity surface: graft_haversine_score(lat1, lon1, lat2,
+    // lon2), graft_hops_score(codeA, codeB), graft_blended_score(cos,
+    // hops, havs[, wHops, wHavs]).
+    e.injectFunction((
+      FunctionIdentifier("graft_haversine_score"),
+      new ExpressionInfo(F.getClass.getName, "graft_haversine_score"),
+      lift(cs => F.haversineScore(cs(0), cs(1), cs(2), cs(3))) _))
+    e.injectFunction((
+      FunctionIdentifier("graft_hops_score"),
+      new ExpressionInfo(F.getClass.getName, "graft_hops_score"),
+      lift(cs => F.hopsScore(cs(0), cs(1))) _))
+    e.injectFunction((
+      FunctionIdentifier("graft_blended_score"),
+      new ExpressionInfo(F.getClass.getName, "graft_blended_score"),
+      (exprs: Seq[Expression]) => {
+        val (wHops, wHavs) =
+          if (exprs.length > 4) (foldedDouble(exprs(3)), foldedDouble(exprs(4)))
+          else (0.399, 0.001)
+        lift(cs => F.blendedScore(cs(0), cs(1), cs(2), wHops, wHavs))(exprs.take(3))
+      }))
   }
+
+  /** Evaluate a foldable literal argument (the weight knobs) to Double. */
+  private def foldedDouble(e: Expression): Double =
+    Cast(e, org.apache.spark.sql.types.DoubleType).eval().asInstanceOf[Double]
 }

@@ -38,11 +38,29 @@ object FeaturePipeline {
     * @param numCols   numeric feature columns (imputed + scaled)
     * @param catCol    categorical column (indexed + OHE'd, weight `wCat`)
     * @param weights   per-numeric-column multipliers (reference M7)
+    * @param exactMedian pre-fill numeric nulls with the EXACT interpolated
+    *        median (`percentile(c, 0.5)`) before the pipeline runs. The
+    *        ml.Imputer stage (M1) still executes — it just finds no nulls
+    *        left — so the fitted pipeline shape is unchanged, but the
+    *        imputed value is reproducible by a SQL oracle (`median()`),
+    *        where approxQuantile's sketch is not. MlSpec pins that both
+    *        paths agree on the test tables.
     * @return input plus `features` (VectorUDT) and `features_arr`
     *         (ArrayType(Double)) columns
     */
-  def build(df: DataFrame, numCols: Seq[String], catCol: String,
-            weights: Map[String, Double], wCat: Double): DataFrame = {
+  def build(df0: DataFrame, numCols: Seq[String], catCol: String,
+            weights: Map[String, Double], wCat: Double,
+            exactMedian: Boolean = false): DataFrame = {
+    val df = if (!exactMedian) df0 else {
+      // One-row aggregate of exact medians, broadcast back (same shape as
+      // ops.Scale: two distributed jobs, a one-row broadcast, no collect).
+      val medAggs = numCols.map(c => expr(s"percentile(`$c`, 0.5)").as(s"__med_$c"))
+      val medDf = df0.agg(medAggs.head, medAggs.tail: _*)
+      val filled = numCols.foldLeft(df0.crossJoin(broadcast(medDf))) { (acc, c) =>
+        acc.withColumn(c, coalesce(col(c), col(s"__med_$c")))
+      }
+      filled.drop(numCols.map(c => s"__med_$c"): _*)
+    }
     val imputed = numCols.map(c => s"${c}_imp")
     val imputer = new Imputer().setStrategy("median")
       .setInputCols(numCols.toArray).setOutputCols(imputed.toArray)

@@ -1,6 +1,5 @@
 package graft.flows
 
-import org.apache.spark.ml.feature.Imputer
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.engine.{functions => F}
@@ -53,10 +52,18 @@ object PeerSearchFlow {
       lit(null).cast("double").as("acctbal"), lit("BUILDING").as("c_mktsegment"))
     val unioned = raw.unionByName(prospect)
 
-    // 3. median imputation (M1) of the injected null.
-    val imputed = new Imputer().setStrategy("median")
-      .setInputCols(Array("acctbal")).setOutputCols(Array("acctbal_imp"))
-      .fit(unioned).transform(unioned)
+    // 3. median imputation (M1 semantics) of the injected null — EXACT
+    // median (`percentile`, interpolated) instead of ml.Imputer's
+    // approxQuantile: numerically identical at any relativeError=0 point
+    // and, unlike the approx sketch, reproducible by the DuckDB oracle
+    // (`median()` interpolates the same way), which is what promotes the
+    // flagship flow to a full hash-matched query. The ml.Imputer path
+    // stays covered by feature.FeaturePipeline + MlSpec. Computed as a
+    // one-row aggregate broadcast back — distributed, no driver collect.
+    val medDf = unioned.agg(expr("percentile(acctbal, 0.5)").as("__med"))
+    val imputed = unioned.crossJoin(broadcast(medDf))
+      .withColumn("acctbal_imp", coalesce(col("acctbal"), col("__med")))
+      .drop("__med")
 
     // 4. deterministic key dedup (A1).
     val deduped = Dedup.firstPerKey(imputed, Seq("c_custkey"), Seq(col("c_name").asc))

@@ -138,13 +138,16 @@ object DedupOps {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     // Verify: exact Jaccard, computed once per unique candidate pair.
-    // Candidates are a tiny fraction of the corpus, so they broadcast to
-    // the shingle scan (no corpus shuffle); the second join's small side
-    // is the candidate × left-shingles frame, which AQE broadcasts at
-    // runtime once its size is known.
+    // No broadcast HINT on the candidate side: with tight bands the
+    // candidate set is a sliver and AQE broadcasts it at runtime once its
+    // size is known, but with loose bands (or an adversarial corpus) it
+    // can exceed executor memory — a forced hint would then OOM where a
+    // shuffle join merely costs an exchange. AQE decides from the real
+    // size; the second join's small side (candidates × left shingles)
+    // gets the same treatment.
     val sh = df.select(col(idCol), col(shinglesCol))
     sh.select(col(idCol).as("id_a"), col(shinglesCol).as("sh_a"))
-      .join(broadcast(cand), "id_a")
+      .join(cand, "id_a")
       .join(sh.select(col(idCol).as("id_b"), col(shinglesCol).as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }

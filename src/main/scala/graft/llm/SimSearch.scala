@@ -184,16 +184,20 @@ object SimSearch {
     }
     // Only (id, sig) enters the collision shuffle — at real embedding
     // widths (1024-dim, ~8 KB/vector) shuffling vectors through the
-    // signature join would dominate; candidates broadcast back to the
-    // vector scan for the exact-dot verify instead (same shape as
-    // DedupOps.lshCandidates).
+    // signature join would dominate; candidates join back to the vector
+    // scan for the exact-dot verify instead (same shape as
+    // DedupOps.lshCandidates). No forced broadcast hint: with few bits
+    // (coarse buckets) the candidate set is quadratic-per-bucket and can
+    // outgrow a broadcast — AQE picks broadcast vs shuffle from the
+    // runtime size, so the plan degrades to an exchange instead of an
+    // executor OOM.
     val sig = c.select(col(idCol), concat(bits: _*).as("__sig")).cache()
     val cand = sig.select(col("__sig"), col(idCol).as("id_a"))
       .join(sig.select(col("__sig"), col(idCol).as("id_b")), Seq("__sig"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
     c.select(col(idCol).as("id_a"), col("__ne").as("__ea"))
-      .join(broadcast(cand), "id_a")
+      .join(cand, "id_a")
       .join(c.select(col(idCol).as("id_b"), col("__ne").as("__eb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(dot(col("__ea"), col("__eb")), 6).as("cos_sim"))
@@ -211,6 +215,54 @@ object SimSearch {
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("__ea"), col("__eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
+  /** EXACT threshold pairs when BOTH sides are large and approximation is
+    * not allowed — the distributed block-matmul mode of the reference's
+    * client-side `sim_matrix = features @ right.T` batching
+    * (`search_ranking_peers.py:210-224,238-243`), re-expressed as
+    * `mllib.linalg.distributed.BlockMatrix`: unit-normalize once, assign
+    * contiguous row indices (zipWithIndex — no single-task window), then
+    * A·Aᵀ block-by-block. Every (blockSize × blockSize) output tile is an
+    * independent task (local BLAS gemm), so the O(n²·d) work spreads over
+    * the whole cluster and only tiles — never a collected matrix — exist
+    * at once; entries stream through the threshold filter immediately.
+    *
+    * Exactness note: BLAS accumulates in a different order than the
+    * engine's sequential-fold [[dot]], so `cos_sim` may differ from
+    * [[thresholdPairs]] in the last ulp (LlmOpsSpec pins pair-set
+    * equality and ≤1e-9 score agreement). For oracle-hash surfaces use
+    * [[thresholdPairs]] / [[hyperplaneLshPairs]]; this is the
+    * exact-mode scale path.
+    *
+    * Cost is inherently quadratic — right when the THRESHOLD must be
+    * exact over all pairs; prefer the LSH/IVF paths whenever bounded
+    * recall is acceptable (SCALE.md).
+    */
+  def thresholdPairsBlocked(corpus: DataFrame, idCol: String, embCol: String,
+                            minCos: Double, blockSize: Int = 1024): DataFrame = {
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.{IndexedRow, IndexedRowMatrix}
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne")
+    // Contiguous 0-based indices in id order: index order is id order, so
+    // the i<j triangle filter below is exactly the id_a<id_b convention.
+    val indexed = graft.ops.Indexing.zipWithIndexOrdered(
+      c, "__ix", Seq(col(idCol).asc)).cache()
+    val rows = indexed.select(col("__ix"), col("__ne")).rdd.map { r =>
+      IndexedRow(r.getLong(0), Vectors.dense(r.getSeq[Double](1).toArray))
+    }
+    val mat = new IndexedRowMatrix(rows).toBlockMatrix(blockSize, blockSize).cache()
+    val entries = mat.multiply(mat.transpose).toCoordinateMatrix().entries
+    val sims = entries.filter(e => e.i < e.j && e.value >= minCos - 1e-9)
+      .map(e => (e.i, e.j, e.value)).toDF("__ia", "__ib", "__cos")
+    val idMap = indexed.select(col("__ix"), col(idCol))
+    sims
+      .join(idMap.select(col("__ix").as("__ia"), col(idCol).as("id_a")), "__ia")
+      .join(idMap.select(col("__ix").as("__ib"), col(idCol).as("id_b")), "__ib")
+      .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
 }

@@ -4,11 +4,120 @@ import org.apache.spark.sql.functions._
 import graft.feature.FeaturePipeline
 import graft.rec.AlsPipeline
 
-/** ML-pipeline queries. Not DuckDB-expressible (iterative MLlib fits) —
-  * registered without oracles (driver records a rows-only check);
-  * statistical correctness lives in the ScalaTest specs (SURVEY.md §5.4).
+/** ML-pipeline queries. The iterative MLlib fits (ALS) are not
+  * DuckDB-expressible and register without oracles (driver records a
+  * rows-only check; statistical correctness lives in the ScalaTest
+  * specs, SURVEY.md §5.4). The deterministic pipelines — the flagship
+  * peer-search flow (q44) and the feature pipeline (q41) — carry full
+  * SQL twins: their only non-SQL ingredient was ml.Imputer's
+  * approx-median, replaced by the exact interpolated median
+  * (`percentile` ≡ DuckDB `median`), which promotes both to
+  * hash-matched oracles.
   */
 object ML {
+
+  /** SQL twin of `flows.PeerSearchFlow.run(minBatch = 2)`. Stage-for-stage
+    * with the Scala plan (clean → prospect union → exact-median impute →
+    * minmax features → L2 unit vectors → same-nation blended pairs →
+    * top-15 per target → customer join-back); the surrogate `idx` is
+    * bijective with `c_custkey`, so the `t_idx <> s_idx` self-pair guard
+    * is expressed as a custkey inequality, and the batch column never
+    * reaches the output. Blend/hops/haversine forms are shared with the
+    * q13/q14/q22 oracles (Reports.hopsSql / havsSql).
+    */
+  val peerFlowSql: String = s"""
+    WITH raw AS (
+      SELECT c_custkey, c_name, c_nationkey, CAST(c_acctbal AS DOUBLE) AS acctbal, c_mktsegment
+      FROM customer
+      WHERE c_name IS NOT NULL AND c_acctbal IS NOT NULL),
+    unioned AS (
+      SELECT * FROM raw
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT), 'PROSPECT CO', CAST(0 AS INTEGER), CAST(NULL AS DOUBLE), 'BUILDING'),
+    imp AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             COALESCE(acctbal, (SELECT median(acctbal) FROM unioned)) AS acctbal_imp
+      FROM unioned),
+    stats AS (
+      SELECT min(acctbal_imp) AS mnb, max(acctbal_imp) AS mxb,
+             min(c_nationkey) AS mnn, max(c_nationkey) AS mxn
+      FROM imp),
+    feat AS (
+      SELECT i.*,
+             (CASE WHEN s.mxb = s.mnb THEN 0.5
+                   ELSE (i.acctbal_imp - s.mnb) / (s.mxb - s.mnb) END) * 0.8 AS fb,
+             (CASE WHEN s.mxn = s.mnn THEN 0.5
+                   ELSE (i.c_nationkey - s.mnn) / (s.mxn - s.mnn) END) * 0.2 AS fn
+      FROM imp i, stats s),
+    geo2 AS (
+      SELECT f.*,
+             CASE WHEN f.c_custkey % 23 = 0 THEN NULL
+                  ELSE CAST((f.c_custkey * 13) % 160 - 80 + 0.25 AS DOUBLE) END AS lat,
+             CAST((f.c_custkey * 31) % 340 - 170 + 0.5 AS DOUBLE) AS lon,
+             substr(md5(f.c_mktsegment), 1, 3) || substr(md5(CAST(f.c_nationkey AS VARCHAR)), 1, 3) AS naics,
+             sqrt(f.fb * f.fb + f.fn * f.fn) AS nrm
+      FROM feat f),
+    unitv AS (
+      SELECT g.*,
+             CASE WHEN g.nrm = 0.0 THEN g.fb ELSE g.fb / g.nrm END AS ub,
+             CASE WHEN g.nrm = 0.0 THEN g.fn ELSE g.fn / g.nrm END AS un
+      FROM geo2 g),
+    pairs AS (
+      SELECT t.c_custkey AS tgt_custkey, s.c_custkey AS src_custkey,
+             round((1.0 - 0.399 - 0.001) * (t.ub * s.ub + t.un * s.un)
+                   + 0.399 * (${Reports.hopsSql})
+                   + 0.001 * (${Reports.havsSql}), 6) AS score
+      FROM unitv t JOIN unitv s
+        ON t.c_nationkey = s.c_nationkey AND t.c_custkey <> s.c_custkey),
+    ranked AS (
+      SELECT tgt_custkey, src_custkey, score,
+             CAST(row_number() OVER (PARTITION BY tgt_custkey
+                                     ORDER BY score DESC, src_custkey) AS INTEGER) AS peer_rank
+      FROM pairs)
+    SELECT r.tgt_custkey, r.src_custkey, r.score, r.peer_rank,
+           c.c_name AS src_name, c.c_mktsegment AS src_segment
+    FROM ranked r JOIN customer c ON r.src_custkey = c.c_custkey
+    WHERE r.peer_rank <= 15 AND r.score >= 0.0"""
+
+  /** SQL twin of q41: exact-median impute, ml MinMaxScaler algebra
+    * ((x-min)/(max-min), constant → 0.5), StringIndexer frequencyDesc
+    * label order (ties alphabetical — the documented ml tie-break), OHE
+    * slots emitted positionally. The feature vector is compared exploded
+    * as (c_custkey, pos, val) scalar rows.
+    */
+  val featurePipelineSql: String = """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 37 = 0 THEN NULL ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal,
+             CAST(c_nationkey AS DOUBLE) AS nation_d
+      FROM customer),
+    imp AS (
+      SELECT c_custkey, c_mktsegment,
+             COALESCE(acctbal, (SELECT median(acctbal) FROM base)) AS bal_i,
+             COALESCE(nation_d, (SELECT median(nation_d) FROM base)) AS nat_i
+      FROM base),
+    seg AS (
+      SELECT c_mktsegment,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment) - 1 AS DOUBLE) AS seg_idx
+      FROM base GROUP BY c_mktsegment),
+    stats AS (
+      SELECT min(bal_i) AS mnb, max(bal_i) AS mxb, min(nat_i) AS mnn, max(nat_i) AS mxn
+      FROM imp),
+    scaled AS (
+      SELECT i.c_custkey, s.seg_idx,
+             (CASE WHEN t.mxb = t.mnb THEN 0.5 ELSE (i.bal_i - t.mnb) / (t.mxb - t.mnb) END) * 0.8 AS w_bal,
+             (CASE WHEN t.mxn = t.mnn THEN 0.5 ELSE (i.nat_i - t.mnn) / (t.mxn - t.mnn) END) * 0.2 AS w_nat
+      FROM imp i JOIN seg s USING (c_mktsegment), stats t),
+    positions AS (
+      -- 2 numeric slots + one OHE slot per label + the StringIndexer(keep)
+      -- unseen-label slot (always 0.0 here: every segment is seen at fit).
+      SELECT CAST(unnest(range(3 + (SELECT count(*) FROM seg))) AS INTEGER) AS pos)
+    SELECT c_custkey, pos,
+           round(CASE WHEN pos = 0 THEN w_bal
+                      WHEN pos = 1 THEN w_nat
+                      WHEN seg_idx = pos - 2 THEN 0.05
+                      ELSE 0.0 END, 6) AS val
+    FROM scaled, positions"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -35,16 +144,18 @@ object ML {
     }),
 
     // Reference flagship §3.1 end-to-end: clean → literal prospect →
-    // impute → dedup → index/batch → weighted features → blended
-    // similarity → top-K → report. Imputer's approx-median makes it
-    // non-oracle-able; determinism is ScalaTest-checked.
-    QueryDef("q44_peer_search_flow", None, (spark, dir) =>
+    // exact-median impute → dedup → index/batch → weighted features →
+    // blended similarity → top-K → report. Full hash oracle (peerFlowSql).
+    QueryDef("q44_peer_search_flow", Some(peerFlowSql), (spark, dir) =>
       graft.flows.PeerSearchFlow.run(spark, dir,
         graft.flows.PeerSearchFlow.Config(minBatch = 2))),
 
-    // Feature pipeline end-to-end: nulls injected → median impute →
-    // string-index + OHE → min-max scale → weighted assembly.
-    QueryDef("q41_feature_pipeline", None, (spark, dir) => {
+    // Feature pipeline end-to-end: nulls injected → exact-median impute →
+    // string-index + OHE → min-max scale → weighted assembly. The
+    // features vector is exploded to scalar (pos, val) rows so the oracle
+    // compares native doubles instead of engine-specific array/string
+    // renderings.
+    QueryDef("q41_feature_pipeline", Some(featurePipelineSql), (spark, dir) => {
       val withNulls = T(spark, dir, "customer")
         .withColumn("acctbal",
           when(col("c_custkey") % 37 === 0, lit(null).cast("double"))
@@ -52,14 +163,10 @@ object ML {
         .withColumn("nation_d", col("c_nationkey").cast("double"))
       val out = FeaturePipeline.build(withNulls,
         numCols = Seq("acctbal", "nation_d"), catCol = "c_mktsegment",
-        weights = Map("acctbal" -> 0.8, "nation_d" -> 0.2), wCat = 0.05)
-      // Canonical string form: the driver's rows-only check sorts the
-      // result in pandas, which can't order raw array columns.
+        weights = Map("acctbal" -> 0.8, "nation_d" -> 0.2), wCat = 0.05,
+        exactMedian = true)
       out.select(col("c_custkey"),
-        // nullReplacement keeps a (never-expected) null element visible
-        // instead of silently shifting positions in the canonical string.
-        array_join(transform(col("features_arr"), v => round(v, 6)), ",", "null")
-          .as("features"))
+        posexplode(transform(col("features_arr"), v => round(v, 6))).as(Seq("pos", "val")))
     })
   )
 }

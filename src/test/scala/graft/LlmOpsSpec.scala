@@ -105,6 +105,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(top.getAs[Long]("vec_id") == 2L)
   }
 
+  test("SimSearch.thresholdPairsBlocked == thresholdPairs (exact distributed matmul)") {
+    // The BlockMatrix exact mode must find the identical pair set; scores
+    // may differ only by BLAS accumulation order (≤1e-9, see Scaladoc).
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val loop = SimSearch.thresholdPairs(emb, "vec_id", "embedding", 0.35)
+      .withColumnRenamed("cos_sim", "cs_a")
+    val block = SimSearch.thresholdPairsBlocked(emb, "vec_id", "embedding", 0.35,
+      blockSize = 64)
+      .withColumnRenamed("cos_sim", "cs_b")
+    val joined = loop.join(block, Seq("id_a", "id_b"), "full_outer").cache()
+    assert(joined.count() > 0, "no pairs found — threshold too high for fixture")
+    assert(joined.filter(col("cs_a").isNull || col("cs_b").isNull).count() == 0,
+      "pair sets differ")
+    val maxDiff = joined.agg(max(abs(col("cs_a") - col("cs_b")))).head.getDouble(0)
+    assert(maxDiff <= 1e-9, s"scores diverge by $maxDiff")
+    joined.unpersist()
+  }
+
   test("SimSearch.ivfTopK recall vs brute force on sf0.001 embeddings") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)

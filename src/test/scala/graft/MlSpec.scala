@@ -89,6 +89,29 @@ class MlSpec extends SparkSuite {
     assert(feats.forall(_.forall(v => !v.isNaN)))
   }
 
+  test("FeaturePipeline: exactMedian pre-fill agrees with ml.Imputer's approx median") {
+    // ml.Imputer's approxQuantile always returns an ELEMENT of the data;
+    // `percentile` interpolates between the middle two at even counts.
+    // The paths therefore coincide exactly when the non-null count is odd
+    // (element == interpolation) — pinned here. The q41/q44 oracles do
+    // not depend on this parity: they run the exact path on BOTH engines
+    // (`percentile` ≡ DuckDB `median`); M1 (ml.Imputer) remains the
+    // documented sketch-based path for scales where an exact sort-based
+    // percentile would be a hotspot.
+    val df = Seq(
+      (1L, Some(10.0), 1.0, "A"), (2L, None, 2.0, "B"),
+      (3L, Some(30.0), 3.0, "A"), (4L, Some(20.0), 4.0, "C"),
+      (5L, Some(25.0), 5.0, "B"), (6L, Some(15.0), 6.0, "C"))
+      .toDF("id", "bal", "age", "seg")
+      .withColumn("bal", col("bal").cast("double"))
+    def feats(exact: Boolean): Map[Long, Seq[Double]] =
+      FeaturePipeline.build(df, Seq("bal", "age"), "seg",
+        Map("bal" -> 0.8, "age" -> 0.2), wCat = 0.05, exactMedian = exact)
+        .select(col("id"), col("features_arr")).as[(Long, Seq[Double])]
+        .collect().toMap
+    assert(feats(exact = true) == feats(exact = false))
+  }
+
   test("FeaturePipeline.evenSplits covers [0, max+1] with infinities") {
     val df = Seq(1.0, 5.0, 9.0).toDF("x")
     val splits = FeaturePipeline.evenSplits(df, "x", 4)

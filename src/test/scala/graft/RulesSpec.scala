@@ -48,6 +48,28 @@ class RulesSpec extends SparkSuite {
     assert(b != null)
   }
 
+  test("GraftExtensions: F5/F6/F8 scoring kernels are SQL-callable") {
+    // Each lifted function must agree with its Column-combinator twin.
+    val r = spark.sql("""
+      SELECT graft_haversine_score(10.0d, 20.0d, 10.0d, 20.0d) AS hv_same,
+             graft_haversine_score(CAST(NULL AS DOUBLE), 20.0d, 10.0d, 20.0d) AS hv_null,
+             graft_hops_score('123456', '123456') AS hp_eq,
+             graft_hops_score('123456', '123499') AS hp_4,
+             graft_hops_score('123456', '923456') AS hp_0,
+             graft_hops_score('12345', '123456') AS hp_short,
+             graft_blended_score(1.0d, 1.0d, 1.0d) AS bl_one,
+             graft_blended_score(1.0d, 0.0d, 0.0d, 0.5d, 0.25d) AS bl_w
+    """).head
+    assert(r.getDouble(0) == 1.0) // zero distance
+    assert(r.getDouble(1) == 0.5) // null coordinate -> neutral
+    assert(r.getDouble(2) == 1.0)
+    assert(math.abs(r.getDouble(3) - (1.0 - 2 * 2.0 / 10.0)) < 1e-12)
+    assert(r.getDouble(4) == 0.0)
+    assert(r.getDouble(5) == -1.0)
+    assert(math.abs(r.getDouble(6) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(7) - 0.25) < 1e-12) // (1-.5-.25)*1
+  }
+
   test("RangeJoinRewrite: fires through SQL text too") {
     spark.sql("SELECT 1 AS p, 5.0 AS x").createOrReplaceTempView("rj_pts")
     spark.sql("SELECT 10 AS iid, 1.0 AS lo, 6.0 AS hi").createOrReplaceTempView("rj_ivs")
