@@ -52,14 +52,15 @@ object FeaturePipeline {
             weights: Map[String, Double], wCat: Double,
             exactMedian: Boolean = false): DataFrame = {
     val df = if (!exactMedian) df0 else {
-      // One-row aggregate of exact medians, broadcast back (same shape as
-      // ops.Scale: two distributed jobs, a one-row broadcast, no collect).
-      val medAggs = numCols.map(c => expr(s"percentile(`$c`, 0.5)").as(s"__med_$c"))
-      val medDf = df0.agg(medAggs.head, medAggs.tail: _*)
-      val filled = numCols.foldLeft(df0.crossJoin(broadcast(medDf))) { (acc, c) =>
-        acc.withColumn(c, coalesce(col(c), col(s"__med_$c")))
+      // One-row aggregate of exact medians, pulled eagerly and baked in
+      // as literals — the same driver-scalar pattern as Imputer.fit and
+      // [[evenSplits]]; a lazy broadcast-back would re-run the agg in
+      // every branch the pipeline fans into.
+      val medAggs = numCols.map(c => expr(s"percentile(`$c`, 0.5)").as(c))
+      val meds = df0.agg(medAggs.head, medAggs.tail: _*).head()
+      numCols.zipWithIndex.foldLeft(df0) { case (acc, (c, i)) =>
+        acc.withColumn(c, coalesce(col(c), lit(meds.getDouble(i))))
       }
-      filled.drop(numCols.map(c => s"__med_$c"): _*)
     }
     val imputed = numCols.map(c => s"${c}_imp")
     val imputer = new Imputer().setStrategy("median")

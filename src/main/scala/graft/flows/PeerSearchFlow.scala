@@ -54,16 +54,18 @@ object PeerSearchFlow {
 
     // 3. median imputation (M1 semantics) of the injected null — EXACT
     // median (`percentile`, interpolated) instead of ml.Imputer's
-    // approxQuantile: numerically identical at any relativeError=0 point
-    // and, unlike the approx sketch, reproducible by the DuckDB oracle
-    // (`median()` interpolates the same way), which is what promotes the
-    // flagship flow to a full hash-matched query. The ml.Imputer path
-    // stays covered by feature.FeaturePipeline + MlSpec. Computed as a
-    // one-row aggregate broadcast back — distributed, no driver collect.
-    val medDf = unioned.agg(expr("percentile(acctbal, 0.5)").as("__med"))
-    val imputed = unioned.crossJoin(broadcast(medDf))
-      .withColumn("acctbal_imp", coalesce(col("acctbal"), col("__med")))
-      .drop("__med")
+    // approxQuantile: numerically identical apart from even-count
+    // interpolation and, unlike the approx sketch, reproducible by the
+    // DuckDB oracle (`median()` interpolates the same way), which is what
+    // promotes the flagship flow to a full hash-matched query. The
+    // ml.Imputer path stays covered by feature.FeaturePipeline + MlSpec.
+    // The one-row aggregate is pulled EAGERLY and baked in as a literal
+    // (exactly what Imputer.fit does): left lazy in the plan, the agg +
+    // crossJoin re-execute in every downstream branch — both self-join
+    // sides and both minmax stats passes — measured +3.5 s at sf0.1.
+    // This is the evenSplits/A5 scalar-pull pattern, not a data collect.
+    val med = unioned.agg(expr("percentile(acctbal, 0.5)")).head().getDouble(0)
+    val imputed = unioned.withColumn("acctbal_imp", coalesce(col("acctbal"), lit(med)))
 
     // 4. deterministic key dedup (A1).
     val deduped = Dedup.firstPerKey(imputed, Seq("c_custkey"), Seq(col("c_name").asc))

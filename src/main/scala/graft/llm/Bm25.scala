@@ -61,6 +61,9 @@ object Bm25 {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
     import org.apache.spark.sql.expressions.Window
+    // The unpartitioned window here ranks the ALREADY-limited k rows
+    // (k ≈ 10s), not the corpus — bounded by k, not data size, so the
+    // single-partition WindowExec is harmless at any scale.
     s.withColumn("rnk",
       row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("int"))
   }

@@ -46,7 +46,11 @@ object ConnectedComponents {
         col(srcCol).cast("long").as("b")))
       .distinct()
       .cache()
-    if (sym.count() <= driverThreshold) return unionFindLocal(sym)
+    if (sym.count() <= driverThreshold) {
+      val result = unionFindLocal(sym)
+      sym.unpersist() // collected already; the result frame is driver-built
+      return result
+    }
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
       .cache()
@@ -71,6 +75,10 @@ object ConnectedComponents {
       labels = next
       i += 1
     }
+    // labels stays cached (it is the returned frame); sym's rounds are
+    // done — dropping it here is what keeps k successive components()
+    // calls from accumulating k edge caches in executor storage.
+    sym.unpersist()
     labels
   }
 

@@ -100,8 +100,11 @@ object Relational3 {
           when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
             .otherwise(col("c_acctbal")).as("bal"),
           nullif(col("c_mktsegment"), lit("MACHINERY")).as("seg"))
-        val ranked = v.withColumn("rnk",
-          row_number().over(Window.orderBy(col("bal").desc_nulls_last, col("c_custkey"))))
+        // Global row_number without the single-partition window — the
+        // two-pass range-binned form (ops.GlobalRank); NULLS LAST ordering
+        // carries through range partitioning like any other sort key.
+        val ranked = graft.ops.GlobalRank.withRowNumber(v, "rnk",
+          Seq(col("bal").desc_nulls_last, col("c_custkey")))
         ranked.groupBy(coalesce(col("seg"), lit("OTHER")).as("seg_grp"))
           .agg(count(lit(1)).as("n_rows"), count(col("bal")).as("n_bal"),
             round(sum(coalesce(col("bal"), lit(0.0))), 4).as("total"),

@@ -394,10 +394,12 @@ object Relational4 {
              CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
       FROM d GROUP BY decile"""),
       (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        T(spark, dir, "customer")
-          .withColumn("decile",
-            ntile(10).over(Window.orderBy(col("c_acctbal"), col("c_custkey"))))
+        // Global ntile via the range-partitioned two-pass (ops.GlobalRank)
+        // — row-identical to `ntile(10) OVER (ORDER BY ...)` but with no
+        // single-partition WindowExec: the only global window left runs
+        // over the B≈numShufflePartitions bin-count rows.
+        graft.ops.GlobalRank.withNtile(T(spark, dir, "customer"), "decile", 10,
+            Seq(col("c_acctbal"), col("c_custkey")))
           .groupBy("decile")
           .agg(count(lit(1)).as("n"), round(min(col("c_acctbal")), 2).as("lo"),
             round(max(col("c_acctbal")), 2).as("hi"),

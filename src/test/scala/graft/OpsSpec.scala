@@ -180,6 +180,32 @@ class OpsSpec extends SparkSuite {
     assert(kept == (1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 12L, 21L))
   }
 
+  test("GlobalRank: two-pass row_number and ntile match the window forms") {
+    import org.apache.spark.sql.expressions.Window
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val order = Seq(col("c_acctbal"), col("c_custkey"))
+    val viaWindow = cust
+      .withColumn("rn_w", row_number().over(Window.orderBy(order: _*)))
+      .withColumn("nt_w", ntile(7).over(Window.orderBy(order: _*)))
+    val viaTwoPass = graft.ops.GlobalRank.withNtile(
+      graft.ops.GlobalRank.withRowNumber(cust, "rn_g", order), "nt_g", 7, order)
+    val joined = viaWindow.join(viaTwoPass, "c_custkey")
+    assert(joined.filter(col("rn_w") =!= col("rn_g") ||
+      col("nt_w") =!= col("nt_g")).count() == 0)
+    assert(joined.count() == cust.count())
+    // descending + NULLS LAST order carries through range partitioning
+    val withNulls = cust.withColumn("bal",
+      when(col("c_custkey") % 11 === 0, lit(null).cast("double"))
+        .otherwise(col("c_acctbal")))
+    val ord2 = Seq(col("bal").desc_nulls_last, col("c_custkey"))
+    val parity = withNulls
+      .withColumn("rn_w", row_number().over(Window.orderBy(ord2: _*)))
+      .join(graft.ops.GlobalRank.withRowNumber(withNulls, "rn_g", ord2)
+        .select("c_custkey", "rn_g"), "c_custkey")
+    assert(parity.filter(col("rn_w") =!= col("rn_g")).count() == 0)
+  }
+
   test("RangeJoin.pointInInterval matches the naive BETWEEN join") {
     val pts = (0 until 200).map(i => (i, i * 7.3 % 100)).toDF("pid", "x")
     val iv = (0 until 30).map(i => (i, i * 3.1, i * 3.1 + 12.5)).toDF("iid", "lo", "hi")
