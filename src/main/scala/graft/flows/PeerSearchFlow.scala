@@ -77,6 +77,13 @@ object PeerSearchFlow {
     // partition; everything downstream (feature math, the explosive
     // similarity join, md5 NAICS synth) would inherit it and run
     // single-threaded. Fan back out immediately — one tiny shuffle.
+    // Deliberately NOT ops.GlobalRank here: this frame is customer-
+    // dimension scale and feeds ~6 uncached plan branches (both self-join
+    // sides × nested minmax stats); re-executing the two-pass range
+    // machinery per branch measured 3× the whole query (12.8 s vs 4.3 s
+    // at sf0.1), while one 15k-row window task is noise. Fact-scale
+    // callers index once up front with GlobalRank/zipWithIndexOrdered and
+    // cache — not inside a multiply-branched lazy pipeline.
     val n = spark.sessionState.conf.numShufflePartitions
     val indexed = Indexing.withRowIndex(deduped, "idx", Seq(col("c_custkey").asc))
       .repartition(n)

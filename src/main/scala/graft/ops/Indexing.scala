@@ -17,7 +17,9 @@ object Indexing {
     *
     * Note the unpartitioned window is a single-task sort — fine for the
     * entity/dimension tables it is meant for (ALS user/item universes),
-    * wrong for fact tables; use [[zipWithIndexOrdered]] there.
+    * wrong for fact tables; use [[zipWithIndexOrdered]] (RDD form) or
+    * [[GlobalRank.withRowNumber]] (DataFrame two-pass form, stays in
+    * codegen) there.
     */
   def withRowIndex(df: DataFrame, idxCol: String, order: Seq[Column]): DataFrame = {
     val w = Window.orderBy(order: _*)
