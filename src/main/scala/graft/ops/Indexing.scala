@@ -17,9 +17,8 @@ object Indexing {
     *
     * Note the unpartitioned window is a single-task sort — fine for the
     * entity/dimension tables it is meant for (ALS user/item universes),
-    * wrong for fact tables; use [[zipWithIndexOrdered]] (RDD form) or
-    * [[GlobalRank.withRowNumber]] (DataFrame two-pass form, stays in
-    * codegen) there.
+    * wrong for fact tables; use [[zipWithIndexOrdered]] (or
+    * [[GlobalRank.withRowNumber]], its 1-based DataFrame wrapper) there.
     */
   def withRowIndex(df: DataFrame, idxCol: String, order: Seq[Column]): DataFrame = {
     val w = Window.orderBy(order: _*)
