@@ -41,7 +41,18 @@ object PageRank {
       ranks = nodes.join(contrib, nodes("node") === contrib("__v"), "left")
         .select(col("node"),
           round(lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)), 10).as("rank"))
+        // Truncate lineage each step: without this the final plan nests
+        // `iters` joins and every action pays O(depth) analysis + plan
+        // stringification (heap-fatal past a few dozen iterations).
+        // localCheckpoint trades executor-loss recovery for bounded
+        // plans — on a cluster that cannot re-run from scratch, point
+        // `sparkContext.setCheckpointDir` at durable storage and use
+        // reliable checkpoints instead. Superseded step state is
+        // reclaimed by the ContextCleaner once unreferenced.
+        .localCheckpoint(eager = true)
     }
+    nodes.unpersist(blocking = false)
+    trans.unpersist(blocking = false)
     ranks
   }
 }

@@ -36,6 +36,8 @@ object EventStreams {
     // Materialize before the in-memory sink table goes away.
     val out = spark.table(name).cache()
     out.count()
+    // cached InMemoryRelation is self-contained; free the sink's catalog entry
+    spark.catalog.dropTempView(name)
     out
   }
 
@@ -72,6 +74,8 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     val out = spark.table(name).cache()
     out.count()
+    // cached InMemoryRelation is self-contained; free the sink's catalog entry
+    spark.catalog.dropTempView(name)
     out
   }
 
@@ -126,6 +130,8 @@ object EventStreams {
       .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n_events"))
       .cache()
     out.count()
+    // cached InMemoryRelation is self-contained; free the sink's catalog entry
+    spark.catalog.dropTempView(name)
     out
   }
 
@@ -149,6 +155,8 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     val out = spark.table(name).cache()
     out.count()
+    // cached InMemoryRelation is self-contained; free the sink's catalog entry
+    spark.catalog.dropTempView(name)
     out
   }
 
@@ -174,6 +182,8 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     val out = spark.table(name).cache()
     out.count()
+    // cached InMemoryRelation is self-contained; free the sink's catalog entry
+    spark.catalog.dropTempView(name)
     out
   }
 
@@ -200,6 +210,8 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     val out = spark.table(name).cache()
     out.count()
+    // cached InMemoryRelation is self-contained; free the sink's catalog entry
+    spark.catalog.dropTempView(name)
     out
   }
 
@@ -265,6 +277,8 @@ object EventStreams {
     try q.processAllAvailable() finally q.stop()
     val out = spark.table(name).cache()
     out.count()
+    // cached InMemoryRelation is self-contained; free the sink's catalog entry
+    spark.catalog.dropTempView(name)
     out
   }
 }
