@@ -51,9 +51,13 @@ object ConnectedComponents {
       sym.unpersist() // collected already; the result frame is driver-built
       return result
     }
+    // Each round is checkpointed eagerly: label state must not drag the
+    // whole join-loop lineage behind it (O(rounds) analysis and plan
+    // stringification otherwise — same hazard as PageRank's loop), and
+    // superseded rounds are reclaimed by the ContextCleaner.
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
-      .cache()
+      .localCheckpoint(true)
     // labels only ever decrease (min), so the label SUM is a monotone
     // convergence witness: equal sums between rounds ⟺ nothing changed.
     // One action per round instead of a materialize + a change-count job.
@@ -67,16 +71,15 @@ object ConnectedComponents {
         .select(col("a").as("node"), col("component"))
       val next = labels.select("node", "component").union(viaNeighbors)
         .groupBy("node").agg(min(col("component")).as("component"))
-        .cache()
+        .localCheckpoint(true)
       val s = next.agg(sum(col("component"))).head.getLong(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)
-      labels.unpersist()
       labels = next
       i += 1
     }
-    // labels stays cached (it is the returned frame); sym's rounds are
-    // done — dropping it here is what keeps k successive components()
+    // labels stays materialized (it is the returned frame); sym's rounds
+    // are done — dropping it here is what keeps k successive components()
     // calls from accumulating k edge caches in executor storage.
     sym.unpersist()
     labels
