@@ -45,10 +45,17 @@ object AlsPipeline {
     */
   def indexedTriples(ratings: DataFrame, user: String, item: String): DataFrame = {
     val r = ratings.cache()
-    val users = Indexing.withRowIndex(
-      r.select(col(user)).distinct(), "userId", Seq(col(user).asc))
-    val items = Indexing.withRowIndex(
-      r.select(col(item)).distinct(), "itemId", Seq(col(item).asc))
+    // Distributed id assignment (sort + zipWithIndex), not the
+    // single-task window form: a ratings fact table's user universe is
+    // itself fact-sized (10^8+ distinct at production scale). The Int
+    // cast is safe exactly as far as ALS is usable at all — MLlib ALS
+    // ids are Int, so past 2^31 distinct users the algorithm, not the
+    // indexing, is the binding constraint.
+    def ids(c: String, out: String) =
+      Indexing.zipWithIndexOrdered(r.select(col(c)).distinct(), out, Seq(col(c).asc))
+        .withColumn(out, col(out).cast("int"))
+    val users = ids(user, "userId")
+    val items = ids(item, "itemId")
     r.join(users, user).join(items, item)
       .select(col("userId"), col("itemId"), col("rating").cast("float").as("rating"))
   }
