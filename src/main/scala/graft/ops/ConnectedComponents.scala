@@ -51,13 +51,8 @@ object ConnectedComponents {
       sym.unpersist() // collected already; the result frame is driver-built
       return result
     }
-    // Each round is checkpointed eagerly: label state must not drag the
-    // whole join-loop lineage behind it (O(rounds) analysis and plan
-    // stringification otherwise — same hazard as PageRank's loop), and
-    // superseded rounds are reclaimed by the ContextCleaner.
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("component", col("node"))
-      .localCheckpoint(true)
     // labels only ever decrease (min), so the label SUM is a monotone
     // convergence witness: equal sums between rounds ⟺ nothing changed.
     // One action per round instead of a materialize + a change-count job.
@@ -69,9 +64,15 @@ object ConnectedComponents {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "b"), "b")
         .select(col("a").as("node"), col("component"))
-      val next = labels.select("node", "component").union(viaNeighbors)
+      var next = labels.select("node", "component").union(viaNeighbors)
         .groupBy("node").agg(min(col("component")).as("component"))
-        .localCheckpoint(true)
+      // Periodic lazy lineage truncation (same hazard as PageRank's
+      // loop: unbounded nesting makes each round's convergence action
+      // pay O(depth) analysis). Lazy — the sum action below
+      // materializes it; periodic — a checkpoint boundary erases size
+      // stats and demotes optimizer choices, so only cut every few
+      // rounds. Dedup graphs converge in 2-3 rounds and never hit it.
+      if ((i + 1) % 5 == 0) next = next.localCheckpoint(false)
       val s = next.agg(sum(col("component"))).head.getLong(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)

@@ -20,11 +20,22 @@ object PageRank {
 
   /** @param edges   directed weighted edges
     * @param damping teleport-complement factor (classic 0.85)
+    * @param checkpointEvery lineage-truncation cadence: every N
+    *        iterations the rank state is lazily localCheckpoint-ed so
+    *        the plan never nests more than N joins (unbounded nesting
+    *        makes per-action analysis + plan stringification O(depth),
+    *        heap-fatal past a few dozen rounds). Periodic — not
+    *        per-iteration — because a checkpoint boundary also erases
+    *        size stats, demoting the small rank-state join from
+    *        broadcast to shuffle; inside a window the optimizer keeps
+    *        full visibility. Swap in reliable `checkpoint` via
+    *        `setCheckpointDir` when executor-loss recompute-from-scratch
+    *        is unacceptable.
     * @return (node, rank) after `iters` synchronous updates from the
     *         uniform start 1/N
     */
   def run(edges: DataFrame, src: String, dst: String, weight: String,
-          iters: Int, damping: Double = 0.85): DataFrame = {
+          iters: Int, damping: Double = 0.85, checkpointEvery: Int = 15): DataFrame = {
     val nodes = edges.select(col(src).as("node"))
       .union(edges.select(col(dst).as("node"))).distinct().cache()
     val n = nodes.count()
@@ -35,21 +46,14 @@ object PageRank {
       .cache()
     val teleport = (1.0 - damping) / n
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = trans.join(ranks, trans("__u") === ranks("node"))
         .groupBy(col("__v")).agg(sum(col("rank") * col("__p")).as("__in"))
       ranks = nodes.join(contrib, nodes("node") === contrib("__v"), "left")
         .select(col("node"),
           round(lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)), 10).as("rank"))
-        // Truncate lineage each step: without this the final plan nests
-        // `iters` joins and every action pays O(depth) analysis + plan
-        // stringification (heap-fatal past a few dozen iterations).
-        // localCheckpoint trades executor-loss recovery for bounded
-        // plans — on a cluster that cannot re-run from scratch, point
-        // `sparkContext.setCheckpointDir` at durable storage and use
-        // reliable checkpoints instead. Superseded step state is
-        // reclaimed by the ContextCleaner once unreferenced.
-        .localCheckpoint(eager = true)
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(false)
     }
     nodes.unpersist(blocking = false)
     trans.unpersist(blocking = false)
