@@ -29,6 +29,28 @@ class GraphRetrievalSpec extends SparkSuite {
     assert(math.abs(total - 1.0) < 1e-6)
   }
 
+  test("PageRank: deep runs stay bounded (periodic lineage truncation)") {
+    // 40 iterations crosses two checkpoint windows; without periodic
+    // truncation the final plan nests 40 joins and the action's
+    // analysis + plan stringification dominate (or OOM). Result must
+    // match the recurrence regardless of where the cuts land.
+    val cycle = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("s", "d", "w")
+    val r = PageRank.run(cycle, "s", "d", "w", iters = 40)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r(1L) - 0.5) < 1e-9 && math.abs(r(2L) - 0.5) < 1e-9)
+  }
+
+  test("label propagation: long-diameter graph crosses checkpoint rounds") {
+    // A 14-edge path needs ~7 min-label rounds to converge — enough to
+    // cross the every-5-rounds truncation in the distributed loop
+    // (driverThreshold=0 forces it). All nodes must land on component 1.
+    val path = (1L to 14L).map(i => (i, i + 1)).toDF("s", "d")
+    val comps = graft.ops.ConnectedComponents
+      .labelPropagation(path, "s", "d", maxIter = 30, driverThreshold = 0L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(comps.size == 15 && comps.values.forall(_ == 1L))
+  }
+
   test("Bm25: higher tf scores higher at equal length; rarer term outweighs common") {
     val docs = Seq(
       (1L, "cat cat cat dog"),
