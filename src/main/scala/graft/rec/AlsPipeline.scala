@@ -58,6 +58,13 @@ object AlsPipeline {
     val items = ids(item, "itemId")
     r.join(users, user).join(items, item)
       .select(col("userId"), col("itemId"), col("rating").cast("float").as("rating"))
+      // Pin the physical layout: hash-partitioned on a FIXED count and
+      // sorted within partitions, so the row order entering ALS's
+      // blockifier is a pure function of the data — float accumulation
+      // order (and therefore factor bits) reproduce across runs. An
+      // explicit partition count keeps AQE from re-coalescing it.
+      .repartition(8, col("userId"))
+      .sortWithinPartitions("userId", "itemId")
   }
 
   def train(triples: DataFrame, cfg: Config): ALSModel =
