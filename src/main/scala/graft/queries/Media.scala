@@ -74,14 +74,27 @@ object Media {
         // let-bind the histogram: l2Normalize references its argument in
         // a per-element lambda, which would re-evaluate the whole
         // histogram 16x per row without the binding.
+        // Cached: the histogram scan (a full pass over every payload's
+        // bytes) feeds BOTH join sides — materializing the 16-double
+        // fingerprints runs it once, and shrinks the relation from
+        // payload-sized to fingerprint-sized (what actually broadcasts).
         val unit = Multimodal.assetsFromDocuments(T(spark, dir, "documents"))
           .select(col("asset_id"), col("modality"),
             graft.engine.functions.let(Multimodal.byteHistogramCounts(col("payload")))(
               h => graft.engine.functions.l2Normalize(h)).as("ne"))
+          .cache()
+        // Probe-side repartition + explicit candidate broadcast (the
+        // Reports.peerPairs pattern): the 3-value modality key would cap
+        // a shuffled join at 3 tasks; broadcasting the fingerprints and
+        // spreading the filtered probe side keeps the O(pairs) scoring
+        // stage at full cluster width. Exact all-pairs is inherently the
+        // small-corpus path — SimSearch LSH/IVF is the 100 TB route
+        // (SCALE.md).
+        val n = spark.sessionState.conf.numShufflePartitions
         val a = unit.select(col("asset_id"), col("modality"), col("ne").as("ne_a"))
-          .filter(col("asset_id") % 7 === 0)
+          .filter(col("asset_id") % 7 === 0).repartition(n)
         val b = unit.select(col("asset_id").as("other_id"), col("modality"), col("ne").as("ne_b"))
-        val pairs = a.join(b, Seq("modality"))
+        val pairs = a.join(broadcast(b), Seq("modality"))
           .filter(col("asset_id") =!= col("other_id"))
           .select(col("asset_id"), col("other_id"),
             round(DotProduct.dot(col("ne_a"), col("ne_b")), 6).as("cos_sim"))

@@ -256,10 +256,14 @@ object Reports {
       WHERE t.c_custkey % 5 = 0"""),
       (spark, dir) => {
         val g = customerGeo(spark, dir)
+        // Probe-side repartition + candidate broadcast — see [[peerPairs]]:
+        // without it the O(pairs) scoring stage inherits the tiny filtered
+        // scan's partitioning and runs nearly single-threaded.
+        val n = spark.sessionState.conf.numShufflePartitions
         val t = g.select(g.columns.toSeq.map(c => col(c).as(s"t_$c")): _*)
-          .filter(col("t_c_custkey") % 5 === 0)
+          .filter(col("t_c_custkey") % 5 === 0).repartition(n)
         val s = g.select(g.columns.toSeq.map(c => col(c).as(s"s_$c")): _*)
-        t.join(s, col("t_c_nationkey") === col("s_c_nationkey") &&
+        t.join(broadcast(s), col("t_c_nationkey") === col("s_c_nationkey") &&
             col("t_c_custkey") < col("s_c_custkey"))
           .select(col("t_c_custkey").as("a_custkey"), col("s_c_custkey").as("b_custkey"),
             round(F.haversineScore(col("t_lat"), col("t_lon"), col("s_lat"), col("s_lon")), 6)
@@ -276,10 +280,12 @@ object Reports {
       WHERE t.c_custkey % 5 = 0"""),
       (spark, dir) => {
         val g = customerGeo(spark, dir)
+        // Same probe-repartition + broadcast shape as q20 above.
+        val n = spark.sessionState.conf.numShufflePartitions
         val t = g.select(g.columns.toSeq.map(c => col(c).as(s"t_$c")): _*)
-          .filter(col("t_c_custkey") % 5 === 0)
+          .filter(col("t_c_custkey") % 5 === 0).repartition(n)
         val s = g.select(g.columns.toSeq.map(c => col(c).as(s"s_$c")): _*)
-        t.join(s, col("t_c_nationkey") === col("s_c_nationkey") &&
+        t.join(broadcast(s), col("t_c_nationkey") === col("s_c_nationkey") &&
             col("t_c_custkey") < col("s_c_custkey"))
           .select(col("t_c_custkey").as("a_custkey"), col("s_c_custkey").as("b_custkey"),
             round(F.hopsScoreHex(col("t_naics_num"), col("s_naics_num")), 4).as("hops_score"))
