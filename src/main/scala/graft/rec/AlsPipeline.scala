@@ -21,7 +21,14 @@ object AlsPipeline {
 
   case class Config(rank: Int = 15, maxIter: Int = 5, regParam: Double = 0.001,
                     implicitPrefs: Boolean = true, seed: Long = 0L, topK: Int = 5,
-                    numBlocks: Int = 8)
+                    numBlocks: Int = 8,
+                    // Storage for ALS's per-iteration factor/block RDDs.
+                    // MEMORY_ONLY ~2x faster cold here (no spill-file
+                    // serialization); on a cluster where factor blocks can
+                    // exceed executor memory, callers should pass
+                    // MEMORY_AND_DISK — an evicted MEMORY_ONLY block costs
+                    // a lineage recompute of the whole iteration chain.
+                    intermediateStorage: String = "MEMORY_ONLY")
 
   /** W1 preprocessing: percent_rank of intensity within user+item, plus
     * epsilon (`recommender_prod_rec.py:171-176`).
@@ -76,6 +83,7 @@ object AlsPipeline {
       // 32 blocks over ~150k ratings is all scheduling overhead. On a
       // real cluster callers raise this with data volume.
       .setNumUserBlocks(cfg.numBlocks).setNumItemBlocks(cfg.numBlocks)
+      .setIntermediateStorageLevel(cfg.intermediateStorage)
       .setUserCol("userId").setItemCol("itemId").setRatingCol("rating")
       .fit(triples)
 
