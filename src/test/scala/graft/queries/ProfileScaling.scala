@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only empirical-scaling harness: build key-shifted unions of the
+  * sf0.1 fact tables (customer/orders/lineitem x2, x4 — surrogate keys
+  * offset per copy so cross-table references stay consistent and no
+  * artificial duplicates collapse), then time the headline relational /
+  * report / ML flows at each scale. Dimension and content tables are
+  * passed through unchanged (content dedup workloads are deliberately
+  * NOT scaled this way: verbatim copies would near-dup against each
+  * other and grow the candidate space quadratically, measuring a
+  * different workload, not the same one scaled).
+  */
+object ProfileScaling {
+
+  def buildScaled(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    val fs = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.createDirectories(fs)
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val custShift = cust.agg(max("c_custkey")).head.getLong(0) + 1
+    val ordShift = ord.agg(max("o_orderkey")).head.getLong(0) + 1
+    def replicate(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      (0 until copies).map { i =>
+        shifts.foldLeft(df) { case (d, (c, s)) => d.withColumn(c, col(c) + lit(i * s)) }
+      }.reduce(_ unionByName _)
+    replicate(cust, Map("c_custkey" -> custShift))
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    replicate(ord, Map("o_orderkey" -> ordShift, "o_custkey" -> custShift))
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    replicate(li, Map("l_orderkey" -> ordShift))
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    // pass-through tables the measured queries need as dimensions
+    Seq("nation", "region", "part", "supplier").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dirs = Seq(1 -> src) ++ Seq(2, 4).map { c =>
+      val d = s"/tmp/graft_scale_x$c"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/lineitem.parquet"))) {
+        println(s"[scale] building x$c at $d")
+        buildScaled(spark, src, d, c)
+      }
+      c -> d
+    }
+
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q01_pricing_summary", "q05_revenue_by_nation", "q12_topk_customers",
+      "q13_confidence", "q14_penetration", "q22_peer_search",
+      "q40_als_recommend", "q44_peer_search_flow",
+    ).map(n => n -> graft.SparkEntry.queries(n))
+
+    // warm-up
+    spark.read.parquet(s"$src/lineitem.parquet").groupBy("l_returnflag").count().collect()
+    for ((mult, dir) <- dirs; (name, fn) <- queries) {
+      def once(): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = math.min(once(), once())
+      println(f"[scale] x$mult%-2d $name%-24s $t%7.2f s")
+    }
+    spark.stop()
+  }
+}
