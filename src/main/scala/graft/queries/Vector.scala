@@ -29,6 +29,47 @@ object Vector {
     s"""list_aggregate(list_transform(range(1, len($a) + 1),
         i -> $a[i] * $b[i]), 'sum')"""
 
+  /** The ±1 hyperplane sign for LSH bit `j`, dimension `i` — evaluated
+    * with the same Catalyst XxHash64 (seed 42, int-typed children) that
+    * `SimSearch.hyperplaneLshPairs` executes per row, so the oracle's
+    * literal sign matrix is bit-identical to the runtime's.
+    */
+  private def lshSign(j: Int, i: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(j), Literal(i)), 42L).eval(null).asInstanceOf[Long]
+    if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0   // pmod(h, 2) == 0 -> keep x
+  }
+
+  /** SQL twin of `SimSearch.hyperplaneLshPairs`: sign matrix as literal
+    * rows, per-bit signed sums folded left-to-right, signature string
+    * equality for candidates, exact-dot verify at 6 dp.
+    */
+  private def hyperplaneLshSql(nBits: Int, dim: Int, minCos: Double): String = {
+    val signRows = (0 until nBits).map { j =>
+      (0 until dim).map(i => if (lshSign(j, i) > 0) "1.0" else "-1.0")
+        .mkString(s"($j, [", ", ", "])")
+    }.mkString(",\n        ")
+    s"""
+      WITH $unitSql,
+      signs AS (SELECT * FROM (VALUES
+        $signRows) AS t(j, sv)),
+      sigbits AS (
+        SELECT u.vec_id, s.j,
+               CASE WHEN list_aggregate(list_transform(range(1, len(u.ne) + 1),
+                        i -> u.ne[i] * s.sv[i]), 'sum') > 0
+                    THEN '1' ELSE '0' END AS b
+        FROM un u CROSS JOIN signs s),
+      sig AS (SELECT vec_id, string_agg(b, '' ORDER BY j) AS sg
+              FROM sigbits GROUP BY vec_id),
+      cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM sig a JOIN sig b ON a.sg = b.sg AND a.vec_id < b.vec_id)
+      SELECT c.id_a, c.id_b, round(${dotSql("a.ne", "b.ne")}, 6) AS cos_sim
+      FROM cand c
+      JOIN un a ON a.vec_id = c.id_a
+      JOIN un b ON b.vec_id = c.id_b
+      WHERE round(${dotSql("a.ne", "b.ne")}, 6) >= $minCos"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Brute-force exact ANN baseline: top-10 cosine neighbors for each
@@ -79,9 +120,13 @@ object Vector {
 
     // Random-hyperplane LSH cosine near-dup (the 100 TB replacement for
     // the quadratic q24): signature shuffle + in-bucket exact verify.
-    // xxhash64-seeded hyperplanes are not DuckDB-reproducible → rows-only
-    // gate; recall/determinism are spec-checked (LlmOpsSpec).
-    QueryDef("q53_hyperplane_lsh", None,
+    // Full hash oracle: the hyperplanes are xxhash64-derived ±1 signs —
+    // a pure function of (bit, dim), no RNG state — so the 6×64 sign
+    // matrix is evaluated once here (Catalyst XxHash64, the exact
+    // runtime semantics incl. the seed) and embedded as literals in the
+    // SQL twin; the signature fold is the same left-to-right double sum
+    // the other vector oracles already replay IEEE-identically.
+    QueryDef("q53_hyperplane_lsh", Some(hyperplaneLshSql(nBits = 6, dim = 64, minCos = 0.15)),
       (spark, dir) =>
         SimSearch.hyperplaneLshPairs(T(spark, dir, "embeddings"),
           "vec_id", "embedding", minCos = 0.15, nBits = 6)),
