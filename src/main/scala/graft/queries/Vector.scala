@@ -44,13 +44,17 @@ object Vector {
     * rows, per-bit signed sums folded left-to-right, signature string
     * equality for candidates, exact-dot verify at 6 dp.
     */
-  private def hyperplaneLshSql(nBits: Int, dim: Int, minCos: Double): String = {
+  /** CTE chain replaying the LSH pipeline up to verified pairs:
+    * `du`/`un` (unit vectors), `signs` (literal matrix), `sigbits`/`sig`
+    * (per-bit signed sums → signature string), `cand` (signature
+    * collisions), `lshpairs` (exact-dot verified at 6 dp).
+    */
+  private def hyperplaneCtes(nBits: Int, dim: Int, minCos: Double): String = {
     val signRows = (0 until nBits).map { j =>
       (0 until dim).map(i => if (lshSign(j, i) > 0) "1.0" else "-1.0")
         .mkString(s"($j, [", ", ", "])")
     }.mkString(",\n        ")
-    s"""
-      WITH $unitSql,
+    s"""$unitSql,
       signs AS (SELECT * FROM (VALUES
         $signRows) AS t(j, sv)),
       sigbits AS (
@@ -62,13 +66,41 @@ object Vector {
       sig AS (SELECT vec_id, string_agg(b, '' ORDER BY j) AS sg
               FROM sigbits GROUP BY vec_id),
       cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-               FROM sig a JOIN sig b ON a.sg = b.sg AND a.vec_id < b.vec_id)
-      SELECT c.id_a, c.id_b, round(${dotSql("a.ne", "b.ne")}, 6) AS cos_sim
-      FROM cand c
-      JOIN un a ON a.vec_id = c.id_a
-      JOIN un b ON b.vec_id = c.id_b
-      WHERE round(${dotSql("a.ne", "b.ne")}, 6) >= $minCos"""
+               FROM sig a JOIN sig b ON a.sg = b.sg AND a.vec_id < b.vec_id),
+      lshpairs AS (
+        SELECT c.id_a, c.id_b, round(${dotSql("a.ne", "b.ne")}, 6) AS cos_sim
+        FROM cand c
+        JOIN un a ON a.vec_id = c.id_a
+        JOIN un b ON b.vec_id = c.id_b
+        WHERE round(${dotSql("a.ne", "b.ne")}, 6) >= $minCos)"""
   }
+
+  private def hyperplaneLshSql(nBits: Int, dim: Int, minCos: Double): String =
+    s"""
+      WITH ${hyperplaneCtes(nBits, dim, minCos)}
+      SELECT id_a, id_b, cos_sim FROM lshpairs"""
+
+  /** SQL twin of q99: LSH-verified cosine edges → transitive closure
+    * (recursive CTE — tractable at oracle scale; the Spark side's
+    * label-propagation/union-find is the one that scales) → drop every
+    * node that is not its component's min id.
+    */
+  private def semanticDedupSql(nBits: Int, dim: Int, minCos: Double): String =
+    s"""
+      WITH RECURSIVE ${hyperplaneCtes(nBits, dim, minCos)},
+      sym AS (SELECT id_a AS a, id_b AS b FROM lshpairs
+              UNION SELECT id_b, id_a FROM lshpairs
+              UNION SELECT id_a, id_a FROM lshpairs
+              UNION SELECT id_b, id_b FROM lshpairs),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+      losers AS (SELECT node FROM comp WHERE component < node)
+      SELECT e.vec_id, e.label
+      FROM embeddings e LEFT JOIN losers l ON e.vec_id = l.node
+      WHERE l.node IS NULL"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -130,6 +162,20 @@ object Vector {
       (spark, dir) =>
         SimSearch.hyperplaneLshPairs(T(spark, dir, "embeddings"),
           "vec_id", "embedding", minCos = 0.15, nBits = 6)),
+
+    // Semantic dedup end-to-end: embedding-cosine near-dup edges (LSH
+    // candidates, exact-dot verified) clustered to duplicate groups, one
+    // representative (min vec_id) kept per group — the embedding-space
+    // counterpart of the q77/q79 text dedup flows, full hash oracle.
+    QueryDef("q99_semantic_dedup", Some(semanticDedupSql(nBits = 6, dim = 64, minCos = 0.3)),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        val edges = SimSearch.hyperplaneLshPairs(emb, "vec_id", "embedding",
+            minCos = 0.3, nBits = 6)
+          .select(col("id_a"), col("id_b"))
+        graft.ops.ConnectedComponents.dedupByComponents(
+          emb.select(col("vec_id"), col("label")), "vec_id", edges, "id_a", "id_b")
+      }),
 
     // IVF-bucketed approximate ANN: deterministic centroids (16 lowest
     // vec_ids), corpus bucketed by nearest centroid, queries probe their
