@@ -32,10 +32,15 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("pair-scoring joins broadcast the candidate side") {
+  test("pair-scoring joins broadcast the candidate side and spread the probe") {
     Seq("q76_media_fingerprint", "q20_haversine", "q31_token_jaccard").foreach { name =>
       val p = planOf(q(name))
       assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast:\n${p.take(2000)}")
+      // the probe-side round-robin exchange must survive AQE coalescing —
+      // without it the O(pairs) stage inherits the filtered scan's 1-2
+      // partitions (the round-7 q76 pathology)
+      assert(p.contains("RoundRobinPartitioning"),
+        s"$name lost its probe-side repartition:\n${p.take(2000)}")
     }
   }
 
