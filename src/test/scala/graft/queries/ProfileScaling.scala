@@ -42,27 +42,36 @@ object ProfileScaling {
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    // cores, data multiples, and query list overridable via env so the
+    // same harness measures weak scaling (data grows, cores fixed) and
+    // strong scaling (data fixed, cores vary)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val mults = sys.env.get("SPARK_GRAFT_MULTS")
+      .map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(1, 2, 4))
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dirs = Seq(1 -> src) ++ Seq(2, 4).map { c =>
-      val d = s"/tmp/graft_scale_x$c"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/lineitem.parquet"))) {
-        println(s"[scale] building x$c at $d")
-        buildScaled(spark, src, d, c)
-      }
-      c -> d
+    val dirs = mults.map {
+      case 1 => 1 -> src
+      case c =>
+        val d = s"/tmp/graft_scale_x$c"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/lineitem.parquet"))) {
+          println(s"[scale] building x$c at $d")
+          buildScaled(spark, src, d, c)
+        }
+        c -> d
     }
 
-    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "q01_pricing_summary", "q05_revenue_by_nation", "q12_topk_customers",
-      "q13_confidence", "q14_penetration", "q22_peer_search",
-      "q40_als_recommend", "q44_peer_search_flow",
-    ).map(n => n -> graft.SparkEntry.queries(n))
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] =
+      sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq).getOrElse(Seq(
+        "q01_pricing_summary", "q05_revenue_by_nation", "q12_topk_customers",
+        "q13_confidence", "q14_penetration", "q22_peer_search",
+        "q40_als_recommend", "q44_peer_search_flow",
+      )).map(n => n -> graft.SparkEntry.queries(n))
 
     // warm-up
     spark.read.parquet(s"$src/lineitem.parquet").groupBy("l_returnflag").count().collect()
