@@ -62,7 +62,13 @@ object AlsPipeline {
       Indexing.zipWithIndexOrdered(r.select(col(c)).distinct(), out, Seq(col(c).asc))
         .withColumn(out, col(out).cast("int"))
     val users = ids(user, "userId")
-    val items = ids(item, "itemId")
+    // Item universes are catalog-dimension scale (brands/SKUs), not
+    // fact scale — the single-task window is the documented dimension
+    // path and skips a distinct-shuffle + range-sort + zip job. The id
+    // assignment (0-based over ascending sort) is identical to the
+    // zipWithIndexOrdered form, so swapping paths never changes ids.
+    val items = Indexing.withRowIndex(r.select(col(item)).distinct(), "itemId",
+      Seq(col(item).asc))
     r.join(users, user).join(items, item)
       .select(col("userId"), col("itemId"), col("rating").cast("float").as("rating"))
       // Pin the physical layout: hash-partitioned on a FIXED count and
