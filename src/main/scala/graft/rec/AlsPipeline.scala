@@ -52,8 +52,8 @@ object AlsPipeline {
     */
   def indexedTriples(ratings: DataFrame, user: String, item: String): DataFrame = {
     val r = ratings.cache()
-    // Distributed id assignment (sort + zipWithIndex), not the
-    // single-task window form: a ratings fact table's user universe is
+    // USER ids: distributed assignment (sort + zipWithIndex), not the
+    // single-task window form — a ratings fact table's user universe is
     // itself fact-sized (10^8+ distinct at production scale). The Int
     // cast is safe exactly as far as ALS is usable at all — MLlib ALS
     // ids are Int, so past 2^31 distinct users the algorithm, not the
