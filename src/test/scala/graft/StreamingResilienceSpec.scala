@@ -59,6 +59,37 @@ class StreamingResilienceSpec extends SparkSuite {
     assert(spark.read.parquet(outDir).count() === total)
   }
 
+  test("windowed aggregation state merges correctly across micro-batches") {
+    // Everything else drains the corpus in ONE batch; this forces 4
+    // (maxFilesPerTrigger = 1 over 4 source files, each spanning the
+    // whole time range) so per-window state must accumulate across
+    // batches to match the batch-mode result.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val srcDir = Files.createTempDirectory("graft_multibatch")
+    (0 until 4).foreach(i =>
+      addFile(events.filter(col("event_id") % 4 === i), srcDir, s"part$i.parquet"))
+    val agg = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"), col("sum_value"))
+    val name = s"graft_mb_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4, "expected >= 4 non-empty batches")
+    val streamed = spark.table(name).collect().toSet
+    spark.catalog.dropTempView(name)
+    val batch = events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("h"), col("event_type"), col("n"), col("sum_value"))
+      .collect().toSet
+    assert(streamed === batch)
+  }
+
   test("RocksDB state store provider yields identical windowed aggregates") {
     val default = EventStreams.hourlyStreaming(spark, sf).collect().toSet
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
