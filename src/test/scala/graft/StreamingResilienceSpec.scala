@@ -90,6 +90,56 @@ class StreamingResilienceSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("append-mode watermark finalizes windows across time-ordered batches") {
+    // Time-ordered files + maxFilesPerTrigger=1 make the watermark
+    // advance batch by batch — the eviction mechanism that bounds state
+    // on an unbounded stream. Append mode only emits a window once the
+    // watermark passes its end, so the final output must (a) agree with
+    // the batch result on every emitted window and (b) contain every
+    // window that closed below the final watermark.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("tsv", expr("ts div 1000"))
+    val qs = events.stat.approxQuantile("tsv", Array(0.25, 0.5, 0.75), 0.0)
+    val srcDir = Files.createTempDirectory("graft_wm")
+    val bounds = (Double.MinValue +: qs.map(_.toDouble)) :+ Double.MaxValue
+    bounds.sliding(2).zipWithIndex.foreach { case (pair, i) =>
+      val (lo, hi) = (pair(0), pair(1))
+      addFile(events.filter(col("tsv") > lo && col("tsv") <= hi).drop("tsv"),
+        srcDir, s"t$i.parquet")
+    }
+    val agg = spark.readStream.schema(events.drop("tsv").schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.end").as("we"), col("event_type"), col("n"))
+    val name = s"graft_wm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    spark.catalog.dropTempView(name)
+
+    val batchRows = events
+      .withColumn("ts", timestamp_micros(col("tsv")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.end").as("we"), col("event_type"), col("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val wmMs = events.agg(max("tsv")).head.getLong(0) / 1000 - 3600 * 1000
+    // (a) nothing wrong was emitted
+    assert(streamed.subsetOf(batchRows),
+      s"append emitted windows that disagree with batch: ${streamed.diff(batchRows).take(3)}")
+    // (b) everything that closed below the final watermark was emitted
+    val mustEmit = batchRows.filter(_._1.getTime <= wmMs)
+    assert(mustEmit.subsetOf(streamed),
+      s"closed windows missing from append output: ${mustEmit.diff(streamed).take(3)}")
+    assert(streamed.nonEmpty && streamed.size < batchRows.size,
+      "expected some windows emitted and the tail (above watermark) held back")
+  }
+
   test("RocksDB state store provider yields identical windowed aggregates") {
     val default = EventStreams.hourlyStreaming(spark, sf).collect().toSet
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
