@@ -204,6 +204,14 @@ class OpsSpec extends SparkSuite {
       .join(graft.ops.GlobalRank.withRowNumber(withNulls, "rn_g", ord2)
         .select("c_custkey", "rn_g"), "c_custkey")
     assert(parity.filter(col("rn_w") =!= col("rn_g")).count() == 0)
+    // fewer rows than tiles: ntile's one-row-per-bucket degenerate case
+    val tiny = Seq((1L, 5.0), (2L, 1.0), (3L, 9.0)).toDF("id", "v")
+    val ordT = Seq(col("v"), col("id"))
+    val tinyParity = tiny
+      .withColumn("nt_w", ntile(10).over(Window.orderBy(ordT: _*)))
+      .join(graft.ops.GlobalRank.withNtile(tiny, "nt_g", 10, ordT)
+        .select("id", "nt_g"), "id")
+    assert(tinyParity.filter(col("nt_w") =!= col("nt_g")).count() == 0)
   }
 
   test("RangeJoin.pointInInterval matches the naive BETWEEN join") {
