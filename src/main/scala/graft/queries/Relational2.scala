@@ -181,15 +181,23 @@ object Relational2 {
       WHERE r_name = (SELECT min(r_name) FROM region)
       GROUP BY n_name"""),
       (spark, dir) => {
+        // Dimension-first join order: resolve region -> nations once
+        // (tiny broadcast), prune CUSTOMERS to the selected region
+        // before any fact join — without CBO Catalyst keeps the declared
+        // order, and joining the facts first would carry 5x the rows
+        // through the two big joins just to filter them at the end.
         val minRegion = T(spark, dir, "region").agg(min(col("r_name")).as("r_min"))
+        val nations = T(spark, dir, "nation")
+          .join(broadcast(T(spark, dir, "region")
+            .join(broadcast(minRegion), col("r_name") === col("r_min"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
         T(spark, dir, "customer")
+          .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
           .join(T(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
           .join(T(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
           .join(T(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
-          .join(T(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
-          .join(T(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
-          .join(broadcast(minRegion), col("r_name") === col("r_min"))
           .groupBy("n_name")
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
       }),
