@@ -54,13 +54,16 @@ object AlsPipeline {
     val r = ratings.cache()
     // USER ids: distributed assignment (sort + zipWithIndex), not the
     // single-task window form — a ratings fact table's user universe is
-    // itself fact-sized (10^8+ distinct at production scale). The Int
-    // cast is safe exactly as far as ALS is usable at all — MLlib ALS
-    // ids are Int, so past 2^31 distinct users the algorithm, not the
-    // indexing, is the binding constraint.
+    // itself fact-sized (10^8+ distinct at production scale). MLlib ALS
+    // ids are Int; past 2^31 distinct values the row-level raise_error
+    // fails the job fast (zero extra jobs/actions) instead of silently
+    // truncating ids into collisions.
     def ids(c: String, out: String) =
       Indexing.zipWithIndexOrdered(r.select(col(c)).distinct(), out, Seq(col(c).asc))
-        .withColumn(out, col(out).cast("int"))
+        .withColumn(out,
+          when(col(out) > Int.MaxValue.toLong,
+            raise_error(concat(lit(s"$out exceeds Int range at id "), col(out))))
+            .otherwise(col(out)).cast("int"))
     val users = ids(user, "userId")
     // Item universes are catalog-dimension scale (brands/SKUs), not
     // fact scale — the single-task window is the documented dimension
