@@ -204,6 +204,67 @@ object SimSearch {
       .filter(col("cos_sim") >= minCos)
   }
 
+  /** Multi-probe variant of [[hyperplaneLshPairs]] (Lv et al., VLDB'07
+    * "Multi-Probe LSH", adapted to sign-random-projection): each vector
+    * additionally probes the `nProbe` signatures obtained by flipping
+    * its lowest-|margin| bits — the bits whose hyperplane the vector
+    * sits closest to, i.e. exactly the bits most likely to differ
+    * across a true near-dup pair. Recall rises toward multi-table LSH
+    * recall at the cost of (1 + nProbe) signature rows per vector,
+    * WITHOUT extra hash tables or a second pass over the vectors.
+    *
+    * Same scale shape as the single-probe form: only (id, sig) rows
+    * enter the collision shuffle, candidates dedupe before the exact
+    * verify, vectors never shuffle. Candidate set is a superset of the
+    * single-probe candidates (probe 0 is the unflipped signature), so
+    * recall is monotone in nProbe; results remain exact-verified and
+    * fully deterministic.
+    */
+  def hyperplaneLshPairsMultiProbe(corpus: DataFrame, idCol: String, embCol: String,
+                                   minCos: Double, nBits: Int = 12,
+                                   nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 0 && nProbe <= nBits, s"nProbe must be in [0, $nBits]")
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne")
+    val signed = (0 until nBits).map { j =>
+      aggregate(
+        zip_with(col("__ne"), sequence(lit(0), size(col("__ne")) - 1),
+          (x, i) => when(pmod(xxhash64(lit(j), i), lit(2)) === 0, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x).as(s"__s$j")
+    }
+    val withSums = c.select((col(idCol) +: col("__ne") +: signed.map(x => x)): _*)
+    val bitCols = (0 until nBits).map(j =>
+      when(col(s"__s$j") > 0, lit(1)).otherwise(lit(0)).cast("string"))
+    val base = concat(bitCols: _*)
+    // rank bits by |margin| ascending; flip the nProbe closest ones,
+    // one at a time (the standard 1-bit perturbation set)
+    val margins = array((0 until nBits).map(j =>
+      struct(abs(col(s"__s$j")).as("m"), lit(j).as("j"))): _*)
+    val flipOrder = transform(array_sort(margins), s => s.getField("j"))
+    val withBase = withSums.withColumn("__base", base)
+      .withColumn("__flip", flipOrder)
+    val probes = (0 until nProbe).map { p =>
+      // flip 0-based bit j = __flip[p] of the base signature
+      val j = element_at(col("__flip"), p + 1)
+      concat(
+        col("__base").substr(lit(1), j), // bits 0..j-1
+        when(col("__base").substr(j + 1, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+        col("__base").substr(j + 2, lit(nBits)))
+    }
+    val sigs = withBase.select(col(idCol),
+      explode(array((col("__base") +: probes).map(_.cast("string")): _*)).as("__sig"))
+      .distinct().cache()
+    val cand = sigs.select(col("__sig"), col(idCol).as("id_a"))
+      .join(sigs.select(col("__sig"), col(idCol).as("id_b")), Seq("__sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    c.select(col(idCol).as("id_a"), col("__ne").as("__ea"))
+      .join(cand, "id_a")
+      .join(c.select(col(idCol).as("id_b"), col("__ne").as("__eb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("__ea"), col("__eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
+  }
+
   /** All pairs above a cosine threshold within a (filtered) corpus —
     * embedding near-dup detection. Quadratic in the filtered size; the
     * scale path buckets first ([[ivfTopK]] or [[hyperplaneLshPairs]]).

@@ -186,6 +186,29 @@ class LlmOpsSpec extends SparkSuite {
     assert(got == again)
   }
 
+  test("hyperplaneLshPairsMultiProbe: superset of single-probe, higher recall, deterministic") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val minCos = 0.3
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val single = pairSet(SimSearch.hyperplaneLshPairs(emb, "vec_id", "embedding", minCos, nBits = 8))
+    val multi = pairSet(SimSearch.hyperplaneLshPairsMultiProbe(
+      emb, "vec_id", "embedding", minCos, nBits = 8, nProbe = 3))
+    // probe 0 is the unflipped signature: candidates only grow
+    assert(single.subsetOf(multi),
+      s"multi-probe lost single-probe pairs: ${single.diff(multi).take(3)}")
+    // every emitted pair is exact-verified -> precision 1 by construction;
+    // recall against the exact ground truth must not decrease (and on
+    // this corpus strictly improves)
+    val truth = pairSet(SimSearch.thresholdPairs(emb, "vec_id", "embedding", minCos))
+    assert(multi.subsetOf(truth))
+    assert(multi.size > single.size,
+      s"expected extra recall from 3 probes: single=${single.size} multi=${multi.size}")
+    val again = pairSet(SimSearch.hyperplaneLshPairsMultiProbe(
+      emb, "vec_id", "embedding", minCos, nBits = 8, nProbe = 3))
+    assert(multi == again)
+  }
+
   test("Multimodal.extractFeatures: deterministic histogram, L1-normalized") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
     val assets = Multimodal.assetsFromDocuments(docs)
