@@ -80,6 +80,53 @@ object Vector {
       WITH ${hyperplaneCtes(nBits, dim, minCos)}
       SELECT id_a, id_b, cos_sim FROM lshpairs"""
 
+  /** SQL twin of the multi-probe LSH pairs: per-bit signed sums kept as
+    * VALUES (not just signs), flip order = struct sort by (|margin|, j)
+    * — identical lexicographic struct ordering on both engines — and
+    * each of the `nProbe` single-bit flips emitted as an extra probe
+    * signature before the collision join + exact-dot verify.
+    */
+  private def multiProbeLshSql(nBits: Int, dim: Int, minCos: Double, nProbe: Int): String = {
+    val signRows = (0 until nBits).map { j =>
+      (0 until dim).map(i => if (lshSign(j, i) > 0) "1.0" else "-1.0")
+        .mkString(s"($j, [", ", ", "])")
+    }.mkString(",\n        ")
+    val flipProbes = (1 to nProbe).map { p =>
+      s"""
+      SELECT vec_id,
+             substr(base, 1, flips[$p]) ||
+             (CASE WHEN substr(base, flips[$p] + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+             substr(base, flips[$p] + 2) AS sg
+      FROM sigfull"""
+    }.mkString("\n      UNION ALL")
+    s"""
+      WITH $unitSql,
+      signs AS (SELECT * FROM (VALUES
+        $signRows) AS t(j, sv)),
+      sums AS (
+        SELECT u.vec_id, s.j,
+               list_aggregate(list_transform(range(1, len(u.ne) + 1),
+                   i -> u.ne[i] * s.sv[i]), 'sum') AS sv
+        FROM un u CROSS JOIN signs s),
+      sigfull AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS base,
+               list_transform(list_sort(list(struct_pack(m := abs(sv), j := j))),
+                 x -> x.j) AS flips
+        FROM sums GROUP BY vec_id),
+      probes AS (
+        SELECT DISTINCT vec_id, sg FROM (
+          SELECT vec_id, base AS sg FROM sigfull
+          UNION ALL$flipProbes)),
+      cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+               FROM probes a JOIN probes b ON a.sg = b.sg AND a.vec_id < b.vec_id)
+      SELECT c.id_a, c.id_b, round(${dotSql("a.ne", "b.ne")}, 6) AS cos_sim
+      FROM cand c
+      JOIN un a ON a.vec_id = c.id_a
+      JOIN un b ON b.vec_id = c.id_b
+      WHERE round(${dotSql("a.ne", "b.ne")}, 6) >= $minCos"""
+  }
+
   /** SQL twin of q99: LSH-verified cosine edges → transitive closure
     * (recursive CTE — tractable at oracle scale; the Spark side's
     * label-propagation/union-find is the one that scales) → drop every
@@ -162,6 +209,17 @@ object Vector {
       (spark, dir) =>
         SimSearch.hyperplaneLshPairs(T(spark, dir, "embeddings"),
           "vec_id", "embedding", minCos = 0.15, nBits = 6)),
+
+    // Multi-probe hyperplane LSH: each vector also probes its nProbe
+    // lowest-|margin| bit flips — recall toward multi-table LSH without
+    // extra hash tables (Lv et al. VLDB'07 adapted to sign projection).
+    // Full hash oracle via the literal sign matrix + identical struct
+    // sort for the flip order.
+    QueryDef("q100_multiprobe_lsh",
+      Some(multiProbeLshSql(nBits = 8, dim = 64, minCos = 0.3, nProbe = 2)),
+      (spark, dir) =>
+        SimSearch.hyperplaneLshPairsMultiProbe(T(spark, dir, "embeddings"),
+          "vec_id", "embedding", minCos = 0.3, nBits = 8, nProbe = 2)),
 
     // Semantic dedup end-to-end: embedding-cosine near-dup edges (LSH
     // candidates, exact-dot verified) clustered to duplicate groups, one
