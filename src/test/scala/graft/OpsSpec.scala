@@ -214,6 +214,27 @@ class OpsSpec extends SparkSuite {
     assert(tinyParity.filter(col("nt_w") =!= col("nt_g")).count() == 0)
   }
 
+  test("IncrementalAgg.merge over any partition of the input equals the direct aggregate") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("k"), col("l_quantity").as("q"),
+        col("l_extendedprice").as("p"))
+    val direct = li.groupBy("k")
+      .agg(sum("q").as("q"), min("p").as("p_min"), max("p").as("p_max"))
+    // three uneven daily "partitions", each pre-aggregated
+    val parts = Seq(col("p") < 20000, col("p") >= 20000 && col("p") < 40000,
+      col("p") >= 40000).map { pred =>
+      li.filter(pred).groupBy("k")
+        .agg(sum("q").as("q"), min("p").as("p_min"), max("p").as("p_max"))
+    }
+    val merged = graft.ops.IncrementalAgg.merge(parts, Seq("k"),
+      sumCols = Seq("q"), minCols = Seq("p_min"), maxCols = Seq("p_max"))
+    val joined = direct.alias("d").join(merged.alias("m"), "k")
+    assert(joined.count() == direct.count())
+    assert(joined.filter(abs(col("d.q") - col("m.q")) > 1e-6 ||
+      col("d.p_min") =!= col("m.p_min") || col("d.p_max") =!= col("m.p_max"))
+      .count() == 0)
+  }
+
   test("RangeJoin.pointInInterval matches the naive BETWEEN join") {
     val pts = (0 until 200).map(i => (i, i * 7.3 % 100)).toDF("pid", "x")
     val iv = (0 until 30).map(i => (i, i * 3.1, i * 3.1 + 12.5)).toDF("iid", "lo", "hi")
