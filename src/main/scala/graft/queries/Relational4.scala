@@ -280,16 +280,19 @@ object Relational4 {
       WHERE a.c_custkey % 97 = 0 AND levenshtein(a.c_name, b.c_name) <= 2"""),
       (spark, dir) => {
         val c = T(spark, dir, "customer")
-        // Probe-side repartition + candidate broadcast (the Reports.q20
+        // Probe-side repartition + salted pair join (the Reports.q20
         // pattern): the %97-filtered probe scan arrives in 1-2 splits and
         // would otherwise run the per-pair levenshtein stage nearly
-        // single-threaded.
+        // single-threaded; the salt keeps the non-broadcast fallback
+        // wider than the 25-value nation key.
         val n = spark.sessionState.conf.numShufflePartitions
-        val a = c.select(col("c_custkey").as("a_key"), col("c_nationkey"),
+        val a = c.select(col("c_custkey").as("a_key"), col("c_nationkey").as("a_nation"),
           col("c_name").as("a_name")).filter(col("a_key") % 97 === 0).repartition(n)
-        val b = c.select(col("c_custkey").as("b_key"), col("c_nationkey"),
+        val b = c.select(col("c_custkey").as("b_key"), col("c_nationkey").as("b_nation"),
           col("c_name").as("b_name"))
-        a.join(broadcast(b), Seq("c_nationkey")).filter(col("a_key") < col("b_key"))
+        graft.ops.Salt.saltedPairJoin(a, b, "a_nation", "b_nation", "b_key",
+            graft.ops.Salt.widthSalts(spark, keyCardinality = 25),
+            col("a_key") < col("b_key"))
           .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
           .filter(col("dist") <= 2)
           .select(col("a_key"), col("b_key"), col("dist"))

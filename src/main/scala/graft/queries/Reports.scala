@@ -85,13 +85,17 @@ object Reports {
     */
   def peerPairs(spark: SparkSession, dir: String): DataFrame = {
     val g = customerGeo(spark, dir)
-    // Round-robin repartition of the probe side: the candidate side is
-    // broadcast, so the join + per-pair scoring inherit the probe side's
+    // Round-robin repartition of the probe side: when the candidate side
+    // broadcasts, the join + per-pair scoring inherit the probe side's
     // partitioning — a single-file scan would otherwise run the whole
     // O(pairs) blend single-threaded. One tiny shuffle of the targets
-    // buys full-width parallelism for the explosive stage (the same
-    // pattern a 1000-executor cluster needs when the probe side arrives
-    // in a handful of splits).
+    // buys full-width parallelism for the explosive stage.
+    //
+    // The join itself goes through Salt.saltedPairJoin: the nation key
+    // has only 25 values, so once the candidate side outgrows a
+    // broadcast the shuffled fallback would cap the pair stage at 25
+    // tasks. Salting makes the fallback key (nation, salt) with
+    // 25·salts values — cluster-width parallelism either way.
     val n = spark.sessionState.conf.numShufflePartitions
     val t = g.select(g.columns.toSeq.map(c => col(c).as(s"t_$c")): _*)
       .filter(col("t_c_custkey") % 7 === 0).repartition(n)
@@ -99,7 +103,9 @@ object Reports {
     val sim = lit(1.0) - abs(col("t_c_acctbal") - col("s_c_acctbal")) / lit(11000.0)
     val hops = F.hopsScoreHex(col("t_naics_num"), col("s_naics_num"))
     val havs = F.haversineScore(col("t_lat"), col("t_lon"), col("s_lat"), col("s_lon"))
-    t.join(s, col("t_c_nationkey") === col("s_c_nationkey") &&
+    graft.ops.Salt.saltedPairJoin(t, s,
+        "t_c_nationkey", "s_c_nationkey", "s_c_custkey",
+        graft.ops.Salt.widthSalts(spark, keyCardinality = 25),
         col("s_c_custkey") =!= col("t_c_custkey"))
       .select(col("t_c_custkey").as("prospect"), col("s_c_custkey").as("src_custkey"),
         round(F.blendedScore(sim, hops, havs), 6).as("score"))
@@ -256,14 +262,17 @@ object Reports {
       WHERE t.c_custkey % 5 = 0"""),
       (spark, dir) => {
         val g = customerGeo(spark, dir)
-        // Probe-side repartition + candidate broadcast — see [[peerPairs]]:
-        // without it the O(pairs) scoring stage inherits the tiny filtered
-        // scan's partitioning and runs nearly single-threaded.
+        // Probe-side repartition + salted pair join — see [[peerPairs]].
+        // No forced broadcast: AQE picks broadcast-hash while the
+        // candidate side is small and degrades to a (nation, salt)
+        // exchange — not a 25-task funnel or a driver OOM — at scale.
         val n = spark.sessionState.conf.numShufflePartitions
         val t = g.select(g.columns.toSeq.map(c => col(c).as(s"t_$c")): _*)
           .filter(col("t_c_custkey") % 5 === 0).repartition(n)
         val s = g.select(g.columns.toSeq.map(c => col(c).as(s"s_$c")): _*)
-        t.join(broadcast(s), col("t_c_nationkey") === col("s_c_nationkey") &&
+        graft.ops.Salt.saltedPairJoin(t, s,
+            "t_c_nationkey", "s_c_nationkey", "s_c_custkey",
+            graft.ops.Salt.widthSalts(spark, keyCardinality = 25),
             col("t_c_custkey") < col("s_c_custkey"))
           .select(col("t_c_custkey").as("a_custkey"), col("s_c_custkey").as("b_custkey"),
             round(F.haversineScore(col("t_lat"), col("t_lon"), col("s_lat"), col("s_lon")), 6)
@@ -280,12 +289,14 @@ object Reports {
       WHERE t.c_custkey % 5 = 0"""),
       (spark, dir) => {
         val g = customerGeo(spark, dir)
-        // Same probe-repartition + broadcast shape as q20 above.
+        // Same probe-repartition + salted-join shape as q20 above.
         val n = spark.sessionState.conf.numShufflePartitions
         val t = g.select(g.columns.toSeq.map(c => col(c).as(s"t_$c")): _*)
           .filter(col("t_c_custkey") % 5 === 0).repartition(n)
         val s = g.select(g.columns.toSeq.map(c => col(c).as(s"s_$c")): _*)
-        t.join(broadcast(s), col("t_c_nationkey") === col("s_c_nationkey") &&
+        graft.ops.Salt.saltedPairJoin(t, s,
+            "t_c_nationkey", "s_c_nationkey", "s_c_custkey",
+            graft.ops.Salt.widthSalts(spark, keyCardinality = 25),
             col("t_c_custkey") < col("s_c_custkey"))
           .select(col("t_c_custkey").as("a_custkey"), col("s_c_custkey").as("b_custkey"),
             round(F.hopsScoreHex(col("t_naics_num"), col("s_naics_num")), 4).as("hops_score"))

@@ -135,16 +135,20 @@ object Text {
         val s = T(spark, dir, "documents")
           .select(col("doc_id"), col("lang"),
             array_distinct(TextOps.tokenize(col("text"))).as("t"))
-        // Probe-side repartition + candidate broadcast (the Reports.q20
+        // Probe-side repartition + salted pair join (the Reports.q20
         // pattern): `lang` has a handful of values, so a shuffled join
         // would cap the per-pair set-intersection stage at that
         // cardinality, and the filtered probe scan arrives in 1-2 splits.
+        // The salt keeps the non-broadcast fallback at cluster width.
         val n = spark.sessionState.conf.numShufflePartitions
-        val a = s.select(col("doc_id").as("a_doc"), col("lang"), col("t").as("t_a"))
-          .filter(col("a_doc") % 25 === 0).repartition(n)
-        val b = s.select(col("doc_id").as("b_doc"), col("lang"), col("t").as("t_b"))
+        val a = s.select(col("doc_id").as("a_doc"), col("lang").as("a_lang"), col("t").as("t_a"))
+        val b = s.select(col("doc_id").as("b_doc"), col("lang").as("b_lang"), col("t").as("t_b"))
         val jac = graft.llm.DedupOps.jaccard(col("t_a"), col("t_b"))
-        a.join(broadcast(b), Seq("lang")).filter(col("a_doc") < col("b_doc"))
+        graft.ops.Salt.saltedPairJoin(
+            a.filter(col("a_doc") % 25 === 0).repartition(n), b,
+            "a_lang", "b_lang", "b_doc",
+            graft.ops.Salt.widthSalts(spark, keyCardinality = 8),
+            col("a_doc") < col("b_doc"))
           .filter(jac >= 0.7)
           .select(col("a_doc"), col("b_doc"), jac.as("jaccard"))
       }),

@@ -13,8 +13,13 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
 
   private def planOf(df: DataFrame): String = {
-    df.count() // materialize so AQE finalizes the adaptive plan
-    df.queryExecution.executedPlan.toString
+    // Execute THIS dataset's QueryExecution (df.count() would build and run
+    // a separate derived plan, leaving df's own adaptive plan un-finalized)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"),
+      s"adaptive plan not finalized — assertions below would test the initial plan:\n${p.take(500)}")
+    p
   }
 
   private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
@@ -35,12 +40,46 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
   test("pair-scoring joins broadcast the candidate side and spread the probe") {
     Seq("q76_media_fingerprint", "q20_haversine", "q31_token_jaccard").foreach { name =>
       val p = planOf(q(name))
+      // q20/q31 no longer force the broadcast — at test scale AQE must
+      // still pick it (candidate side ≪ threshold); at 100× the same plan
+      // degrades to the salted exchange instead of a driver OOM
       assert(p.contains("BroadcastHashJoin"), s"$name lost its broadcast:\n${p.take(2000)}")
       // the probe-side round-robin exchange must survive AQE coalescing —
       // without it the O(pairs) stage inherits the filtered scan's 1-2
       // partitions (the round-7 q76 pathology)
       assert(p.contains("RoundRobinPartitioning"),
         s"$name lost its probe-side repartition:\n${p.take(2000)}")
+    }
+  }
+
+  test("salted pair join beats the 25-value nation-key cap with broadcast off") {
+    // The one graded-weak plan of round 7: with the candidate side too big
+    // to broadcast, the peerPairs fallback shuffled on c_nationkey (25
+    // values) and the O(pairs) blend ran on ≤25 tasks regardless of
+    // cluster width. The salted join keys on (nation, salt); this pins
+    // >25 non-empty partitions at the pair stage under forced-shuffle.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // coalescing would legitimately shrink the tiny test shuffle; the
+      // assertion is about KEY CARDINALITY, which AQE cannot widen
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", "32")
+      val pairs = graft.queries.Reports.peerPairs(spark, "/root/testdata/sf0.01")
+      val p = planOf(pairs)
+      assert(!p.contains("BroadcastHashJoin"), "broadcast disable did not take")
+      val width = pairs
+        .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
+        .distinct().count()
+      assert(width > 25, s"pair stage ran on only $width partitions — salt lost")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
     }
   }
 
