@@ -190,7 +190,9 @@ object SimSearch {
     // (coarse buckets) the candidate set is quadratic-per-bucket and can
     // outgrow a broadcast — AQE picks broadcast vs shuffle from the
     // runtime size, so the plan degrades to an exchange instead of an
-    // executor OOM.
+    // executor OOM. Cache lifetime: the returned frame is lazy, so the
+    // cache outlives this call — resident sessions release it via
+    // GraftSession.withQueryCaches.
     val sig = c.select(col(idCol), concat(bits: _*).as("__sig")).cache()
     val cand = sig.select(col("__sig"), col(idCol).as("id_a"))
       .join(sig.select(col("__sig"), col(idCol).as("id_b")), Seq("__sig"))
@@ -250,6 +252,8 @@ object SimSearch {
         when(col("__base").substr(j + 1, lit(1)) === "1", lit("0")).otherwise(lit("1")),
         col("__base").substr(j + 2, lit(nBits)))
     }
+    // Cached for the two-sided self-join; released by the caller's
+    // GraftSession.withQueryCaches scope in resident sessions.
     val sigs = withBase.select(col(idCol),
       explode(array((col("__base") +: probes).map(_.cast("string")): _*)).as("__sig"))
       .distinct().cache()

@@ -132,9 +132,16 @@ object ML {
         .join(broadcast(T(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy(col("o_custkey").as("cust"), col("p_brand").as("item"))
         .agg(sum(col("l_quantity")).as("intensity"))
-      val rated = AlsPipeline.accumulate(usage, "cust", "item", "intensity")
+      // Cached across indexedTriples' three plan branches; released right
+      // after the eager fit materializes the factors (the factors are what
+      // recommendationsDirect reads — the ratings never re-execute).
+      val rated = AlsPipeline.accumulate(usage, "cust", "item", "intensity").cache()
       val triples = AlsPipeline.indexedTriples(rated, "cust", "item")
-      val model = AlsPipeline.train(triples, AlsPipeline.Config())
+      // MEMORY_ONLY intermediate storage: bench-path override of the
+      // spill-safe library default — this local run is memory-sized.
+      val model = AlsPipeline.train(triples,
+        AlsPipeline.Config(intermediateStorage = "MEMORY_ONLY"))
+      rated.unpersist(blocking = false)
       // Direct path: the brand item space fits a broadcast, so blockified
       // recommendForAllUsers is pure overhead (see recommendationsDirect;
       // MlSpec pins score parity between the two paths).

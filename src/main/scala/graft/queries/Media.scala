@@ -78,6 +78,8 @@ object Media {
         // bytes) feeds BOTH join sides — materializing the 16-double
         // fingerprints runs it once, and shrinks the relation from
         // payload-sized to fingerprint-sized (what actually broadcasts).
+        // Lazy-return cache — resident sessions release it via
+        // GraftSession.withQueryCaches.
         val unit = Multimodal.assetsFromDocuments(T(spark, dir, "documents"))
           .select(col("asset_id"), col("modality"),
             graft.engine.functions.let(Multimodal.byteHistogramCounts(col("payload")))(

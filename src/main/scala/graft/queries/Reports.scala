@@ -142,6 +142,8 @@ object Reports {
   def ratedUsage(spark: SparkSession, dir: String): DataFrame = {
     // Cached: Scale.minmax branches this aggregate (stats + main pass) —
     // without materialization the 3-table join + groupBy runs twice.
+    // Lazy-return cache — resident sessions release it via
+    // GraftSession.withQueryCaches.
     val usage = T(spark, dir, "orders")
       .join(T(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .join(T(spark, dir, "part"), col("l_partkey") === col("p_partkey"))

@@ -23,12 +23,13 @@ object AlsPipeline {
                     implicitPrefs: Boolean = true, seed: Long = 0L, topK: Int = 5,
                     numBlocks: Int = 8,
                     // Storage for ALS's per-iteration factor/block RDDs.
-                    // MEMORY_ONLY ~2x faster cold here (no spill-file
-                    // serialization); on a cluster where factor blocks can
-                    // exceed executor memory, callers should pass
-                    // MEMORY_AND_DISK — an evicted MEMORY_ONLY block costs
-                    // a lineage recompute of the whole iteration chain.
-                    intermediateStorage: String = "MEMORY_ONLY")
+                    // The default stays MLlib's spill-safe MEMORY_AND_DISK:
+                    // under executor memory pressure an evicted MEMORY_ONLY
+                    // block silently recomputes the whole iteration chain —
+                    // the wrong library default. Benchmarks / memory-sized
+                    // local runs pass MEMORY_ONLY explicitly (~2x faster
+                    // cold, no spill-file serialization).
+                    intermediateStorage: String = "MEMORY_AND_DISK")
 
   /** W1 preprocessing: percent_rank of intensity within user+item, plus
     * epsilon (`recommender_prod_rec.py:171-176`).
@@ -47,11 +48,13 @@ object AlsPipeline {
 
   /** Deterministic surrogate ids + (userId, itemId, rating) triples.
     * The ratings input feeds three plan branches (triples + both entity
-    * distincts) — cached here so the upstream pipeline runs once, not
-    * three times.
+    * distincts) — CALLERS should `.cache()` it so the upstream pipeline
+    * runs once, and unpersist it after `train` (an eager fit that
+    * materializes the factors) rather than leaking it for the session —
+    * caching here would pin a frame this function can never release.
     */
   def indexedTriples(ratings: DataFrame, user: String, item: String): DataFrame = {
-    val r = ratings.cache()
+    val r = ratings
     // USER ids: distributed assignment (sort + zipWithIndex), not the
     // single-task window form — a ratings fact table's user universe is
     // itself fact-sized (10^8+ distinct at production scale). MLlib ALS

@@ -44,6 +44,27 @@ class EngineIntegrationSpec extends SparkSuite {
     assert(back.schema("id").dataType.typeName == "integer")
   }
 
+  test("Sinks json round-trip (K3), including the singleFile option") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 0.5), (2L, "b", 1.25), (3L, null.asInstanceOf[String], -2.0))
+      .toDF("id", "s", "score")
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    // multi-part write -> read back: same rows, JSON line-record semantics
+    // (null field omitted from the record, restored as null on read)
+    graft.io.Sinks.json(df, dir + "/multi")
+    val back = Sources.json(spark, dir + "/multi")
+    assert(back.count() == 3)
+    assert(back.select("id", "s", "score").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+      Set((1L, "a", 0.5), (2L, "b", 1.25), (3L, null, -2.0)))
+    // singleFile = coalesce(1): exactly one part file, same content
+    graft.io.Sinks.json(df, dir + "/single", singleFile = true)
+    val parts = new java.io.File(dir + "/single").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+    assert(parts.length == 1, s"expected one part file, got ${parts.length}")
+    assert(Sources.json(spark, dir + "/single").count() == 3)
+  }
+
   test("Sources orc round-trip, text lines, binaryFile ingestion") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_io").toString
