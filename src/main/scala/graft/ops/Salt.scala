@@ -48,9 +48,21 @@ object Salt {
                      probeKey: String, candKey: String, candSaltSrc: String,
                      salts: Int, extraCond: Column): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    val n = cand.sparkSession.sessionState.conf.numShufflePartitions
     val p = probe.withColumn("__psalt", explode(sequence(lit(0), lit(salts - 1))))
+    // Hash-repartition the salted candidates on the JOIN key, explicit
+    // partition count (REPARTITION_BY_NUM — AQE won't coalesce it away):
+    //  - shuffled fallback: this is exactly the exchange the sort-merge
+    //    join requires, so EnsureRequirements reuses it — zero extra cost
+    //    on the path that needs the salt;
+    //  - probe-broadcast plan (the planner builds on whichever side is
+    //    smaller, and the filtered probe usually is): the candidate side
+    //    STREAMS, and without this exchange it would inherit the scan's
+    //    split count — a near-single-task O(pairs) stage when the
+    //    relation arrives in one file.
     val c = cand.withColumn("__csalt",
-      pmod(xxhash64(col(candSaltSrc)), lit(salts.toLong)).cast("int"))
+        pmod(xxhash64(col(candSaltSrc)), lit(salts.toLong)).cast("int"))
+      .repartition(n, col(candKey), col("__csalt"))
     p.join(c, col(probeKey) === col(candKey) &&
         col("__psalt") === col("__csalt") && extraCond)
       .drop("__psalt", "__csalt")
