@@ -63,6 +63,53 @@ object SimSearch {
     ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
   }
 
+  /** [[ivfTopK]] with LEARNED centroids and a FULL HASH ORACLE: id-order
+    * seeding refined by `iters` deterministic spherical-Lloyd steps.
+    * Every arithmetic step is an ordered fold — assignment by the
+    * left-to-right dot product, per-bucket mean summed in vec_id order
+    * (sorted collect_list, not an unordered avg), then L2-renormalized —
+    * so a SQL twin replays the exact double bits and the bucket
+    * decisions can never diverge at float boundaries. Empty buckets
+    * keep their previous centroid. [[ivfTopKKMeans]] (KMeans‖ init,
+    * MLlib fit) stays the scale path: its centroids are data-dependent
+    * in a way no static SQL literal can mirror (measured: 89/100 result
+    * rows differ from id-order seeding at sf0.01), which is exactly why
+    * this oracle-compatible learned variant exists.
+    */
+  def ivfTopKLloyd(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   embCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                   iters: Int = 2): DataFrame = {
+    // Cached: feeds every Lloyd assignment pass plus the final bucket +
+    // probe stages. Lazy-return cache — resident sessions release it via
+    // GraftSession.withQueryCaches.
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne").cache()
+    var cents = c.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col("__ne").as("cent_emb"))
+    for (_ <- 0 until iters) {
+      val assigned = nearestBuckets(c, cents, idCol, "__ne", 1)
+      // Per-bucket mean with a DETERMINISTIC summation order: members
+      // sorted by id, element-wise left fold seeded from the first
+      // member (the same shape as DuckDB's list_reduce), divided by the
+      // exact integer count, then renormalized to the unit sphere.
+      val refined = assigned.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("__cnt"),
+          array_sort(collect_list(struct(col(idCol).as("id"), col("__ne").as("ne"))))
+            .as("__ms"))
+        .select(col("bucket").as("cent_id"),
+          transform(
+            aggregate(expr("slice(__ms, 2, size(__ms) - 1)"),
+              element_at(col("__ms"), 1).getField("ne"),
+              (acc, m) => zip_with(acc, m.getField("ne"), (a, b) => a + b)),
+            x => x / col("__cnt")).as("__mean"))
+        .select(col("cent_id"),
+          transform(col("__mean"), x => x / sqrt(dot(col("__mean"), col("__mean"))))
+            .as("__new"))
+      cents = cents.join(refined, Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("__new"), col("cent_emb")).as("cent_emb"))
+    }
+    ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
+  }
+
   /** [[ivfTopK]] with LEARNED centroids: a seeded MLlib KMeans fit
     * replaces the id-order seeding stand-in — the real centroid path at
     * scale (KMeans‖ init, one distributed fit, deterministic for a given

@@ -134,6 +134,26 @@ class LlmOpsSpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall") // nProbe=4 of 8 buckets on random vectors
   }
 
+  test("SimSearch.ivfTopKLloyd: iters=0 equals id-order IVF; refined recall holds") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cos_sim", "rnk")
+        .collect().map(_.toString).toSet
+    // zero refinements = the id-order seeding, bit for bit
+    assert(rows(SimSearch.ivfTopKLloyd(emb, queries, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = 4, iters = 0)) ==
+      rows(SimSearch.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = 4)))
+    val exact = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lloyd = SimSearch.ivfTopKLloyd(emb, queries, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = 4, iters = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(lloyd).size.toDouble / exact.size
+    assert(recall >= 0.3, s"Lloyd-IVF recall $recall")
+  }
+
   test("SimSearch.ivfTopKKMeans: learned centroids, recall vs brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
