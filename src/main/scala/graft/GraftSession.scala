@@ -28,4 +28,32 @@ object GraftSession {
     if (local) b.master(s"local[$cores]").config("spark.sql.shuffle.partitions", cores)
     else b
   }
+
+  /** Run `f`, then unpersist every RDD that was persisted during it.
+    *
+    * Several query builders cache a multi-consumed intermediate — LSH
+    * signature tables (`llm/SimSearch.scala`), fingerprint relations
+    * (`queries/Media.scala`), min-max'd usage (`queries/Reports.scala`),
+    * SimHash signatures (`llm/DedupOps.scala`) — and hand back a LAZY
+    * frame, so the builder cannot unpersist before the caller's action
+    * without defeating the cache. In a one-query-per-JVM batch run (the
+    * bench, the Verify dump) the session dies with the query; a resident
+    * service composing many queries in one session would accumulate
+    * pinned storage instead. This scope is that service's contract: wrap
+    * each query's CONSUMING action (write, collect, count) in it, and
+    * storage persisted during the block — including by MLlib internals —
+    * is released on exit (blocks freed, entries removed from the
+    * persistent-RDD registry; `blocking = false` so exit never stalls on
+    * executor round-trips). Do not reuse frames built inside the scope
+    * after it exits: plain caches recompute correctly (just slower), but
+    * a `localCheckpoint` truncates lineage and cannot.
+    */
+  def withQueryCaches[T](spark: SparkSession)(f: => T): T = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    try f
+    finally sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!before.contains(id)) rdd.unpersist(blocking = false)
+    }
+  }
 }

@@ -1,5 +1,6 @@
 package graft.engine.rules
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -26,15 +27,54 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Collisions within a bin are resolved by the residual, so results are
   * exactly the original join's. Work scales with genuine overlap
   * (interval-span / binWidth rows per interval), not the cross product.
-  * Bin width comes from `spark.graft.rangeJoin.binWidth` (default 1000;
-  * pick ~ the typical interval width). Rewritten joins carry an equi
-  * conjunct, so the rule never re-fires on its own output.
+  *
+  * Bin width: `spark.graft.rangeJoin.binWidth`, when set, wins. When it
+  * is not set the rule SAMPLES the interval side at rewrite time (a
+  * bounded `LocalLimit` probe job, the same move cost-based optimizers
+  * and dynamic partition pruning make) and uses the median sampled span
+  * — a fixed global width cannot fit every join, and a mis-sized one
+  * quietly degrades to near-nested-loop work (bins ≫ span: every
+  * interval explodes into thousands of bin rows) or to a few giant bins
+  * (span ≫ bins: residual filter does all the work). Falls back to 1000
+  * if sampling fails or spans are degenerate. Rewritten joins carry an
+  * equi conjunct, so the rule never re-fires on its own output.
   */
 case class RangeJoinRewrite() extends Rule[LogicalPlan] {
 
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
+  private val DefaultWidth = 1000.0
+  private val SampleRows = 2048
 
-  private def binWidth: Double = conf.getConfString(BinWidthKey, "1000").toDouble
+  /** Median interval span from a bounded probe of the interval side.
+    * None when the probe cannot run (no active session, execution
+    * failure, all-null spans) — callers fall back to [[DefaultWidth]].
+    * A thread-local guard stops the probe's own optimization from
+    * probing recursively when the interval side itself contains an
+    * eligible range join.
+    */
+  private def sampledWidth(iSide: LogicalPlan, lo: Expression, hi: Expression): Option[Double] = {
+    if (RangeJoinRewrite.sampling.get()) return None
+    RangeJoinRewrite.sampling.set(true)
+    try {
+      val spark = SparkSession.active
+      val span = Alias(Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType)), "__span")()
+      val probe = GlobalLimit(Literal(SampleRows),
+        LocalLimit(Literal(SampleRows), Project(Seq(span), iSide)))
+      val rows = spark.sessionState.executePlan(probe).executedPlan
+        .execute().map(r => if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+        .take(SampleRows)
+      val spans = rows.filterNot(_.isNaN).filter(_ >= 0).sorted
+      if (spans.isEmpty) None
+      else Some(spans(spans.length / 2)).filter(_ > 0)
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally RangeJoinRewrite.sampling.set(false)
+  }
+
+  private def binWidth(iSide: LogicalPlan, lo: Expression, hi: Expression): Double =
+    Option(conf.getConfString(BinWidthKey, null)).map(_.toDouble)
+      .orElse(sampledWidth(iSide, lo, hi))
+      .getOrElse(DefaultWidth)
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
@@ -83,11 +123,11 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] {
       val conjuncts = splitConjuncts(cond)
       if (hasEquiKey(conjuncts, left, right)) j
       else {
-        val w = binWidth
         // try (points=left, intervals=right) then the mirror
         val candidates = Seq((left, right, false), (right, left, true))
         candidates.view.flatMap { case (pSide, iSide, flipped) =>
           betweenOf(conjuncts, pSide, iSide).map { case (p, lo, hi) =>
+            val w = binWidth(iSide, lo, hi)
             val pBin = Alias(binOf(p, w), "__bin_p")()
             val pProj = Project(pSide.output :+ pBin, pSide)
             // nullable must mirror Explode's element schema exactly
@@ -108,4 +148,10 @@ case class RangeJoinRewrite() extends Rule[LogicalPlan] {
         }.headOption.getOrElse(j)
       }
   }
+}
+
+object RangeJoinRewrite {
+  /** Re-entrancy guard for the span probe (see [[RangeJoinRewrite.sampledWidth]]). */
+  private val sampling: ThreadLocal[java.lang.Boolean] =
+    ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
 }

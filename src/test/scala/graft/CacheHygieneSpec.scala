@@ -1,7 +1,5 @@
 package graft
 
-import graft.engine.GraftSession
-
 /** Session-lifetime storage contract: query builders may cache
   * multi-consumed intermediates (LSH signatures, fingerprint relations,
   * rated usage) behind a lazily-returned frame, and a resident service

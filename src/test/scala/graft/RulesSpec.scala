@@ -25,6 +25,35 @@ class RulesSpec extends SparkSuite {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("RangeJoinRewrite: adaptive width — skewed spans still plan binned and exact") {
+    // No explicit binWidth conf: the rule must probe the interval side
+    // and pick a width from the sampled spans. The distribution is
+    // 500x skewed (many ~12-wide intervals, a few 6000-wide) — a width
+    // mis-sized for either cluster previously degraded to
+    // near-nested-loop work; the median keeps both classes binned.
+    val hadConf = spark.conf.getOption("spark.graft.rangeJoin.binWidth")
+    spark.conf.unset("spark.graft.rangeJoin.binWidth")
+    try {
+      val pts = (0 until 2000).map(i => (i, (i * 97 % 100000).toDouble))
+      val ivs = (0 until 180).map(i => (i, i * 550.0, i * 550.0 + 12.0)) ++
+        (180 until 200).map(i => (i, (i - 180) * 5000.0, (i - 180) * 5000.0 + 6000.0))
+      val pdf = pts.toDF("pid", "x")
+      val idf = ivs.toDF("iid", "lo", "hi")
+      val joined = pdf.join(idf, col("x") >= col("lo") && col("x") <= col("hi"))
+        .select("pid", "iid")
+      val plan = joined.queryExecution.executedPlan
+      assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.isEmpty,
+        s"expected binned equi-join under adaptive width, got:\n$plan")
+      val got = joined.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      val expected = (for {
+        (pid, x) <- pts
+        (iid, lo, hi) <- ivs
+        if x >= lo && x <= hi
+      } yield (pid, iid)).toSet
+      assert(got == expected && got.nonEmpty)
+    } finally hadConf.foreach(v => spark.conf.set("spark.graft.rangeJoin.binWidth", v))
+  }
+
   test("RangeJoinRewrite: leaves equi-keyed and non-range joins alone") {
     val a = Seq((1, 5.0), (2, 6.0)).toDF("k", "v")
     val b = Seq((1, 4.0, 8.0), (2, 7.0, 9.0)).toDF("k2", "lo", "hi")
