@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.feature.FeaturePipeline
 import graft.rec.AlsPipeline
@@ -119,35 +120,42 @@ object ML {
                       ELSE 0.0 END, 6) AS val
     FROM scaled, positions"""
 
+  /** The q40 ALS pipeline up to rounded top-5 recommendations — shared
+    * by q40 (full rows) and the q101 golden digest.
+    */
+  private def alsRecs(spark: SparkSession, dir: String): DataFrame = {
+    // Item universe is brand-level (FIXTURES.md: products ≈ part ⋈
+    // lineitem), matching the reference's SKU-scale item space.
+    val usage = T(spark, dir, "orders")
+      .join(T(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(T(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("cust"), col("p_brand").as("item"))
+      .agg(sum(col("l_quantity")).as("intensity"))
+    // Cached across indexedTriples' three plan branches; released right
+    // after the eager fit materializes the factors (the factors are what
+    // recommendationsDirect reads — the ratings never re-execute).
+    val rated = AlsPipeline.accumulate(usage, "cust", "item", "intensity").cache()
+    val triples = AlsPipeline.indexedTriples(rated, "cust", "item")
+    // MEMORY_ONLY intermediate storage: bench-path override of the
+    // spill-safe library default — this local run is memory-sized.
+    val model = AlsPipeline.train(triples,
+      AlsPipeline.Config(intermediateStorage = "MEMORY_ONLY"))
+    rated.unpersist(blocking = false)
+    // Direct path: the brand item space fits a broadcast, so blockified
+    // recommendForAllUsers is pure overhead (see recommendationsDirect;
+    // MlSpec pins score parity between the two paths).
+    AlsPipeline.recommendationsDirect(model, 5)
+      .select(col("userId"), col("itemId"), round(col("score"), 3).as("score"),
+        col("rec_rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ALS end-to-end: usage triples (customer × part-brand intensity) →
     // surrogate ids → implicit ALS → top-5 recs per user, joined back to
     // the entity maps.
     QueryDef("q40_als_recommend", None, (spark, dir) => {
-      // Item universe is brand-level (FIXTURES.md: products ≈ part ⋈
-      // lineitem), matching the reference's SKU-scale item space.
-      val usage = T(spark, dir, "orders")
-        .join(T(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(T(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
-        .groupBy(col("o_custkey").as("cust"), col("p_brand").as("item"))
-        .agg(sum(col("l_quantity")).as("intensity"))
-      // Cached across indexedTriples' three plan branches; released right
-      // after the eager fit materializes the factors (the factors are what
-      // recommendationsDirect reads — the ratings never re-execute).
-      val rated = AlsPipeline.accumulate(usage, "cust", "item", "intensity").cache()
-      val triples = AlsPipeline.indexedTriples(rated, "cust", "item")
-      // MEMORY_ONLY intermediate storage: bench-path override of the
-      // spill-safe library default — this local run is memory-sized.
-      val model = AlsPipeline.train(triples,
-        AlsPipeline.Config(intermediateStorage = "MEMORY_ONLY"))
-      rated.unpersist(blocking = false)
-      // Direct path: the brand item space fits a broadcast, so blockified
-      // recommendForAllUsers is pure overhead (see recommendationsDirect;
-      // MlSpec pins score parity between the two paths).
-      AlsPipeline.recommendationsDirect(model, 5)
-        .select(col("userId"), col("itemId"), round(col("score"), 3).as("score"),
-          col("rec_rank"))
+      alsRecs(spark, dir)
     }),
 
     // Reference flagship §3.1 end-to-end: clean → literal prospect →

@@ -79,9 +79,15 @@ object AlsPipeline {
       .select(col("userId"), col("itemId"), col("rating").cast("float").as("rating"))
       // Pin the physical layout: hash-partitioned on a FIXED count and
       // sorted within partitions, so the row order entering ALS's
-      // blockifier is a pure function of the data — float accumulation
-      // order (and therefore factor bits) reproduce across runs. An
-      // explicit partition count keeps AQE from re-coalescing it.
+      // blockifier is a pure function of the data (an explicit partition
+      // count keeps AQE from re-coalescing it). This removes the
+      // INPUT-side nondeterminism only: MLlib's blockify/solver stages
+      // still accumulate floats in shuffle-fetch order, so factor BITS
+      // wobble at ULP level run to run even on identical input
+      // (measured round 8 — two same-JVM fits on bit-identical triples
+      // produced different factor hashes). Scores survive rounding to
+      // coarse precision almost always, but not provably: q40 is
+      // rows-only in the oracle gate for exactly this reason.
       .repartition(8, col("userId"))
       .sortWithinPartitions("userId", "itemId")
   }
