@@ -77,6 +77,16 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         .select(org.apache.spark.sql.functions.spark_partition_id().as("pid"))
         .distinct().count()
       assert(width > 25, s"pair stage ran on only $width partitions — salt lost")
+      // exchange-reuse: the candidate side's explicit (key, salt) hash
+      // repartition IS the exchange the sort-merge fallback needs —
+      // exactly 3 exchanges total (probe round-robin, probe hash,
+      // candidate hash); a 4th would mean EnsureRequirements stopped
+      // reusing it and the fallback pays a double shuffle
+      // count in the final-plan section only (toString appends the
+      // initial plan below it, which would double every node)
+      val finalSection = p.split("== Initial Plan ==").head
+      val exchanges = "\\+- Exchange ".r.findAllIn(finalSection).size
+      assert(exchanges == 3, s"expected 3 exchanges in the salted fallback, got $exchanges:\n${p.take(3000)}")
     } finally saved.foreach {
       case (k, Some(v)) => conf.set(k, v)
       case (k, None) => conf.unset(k)
