@@ -163,6 +163,83 @@ object SimSearch {
     probeRank(probed, bucketed, idCol, k)
   }
 
+  /** Product-quantization ANN (the FAISS-PQ shape, dot-product variant):
+    * each unit vector splits into `nSub` subvectors; per subspace a
+    * `nCodes`-entry codebook is learned (id-order seeds + `iters`
+    * deterministic Lloyd steps, every sum an ordered fold — the same
+    * oracle discipline as [[ivfTopKLloyd]]); the corpus is ENCODED as
+    * `nSub` small code ids per vector. Search is an asymmetric-distance
+    * scan: per query, dot each subvector against every codeword (a
+    * `|Q|·nSub·nCodes` lookup table, broadcast-sized), then score every
+    * corpus vector as the m-ordered sum of its codes' partials.
+    *
+    * THE 100 TB feature is the storage shape: a 64-dim double vector
+    * (512 B) becomes `nSub` = 8 code bytes — 64× less state to scan,
+    * shuffle, or cache, with the full-precision corpus needed only at
+    * encode time. Accuracy is the PQ trade (recall pinned in
+    * LlmOpsSpec); exact rerank of the PQ top-k against stored vectors
+    * is the standard follow-up when needed.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, k: Int, dim: Int, nSub: Int = 8, nCodes: Int = 16,
+             iters: Int = 1): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
+    val subDim = dim / nSub
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne").cache()
+    def subSplit(df: DataFrame, id: String, emb: String): DataFrame =
+      df.select(col(id), posexplode(array((0 until nSub).map(m =>
+        slice(col(emb), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+    val subs = subSplit(c, idCol, "__ne")
+    // id-order seeds: subvectors of the nCodes lowest ids, code = seed id
+    var books = subSplit(
+      c.orderBy(col(idCol)).limit(nCodes).withColumnRenamed(idCol, "code"),
+      "code", "__ne").withColumnRenamed("sv", "ce")
+    def nearestCode(points: DataFrame, id: String): DataFrame =
+      TopK.exactPerKey(
+        points.join(books, Seq("m"))
+          .select(col(id), col("m"), col("sv"), col("code"),
+            dot(col("sv"), col("ce")).as("__c")),
+        Seq(id, "m"), Seq(col("__c").desc, col("code").asc), 1, "__r")
+        .select(col(id), col("m"), col("sv"), col("code"))
+    for (_ <- 0 until iters) {
+      // per-(m, code) mean in id order (ordered fold, exact count
+      // division, NO renorm — PQ codewords are plain subspace means);
+      // empty codes keep their previous codeword
+      val refined = nearestCode(subs, idCol).groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("__cnt"),
+          array_sort(collect_list(struct(col(idCol).as("id"), col("sv")))).as("__ms"))
+        .select(col("m"), col("code"),
+          transform(
+            aggregate(expr("slice(__ms, 2, size(__ms) - 1)"),
+              element_at(col("__ms"), 1).getField("sv"),
+              (acc, v) => zip_with(acc, v.getField("sv"), (a, b) => a + b)),
+            x => x / col("__cnt")).as("__new"))
+      books = books.join(refined, Seq("m", "code"), "left")
+        .select(col("m"), col("code"), coalesce(col("__new"), col("ce")).as("ce"))
+    }
+    // the compressed corpus: nSub code ids per vector
+    val codes = nearestCode(subs, idCol).select(col(idCol), col("m"), col("code"))
+    val qsubs = subSplit(unitized(queries, idCol, embCol, "query_id", "__qe"),
+      "query_id", "__qe")
+    // ADC lookup table — bounded by |queries|·nSub·nCodes, broadcast it
+    val qtab = qsubs.join(books, Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        dot(col("sv"), col("ce")).as("__p"))
+    val scored = codes.join(broadcast(qtab), Seq("m", "code"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id"), col(idCol))
+      // m-ordered partial sum: deterministic fold, mirrored by the
+      // oracle's list(partial ORDER BY m) aggregate
+      .agg(array_sort(collect_list(struct(col("m"), col("__p")))).as("__ps"))
+      .select(col("query_id"), col(idCol),
+        round(aggregate(expr("slice(__ps, 2, size(__ps) - 1)"),
+          element_at(col("__ps"), 1).getField("__p"),
+          (acc, x) => acc + x.getField("__p")), 6).as("adc_sim"))
+    TopK.exactPerKey(scored, Seq("query_id"),
+      Seq(col("adc_sim").desc, col(idCol).asc), k, "rnk")
+      .withColumn("rnk", col("rnk").cast("int"))
+  }
+
   /** Persist an IVF index: learned centroids + bucket-PARTITIONED
     * postings parquet. The layout is the scale feature — each posting
     * list is its own partition directory, so a query batch probing

@@ -87,6 +87,64 @@ object Vector {
       WHERE rnk <= $k"""
   }
 
+  /** SQL twin of `SimSearch.pqTopK`: subvector rows via slicing, id-order
+    * codebook seeds, `iters` unrolled Lloyd refinements per (m, code)
+    * with id-ordered folds, encode, then the ADC scan — per-(query,
+    * vector) score as the m-ordered sum of codeword partials.
+    */
+  private def pqSql(dim: Int, nSub: Int, nCodes: Int, k: Int, iters: Int): String = {
+    val sd = dim / nSub
+    val lloyd = (1 to iters).map { i =>
+      s"""
+      passign$i AS (
+        SELECT b.vec_id, b.m, b.sv, c.code, ${dotSql("b.sv", "c.ce")} AS s
+        FROM sub b JOIN books${i - 1} c ON b.m = c.m),
+      pa$i AS (
+        SELECT vec_id, m, sv, code
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, code) AS rn FROM passign$i)
+        WHERE rn = 1),
+      pmem$i AS (
+        SELECT m, code, list(sv ORDER BY vec_id) AS ms, count(*) AS cnt FROM pa$i GROUP BY m, code),
+      pmean$i AS (
+        SELECT m, code, list_transform(
+                 list_reduce(ms, (a, b) -> list_transform(range(1, len(a) + 1), j -> a[j] + b[j])),
+                 x -> x / cnt) AS mn
+        FROM pmem$i),
+      books$i AS (
+        SELECT c.m, c.code, coalesce(n.mn, c.ce) AS ce
+        FROM books${i - 1} c LEFT JOIN pmean$i n ON c.m = n.m AND c.code = n.code)"""
+    }.mkString(",")
+    s"""
+      WITH $unitSql,
+      ms AS (SELECT unnest(range($nSub)) AS m),
+      sub AS (SELECT vec_id, m, ne[m * $sd + 1 : m * $sd + $sd] AS sv FROM un CROSS JOIN ms),
+      seedv AS (SELECT vec_id, ne FROM un ORDER BY vec_id LIMIT $nCodes),
+      books0 AS (SELECT s.vec_id AS code, m, s.ne[m * $sd + 1 : m * $sd + $sd] AS ce
+                 FROM seedv s CROSS JOIN ms),
+      ${lloyd.stripPrefix("\n")},
+      cassign AS (
+        SELECT b.vec_id, b.m, c.code, ${dotSql("b.sv", "c.ce")} AS s
+        FROM sub b JOIN books$iters c ON b.m = c.m),
+      codes AS (
+        SELECT vec_id, m, code
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY s DESC, code) AS rn FROM cassign)
+        WHERE rn = 1),
+      qs AS (SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id % 50 = 0),
+      qtab AS (
+        SELECT q.query_id, c.m, c.code, ${dotSql("q.sv", "c.ce")} AS p
+        FROM qs q JOIN books$iters c ON q.m = c.m),
+      scored AS (
+        SELECT t.query_id, x.vec_id,
+               round(list_aggregate(list(t.p ORDER BY t.m), 'sum'), 6) AS adc_sim
+        FROM codes x JOIN qtab t ON x.m = t.m AND x.code = t.code
+        WHERE x.vec_id <> t.query_id
+        GROUP BY t.query_id, x.vec_id)
+      SELECT query_id, vec_id, adc_sim, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, vec_id) AS rnk
+            FROM scored)
+      WHERE rnk <= $k"""
+  }
+
   /** The ±1 hyperplane sign for LSH bit `j`, dimension `i` — evaluated
     * with the same Catalyst XxHash64 (seed 42, int-typed children) that
     * `SimSearch.hyperplaneLshPairs` executes per row, so the oracle's
@@ -307,6 +365,19 @@ object Vector {
         SimSearch.ivfTopKLloyd(emb, emb.filter(col("vec_id") % 50 === 0),
             "vec_id", "embedding", 10, nCentroids = 16, nProbe = 4, iters = 2)
           .select("query_id", "vec_id", "cos_sim", "rnk")
+      }),
+
+    // Product-quantization ANN: per-subspace learned codebooks (id-order
+    // seeds + 1 ordered-fold Lloyd step), corpus encoded as 8 code ids
+    // per vector (the 100 TB storage shape: 512 B of doubles → 8 code
+    // bytes), asymmetric-distance scan against the broadcast query
+    // lookup table. Full hash oracle — every sum is an ordered fold.
+    QueryDef("q101_pq_ann", Some(pqSql(dim = 64, nSub = 8, nCodes = 16, k = 10, iters = 1)),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        SimSearch.pqTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", 10, dim = 64, nSub = 8, nCodes = 16, iters = 1)
+          .select("query_id", "vec_id", "adc_sim", "rnk")
       }),
 
     // MinHash-LSH near-dup candidates over 2-gram shingles: 4 bands × 2

@@ -154,6 +154,25 @@ class LlmOpsSpec extends SparkSuite {
     assert(recall >= 0.3, s"Lloyd-IVF recall $recall")
   }
 
+  test("SimSearch.pqTopK: ADC recall vs brute force; deterministic re-run") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def run() = SimSearch.pqTopK(emb, queries, "vec_id", "embedding", 5,
+        dim = 64, nSub = 8, nCodes = 16, iters = 1)
+      .select("query_id", "vec_id", "adc_sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pq = run()
+    // 8x16 codes over random 64-dim vectors is a coarse quantizer —
+    // the gate is "meaningfully better than chance + stable"; the
+    // accuracy knobs are (nSub, nCodes, exact rerank)
+    val pqPairs = pq.map { case (q, v, _) => (q, v) }
+    val recall = exact.intersect(pqPairs).size.toDouble / exact.size
+    assert(recall >= 0.15, s"PQ-ADC recall $recall")
+    assert(run() == pq, "PQ pipeline is not deterministic across runs")
+  }
+
   test("SimSearch.ivfTopKKMeans: learned centroids, recall vs brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
