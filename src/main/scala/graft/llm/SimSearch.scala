@@ -240,6 +240,32 @@ object SimSearch {
       .withColumn("rnk", col("rnk").cast("int"))
   }
 
+  /** Two-stage PQ retrieval: [[pqTopK]] candidates (k·`rerankFactor` per
+    * query by ADC score), exact-dot rescore against the stored
+    * full-precision vectors, final top-k by exact cosine. The standard
+    * accuracy recovery for PQ's quantization loss: the compressed scan
+    * bounds the candidate set, so the exact stage touches only
+    * |Q|·k·factor vectors instead of the corpus — any true neighbor the
+    * candidates contain is guaranteed into the final top-k (exact
+    * scores are global), so recall can only improve over raw ADC.
+    */
+  def pqTopKRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   embCol: String, k: Int, dim: Int, nSub: Int = 8,
+                   nCodes: Int = 16, iters: Int = 1,
+                   rerankFactor: Int = 4): DataFrame = {
+    val cand = pqTopK(corpus, queries, idCol, embCol, k * rerankFactor,
+      dim, nSub, nCodes, iters).select(col("query_id"), col(idCol))
+    val cv = unitized(corpus, idCol, embCol, idCol, "__ne")
+    val qv = unitized(queries, idCol, embCol, "query_id", "__qe")
+    val exact = cand.join(cv, idCol)
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(dot(col("__qe"), col("__ne")), 6).as("cos_sim"))
+    TopK.exactPerKey(exact, Seq("query_id"),
+      Seq(col("cos_sim").desc, col(idCol).asc), k, "rnk")
+      .withColumn("rnk", col("rnk").cast("int"))
+  }
+
   /** Persist an IVF index: learned centroids + bucket-PARTITIONED
     * postings parquet. The layout is the scale feature — each posting
     * list is its own partition directory, so a query batch probing

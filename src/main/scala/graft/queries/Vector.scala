@@ -92,7 +92,18 @@ object Vector {
     * with id-ordered folds, encode, then the ADC scan — per-(query,
     * vector) score as the m-ordered sum of codeword partials.
     */
-  private def pqSql(dim: Int, nSub: Int, nCodes: Int, k: Int, iters: Int): String = {
+  private def pqSql(dim: Int, nSub: Int, nCodes: Int, k: Int, iters: Int): String =
+    s"""
+      WITH ${pqCtes(dim, nSub, nCodes, iters)}
+      SELECT query_id, vec_id, adc_sim, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, vec_id) AS rnk
+            FROM scored)
+      WHERE rnk <= $k"""
+
+  /** [[pqSql]] chain up to `scored` (per-(query, vector) ADC scores) —
+    * shared by the q101 PQ top-K and the q102 exact-rerank twin.
+    */
+  private def pqCtes(dim: Int, nSub: Int, nCodes: Int, iters: Int): String = {
     val sd = dim / nSub
     val lloyd = (1 to iters).map { i =>
       s"""
@@ -114,8 +125,7 @@ object Vector {
         SELECT c.m, c.code, coalesce(n.mn, c.ce) AS ce
         FROM books${i - 1} c LEFT JOIN pmean$i n ON c.m = n.m AND c.code = n.code)"""
     }.mkString(",")
-    s"""
-      WITH $unitSql,
+    s"""$unitSql,
       ms AS (SELECT unnest(range($nSub)) AS m),
       sub AS (SELECT vec_id, m, ne[m * $sd + 1 : m * $sd + $sd] AS sv FROM un CROSS JOIN ms),
       seedv AS (SELECT vec_id, ne FROM un ORDER BY vec_id LIMIT $nCodes),
@@ -138,12 +148,32 @@ object Vector {
                round(list_aggregate(list(t.p ORDER BY t.m), 'sum'), 6) AS adc_sim
         FROM codes x JOIN qtab t ON x.m = t.m AND x.code = t.code
         WHERE x.vec_id <> t.query_id
-        GROUP BY t.query_id, x.vec_id)
-      SELECT query_id, vec_id, adc_sim, CAST(rnk AS INTEGER) AS rnk
-      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, vec_id) AS rnk
-            FROM scored)
-      WHERE rnk <= $k"""
+        GROUP BY t.query_id, x.vec_id)"""
   }
+
+  /** SQL twin of `SimSearch.pqTopKRerank`: PQ candidates (k·factor per
+    * query by ADC score), exact-dot rescore against the full vectors,
+    * final top-k by the exact score.
+    */
+  private def pqRerankSql(dim: Int, nSub: Int, nCodes: Int, k: Int,
+                          iters: Int, factor: Int): String =
+    s"""
+      WITH ${pqCtes(dim, nSub, nCodes, iters)},
+      cand AS (
+        SELECT query_id, vec_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, vec_id) AS crn
+              FROM scored)
+        WHERE crn <= ${k * factor}),
+      exact AS (
+        SELECT c.query_id, c.vec_id,
+               round(${dotSql("uq.ne", "uv.ne")}, 6) AS cos_sim
+        FROM cand c
+        JOIN un uq ON uq.vec_id = c.query_id
+        JOIN un uv ON uv.vec_id = c.vec_id)
+      SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM exact)
+      WHERE rnk <= $k"""
 
   /** The ±1 hyperplane sign for LSH bit `j`, dimension `i` — evaluated
     * with the same Catalyst XxHash64 (seed 42, int-typed children) that
@@ -378,6 +408,20 @@ object Vector {
         SimSearch.pqTopK(emb, emb.filter(col("vec_id") % 50 === 0),
             "vec_id", "embedding", 10, dim = 64, nSub = 8, nCodes = 16, iters = 1)
           .select("query_id", "vec_id", "adc_sim", "rnk")
+      }),
+
+    // Two-stage PQ retrieval: compressed ADC scan proposes k·4
+    // candidates, exact dot rescore picks the final top-10 — PQ's
+    // standard accuracy recovery, exact stage bounded by the candidate
+    // set. Full hash oracle (shared PQ CTE chain + exact-dot rerank).
+    QueryDef("q102_pq_rerank",
+      Some(pqRerankSql(dim = 64, nSub = 8, nCodes = 16, k = 10, iters = 1, factor = 4)),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        SimSearch.pqTopKRerank(emb, emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", 10, dim = 64, nSub = 8, nCodes = 16,
+            iters = 1, rerankFactor = 4)
+          .select("query_id", "vec_id", "cos_sim", "rnk")
       }),
 
     // MinHash-LSH near-dup candidates over 2-gram shingles: 4 bands × 2

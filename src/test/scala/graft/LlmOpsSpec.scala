@@ -171,6 +171,14 @@ class LlmOpsSpec extends SparkSuite {
     val recall = exact.intersect(pqPairs).size.toDouble / exact.size
     assert(recall >= 0.15, s"PQ-ADC recall $recall")
     assert(run() == pq, "PQ pipeline is not deterministic across runs")
+    // exact rerank over PQ candidates: any true neighbor the candidate
+    // set contains is guaranteed into the final top-k, so recall must
+    // not drop below raw ADC (and usually improves)
+    val reranked = SimSearch.pqTopKRerank(emb, queries, "vec_id", "embedding", 5,
+        dim = 64, nSub = 8, nCodes = 16, iters = 1, rerankFactor = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rerankRecall = exact.intersect(reranked).size.toDouble / exact.size
+    assert(rerankRecall >= recall, s"rerank recall $rerankRecall < ADC recall $recall")
   }
 
   test("SimSearch.ivfTopKKMeans: learned centroids, recall vs brute force") {
