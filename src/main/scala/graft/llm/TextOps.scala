@@ -57,6 +57,37 @@ object TextOps {
       array_distinct(grams)
     }
 
+  /** ALL word n-grams in document order, duplicates kept — the
+    * denominator for repetition ratios ([[shingles]] is the distinct-set
+    * variant used for dedup/decontamination keys). Same short-input
+    * guard as [[shingles]].
+    */
+  def ngramsAll(tokens: Column, n: Int): Column =
+    graft.engine.functions.let(tokens) { ts =>
+      when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** Highest single-token occurrence count in the document — the
+    * numerator of the max-token-share repetition signal. O(distinct·n)
+    * comparisons per row, all inside one codegen'd projection: constant
+    * work per document regardless of corpus size, so the cost profile is
+    * identical at 100 TB (embarrassingly parallel, no shuffle).
+    */
+  def maxTokenFreq(tokens: Column): Column =
+    graft.engine.functions.let(tokens) { ts =>
+      array_max(transform(array_distinct(ts),
+        x => size(filter(ts, y => y === x))))
+    }
+
+  /** Cleaning normalization: drop stopwords and tokens shorter than
+    * `minLen` characters — the standard pre-training text scrub.
+    */
+  def normalizeTokens(tokens: Column, stop: Seq[String], minLen: Int): Column =
+    filter(tokens, t => length(t) >= minLen && !t.isin(stop.map(lit): _*))
+
   /** Count of tokens belonging to `stop` (set membership per element). */
   def stopCount(tokens: Column, stop: Seq[String]): Column =
     size(filter(tokens, t => t.isin(stop.map(lit): _*)))

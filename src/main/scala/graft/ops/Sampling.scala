@@ -41,4 +41,24 @@ object Sampling {
     */
   def uniformSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(hashUniform(col(idCol)) < fraction)
+
+  /** Stratified deterministic sampling — the training-data MIXING step:
+    * keep each row with the rate configured for its stratum (domain /
+    * source / language), unlisted strata at `defaultRate`. The rates ride
+    * a broadcast literal table so the mixing recipe is data, not code
+    * (swap recipes without re-planning), and selection is a pure function
+    * of the row id: re-runs, re-partitions, and per-stratum audits all
+    * see the same sample. One broadcast-hash join + one filter — no
+    * shuffle of the corpus.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rateTable = rates.toSeq.toDF(strataCol, "__rate")
+    df.join(broadcast(rateTable), Seq(strataCol), "left")
+      .filter(hashUniform(col(idCol)) < coalesce(col("__rate"), lit(defaultRate)))
+      .drop("__rate")
+  }
 }

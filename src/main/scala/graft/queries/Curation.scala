@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.llm.TextOps
+import graft.ops.Sampling
+
+/** Training-corpus curation: the steps between a raw 100 TB crawl and a
+  * training set — context-window chunking, benchmark decontamination,
+  * text normalization, repetition filtering, and domain mixing.
+  *
+  * Every operator here is a narrow per-row projection (codegen'd column
+  * expressions, no UDFs) until an explicit join/aggregation, so the
+  * corpus scan parallelizes trivially; the only shuffles are the
+  * decontamination gram join (8-byte hashed keys, never document text)
+  * and its final per-doc count aggregation.
+  *
+  * Reference scope: the reference engine's text pipeline stops at
+  * tokenize/filter (core/text_pipeline, see SURVEY.md §2.6); these are
+  * the additional curation stages a production pre-training pipeline
+  * runs on the same tables.
+  */
+object Curation {
+
+  /** Tokens per training context window (q103). */
+  val ChunkCap = 32
+
+  private val stopSqlList = Text.Stop.map(s => s"'$s'").mkString(", ")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Context-window chunking: split each document into fixed-size token
+    // windows (the "concat-free" packing used when documents may not
+    // cross sequence boundaries). Pure explode over a computed range —
+    // zero shuffle; output rows carry only their own window's text.
+    // string_split never yields an empty array (even "" splits to [""]),
+    // so the chunk range is always non-empty and ascending.
+    QueryDef("q103_doc_chunks", Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (SELECT doc_id, toks,
+              unnest(generate_series(0, CAST(ceil(len(toks) / ${ChunkCap}.0) AS BIGINT) - 1)) AS chunk_id
+            FROM t)
+      SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+             array_to_string(toks[chunk_id*$ChunkCap+1 : chunk_id*$ChunkCap+$ChunkCap], ' ') AS chunk_text,
+             CAST(least($ChunkCap, len(toks) - chunk_id*$ChunkCap) AS INTEGER) AS n_chunk_tokens
+      FROM c"""),
+      (spark, dir) => {
+        val cap = ChunkCap
+        T(spark, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0L),
+              ceil(size(col("toks")) / lit(cap.toDouble)).cast("long") - 1))
+              .as("chunk_id"))
+          .select(col("doc_id"),
+            col("chunk_id").cast("int").as("chunk_id"),
+            concat_ws(" ", slice(col("toks"),
+              (col("chunk_id") * cap + 1).cast("int"), lit(cap))).as("chunk_text"),
+            least(lit(cap), size(col("toks")) - col("chunk_id").cast("int") * cap)
+              .cast("int").as("n_chunk_tokens"))
+      }),
+
+    // Benchmark decontamination: flag training documents sharing any
+    // trigram with the held-out eval slice (doc_id % 97 == 0 stands in
+    // for a benchmark set). Grams are xxhash64'd before the join so the
+    // shuffle moves 8-byte keys, never text; a 64-bit collision would
+    // undercount n_shared_grams by 1 with probability ~n²/2⁶⁵ (~1e-8 at
+    // sf0.1) — far below any curation decision threshold. The eval side
+    // is benchmark-sized (≈1%): AQE broadcasts it while small and falls
+    // back to a wide hash join on the high-cardinality gram key, never a
+    // funnel.
+    QueryDef("q104_decontaminate", Some("""
+      WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                       i -> array_to_string(t[i:i+2], ' '))) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      tr AS (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 97 <> 0),
+      ev AS (SELECT doc_id AS eval_id, unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0)
+      SELECT tr.doc_id, CAST(count(DISTINCT tr.g) AS INTEGER) AS n_shared_grams,
+             CAST(count(DISTINCT ev.eval_id) AS INTEGER) AS n_eval_docs
+      FROM tr JOIN ev USING (g) GROUP BY tr.doc_id"""),
+      (spark, dir) => {
+        val grams = T(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.shingles(TextOps.tokenize(col("text")), 3)).as("gram"))
+          .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+        val train = grams.filter(col("doc_id") % 97 =!= 0)
+        val evalSet = grams.filter(col("doc_id") % 97 === 0)
+          .select(col("g"), col("doc_id").as("eval_id"))
+        train.join(evalSet, "g")
+          .groupBy("doc_id")
+          .agg(countDistinct("g").cast("int").as("n_shared_grams"),
+            countDistinct("eval_id").cast("int").as("n_eval_docs"))
+      }),
+
+    // Text normalization: drop stopwords and sub-3-char tokens, emit the
+    // cleaned text plus a retention ratio (single int/int division —
+    // IEEE-identical on both engines, per the q28 rounding note).
+    QueryDef("q105_text_normalize", Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (SELECT doc_id, toks,
+              list_filter(toks, x -> length(x) >= 3 AND x NOT IN ($stopSqlList)) AS kept
+            FROM t)
+      SELECT doc_id, array_to_string(kept, ' ') AS clean_text,
+             CAST(len(kept) AS INTEGER) AS n_kept,
+             CAST(len(toks) AS INTEGER) AS n_orig,
+             CAST(len(kept) AS DOUBLE) / len(toks) AS retention
+      FROM c"""),
+      (spark, dir) =>
+        T(spark, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            TextOps.normalizeTokens(col("toks"), Text.Stop, minLen = 3).as("kept"))
+          .select(col("doc_id"),
+            concat_ws(" ", col("kept")).as("clean_text"),
+            size(col("kept")).as("n_kept"),
+            size(col("toks")).as("n_orig"),
+            (size(col("kept")).cast("double") / size(col("toks"))).as("retention"))),
+
+    // Repetition quality filter: max single-token share + duplicate-
+    // bigram ratio, with the decision thresholds applied to the same
+    // doubles on both engines (single divisions of integer counts — no
+    // rounding needed or wanted, per the q28 note).
+    QueryDef("q106_repetition", Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      m AS (SELECT doc_id, len(toks) AS n,
+              list_max(list_transform(list_distinct(toks),
+                x -> len(list_filter(toks, y -> y = x)))) AS max_tf,
+              list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                i -> toks[i] || ' ' || toks[i+1]) AS bi
+            FROM t)
+      SELECT doc_id, CAST(max_tf AS INTEGER) AS max_tf,
+             CAST(max_tf AS DOUBLE) / n AS max_token_share,
+             1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / greatest(len(bi), 1) AS dup_bigram_ratio,
+             (CAST(max_tf AS DOUBLE) / n > 0.2
+              OR 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / greatest(len(bi), 1) > 0.1) AS repetitive
+      FROM m"""),
+      (spark, dir) =>
+        T(spark, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).as("n"),
+            TextOps.maxTokenFreq(col("toks")).as("max_tf"),
+            TextOps.ngramsAll(col("toks"), 2).as("bi"))
+          .select(col("doc_id"),
+            col("max_tf").cast("int").as("max_tf"),
+            (col("max_tf").cast("double") / col("n")).as("max_token_share"),
+            (lit(1.0) - size(array_distinct(col("bi"))).cast("double")
+              / greatest(size(col("bi")), lit(1))).as("dup_bigram_ratio"))
+          .withColumn("repetitive",
+            col("max_token_share") > 0.2 || col("dup_bigram_ratio") > 0.1)),
+
+    // Domain mixing: per-source sampling rates from a broadcast literal
+    // recipe table, selection a pure hash of doc_id (Sampling.hashUniform
+    // — same first-60-bits-of-md5 construction as the q73 oracle, IEEE
+    // double division on both sides).
+    QueryDef("q107_domain_mix", Some("""
+      WITH rates(source, rate) AS (VALUES ('src0', 1.0), ('src1', 0.75), ('src2', 0.5), ('src3', 0.25)),
+      d AS (SELECT doc_id, source,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000003 + 1 AS DOUBLE)
+                / 1000004.0 AS u
+            FROM documents)
+      SELECT d.doc_id, d.source
+      FROM d LEFT JOIN rates USING (source)
+      WHERE d.u < coalesce(rates.rate, 0.1)"""),
+      (spark, dir) =>
+        Sampling.stratifiedSample(
+          T(spark, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+          defaultRate = 0.1)
+          .select(col("doc_id"), col("source")))
+  )
+}

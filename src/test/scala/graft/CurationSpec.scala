@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the corpus-curation family (q103–q107). The
+  * DuckDB oracle pins exact values; these pin the properties that make
+  * the operators safe to run on a corpus the oracle can't hold: lossless
+  * chunking, eval-side exclusion, filter soundness, and sampling
+  * determinism under repartitioning.
+  */
+class CurationSpec extends SparkSuite {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q103 chunking is lossless: chunks reassemble to the original text") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    val back = q("q103_doc_chunks")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", array_sort(collect_list(struct(col("chunk_id"), col("chunk_text"))))
+          .getField("chunk_text")).as("rebuilt"),
+        sum("n_chunk_tokens").as("tok_sum"))
+    val joined = docs.join(back, "doc_id")
+    assert(joined.filter(col("rebuilt") =!= col("text")).count() == 0)
+    assert(joined.filter(col("tok_sum") =!= col("n_tokens")).count() == 0)
+    assert(joined.count() == docs.count())
+  }
+
+  test("q103 chunk sizes: every chunk is full except possibly the last") {
+    val chunks = q("q103_doc_chunks").cache()
+    try {
+      val bad = chunks
+        .withColumn("last_id", max("chunk_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+        .filter(col("chunk_id") < col("last_id") &&
+          col("n_chunk_tokens") =!= graft.queries.Curation.ChunkCap)
+      assert(bad.count() == 0)
+      assert(chunks.filter(col("n_chunk_tokens") < 1 ||
+        col("n_chunk_tokens") > graft.queries.Curation.ChunkCap).count() == 0)
+    } finally chunks.unpersist()
+  }
+
+  test("q104 decontamination never flags the eval slice itself") {
+    val out = q("q104_decontaminate")
+    assert(out.filter(col("doc_id") % 97 === 0).count() == 0)
+    assert(out.filter(col("n_shared_grams") < 1 || col("n_eval_docs") < 1).count() == 0)
+  }
+
+  test("q105 normalization keeps only long non-stopword tokens") {
+    val bad = q("q105_text_normalize")
+      .select(col("doc_id"), col("retention"),
+        explode(split(col("clean_text"), " ")).as("tok"))
+      .filter(col("tok") =!= "") // empty clean_text explodes to one "" row
+      .filter(length(col("tok")) < 3 ||
+        col("tok").isin(graft.queries.Text.Stop.map(lit): _*))
+    assert(bad.count() == 0)
+    val r = q("q105_text_normalize")
+      .agg(min("retention"), max("retention")).head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(1) <= 1.0)
+  }
+
+  test("q106 repetition signals stay in range and match their flag") {
+    val out = q("q106_repetition")
+    assert(out.filter(col("max_token_share") <= 0 || col("max_token_share") > 1).count() == 0)
+    assert(out.filter(col("dup_bigram_ratio") < 0 || col("dup_bigram_ratio") >= 1).count() == 0)
+    val mislabeled = out.filter(
+      col("repetitive") =!= (col("max_token_share") > 0.2 || col("dup_bigram_ratio") > 0.1))
+    assert(mislabeled.count() == 0)
+  }
+
+  test("stratified sample is a pure function of the data, not the partitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val rates = Map("src0" -> 1.0, "src1" -> 0.5)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.stratifiedSample(df, "doc_id", "source", rates, 0.2)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(docs) == ids(docs.repartition(7)))
+    // rate 1.0 strata survive intact
+    val kept = graft.ops.Sampling.stratifiedSample(docs, "doc_id", "source", rates, 0.2)
+    assert(kept.filter(col("source") === "src0").count() ==
+      docs.filter(col("source") === "src0").count())
+  }
+
+  test("per-row curation stages plan with zero exchanges") {
+    Seq("q103_doc_chunks", "q105_text_normalize", "q106_repetition").foreach { name =>
+      val plan = q(name).queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$name should be a narrow per-row transform:\n${plan.take(1500)}")
+    }
+    // q107 corpus side must not shuffle: the only allowed exchange is the
+    // broadcast of the literal rates table.
+    val p7 = q("q107_domain_mix").queryExecution.executedPlan.toString
+    assert(!p7.contains("ShuffleExchange") && p7.contains("BroadcastExchange"), p7.take(1500))
+  }
+}
