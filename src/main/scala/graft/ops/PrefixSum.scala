@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed prefix sum — a running total over a global order WITHOUT
+  * the unpartitioned-window single-task funnel (`sum(x) OVER (ORDER BY
+  * …)` moves the whole table through one task; see GlobalRank for the
+  * same hazard on ranks).
+  *
+  * Two-phase scan over the range-sorted table: per-partition partial
+  * sums (tiny — one row per partition — collected to the driver), then
+  * a per-partition pass that seeds each partition with the sum of all
+  * preceding partitions. Both jobs run over the SAME sorted RDD lineage,
+  * outside AQE re-planning, so partition indices agree between phases —
+  * the [[Indexing.zipWithIndexOrdered]] recipe, generalized from
+  * row-counting to value accumulation.
+  */
+object PrefixSum {
+
+  /** Append the EXCLUSIVE running sum of `valueCol` (an integral column)
+    * over `order` as `outCol` (LongType): each row receives the sum of
+    * all strictly-preceding rows' values. `order` must be a total order
+    * (unique tiebreaker) for the result to be well-defined.
+    */
+  def withRunningSum(df: DataFrame, valueCol: String, outCol: String,
+                     order: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getAs[Number](idx).longValue())
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    // offsets(i) = total of partitions 0..i-1 (scanLeft drops the last)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        val before = acc
+        acc += r.getAs[Number](idx).longValue()
+        Row.fromSeq(r.toSeq :+ before)
+      }
+    }
+    spark.createDataFrame(out, StructType(
+      sorted.schema.fields :+ StructField(outCol, LongType, nullable = false)))
+  }
+}

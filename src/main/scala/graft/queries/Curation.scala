@@ -24,6 +24,9 @@ object Curation {
   /** Tokens per training context window (q103). */
   val ChunkCap = 32
 
+  /** Tokens per packed training sequence (q108). */
+  val PackCap = 64
+
   private val stopSqlList = Text.Stop.map(s => s"'$s'").mkString(", ")
 
   val defs: Seq[QueryDef] = Seq(
@@ -168,6 +171,44 @@ object Curation {
           "doc_id", "source",
           Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
           defaultRate = 0.1)
-          .select(col("doc_id"), col("source")))
+          .select(col("doc_id"), col("source"))),
+
+    // Concat-and-chunk sequence packing: documents concatenated in
+    // doc_id order, the token stream cut into fixed 64-token packs, each
+    // output row one (doc, pack) slice. The global running token count
+    // comes from ops.PrefixSum — a two-phase distributed scan — not an
+    // unpartitioned window, so the packing layout is computed at cluster
+    // width; the oracle's `sum(n) OVER (ORDER BY doc_id)` is the
+    // semantics, not the plan.
+    QueryDef("q108_pack_concat", Some(s"""
+      WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      c AS (SELECT doc_id, n,
+              CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+            FROM t),
+      e AS (SELECT doc_id, n, cb, cb + n AS ca,
+              unnest(generate_series(cb // $PackCap, (cb + n - 1) // $PackCap)) AS pack_id
+            FROM c)
+      SELECT doc_id, CAST(pack_id AS INTEGER) AS pack_id,
+             CAST(least(ca, (pack_id+1)*$PackCap) - greatest(cb, pack_id*$PackCap) AS INTEGER) AS n_pack_tokens,
+             CAST(greatest(cb, pack_id*$PackCap) - pack_id*$PackCap AS INTEGER) AS offset_in_pack
+      FROM e"""),
+      (spark, dir) => {
+        val cap = PackCap
+        val t = T(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(TextOps.tokenize(col("text"))).cast("long").as("n"))
+        graft.ops.PrefixSum.withRunningSum(t, "n", "cb", Seq(col("doc_id")))
+          .withColumn("ca", col("cb") + col("n"))
+          .select(col("doc_id"), col("cb"), col("ca"),
+            explode(sequence(expr(s"cb div $cap"), expr(s"(ca - 1) div $cap")))
+              .as("pack_id"))
+          .select(col("doc_id"),
+            col("pack_id").cast("int").as("pack_id"),
+            (least(col("ca"), (col("pack_id") + 1) * cap)
+              - greatest(col("cb"), col("pack_id") * cap)).cast("int").as("n_pack_tokens"),
+            (greatest(col("cb"), col("pack_id") * cap) - col("pack_id") * cap)
+              .cast("int").as("offset_in_pack"))
+      })
   )
 }

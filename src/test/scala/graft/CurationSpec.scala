@@ -84,6 +84,42 @@ class CurationSpec extends SparkSuite {
       docs.filter(col("source") === "src0").count())
   }
 
+  test("PrefixSum matches the window running sum and survives repartitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val viaWindow = docs.withColumn("cb",
+      coalesce(sum("n_chars").over(
+        org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+          .rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("doc_id", "cb").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    Seq(docs, docs.repartition(7), docs.coalesce(1)).foreach { d =>
+      val viaScan = graft.ops.PrefixSum
+        .withRunningSum(d, "n_chars", "cb", Seq(col("doc_id")))
+        .select("doc_id", "cb").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaScan == viaWindow)
+    }
+  }
+
+  test("q108 packing is lossless and every pack except the last is full") {
+    val out = q("q108_pack_concat").cache()
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      // per-doc: slices reassemble the whole document
+      val perDoc = out.groupBy("doc_id").agg(sum("n_pack_tokens").as("packed"))
+        .join(docs, "doc_id")
+      assert(perDoc.filter(col("packed") =!= col("n_tokens")).count() == 0)
+      assert(perDoc.count() == docs.count())
+      // per-pack: contiguous ids, all full but the final one
+      val cap = graft.queries.Curation.PackCap
+      val perPack = out.groupBy("pack_id").agg(sum("n_pack_tokens").as("sz"))
+      val maxPack = perPack.agg(max("pack_id")).head().getInt(0)
+      assert(perPack.count() == maxPack + 1)
+      assert(perPack.filter(col("pack_id") < maxPack && col("sz") =!= cap).count() == 0)
+      assert(perPack.filter(col("sz") < 1 || col("sz") > cap).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("per-row curation stages plan with zero exchanges") {
     Seq("q103_doc_chunks", "q105_text_normalize", "q106_repetition").foreach { name =>
       val plan = q(name).queryExecution.executedPlan.toString
