@@ -209,6 +209,64 @@ object Curation {
               - greatest(col("cb"), col("pack_id") * cap)).cast("int").as("n_pack_tokens"),
             (greatest(col("cb"), col("pack_id") * cap) - col("pack_id") * cap)
               .cast("int").as("offset_in_pack"))
-      })
+      }),
+
+    // End-to-end sequence-level prep (flows.TrainingPrep): exact dedup →
+    // eval holdout → repetition gates → decontamination → domain mix →
+    // normalization → packing. Stages 1–5 are each a pure function of
+    // the full input table, so the oracle expresses them as independent
+    // CTE predicates over `documents` ANDed together — exactly the
+    // commuting-filters contract the flow documents.
+    QueryDef("q109_training_prep", Some(s"""
+      WITH tok AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+      dedup AS (SELECT doc_id FROM (
+                  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                  FROM documents) WHERE rn = 1),
+      sig AS (SELECT doc_id, len(toks) AS n,
+                list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))) AS max_tf,
+                list_transform(generate_series(1, greatest(len(toks)-1, 0)), i -> toks[i] || ' ' || toks[i+1]) AS bi
+              FROM tok),
+      okrep AS (SELECT doc_id FROM sig
+                WHERE NOT (CAST(max_tf AS DOUBLE)/n > 0.2
+                           OR 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE)/greatest(len(bi),1) > 0.1)),
+      sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(toks)-2, 0)),
+                             i -> array_to_string(toks[i:i+2], ' '))) AS grams FROM tok),
+      contam AS (SELECT DISTINCT tr.doc_id
+                 FROM (SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 97 <> 0) tr
+                 JOIN (SELECT doc_id AS eid, unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0) ev USING (g)),
+      rates(source, rate) AS (VALUES ('src0', 1.0), ('src1', 0.75), ('src2', 0.5), ('src3', 0.25)),
+      mix AS (SELECT d.doc_id FROM
+                (SELECT doc_id, source,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000003 + 1 AS DOUBLE)
+                     / 1000004.0 AS u
+                 FROM documents) d
+              LEFT JOIN rates USING (source)
+              WHERE d.u < coalesce(rates.rate, 0.5)),
+      kept AS (SELECT doc_id,
+                 len(list_filter(toks, x -> length(x) >= 3 AND x NOT IN ($stopSqlList))) AS n
+               FROM tok
+               WHERE doc_id IN (SELECT doc_id FROM dedup)
+                 AND doc_id % 97 <> 0
+                 AND doc_id IN (SELECT doc_id FROM okrep)
+                 AND doc_id NOT IN (SELECT doc_id FROM contam)
+                 AND doc_id IN (SELECT doc_id FROM mix)),
+      surv AS (SELECT doc_id, CAST(n AS BIGINT) AS n FROM kept WHERE n > 0),
+      c AS (SELECT doc_id, n,
+              CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+            FROM surv),
+      e AS (SELECT doc_id, n, cb, cb + n AS ca,
+              unnest(generate_series(cb // 64, (cb + n - 1) // 64)) AS pack_id FROM c)
+      SELECT doc_id, CAST(pack_id AS INTEGER) AS pack_id,
+             CAST(least(ca, (pack_id+1)*64) - greatest(cb, pack_id*64) AS INTEGER) AS n_pack_tokens,
+             CAST(greatest(cb, pack_id*64) - pack_id*64 AS INTEGER) AS offset_in_pack
+      FROM e"""),
+      (spark, dir) =>
+        graft.flows.TrainingPrep.run(
+          T(spark, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+          graft.flows.TrainingPrep.Config(
+            stop = Text.Stop,
+            rates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+            defaultRate = 0.5)))
   )
 }

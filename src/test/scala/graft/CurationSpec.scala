@@ -120,6 +120,20 @@ class CurationSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("q109 training prep: packed stream is dense and excludes the holdout") {
+    val out = q("q109_training_prep").cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("doc_id") % 97 === 0).count() == 0, "eval slice leaked into training")
+      val cap = graft.flows.TrainingPrep.Config(stop = Nil).packCap
+      val perPack = out.groupBy("pack_id").agg(sum("n_pack_tokens").as("sz"))
+      val maxPack = perPack.agg(max("pack_id")).head().getInt(0)
+      assert(perPack.count() == maxPack + 1, "pack ids must be contiguous")
+      assert(perPack.filter(col("pack_id") < maxPack && col("sz") =!= cap).count() == 0,
+        "every pack except the last must be exactly full")
+    } finally out.unpersist()
+  }
+
   test("per-row curation stages plan with zero exchanges") {
     Seq("q103_doc_chunks", "q105_text_normalize", "q106_repetition").foreach { name =>
       val plan = q(name).queryExecution.executedPlan.toString
