@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.llm.TextOps
+
+/** Retrieval-index construction and distributional statistics over the
+  * documents table: a segment-sharded inverted index and token
+  * co-occurrence PMI — the artifacts a retrieval stack and an
+  * embedding-training pipeline precompute from a 100 TB corpus.
+  */
+object Retrieval {
+
+  /** Documents per index segment (q110). Sharding bounds every posting
+    * list at the segment size, so no single term — however frequent —
+    * produces an unmergeable array at corpus scale; segments also give
+    * readers partition-pruned access by doc range.
+    */
+  val SegmentDocs = 100
+
+  /** Minimum pair document frequency for q111 (noise floor; at corpus
+    * scale this threshold is what keeps the pair space sparse).
+    */
+  val MinPairCount = 5
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Segment-sharded inverted index: (term, shard) -> delta-encoded
+    // posting list + segment document frequency. One explode + one
+    // groupBy shuffle of (term, doc_id) pairs; postings are sorted and
+    // delta-encoded inside the aggregation's output projection.
+    QueryDef("q110_inverted_index", Some(s"""
+      WITH tr AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term FROM documents),
+      g AS (SELECT term, doc_id // $SegmentDocs AS shard, list(doc_id ORDER BY doc_id) AS p,
+                   CAST(count(*) AS INTEGER) AS df
+            FROM tr GROUP BY term, doc_id // $SegmentDocs)
+      SELECT term, CAST(shard AS INTEGER) AS shard, df,
+             list_transform(generate_series(1, len(p)),
+               i -> CASE WHEN i = 1 THEN p[1] ELSE p[i] - p[i-1] END) AS deltas
+      FROM g"""),
+      (spark, dir) => {
+        val seg = SegmentDocs
+        T(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(TextOps.tokenize(col("text")))).as("term"))
+          .groupBy(col("term"), expr(s"doc_id div $seg").cast("int").as("shard"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("p"),
+            count(lit(1)).cast("int").as("df"))
+          .select(col("term"), col("shard"), col("df"),
+            graft.engine.functions.let(col("p")) { p =>
+              transform(sequence(lit(1), size(p)),
+                i => when(i === 1, element_at(p, 1))
+                  .otherwise(element_at(p, i) - element_at(p, i - 1)))
+            }.as("deltas"))
+      }),
+
+    // Token co-occurrence PMI over per-document distinct tokens: the
+    // pair space is built by a per-doc self-join (each doc contributes
+    // m·(m-1)/2 pairs — bounded by document length, not corpus size),
+    // counted in one shuffle, then scored against broadcast unigram
+    // counts. round(·,6) pins the single ln() across engines (q93's
+    // BM25 precedent).
+    QueryDef("q111_cooccur_pmi", Some(s"""
+      WITH tr AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+      n AS (SELECT count(*) AS total FROM documents),
+      uni AS (SELECT t, count(*) AS c FROM tr GROUP BY t),
+      pairs AS (SELECT a.t AS t_a, b.t AS t_b, count(*) AS c_ab
+                FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND a.t < b.t
+                GROUP BY a.t, b.t)
+      SELECT t_a, t_b, CAST(c_ab AS INTEGER) AS n_ab,
+             round(ln(CAST(c_ab AS DOUBLE) * total / (ua.c * ub.c)), 6) AS pmi
+      FROM pairs JOIN uni ua ON pairs.t_a = ua.t
+                 JOIN uni ub ON pairs.t_b = ub.t
+                 CROSS JOIN n
+      WHERE c_ab >= $MinPairCount"""),
+      (spark, dir) => {
+        val docs = T(spark, dir, "documents")
+        val tr = docs.select(col("doc_id"),
+          explode(array_distinct(TextOps.tokenize(col("text")))).as("t"))
+        val total = docs.count()
+        val uni = tr.groupBy("t").agg(count(lit(1)).as("c"))
+        val pairs = tr.as("a").join(tr.as("b"),
+            col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
+          .groupBy(col("a.t").as("t_a"), col("b.t").as("t_b"))
+          .agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= MinPairCount)
+        // No forced broadcast of the unigram side: vocabulary grows with
+        // the corpus (sublinearly, but unboundedly) — AQE broadcasts it
+        // while small and degrades to a hash join past the threshold.
+        pairs
+          .join(uni.select(col("t").as("t_a"), col("c").as("c_a")), "t_a")
+          .join(uni.select(col("t").as("t_b"), col("c").as("c_b")), "t_b")
+          .select(col("t_a"), col("t_b"), col("c_ab").cast("int").as("n_ab"),
+            round(log(col("c_ab").cast("double") * total / (col("c_a") * col("c_b"))), 6)
+              .as("pmi"))
+      })
+  )
+}
