@@ -22,6 +22,9 @@ object Retrieval {
     */
   val MinPairCount = 5
 
+  /** Frequency-cutoff vocabulary size for q112. */
+  val VocabSize = 20
+
   val defs: Seq[QueryDef] = Seq(
 
     // Segment-sharded inverted index: (term, shard) -> delta-encoded
@@ -92,6 +95,34 @@ object Retrieval {
           .select(col("t_a"), col("t_b"), col("c_ab").cast("int").as("n_ab"),
             round(log(col("c_ab").cast("double") * total / (col("c_a") * col("c_b"))), 6)
               .as("pmi"))
+      }),
+
+    // Tokenizer-prep coverage: build a frequency-cutoff vocabulary (one
+    // groupBy + distributed TakeOrdered — the vocab never exists as an
+    // unbounded driver structure) and measure each document's
+    // out-of-vocabulary rate via a broadcast anti-join. The single
+    // int/int division is IEEE-identical on both engines (q28 note).
+    QueryDef("q112_vocab_coverage", Some(s"""
+      WITH tr AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      vocab AS (SELECT t FROM (SELECT t, count(*) AS c FROM tr GROUP BY t ORDER BY c DESC, t LIMIT $VocabSize)),
+      tot AS (SELECT doc_id, count(*) AS n FROM tr GROUP BY doc_id),
+      oov AS (SELECT doc_id, count(*) AS k FROM tr WHERE t NOT IN (SELECT t FROM vocab) GROUP BY doc_id)
+      SELECT tot.doc_id, CAST(coalesce(k, 0) AS INTEGER) AS n_oov, CAST(n AS INTEGER) AS n_tokens,
+             CAST(coalesce(k, 0) AS DOUBLE) / n AS oov_rate
+      FROM tot LEFT JOIN oov USING (doc_id)"""),
+      (spark, dir) => {
+        val tr = T(spark, dir, "documents")
+          .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("t"))
+        val vocab = tr.groupBy("t").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("t")).limit(VocabSize).select("t")
+        val tot = tr.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val oov = tr.join(vocab, Seq("t"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("k"))
+        tot.join(oov, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("k"), lit(0L)).cast("int").as("n_oov"),
+            col("n").cast("int").as("n_tokens"),
+            (coalesce(col("k"), lit(0L)).cast("double") / col("n")).as("oov_rate"))
       })
   )
 }

@@ -38,6 +38,26 @@ object ProfileScaling {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
+    buildScaledDocs(spark, src, dst, copies)
+  }
+
+  /** Scale the documents table WITHOUT the verbatim-copy trap: each
+    * copy's tokens get a copy-unique prefix, so vocabularies are
+    * disjoint across copies and content-keyed workloads (gram joins,
+    * inverted terms, fingerprints, near-dup candidates) grow linearly —
+    * the same workload scaled, not a quadratically colliding one.
+    */
+  def buildScaledDocs(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val shift = docs.agg(max("doc_id")).head.getLong(0) + 1
+    (0 until copies).map { i =>
+      if (i == 0) docs
+      else docs
+        .withColumn("doc_id", col("doc_id") + lit(i * shift))
+        .withColumn("text",
+          concat(lit(s"c${i}_"), regexp_replace(col("text"), " ", s" c${i}_")))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -62,6 +82,10 @@ object ProfileScaling {
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/lineitem.parquet"))) {
           println(s"[scale] building x$c at $d")
           buildScaled(spark, src, d, c)
+        } else if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$d/documents.parquet"))) {
+          println(s"[scale] adding scaled documents to x$c at $d")
+          buildScaledDocs(spark, src, d, c)
         }
         c -> d
     }
