@@ -3,7 +3,7 @@ package graft.flows
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.llm.TextOps
+import graft.llm.{Decontaminate, TextOps}
 import graft.ops.{Dedup, PrefixSum, Sampling}
 
 /** Sequence-level training-data preparation, end to end — the stages
@@ -57,14 +57,12 @@ object TrainingPrep {
       .drop("__n", "__share", "__bi", "__dup")
 
     // 4. decontamination: any shared trigram with the eval slice kills
-    // the doc. Grams hash to 8 bytes before the shuffle; the contaminated
-    // id set comes back through a left_anti join.
-    val grams = docs.select(col("doc_id"),
-      explode(TextOps.shingles(toks, 3)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
-    val evalGrams = grams.filter(col("doc_id") % cfg.evalModulus === 0).select("g").distinct()
-    val contaminated = grams.filter(col("doc_id") % cfg.evalModulus =!= 0)
-      .join(evalGrams, "g").select("doc_id").distinct()
+    // the doc (llm.Decontaminate). The Bloom-prefilter path is exercised
+    // here — eval grams sketch to a literal filter applied at the corpus
+    // gram scan, the exact join kills false positives, and the q109
+    // oracle gates the result against the plain-join SQL semantics.
+    val contaminated = Decontaminate.contaminatedIds(docs, "doc_id", "text",
+      col("doc_id") % cfg.evalModulus === 0, n = 3, bloomPrefilter = true)
     val decontaminated = cleanRep.join(contaminated, Seq("doc_id"), "left_anti")
 
     // 5. domain mixing (deterministic, partitioning-independent)

@@ -120,6 +120,18 @@ class CurationSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("decontamination bloom-prefilter path returns the exact plain-join id set") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+    val isEval = col("doc_id") % 97 === 0
+    def ids(bloom: Boolean) = graft.llm.Decontaminate
+      .contaminatedIds(docs, "doc_id", "text", isEval, n = 3, bloomPrefilter = bloom)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val plain = ids(bloom = false)
+    assert(plain.nonEmpty)
+    assert(ids(bloom = true) == plain)
+  }
+
   test("q109 training prep: packed stream is dense and excludes the holdout") {
     val out = q("q109_training_prep").cache()
     try {
