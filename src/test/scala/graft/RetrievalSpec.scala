@@ -32,6 +32,16 @@ class RetrievalSpec extends SparkSuite {
       .filter(col("shard") =!= expr(s"d div $seg").cast("int")).count() == 0)
   }
 
+  test("q110 plans as one scan and one shuffle") {
+    val df = q("q110_inverted_index")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("\\+- == Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan.take(1500))
+    assert("Exchange (hash|range|Single|RoundRobin)".r.findAllIn(plan).size == 1,
+      plan.take(1500))
+  }
+
   test("q111 pair counts match a direct per-pair recount") {
     val out = q("q111_cooccur_pmi")
     assert(out.filter(col("t_a") >= col("t_b")).count() == 0)
