@@ -267,6 +267,56 @@ object Curation {
           graft.flows.TrainingPrep.Config(
             stop = Text.Stop,
             rates = Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
-            defaultRate = 0.5)))
+            defaultRate = 0.5))),
+
+    // Packed-sequence MATERIALIZATION: the q108 layout turned into the
+    // actual training text — per-(doc, pack) token slices reassembled
+    // per pack in offset order. The tokens ride the prefix scan's
+    // range sort (one corpus shuffle — packing fundamentally reorders
+    // the corpus into a global stream) and the final groupBy moves each
+    // token exactly once more; nothing is ever quadratic.
+    QueryDef("q113_pack_text", Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (SELECT doc_id, toks, len(toks) AS n,
+              CAST(coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+            FROM t),
+      e AS (SELECT doc_id, toks, n, cb, cb + n AS ca,
+              unnest(generate_series(cb // $PackCap, (cb + n - 1) // $PackCap)) AS pack_id FROM c),
+      s AS (SELECT pack_id,
+              greatest(cb, pack_id*$PackCap) - pack_id*$PackCap AS off,
+              array_to_string(toks[greatest(cb, pack_id*$PackCap) - cb + 1 :
+                                    least(ca, (pack_id+1)*$PackCap) - cb], ' ') AS piece,
+              least(ca, (pack_id+1)*$PackCap) - greatest(cb, pack_id*$PackCap) AS k
+            FROM e)
+      SELECT CAST(pack_id AS INTEGER) AS pack_id,
+             string_agg(piece, ' ' ORDER BY off) AS pack_text,
+             CAST(sum(k) AS INTEGER) AS n_pack_tokens
+      FROM s GROUP BY pack_id"""),
+      (spark, dir) => {
+        val cap = PackCap
+        val withN = T(spark, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("n"))
+        val sliced = graft.ops.PrefixSum.withRunningSum(withN, "n", "cb", Seq(col("doc_id")))
+          .withColumn("ca", col("cb") + col("n"))
+          .select(col("toks"), col("cb"), col("ca"),
+            explode(sequence(expr(s"cb div $cap"), expr(s"(ca - 1) div $cap")))
+              .as("pack_id"))
+          .select(col("pack_id").cast("int").as("pack_id"),
+            (greatest(col("cb"), col("pack_id") * cap) - col("pack_id") * cap)
+              .cast("int").as("off"),
+            concat_ws(" ", slice(col("toks"),
+              (greatest(col("cb"), col("pack_id") * cap) - col("cb") + 1).cast("int"),
+              (least(col("ca"), (col("pack_id") + 1) * cap)
+                - greatest(col("cb"), col("pack_id") * cap)).cast("int"))).as("piece"),
+            (least(col("ca"), (col("pack_id") + 1) * cap)
+              - greatest(col("cb"), col("pack_id") * cap)).cast("int").as("k"))
+        sliced.groupBy("pack_id")
+          .agg(
+            concat_ws(" ", array_sort(collect_list(struct(col("off"), col("piece"))))
+              .getField("piece")).as("pack_text"),
+            sum("k").cast("int").as("n_pack_tokens"))
+      })
   )
 }

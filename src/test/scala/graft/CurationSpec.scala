@@ -120,6 +120,18 @@ class CurationSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("q113 pack text is the corpus token stream, cut at pack boundaries") {
+    val packs = q("q113_pack_text")
+      .orderBy("pack_id").collect()
+    val stream = packs.flatMap(_.getAs[String]("pack_text").split(" ")).toSeq
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").collect()
+      .flatMap(_.getAs[String]("text").split(" ")).toSeq
+    assert(stream == direct, "concatenated packs must reproduce the doc_id-ordered token stream")
+    val cap = graft.queries.Curation.PackCap
+    assert(packs.dropRight(1).forall(_.getAs[Int]("n_pack_tokens") == cap))
+  }
+
   test("decontamination bloom-prefilter path returns the exact plain-join id set") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text")
