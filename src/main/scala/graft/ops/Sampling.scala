@@ -18,8 +18,16 @@ object Sampling {
     * `('0x' || substr(md5(key), 1, 15))::BIGINT % 1000003` in DuckDB).
     */
   def hashUniform(key: Column): Column =
-    ((conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
-      % 1000003L + 1L).cast("double")) / 1000004.0
+    hashRank(key).cast("double") / 1000004.0
+
+  /** Deterministic integer rank in [1, 1000003]: the first 60 bits of
+    * md5(key) folded mod 1000003 (DuckDB:
+    * `('0x' || substr(md5(key), 1, 15))::BIGINT % 1000003 + 1`).
+    * Integer form of [[hashUniform]] — exact to order by, no float
+    * boundary.
+    */
+  def hashRank(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long") % 1000003L + 1L
 
   /** Efraimidis-Spirakis weighted sampling without replacement: row i
     * wins with probability proportional to `weight` via the key
@@ -51,6 +59,31 @@ object Sampling {
     * see the same sample. One broadcast-hash join + one filter — no
     * shuffle of the corpus.
     */
+  /** Token-budget mixing — the absolute-quota variant of
+    * [[stratifiedSample]]: per stratum, keep the hash-random prefix of
+    * rows whose running `amount` total stays within `budget` (a corpus
+    * recipe like "2B tokens of web, 500M of code" rather than rates).
+    * Row order inside a stratum is (hashRank(id), id) — deterministic,
+    * partitioning-independent, and uniformly random w.r.t. the data, so
+    * the kept set is an unbiased budget-capped sample. The running
+    * total is appended as `cumCol`.
+    *
+    * Scale note: the per-stratum running sum is a partitioned window —
+    * parallelism equals the stratum count, and one giant stratum
+    * serializes into a single window task. For the handful-of-domains
+    * mixing recipe this is the right trade; a million-row single
+    * stratum would call for [[graft.ops.PrefixSum]] per stratum
+    * instead.
+    */
+  def budgetSample(df: DataFrame, idCol: String, strataCol: String,
+                   amount: Column, budget: Long, cumCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol).orderBy(hashRank(col(idCol)), col(idCol))
+      .rowsBetween(Long.MinValue, 0)
+    df.withColumn(cumCol, sum(amount).over(w))
+      .filter(col(cumCol) <= budget)
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double): DataFrame = {

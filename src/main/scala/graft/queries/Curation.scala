@@ -27,6 +27,9 @@ object Curation {
   /** Tokens per packed training sequence (q108). */
   val PackCap = 64
 
+  /** Per-source token quota (q114). */
+  val TokenBudget = 2000L
+
   private val stopSqlList = Text.Stop.map(s => s"'$s'").mkString(", ")
 
   val defs: Seq[QueryDef] = Seq(
@@ -317,6 +320,31 @@ object Curation {
             concat_ws(" ", array_sort(collect_list(struct(col("off"), col("piece"))))
               .getField("piece")).as("pack_text"),
             sum("k").cast("int").as("n_pack_tokens"))
-      })
+      }),
+
+    // Token-budget mixing: per-source absolute token quotas (the
+    // "2B tokens of web, 500M of code" recipe form) — keep the
+    // hash-random prefix of each source whose running token total fits
+    // the budget. Integer hash ranks order the rows, so there is no
+    // float boundary anywhere in the selection.
+    QueryDef("q114_token_budget", Some(s"""
+      WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000003 + 1 AS h
+                 FROM documents),
+      c AS (SELECT doc_id, source, n,
+              sum(n) OVER (PARTITION BY source ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM t)
+      SELECT doc_id, source, CAST(n AS INTEGER) AS n_tokens,
+             CAST(cum AS BIGINT) AS cum_tokens
+      FROM c WHERE cum <= $TokenBudget"""),
+      (spark, dir) =>
+        Sampling.budgetSample(
+          T(spark, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              size(TextOps.tokenize(col("text"))).as("n")),
+          "doc_id", "source", col("n"), TokenBudget, cumCol = "cum_tokens")
+          .select(col("doc_id"), col("source"), col("n").cast("int").as("n_tokens"),
+            col("cum_tokens").cast("long").as("cum_tokens")))
   )
 }

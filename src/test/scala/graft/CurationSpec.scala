@@ -158,6 +158,35 @@ class CurationSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("budget sample respects the quota, is partitioning-independent, and keeps a prefix") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n"))
+    def keep(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Sampling.budgetSample(df, "doc_id", "source", col("n"),
+        budget = 500L, cumCol = "cum")
+    val out = keep(docs).cache()
+    try {
+      // quota: no stratum's kept total exceeds the budget
+      assert(out.groupBy("source").agg(sum("n").as("tot"))
+        .filter(col("tot") > 500L).count() == 0)
+      // pure function of the data, not the partitioning
+      def ids(df: org.apache.spark.sql.DataFrame) =
+        keep(df).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids(docs) == ids(docs.repartition(7)))
+      // prefix property: the kept set is exactly the hash-rank prefix —
+      // every excluded row of a stratum ranks after every kept row, so
+      // adding the next-ranked row would overflow the budget.
+      val ranked = docs.withColumn("h", graft.ops.Sampling.hashRank(col("doc_id")))
+      val maxKept = out.join(ranked, Seq("doc_id", "source"))
+        .groupBy("source").agg(max("h").as("kh"))
+      val dropped = ranked.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(maxKept, "source")
+        .filter(col("h") < col("kh"))
+      assert(dropped.count() == 0, "a dropped row hash-ranked before a kept row")
+    } finally out.unpersist()
+  }
+
   test("per-row curation stages plan with zero exchanges") {
     Seq("q103_doc_chunks", "q105_text_normalize", "q106_repetition").foreach { name =>
       val plan = q(name).queryExecution.executedPlan.toString
