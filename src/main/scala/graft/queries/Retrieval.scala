@@ -57,11 +57,12 @@ object Retrieval {
       }),
 
     // Token co-occurrence PMI over per-document distinct tokens: the
-    // pair space is built by a per-doc self-join (each doc contributes
-    // m·(m-1)/2 pairs — bounded by document length, not corpus size),
-    // counted in one shuffle, then scored against broadcast unigram
-    // counts. round(·,6) pins the single ln() across engines (q93's
-    // BM25 precedent).
+    // pair space (each doc contributes m·(m-1)/2 pairs — bounded by
+    // document length, not corpus size) is generated NARROWLY from the
+    // sorted per-doc token array — no self-join, so the only wide ops
+    // are the two groupBy shuffles (unigram + pair counts), then the
+    // pair counts are scored against the unigram counts. round(·,6)
+    // pins the single ln() across engines (q93's BM25 precedent).
     QueryDef("q111_cooccur_pmi", Some(s"""
       WITH tr AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
       n AS (SELECT count(*) AS total FROM documents),
@@ -77,13 +78,21 @@ object Retrieval {
       WHERE c_ab >= $MinPairCount"""),
       (spark, dir) => {
         val docs = T(spark, dir, "documents")
-        val tr = docs.select(col("doc_id"),
-          explode(array_distinct(TextOps.tokenize(col("text")))).as("t"))
+        val toks = docs.select(col("doc_id"),
+          array_sort(array_distinct(TextOps.tokenize(col("text")))).as("ts"))
         val total = docs.count()
-        val uni = tr.groupBy("t").agg(count(lit(1)).as("c"))
-        val pairs = tr.as("a").join(tr.as("b"),
-            col("a.doc_id") === col("b.doc_id") && col("a.t") < col("b.t"))
-          .groupBy(col("a.t").as("t_a"), col("b.t").as("t_b"))
+        val uni = toks.select(explode(col("ts")).as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+        // Per-row pair generation: for the sorted array ts, every
+        // (ts[i], ts[j]) with i < j — a flatten of per-element suffix
+        // slices. Narrow (no exchange) until the pair groupBy.
+        val pairs = toks
+          .select(explode(graft.engine.functions.let(col("ts")) { ts =>
+            flatten(transform(ts, (x, i) =>
+              transform(slice(ts, i + lit(2), size(ts)),
+                y => struct(x.as("t_a"), y.as("t_b")))))
+          }).as("p"))
+          .groupBy(col("p.t_a").as("t_a"), col("p.t_b").as("t_b"))
           .agg(count(lit(1)).as("c_ab"))
           .filter(col("c_ab") >= MinPairCount)
         // No forced broadcast of the unigram side: vocabulary grows with
