@@ -194,13 +194,18 @@ object SimSearch {
     var books = subSplit(
       c.orderBy(col(idCol)).limit(nCodes).withColumnRenamed(idCol, "code"),
       "code", "__ne").withColumnRenamed("sv", "ce")
+    // Top-1-per-(id, m) as a max_by aggregation, not a window: the
+    // join output is |points|·nCodes rows, and an aggregate gets
+    // map-side partial combine — only |points| rows reach the shuffle,
+    // where a window would shuffle (and sort) the full join output.
+    // max_by on (score, -code) replicates ORDER BY score DESC, code ASC.
     def nearestCode(points: DataFrame, id: String): DataFrame =
-      TopK.exactPerKey(
-        points.join(books, Seq("m"))
-          .select(col(id), col("m"), col("sv"), col("code"),
-            dot(col("sv"), col("ce")).as("__c")),
-        Seq(id, "m"), Seq(col("__c").desc, col("code").asc), 1, "__r")
-        .select(col(id), col("m"), col("sv"), col("code"))
+      points.join(books, Seq("m"))
+        .select(col(id), col("m"), col("sv"), col("code"),
+          dot(col("sv"), col("ce")).as("__c"))
+        .groupBy(col(id), col("m"))
+        .agg(max_by(struct(col("code"), col("sv")), struct(col("__c"), -col("code"))).as("__w"))
+        .select(col(id), col("m"), col("__w.sv").as("sv"), col("__w.code").as("code"))
     for (_ <- 0 until iters) {
       // per-(m, code) mean in id order (ordered fold, exact count
       // division, NO renorm — PQ codewords are plain subspace means);
@@ -225,16 +230,18 @@ object SimSearch {
     val qtab = qsubs.join(books, Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
         dot(col("sv"), col("ce")).as("__p"))
+    // m-ordered partial sum via pivot: each (query, vector) group has
+    // exactly one partial per m, so first() is exact, and the explicit
+    // p0+p1+…+p7 left fold is the same addition order as the oracle's
+    // list(partial ORDER BY m) sum — with plain fixed-width agg state
+    // instead of a collect_list/sort/fold chain per pair.
     val scored = codes.join(broadcast(qtab), Seq("m", "code"))
       .filter(col(idCol) =!= col("query_id"))
       .groupBy(col("query_id"), col(idCol))
-      // m-ordered partial sum: deterministic fold, mirrored by the
-      // oracle's list(partial ORDER BY m) aggregate
-      .agg(array_sort(collect_list(struct(col("m"), col("__p")))).as("__ps"))
+      .pivot("m", (0 until nSub).map(m => m: Any))
+      .agg(first(col("__p")))
       .select(col("query_id"), col(idCol),
-        round(aggregate(expr("slice(__ps, 2, size(__ps) - 1)"),
-          element_at(col("__ps"), 1).getField("__p"),
-          (acc, x) => acc + x.getField("__p")), 6).as("adc_sim"))
+        round((0 until nSub).map(m => col(s"`$m`")).reduceLeft(_ + _), 6).as("adc_sim"))
     TopK.exactPerKey(scored, Seq("query_id"),
       Seq(col("adc_sim").desc, col(idCol).asc), k, "rnk")
       .withColumn("rnk", col("rnk").cast("int"))
