@@ -25,6 +25,11 @@ object Retrieval {
   /** Frequency-cutoff vocabulary size for q112. */
   val VocabSize = 20
 
+  /** KMV sketch size for q116 — 64 longs of aggregation state per
+    * group, expected relative error ≈ 1/√(k−2) ≈ 13%.
+    */
+  val KmvK = 64
+
   val defs: Seq[QueryDef] = Seq(
 
     // Segment-sharded inverted index: (term, shard) -> delta-encoded
@@ -132,6 +137,45 @@ object Retrieval {
             coalesce(col("k"), lit(0L)).cast("int").as("n_oov"),
             col("n").cast("int").as("n_tokens"),
             (coalesce(col("k"), lit(0L)).cast("double") / col("n")).as("oov_rate"))
+      }),
+
+    // Per-source distinct 3-shingle cardinality: exact count vs the KMV
+    // bottom-k sketch ([[graft.engine.expressions.KmvDistinct]]). The
+    // sketch side is the 100 TB path — k longs of mergeable state per
+    // source instead of shuffling every distinct shingle; the exact
+    // side exists for the side-by-side (and the oracle pins BOTH,
+    // because the md5-prefix hash makes the estimate deterministic).
+    QueryDef("q116_kmv_cardinality", Some(s"""
+      WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT source, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+             FROM tok),
+      ex AS (SELECT source, count(DISTINCT g) AS nd FROM sh GROUP BY source),
+      h AS (SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM sh),
+      r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+                   count(*) OVER (PARTITION BY source) AS nh FROM h),
+      kmv AS (SELECT source,
+                CASE WHEN nh < $KmvK THEN CAST(nh AS DOUBLE)
+                     ELSE ${KmvK - 1} / (hv / 1152921504606846976.0) END AS est
+              FROM r WHERE rn = least(nh, $KmvK))
+      SELECT ex.source, CAST(ex.nd AS INTEGER) AS n_exact,
+             round(kmv.est, 6) AS kmv_est,
+             round(abs(kmv.est - ex.nd) / ex.nd, 6) AS rel_err
+      FROM ex JOIN kmv USING (source)"""),
+      (spark, dir) => {
+        import graft.engine.expressions.KmvDistinct
+        KmvDistinct.register(spark)
+        val grams = T(spark, dir, "documents")
+          .select(col("source"),
+            explode(TextOps.shingles(TextOps.tokenize(col("text")), 3)).as("g"))
+        val sk = grams.groupBy("source")
+          .agg(KmvDistinct.sketch(KmvDistinct.hash60(col("g")), KmvK).as("s"))
+          .select(col("source"), col("s.est").as("est"))
+        val ex = grams.groupBy("source").agg(countDistinct(col("g")).as("nd"))
+        ex.join(sk, "source")
+          .select(col("source"), col("nd").cast("int").as("n_exact"),
+            round(col("est"), 6).as("kmv_est"),
+            round(abs(col("est") - col("nd")) / col("nd"), 6).as("rel_err"))
       })
   )
 }

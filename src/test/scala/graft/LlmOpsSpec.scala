@@ -292,4 +292,29 @@ class LlmOpsSpec extends SparkSuite {
     assert(feats(6) == 1.0f)
     assert(feats.sum == 1.0f)
   }
+
+  test("KmvDistinct: exact below k, bounded error above, partition-independent") {
+    import graft.engine.expressions.KmvDistinct
+    KmvDistinct.register(spark)
+    def estimate(df: org.apache.spark.sql.DataFrame, k: Int): (Double, Int) = {
+      val r = df.agg(KmvDistinct.sketch(KmvDistinct.hash60(col("v")), k).as("s"))
+        .select(col("s.est"), col("s.n_kept")).head()
+      (r.getDouble(0), r.getInt(1))
+    }
+    // below k: the sketch IS an exact distinct count (duplicates collapse)
+    val small = (1 to 40).flatMap(i => Seq(s"x$i", s"x$i")).toDF("v")
+    assert(estimate(small, 64) == ((40.0, 40)))
+    // above k: estimator lands within 5/sqrt(k) of truth (generous vs
+    // the ~1/sqrt(k-2) standard error; deterministic, so no flake)
+    val n = 20000
+    val big = (1 to n).map(i => s"item_$i").toDF("v")
+    val k = 256
+    val (est, kept) = estimate(big, k)
+    assert(kept == k)
+    assert(math.abs(est - n) / n < 5.0 / math.sqrt(k),
+      s"estimate $est too far from $n")
+    // merge order (partitioning) cannot change the bottom-k set
+    assert(estimate(big.repartition(13), k) == ((est, kept)))
+    assert(estimate(big.coalesce(1), k) == ((est, kept)))
+  }
 }
