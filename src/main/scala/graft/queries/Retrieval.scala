@@ -30,6 +30,39 @@ object Retrieval {
     */
   val KmvK = 64
 
+  /** BPE merge steps learned by q115. */
+  val BpeSteps = 8
+
+  /** The q115 oracle: [[graft.llm.Bpe.learnMerges]] unrolled — per step
+    * an occurrence-weighted adjacent-pair count over the word table, a
+    * deterministic argmax (count desc, pair lexicographic), and a
+    * literal paren-delimited replace, exactly the runtime's semantics
+    * (see the Bpe Scaladoc for why plain `replace` is greedy BPE here).
+    */
+  private def bpeSql(steps: Int): String = {
+    val iter = (1 to steps).map { i =>
+      s"""
+      p$i AS (SELECT a[j] AS lhs, a[j + 1] AS rhs, sum(cnt) AS c
+              FROM (SELECT cnt, regexp_extract_all(s, '\\(([^()]+)\\)', 1) AS a FROM w${i - 1}),
+                   unnest(generate_series(1, len(a) - 1)) AS u(j)
+              GROUP BY a[j], a[j + 1]),
+      m$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+      w$i AS (SELECT cnt, replace(s, '(' || lhs || ')(' || rhs || ')', '(' || lhs || rhs || ')') AS s
+              FROM w${i - 1} CROSS JOIN m$i)"""
+    }.mkString(",")
+    val out = (1 to steps).map(i =>
+      s"SELECT $i AS step, lhs, rhs, CAST(c AS INTEGER) AS pair_count FROM m$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH w0 AS (
+        SELECT CAST(count(*) AS BIGINT) AS cnt,
+               array_to_string(list_transform(range(1, length(w) + 1),
+                 i -> '(' || w[i] || ')'), '') AS s
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w),$iter
+      $out"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Segment-sharded inverted index: (term, shard) -> delta-encoded
@@ -137,6 +170,18 @@ object Retrieval {
             coalesce(col("k"), lit(0L)).cast("int").as("n_oov"),
             col("n").cast("int").as("n_tokens"),
             (coalesce(col("k"), lit(0L)).cast("double") / col("n")).as("oov_rate"))
+      }),
+
+    // Tokenizer training: learn BPE merge rules from the corpus word
+    // counts — ONE corpus pass for the frequency table, then every
+    // Lloyd-style merge step runs over the vocabulary-sized word table
+    // (graft.llm.Bpe; oracle unrolled like the q101 PQ codebooks).
+    QueryDef("q115_bpe_merges", Some(bpeSql(BpeSteps)),
+      (spark, dir) => {
+        val words = T(spark, dir, "documents")
+          .select(explode(TextOps.tokenize(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        graft.llm.Bpe.learnMerges(words, "w", "cnt", BpeSteps)
       }),
 
     // Per-source distinct 3-shingle cardinality: exact count vs the KMV

@@ -293,6 +293,17 @@ class LlmOpsSpec extends SparkSuite {
     assert(feats.sum == 1.0f)
   }
 
+  test("Bpe.learnMerges: greedy pairing, weighted argmax, early exhaustion") {
+    // "aaaa"×3 has 3 adjacent (a,a) pairs ⇒ weight 9, beating (a,b)=5.
+    // The merge must pair greedily: (a)(a)(a)(a) → (aa)(aa), so step 3
+    // still finds (aa,aa)=3; after that every word is one symbol and
+    // the learner stops early at 3 of the requested 6 rules.
+    val words = Seq(("aaaa", 3L), ("ab", 5L)).toDF("w", "cnt")
+    val got = graft.llm.Bpe.learnMerges(words, "w", "cnt", steps = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a", "a", 9L), (2, "a", "b", 5L), (3, "aa", "aa", 3L)))
+  }
+
   test("KmvDistinct: exact below k, bounded error above, partition-independent") {
     import graft.engine.expressions.KmvDistinct
     KmvDistinct.register(spark)
