@@ -30,6 +30,10 @@ object Curation {
   /** Per-source token quota (q114). */
   val TokenBudget = 2000L
 
+  /** Sliding-window chunk size and stride (q117); overlap = 64−48. */
+  val OverlapWindow = 64
+  val OverlapStride = 48
+
   private val stopSqlList = Text.Stop.map(s => s"'$s'").mkString(", ")
 
   val defs: Seq[QueryDef] = Seq(
@@ -345,6 +349,39 @@ object Curation {
               size(TextOps.tokenize(col("text"))).as("n")),
           "doc_id", "source", col("n"), TokenBudget, cumCol = "cum_tokens")
           .select(col("doc_id"), col("source"), col("n").cast("int").as("n_tokens"),
-            col("cum_tokens").cast("long").as("cum_tokens")))
+            col("cum_tokens").cast("long").as("cum_tokens"))),
+
+    // Sliding-window chunking (the retrieval-context variant of q103's
+    // disjoint chunks): window W starting every S tokens, so adjacent
+    // chunks share W−S tokens of context. Chunk count is
+    // 1 + ceil((n−W)/S) (one window, then one per stride that still
+    // exposes new tokens) — same narrow per-row explode shape as q103.
+    QueryDef("q117_overlap_chunks", Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      c AS (SELECT doc_id, toks,
+              unnest(generate_series(0,
+                CASE WHEN len(toks) <= $OverlapWindow THEN 0
+                     ELSE (len(toks) - $OverlapWindow + $OverlapStride - 1) // $OverlapStride END)) AS chunk_id
+            FROM t)
+      SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+             array_to_string(toks[chunk_id*$OverlapStride+1 : chunk_id*$OverlapStride+$OverlapWindow], ' ') AS chunk_text,
+             CAST(least($OverlapWindow, len(toks) - chunk_id*$OverlapStride) AS INTEGER) AS n_chunk_tokens
+      FROM c"""),
+      (spark, dir) => {
+        val (win, stride) = (OverlapWindow, OverlapStride)
+        T(spark, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+          .select(col("doc_id"), col("toks"),
+            explode(sequence(lit(0),
+              when(size(col("toks")) <= win, lit(0))
+                .otherwise(expr(s"(size(toks) - $win + $stride - 1) div $stride")
+                  .cast("int")))).as("chunk_id"))
+          .select(col("doc_id"),
+            col("chunk_id").cast("int").as("chunk_id"),
+            concat_ws(" ", slice(col("toks"),
+              (col("chunk_id") * stride + 1).cast("int"), lit(win))).as("chunk_text"),
+            least(lit(win), size(col("toks")) - col("chunk_id") * stride)
+              .cast("int").as("n_chunk_tokens"))
+      })
   )
 }

@@ -187,8 +187,40 @@ class CurationSpec extends SparkSuite {
     } finally out.unpersist()
   }
 
+  test("q117 overlap chunks: full coverage, fixed stride, W−S shared tokens") {
+    val (win, stride) = (graft.queries.Curation.OverlapWindow, graft.queries.Curation.OverlapStride)
+    val chunks = q("q117_overlap_chunks").cache()
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).as("n"))
+      // last chunk ends at n, so every token is covered
+      val last = chunks
+        .groupBy("doc_id")
+        .agg(max(col("chunk_id") * stride + col("n_chunk_tokens")).as("end"),
+          count(lit(1)).as("nc"))
+        .join(docs, "doc_id")
+      assert(last.filter(col("end") =!= col("n")).count() == 0)
+      // chunk count formula: 1 + ceil(max(0, n - W) / S)
+      assert(last.filter(col("nc") =!=
+        (lit(1) + ceil(greatest(col("n") - win, lit(0)) / lit(stride.toDouble)).cast("int")))
+        .count() == 0)
+      // adjacent chunks share exactly W−S tokens (when both are full windows)
+      val a = chunks.select(col("doc_id"), col("chunk_id"), col("chunk_text"))
+      val overlap = a.join(
+          a.select(col("doc_id"), (col("chunk_id") - 1).as("chunk_id"),
+            col("chunk_text").as("next_text")), Seq("doc_id", "chunk_id"))
+        .filter(size(split(col("next_text"), " ")) === win)
+        .filter(size(split(col("chunk_text"), " ")) === win)
+        .filter(concat_ws(" ", slice(split(col("chunk_text"), " "), stride + 1, win - stride))
+          =!= concat_ws(" ", slice(split(col("next_text"), " "), 1, win - stride)))
+      assert(overlap.count() == 0, "chunk tails must equal the next chunk's head")
+    } finally chunks.unpersist()
+  }
+
   test("per-row curation stages plan with zero exchanges") {
-    Seq("q103_doc_chunks", "q105_text_normalize", "q106_repetition").foreach { name =>
+    Seq("q103_doc_chunks", "q105_text_normalize", "q106_repetition",
+        "q117_overlap_chunks").foreach { name =>
       val plan = q(name).queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"$name should be a narrow per-row transform:\n${plan.take(1500)}")
