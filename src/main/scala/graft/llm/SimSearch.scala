@@ -331,14 +331,10 @@ object SimSearch {
   def hyperplaneLshPairs(corpus: DataFrame, idCol: String, embCol: String,
                          minCos: Double, nBits: Int = 12): DataFrame = {
     val c = unitized(corpus, idCol, embCol, idCol, "__ne")
-    // signature: for bit j, sum_i ne[i] * (±1 from xxhash64(j, i)) > 0
-    val bits = (0 until nBits).map { j =>
-      val signed = aggregate(
-        zip_with(col("__ne"), sequence(lit(0), size(col("__ne")) - 1),
-          (x, i) => when(pmod(xxhash64(lit(j), i), lit(2)) === 0, x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-      when(signed > 0, lit(1)).otherwise(lit(0)).cast("string")
-    }
+    // signature: for bit j, sum_i ne[i] * (±1 from xxhash64(j, i)) > 0 —
+    // computed by the one-pass HyperplaneProbes expression (cached sign
+    // matrix + compiled loop; bit-identical to the per-bit HOF fold).
+    graft.engine.expressions.HyperplaneProbes.register(corpus.sparkSession)
     // Only (id, sig) enters the collision shuffle — at real embedding
     // widths (1024-dim, ~8 KB/vector) shuffling vectors through the
     // signature join would dominate; candidates join back to the vector
@@ -350,7 +346,9 @@ object SimSearch {
     // executor OOM. Cache lifetime: the returned frame is lazy, so the
     // cache outlives this call — resident sessions release it via
     // GraftSession.withQueryCaches.
-    val sig = c.select(col(idCol), concat(bits: _*).as("__sig")).cache()
+    val sig = c.select(col(idCol),
+      graft.engine.expressions.HyperplaneProbes.signature(col("__ne"), nBits)
+        .as("__sig")).cache()
     val cand = sig.select(col("__sig"), col(idCol).as("id_a"))
       .join(sig.select(col("__sig"), col(idCol).as("id_b")), Seq("__sig"))
       .filter(col("id_a") < col("id_b"))
@@ -384,36 +382,20 @@ object SimSearch {
                                    nProbe: Int = 2): DataFrame = {
     require(nProbe >= 0 && nProbe <= nBits, s"nProbe must be in [0, $nBits]")
     val c = unitized(corpus, idCol, embCol, idCol, "__ne")
-    val signed = (0 until nBits).map { j =>
-      aggregate(
-        zip_with(col("__ne"), sequence(lit(0), size(col("__ne")) - 1),
-          (x, i) => when(pmod(xxhash64(lit(j), i), lit(2)) === 0, x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x).as(s"__s$j")
-    }
-    val withSums = c.select((col(idCol) +: col("__ne") +: signed.map(x => x)): _*)
-    val bitCols = (0 until nBits).map(j =>
-      when(col(s"__s$j") > 0, lit(1)).otherwise(lit(0)).cast("string"))
-    val base = concat(bitCols: _*)
-    // rank bits by |margin| ascending; flip the nProbe closest ones,
-    // one at a time (the standard 1-bit perturbation set)
-    val margins = array((0 until nBits).map(j =>
-      struct(abs(col(s"__s$j")).as("m"), lit(j).as("j"))): _*)
-    val flipOrder = transform(array_sort(margins), s => s.getField("j"))
-    val withBase = withSums.withColumn("__base", base)
-      .withColumn("__flip", flipOrder)
-    val probes = (0 until nProbe).map { p =>
-      // flip 0-based bit j = __flip[p] of the base signature
-      val j = element_at(col("__flip"), p + 1)
-      concat(
-        col("__base").substr(lit(1), j), // bits 0..j-1
-        when(col("__base").substr(j + 1, lit(1)) === "1", lit("0")).otherwise(lit("1")),
-        col("__base").substr(j + 2, lit(nBits)))
-    }
-    // Cached for the two-sided self-join; released by the caller's
-    // GraftSession.withQueryCaches scope in resident sessions.
-    val sigs = withBase.select(col(idCol),
-      explode(array((col("__base") +: probes).map(_.cast("string")): _*)).as("__sig"))
-      .distinct().cache()
+    graft.engine.expressions.HyperplaneProbes.register(corpus.sparkSession)
+    // Base signature + the nProbe lowest-|margin| 1-bit flips, all from
+    // ONE pass over the vector (HyperplaneProbes; bit-identical to the
+    // per-bit HOF folds + array_sort flip ranking it replaces). The
+    // probe signatures of a row are provably pairwise-distinct (each
+    // flips a different bit of the same base), so no per-row dedup is
+    // needed; cross-probe pair duplicates are removed by the candidate
+    // distinct below. Cached for the two-sided self-join; released by
+    // the caller's GraftSession.withQueryCaches scope in resident
+    // sessions.
+    val sigs = c.select(col(idCol),
+      explode(graft.engine.expressions.HyperplaneProbes.probes(
+        col("__ne"), nBits, nProbe)).as("__sig"))
+      .cache()
     val cand = sigs.select(col("__sig"), col(idCol).as("id_a"))
       .join(sigs.select(col("__sig"), col(idCol).as("id_b")), Seq("__sig"))
       .filter(col("id_a") < col("id_b"))

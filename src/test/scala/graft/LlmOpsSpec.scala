@@ -256,6 +256,50 @@ class LlmOpsSpec extends SparkSuite {
     assert(multi == again)
   }
 
+  test("HyperplaneProbes expression ≡ higher-order-function formulation, bit for bit") {
+    // The HOF chain this expression replaced (per-bit aggregate/zip_with
+    // folds + array_sort flip ranking) is pinned here as the oracle twin:
+    // identical (id, signature) multisets on the real embeddings table.
+    import graft.engine.expressions.{DotProduct, HyperplaneProbes}
+    val nBits = 10
+    val nProbe = 3
+    DotProduct.register(spark)
+    HyperplaneProbes.register(spark)
+    val c = spark.read.parquet(s"$sf/embeddings.parquet")
+      .withColumn("__d", col("embedding").cast("array<double>"))
+      .withColumn("__n", sqrt(DotProduct.dot(col("__d"), col("__d"))))
+      .select(col("vec_id"),
+        when(col("__n") === 0.0, col("__d"))
+          .otherwise(transform(col("__d"), x => x / col("__n"))).as("__ne"))
+    val signed = (0 until nBits).map { j =>
+      aggregate(
+        zip_with(col("__ne"), sequence(lit(0), size(col("__ne")) - 1),
+          (x, i) => when(pmod(xxhash64(lit(j), i), lit(2)) === 0, x).otherwise(-x)),
+        lit(0.0), (acc, x) => acc + x).as(s"__s$j")
+    }
+    val withSums = c.select((col("vec_id") +: signed.map(x => x)): _*)
+    val bitCols = (0 until nBits).map(j =>
+      when(col(s"__s$j") > 0, lit(1)).otherwise(lit(0)).cast("string"))
+    val margins = array((0 until nBits).map(j =>
+      struct(abs(col(s"__s$j")).as("m"), lit(j).as("j"))): _*)
+    val withBase = withSums.withColumn("__base", concat(bitCols: _*))
+      .withColumn("__flip", transform(array_sort(margins), s => s.getField("j")))
+    val probeCols = (0 until nProbe).map { p =>
+      val j = element_at(col("__flip"), p + 1)
+      concat(
+        col("__base").substr(lit(1), j),
+        when(col("__base").substr(j + 1, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+        col("__base").substr(j + 2, lit(nBits)))
+    }
+    val hof = withBase.select(col("vec_id"),
+      explode(array((col("__base") +: probeCols).map(_.cast("string")): _*)).as("__sig"))
+      .as[(Long, String)].collect().toSeq.sorted
+    val expr = c.select(col("vec_id"),
+      explode(HyperplaneProbes.probes(col("__ne"), nBits, nProbe)).as("__sig"))
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(expr.nonEmpty && expr == hof)
+  }
+
   test("Multimodal.extractFeatures: deterministic histogram, L1-normalized") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
     val assets = Multimodal.assetsFromDocuments(docs)
