@@ -38,6 +38,73 @@ object DedupOps {
     inter.cast("double") / (size(a) + size(b) - inter)
   }
 
+  /** EXACT all-pairs token-set Jaccard ≥ tNum/tDen via prefix filtering
+    * (AllPairs / PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): tokens get a GLOBAL rarity order (document frequency asc,
+    * token asc); a set of size s can only reach the threshold with
+    * another set if they share a token among each side's first
+    * s - ⌈t·s⌉ + 1 rarest tokens (the prefix lemma), so the candidate
+    * join explodes only prefixes — rare tokens with few collisions —
+    * instead of a block² or n² pair space. A length filter
+    * (t·|a| ≤ |b| ≤ |a|/t, in exact integer form) prunes further
+    * before the verify.
+    *
+    * Unlike MinHash-LSH this is exact by construction (completeness
+    * from the prefix lemma, precision from the verify join) — the
+    * right tool when the threshold is contractual rather than
+    * best-effort. The threshold is a RATIONAL tNum/tDen so the minimum
+    * overlap ⌈tNum·s/tDen⌉ is computed in integer arithmetic on both
+    * engines — a floating ⌈0.7·s⌉ can round up across an integer
+    * boundary (fl(0.7·30) > 21) and silently shorten a prefix below
+    * the completeness bound.
+    *
+    * Scale shape: one shuffle keyed by token for the frequency count
+    * (map-side combined), the global rank via the two-pass
+    * GlobalRank scan (no single-task window), one shuffle by doc for
+    * per-doc prefix positions, the candidate join keyed by full-
+    * cardinality prefix tokens, and token arrays shuffle only for
+    * verified CANDIDATE pairs — never all pairs.
+    *
+    * `tokCol` must hold distinct tokens (pass `array_distinct(...)`).
+    * Reference behavior: the same near-dup semantics as q31's sampled
+    * Jaccard screen, lifted to exact all-pairs.
+    */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, tokCol: String,
+                         tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen must be in (0, 1]")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol), explode(col(tokCol)).as("__term"),
+      size(col(tokCol)).as("__sz"))
+    val dfr = tok.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val ranked = graft.ops.GlobalRank
+      .withRowNumber(dfr, "__rnk", Seq(col("__df").asc, col("__term").asc))
+      .select("__term", "__rnk")
+    // minOverlap = ceil(tNum·sz / tDen) in exact integer arithmetic
+    val minOv = floor((lit(tNum) * col("__sz") + lit(tDen - 1)) / lit(tDen))
+    val pref = tok.join(ranked, "__term")
+      .withColumn("__pos",
+        row_number().over(Window.partitionBy(col(idCol)).orderBy(col("__rnk"))))
+      .filter(col("__pos") <= col("__sz") - minOv + 1)
+      .select(col(idCol), col("__term"), col("__sz"))
+    val cand = pref.select(col("__term"), col(idCol).as("a_doc"), col("__sz").as("__sza"))
+      .join(pref.select(col("__term"), col(idCol).as("b_doc"), col("__sz").as("__szb")),
+        Seq("__term"))
+      .filter(col("a_doc") < col("b_doc")
+        && lit(tNum) * col("__sza") <= lit(tDen) * col("__szb")
+        && lit(tNum) * col("__szb") <= lit(tDen) * col("__sza"))
+      .select("a_doc", "b_doc").distinct()
+    val sets = docs.select(col(idCol), col(tokCol))
+    val inter = size(array_intersect(col("__ta"), col("__tb")))
+    val union = size(col("__ta")) + size(col("__tb")) - inter
+    cand
+      .join(sets.select(col(idCol).as("a_doc"), col(tokCol).as("__ta")), "a_doc")
+      .join(sets.select(col(idCol).as("b_doc"), col(tokCol).as("__tb")), "b_doc")
+      // exact integer threshold: J ≥ tNum/tDen  ⇔  tDen·I ≥ tNum·U
+      .filter(lit(tDen) * inter >= lit(tNum) * union)
+      .select(col("a_doc"), col("b_doc"),
+        (inter.cast("double") / union).as("jaccard"))
+  }
+
   /** 32-bit SimHash of a token array: bit j is set iff the sum over
     * tokens of ±1 (by bit j of the token's hash) is positive. Built from
     * md5's first 8 hex chars -> int — pure column math.

@@ -50,6 +50,59 @@ object SimSearch {
       .withColumn("rnk", col("rnk").cast("int"))
   }
 
+  /** Per-vector int8 scalar quantization (SQ8) of the unit embeddings:
+    * codes[i] = floor((ne[i] - minv) / step + 0.5) - 128 stored as
+    * TINYINT, with per-vector (minv, step = (max - min) / 255). The
+    * persistable compressed corpus shape — 1 byte/dimension vs 8
+    * (double) or 4 (float32): an 8× smaller scan than the raw
+    * embeddings with far higher fidelity than PQ's 64× (reconstruction
+    * error ≤ step/2 per component). Encode is one narrow projection —
+    * no shuffle, no UDF; array_min/array_max/transform are codegen'd
+    * collection ops.
+    */
+  def sq8Encode(corpus: DataFrame, idCol: String, embCol: String): DataFrame =
+    unitized(corpus, idCol, embCol, idCol, "__ne")
+      .withColumn("minv", array_min(col("__ne")))
+      .withColumn("step", (array_max(col("__ne")) - col("minv")) / lit(255.0))
+      .select(col(idCol), col("minv"), col("step"),
+        transform(col("__ne"), x =>
+          (when(col("step") === 0.0, lit(0L))
+            .otherwise(floor((x - col("minv")) / col("step") + lit(0.5)))
+            - 128).cast("tinyint")).as("codes"))
+
+  /** Approximate top-K over an SQ8-encoded corpus ([[sq8Encode]] output,
+    * typically persisted): for unit query q,
+    * ⟨x, q⟩ ≈ minv·Σq[i] + step·⟨codes+128, q⟩, so each pair costs one
+    * integer-valued dot product against the 1-byte codes plus two
+    * multiplies — the corpus-side scan touches only the compressed
+    * representation. Queries broadcast exactly like [[bruteForceTopK]];
+    * the code→double decode is projected ONCE per corpus row below the
+    * join (a Join blocks CollapseProject, so it cannot be re-evaluated
+    * per pair). Every fold is ordered left-to-right — the score replays
+    * bit-identically in the DuckDB twin (q118 full hash oracle).
+    */
+  def sq8TopKEncoded(encoded: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, k: Int): DataFrame = {
+    val q = unitized(queries, idCol, embCol, "query_id", "__qe")
+      .withColumn("__qsum", aggregate(col("__qe"), lit(0.0), (a, x) => a + x))
+    val decoded = encoded.withColumn("__cd",
+      transform(col("codes"), x => (x.cast("int") + 128).cast("double")))
+    val pairs = decoded.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(col("minv") * col("__qsum") + col("step") * dot(col("__cd"), col("__qe")),
+          6).as("sq_sim"))
+    TopK.exactPerKey(pairs, Seq("query_id"),
+      Seq(col("sq_sim").desc, col(idCol).asc), k, "rnk")
+      .withColumn("rnk", col("rnk").cast("int"))
+  }
+
+  /** [[sq8Encode]] + [[sq8TopKEncoded]] in one call (encode-at-query;
+    * real deployments persist the encoded corpus once and reuse it).
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int): DataFrame =
+    sq8TopKEncoded(sq8Encode(corpus, idCol, embCol), queries, idCol, embCol, k)
+
   /** IVF-bucketed approximate top-K: assign every corpus vector to its
     * nearest of `nCentroids` centroids (deterministically the first
     * vectors under id order — a k-means seeding stand-in), then scan

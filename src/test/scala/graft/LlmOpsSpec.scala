@@ -256,6 +256,37 @@ class LlmOpsSpec extends SparkSuite {
     assert(multi == again)
   }
 
+  test("SimSearch.sq8TopK: int8 codes, bounded reconstruction error, recall vs brute force") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val enc = SimSearch.sq8Encode(emb, "vec_id", "embedding")
+    // the compression claim: codes are genuinely 1-byte
+    assert(enc.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, containsNull = false)
+      || enc.schema("codes").dataType.simpleString == "array<tinyint>")
+    // per-component reconstruction error ≤ step/2 (+ float slack)
+    val err = enc
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("__d", col("embedding").cast("array<double>"))
+      .withColumn("__n", sqrt(graft.engine.expressions.DotProduct.dot(col("__d"), col("__d"))))
+      .withColumn("__ne", when(col("__n") === 0.0, col("__d"))
+        .otherwise(transform(col("__d"), x => x / col("__n"))))
+      .select(max(expr(
+        """aggregate(zip_with(__ne, codes, (x, c) ->
+             abs(x - (minv + step * (cast(c as int) + 128)))),
+           cast(0.0 as double), (a, e) -> greatest(a, e)) - step / 2""")).as("slack"))
+      .head.getDouble(0)
+    assert(err <= 1e-9, s"reconstruction error exceeds step/2 by $err")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val sq = topSet(SimSearch.sq8TopK(emb, queries, "vec_id", "embedding", 10))
+    val exact = topSet(SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10))
+    val recall = sq.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"SQ8 recall@10 = $recall")
+    val again = topSet(SimSearch.sq8TopK(emb, queries, "vec_id", "embedding", 10))
+    assert(sq == again)
+  }
+
   test("HyperplaneProbes expression ≡ higher-order-function formulation, bit for bit") {
     // The HOF chain this expression replaced (per-bit aggregate/zip_with
     // folds + array_sort flip ranking) is pinned here as the oracle twin:
