@@ -57,6 +57,13 @@ case class HyperplaneProbes(child: Expression, nBits: Int, nProbe: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "hyperplane_probes"
 
+  /** Null even for non-null children: empty arrays and arrays with null
+    * elements evaluate to null (see nullSafeEval), so the default
+    * child.nullable would violate Catalyst's nullability contract when
+    * the input column is non-nullable.
+    */
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

@@ -141,11 +141,15 @@ object PeerSearchFlow {
         Seq(col("score").desc, col("src_custkey").asc), cfg.topK, "peer_rank")
       .filter(col("score") >= cfg.threshold)
 
-    // attribute join-back (J1/J2) + report sort (O1).
+    // attribute join-back (J1) + report sort (O1). No broadcast hint:
+    // customer grows with scale factor, while allPeers is bounded at
+    // topK rows per target — AQE picks the genuinely-small side at
+    // runtime instead of a forced full-table broadcast that would
+    // hard-fail past the driver ceiling at 100 TB.
     allPeers
-      .join(broadcast(T(spark, sfDir, "customer")
+      .join(T(spark, sfDir, "customer")
         .select(col("c_custkey").as("src_custkey"), col("c_name").as("src_name"),
-          col("c_mktsegment").as("src_segment"))), Seq("src_custkey"))
+          col("c_mktsegment").as("src_segment")), Seq("src_custkey"))
       .withColumn("peer_rank", col("peer_rank").cast("int"))
       .select("tgt_custkey", "src_custkey", "score", "peer_rank", "src_name", "src_segment")
       .orderBy(col("tgt_custkey").asc, col("score").desc, col("src_custkey").asc)

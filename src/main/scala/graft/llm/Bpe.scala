@@ -45,8 +45,16 @@ object Bpe {
                   steps: Int): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
-    var w = words.select(col(cntCol).cast("long").as("cnt"),
-      symbolize(col(wordCol)).as("s")).cache()
+    // The '(symbol)' wrapping reserves parentheses as delimiters: a word
+    // containing '(' or ')' would make SymbolPattern mis-parse silently
+    // (paren symbols dropped from pair counts, replace firing across
+    // wrong boundaries). Such words are excluded up front — enforced,
+    // not just documented; real tokenizers likewise pre-split away
+    // punctuation before BPE.
+    var w = words
+      .filter(!col(wordCol).contains("(") && !col(wordCol).contains(")"))
+      .select(col(cntCol).cast("long").as("cnt"),
+        symbolize(col(wordCol)).as("s")).cache()
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (step <- 1 to steps if !exhausted) {

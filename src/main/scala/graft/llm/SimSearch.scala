@@ -242,7 +242,9 @@ object SimSearch {
     def subSplit(df: DataFrame, id: String, emb: String): DataFrame =
       df.select(col(id), posexplode(array((0 until nSub).map(m =>
         slice(col(emb), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
-    val subs = subSplit(c, idCol, "__ne")
+    // Cached: read once per Lloyd pass plus the final encode — same
+    // total floats as the corpus, split into nSub rows per vector.
+    val subs = subSplit(c, idCol, "__ne").cache()
     // id-order seeds: subvectors of the nCodes lowest ids, code = seed id
     var books = subSplit(
       c.orderBy(col(idCol)).limit(nCodes).withColumnRenamed(idCol, "code"),
@@ -272,8 +274,16 @@ object SimSearch {
               element_at(col("__ms"), 1).getField("sv"),
               (acc, v) => zip_with(acc, v.getField("sv"), (a, b) => a + b)),
             x => x / col("__cnt")).as("__new"))
-      books = books.join(refined, Seq("m", "code"), "left")
+      // Materialize each refined codebook (nSub·nCodes rows — tiny).
+      // Unmaterialized, the codebook's lineage re-runs EVERY prior
+      // iteration's |corpus|·nSub assignment join each time it is read —
+      // and it is read twice below (final encode + ADC table). With the
+      // eager cache, each Lloyd pass's assignment executes exactly once.
+      val next = books.join(refined, Seq("m", "code"), "left")
         .select(col("m"), col("code"), coalesce(col("__new"), col("ce")).as("ce"))
+        .cache()
+      next.count()
+      books = next
     }
     // the compressed corpus: nSub code ids per vector
     val codes = nearestCode(subs, idCol).select(col(idCol), col("m"), col("code"))

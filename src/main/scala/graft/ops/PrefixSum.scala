@@ -21,7 +21,9 @@ object PrefixSum {
   /** Append the EXCLUSIVE running sum of `valueCol` (an integral column)
     * over `order` as `outCol` (LongType): each row receives the sum of
     * all strictly-preceding rows' values. `order` must be a total order
-    * (unique tiebreaker) for the result to be well-defined.
+    * (unique tiebreaker) for the result to be well-defined. Null values
+    * in `valueCol` contribute 0 to the running total (SQL SUM
+    * semantics), so the appended column is always non-null.
     */
   def withRunningSum(df: DataFrame, valueCol: String, outCol: String,
                      order: Seq[Column]): DataFrame = {
@@ -29,9 +31,15 @@ object PrefixSum {
     val sorted = df.orderBy(order: _*)
     val idx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
+    // Function value (not a local def) so the RDD closures capture only
+    // `idx`, never the enclosing module.
+    val valueAt: Row => Long = r => r.get(idx) match {
+      case null => 0L
+      case n: Number => n.longValue()
+    }
     val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
       var s = 0L
-      it.foreach(r => s += r.getAs[Number](idx).longValue())
+      it.foreach(r => s += valueAt(r))
       Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     // offsets(i) = total of partitions 0..i-1 (scanLeft drops the last)
@@ -41,7 +49,7 @@ object PrefixSum {
       var acc = bc.value(i)
       it.map { r =>
         val before = acc
-        acc += r.getAs[Number](idx).longValue()
+        acc += valueAt(r)
         Row.fromSeq(r.toSeq :+ before)
       }
     }

@@ -126,9 +126,11 @@ object ML {
   private def alsRecs(spark: SparkSession, dir: String): DataFrame = {
     // Item universe is brand-level (FIXTURES.md: products ≈ part ⋈
     // lineitem), matching the reference's SKU-scale item space.
+    // No broadcast hint on `part` (scale-growing); AQE broadcasts it
+    // while it fits and degrades to a shuffle join at 100 TB.
     val usage = T(spark, dir, "orders")
       .join(T(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .join(broadcast(T(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .join(T(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
       .groupBy(col("o_custkey").as("cust"), col("p_brand").as("item"))
       .agg(sum(col("l_quantity")).as("intensity"))
     // Cached across indexedTriples' three plan branches; released right

@@ -103,8 +103,12 @@ object Relational {
           .agg(round(sum(col("o_totalprice")), 4).as("revenue"),
             count(lit(1)).as("n_orders"))),
 
-    // J2: explicit broadcast hash join on the small dimension
-    // (`search_ranking_peers.py:337`); oracle is the plain join.
+    // J2: broadcast-side dimension join (`search_ranking_peers.py:337`);
+    // oracle is the plain join. The hint itself lives on the BOUNDED
+    // brand dimension in Reports.scala (brandMeta, ≤25 rows at any SF);
+    // here `part` grows with scale factor, so the side choice is left
+    // to AQE — it broadcasts `part` while small and degrades to a
+    // shuffle join past the threshold instead of hard-failing at 100 TB.
     QueryDef("q06_broadcast_join", Some("""
       SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
              count(*) AS n_items
@@ -112,7 +116,7 @@ object Relational {
       GROUP BY p_brand"""),
       (spark, dir) =>
         T(spark, dir, "lineitem")
-          .join(broadcast(T(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+          .join(T(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand")
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
             count(lit(1)).as("n_items"))),

@@ -322,7 +322,12 @@ object Reports {
             Seq(col("score").desc, col("src_custkey").asc), 15, "peer_rank",
             prepartition = true)
           .withColumn("peer_rank", col("peer_rank").cast("int"))
-        ranked.join(broadcast(T(spark, dir, "customer")),
+        // No broadcast hint on `customer`: it grows linearly with scale
+        // factor, so a forced broadcast hard-fails past the 8 GB driver
+        // ceiling. The bounded side here is `ranked` (top-15 per
+        // prospect) — AQE broadcasts whichever side is actually small at
+        // runtime and degrades to a shuffle join past the threshold.
+        ranked.join(T(spark, dir, "customer"),
             col("src_custkey") === col("c_custkey"))
           .select(col("prospect"), col("src_custkey"), col("score"), col("peer_rank"),
             col("c_name").as("src_name"), col("c_mktsegment").as("src_segment"))

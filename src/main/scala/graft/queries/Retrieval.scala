@@ -59,6 +59,7 @@ object Retrieval {
                array_to_string(list_transform(range(1, length(w) + 1),
                  i -> '(' || w[i] || ')'), '') AS s
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE w NOT LIKE '%(%' AND w NOT LIKE '%)%'
         GROUP BY w),$iter
       $out"""
   }
@@ -75,8 +76,8 @@ object Retrieval {
                    CAST(count(*) AS INTEGER) AS df
             FROM tr GROUP BY term, doc_id // $SegmentDocs)
       SELECT term, CAST(shard AS INTEGER) AS shard, df,
-             list_transform(generate_series(1, len(p)),
-               i -> CASE WHEN i = 1 THEN p[1] ELSE p[i] - p[i-1] END) AS deltas
+             array_to_string(list_transform(generate_series(1, len(p)),
+               i -> CASE WHEN i = 1 THEN p[1] ELSE p[i] - p[i-1] END), '-') AS deltas
       FROM g"""),
       (spark, dir) => {
         val seg = SegmentDocs
@@ -87,11 +88,14 @@ object Retrieval {
           .agg(sort_array(collect_list(col("doc_id"))).as("p"),
             count(lit(1)).cast("int").as("df"))
           .select(col("term"), col("shard"), col("df"),
-            graft.engine.functions.let(col("p")) { p =>
+            // Delimited string, not array<long>: the correctness harness
+            // hashes rows via pandas, which cannot hash array cells — the
+            // delta-encoded posting list is equally compact either way.
+            array_join(graft.engine.functions.let(col("p")) { p =>
               transform(sequence(lit(1), size(p)),
                 i => when(i === 1, element_at(p, 1))
                   .otherwise(element_at(p, i) - element_at(p, i - 1)))
-            }.as("deltas"))
+            }.cast("array<string>"), "-").as("deltas"))
       }),
 
     // Token co-occurrence PMI over per-document distinct tokens: the
@@ -118,7 +122,10 @@ object Retrieval {
         val docs = T(spark, dir, "documents")
         val toks = docs.select(col("doc_id"),
           array_sort(array_distinct(TextOps.tokenize(col("text")))).as("ts"))
-        val total = docs.count()
+        // Corpus size as a broadcast one-row aggregate (q67's pattern),
+        // not an eager docs.count() — no driver action fires at
+        // DataFrame-construction time.
+        val n = docs.agg(count(lit(1)).as("total"))
         val uni = toks.select(explode(col("ts")).as("t"))
           .groupBy("t").agg(count(lit(1)).as("c"))
         // Per-row pair generation: for the sorted array ts, every
@@ -139,8 +146,9 @@ object Retrieval {
         pairs
           .join(uni.select(col("t").as("t_a"), col("c").as("c_a")), "t_a")
           .join(uni.select(col("t").as("t_b"), col("c").as("c_b")), "t_b")
+          .crossJoin(broadcast(n))
           .select(col("t_a"), col("t_b"), col("c_ab").cast("int").as("n_ab"),
-            round(log(col("c_ab").cast("double") * total / (col("c_a") * col("c_b"))), 6)
+            round(log(col("c_ab").cast("double") * col("total") / (col("c_a") * col("c_b"))), 6)
               .as("pmi"))
       }),
 

@@ -29,11 +29,25 @@ object IncrementalPack {
   private def carryPath(stateDir: String, batchId: Long) =
     Paths.get(stateDir, s"offset-$batchId")
 
-  /** Carry-in for `batchId`: the offset committed by its predecessor. */
+  /** Carry-in for `batchId`: the offset committed by its predecessor.
+    * FAILS FAST when batchId > 0 and the predecessor's offset file is
+    * missing (state dir lost or partially restored while the output and
+    * checkpoint survived): silently restarting from offset 0 would
+    * corrupt the global token stream — earlier batch outputs remain on
+    * disk with offsets this batch would then reuse. Recovery is an
+    * explicit operator decision (restore the state dir, or reset output
+    * + checkpoint + state together), never an implicit default.
+    */
   def readCarry(stateDir: String, batchId: Long): Long = {
-    val p = carryPath(stateDir, batchId - 1)
-    if (batchId == 0 || !Files.exists(p)) 0L
-    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    if (batchId == 0) 0L
+    else {
+      val p = carryPath(stateDir, batchId - 1)
+      if (!Files.exists(p)) throw new IllegalStateException(
+        s"IncrementalPack carry state missing: $p does not exist but batch " +
+          s"$batchId is not the first. Refusing to re-pack from offset 0 — " +
+          "restore the state dir or reset checkpoint+output+state together.")
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    }
   }
 
   /** Atomically record the offset reached after `batchId`. */

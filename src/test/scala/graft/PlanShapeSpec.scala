@@ -93,6 +93,32 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("report join-backs survive with broadcast disabled (no forced unbounded broadcast)") {
+    // Round-8 weak item: q22/q44/q40/q06 forced broadcast() of full,
+    // scale-growing tables (customer, part) — past the 8 GB driver
+    // ceiling those queries hard-fail instead of degrading. The hints
+    // are gone; with every broadcast path disabled the plans must still
+    // build and execute (sort-merge fallback), proving no plan REQUIRES
+    // an unbounded broadcast. Hashes are pinned by the oracle gate.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      Seq("q22_peer_search", "q06_broadcast_join").foreach { name =>
+        val p = planOf(q(name))
+        assert(!p.split("== Initial Plan ==").head.contains("BroadcastHashJoin"),
+          s"$name still broadcasts with the threshold off — a forced hint survives:\n${p.take(2000)}")
+      }
+      // the flow join-back (q44 path) and the ALS usage builder (q40 path)
+      assert(graft.flows.PeerSearchFlow.run(spark, sf).count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("bloom-pruned join filters the fact scan below the join") {
     // the resolved expression renders as might_contain(<sketch literal>)
     val p = planOf(q("q95_bloom_join"))

@@ -12,9 +12,11 @@ class RetrievalSpec extends SparkSuite {
 
   test("q110 postings delta-decode back to exact term membership") {
     val idx = q("q110_inverted_index")
-    // un-delta: running sum over the deltas array restores doc ids
+    // un-delta: parse the delimited string, then a running sum over the
+    // deltas restores doc ids
     val decoded = idx.select(col("term"), col("shard"), col("df"),
-      expr("""aggregate(deltas, array(cast(0 as bigint)),
+      expr("""aggregate(transform(split(deltas, '-'), x -> cast(x AS bigint)),
+                        array(cast(0 as bigint)),
                         (acc, d) -> acc || array(element_at(acc, -1) + d))""").as("acc"))
       .select(col("term"), col("shard"), col("df"),
         slice(col("acc"), 2, 100000).as("p"))
