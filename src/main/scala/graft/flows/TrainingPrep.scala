@@ -34,14 +34,17 @@ object TrainingPrep {
                     defaultRate: Double = 1.0,
                     minTokenLen: Int = 3, packCap: Int = 64)
 
-  /** @param docs (doc_id, source, text) corpus frame
-    * @return packed slices: (doc_id, pack_id, n_pack_tokens, offset_in_pack)
+  /** Stages 2–6 over an already-deduped frame, given the contaminated-id
+    * set: per-row holdout/repetition/mixing/normalization plus the one
+    * anti-join. Shared verbatim between the one-shot batch run and the
+    * streaming continuation ([[graft.streaming.ContinuousTrainingPrep]])
+    * so the two paths agree by construction, not by parallel maintenance.
+    *
+    * @return (doc_id, n) — normalized kept-token counts, empty docs gone
     */
-  def run(docs: DataFrame, cfg: Config): DataFrame = {
+  def normalizedCounts(deduped: DataFrame, contaminated: DataFrame,
+                       cfg: Config): DataFrame = {
     val toks = TextOps.tokenize(col("text"))
-
-    // 1. exact content dedup (min-id representative, 128-bit keys)
-    val deduped = Dedup.byFingerprint(docs, Seq("text"), Seq(col("doc_id").asc))
 
     // 2. eval holdout
     val train = deduped.filter(col("doc_id") % cfg.evalModulus =!= 0)
@@ -56,13 +59,7 @@ object TrainingPrep {
       .filter(!(col("__share") > cfg.maxTokenShare || col("__dup") > cfg.maxDupBigramRatio))
       .drop("__n", "__share", "__bi", "__dup")
 
-    // 4. decontamination: any shared trigram with the eval slice kills
-    // the doc (llm.Decontaminate). The Bloom-prefilter path is exercised
-    // here — eval grams sketch to a literal filter applied at the corpus
-    // gram scan, the exact join kills false positives, and the q109
-    // oracle gates the result against the plain-join SQL semantics.
-    val contaminated = Decontaminate.contaminatedIds(docs, "doc_id", "text",
-      col("doc_id") % cfg.evalModulus === 0, n = 3, bloomPrefilter = true)
+    // 4. decontamination anti-join (contaminated ids supplied by caller)
     val decontaminated = cleanRep.join(contaminated, Seq("doc_id"), "left_anti")
 
     // 5. domain mixing (deterministic, partitioning-independent)
@@ -70,15 +67,33 @@ object TrainingPrep {
       cfg.rates, cfg.defaultRate)
 
     // 6. normalization; docs scrubbed to nothing carry no tokens to pack
-    val normalized = mixed.select(col("doc_id"),
+    mixed.select(col("doc_id"),
       TextOps.normalizeTokens(TextOps.tokenize(col("text")), cfg.stop, cfg.minTokenLen)
         .as("kept"))
       .select(col("doc_id"), size(col("kept")).cast("long").as("n"))
       .filter(col("n") > 0)
+  }
+
+  /** @param docs (doc_id, source, text) corpus frame
+    * @return packed slices: (doc_id, pack_id, n_pack_tokens, offset_in_pack)
+    */
+  def run(docs: DataFrame, cfg: Config): DataFrame = {
+    // 1. exact content dedup (min-id representative, 128-bit keys)
+    val deduped = Dedup.byFingerprint(docs, Seq("text"), Seq(col("doc_id").asc))
+
+    // 4. decontamination ids: any shared trigram with the eval slice
+    // kills the doc (llm.Decontaminate). The Bloom-prefilter path is
+    // exercised here — eval grams sketch to a literal filter applied at
+    // the corpus gram scan, the exact join kills false positives, and
+    // the q109 oracle gates the result against the plain-join SQL
+    // semantics.
+    val contaminated = Decontaminate.contaminatedIds(docs, "doc_id", "text",
+      col("doc_id") % cfg.evalModulus === 0, n = 3, bloomPrefilter = true)
 
     // 7. concat-and-chunk packing over the global doc_id order
     val cap = cfg.packCap
-    PrefixSum.withRunningSum(normalized, "n", "cb", Seq(col("doc_id")))
+    PrefixSum.withRunningSum(normalizedCounts(deduped, contaminated, cfg),
+        "n", "cb", Seq(col("doc_id")))
       .withColumn("ca", col("cb") + col("n"))
       .select(col("doc_id"),
         explode(sequence(expr(s"cb div $cap"), expr(s"(ca - 1) div $cap"))).as("pack_id"),

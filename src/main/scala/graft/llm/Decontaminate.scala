@@ -34,16 +34,30 @@ object Decontaminate {
   def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
                       isEval: Column, n: Int = 3,
                       bloomPrefilter: Boolean = false,
-                      fpp: Double = 0.01): DataFrame = {
-    val grams = docs
-      .select(col(idCol), isEval.as("__eval"),
+                      fpp: Double = 0.01): DataFrame =
+    contaminatedIdsAgainst(docs.filter(!isEval), docs.filter(isEval),
+      idCol, textCol, n, bloomPrefilter, fpp)
+
+  /** Two-frame form: ids of `train` documents sharing ≥1 n-gram with
+    * `evalDocs` — the benchmark set as its own table, fixed up front.
+    * This is the incremental-ingestion shape (ContinuousTrainingPrep):
+    * each arriving corpus slice is checked against the same static eval
+    * set, so batch and streaming runs agree exactly. `contaminatedIds`
+    * is this with the corpus partitioned by a predicate.
+    */
+  def contaminatedIdsAgainst(train: DataFrame, evalDocs: DataFrame,
+                             idCol: String, textCol: String, n: Int = 3,
+                             bloomPrefilter: Boolean = false,
+                             fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol),
         explode(TextOps.shingles(TextOps.tokenize(col(textCol)), n)).as("gram"))
-      .select(col(idCol), col("__eval"), xxhash64(col("gram")).as("g"))
-    val train = grams.filter(!col("__eval")).select(col(idCol), col("g"))
-    val evalG = grams.filter(col("__eval")).select(col("g").as("ge")).distinct()
+      .select(col(idCol), xxhash64(col("gram")).as("g"))
+    val trainG = grams(train)
+    val evalG = grams(evalDocs).select(col("g").as("ge")).distinct()
     val hits =
-      if (bloomPrefilter) BloomPrune.prunedInnerJoin(train, "g", evalG, "ge", fpp)
-      else train.join(evalG, col("g") === col("ge"))
+      if (bloomPrefilter) BloomPrune.prunedInnerJoin(trainG, "g", evalG, "ge", fpp)
+      else trainG.join(evalG, col("g") === col("ge"))
     hits.select(idCol).distinct()
   }
 

@@ -40,9 +40,16 @@ object Dedup {
     * control characters (U+0001, U+0000) that normal text columns cannot
     * contain, written as escapes so the source stays diffable.
     */
-  def byFingerprint(df: DataFrame, contentCols: Seq[String], order: Seq[Column]): DataFrame = {
+  def byFingerprint(df: DataFrame, contentCols: Seq[String], order: Seq[Column]): DataFrame =
+    firstPerKey(df.withColumn("__fp", fingerprint(contentCols)), Seq("__fp"), order)
+      .drop("__fp")
+
+  /** The 128-bit content fingerprint byFingerprint keys on — exposed so
+    * incremental callers (streaming.ContinuousTrainingPrep's cross-batch
+    * fingerprint store) dedup against history with the IDENTICAL key.
+    */
+  def fingerprint(contentCols: Seq[String]): Column = {
     val sentineled = contentCols.map(c => coalesce(col(c).cast("string"), lit("\u0001NULL")))
-    val withFp = df.withColumn("__fp", md5(concat_ws("\u0000", sentineled: _*)))
-    firstPerKey(withFp, Seq("__fp"), order).drop("__fp")
+    md5(concat_ws("\u0000", sentineled: _*))
   }
 }

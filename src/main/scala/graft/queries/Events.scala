@@ -251,6 +251,55 @@ object Events {
           .agg(count(lit(1)).as("n"), sum(col("value")).as("total"),
             min(col("value")).as("lo"), max(col("value")).as("hi"))),
 
+    // As-of join (last-touch attribution): each purchase matched to the
+    // MOST RECENT click at-or-before it by the same user. Implemented as
+    // union + one user-partitioned window with an ignore-nulls
+    // carry-forward — ONE hash shuffle on user_id and an in-partition
+    // sort, where the naive inequality self-join explodes to
+    // |clicks|·|purchases| pairs per user before filtering. This is the
+    // scale-correct as-of shape: state per task is a single carried
+    // value, never a buffered range. Equal timestamps: clicks sort
+    // before purchases (is_p), so a same-instant click is visible;
+    // among equal-ts clicks the highest event_id wins (last in order).
+    // Both engines run the identical union-window with an explicit ROWS
+    // frame, so the match — including null for never-clicked users — is
+    // decided by the same total order.
+    QueryDef("q119_asof_join", Some("""
+      WITH u AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS ms,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+        FROM events WHERE event_type IN ('click', 'purchase')),
+      w AS (
+        SELECT *,
+               last_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ms, is_p, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event,
+               last_value(CASE WHEN is_p = 0 THEN ms END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ms, is_p, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ms
+        FROM u)
+      SELECT user_id, event_id AS purchase_event, ms AS purchase_ms,
+             click_event, click_ms, ms - click_ms AS gap_ms
+      FROM w WHERE is_p = 1"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = T(spark, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+            when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ms"), col("is_p"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        u.withColumn("click_event",
+            last(when(col("is_p") === 0, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("click_ms",
+            last(when(col("is_p") === 0, col("ms")), ignoreNulls = true).over(w))
+          .filter(col("is_p") === 1)
+          .select(col("user_id"), col("event_id").as("purchase_event"),
+            col("ms").as("purchase_ms"), col("click_event"), col("click_ms"),
+            (col("ms") - col("click_ms")).as("gap_ms"))
+      }),
+
     // JSON property extraction + per-type aggregate.
     QueryDef("q36_json_props", Some("""
       SELECT event_type,

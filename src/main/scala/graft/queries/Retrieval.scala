@@ -33,6 +33,16 @@ object Retrieval {
   /** BPE merge steps learned by q115. */
   val BpeSteps = 8
 
+  /** q120 sparse-similarity parameters: shingle width, the document-
+    * frequency cap that bounds every posting's pair fan-out (the
+    * boilerplate guard — a gram in more than MaxDf docs generates no
+    * pairs, exactly like MinHash banding never compares across buckets),
+    * and the reported-similarity floor.
+    */
+  val SimGramN = 3
+  val SimMaxDf = 100
+  val SimMinSim = 0.5
+
   /** The q115 oracle: [[graft.llm.Bpe.learnMerges]] unrolled — per step
     * an occurrence-weighted adjacent-pair count over the word table, a
     * deterministic argmax (count desc, pair lexicographic), and a
@@ -178,6 +188,79 @@ object Retrieval {
             coalesce(col("k"), lit(0L)).cast("int").as("n_oov"),
             col("n").cast("int").as("n_tokens"),
             (coalesce(col("k"), lit(0L)).cast("double") / col("n")).as("oov_rate"))
+      }),
+
+    // Sparse IDF-weighted cosine similarity join over distinct
+    // 3-shingles (binary tf — shingles() dedups within a doc, mirrored
+    // by list_distinct in the oracle): lexical near-dup scoring WITHOUT
+    // a dense all-pairs pass. Pairs are generated only
+    // through shared grams (inverted-posting join), so the pair space is
+    // Σ_g df(g)², bounded by the SimMaxDf cap — the same
+    // rare-feature-blocking idea as MinHash banding, but with an exact
+    // cosine on the surviving pairs. Every float reduction is an
+    // ordered fold (by gram), so both engines sum in the identical
+    // sequence and the hash oracle is exact.
+    QueryDef("q120_sparse_sim_join", Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+             FROM tok),
+      tf AS (SELECT doc_id, g, count(*) AS tf FROM sh GROUP BY doc_id, g),
+      df AS (SELECT g, count(*) AS df FROM tf GROUP BY g),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      w AS (SELECT doc_id, g, tf * ln(CAST(n_docs AS DOUBLE) / df) AS w
+            FROM tf JOIN df USING (g) CROSS JOIN n WHERE df <= $SimMaxDf),
+      nrm AS (SELECT doc_id,
+                     sqrt(list_reduce(list(w * w ORDER BY g), (x, y) -> x + y)) AS nrm
+              FROM w GROUP BY doc_id),
+      pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.g, a.w * b.w AS p
+             FROM w a JOIN w b ON a.g = b.g AND a.doc_id < b.doc_id),
+      dots AS (SELECT doc_a, doc_b, CAST(count(*) AS INTEGER) AS n_shared,
+                      list_reduce(list(p ORDER BY g), (x, y) -> x + y) AS dot
+               FROM pp GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b, n_shared,
+             round(dot / (na.nrm * nb.nrm), 6) AS sim
+      FROM dots JOIN nrm na ON doc_a = na.doc_id
+                JOIN nrm nb ON doc_b = nb.doc_id
+      WHERE dot / (na.nrm * nb.nrm) >= $SimMinSim"""),
+      (spark, dir) => {
+        val docs = T(spark, dir, "documents")
+        val tf = docs
+          .select(col("doc_id"),
+            explode(TextOps.shingles(TextOps.tokenize(col("text")), SimGramN)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= SimMaxDf)
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = tf.join(dfreq, "g").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("g"),
+            (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
+        // ordered fold (by gram) — the q101 sorted-aggregate shape, so the
+        // float sum sequence matches the oracle's list_reduce exactly
+        def orderedSum(valCol: String) =
+          aggregate(expr("slice(__s, 2, size(__s) - 1)"),
+            element_at(col("__s"), 1).getField(valCol),
+            (acc, v) => acc + v.getField(valCol))
+        val nrm = w
+          .select(col("doc_id"), struct(col("g"), (col("w") * col("w")).as("v")).as("e"))
+          .groupBy("doc_id").agg(array_sort(collect_list(col("e"))).as("__s"))
+          .select(col("doc_id"), sqrt(orderedSum("v")).as("nrm"))
+        val pp = w.select(col("doc_id").as("doc_a"), col("g"), col("w").as("w_a"))
+          .join(w.select(col("doc_id").as("doc_b"), col("g"), col("w").as("w_b")), "g")
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            struct(col("g"), (col("w_a") * col("w_b")).as("v")).as("e"))
+        val dots = pp.groupBy("doc_a", "doc_b")
+          .agg(count(lit(1)).cast("int").as("n_shared"),
+            array_sort(collect_list(col("e"))).as("__s"))
+          .select(col("doc_a"), col("doc_b"), col("n_shared"),
+            orderedSum("v").as("dot"))
+        dots
+          .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
+          .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
+          .filter(col("dot") / (col("na") * col("nb")) >= SimMinSim)
+          .select(col("doc_a"), col("doc_b"), col("n_shared"),
+            round(col("dot") / (col("na") * col("nb")), 6).as("sim"))
       }),
 
     // Tokenizer training: learn BPE merge rules from the corpus word

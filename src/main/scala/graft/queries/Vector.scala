@@ -579,7 +579,61 @@ object Vector {
       (spark, dir) =>
         graft.flows.CorpusPipeline.run(T(spark, dir, "documents"),
             graft.flows.CorpusPipeline.Config(stop = Text.Stop))
-          .withColumn("n_tokens", col("n_tokens").cast("int")))
+          .withColumn("n_tokens", col("n_tokens").cast("int"))),
+
+    // Label-centroid confusion map: the per-class mean embedding, then
+    // pairwise cosine between class centroids — the embedding-space
+    // diagnostic that tells a labeler which classes its encoder cannot
+    // separate. The per-class mean is an id-ordered fold (the q101
+    // codebook shape) so the float sum is bit-identical across engines;
+    // at scale the ordered fold swaps for a plain avg (order-tolerant)
+    // with the same one-shuffle plan. The pair stage is |labels|² on
+    // centroid rows — bounded by the label space, never by the corpus.
+    QueryDef("q122_centroid_similarity", Some(s"""
+      WITH du AS (SELECT vec_id, label,
+                         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+                  FROM embeddings),
+      cent AS (
+        SELECT label, cnt,
+               list_transform(
+                 list_reduce(list(de ORDER BY vec_id),
+                   (a, b) -> list_transform(range(1, len(a) + 1), i -> a[i] + b[i])),
+                 x -> x / cnt) AS ce
+        FROM (SELECT label, vec_id, de,
+                     count(*) OVER (PARTITION BY label) AS cnt FROM du)
+        GROUP BY label, cnt),
+      n AS (SELECT label, cnt, ce,
+                   sqrt(${dotSql("ce", "ce")}) AS nrm FROM cent)
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(a.cnt AS BIGINT) AS n_a, CAST(b.cnt AS BIGINT) AS n_b,
+             round(${dotSql("a.ce", "b.ce")} / (a.nrm * b.nrm), 6) AS cos_sim
+      FROM n a JOIN n b ON a.label < b.label"""),
+      (spark, dir) => {
+        import graft.engine.expressions.DotProduct.dot
+        graft.engine.expressions.DotProduct.register(spark)
+        val du = T(spark, dir, "embeddings")
+          .select(col("vec_id"), col("label"),
+            col("embedding").cast("array<double>").as("de"))
+        val cent = du
+          .groupBy("label")
+          .agg(count(lit(1)).as("cnt"),
+            array_sort(collect_list(struct(col("vec_id"), col("de")))).as("ms"))
+          .select(col("label"), col("cnt"),
+            transform(
+              aggregate(expr("slice(ms, 2, size(ms) - 1)"),
+                element_at(col("ms"), 1).getField("de"),
+                (acc, v) => zip_with(acc, v.getField("de"), (a, b) => a + b)),
+              x => x / col("cnt")).as("ce"))
+        val n = cent.withColumn("nrm", sqrt(dot(col("ce"), col("ce"))))
+        val a = n.select(col("label").as("label_a"), col("cnt").as("n_a"),
+          col("ce").as("ce_a"), col("nrm").as("na"))
+        val b = n.select(col("label").as("label_b"), col("cnt").as("n_b"),
+          col("ce").as("ce_b"), col("nrm").as("nb"))
+        a.join(b, col("label_a") < col("label_b"))
+          .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+            round(dot(col("ce_a"), col("ce_b")) / (col("na") * col("nb")), 6)
+              .as("cos_sim"))
+      })
   )
 
   /** Shared DuckDB CTE chain ending in `verified(id_a, id_b, jaccard)` —

@@ -39,6 +39,26 @@ object ProfileScaling {
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
     buildScaledDocs(spark, src, dst, copies)
+    buildScaledEmbeddings(spark, src, dst, copies)
+  }
+
+  /** Scale the embeddings table: vec_id-shifted verbatim copies. The
+    * vector CONTENT is unchanged (ANN cost is driven by corpus and
+    * query cardinality, not by vector values), so x4 grows both the
+    * corpus and — since the registered ANN queries sample their query
+    * set from the same table — the query set: brute force scales as
+    * |Q|·|C| (16x at x4) while the compressed scans (PQ/SQ8) pay the
+    * same pair growth on 8-byte codes. That separation is what the
+    * switch-point table in SCALE.md reads off.
+    */
+  def buildScaledEmbeddings(spark: SparkSession, src: String, dst: String,
+                            copies: Int): Unit = {
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val shift = emb.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until copies).map { i =>
+      if (i == 0) emb else emb.withColumn("vec_id", col("vec_id") + lit(i * shift))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
   }
 
   /** Scale the documents table WITHOUT the verbatim-copy trap: each
@@ -82,10 +102,17 @@ object ProfileScaling {
         if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/lineitem.parquet"))) {
           println(s"[scale] building x$c at $d")
           buildScaled(spark, src, d, c)
-        } else if (!java.nio.file.Files.exists(
-            java.nio.file.Paths.get(s"$d/documents.parquet"))) {
-          println(s"[scale] adding scaled documents to x$c at $d")
-          buildScaledDocs(spark, src, d, c)
+        } else {
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"$d/documents.parquet"))) {
+            println(s"[scale] adding scaled documents to x$c at $d")
+            buildScaledDocs(spark, src, d, c)
+          }
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"$d/embeddings.parquet"))) {
+            println(s"[scale] adding scaled embeddings to x$c at $d")
+            buildScaledEmbeddings(spark, src, d, c)
+          }
         }
         c -> d
     }
