@@ -298,6 +298,161 @@ object Text {
         graft.llm.Bm25.topK(
           T(spark, dir, "documents")
             .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks")),
-          "doc_id", "toks", Seq("spark", "vector", "stream"), 20))
+          "doc_id", "toks", Seq("spark", "vector", "stream"), 20)),
+
+    // Per-source length-distribution profile: exact interpolated
+    // percentiles of document length — the curation dashboard numbers a
+    // corpus intake computes per domain. Spark's `percentile` and
+    // DuckDB's `quantile_cont` share the (n-1)·p rank + linear
+    // interpolation definition, so the values are comparable directly;
+    // one hash-shuffle groupBy, state per group is the sorted length
+    // sample (at true scale, swap in approx_percentile's fixed-size
+    // sketch — documented in SCALE.md, same plan shape).
+    QueryDef("q121_length_percentiles", Some("""
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             round(quantile_cont(n_chars, 0.25), 6) AS p25,
+             round(quantile_cont(n_chars, 0.50), 6) AS p50,
+             round(quantile_cont(n_chars, 0.75), 6) AS p75,
+             round(quantile_cont(n_chars, 0.95), 6) AS p95
+      FROM documents GROUP BY source"""),
+      (spark, dir) =>
+        T(spark, dir, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
+            round(expr("percentile(n_chars, 0.50)"), 6).as("p50"),
+            round(expr("percentile(n_chars, 0.75)"), 6).as("p75"),
+            round(expr("percentile(n_chars, 0.95)"), 6).as("p95"))),
+
+    // Corpus-trained bigram LM perplexity scoring: add-k-smoothed
+    // bigram probabilities learned from the corpus itself, then each
+    // document scored by its average negative log-likelihood — the
+    // classic cheap fluency/quality filter (high avg-NLL = text unlike
+    // the corpus: boilerplate, garbled OCR, wrong language). Count
+    // tables shuffle on gram/token keys only; the per-doc score joins
+    // doc bigrams to the (vocab-sized) probability tables on those same
+    // keys — no driver-side model object, so the "LM" scales with the
+    // corpus. The per-doc float sum is an ordered fold (by gram; equal
+    // grams carry equal logp, so tie order cannot change the sequence
+    // of addends) making the hash oracle exact.
+    QueryDef("q123_bigram_lm", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      uni AS (SELECT unnest(t) AS w FROM tok),
+      c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+      v AS (SELECT count(*) AS v FROM c1),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g,
+                    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1
+             FROM tok WHERE len(t) >= 2),
+      c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+      lp AS (SELECT doc_id, b.g,
+                    ln((c2 + 0.5) / (c1 + 0.5 * v)) AS logp
+             FROM bg b JOIN c2 USING (g) JOIN c1 ON b.w1 = c1.w CROSS JOIN v)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(-list_reduce(list(logp ORDER BY g), (x, y) -> x + y) / count(*), 6) AS avg_nll
+      FROM lp GROUP BY doc_id"""),
+      (spark, dir) => {
+        val docs = T(spark, dir, "documents")
+        val toks = TextOps.tokenize(col("text"))
+        val uni = docs.select(explode(toks).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        val bg = docs
+          .select(col("doc_id"), explode(TextOps.ngramsAll(toks, 2)).as("g"))
+          .withColumn("w1", substring_index(col("g"), " ", 1))
+        val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
+        val lp = bg.join(c2, "g").join(uni, col("w1") === col("w"))
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"), col("g"),
+            log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("v"))).as("logp"))
+        lp.select(col("doc_id"), struct(col("g"), col("logp").as("v")).as("e"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), array_sort(collect_list(col("e"))).as("__s"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(-orderedSum("v") / col("n_bigrams"), 6).as("avg_nll"))
+      }),
+
+    // Repeated-n-gram duplication signal (the exact-substring dedup
+    // measure of Lee et al., "Deduplicating Training Data Makes
+    // Language Models Better", at 5-gram granularity): per document,
+    // how many of its 5-gram occurrences appear ≥2 times ANYWHERE in
+    // the corpus. One explode + one gram-keyed count + one gram-keyed
+    // join-back — never an all-pairs comparison; at 100 TB the join key
+    // swaps for xxhash64(gram) so only 8-byte keys shuffle (counts
+    // identical modulo 64-bit collisions). Docs shorter than 5 tokens
+    // have no grams and drop out on both sides. dup_frac is one
+    // integer division — IEEE-identical on both engines, no rounding
+    // needed (the q28 rationale).
+    QueryDef("q124_repeated_ngrams", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      gr AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(t) - 3),
+                      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' || t[i + 4])) AS g
+             FROM tok WHERE len(t) >= 5),
+      cnt AS (SELECT g, count(*) AS n_occ FROM gr GROUP BY g)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+      FROM gr JOIN cnt USING (g) GROUP BY doc_id"""),
+      (spark, dir) => {
+        val docs = T(spark, dir, "documents")
+        val g = docs.select(col("doc_id"),
+          explode(TextOps.ngramsAll(TextOps.tokenize(col("text")), 5)).as("g"))
+        val c = g.groupBy("g").agg(count(lit(1)).as("n_occ"))
+        g.join(c, "g").groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_grams"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
+      }),
+
+    // Per-source token-distribution drift: KL(source ‖ corpus) over the
+    // unigram distributions — the intake diagnostic that flags a domain
+    // whose text is statistically unlike the blend it feeds (high KL =
+    // candidate for re-weighting in the q107 mixer). ONE explode pass
+    // builds the (source, token) count table; the source totals, corpus
+    // totals and grand total are all reaggregations of that vocab-sized
+    // table, never a second corpus scan. The per-source sum is an
+    // ordered fold over the (unique) token key for hash-oracle
+    // exactness; at 100 TB swap it for a plain sum (order-tolerant
+    // within double precision) — same single-shuffle plan shape.
+    QueryDef("q125_source_kl", Some("""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      sc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w),
+      st AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sc GROUP BY source),
+      cc AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM sc GROUP BY w),
+      nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sc),
+      term AS (SELECT source, ns, w,
+                      (CAST(c AS DOUBLE) / ns)
+                        * ln((CAST(c AS DOUBLE) / ns) / (CAST(cw AS DOUBLE) / n)) AS v
+               FROM sc JOIN st USING (source) JOIN cc USING (w) CROSS JOIN nn)
+      SELECT source, ns AS n_tokens,
+             round(list_reduce(list(v ORDER BY w), (x, y) -> x + y), 6) AS kl
+      FROM term GROUP BY source, ns"""),
+      (spark, dir) => {
+        val sc = T(spark, dir, "documents")
+          .select(col("source"), explode(TextOps.tokenize(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val st = sc.groupBy("source").agg(sum("c").as("ns"))
+        val cc = sc.groupBy("w").agg(sum("c").as("cw"))
+        val nn = sc.agg(sum("c").as("n"))
+        val p = col("c").cast("double") / col("ns")
+        val q = col("cw").cast("double") / col("n")
+        sc.join(st, "source").join(cc, "w").crossJoin(broadcast(nn))
+          .select(col("source"), col("ns"), struct(col("w"), (p * log(p / q)).as("v")).as("e"))
+          .groupBy("source", "ns")
+          .agg(array_sort(collect_list(col("e"))).as("__s"))
+          .select(col("source"), col("ns").as("n_tokens"),
+            round(orderedSum("v"), 6).as("kl"))
+      })
   )
+
+  /** Ordered float fold over a pre-sorted `__s` array of structs — sum
+    * the `valCol` field left-to-right so both engines add in the
+    * identical sequence (the q101/q120 sorted-aggregate shape).
+    */
+  private def orderedSum(valCol: String) =
+    aggregate(expr("slice(__s, 2, size(__s) - 1)"),
+      element_at(col("__s"), 1).getField(valCol),
+      (acc, v) => acc + v.getField(valCol))
 }
