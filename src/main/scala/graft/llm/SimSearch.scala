@@ -157,8 +157,16 @@ object SimSearch {
         .select(col("cent_id"),
           transform(col("__mean"), x => x / sqrt(dot(col("__mean"), col("__mean"))))
             .as("__new"))
-      cents = cents.join(refined, Seq("cent_id"), "left")
+      // Materialize each refined centroid set (nCentroids rows — tiny).
+      // Unmaterialized, iteration i+1's assignment AND the final bucket
+      // + probe stages each re-run every prior iteration's |corpus|
+      // assignment join from scratch (the q101 codebook lesson); with
+      // the eager cache each Lloyd pass executes exactly once.
+      val next = cents.join(refined, Seq("cent_id"), "left")
         .select(col("cent_id"), coalesce(col("__new"), col("cent_emb")).as("cent_emb"))
+        .cache()
+      next.count()
+      cents = next
     }
     ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
   }
