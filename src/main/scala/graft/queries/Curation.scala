@@ -34,6 +34,15 @@ object Curation {
   val OverlapWindow = 64
   val OverlapStride = 48
 
+  /** q126 document-frequency cap: grams shared by more than this many
+    * documents are boilerplate, generate no evidence pairs (bounds the
+    * posting-join pair space exactly like q120's SimMaxDf).
+    */
+  val EvidenceMaxDf = 100
+
+  /** q127 global token budget. */
+  val SelectBudget = 10000L
+
   private val stopSqlList = Text.Stop.map(s => s"'$s'").mkString(", ")
 
   val defs: Seq[QueryDef] = Seq(
@@ -382,6 +391,93 @@ object Curation {
               (col("chunk_id") * stride + 1).cast("int"), lit(win))).as("chunk_text"),
             least(lit(win), size(col("toks")) - col("chunk_id") * stride)
               .cast("int").as("n_chunk_tokens"))
+      }),
+
+    // Contamination EVIDENCE: q104 says which train docs are
+    // contaminated; this names the (train, eval) pairs with the shared
+    // distinct-trigram count and Jaccard overlap — what a release
+    // audit actually publishes. Pairs form only through shared grams
+    // (inverted-posting join on 8-byte xxhash64 keys, document text
+    // never shuffles), and a document-frequency cap drops boilerplate
+    // grams before the join — the q120 pair-space bound: Σ_g df(g)²
+    // with df ≤ $EvidenceMaxDf$, never |train|·|eval|. Jaccard is one
+    // integer division — IEEE-identical both engines, unrounded (q28
+    // rationale). Same eval split as q104 (doc_id % 97).
+    QueryDef("q126_contamination_evidence", Some(s"""
+      WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                       i -> array_to_string(t[i:i+2], ' '))) AS grams
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+      dfq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+      fx AS (SELECT doc_id, g FROM ex JOIN dfq USING (g) WHERE df <= $EvidenceMaxDf),
+      sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM fx GROUP BY doc_id),
+      tr AS (SELECT doc_id AS train_id, g FROM fx WHERE doc_id % 97 <> 0),
+      ev AS (SELECT doc_id AS eval_id, g FROM fx WHERE doc_id % 97 = 0),
+      pairs AS (SELECT train_id, eval_id, CAST(count(*) AS BIGINT) AS shared
+                FROM tr JOIN ev USING (g) GROUP BY train_id, eval_id)
+      SELECT train_id, eval_id, shared,
+             CAST(shared AS DOUBLE) / (st.n + se.n - shared) AS jaccard
+      FROM pairs JOIN sz st ON train_id = st.doc_id
+                 JOIN sz se ON eval_id = se.doc_id
+      WHERE shared >= 2"""),
+      (spark, dir) => {
+        val ex = T(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.shingles(TextOps.tokenize(col("text")), 3)).as("gram"))
+          .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+        val dfq = ex.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= EvidenceMaxDf)
+        val fx = ex.join(dfq.select("g"), "g")
+        val sz = fx.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val tr = fx.filter(col("doc_id") % 97 =!= 0).select(col("doc_id").as("train_id"), col("g"))
+        val ev = fx.filter(col("doc_id") % 97 === 0).select(col("doc_id").as("eval_id"), col("g"))
+        tr.join(ev, "g")
+          .groupBy("train_id", "eval_id").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2)
+          .join(sz.select(col("doc_id").as("train_id"), col("n").as("__nt")), "train_id")
+          .join(sz.select(col("doc_id").as("eval_id"), col("n").as("__ne")), "eval_id")
+          .select(col("train_id"), col("eval_id"), col("shared"),
+            (col("shared").cast("double") / (col("__nt") + col("__ne") - col("shared")))
+              .as("jaccard"))
+      }),
+
+    // Greedy quality-first selection under a global token budget: rank
+    // the corpus by the q28 quality score (doc_id tiebreak) and keep
+    // every document whose slice STARTS inside the budget — the "best
+    // N tokens" data-selection step that follows scoring in a curation
+    // pipeline. The running sum is the q108 distributed prefix scan
+    // (per-partition sums, ONE driver row per partition, no global
+    // single-partition window); quality is used only for ORDERING, so
+    // both engines compute identical doubles and identical order, and
+    // every output column is integer-exact.
+    QueryDef("q127_budget_selection", Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      m AS (SELECT doc_id, len(toks) AS n_tokens,
+                   CAST(len(list_filter(toks, x -> x IN ($stopSqlList))) AS DOUBLE) / len(toks) AS stop_ratio,
+                   CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks) AS short_ratio,
+                   CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) AS mean_len
+            FROM t),
+      q AS (SELECT doc_id, n_tokens,
+                   0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - short_ratio)
+                     + 0.2 * least(mean_len / 10.0, 1.0) AS quality
+            FROM m),
+      w AS (SELECT *, coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM q)
+      SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, quality,
+             CAST(cum_before AS BIGINT) AS cum_before
+      FROM w WHERE cum_before < $SelectBudget"""),
+      (spark, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        val scored = T(spark, dir, "documents")
+          .select(col("doc_id"), size(toks).as("n_tokens"),
+            TextOps.qualityScore(toks, Text.Stop).as("quality"))
+        graft.ops.PrefixSum.withRunningSum(scored, "n_tokens", "cum_before",
+            Seq(col("quality").desc, col("doc_id")))
+          .filter(col("cum_before") < SelectBudget)
+          .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+            col("quality"), col("cum_before"))
       })
   )
 }
