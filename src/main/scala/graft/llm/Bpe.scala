@@ -34,17 +34,13 @@ object Bpe {
   /** Extracts the symbol array back out of the wrapped string. */
   val SymbolPattern = "\\(([^()]+)\\)"
 
-  /** Learn `steps` merge rules from `words(wordCol, cntCol)` (distinct
-    * words with occurrence counts). Returns (step, lhs, rhs,
-    * pair_count): at each step the globally most frequent adjacent
-    * symbol pair — occurrence-weighted, ties broken (lhs, rhs)
-    * lexicographic — is recorded and merged everywhere. Stops early if
-    * no pairs remain (all words single-symbol).
+  /** The shared merge loop behind [[learnMerges]] and [[encodeWords]]:
+    * runs `steps` greedy merges over the symbolized word table and
+    * returns (final word table `(wordCol, cnt, s)` — CACHED, caller
+    * releases it — plus the learned rules in order).
     */
-  def learnMerges(words: DataFrame, wordCol: String, cntCol: String,
-                  steps: Int): DataFrame = {
-    val spark = words.sparkSession
-    import spark.implicits._
+  private def mergeLoop(words: DataFrame, wordCol: String, cntCol: String,
+                        steps: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
     // The '(symbol)' wrapping reserves parentheses as delimiters: a word
     // containing '(' or ')' would make SymbolPattern mis-parse silently
     // (paren symbols dropped from pair counts, replace firing across
@@ -53,7 +49,7 @@ object Bpe {
     // punctuation before BPE.
     var w = words
       .filter(!col(wordCol).contains("(") && !col(wordCol).contains(")"))
-      .select(col(cntCol).cast("long").as("cnt"),
+      .select(col(wordCol), col(cntCol).cast("long").as("cnt"),
         symbolize(col(wordCol)).as("s")).cache()
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
@@ -74,14 +70,45 @@ object Bpe {
         val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         rules += ((step, l, r, c))
         val prev = w
-        w = prev.select(col("cnt"),
+        w = prev.select(col(wordCol), col("cnt"),
           replace(col("s"), lit(s"($l)($r)"), lit(s"($l$r)")).as("s")).cache()
         w.count()
         prev.unpersist()
       }
     }
-    val out = rules.result().toDF("step", "lhs", "rhs", "pair_count")
-    w.unpersist()
-    out
+    (w, rules.result())
   }
+
+  /** Learn `steps` merge rules from `words(wordCol, cntCol)` (distinct
+    * words with occurrence counts). Returns (step, lhs, rhs,
+    * pair_count): at each step the globally most frequent adjacent
+    * symbol pair — occurrence-weighted, ties broken (lhs, rhs)
+    * lexicographic — is recorded and merged everywhere. Stops early if
+    * no pairs remain (all words single-symbol).
+    */
+  def learnMerges(words: DataFrame, wordCol: String, cntCol: String,
+                  steps: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val (w, rules) = mergeLoop(words, wordCol, cntCol, steps)
+    w.unpersist()
+    rules.toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  /** Tokenizer APPLICATION: the vocabulary after `steps` learned merges
+    * — each word with its occurrence count and its greedy-BPE token
+    * string `(tok1)(tok2)…` plus the token count. This is the encode
+    * step a pipeline ships alongside the learned rules: corpus text
+    * encodes by word lookup into this vocabulary-sized table (a
+    * broadcast or gram-keyed join), never by re-running merges per
+    * document. Returned frame keeps the loop's final cache (resident
+    * callers release via GraftSession.withQueryCaches).
+    */
+  def encodeWords(words: DataFrame, wordCol: String, cntCol: String,
+                  steps: Int): DataFrame =
+    mergeLoop(words, wordCol, cntCol, steps)._1
+      .select(col(wordCol), col("cnt"),
+        col("s").as("encoded"),
+        size(regexp_extract_all(col("s"), lit(SymbolPattern), lit(1)))
+          .cast("int").as("n_bpe_tokens"))
 }

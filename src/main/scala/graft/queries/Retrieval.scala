@@ -49,7 +49,13 @@ object Retrieval {
     * literal paren-delimited replace, exactly the runtime's semantics
     * (see the Bpe Scaladoc for why plain `replace` is greedy BPE here).
     */
-  private def bpeSql(steps: Int): String = {
+  /** The unrolled BPE merge chain shared by the q115 (rules) and q128
+    * (encoded vocabulary) oracles: w0 = the symbolized word table, then
+    * per step an occurrence-weighted adjacent-pair count, deterministic
+    * argmax, and a literal replace — the word key carried through so
+    * the final table can be emitted.
+    */
+  private def bpeCtes(steps: Int): String = {
     val iter = (1 to steps).map { i =>
       s"""
       p$i AS (SELECT a[j] AS lhs, a[j + 1] AS rhs, sum(cnt) AS c
@@ -57,22 +63,32 @@ object Retrieval {
                    unnest(generate_series(1, len(a) - 1)) AS u(j)
               GROUP BY a[j], a[j + 1]),
       m$i AS (SELECT lhs, rhs, c FROM p$i ORDER BY c DESC, lhs, rhs LIMIT 1),
-      w$i AS (SELECT cnt, replace(s, '(' || lhs || ')(' || rhs || ')', '(' || lhs || rhs || ')') AS s
+      w$i AS (SELECT w, cnt, replace(s, '(' || lhs || ')(' || rhs || ')', '(' || lhs || rhs || ')') AS s
               FROM w${i - 1} CROSS JOIN m$i)"""
     }.mkString(",")
-    val out = (1 to steps).map(i =>
-      s"SELECT $i AS step, lhs, rhs, CAST(c AS INTEGER) AS pair_count FROM m$i")
-      .mkString("\n      UNION ALL ")
     s"""
       WITH w0 AS (
-        SELECT CAST(count(*) AS BIGINT) AS cnt,
+        SELECT w, CAST(count(*) AS BIGINT) AS cnt,
                array_to_string(list_transform(range(1, length(w) + 1),
                  i -> '(' || w[i] || ')'), '') AS s
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE w NOT LIKE '%(%' AND w NOT LIKE '%)%'
-        GROUP BY w),$iter
+        GROUP BY w),$iter"""
+  }
+
+  private def bpeSql(steps: Int): String = {
+    val out = (1 to steps).map(i =>
+      s"SELECT $i AS step, lhs, rhs, CAST(c AS INTEGER) AS pair_count FROM m$i")
+      .mkString("\n      UNION ALL ")
+    s"""${bpeCtes(steps)}
       $out"""
   }
+
+  private def bpeEncodeSql(steps: Int): String =
+    s"""${bpeCtes(steps)}
+      SELECT w AS word, cnt, s AS encoded,
+             CAST(len(regexp_extract_all(s, '\\(([^()]+)\\)', 1)) AS INTEGER) AS n_bpe_tokens
+      FROM w$steps"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -273,6 +289,23 @@ object Retrieval {
           .select(explode(TextOps.tokenize(col("text"))).as("w"))
           .groupBy("w").agg(count(lit(1)).as("cnt"))
         graft.llm.Bpe.learnMerges(words, "w", "cnt", BpeSteps)
+      }),
+
+    // Tokenizer APPLICATION (q115's companion): the vocabulary after
+    // the learned merges — every word with its greedy-BPE token string
+    // and token count. Corpus text then encodes by word lookup into
+    // this vocabulary-sized table (broadcast / key join), never by
+    // re-running merges per document — the same train-once/apply-
+    // everywhere split a production tokenizer ships with. Shares the
+    // literal merge loop with q115 (Bpe.mergeLoop), so rules and
+    // encoding can never drift apart.
+    QueryDef("q128_bpe_encode", Some(bpeEncodeSql(BpeSteps)),
+      (spark, dir) => {
+        val words = T(spark, dir, "documents")
+          .select(explode(TextOps.tokenize(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        graft.llm.Bpe.encodeWords(words, "w", "cnt", BpeSteps)
+          .withColumnRenamed("w", "word")
       }),
 
     // Per-source distinct 3-shingle cardinality: exact count vs the KMV
