@@ -130,4 +130,33 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     val p = planOf(q("q93_bm25"))
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
+
+  test("token-stream packing and budget selection never use a global window") {
+    // The concat-and-chunk packers and the budget selector run the
+    // distributed prefix scan (per-partition sums, one driver row per
+    // partition) — a WindowExec with an empty partition spec would mean
+    // the whole corpus funneled through ONE task.
+    Seq("q108_pack_concat", "q113_pack_text", "q127_budget_selection").foreach { name =>
+      // no planOf here: the prefix-scan output is RDD-rooted, so the
+      // final frame may contain no exchange for AQE to finalize
+      val df = q(name)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window ["),
+        s"$name reintroduced a window — global spec would single-task the corpus:\n${p.take(2000)}")
+    }
+  }
+
+  test("posting-join pair generators never plan a cartesian product") {
+    // q120/q124/q126 bound their pair space through shared-gram joins
+    // (Σ_g df(g)²); a CartesianProduct would mean the |docs|² explosion
+    // the df cap exists to prevent. (q120's one-row scalar broadcast
+    // cross join is a bounded BroadcastNestedLoopJoin — allowed.)
+    Seq("q120_sparse_sim_join", "q124_repeated_ngrams",
+        "q126_contamination_evidence").foreach { name =>
+      val p = planOf(q(name))
+      assert(!p.contains("CartesianProduct"),
+        s"$name pairs outside the gram join:\n${p.take(2000)}")
+    }
+  }
 }
