@@ -633,6 +633,57 @@ object Vector {
           .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
             round(dot(col("ce_a"), col("ce_b")) / (col("na") * col("nb")), 6)
               .as("cos_sim"))
+      }),
+
+    // Canonical-representative selection: the step AFTER q77's near-dup
+    // clustering — per cluster, KEEP the highest-quality member (q28
+    // score, doc_id tiebreak) and report cluster size; singleton docs
+    // are their own canonical. This is the full dedup decision a corpus
+    // intake executes: LSH candidate pairs (banded, never all-pairs) →
+    // label-propagation components → one map-side-combine argmax per
+    // cluster (max_by on (quality, −doc_id) — no per-cluster window,
+    // no sort). Quality doubles are computed identically on both
+    // engines and used for selection; unrounded per the q28 rationale.
+    QueryDef("q129_canonical_neardup", Some(s"""
+      WITH RECURSIVE ${lshCtes("documents")},
+      strong AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      sym AS (SELECT id_a AS a, id_b AS b FROM strong
+              UNION SELECT id_b, id_a FROM strong
+              UNION SELECT id_a, id_a FROM strong
+              UNION SELECT id_b, id_b FROM strong),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+      m AS (SELECT doc_id,
+                   CAST(len(list_filter(toks, x -> x IN (${Text.Stop.map(s => s"'$s'").mkString(", ")}))) AS DOUBLE) / len(toks) AS stop_ratio,
+                   CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks) AS short_ratio,
+                   CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) AS mean_len
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      q AS (SELECT doc_id, 0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - short_ratio)
+                     + 0.2 * least(mean_len / 10.0, 1.0) AS quality FROM m),
+      j AS (SELECT q.doc_id, coalesce(c.component, q.doc_id) AS component, q.quality
+            FROM q LEFT JOIN comp c ON q.doc_id = c.node),
+      r AS (SELECT *, row_number() OVER (PARTITION BY component ORDER BY quality DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY component) AS nm FROM j)
+      SELECT component, doc_id AS canonical_id, CAST(nm AS INTEGER) AS n_members, quality
+      FROM r WHERE rn = 1"""),
+      (spark, dir) => {
+        val strong = lshPairs(spark, dir).filter(col("jaccard") >= 0.5)
+        val comp = graft.ops.ConnectedComponents.labelPropagation(strong, "id_a", "id_b")
+        T(spark, dir, "documents")
+          .select(col("doc_id"),
+            TextOps.qualityScore(TextOps.tokenize(col("text")), Text.Stop).as("quality"))
+          .join(comp, col("doc_id") === col("node"), "left")
+          .select(col("doc_id"),
+            coalesce(col("component"), col("doc_id")).as("component"), col("quality"))
+          .groupBy("component")
+          .agg(count(lit(1)).cast("int").as("n_members"),
+            max_by(struct(col("doc_id"), col("quality")),
+              struct(col("quality"), -col("doc_id"))).as("__w"))
+          .select(col("component"), col("__w.doc_id").as("canonical_id"),
+            col("n_members"), col("__w.quality").as("quality"))
       })
   )
 
