@@ -25,7 +25,7 @@ import graft.ops.TopK
 object SimSearch {
 
   /** Project `idOut` + unit-normalized double embedding `embOut`. */
-  private def unitized(df: DataFrame, idCol: String, embCol: String,
+  private[graft] def unitized(df: DataFrame, idCol: String, embCol: String,
                        idOut: String, embOut: String): DataFrame = {
     graft.engine.expressions.DotProduct.register(df.sparkSession)
     df.withColumn("__d", col(embCol).cast("array<double>"))
@@ -111,10 +111,19 @@ object SimSearch {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val c = unitized(corpus, idCol, embCol, idCol, "__ne")
-    val cents = c.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col("__ne").as("cent_emb"))
-    ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
+    ivfWithCentroids(c, queries, seedCentroids(corpus, idCol, embCol, nCentroids),
+      idCol, embCol, k, nProbe)
   }
+
+  /** The deterministic id-order centroid seeding [[ivfTopK]] buckets
+    * with — public so an external index (streaming.IncrementalIvf) can
+    * bucket with IDENTICAL centroids and match the batch path exactly.
+    */
+  def seedCentroids(corpus: DataFrame, idCol: String, embCol: String,
+                    nCentroids: Int): DataFrame =
+    unitized(corpus, idCol, embCol, idCol, "__ne")
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).as("cent_id"), col("__ne").as("cent_emb"))
 
   /** [[ivfTopK]] with LEARNED centroids and a FULL HASH ORACLE: id-order
     * seeding refined by `iters` deterministic spherical-Lloyd steps.
@@ -194,7 +203,7 @@ object SimSearch {
   }
 
   /** Nearest-`n` centroid assignment of (`id`, `emb`) rows. */
-  private def nearestBuckets(df: DataFrame, cents: DataFrame,
+  private[graft] def nearestBuckets(df: DataFrame, cents: DataFrame,
                              id: String, emb: String, n: Int): DataFrame =
     TopK.exactPerKey(
       df.crossJoin(broadcast(cents))
@@ -204,7 +213,7 @@ object SimSearch {
       .select(col(id), col(emb), col("cent_id").as("bucket"))
 
   /** Probe the bucketed corpus with probed queries, rank exact cosine. */
-  private def probeRank(probed: DataFrame, bucketed: DataFrame,
+  private[graft] def probeRank(probed: DataFrame, bucketed: DataFrame,
                         idCol: String, k: Int): DataFrame = {
     val pairs = probed.join(bucketed, Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))

@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.llm.SimSearch
+import graft.streaming.IncrementalIvf
+
+/** The streaming IVF index must be indistinguishable from batch
+  * bucketing: probes over an incrementally-built (and crash-replayed)
+  * index equal [[SimSearch.ivfTopK]] over the full corpus with the same
+  * frozen centroids, and the probe scan prunes to the probed buckets'
+  * partitions on disk.
+  */
+class IncrementalIvfSpec extends SparkSuite {
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  private def queries = emb.filter(col("vec_id") % 50 === 0)
+
+  private val (k, nCents, nProbe) = (10, 16, 4)
+
+  private def cents = SimSearch.seedCentroids(emb, "vec_id", "embedding", nCents)
+
+  /** Deterministic row-set image (exceptAll trips a Spark internal
+    * attribute-resolution error over these window-bearing plans).
+    */
+  private def sorted(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+    val cols = Seq("query_id", "vec_id", "cos_sim", "rnk")
+    df.select(cols.head, cols.tail: _*)
+      .collect().toSeq.map(_.toSeq).sortBy(_.toString)
+  }
+
+  test("incrementally built index probes identically to the batch path") {
+    val dir = Files.createTempDirectory("ivf_idx").toString
+    val c = cents.cache()
+    val slices = Seq(
+      emb.filter(col("vec_id") < 600),
+      emb.filter(col("vec_id") >= 600 && col("vec_id") < 1300),
+      emb.filter(col("vec_id") >= 1300))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      IncrementalIvf.processBatch(s, i, c, "vec_id", "embedding", dir)
+    }
+    // crash-replay the last batch: same directory rewritten, no dupes
+    IncrementalIvf.processBatch(slices.last, slices.size - 1, c,
+      "vec_id", "embedding", dir)
+
+    val streamed = IncrementalIvf
+      .probe(spark, dir, queries, c, "vec_id", "embedding", k, nProbe)
+    val batch = SimSearch.ivfTopK(emb, queries, "vec_id", "embedding", k, nCents, nProbe)
+    assert(sorted(streamed) == sorted(batch))
+    c.unpersist()
+  }
+
+  test("the probe scan prunes to the probed bucket partitions") {
+    val dir = Files.createTempDirectory("ivf_idx2").toString
+    val c = cents.cache()
+    IncrementalIvf.processBatch(emb, 0, c, "vec_id", "embedding", dir)
+    val one = queries.limit(1)
+    val probed = IncrementalIvf.probe(spark, dir, one, c, "vec_id", "embedding", k, nProbe)
+    probed.collect()
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters:") && scan.contains("bucket"),
+      s"probe scan lost its partition pruning:\n${scan.take(3000)}")
+    c.unpersist()
+  }
+
+  test("the wired stream builds the same index as direct batch calls") {
+    val src = Files.createTempDirectory("ivf_src").toString
+    val dir = Files.createTempDirectory("ivf_idx3").toString
+    val ckpt = Files.createTempDirectory("ivf_ckpt").toString
+    val c = cents.cache()
+    emb.coalesce(1).write.mode("append").parquet(src)
+    val q = IncrementalIvf.start(
+      spark.readStream.schema(emb.schema).parquet(src),
+      c, "vec_id", "embedding", dir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = IncrementalIvf
+      .probe(spark, dir, queries, c, "vec_id", "embedding", k, nProbe)
+    val batch = SimSearch.ivfTopK(emb, queries, "vec_id", "embedding", k, nCents, nProbe)
+    assert(sorted(streamed) == sorted(batch))
+    c.unpersist()
+  }
+}
