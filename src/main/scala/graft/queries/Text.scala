@@ -444,6 +444,35 @@ object Text {
           .agg(array_sort(collect_list(col("e"))).as("__s"))
           .select(col("source"), col("ns").as("n_tokens"),
             round(orderedSum("v"), 6).as("kl"))
+      }),
+
+    // Source × language independence diagnostic: the χ² contingency
+    // cells over the (source, lang) document counts — which domains are
+    // language-skewed relative to the corpus. All per-cell arithmetic
+    // (expected count = row·col/N, contribution = (obs−exp)²/exp) — the
+    // marginals are reaggregations of the contingency table (|sources|
+    // × |langs| rows), never a second corpus scan, and no float SUM
+    // crosses rows, so only per-cell round() is needed.
+    QueryDef("q130_source_lang_chisq", Some("""
+      WITH obs AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+      rs AS (SELECT source, CAST(sum(n) AS BIGINT) AS r FROM obs GROUP BY source),
+      cs AS (SELECT lang, CAST(sum(n) AS BIGINT) AS c FROM obs GROUP BY lang),
+      nn AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs)
+      SELECT source, lang, CAST(n AS BIGINT) AS n_obs,
+             round(CAST(r AS DOUBLE) * c / t, 6) AS expected,
+             round(pow(n - CAST(r AS DOUBLE) * c / t, 2) / (CAST(r AS DOUBLE) * c / t), 6) AS contrib
+      FROM obs JOIN rs USING (source) JOIN cs USING (lang) CROSS JOIN nn"""),
+      (spark, dir) => {
+        val obs = T(spark, dir, "documents")
+          .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        val rs = obs.groupBy("source").agg(sum("n").as("r"))
+        val cs = obs.groupBy("lang").agg(sum("n").as("c"))
+        val nn = obs.agg(sum("n").as("t"))
+        val e = col("r").cast("double") * col("c") / col("t")
+        obs.join(rs, "source").join(cs, "lang").crossJoin(broadcast(nn))
+          .select(col("source"), col("lang"), col("n").as("n_obs"),
+            round(e, 6).as("expected"),
+            round(pow(col("n") - e, 2) / e, 6).as("contrib"))
       })
   )
 

@@ -684,6 +684,44 @@ object Vector {
               struct(col("quality"), -col("doc_id"))).as("__w"))
           .select(col("component"), col("__w.doc_id").as("canonical_id"),
             col("n_members"), col("__w.quality").as("quality"))
+      }),
+
+    // Cross-source duplication map: which source pairs share near-dup
+    // content (who syndicates whom) — verified LSH pairs joined back to
+    // each side's source, the pair normalized to (least, greatest) so
+    // direction doesn't split counts. The join-back is two id-keyed
+    // dimension joins on the PAIR table (already banded-bounded), never
+    // a rescan of text; avg similarity is an id-ordered fold for hash
+    // exactness (plain avg at true scale — same plan).
+    QueryDef("q131_cross_source_dup", Some(s"""
+      WITH RECURSIVE ${lshCtes("documents")},
+      strong AS (SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5),
+      lab AS (SELECT s.id_a, s.id_b, s.jaccard,
+                     least(da.source, db.source) AS source_a,
+                     greatest(da.source, db.source) AS source_b
+              FROM strong s JOIN documents da ON s.id_a = da.doc_id
+                            JOIN documents db ON s.id_b = db.doc_id)
+      SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+             round(list_reduce(list(jaccard ORDER BY id_a, id_b), (x, y) -> x + y)
+                   / count(*), 6) AS avg_jaccard
+      FROM lab GROUP BY source_a, source_b"""),
+      (spark, dir) => {
+        val src = T(spark, dir, "documents").select(col("doc_id"), col("source"))
+        val lab = lshPairs(spark, dir).filter(col("jaccard") >= 0.5)
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+        lab
+          .select(col("source_a"), col("source_b"),
+            struct(col("id_a"), col("id_b"), col("jaccard").as("v")).as("e"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"), array_sort(collect_list(col("e"))).as("__s"))
+          .select(col("source_a"), col("source_b"), col("n_pairs"),
+            round(aggregate(expr("slice(__s, 2, size(__s) - 1)"),
+              element_at(col("__s"), 1).getField("v"),
+              (acc, x) => acc + x.getField("v")) / col("n_pairs"), 6).as("avg_jaccard"))
       })
   )
 
