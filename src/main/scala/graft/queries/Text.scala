@@ -473,6 +473,57 @@ object Text {
           .select(col("source"), col("lang"), col("n").as("n_obs"),
             round(e, 6).as("expected"),
             round(pow(col("n") - e, 2) / e, 6).as("contrib"))
+      }),
+
+    // Zipf-slope per source: closed-form OLS of ln(freq) on ln(rank)
+    // over each source's top-100 tokens — the power-law health check a
+    // corpus intake runs (natural text ≈ −1; synthetic/boilerplate
+    // text flattens or cliffs). Per-source rank is a group-limit
+    // (WindowGroupLimit after TopK.exactPerKey, never a global sort);
+    // the four OLS sums are rank-ordered folds over one ≤100-element
+    // sorted array per source, so the slope replays bit-identically in
+    // the DuckDB twin.
+    QueryDef("q132_zipf_slope", Some("""
+      WITH tc AS (SELECT source, w, count(*) AS c
+                  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+                  GROUP BY source, w),
+      rk AS (SELECT * FROM (
+               SELECT source, c,
+                      row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rnk
+               FROM tc) WHERE rnk <= 100),
+      xy AS (SELECT source, rnk, ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+             FROM rk),
+      s AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+                   list_reduce(list(x ORDER BY rnk), (a, b) -> a + b) AS sx,
+                   list_reduce(list(y ORDER BY rnk), (a, b) -> a + b) AS sy,
+                   list_reduce(list(x * y ORDER BY rnk), (a, b) -> a + b) AS sxy,
+                   list_reduce(list(x * x ORDER BY rnk), (a, b) -> a + b) AS sxx
+            FROM xy GROUP BY source)
+      SELECT source, CAST(n AS BIGINT) AS n_terms,
+             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      FROM s"""),
+      (spark, dir) => {
+        val tc = T(spark, dir, "documents")
+          .select(col("source"), explode(TextOps.tokenize(col("text"))).as("w"))
+          .groupBy("source", "w").agg(count(lit(1)).as("c"))
+        val rk = graft.ops.TopK.exactPerKey(tc, Seq("source"),
+          Seq(col("c").desc, col("w")), 100, "rnk")
+        val xy = rk.select(col("source"), col("rnk"),
+          log(col("rnk").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
+        val s = xy
+          .select(col("source"), struct(col("rnk"),
+            col("x"), col("y"), (col("x") * col("y")).as("xy"), (col("x") * col("x")).as("xx")).as("e"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("double").as("n"),
+            array_sort(collect_list(col("e"))).as("__s"))
+        def fold(f: String) = aggregate(expr("slice(__s, 2, size(__s) - 1)"),
+          element_at(col("__s"), 1).getField(f), (acc, v) => acc + v.getField(f))
+        val slope = (col("n") * fold("xy") - fold("x") * fold("y")) /
+          (col("n") * fold("xx") - fold("x") * fold("x"))
+        s.select(col("source"), col("n").cast("long").as("n_terms"),
+          round(slope, 6).as("slope"),
+          round((fold("y") - slope * fold("x")) / col("n"), 6).as("intercept"))
       })
   )
 
