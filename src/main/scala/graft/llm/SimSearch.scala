@@ -549,4 +549,67 @@ object SimSearch {
       .select(col("id_a"), col("id_b"), round(col("__cos"), 6).as("cos_sim"))
       .filter(col("cos_sim") >= minCos)
   }
+
+  /** Maximal-Marginal-Relevance diversified top-K (Carbonell & Goldstein
+    * 1998 — the RAG reranking step): greedily select `k` results per
+    * query maximizing `λ·rel(d,q) − (1−λ)·max_{s∈selected} sim(d,s)`,
+    * so near-duplicate hits cannot crowd the result list.
+    *
+    * Scale shape: relevance + top-`poolSize` pooling is exactly the
+    * brute-force path (broadcast queries, group-limit); everything
+    * after is bounded by the POOL, not the corpus — the candidate pair
+    * table is ≤ poolSize² rows per query and each of the k−1 greedy
+    * steps is one anti-join + one max aggregation + one per-query
+    * `max_by` (map-side combine, no window, no driver pull). Selection
+    * compares raw doubles; both engines compute relevance and pair
+    * similarity as the same left-to-right dot, so the greedy choices —
+    * ties broken (score desc, id asc) — are bit-identical (q133 full
+    * hash oracle). Intermediate frames are eagerly cached per step
+    * (tiny: |Q|·step rows) and released as the loop advances.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              embCol: String, k: Int, poolSize: Int = 20,
+              lambda: Double = 0.7): DataFrame = {
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne")
+    val q = unitized(queries, idCol, embCol, "query_id", "__qe")
+    val rel = c.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col("__ne"),
+        dot(col("__qe"), col("__ne")).as("rel"))
+    val pool = TopK.exactPerKey(rel, Seq("query_id"),
+      Seq(col("rel").desc, col(idCol).asc), poolSize, "__r").drop("__r").cache()
+    val pairs = pool.select(col("query_id"), col(idCol).as("__da"), col("__ne").as("__ea"))
+      .join(pool.select(col("query_id"), col(idCol).as("__db"), col("__ne").as("__eb")),
+        Seq("query_id"))
+      .filter(col("__da") =!= col("__db"))
+      .select(col("query_id"), col("__da"), col("__db"),
+        dot(col("__ea"), col("__eb")).as("__sim"))
+      .cache()
+    // step 1 is pure relevance
+    var selected = pool.groupBy("query_id")
+      .agg(max_by(struct(col(idCol), col("rel")), struct(col("rel"), -col(idCol))).as("__w"))
+      .select(col("query_id"), lit(1).as("step"),
+        col("__w").getField(idCol).as(idCol), col("__w.rel").as("score"))
+      .cache()
+    selected.count()
+    for (i <- 2 to k) {
+      val cand = pool
+        .join(selected.select(col("query_id"), col(idCol)), Seq("query_id", idCol), "left_anti")
+      val scored = cand.select(col("query_id"), col(idCol), col("rel"))
+        .join(pairs.withColumnRenamed("__da", idCol), Seq("query_id", idCol))
+        .join(selected.select(col("query_id"), col(idCol).as("__db")), Seq("query_id", "__db"))
+        .groupBy(col("query_id"), col(idCol), col("rel"))
+        .agg(max(col("__sim")).as("__ms"))
+        .select(col("query_id"), col(idCol),
+          (lit(lambda) * col("rel") - lit(1 - lambda) * col("__ms")).as("__mmr"))
+      val pick = scored.groupBy("query_id")
+        .agg(max_by(struct(col(idCol), col("__mmr")), struct(col("__mmr"), -col(idCol))).as("__w"))
+        .select(col("query_id"), lit(i).as("step"),
+          col("__w").getField(idCol).as(idCol), col("__w.__mmr").as("score"))
+      val next = selected.unionByName(pick).cache()
+      next.count()
+      selected.unpersist()
+      selected = next
+    }
+    selected.withColumn("score", round(col("score"), 6))
+  }
 }

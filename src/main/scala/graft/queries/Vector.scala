@@ -29,6 +29,50 @@ object Vector {
     s"""list_aggregate(list_transform(range(1, len($a) + 1),
         i -> $a[i] * $b[i]), 'sum')"""
 
+  /** SQL twin of `SimSearch.mmrTopK`: relevance pool + candidate pair
+    * sims once, then k−1 unrolled greedy steps, each an anti-join
+    * against the accumulated selection, a max-sim aggregate, and a
+    * deterministic (score desc, id asc) argmax. Scores stay raw doubles
+    * until the final round — both engines compute the same dots, so
+    * every greedy choice replays bit-identically.
+    */
+  private def mmrSql(k: Int, pool: Int, lam: Double): String = {
+    val steps = (2 to k).map { i =>
+      s"""
+      cand$i AS (
+        SELECT p.query_id, p.vec_id, p.rel, max(pr.sim) AS ms
+        FROM poole p
+        JOIN mpairs pr ON pr.query_id = p.query_id AND pr.da = p.vec_id
+        JOIN cum${i - 1} s ON s.query_id = pr.query_id AND s.vec_id = pr.db
+        WHERE NOT EXISTS (SELECT 1 FROM cum${i - 1} x
+                          WHERE x.query_id = p.query_id AND x.vec_id = p.vec_id)
+        GROUP BY p.query_id, p.vec_id, p.rel),
+      pick$i AS (
+        SELECT query_id, $i AS step, vec_id, score FROM (
+          SELECT query_id, vec_id, $lam * rel - ${1 - lam} * ms AS score,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY $lam * rel - ${1 - lam} * ms DESC, vec_id) AS rn
+          FROM cand$i) WHERE rn = 1),
+      cum$i AS (SELECT * FROM cum${i - 1} UNION ALL SELECT * FROM pick$i)"""
+    }.mkString(",")
+    s"""
+      WITH $unitSql,
+      mq AS (SELECT vec_id AS query_id, ne AS qe FROM un WHERE vec_id % 200 = 0),
+      relt AS (SELECT mq.query_id, e.vec_id, e.ne, ${dotSql("mq.qe", "e.ne")} AS rel
+               FROM un e JOIN mq ON e.vec_id <> mq.query_id),
+      poole AS (SELECT query_id, vec_id, ne, rel FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel DESC, vec_id) AS rn FROM relt) WHERE rn <= $pool),
+      mpairs AS (SELECT a.query_id, a.vec_id AS da, b.vec_id AS db,
+                        ${dotSql("a.ne", "b.ne")} AS sim
+                 FROM poole a JOIN poole b
+                   ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+      cum1 AS (SELECT query_id, 1 AS step, vec_id, rel AS score FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY rel DESC, vec_id) AS rn FROM poole) WHERE rn = 1),$steps
+      SELECT query_id, step, vec_id, round(score, 6) AS score FROM cum$k"""
+  }
+
   /** SQL twin of `SimSearch.ivfTopKLloyd`: id-order seed centroids,
     * `iters` unrolled spherical-Lloyd refinements (assignment by the
     * left-to-right dot, per-bucket mean as an id-ordered `list_reduce`
@@ -722,6 +766,21 @@ object Vector {
             round(aggregate(expr("slice(__s, 2, size(__s) - 1)"),
               element_at(col("__s"), 1).getField("v"),
               (acc, x) => acc + x.getField("v")) / col("n_pairs"), 6).as("avg_jaccard"))
+      }),
+
+    // MMR-diversified retrieval (the RAG reranking step): greedy top-5
+    // per query maximizing λ·relevance − (1−λ)·max-similarity-to-
+    // already-selected over a top-20 relevance pool — near-duplicate
+    // hits cannot crowd a result list. Pooling is the brute-force
+    // broadcast+group-limit shape; every later step is bounded by the
+    // pool (≤400 pair rows/query), with per-query argmax as map-side
+    // max_by. Both engines pick from bit-identical dots, so the greedy
+    // trajectory hash-matches end-to-end.
+    QueryDef("q133_mmr_rerank", Some(mmrSql(k = 5, pool = 20, lam = 0.7)),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        SimSearch.mmrTopK(emb, emb.filter(col("vec_id") % 200 === 0),
+          "vec_id", "embedding", k = 5, poolSize = 20, lambda = 0.7)
       })
   )
 
