@@ -26,20 +26,28 @@ object Bm25 {
     * score derives from. Input must provide `idCol` and an array-of-
     * string `tokensCol`.
     */
-  def score(docs: DataFrame, idCol: String, tokensCol: String,
-            terms: Seq[String], k1: Double = K1, b: Double = B): DataFrame = {
+  /** `(idCol, __dl, __tf_i…, __n, __avgdl, __df_i…)` — per-doc term
+    * frequencies with the one-row corpus stats broadcast-crossJoined
+    * back on (N, avgdl, df per term). Broadcast, not collected: the
+    * stats stay a plan subtree (reusable, AQE-visible). Shared by the
+    * BM25 and ltc scorers so their df/N agree by construction.
+    */
+  private def withStats(docs: DataFrame, idCol: String, tokensCol: String,
+                        terms: Seq[String]): DataFrame = {
     val base = docs.select(col(idCol), col(tokensCol).as("__toks"))
       .withColumn("__dl", size(col("__toks")))
     val withTf = terms.zipWithIndex.foldLeft(base) { case (df, (t, i)) =>
       df.withColumn(s"__tf$i", size(filter(col("__toks"), x => x === t)))
     }.drop("__toks")
-    // Corpus stats: one row — N, avgdl, df per term. Broadcast, not
-    // collected: the stats stay a plan subtree (reusable, AQE-visible).
     val statAggs = count(lit(1)).as("__n") +: avg(col("__dl")).as("__avgdl") +:
       terms.indices.map(i =>
         sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
-    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
-    val scored = withTf.crossJoin(broadcast(stats))
+    withTf.crossJoin(broadcast(withTf.agg(statAggs.head, statAggs.tail: _*)))
+  }
+
+  def score(docs: DataFrame, idCol: String, tokensCol: String,
+            terms: Seq[String], k1: Double = K1, b: Double = B): DataFrame = {
+    val scored = withStats(docs, idCol, tokensCol, terms)
     val norm = lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))
     val contribs = terms.indices.map { i =>
       val tf = col(s"__tf$i")
@@ -50,21 +58,46 @@ object Bm25 {
       .select(col(idCol), col("__dl").as("dl"), col("__score").as("score"))
   }
 
-  /** Top-k retrieval: BM25-score and keep the k best (rounded-score
-    * order, id tiebreak). The limit plans as TakeOrderedAndProject —
-    * no global sort of the corpus.
+  /** ltc TF-IDF query score: `Σ_t (1 + ln tf)·ln(N/df)` over terms with
+    * tf > 0 — the classic log-tf·idf lexical scorer, deliberately a
+    * DIFFERENT ranking family than BM25 (no length normalization, no
+    * saturation) for hybrid fusion (q134). Same stats subtree as
+    * [[score]]; same term-order float contract.
     */
-  def topK(docs: DataFrame, idCol: String, tokensCol: String,
-           terms: Seq[String], k: Int): DataFrame = {
-    val s = score(docs, idCol, tokensCol, terms)
-      .withColumn("score", round(col("score"), 6))
+  def ltcScore(docs: DataFrame, idCol: String, tokensCol: String,
+               terms: Seq[String]): DataFrame = {
+    val scored = withStats(docs, idCol, tokensCol, terms)
+    val contribs = terms.indices.map { i =>
+      val tf = col(s"__tf$i")
+      when(tf > 0,
+        (lit(1.0) + log(tf)) * log(col("__n").cast("double") / col(s"__df$i")))
+        .otherwise(lit(0.0))
+    }
+    scored.withColumn("__score", contribs.reduce(_ + _))
+      .select(col(idCol), col("__dl").as("dl"), col("__score").as("score"))
+  }
+
+  /** Round to 6, keep the k best (score desc, id tiebreak), attach the
+    * rank. The limit plans as TakeOrderedAndProject — no global sort;
+    * the unpartitioned window ranks the ALREADY-limited k rows (k ≈
+    * 10s), bounded by k at any scale.
+    */
+  private def rankTop(s: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    s.withColumn("score", round(col("score"), 6))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
-    import org.apache.spark.sql.expressions.Window
-    // The unpartitioned window here ranks the ALREADY-limited k rows
-    // (k ≈ 10s), not the corpus — bounded by k, not data size, so the
-    // single-partition WindowExec is harmless at any scale.
-    s.withColumn("rnk",
-      row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("int"))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("int"))
   }
+
+  /** Top-k BM25 retrieval. */
+  def topK(docs: DataFrame, idCol: String, tokensCol: String,
+           terms: Seq[String], k: Int): DataFrame =
+    rankTop(score(docs, idCol, tokensCol, terms), idCol, k)
+
+  /** Top-k ltc TF-IDF retrieval ([[ltcScore]]). */
+  def ltcTopK(docs: DataFrame, idCol: String, tokensCol: String,
+              terms: Seq[String], k: Int): DataFrame =
+    rankTop(ltcScore(docs, idCol, tokensCol, terms), idCol, k)
 }

@@ -524,6 +524,58 @@ object Text {
         s.select(col("source"), col("n").cast("long").as("n_terms"),
           round(slope, 6).as("slope"),
           round((fold("y") - slope * fold("x")) / col("n"), 6).as("intercept"))
+      }),
+
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    // two DIFFERENT lexical ranking families for the same query — BM25
+    // (q93's scorer) and ltc log-tf·idf — each top-20, fused by
+    // Σ 1/(60+rank) and re-ranked top-10. Only RANKS cross the fusion
+    // boundary (no score calibration), the full-outer fusion join is
+    // bounded by the two 20-row lists, and both scorers share the same
+    // one-row broadcast stats subtree. The same Fusion.rrf takes an ANN
+    // cosine list for lexical+vector hybrid search at deployment.
+    QueryDef("q134_rrf_hybrid", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      base AS (SELECT doc_id, len(toks) AS dl,
+                      len(list_filter(toks, x -> x = 'spark')) AS tf0,
+                      len(list_filter(toks, x -> x = 'vector')) AS tf1,
+                      len(list_filter(toks, x -> x = 'stream')) AS tf2
+               FROM tok),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+                FROM base),
+      bm AS (SELECT doc_id,
+                    round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                        + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                        + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+             FROM base CROSS JOIN stats),
+      abm AS (SELECT doc_id, rnk FROM (
+                SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm)
+              WHERE rnk <= 20),
+      lt AS (SELECT doc_id,
+                    round(CASE WHEN tf0 > 0 THEN (1.0 + ln(tf0)) * ln(CAST(n AS DOUBLE) / df0) ELSE 0.0 END
+                        + CASE WHEN tf1 > 0 THEN (1.0 + ln(tf1)) * ln(CAST(n AS DOUBLE) / df1) ELSE 0.0 END
+                        + CASE WHEN tf2 > 0 THEN (1.0 + ln(tf2)) * ln(CAST(n AS DOUBLE) / df2) ELSE 0.0 END, 6) AS score
+             FROM base CROSS JOIN stats),
+      alt AS (SELECT doc_id, rnk FROM (
+                SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM lt)
+              WHERE rnk <= 20),
+      fused AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                       coalesce(1.0 / (60 + a.rnk), 0.0) + coalesce(1.0 / (60 + b.rnk), 0.0) AS s
+                FROM abm a FULL OUTER JOIN alt b ON a.doc_id = b.doc_id)
+      SELECT doc_id, round(s, 6) AS rrf_score, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rnk FROM fused)
+      WHERE rnk <= 10"""),
+      (spark, dir) => {
+        val docs = T(spark, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+        val terms = Seq("spark", "vector", "stream")
+        graft.llm.Fusion.rrf(Seq(
+            graft.llm.Bm25.topK(docs, "doc_id", "toks", terms, 20),
+            graft.llm.Bm25.ltcTopK(docs, "doc_id", "toks", terms, 20)),
+          "doc_id", "rnk", c = 60, k = 10)
       })
   )
 
