@@ -184,6 +184,57 @@ object ML {
         exactMedian = true)
       out.select(col("c_custkey"),
         posexplode(transform(col("features_arr"), v => round(v, 6))).as(Seq("pos", "val")))
-    })
+    }),
+
+    // Deterministic negative sampling for implicit-feedback training
+    // (the BPR/contrastive data-prep step): per observed (customer,
+    // part) interaction, K candidate negatives drawn by a Knuth
+    // multiplicative mix over (customer, k) modulo the part-key space —
+    // plain integer arithmetic, so the draw is a pure function of the
+    // data (partitioning-independent, identically replayable in SQL;
+    // xxhash64 would be the production mix but has no DuckDB twin).
+    // Candidates colliding with ANY of the user's positives are dropped
+    // by one anti-join (so real negatives only, count ≤ K per pair —
+    // the standard rejection-free approximation); duplicates from
+    // colliding k draws collapse via DISTINCT. Users sampled % 100 to
+    // bound the demo output; the plan is two hash joins on (user, part)
+    // — no per-row randomness, no driver state, 100 TB-safe.
+    QueryDef("q136_negative_sampling", Some("""
+      WITH pos AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS part_key
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey % 100 = 0),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM part),
+      cand AS (
+        SELECT DISTINCT user_id,
+               (user_id * 2654435761 + k * 40507) % np AS part_key
+        FROM pos CROSS JOIN np,
+             unnest([0, 1, 2, 3]) AS u(k)),
+      neg AS (
+        SELECT c.user_id, c.part_key FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM pos p
+                          WHERE p.user_id = c.user_id AND p.part_key = c.part_key))
+      SELECT user_id, part_key, 1 AS label FROM pos
+      UNION ALL
+      SELECT user_id, part_key, 0 AS label FROM neg"""),
+      (spark, dir) => {
+        val pos = T(spark, dir, "lineitem")
+          .join(T(spark, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_custkey") % 100 === 0)
+          .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_key"))
+          .distinct()
+        val np = T(spark, dir, "part").agg(count(lit(1)).as("np"))
+        val cand = pos.crossJoin(broadcast(np))
+          .select(col("user_id"),
+            explode(sequence(lit(0), lit(3))).as("k"), col("np"))
+          .select(col("user_id"),
+            ((col("user_id") * lit(2654435761L) + col("k") * lit(40507L)) % col("np"))
+              .as("part_key"))
+          .distinct()
+        val neg = cand.join(pos, Seq("user_id", "part_key"), "left_anti")
+        pos.select(col("user_id"), col("part_key"), lit(1).as("label"))
+          .unionByName(neg.select(col("user_id"), col("part_key"), lit(0).as("label")))
+      })
   )
 }

@@ -576,6 +576,50 @@ object Text {
             graft.llm.Bm25.topK(docs, "doc_id", "toks", terms, 20),
             graft.llm.Bm25.ltcTopK(docs, "doc_id", "toks", terms, 20)),
           "doc_id", "rnk", c = 60, k = 10)
+      }),
+
+    // Classifier-evaluation metric: ROC-AUC of the q28 quality score as
+    // a predictor of lang='en', via the Mann-Whitney rank statistic
+    // AUC = (Σ ranks(pos) − nPos(nPos+1)/2) / (nPos·nNeg) — the exact
+    // global-rank formulation, with the tie order made total by doc_id
+    // (deterministic tie-broken AUC, documented; midrank correction is
+    // a trivial variant). The global row_number is ops.GlobalRank — a
+    // distributed range sort + zipWithIndex, NEVER a single-partition
+    // window — and everything after is integer arithmetic until the one
+    // final division, so no rounding is needed (q28 rationale).
+    QueryDef("q135_quality_auc", Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+                 FROM documents),
+      m AS (SELECT doc_id, label,
+                   CAST(len(list_filter(toks, x -> x IN ($stopSqlList))) AS DOUBLE) / len(toks) AS stop_ratio,
+                   CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks) AS short_ratio,
+                   CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) AS mean_len
+            FROM t),
+      q AS (SELECT doc_id, label,
+                   0.5 * (1.0 - stop_ratio) + 0.3 * (1.0 - short_ratio)
+                     + 0.2 * least(mean_len / 10.0, 1.0) AS quality FROM m),
+      r AS (SELECT *, row_number() OVER (ORDER BY quality, doc_id) AS r FROM q)
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(label) AS BIGINT) AS n_neg,
+             (CAST(sum(CASE WHEN label = 1 THEN r ELSE 0 END) AS DOUBLE)
+                - CAST(sum(label) AS DOUBLE) * (sum(label) + 1) / 2)
+               / (CAST(sum(label) AS DOUBLE) * (count(*) - sum(label))) AS auc
+      FROM r"""),
+      (spark, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        val scored = T(spark, dir, "documents")
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("label"),
+            TextOps.qualityScore(toks, Text.Stop).as("quality"))
+        graft.ops.GlobalRank.withRowNumber(scored, "r",
+            Seq(col("quality").asc, col("doc_id").asc))
+          .agg(count(lit(1)).as("n"), sum(col("label")).as("np"),
+            sum(when(col("label") === 1, col("r")).otherwise(0L)).as("spr"))
+          .select(col("n"), col("np").as("n_pos"), (col("n") - col("np")).as("n_neg"),
+            ((col("spr").cast("double") - col("np").cast("double") * (col("np") + 1) / 2)
+              / (col("np").cast("double") * (col("n") - col("np")))).as("auc"))
       })
   )
 
