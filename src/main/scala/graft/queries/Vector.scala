@@ -768,6 +768,118 @@ object Vector {
               (acc, x) => acc + x.getField("v")) / col("n_pairs"), 6).as("avg_jaccard"))
       }),
 
+    // ANN quality measured UNDER THE ORACLE: recall@10 of the SQ8
+    // compressed scan against the exact cosine top-10, per query — the
+    // number an ANN deployment monitors. Both rankings are already
+    // hash-oracled paths (q118, q23); the overlap count is one bounded
+    // join of two 10-row-per-query lists and the recall is a single
+    // integer division.
+    QueryDef("q137_sq8_recall", Some(s"""
+      WITH $unitSql,
+      mm AS (SELECT vec_id, ne, list_aggregate(ne, 'min') AS minv,
+                    (list_aggregate(ne, 'max') - list_aggregate(ne, 'min')) / 255.0 AS step
+             FROM un),
+      enc AS (SELECT vec_id, minv, step,
+                     list_transform(ne, x -> CASE WHEN step = 0 THEN 0
+                         ELSE floor((x - minv) / step + 0.5) END) AS codes
+              FROM mm),
+      q AS (SELECT vec_id AS query_id, ne AS qe, list_aggregate(ne, 'sum') AS qsum
+            FROM un WHERE vec_id % 50 = 0),
+      sscored AS (
+        SELECT q.query_id, e.vec_id,
+               round(e.minv * q.qsum + e.step * list_aggregate(
+                   list_transform(range(1, len(q.qe) + 1),
+                     i -> CAST(e.codes[i] AS DOUBLE) * q.qe[i]), 'sum'), 6) AS s
+        FROM enc e JOIN q ON e.vec_id <> q.query_id),
+      ann AS (SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rnk
+                FROM sscored) WHERE rnk <= 10),
+      escored AS (
+        SELECT q.query_id, e.vec_id, round(${dotSql("q.qe", "e.ne")}, 6) AS s
+        FROM un e JOIN q ON e.vec_id <> q.query_id),
+      exa AS (SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rnk
+                FROM escored) WHERE rnk <= 10)
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_overlap,
+             count(*) / 10.0 AS recall_at_10
+      FROM ann JOIN exa USING (query_id, vec_id) GROUP BY query_id"""),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val ann = SimSearch.sq8TopK(emb, qs, "vec_id", "embedding", 10)
+          .select("query_id", "vec_id")
+        val exa = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+          .select("query_id", "vec_id")
+        ann.join(exa, Seq("query_id", "vec_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+          .select(col("query_id"), col("n_overlap"),
+            (col("n_overlap") / lit(10.0)).as("recall_at_10"))
+      }),
+
+    // Ranking-quality metric: NDCG@10 of the exact cosine retrieval
+    // against same-label relevance — the graded-relevance companion to
+    // q135's AUC. DCG folds rel/log2(rank+1) in rank order (unique
+    // ranks); IDCG folds the ideal prefix 1/log2(i+1) over the query's
+    // relevant count — both ≤10-element ordered folds, so the ratio
+    // replays bit-identically; zero-relevant queries emit 0.
+    QueryDef("q138_ndcg", Some(s"""
+      WITH $unitSql,
+      lab AS (SELECT vec_id, label FROM embeddings),
+      q AS (SELECT vec_id AS query_id, ne AS qe FROM un WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT q.query_id, e.vec_id, round(${dotSql("q.qe", "e.ne")}, 6) AS s
+        FROM un e JOIN q ON e.vec_id <> q.query_id),
+      topk AS (SELECT query_id, vec_id, rnk FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rnk
+                 FROM scored) WHERE rnk <= 10),
+      rel AS (SELECT t.query_id, t.rnk,
+                     CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END AS rel
+              FROM topk t JOIN lab lq ON t.query_id = lq.vec_id
+                          JOIN lab lc ON t.vec_id = lc.vec_id),
+      agg AS (SELECT query_id,
+                     CAST(sum(rel) AS BIGINT) AS n_rel,
+                     list_aggregate(list(CAST(rel AS DOUBLE) / log2(rnk + 1) ORDER BY rnk), 'sum') AS dcg
+              FROM rel GROUP BY query_id),
+      ideal AS (SELECT query_id, n_rel, dcg,
+                       coalesce(list_aggregate(list_transform(range(1, n_rel + 1),
+                         i -> 1.0 / log2(CAST(i AS DOUBLE) + 1)), 'sum'), 0.0) AS idcg
+                FROM agg)
+      SELECT query_id, n_rel,
+             CASE WHEN idcg = 0 THEN 0.0 ELSE round(dcg / idcg, 6) END AS ndcg
+      FROM ideal"""),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        val lab = emb.select(col("vec_id"), col("label"))
+        val topk = SimSearch.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 10)
+        val rel = topk
+          .join(lab.select(col("vec_id").as("query_id"), col("label").as("__lq")), "query_id")
+          .join(lab.select(col("vec_id"), col("label").as("__lc")), "vec_id")
+          .select(col("query_id"), col("rnk"),
+            when(col("__lq") === col("__lc"), 1).otherwise(0).as("rel"))
+        val agg = rel
+          .select(col("query_id"),
+            struct(col("rnk"), (col("rel").cast("double") / log2(col("rnk") + 1)).as("v")).as("e"),
+            col("rel"))
+          .groupBy("query_id")
+          .agg(sum(col("rel")).cast("long").as("n_rel"),
+            array_sort(collect_list(col("e"))).as("__s"))
+          .select(col("query_id"), col("n_rel"),
+            aggregate(expr("slice(__s, 2, size(__s) - 1)"),
+              element_at(col("__s"), 1).getField("v"),
+              (acc, v) => acc + v.getField("v")).as("dcg"))
+        // sequence(1, 0) would generate a DESCENDING [1, 0] — guard the
+        // zero-relevant case explicitly (DuckDB's range(1, 1) is empty)
+        val ideal = agg.withColumn("idcg",
+          when(col("n_rel") === 0, lit(0.0)).otherwise(
+            aggregate(transform(sequence(lit(1), col("n_rel").cast("int")),
+                i => lit(1.0) / log2(i.cast("double") + 1)),
+              lit(0.0), (acc, x) => acc + x)))
+        ideal.select(col("query_id"), col("n_rel"),
+          when(col("idcg") === 0, lit(0.0))
+            .otherwise(round(col("dcg") / col("idcg"), 6)).as("ndcg"))
+      }),
+
     // MMR-diversified retrieval (the RAG reranking step): greedy top-5
     // per query maximizing λ·relevance − (1−λ)·max-similarity-to-
     // already-selected over a top-20 relevance pool — near-duplicate
