@@ -15,7 +15,8 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++ Relational4.defs ++
       Reports.defs ++ Vector.defs ++ Text.defs ++ Curation.defs ++
-      Retrieval.defs ++ Events.defs ++ Media.defs ++ ML.defs ++ Graph.defs
+      Retrieval.defs ++ Events.defs ++ Media.defs ++ ML.defs ++ Graph.defs ++
+      Engine.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

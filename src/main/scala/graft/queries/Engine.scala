@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.llm.{SetSimJoin, TextOps}
+import graft.ops.ZOrder
+
+/** Engine-infrastructure queries: the storage-layout, planner-diagnostic
+  * and exact-similarity operators a 100 TB deployment of the reference's
+  * workload needs around the core pipelines (SURVEY.md §7.7).
+  */
+object Engine {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact set-similarity self-join with prefix filtering (PPJoin
+    // family) on 3-gram shingles: EXACTLY the pairs with Jaccard >= 0.5,
+    // found without an all-pairs comparison — the exact counterpart to
+    // the recall-trading MinHash-LSH (q26) and SimHash (q92) paths.
+    // The oracle is the brute-force quadratic join; at sf0.01's 500 docs
+    // that is 125k pairs for DuckDB, while the engine side generates
+    // candidates only from shared rarest-prefix shingles.
+    QueryDef("q139_prefix_sim_join", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS s
+             FROM tok WHERE len(t) >= 3)
+      SELECT a.doc_id AS a_doc, b.doc_id AS b_doc,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.5"""),
+      (spark, dir) => {
+        val sets = T(spark, dir, "documents").select(col("doc_id"),
+          TextOps.ngramsAll(TextOps.tokenize(col("text")), 3).as("s"))
+        SetSimJoin.prefixFilterJoin(sets, "doc_id", "s", 0.5)
+      }),
+
+    // Join-key skew profile: per candidate shuffle key, the distribution
+    // shape a planner needs to pick between plain hash join, AQE skew
+    // split, and salting (ops/Salt.scala) — distinct keys, max/mean rows
+    // per key, and the heaviest key's share. ONE fact-table scan feeds
+    // all keys via a 3-wide explode; every output number derives from
+    // exact integer aggregates (single final division), so no float
+    // accumulation order can split the engines.
+    QueryDef("q140_skew_profile", Some("""
+      WITH kv AS (
+        SELECT 'l_orderkey' AS key_col, CAST(l_orderkey AS BIGINT) AS key_val FROM lineitem
+        UNION ALL SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem
+        UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS BIGINT) FROM lineitem),
+      c AS (SELECT key_col, key_val, count(*) AS c FROM kv GROUP BY key_col, key_val)
+      SELECT key_col,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(max(c) AS BIGINT) AS max_rows,
+             round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS avg_rows,
+             round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 6) AS skew_ratio,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share
+      FROM c GROUP BY key_col"""),
+      (spark, dir) => {
+        val kv = T(spark, dir, "lineitem").select(explode(array(
+            struct(lit("l_orderkey").as("key_col"), col("l_orderkey").cast("long").as("key_val")),
+            struct(lit("l_partkey").as("key_col"), col("l_partkey").cast("long").as("key_val")),
+            struct(lit("l_suppkey").as("key_col"), col("l_suppkey").cast("long").as("key_val"))))
+            .as("e"))
+          .select(col("e.key_col").as("key_col"), col("e.key_val").as("key_val"))
+        kv.groupBy("key_col", "key_val").agg(count(lit(1)).as("c"))
+          .groupBy("key_col")
+          .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"), max("c").as("max_rows"))
+          .select(col("key_col"), col("n_keys"), col("n_rows"), col("max_rows"),
+            round(col("n_rows").cast("double") / col("n_keys"), 6).as("avg_rows"),
+            round(col("max_rows").cast("double") * col("n_keys") / col("n_rows"), 6).as("skew_ratio"),
+            round(col("max_rows").cast("double") / col("n_rows"), 6).as("top_share"))
+      }),
+
+    // Z-order layout effectiveness: interleave the bits of
+    // (l_orderkey, l_partkey) and range-bucket rows by z-value vs a
+    // single-key linear layout, then measure the per-bucket min/max span
+    // of BOTH dimensions — the file-statistics width that decides
+    // whether a filtered scan prunes the bucket. Z-order bounds both
+    // spans (each bucket is a small rectangle); the linear layout bounds
+    // only its own key. Pure two-level aggregation — no window, no
+    // global sort — and the bit math is emitted from ONE formula
+    // (ZOrder.zValueSql) for both engines.
+    QueryDef("q141_zorder_layout", Some(s"""
+      WITH pts AS (SELECT CAST(l_orderkey % 1024 AS BIGINT) AS px,
+                          CAST(l_partkey % 1024 AS BIGINT) AS py FROM lineitem),
+      z AS (SELECT px, py, ${ZOrder.zValueSql("px", "py", 10)} AS zv FROM pts),
+      b AS (SELECT 'zorder' AS layout, zv >> 15 AS bucket, px, py FROM z
+            UNION ALL SELECT 'linear', px >> 5, px, py FROM z),
+      g AS (SELECT layout, bucket, count(*) AS c,
+                   max(px) - min(px) AS xs, max(py) - min(py) AS ys
+            FROM b GROUP BY layout, bucket)
+      SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+             round(CAST(sum(c) AS DOUBLE) / count(*), 6) AS avg_rows,
+             round(CAST(sum(xs) AS DOUBLE) / count(*), 6) AS avg_x_span,
+             round(CAST(sum(ys) AS DOUBLE) / count(*), 6) AS avg_y_span
+      FROM g GROUP BY layout"""),
+      (spark, dir) => {
+        val pts = T(spark, dir, "lineitem").select(
+          (col("l_orderkey") % 1024).cast("long").as("px"),
+          (col("l_partkey") % 1024).cast("long").as("py"))
+        val z = pts.withColumn("zv", ZOrder.zValue(col("px"), col("py"), 10))
+        val b = z.select(lit("zorder").as("layout"), shiftright(col("zv"), 15).as("bucket"),
+            col("px"), col("py"))
+          .unionByName(z.select(lit("linear").as("layout"), shiftright(col("px"), 5).as("bucket"),
+            col("px"), col("py")))
+        b.groupBy("layout", "bucket")
+          .agg(count(lit(1)).as("c"),
+            (max("px") - min("px")).as("xs"), (max("py") - min("py")).as("ys"))
+          .groupBy("layout")
+          .agg(count(lit(1)).as("n_buckets"), sum("c").as("nr"), sum("xs").as("sx"), sum("ys").as("sy"))
+          .select(col("layout"), col("n_buckets"),
+            round(col("nr").cast("double") / col("n_buckets"), 6).as("avg_rows"),
+            round(col("sx").cast("double") / col("n_buckets"), 6).as("avg_x_span"),
+            round(col("sy").cast("double") / col("n_buckets"), 6).as("avg_y_span"))
+      }),
+
+    // Dictionary encoding (the columnar-storage compression primitive):
+    // rank the vocabulary by descending frequency — frequent tokens get
+    // short ids — and measure the per-source compressed footprint of
+    // the code stream (digits + separators) against the raw text. The
+    // encoded length is computed as a pure aggregate (sum of id digit
+    // counts + separators), so no positional reassembly or collect_list
+    // touches the hot path; the dictionary window runs over the
+    // VOCABULARY (Heaps-law sublinear), never the corpus.
+    QueryDef("q142_dict_encode", Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      freq AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+      dict AS (SELECT w, row_number() OVER (ORDER BY f DESC, w) - 1 AS id FROM freq),
+      enc AS (SELECT t.doc_id,
+                     CAST(sum(length(CAST(d.id AS VARCHAR))) + count(*) - 1 AS BIGINT) AS enc_len
+              FROM tok t JOIN dict d USING (w) GROUP BY t.doc_id)
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(length(d.text)) AS BIGINT) AS orig_chars,
+             CAST(sum(e.enc_len) AS BIGINT) AS enc_chars,
+             round(CAST(sum(e.enc_len) AS DOUBLE) / sum(length(d.text)), 6) AS ratio
+      FROM documents d JOIN enc e USING (doc_id)
+      GROUP BY d.source"""),
+      (spark, dir) => {
+        val docs = T(spark, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("w"))
+        val freq = tok.groupBy("w").agg(count(lit(1)).as("f"))
+        // Vocabulary-sized unpartitioned window (the Indexing.withRowIndex
+        // dimension-table contract) — never the fact table.
+        val dict = freq.withColumn("id",
+          row_number().over(Window.orderBy(col("f").desc, col("w"))) - 1)
+        val enc = tok.join(dict.select("w", "id"), "w")
+          .groupBy("doc_id")
+          .agg((sum(length(col("id").cast("string"))) + count(lit(1)) - 1).as("enc_len"))
+        docs.join(enc, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("orig_chars"),
+            sum("enc_len").as("enc_chars"))
+          .select(col("source"), col("n_docs"),
+            col("orig_chars").cast("long").as("orig_chars"),
+            col("enc_chars").cast("long").as("enc_chars"),
+            round(col("enc_chars").cast("double") / col("orig_chars"), 6).as("ratio"))
+      }),
+
+    // Deterministic round-robin data-mixing schedule: rank documents
+    // within each source (longest first), then interleave by
+    // (rank, source) so every prefix of the schedule carries a fair
+    // share of each source — the curriculum/epoch-ordering op a
+    // training-data pipeline runs after the q107/q127 mixers pick WHAT
+    // to include. The per-source window is partitioned (scales with the
+    // corpus); the only unpartitioned window runs over the
+    // already-LIMITed 100 rows (the Fusion.rrf bounded pattern).
+    QueryDef("q143_interleave_mix", Some("""
+      WITH r AS (SELECT doc_id, source,
+                        row_number() OVER (PARTITION BY source
+                                           ORDER BY n_chars DESC, doc_id) AS rnk
+                 FROM documents),
+      s AS (SELECT * FROM r ORDER BY rnk, source LIMIT 100)
+      SELECT CAST(row_number() OVER (ORDER BY rnk, source) AS BIGINT) AS pos,
+             doc_id, source, CAST(rnk AS BIGINT) AS rnk
+      FROM s"""),
+      (spark, dir) => {
+        val r = T(spark, dir, "documents").select(col("doc_id"), col("source"),
+          row_number().over(Window.partitionBy("source")
+            .orderBy(col("n_chars").desc, col("doc_id"))).as("rnk"))
+        val s = r.orderBy(col("rnk"), col("source")).limit(100)
+        s.select(
+          row_number().over(Window.orderBy(col("rnk"), col("source"))).cast("long").as("pos"),
+          col("doc_id"), col("source"), col("rnk").cast("long").as("rnk"))
+      })
+  )
+}
