@@ -22,15 +22,28 @@ object T {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark 4 rejects by default. Read nanos as long and rebuild a
-    * microsecond timestamp (floor division — matches DuckDB's own
-    * ns→us truncation of the same column).
+  /** The events table's `ts` column has shipped as both TIMESTAMP(NANOS)
+    * (which Spark 4 rejects by default — the nanosAsLong legacy flag reads
+    * it as a long we floor-divide to micros, matching DuckDB's own ns→us
+    * truncation) and native TIMESTAMP(MICROS) without a UTC flag (read as
+    * TIMESTAMP_NTZ — cast to TIMESTAMP, epoch-identical under the pinned
+    * UTC session timezone, and required by streaming watermarks).
+    * Normalize adaptively on the observed schema so every generator
+    * vintage loads to the same TimestampType column.
     */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          df.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
   }
 }

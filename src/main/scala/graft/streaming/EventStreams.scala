@@ -14,15 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object EventStreams {
 
+  /** File-source stream over the events parquet with `ts` normalized to a
+    * microsecond timestamp whatever vintage the generator wrote
+    * ([[graft.queries.T.normalizeTs]] — TIMESTAMP(NANOS)-as-long vs
+    * native TIMESTAMP(MICROS)). The schema probe is a metadata-only read.
+    */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    graft.queries.T.normalizeTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+  }
+
   /** Tumbling-window count/sum per event_type, computed by a streaming
     * query over the events parquet and returned as a batch DataFrame.
     */
   def hourlyStreaming(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventStream(spark, sfDir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -47,14 +56,11 @@ object EventStreams {
     * shape for event attribution at scale).
     */
   def streamStreamAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     def side(tpe: String, prefix: String) =
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      eventStream(spark, sfDir)
         // truncate to ms so the join condition matches the batch twin's
         // epoch_ms floor exactly
-        .withColumn("ts", timestamp_millis(unix_millis(timestamp_micros(expr("ts div 1000")))))
+        .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
         .filter(col("event_type") === tpe)
         .withWatermark("ts", "1 hour")
         .select(col("user_id").as(s"${prefix}_user"), col("event_id").as(s"${prefix}_event"),
@@ -85,11 +91,7 @@ object EventStreams {
     * Returns the materialized parquet as a DataFrame.
     */
   def foreachBatchToParquet(spark: SparkSession, sfDir: String, outDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventStream(spark, sfDir)
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val q = stream.writeStream.outputMode("complete")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -109,10 +111,7 @@ object EventStreams {
   def statefulUserCounts(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val stream = eventStream(spark, sfDir)
       .select(col("user_id")).as[Long]
     val counted = stream.groupByKey(identity)
       .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
@@ -139,11 +138,7 @@ object EventStreams {
     * streaming machinery, finer reporting grain.
     */
   def slidingRate(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventStream(spark, sfDir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
@@ -167,10 +162,7 @@ object EventStreams {
     * frames.
     */
   def streamStaticEnrich(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val stream = eventStream(spark, sfDir)
       .select(col("event_id"), col("user_id"), col("event_type"))
     val dim = spark.read.parquet(s"$sfDir/customer.parquet")
       .select((col("c_custkey") % 150).as("user_id"), col("c_mktsegment"))
@@ -196,11 +188,7 @@ object EventStreams {
     */
   def streamingDedup(spark: SparkSession, sfDir: String,
                      keyCols: Seq[String] = Seq("user_id", "event_type")): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventStream(spark, sfDir)
       .withWatermark("ts", "31 days")
       .dropDuplicatesWithinWatermark(keyCols)
       .select(keyCols.map(col): _*)
@@ -232,11 +220,7 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
     val gapMs = gapMin * 60000L
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventStream(spark, sfDir)
       .withWatermark("ts", "0 seconds")
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]

@@ -69,9 +69,9 @@ class StreamingResilienceSpec extends SparkSuite {
     val srcDir = Files.createTempDirectory("graft_multibatch")
     (0 until 4).foreach(i =>
       addFile(events.filter(col("event_id") % 4 === i), srcDir, s"part$i.parquet"))
-    val agg = spark.readStream.schema(events.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.queries.T.normalizeTs(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("sum_value"))
@@ -81,8 +81,7 @@ class StreamingResilienceSpec extends SparkSuite {
     assert(q.recentProgress.count(_.numInputRows > 0) >= 4, "expected >= 4 non-empty batches")
     val streamed = spark.table(name).collect().toSet
     spark.catalog.dropTempView(name)
-    val batch = events
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.queries.T.normalizeTs(events)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
       .select(col("w.start").as("h"), col("event_type"), col("n"), col("sum_value"))
@@ -98,8 +97,8 @@ class StreamingResilienceSpec extends SparkSuite {
     // the batch result on every emitted window and (b) contain every
     // window that closed below the final watermark.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("tsv", expr("ts div 1000"))
+    val events = graft.queries.T.normalizeTs(spark.read.parquet(s"$sf/events.parquet"))
+      .withColumn("tsv", unix_micros(col("ts")))
     val qs = events.stat.approxQuantile("tsv", Array(0.25, 0.5, 0.75), 0.0)
     val srcDir = Files.createTempDirectory("graft_wm")
     val bounds = (Double.MinValue +: qs.map(_.toDouble)) :+ Double.MaxValue
@@ -108,9 +107,9 @@ class StreamingResilienceSpec extends SparkSuite {
       addFile(events.filter(col("tsv") > lo && col("tsv") <= hi).drop("tsv"),
         srcDir, s"t$i.parquet")
     }
-    val agg = spark.readStream.schema(events.drop("tsv").schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.queries.T.normalizeTs(
+      spark.readStream.schema(events.drop("tsv").schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
