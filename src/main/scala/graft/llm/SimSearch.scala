@@ -557,59 +557,93 @@ object SimSearch {
     *
     * Scale shape: relevance + top-`poolSize` pooling is exactly the
     * brute-force path (broadcast queries, group-limit); everything
-    * after is bounded by the POOL, not the corpus — the candidate pair
-    * table is ≤ poolSize² rows per query and each of the k−1 greedy
-    * steps is one anti-join + one max aggregation + one per-query
-    * `max_by` (map-side combine, no window, no driver pull). Selection
-    * compares raw doubles; both engines compute relevance and pair
-    * similarity as the same left-to-right dot, so the greedy choices —
-    * ties broken (score desc, id asc) — are bit-identical (q133 full
-    * hash oracle). Intermediate frames are eagerly cached per step
-    * (tiny: |Q|·step rows) and released as the loop advances.
+    * after is bounded by the POOL, not the corpus — each query's ≤
+    * `poolSize` pool rows are gathered with one `collect_list`
+    * aggregation and the greedy selection (inherently sequential in
+    * `step`) runs locally inside that row's task: O(k·pool²) dot
+    * products over ≤ poolSize 64-dim vectors. One shuffle total, no
+    * per-step job, no driver pull — queries distribute, pools bound
+    * memory. (A previous formulation ran the k−1 greedy steps as
+    * anti-join + max-aggregation jobs; correct, but it paid ~k
+    * scheduler round-trips of fixed latency for pool-sized data.)
+    * Both engines compute relevance and pair similarity as the same
+    * left-to-right dot ([[graft.engine.expressions.DotProduct]]'s loop,
+    * mirrored verbatim here), and ties break (score desc, id asc), so
+    * the greedy choices are bit-identical (q133 full hash oracle).
     */
   def mmrTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               embCol: String, k: Int, poolSize: Int = 20,
               lambda: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    val spark = corpus.sparkSession
     val c = unitized(corpus, idCol, embCol, idCol, "__ne")
     val q = unitized(queries, idCol, embCol, "query_id", "__qe")
     val rel = c.join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol), col("__ne"),
         dot(col("__qe"), col("__ne")).as("rel"))
     val pool = TopK.exactPerKey(rel, Seq("query_id"),
-      Seq(col("rel").desc, col(idCol).asc), poolSize, "__r").drop("__r").cache()
-    val pairs = pool.select(col("query_id"), col(idCol).as("__da"), col("__ne").as("__ea"))
-      .join(pool.select(col("query_id"), col(idCol).as("__db"), col("__ne").as("__eb")),
-        Seq("query_id"))
-      .filter(col("__da") =!= col("__db"))
-      .select(col("query_id"), col("__da"), col("__db"),
-        dot(col("__ea"), col("__eb")).as("__sim"))
-      .cache()
-    // step 1 is pure relevance
-    var selected = pool.groupBy("query_id")
-      .agg(max_by(struct(col(idCol), col("rel")), struct(col("rel"), -col(idCol))).as("__w"))
-      .select(col("query_id"), lit(1).as("step"),
-        col("__w").getField(idCol).as(idCol), col("__w.rel").as("score"))
-      .cache()
-    selected.count()
-    for (i <- 2 to k) {
-      val cand = pool
-        .join(selected.select(col("query_id"), col(idCol)), Seq("query_id", idCol), "left_anti")
-      val scored = cand.select(col("query_id"), col(idCol), col("rel"))
-        .join(pairs.withColumnRenamed("__da", idCol), Seq("query_id", idCol))
-        .join(selected.select(col("query_id"), col(idCol).as("__db")), Seq("query_id", "__db"))
-        .groupBy(col("query_id"), col(idCol), col("rel"))
-        .agg(max(col("__sim")).as("__ms"))
-        .select(col("query_id"), col(idCol),
-          (lit(lambda) * col("rel") - lit(1 - lambda) * col("__ms")).as("__mmr"))
-      val pick = scored.groupBy("query_id")
-        .agg(max_by(struct(col(idCol), col("__mmr")), struct(col("__mmr"), -col(idCol))).as("__w"))
-        .select(col("query_id"), lit(i).as("step"),
-          col("__w").getField(idCol).as(idCol), col("__w.__mmr").as("score"))
-      val next = selected.unionByName(pick).cache()
-      next.count()
-      selected.unpersist()
-      selected = next
+      Seq(col("rel").desc, col(idCol).asc), poolSize, "__r").drop("__r")
+    val grouped = pool.groupBy("query_id")
+      .agg(collect_list(struct(col(idCol), col("__ne"), col("rel"))).as("__pool"))
+    val outSchema = StructType(Seq(
+      StructField("query_id", pool.schema("query_id").dataType),
+      StructField("step", IntegerType, nullable = false),
+      StructField(idCol, pool.schema(idCol).dataType),
+      StructField("score", DoubleType)))
+    val (lam, oneMinusLam, kk) = (lambda, 1 - lambda, k)
+    val outRdd = grouped.rdd.flatMap { row =>
+      val qid = row.get(0)
+      val items = row.getSeq[Row](1)
+      val n = items.length
+      val ids = items.map(_.get(0)).toArray
+      // numeric tiebreak — mirrors the struct(score, -id) max_by ordering
+      // of the distributed formulation (ids must be numeric, as there)
+      val idKey = items.map(_.getAs[Number](0).doubleValue()).toArray
+      val nes = items.map(_.getSeq[Double](1).toArray).toArray
+      val rels = items.map(_.getDouble(2)).toArray
+      // DotProduct.nullSafeEval's exact loop: left-to-right, index order
+      def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+        val m = math.min(a.length, b.length)
+        var s = 0.0; var i = 0
+        while (i < m) { s += a(i) * b(i); i += 1 }
+        s
+      }
+      val sel = new scala.collection.mutable.ArrayBuffer[Int](kk)
+      val out = new scala.collection.mutable.ArrayBuffer[Row](kk)
+      // step 1 is pure relevance: max rel, tie -> smaller id
+      var best = -1
+      var i = 0
+      while (i < n) {
+        if (best < 0 || rels(i) > rels(best) ||
+          (rels(i) == rels(best) && idKey(i) < idKey(best))) best = i
+        i += 1
+      }
+      if (best >= 0) { sel += best; out += Row(qid, 1, ids(best), rels(best)) }
+      var step = 2
+      while (step <= kk && sel.length == step - 1 && sel.length < n) {
+        var bi = -1
+        var bs = 0.0
+        var j = 0
+        while (j < n) {
+          if (!sel.contains(j)) {
+            var ms = Double.NegativeInfinity
+            sel.foreach { s =>
+              val v = dotLocal(nes(j), nes(s)); if (v > ms) ms = v
+            }
+            val sc = lam * rels(j) - oneMinusLam * ms
+            if (bi < 0 || sc > bs || (sc == bs && idKey(j) < idKey(bi))) {
+              bi = j; bs = sc
+            }
+          }
+          j += 1
+        }
+        if (bi >= 0) { sel += bi; out += Row(qid, step, ids(bi), bs) }
+        step += 1
+      }
+      out
     }
-    selected.withColumn("score", round(col("score"), 6))
+    spark.createDataFrame(outRdd, outSchema)
+      .withColumn("score", round(col("score"), 6))
   }
 }
