@@ -30,9 +30,13 @@ import org.apache.spark.sql.types._
   * oracle computes the identical value; duplicate tokens collapse by
   * hash on both sides).
   *
-  * Returns struct<est double, n_kept int>: when fewer than k distinct
-  * hashes were seen the estimate IS the exact distinct count (n_kept);
-  * otherwise (k-1) / (h_k / 2^60) with h_k = the largest kept hash.
+  * Returns struct<est double, n_kept int, values array<bigint>>: when
+  * fewer than k distinct hashes were seen the estimate IS the exact
+  * distinct count (n_kept); otherwise (k-1) / (h_k / 2^60) with h_k =
+  * the largest kept hash. `values` is the kept bottom-k set in
+  * ascending order — the mergeable summary itself, exposed so set
+  * operations (union/intersection/Jaccard across groups) can be
+  * computed from sketches without re-touching the inputs (q144).
   */
 case class KmvDistinct(child: Expression, k: Int,
                        mutableAggBufferOffset: Int = 0,
@@ -43,7 +47,8 @@ case class KmvDistinct(child: Expression, k: Int,
   require(k > 1, "k must be at least 2")
 
   override def dataType: DataType = StructType(Seq(
-    StructField("est", DoubleType), StructField("n_kept", IntegerType)))
+    StructField("est", DoubleType), StructField("n_kept", IntegerType),
+    StructField("values", ArrayType(LongType, containsNull = false))))
   override def nullable: Boolean = false
   override def prettyName: String = "kmv_distinct"
 
@@ -77,7 +82,9 @@ case class KmvDistinct(child: Expression, k: Int,
     val est =
       if (buf.size < k) buf.size.toDouble
       else (k - 1).toDouble / (buf.last.toDouble / KmvDistinct.Norm)
-    InternalRow(est, buf.size)
+    // TreeSet iterates ascending — `values` comes out sorted.
+    InternalRow(est, buf.size,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray))
   }
 
   override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {

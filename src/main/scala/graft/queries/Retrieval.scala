@@ -345,6 +345,102 @@ object Retrieval {
           .select(col("source"), col("nd").cast("int").as("n_exact"),
             round(col("est"), 6).as("kmv_est"),
             round(abs(col("est") - col("nd")) / col("nd"), 6).as("rel_err"))
+      }),
+
+    // KMV set operations across sources: pairwise union cardinality,
+    // intersection and Jaccard estimated ENTIRELY from the per-source
+    // bottom-k sketches ([[graft.engine.expressions.KmvDistinct]]'s
+    // `values` field) — union = bottom-k of the two merged value sets,
+    // Jaccard = fraction of the merged bottom-k present in both sides
+    // (Bar-Yossef et al.; the ρ·est_union intersection estimator). The
+    // 100 TB shape: each source's summary is k longs of MERGEABLE
+    // aggregation state built in one pass with map-side partials (no
+    // distinct shuffle — the sketch dedups by hash), and every pairwise
+    // set operation is then array arithmetic on ≤k-element arrays. The
+    // exact twin (distinct + gram self-join) exists for the side-by-side
+    // and drops at scale. Deterministic (md5-prefix hash), so the full
+    // hash oracle pins both the exact and the estimated columns.
+    QueryDef("q144_kmv_set_ops", Some(s"""
+      WITH tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT source, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS g
+             FROM tok),
+      dg AS (SELECT DISTINCT source, g FROM sh),
+      ex AS (SELECT source, count(*) AS nd FROM dg GROUP BY source),
+      inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS ni
+                FROM dg a JOIN dg b ON a.g = b.g AND a.source < b.source
+                GROUP BY a.source, b.source),
+      hv AS (SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS hv FROM sh),
+      r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM hv),
+      kv AS (SELECT source, list(hv ORDER BY hv) AS vals FROM r WHERE rn <= $KmvK GROUP BY source),
+      p0 AS (SELECT a.source AS sa, b.source AS sb, a.nd AS na, b.nd AS nb
+             FROM ex a JOIN ex b ON a.source < b.source),
+      p1 AS (SELECT p0.*, coalesce(i.ni, 0) AS ni
+             FROM p0 LEFT JOIN inter i ON p0.sa = i.sa AND p0.sb = i.sb),
+      p2 AS (SELECT p1.*, ka.vals AS va, kb.vals AS vb
+             FROM p1 JOIN kv ka ON p1.sa = ka.source JOIN kv kb ON p1.sb = kb.source),
+      p3 AS (SELECT *, list_sort(list_distinct(list_concat(va, vb))) AS uu FROM p2),
+      p4 AS (SELECT *, uu[1:least(len(uu), $KmvK)] AS u FROM p3),
+      p5 AS (SELECT *, len(u) AS nm,
+                    len(list_filter(u, x -> list_contains(va, x) AND list_contains(vb, x))) AS mi
+             FROM p4),
+      p6 AS (SELECT *,
+                    CASE WHEN nm < $KmvK THEN CAST(nm AS DOUBLE)
+                         ELSE ${KmvK - 1} / (u[nm] / 1152921504606846976.0) END AS union_est,
+                    CAST(mi AS DOUBLE) / nm AS kmv_jaccard
+             FROM p5)
+      SELECT sa AS source_a, sb AS source_b,
+             CAST(na AS INTEGER) AS n_exact_a, CAST(nb AS INTEGER) AS n_exact_b,
+             CAST(ni AS INTEGER) AS n_inter,
+             round(CAST(ni AS DOUBLE) / (na + nb - ni), 6) AS exact_jaccard,
+             round(union_est, 6) AS kmv_union_est,
+             round(kmv_jaccard, 6) AS kmv_jaccard,
+             round(kmv_jaccard * union_est, 6) AS kmv_inter_est
+      FROM p6"""),
+      (spark, dir) => {
+        import graft.engine.expressions.KmvDistinct
+        KmvDistinct.register(spark)
+        val k = KmvK
+        val grams = T(spark, dir, "documents")
+          .select(col("source"),
+            explode(TextOps.shingles(TextOps.tokenize(col("text")), 3)).as("g"))
+        // sketch path: no distinct — the aggregate dedups by hash inside
+        // its k-long state, so only sketches cross the exchange
+        val kv = grams.groupBy("source")
+          .agg(KmvDistinct.sketch(KmvDistinct.hash60(col("g")), k).as("s"))
+          .select(col("source"), col("s.values").as("vals"))
+        // exact twin — test-scale reference only
+        val dg = grams.distinct()
+        val ex = dg.groupBy("source").agg(count(lit(1)).as("nd"))
+        val inter = dg.select(col("source").as("sa"), col("g"))
+          .join(dg.select(col("source").as("sb"), col("g")), "g")
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb").agg(count(lit(1)).as("ni"))
+        val pairs = ex.select(col("source").as("sa"), col("nd").as("na"))
+          .join(ex.select(col("source").as("sb"), col("nd").as("nb")),
+            col("sa") < col("sb"))
+          .join(inter, Seq("sa", "sb"), "left").na.fill(0L, Seq("ni"))
+          .join(kv.select(col("source").as("sa"), col("vals").as("va")), "sa")
+          .join(kv.select(col("source").as("sb"), col("vals").as("vb")), "sb")
+        pairs
+          .withColumn("u", slice(array_sort(array_distinct(concat(col("va"), col("vb")))), 1, k))
+          .withColumn("nm", size(col("u")))
+          .withColumn("mi", size(filter(col("u"),
+            x => array_contains(col("va"), x) && array_contains(col("vb"), x))))
+          // mirrors KmvDistinct.eval exactly: (k-1) / (h_k / 2^60)
+          .withColumn("union_est",
+            when(col("nm") < k, col("nm").cast("double"))
+              .otherwise(lit((k - 1).toDouble) /
+                (element_at(col("u"), col("nm")).cast("double") / lit(KmvDistinct.Norm))))
+          .withColumn("kmv_jac", col("mi").cast("double") / col("nm"))
+          .select(col("sa").as("source_a"), col("sb").as("source_b"),
+            col("na").cast("int").as("n_exact_a"), col("nb").cast("int").as("n_exact_b"),
+            col("ni").cast("int").as("n_inter"),
+            round(col("ni").cast("double") / (col("na") + col("nb") - col("ni")), 6)
+              .as("exact_jaccard"),
+            round(col("union_est"), 6).as("kmv_union_est"),
+            round(col("kmv_jac"), 6).as("kmv_jaccard"),
+            round(col("kmv_jac") * col("union_est"), 6).as("kmv_inter_est"))
       })
   )
 }

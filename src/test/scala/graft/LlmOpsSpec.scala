@@ -403,4 +403,28 @@ class LlmOpsSpec extends SparkSuite {
     assert(estimate(big.repartition(13), k) == ((est, kept)))
     assert(estimate(big.coalesce(1), k) == ((est, kept)))
   }
+
+  test("KmvDistinct values: sorted, partition-independent, set-op accurate") {
+    import graft.engine.expressions.KmvDistinct
+    KmvDistinct.register(spark)
+    val k = 256
+    def vals(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(KmvDistinct.sketch(KmvDistinct.hash60(col("v")), k).as("s"))
+        .select(col("s.values")).head().getSeq[Long](0)
+    // values are the sorted bottom-k, invariant under partitioning
+    val big = (1 to 20000).map(i => s"item_$i").toDF("v")
+    val v1 = vals(big)
+    assert(v1.length == k && v1 == v1.sorted)
+    assert(vals(big.repartition(13)) == v1)
+    // sketch-only Jaccard: two 20k sets with true J = 1/3 (10k shared);
+    // the merged-bottom-k estimator must land within 5/sqrt(k)
+    val a = (1 to 20000).map(i => s"item_$i").toDF("v")
+    val b = (10001 to 30000).map(i => s"item_$i").toDF("v")
+    val (va, vb) = (vals(a), vals(b))
+    val merged = (va ++ vb).distinct.sorted.take(k)
+    val inBoth = merged.count(h => va.contains(h) && vb.contains(h))
+    val jEst = inBoth.toDouble / merged.length
+    assert(math.abs(jEst - 1.0 / 3) < 5.0 / math.sqrt(k),
+      s"sketch Jaccard $jEst too far from ${1.0 / 3}")
+  }
 }
