@@ -478,6 +478,72 @@ object Curation {
           .filter(col("cum_before") < SelectBudget)
           .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
             col("quality"), col("cum_before"))
+      }),
+
+    // PII redaction — the scrub pass every training pipeline runs
+    // before text leaves curation: emails, URLs, IPv4s and phone-shaped
+    // numbers are counted and replaced with typed sentinels. A narrow
+    // per-row projection (codegen'd regexp built-ins, no UDF, zero
+    // shuffle): at 100 TB it rides the corpus scan for free. The
+    // synthetic corpus contains no PII, so the query plants a
+    // deterministic specimen of each class (doc_id-derived, identical
+    // SQL on both engines) before scanning — the oracle therefore
+    // genuinely pins the cross-engine regex semantics (all four
+    // patterns use only portable syntax: character classes, bounded
+    // repetition, \b anchors — identical under Java regex and RE2) and
+    // the sentinel substitution, via md5 of the redacted text.
+    // Redaction order is fixed (email, url, ip, phone) on both sides.
+    QueryDef("q145_pii_redact", Some("""
+      WITH aug AS (SELECT doc_id,
+                          text || ' contact user' || CAST(doc_id AS VARCHAR)
+                               || '@mail.example.com or http://ex.org/d' || CAST(doc_id AS VARCHAR)
+                               || ' ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+                               || ' tel 555-123-4567.' AS t
+                   FROM documents),
+      c AS (SELECT doc_id, t,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+                   len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                   len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones
+            FROM aug),
+      r AS (SELECT doc_id, n_emails, n_urls, n_ips, n_phones,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         'https?://[^\s]+', '<URL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS red
+            FROM c)
+      SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+             CAST(n_urls AS INTEGER) AS n_urls, CAST(n_ips AS INTEGER) AS n_ips,
+             CAST(n_phones AS INTEGER) AS n_phones, md5(red) AS redacted_md5
+      FROM r"""),
+      (spark, dir) => {
+        val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val urlPat = "https?://[^\\s]+"
+        val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phonePat = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+        val t = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or http://ex.org/d"), col("doc_id").cast("string"),
+          lit(" ip 10.0.0."), (col("doc_id") % 256).cast("string"),
+          lit(" tel 555-123-4567."))
+        T(spark, dir, "documents")
+          .select(col("doc_id"), t.as("t"))
+          .select(col("doc_id"),
+            regexp_count(col("t"), lit(emailPat)).cast("int").as("n_emails"),
+            regexp_count(col("t"), lit(urlPat)).cast("int").as("n_urls"),
+            regexp_count(col("t"), lit(ipPat)).cast("int").as("n_ips"),
+            regexp_count(col("t"), lit(phonePat)).cast("int").as("n_phones"),
+            md5(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(col("t"), emailPat, "<EMAIL>"),
+                    urlPat, "<URL>"),
+                  ipPat, "<IP>"),
+                phonePat, "<PHONE>")).as("redacted_md5"))
       })
   )
 }

@@ -134,6 +134,40 @@ object EventStreams {
     out
   }
 
+  /** Streaming distinct-user cardinality per tumbling hour via the KMV
+    * bottom-k sketch ([[graft.engine.expressions.KmvDistinct]]): the
+    * aggregation state per window is k longs — bounded however many
+    * distinct users the stream carries — and the sketch's merge is what
+    * Spark calls to combine partial states across micro-batches, so the
+    * estimate is identical to a one-shot batch aggregation of the same
+    * rows (spec-pinned, including under maxFilesPerTrigger=1). The
+    * unbounded-stream shape for "unique visitors per window" where an
+    * exact distinct would hold the full id set per window in the state
+    * store.
+    */
+  def hourlyDistinctSketch(spark: SparkSession, sfDir: String,
+                           k: Int = 64): DataFrame = {
+    graft.engine.expressions.KmvDistinct.register(spark)
+    import graft.engine.expressions.KmvDistinct.{hash60, sketch}
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(sketch(hash60(col("user_id")), k).as("s"),
+        count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("s.est").as("distinct_est"), col("s.n_kept").as("n_kept"),
+        col("n_events"))
+    val name = s"graft_kmv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).cache()
+    out.count()
+    // cached InMemoryRelation is self-contained; free the sink's catalog entry
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Sliding-window event rate (30-min slide over 1-h windows) — same
     * streaming machinery, finer reporting grain.
     */

@@ -139,6 +139,55 @@ class StreamingResilienceSpec extends SparkSuite {
       "expected some windows emitted and the tail (above watermark) held back")
   }
 
+  test("KMV sketch aggregation merges identically across micro-batches") {
+    import graft.engine.expressions.KmvDistinct
+    import graft.engine.expressions.KmvDistinct.{hash60, sketch}
+    KmvDistinct.register(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = graft.queries.T.normalizeTs(spark.read.parquet(s"$sf/events.parquet"))
+    val k = 64
+    // one-shot streaming run equals the batch aggregation exactly
+    val streamed = EventStreams.hourlyDistinctSketch(spark, sf, k).collect().toSet
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(sketch(hash60(col("user_id")), k).as("s"), count(lit(1)).as("n_events"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("s.est").as("distinct_est"), col("s.n_kept").as("n_kept"), col("n_events"))
+      .collect().toSet
+    assert(streamed === batch)
+    // state must MERGE across micro-batches, not restart: 4 staged files
+    // each spanning the full time range, drained one file per trigger
+    val srcDir = Files.createTempDirectory("graft_kmv_mb")
+    (0 until 4).foreach(i =>
+      addFile(events.filter(col("event_id") % 4 === i), srcDir, s"part$i.parquet"))
+    val agg = graft.queries.T.normalizeTs(
+      spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(sketch(hash60(col("user_id")), k).as("s"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("s.est").as("distinct_est"))
+    val name = s"graft_kmvmb_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4, "expected >= 4 non-empty batches")
+    val multiBatch = spark.table(name).collect().toSet
+    spark.catalog.dropTempView(name)
+    assert(multiBatch.map(r => (r.getString(0), r.getDouble(1))) ===
+      batch.map(r => (r.getString(0), r.getDouble(1))))
+    // sanity: the estimate tracks the exact distinct within KMV error
+    val exact = events.groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(countDistinct(col("user_id")).as("nd"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour"), col("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    streamed.foreach { r =>
+      val (h, est, kept) = (r.getString(0), r.getDouble(1), r.getInt(2))
+      val nd = exact(h)
+      if (kept < k) assert(est == nd.toDouble, s"$h: below-k sketch must be exact")
+      else assert(math.abs(est - nd) / nd < 5.0 / math.sqrt(k), s"$h: est $est vs exact $nd")
+    }
+  }
+
   test("RocksDB state store provider yields identical windowed aggregates") {
     val default = EventStreams.hourlyStreaming(spark, sf).collect().toSet
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
