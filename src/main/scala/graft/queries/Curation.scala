@@ -544,6 +544,41 @@ object Curation {
                     urlPat, "<URL>"),
                   ipPat, "<IP>"),
                 phonePat, "<PHONE>")).as("redacted_md5"))
+      }),
+
+    // Incoming-batch novelty scoring: for each document of the arriving
+    // slice (doc_id % 10 == 0 stands in for the new crawl), the fraction
+    // of its distinct trigrams never seen in the existing corpus — the
+    // intake signal that separates genuinely new content from re-crawls
+    // before any expensive dedup runs. Same scale shape as q104: grams
+    // are xxhash64'd so the anti-join shuffles 8-byte keys against the
+    // reference gram set (which at 100 TB is the persisted gram index,
+    // not a rescan), and the novelty ratio is one int/int division.
+    QueryDef("q147_novelty", Some("""
+      WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                              i -> array_to_string(t[i:i+2], ' ')))) AS g
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      ref AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 <> 0),
+      nw AS (SELECT doc_id, g FROM sh WHERE doc_id % 10 = 0)
+      SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+             CAST(sum(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_novel,
+             CAST(sum(CASE WHEN ref.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+      FROM nw LEFT JOIN ref ON nw.g = ref.g
+      GROUP BY doc_id"""),
+      (spark, dir) => {
+        val grams = T(spark, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextOps.shingles(TextOps.tokenize(col("text")), 3)).as("gram"))
+          .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+        val ref = grams.filter(col("doc_id") % 10 =!= 0).select("g").distinct()
+        val nw = grams.filter(col("doc_id") % 10 === 0)
+        nw.join(ref.withColumn("__hit", lit(1)), Seq("g"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("int").as("n_grams"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L)).cast("int").as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
       })
   )
 }

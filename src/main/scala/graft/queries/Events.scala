@@ -312,6 +312,38 @@ object Events {
           .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
           .groupBy("event_type")
           .agg(round(avg(col("k")), 6).as("avg_k"), max(col("k")).as("max_k"),
-            count(lit(1)).as("n")))
+            count(lit(1)).as("n"))),
+
+    // Next-event training examples: per user, a sliding window of the 3
+    // preceding event types becomes the feature sequence and the current
+    // event the label — the sequence-model training-set builder for
+    // behavioral prediction. The window partitions by user (bounded by
+    // per-user history, parallel across users — never a global window)
+    // over the (ms, event_id) total order, so the history string is
+    // deterministic; only full 3-step histories become examples. The
+    // history is emitted pre-joined ('>' separated) because training
+    // consumers tokenize anyway and the harness hashes strings, not
+    // arrays (the q110 lesson).
+    QueryDef("q146_next_event_examples", Some("""
+      WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+      w AS (SELECT user_id, event_id, event_type AS label,
+                   list(event_type) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                     ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS h
+            FROM e)
+      SELECT user_id, event_id, array_to_string(h, '>') AS history, label
+      FROM w WHERE len(h) = 3"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_millis(col("ts")), col("event_id"))
+          .rowsBetween(-3, -1)
+        T(spark, dir, "events")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            col("event_type").as("label"))
+          .withColumn("h", collect_list(col("label")).over(w))
+          .filter(size(col("h")) === 3)
+          .select(col("user_id"), col("event_id"),
+            concat_ws(">", col("h")).as("history"), col("label"))
+      })
   )
 }
