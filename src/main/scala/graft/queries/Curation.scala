@@ -579,6 +579,41 @@ object Curation {
             sum(when(col("__hit").isNull, 1L).otherwise(0L)).cast("int").as("n_novel"))
           .select(col("doc_id"), col("n_grams"), col("n_novel"),
             (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+      }),
+
+    // Epoch upsampling + global training order: each document is
+    // repeated by its source's epoch factor (high-value domains see more
+    // epochs — the multi-epoch mixing recipe), and every copy gets its
+    // global position in a deterministic hash-shuffled training order —
+    // the "final shuffle" a training run consumes. The position is the
+    // md5-ordered global row number via [[graft.ops.GlobalRank]]'s
+    // distributed zipWithIndex (fully range-sorted, never the
+    // single-task unpartitioned window the SQL twin uses), so the order
+    // is reproducible run-to-run and engine-to-engine.
+    QueryDef("q148_epoch_order", Some("""
+      WITH f AS (SELECT doc_id,
+                        CASE WHEN source = 'web' THEN 1
+                             WHEN source = 'wiki' THEN 3 ELSE 2 END AS nf
+                 FROM documents),
+      c AS (SELECT doc_id, unnest(generate_series(1, nf)) AS copy FROM f),
+      k AS (SELECT doc_id, copy,
+                   md5(CAST(doc_id AS VARCHAR) || ':' || CAST(copy AS VARCHAR)) AS key
+            FROM c)
+      SELECT doc_id, CAST(copy AS INTEGER) AS copy,
+             CAST(row_number() OVER (ORDER BY key, doc_id, copy) AS BIGINT) AS pos
+      FROM k"""),
+      (spark, dir) => {
+        val f = T(spark, dir, "documents")
+          .select(col("doc_id"),
+            when(col("source") === "web", 1)
+              .when(col("source") === "wiki", 3).otherwise(2).as("nf"))
+        val k = f
+          .select(col("doc_id"), explode(sequence(lit(1), col("nf"))).as("copy"))
+          .withColumn("key", md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("copy").cast("string"))))
+        graft.ops.GlobalRank.withRowNumber(k, "pos",
+            Seq(col("key"), col("doc_id"), col("copy")))
+          .select(col("doc_id"), col("copy").cast("int").as("copy"), col("pos"))
       })
   )
 }

@@ -22,6 +22,35 @@ class StreamingResilienceSpec extends SparkSuite {
     Files.move(part, dir.resolve(name))
   }
 
+  test("T.normalizeTs yields identical timestamps for every generator vintage") {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = graft.queries.T.events(spark, sf)
+      .select(col("event_id"), col("ts")).orderBy("event_id")
+    assert(base.schema("ts").dataType === TimestampType)
+    val expected = base.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    // vintage 1: ts as raw nanos-since-epoch long (TIMESTAMP(NANOS) read
+    // under the legacy flag)
+    val asNanos = base.select(col("event_id"),
+      (unix_micros(col("ts")) * 1000L).as("ts"))
+    assert(asNanos.schema("ts").dataType === LongType)
+    val fromNanos = graft.queries.T.normalizeTs(asNanos)
+    assert(fromNanos.schema("ts").dataType === TimestampType)
+    assert(fromNanos.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .sameElements(expected))
+    // vintage 2: un-flagged TIMESTAMP(MICROS), i.e. TIMESTAMP_NTZ —
+    // round-trip through a parquet file to exercise the real reader path
+    val ntzDir = Files.createTempDirectory("graft_ntz").toString
+    base.select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"))
+      .write.mode("overwrite").parquet(ntzDir)
+    val reread = spark.read.parquet(ntzDir)
+    assert(reread.schema("ts").dataType === TimestampNTZType)
+    val fromNtz = graft.queries.T.normalizeTs(reread).orderBy("event_id")
+    assert(fromNtz.schema("ts").dataType === TimestampType)
+    assert(fromNtz.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+      .sameElements(expected))
+  }
+
   test("file-source stream restarted from checkpoint is exactly-once") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$sf/events.parquet")
