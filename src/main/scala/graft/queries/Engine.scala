@@ -185,6 +185,67 @@ object Engine {
         s.select(
           row_number().over(Window.orderBy(col("rnk"), col("source"))).cast("long").as("pos"),
           col("doc_id"), col("source"), col("rnk").cast("long").as("rnk"))
+      }),
+
+    // ANALYZE-style per-column statistics with sketched NDV: row count,
+    // null count, exact distinct (test-scale reference) and the KMV
+    // estimate — the table stats a cost-based planner needs before
+    // picking join orders and broadcast sides. At 100 TB the exact
+    // distinct drops and the sketch path is the plan: one scan feeds
+    // every column via a narrow explode, and each column's NDV state is
+    // k mergeable longs (map-side combined), never a distinct shuffle.
+    // Values are keyed as strings of INTEGER/VARCHAR columns only —
+    // float-to-string formatting is engine-specific, so double columns
+    // would sketch differently (documented limitation, not a trap we
+    // step on).
+    QueryDef("q150_table_stats", Some(s"""
+      WITH kv AS (
+        SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+        UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_linenumber', CAST(l_linenumber AS VARCHAR) FROM lineitem
+        UNION ALL SELECT 'l_returnflag', l_returnflag FROM lineitem
+        UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem),
+      ex AS (SELECT col_name, count(*) AS n_rows, count(*) - count(v) AS n_nulls,
+                    count(DISTINCT v) AS nd
+             FROM kv GROUP BY col_name),
+      hv AS (SELECT DISTINCT col_name, ('0x' || substr(md5(v), 1, 15))::BIGINT AS hv
+             FROM kv WHERE v IS NOT NULL),
+      r AS (SELECT col_name, hv, row_number() OVER (PARTITION BY col_name ORDER BY hv) AS rn,
+                   count(*) OVER (PARTITION BY col_name) AS nh FROM hv),
+      kmv AS (SELECT col_name,
+                CASE WHEN nh < ${Retrieval.KmvK} THEN CAST(nh AS DOUBLE)
+                     ELSE ${Retrieval.KmvK - 1} / (hv / 1152921504606846976.0) END AS est
+              FROM r WHERE rn = least(nh, ${Retrieval.KmvK}))
+      SELECT ex.col_name, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(n_nulls AS BIGINT) AS n_nulls, CAST(nd AS INTEGER) AS n_distinct,
+             round(kmv.est, 6) AS kmv_est,
+             round(abs(kmv.est - nd) / nd, 6) AS rel_err
+      FROM ex JOIN kmv USING (col_name)"""),
+      (spark, dir) => {
+        import graft.engine.expressions.KmvDistinct
+        KmvDistinct.register(spark)
+        val k = Retrieval.KmvK
+        val kv = T(spark, dir, "lineitem").select(explode(array(
+            struct(lit("l_orderkey").as("col_name"), col("l_orderkey").cast("string").as("v")),
+            struct(lit("l_partkey").as("col_name"), col("l_partkey").cast("string").as("v")),
+            struct(lit("l_suppkey").as("col_name"), col("l_suppkey").cast("string").as("v")),
+            struct(lit("l_linenumber").as("col_name"), col("l_linenumber").cast("string").as("v")),
+            struct(lit("l_returnflag").as("col_name"), col("l_returnflag").as("v")),
+            struct(lit("l_linestatus").as("col_name"), col("l_linestatus").as("v"))))
+            .as("e"))
+          .select(col("e.col_name").as("col_name"), col("e.v").as("v"))
+        val ex = kv.groupBy("col_name")
+          .agg(count(lit(1)).as("n_rows"),
+            (count(lit(1)) - count(col("v"))).as("n_nulls"),
+            countDistinct(col("v")).cast("int").as("n_distinct"))
+        val sk = kv.filter(col("v").isNotNull).groupBy("col_name")
+          .agg(KmvDistinct.sketch(KmvDistinct.hash60(col("v")), k).as("s"))
+          .select(col("col_name"), col("s.est").as("est"))
+        ex.join(sk, "col_name")
+          .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+            round(col("est"), 6).as("kmv_est"),
+            round(abs(col("est") - col("n_distinct")) / col("n_distinct"), 6).as("rel_err"))
       })
   )
 }

@@ -344,6 +344,59 @@ object Events {
           .filter(size(col("h")) === 3)
           .select(col("user_id"), col("event_id"),
             concat_ws(">", col("h")).as("history"), col("label"))
+      }),
+
+    // Temporal distribution-drift monitor: per week, KL(this week ‖
+    // previous week) over the event-type distribution with add-half
+    // smoothing on the (weeks × global types) grid — the alert signal
+    // for upstream behavior shifts (instrumentation change, bot wave)
+    // before they poison downstream training data. The type space is
+    // small and fixed, so the grid/smoothing joins are dimension-sized;
+    // the only corpus-scale work is the one (wk, type) count
+    // aggregation. The per-week float sum is an ordered fold by type
+    // (q120's shape) so both engines add in the same sequence.
+    QueryDef("q149_temporal_drift", Some("""
+      WITH e AS (SELECT epoch_ms(date_trunc('week', ts)) AS wk, event_type AS t FROM events),
+      ty AS (SELECT DISTINCT t FROM e),
+      kk AS (SELECT count(*) AS k FROM ty),
+      wks AS (SELECT DISTINCT wk FROM e),
+      grid AS (SELECT wk, t FROM wks CROSS JOIN ty),
+      c AS (SELECT wk, t, count(*) AS c FROM e GROUP BY wk, t),
+      g AS (SELECT grid.wk, grid.t, coalesce(c.c, 0) AS c FROM grid LEFT JOIN c USING (wk, t)),
+      n AS (SELECT wk, sum(c) AS n FROM g GROUP BY wk),
+      p AS (SELECT g.wk, g.t, (c + 0.5) / (n + 0.5 * k) AS p
+            FROM g JOIN n USING (wk) CROSS JOIN kk),
+      j AS (SELECT cur.wk, cur.t, cur.p AS p, prv.p AS q
+            FROM p cur JOIN p prv ON prv.wk = cur.wk - 604800000 AND prv.t = cur.t)
+      SELECT wk, round(list_reduce(list(p * ln(p / q) ORDER BY t), (x, y) -> x + y), 6) AS kl_vs_prev,
+             CAST(count(*) AS INTEGER) AS n_types
+      FROM j GROUP BY wk"""),
+      (spark, dir) => {
+        val e = T(spark, dir, "events")
+          .select(unix_millis(date_trunc("week", col("ts"))).as("wk"),
+            col("event_type").as("t"))
+        val ty = e.select("t").distinct()
+        val kdf = ty.agg(count(lit(1)).as("k"))
+        val grid = e.select("wk").distinct().crossJoin(ty)
+        val c = e.groupBy("wk", "t").agg(count(lit(1)).as("c"))
+        val g = grid.join(c, Seq("wk", "t"), "left").na.fill(0L, Seq("c"))
+        val n = g.groupBy("wk").agg(sum("c").as("n"))
+        val p = g.join(n, "wk").crossJoin(broadcast(kdf))
+          .select(col("wk"), col("t"),
+            ((col("c") + lit(0.5)) / (col("n") + lit(0.5) * col("k"))).as("p"))
+        val j = p
+          .join(p.select((col("wk") + 604800000L).as("wk"), col("t"), col("p").as("q")),
+            Seq("wk", "t"))
+        j.select(col("wk"),
+            struct(col("t"), (col("p") * log(col("p") / col("q"))).as("v")).as("e"))
+          .groupBy("wk")
+          .agg(count(lit(1)).cast("int").as("n_types"),
+            array_sort(collect_list(col("e"))).as("__s"))
+          .select(col("wk"),
+            round(aggregate(expr("slice(__s, 2, size(__s) - 1)"),
+              element_at(col("__s"), 1).getField("v"),
+              (acc, x) => acc + x.getField("v")), 6).as("kl_vs_prev"),
+            col("n_types"))
       })
   )
 }
