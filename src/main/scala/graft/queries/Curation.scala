@@ -43,6 +43,9 @@ object Curation {
   /** q127 global token budget. */
   val SelectBudget = 10000L
 
+  /** q151 batch size for the padding-waste report. */
+  val PadBatch = 8
+
   private val stopSqlList = Text.Stop.map(s => s"'$s'").mkString(", ")
 
   val defs: Seq[QueryDef] = Seq(
@@ -614,6 +617,45 @@ object Curation {
         graft.ops.GlobalRank.withRowNumber(k, "pos",
             Seq(col("key"), col("doc_id"), col("copy")))
           .select(col("doc_id"), col("copy").cast("int").as("copy"), col("pos"))
+      }),
+
+    // Padding-waste report for length-sorted batching: documents sorted
+    // by token length (desc) are grouped into fixed-size batches; each
+    // batch pads to its own max length, and the report quantifies the
+    // wasted pad tokens per batch — the measurement that justifies
+    // bucketed batching over random batching for training throughput.
+    // The global order comes from [[graft.ops.GlobalRank]]'s distributed
+    // zipWithIndex (the SQL twin uses the window form), everything after
+    // is one batch-keyed aggregation; waste_frac is a single int/int
+    // division, IEEE-identical on both engines.
+    QueryDef("q151_padding_waste", Some(s"""
+      WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+      r AS (SELECT doc_id, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS pos
+            FROM t),
+      b AS (SELECT *, (pos - 1) // $PadBatch AS batch_id FROM r)
+      SELECT CAST(batch_id AS BIGINT) AS batch_id,
+             CAST(count(*) AS INTEGER) AS n_docs,
+             CAST(max(n_tokens) AS INTEGER) AS max_len,
+             CAST(sum(n_tokens) AS BIGINT) AS sum_len,
+             CAST(count(*) * max(n_tokens) - sum(n_tokens) AS BIGINT) AS waste,
+             CAST(count(*) * max(n_tokens) - sum(n_tokens) AS DOUBLE)
+               / (count(*) * max(n_tokens)) AS waste_frac
+      FROM b GROUP BY batch_id"""),
+      (spark, dir) => {
+        val t = T(spark, dir, "documents")
+          .select(col("doc_id"), size(TextOps.tokenize(col("text"))).as("n_tokens"))
+        graft.ops.GlobalRank.withRowNumber(t, "pos",
+            Seq(col("n_tokens").desc, col("doc_id")))
+          .withColumn("batch_id", ((col("pos") - 1) / PadBatch).cast("long"))
+          .groupBy("batch_id")
+          .agg(count(lit(1)).cast("int").as("n_docs"),
+            max(col("n_tokens")).cast("int").as("max_len"),
+            sum(col("n_tokens")).as("sum_len"))
+          .select(col("batch_id"), col("n_docs"), col("max_len"), col("sum_len"),
+            (col("n_docs").cast("long") * col("max_len") - col("sum_len")).as("waste"),
+            ((col("n_docs").cast("long") * col("max_len") - col("sum_len")).cast("double")
+              / (col("n_docs").cast("long") * col("max_len"))).as("waste_frac"))
       })
   )
 }

@@ -147,6 +147,44 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("global-order builders run the distributed rank, not a global window") {
+    // q148/q151 derive a GLOBAL position (training order, batch id) —
+    // through GlobalRank's range-sort + zipWithIndex. An unpartitioned
+    // WindowExec here would funnel every upsampled copy through one task.
+    Seq("q148_epoch_order", "q151_padding_waste").foreach { name =>
+      val df = q(name)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Window ["),
+        s"$name reintroduced a window — global spec would single-task the corpus:\n${p.take(2000)}")
+    }
+  }
+
+  test("KMV sketch paths aggregate without a distinct pre-shuffle") {
+    // The sketch dedups by hash inside its k-long state; a
+    // HashAggregate(keys=[source, g]) feeding it would mean the full
+    // distinct exchange the sketch exists to avoid. Build the
+    // sketch-only branch (the registered q144/q150 also carry the exact
+    // twin, which legitimately runs distinct at test scale).
+    import org.apache.spark.sql.functions._
+    import graft.engine.expressions.KmvDistinct
+    KmvDistinct.register(spark)
+    val grams = graft.queries.T(spark, sf, "documents")
+      .select(col("source"),
+        explode(graft.llm.TextOps.shingles(
+          graft.llm.TextOps.tokenize(col("text")), 3)).as("g"))
+    val sk = grams.groupBy("source")
+      .agg(KmvDistinct.sketch(KmvDistinct.hash60(col("g")), 64).as("s"))
+    sk.collect()
+    val p = sk.queryExecution.executedPlan.toString
+    // exactly one aggregation pair (partial + final) keyed on source —
+    // no (source, g) keyed pre-aggregation anywhere in the plan
+    assert(!p.contains("keys=[source#") || !p.contains(", g#"),
+      s"sketch path grew a distinct pre-shuffle:\n${p.take(2000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, s"sketch path shuffles more than once:\n${p.take(2000)}")
+  }
+
   test("posting-join pair generators never plan a cartesian product") {
     // q120/q124/q126 bound their pair space through shared-gram joins
     // (Σ_g df(g)²); a CartesianProduct would mean the |docs|² explosion
