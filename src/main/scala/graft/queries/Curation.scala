@@ -46,6 +46,9 @@ object Curation {
   /** q151 batch size for the padding-waste report. */
   val PadBatch = 8
 
+  /** q152 per-source eval fraction (exact quota). */
+  val EvalRate = 0.1
+
   private val stopSqlList = Text.Stop.map(s => s"'$s'").mkString(", ")
 
   val defs: Seq[QueryDef] = Seq(
@@ -656,6 +659,37 @@ object Curation {
             (col("n_docs").cast("long") * col("max_len") - col("sum_len")).as("waste"),
             ((col("n_docs").cast("long") * col("max_len") - col("sum_len")).cast("double")
               / (col("n_docs").cast("long") * col("max_len"))).as("waste_frac"))
+      }),
+
+    // Exact stratified split: per source, exactly floor(n_source ·
+    // rate) documents go to eval, chosen by md5-ordered rank — the
+    // deterministic "random" that reproduces across engines and runs.
+    // Complements q107's hash-probabilistic mixer: that one is
+    // partitioning-independent but only approximates the rate; this one
+    // hits the quota byte-exactly (what an eval-set contract requires).
+    // The rank window partitions by source, so it scales with per-source
+    // cardinality, never the corpus.
+    QueryDef("q152_exact_stratified_split", Some(s"""
+      WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+      r AS (SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents)
+      SELECT doc_id, source,
+             CASE WHEN rk <= CAST(floor(n * $EvalRate) AS BIGINT)
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM r JOIN c USING (source)"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(spark, dir, "documents")
+        val c = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        val r = docs.select(col("doc_id"), col("source"),
+          row_number().over(Window.partitionBy("source")
+            .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).as("rk"))
+        r.join(c, "source")
+          .select(col("doc_id"), col("source"),
+            when(col("rk") <= floor(col("n") * lit(EvalRate)).cast("long"), "eval")
+              .otherwise("train").as("split"))
       })
   )
 }

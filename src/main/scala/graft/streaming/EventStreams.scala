@@ -168,6 +168,35 @@ object EventStreams {
     out
   }
 
+  /** Streaming per-window heavy hitters via the Misra-Gries summary
+    * ([[graft.engine.expressions.MisraGries]]): k (item, count) pairs of
+    * mergeable state per window — the "top users this hour" monitor
+    * whose state cannot grow with stream cardinality. As with
+    * [[hourlyDistinctSketch]], the aggregate's merge path is exactly
+    * what combines partial summaries across micro-batches, so the
+    * result is spec-pinned identical to the one-shot batch aggregation.
+    */
+  def hourlyHeavyHitters(spark: SparkSession, sfDir: String,
+                         k: Int = 8): DataFrame = {
+    graft.engine.expressions.MisraGries.register(spark)
+    import graft.engine.expressions.MisraGries.sketch
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(sketch(col("user_id").cast("string"), k).as("s"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+        col("s"))
+    val name = s"graft_mg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).cache()
+    out.count()
+    // cached InMemoryRelation is self-contained; free the sink's catalog entry
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   /** Sliding-window event rate (30-min slide over 1-h windows) — same
     * streaming machinery, finer reporting grain.
     */
