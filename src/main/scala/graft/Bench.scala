@@ -87,10 +87,15 @@ object Bench {
     }
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // Full-name full-precision map for local protocol merging. NOT
+    // BENCH_LOCAL.json: that file is the curated min-across-protocols
+    // artifact (SCALE.md "Re-measure protocol") — writing it from every
+    // run silently clobbered the merge three rounds running.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LASTRUN.json")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      java.nio.file.Paths.get(outPath),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir"}""" + "\n")
     catch { case _: Throwable => () }
     spark.stop()
