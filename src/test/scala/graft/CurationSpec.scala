@@ -218,6 +218,75 @@ class CurationSpec extends SparkSuite {
     } finally chunks.unpersist()
   }
 
+  test("q145 redaction: every planted PII class is found and replaced") {
+    val out = q("q145_pii_redact").cache()
+    try {
+      // each doc gets one planted specimen per class — counts must all
+      // be >= 1, and the redacted text (hashed) must differ across docs
+      // only through the original text, never leak a raw specimen
+      import org.apache.spark.sql.functions._
+      assert(out.filter(col("n_emails") < 1 || col("n_urls") < 1 ||
+        col("n_ips") < 1 || col("n_phones") < 1).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("q147 novelty is a valid fraction and reference docs are excluded") {
+    val out = q("q147_novelty").cache()
+    try {
+      import org.apache.spark.sql.functions._
+      assert(out.filter(col("doc_id") % 10 =!= 0).count() == 0,
+        "only arriving-slice docs may be scored")
+      assert(out.filter(col("novelty") < 0 || col("novelty") > 1 ||
+        col("n_novel") > col("n_grams")).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("q148 epoch positions are a permutation of 1..N with per-source factors") {
+    val out = q("q148_epoch_order").cache()
+    try {
+      import org.apache.spark.sql.functions._
+      val n = out.count()
+      // positions are exactly 1..N (no gaps, no duplicates)
+      assert(out.agg(min("pos"), max("pos"), countDistinct("pos")).head() ==
+        org.apache.spark.sql.Row(1L, n, n))
+      // every document appears exactly its factor's number of times
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), when(col("source") === "web", 1)
+          .when(col("source") === "wiki", 3).otherwise(2).as("nf"))
+      val counts = out.groupBy("doc_id").count()
+        .join(docs, "doc_id").filter(col("count") =!= col("nf"))
+      assert(counts.count() == 0, "copy count must equal the source factor")
+    } finally out.unpersist()
+  }
+
+  test("q151 padding waste: batches are full, waste non-negative, lengths sorted") {
+    val out = q("q151_padding_waste").cache()
+    try {
+      import org.apache.spark.sql.functions._
+      val b = graft.queries.Curation.PadBatch
+      assert(out.filter(col("waste") < 0).count() == 0)
+      // every batch except possibly the last is exactly PadBatch docs
+      val lastId = out.agg(max("batch_id")).head().getLong(0)
+      assert(out.filter(col("batch_id") < lastId && col("n_docs") =!= b).count() == 0)
+      // batches are length-ordered: each batch's max <= previous batch's max
+      val rows = out.orderBy("batch_id").select("max_len").collect().map(_.getInt(0))
+      assert(rows.zip(rows.tail).forall { case (a, c) => a >= c },
+        "batch max lengths must be non-increasing")
+    } finally out.unpersist()
+  }
+
+  test("q152 split hits the per-source quota byte-exactly") {
+    val out = q("q152_exact_stratified_split").cache()
+    try {
+      import org.apache.spark.sql.functions._
+      val bad = out.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("split") === "eval", 1L).otherwise(0L)).as("ne"))
+        .filter(col("ne") =!= floor(col("n") * lit(graft.queries.Curation.EvalRate)))
+      assert(bad.count() == 0, "eval quota must be exactly floor(n * rate)")
+    } finally out.unpersist()
+  }
+
   test("per-row curation stages plan with zero exchanges") {
     Seq("q103_doc_chunks", "q105_text_normalize", "q106_repetition",
         "q117_overlap_chunks").foreach { name =>
