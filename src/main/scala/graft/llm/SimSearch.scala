@@ -82,19 +82,31 @@ object SimSearch {
     * bit-identically in the DuckDB twin (q118 full hash oracle).
     */
   def sq8TopKEncoded(encoded: DataFrame, queries: DataFrame, idCol: String,
-                     embCol: String, k: Int): DataFrame = {
+                     embCol: String, k: Int): DataFrame =
+    TopK.exactPerKey(sq8ScoresEncoded(encoded, queries, idCol, embCol),
+      Seq("query_id"), Seq(col("sq_sim").desc, col(idCol).asc), k, "rnk")
+      .withColumn("rnk", col("rnk").cast("int"))
+
+  /** Every (query, corpus) SQ8 ADC score — the full approximate ranking
+    * the evaluation queries (q137 recall, q153 MRR) measure against.
+    * Same pair space as the top-k scan; no rank cut.
+    */
+  def sq8ScoresEncoded(encoded: DataFrame, queries: DataFrame, idCol: String,
+                       embCol: String): DataFrame = {
     val q = unitized(queries, idCol, embCol, "query_id", "__qe")
       .withColumn("__qsum", aggregate(col("__qe"), lit(0.0), (a, x) => a + x))
     val decoded = encoded.withColumn("__cd",
       transform(col("codes"), x => (x.cast("int") + 128).cast("double")))
-    val pairs = decoded.join(broadcast(q), col(idCol) =!= col("query_id"))
+    decoded.join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol),
         round(col("minv") * col("__qsum") + col("step") * dot(col("__cd"), col("__qe")),
           6).as("sq_sim"))
-    TopK.exactPerKey(pairs, Seq("query_id"),
-      Seq(col("sq_sim").desc, col(idCol).asc), k, "rnk")
-      .withColumn("rnk", col("rnk").cast("int"))
   }
+
+  /** [[sq8ScoresEncoded]] with the encode step inlined. */
+  def sq8Scores(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String): DataFrame =
+    sq8ScoresEncoded(sq8Encode(corpus, idCol, embCol), queries, idCol, embCol)
 
   /** [[sq8Encode]] + [[sq8TopKEncoded]] in one call (encode-at-query;
     * real deployments persist the encoded corpus once and reuse it).

@@ -893,6 +893,65 @@ object Vector {
         val emb = T(spark, dir, "embeddings")
         SimSearch.mmrTopK(emb, emb.filter(col("vec_id") % 200 === 0),
           "vec_id", "embedding", k = 5, poolSize = 20, lambda = 0.7)
+      }),
+
+    // MRR of the compressed scan (q137's recall@10 companion — the other
+    // number an ANN deployment monitors): for each query, where does the
+    // TRUE nearest neighbor (exact cosine #1) land in the SQ8 ranking?
+    // Rank is computed by COUNTING strictly-better (score, id) pairs —
+    // one join + one aggregation over the same pair space the SQ8 scan
+    // already generates, never a materialized full ranking. rr = 1/rank,
+    // identical single divisions on both engines.
+    QueryDef("q153_mrr", Some(s"""
+      WITH $unitSql,
+      mm AS (SELECT vec_id, ne, list_aggregate(ne, 'min') AS minv,
+                    (list_aggregate(ne, 'max') - list_aggregate(ne, 'min')) / 255.0 AS step
+             FROM un),
+      enc AS (SELECT vec_id, minv, step,
+                     list_transform(ne, x -> CASE WHEN step = 0 THEN 0
+                         ELSE floor((x - minv) / step + 0.5) END) AS codes
+              FROM mm),
+      q AS (SELECT vec_id AS query_id, ne AS qe, list_aggregate(ne, 'sum') AS qsum
+            FROM un WHERE vec_id % 50 = 0),
+      sscored AS (
+        SELECT q.query_id, e.vec_id,
+               round(e.minv * q.qsum + e.step * list_aggregate(
+                   list_transform(range(1, len(q.qe) + 1),
+                     i -> CAST(e.codes[i] AS DOUBLE) * q.qe[i]), 'sum'), 6) AS s
+        FROM enc e JOIN q ON e.vec_id <> q.query_id),
+      escored AS (
+        SELECT q.query_id, e.vec_id, round(${dotSql("q.qe", "e.ne")}, 6) AS s
+        FROM un e JOIN q ON e.vec_id <> q.query_id),
+      exa1 AS (SELECT query_id, vec_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rnk
+                 FROM escored) WHERE rnk = 1),
+      t AS (SELECT s.query_id, s.vec_id AS true_nn, s.s AS ts
+            FROM sscored s JOIN exa1 e ON s.query_id = e.query_id AND s.vec_id = e.vec_id),
+      b AS (SELECT t.query_id, count(*) AS n_better
+            FROM sscored s JOIN t ON s.query_id = t.query_id
+            WHERE s.s > t.ts OR (s.s = t.ts AND s.vec_id < t.true_nn)
+            GROUP BY t.query_id)
+      SELECT t.query_id, t.true_nn,
+             CAST(coalesce(b.n_better, 0) + 1 AS INTEGER) AS ann_rank,
+             round(1.0 / (coalesce(b.n_better, 0) + 1), 6) AS rr
+      FROM t LEFT JOIN b USING (query_id)"""),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val exa1 = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 1)
+          .select(col("query_id"), col("vec_id").as("true_nn"))
+        val sq = SimSearch.sq8Scores(emb, qs, "vec_id", "embedding")
+        val t = sq.join(exa1,
+            sq("query_id") === exa1("query_id") && sq("vec_id") === exa1("true_nn"))
+          .select(sq("query_id"), col("true_nn"), col("sq_sim").as("ts"))
+        val b = sq.join(t, "query_id")
+          .filter(col("sq_sim") > col("ts") ||
+            (col("sq_sim") === col("ts") && col("vec_id") < col("true_nn")))
+          .groupBy("query_id").agg(count(lit(1)).as("n_better"))
+        t.join(b, Seq("query_id"), "left").na.fill(0L, Seq("n_better"))
+          .select(col("query_id"), col("true_nn"),
+            (col("n_better") + 1).cast("int").as("ann_rank"),
+            round(lit(1.0) / (col("n_better") + 1), 6).as("rr"))
       })
   )
 
