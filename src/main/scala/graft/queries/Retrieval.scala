@@ -441,6 +441,47 @@ object Retrieval {
             round(col("union_est"), 6).as("kmv_union_est"),
             round(col("kmv_jac"), 6).as("kmv_jaccard"),
             round(col("kmv_jac") * col("union_est"), 6).as("kmv_inter_est"))
+      }),
+
+    // Boolean retrieval THROUGH the index: the engine answers "docs
+    // containing both of the corpus's two highest-df terms" by posting-
+    // list intersection (term-keyed groupBy → two bounded posting sets →
+    // doc-keyed join), while the oracle answers it by naive full scan —
+    // two different algorithms whose results must agree exactly, which
+    // is precisely what an index correctness gate should test. The term
+    // pick (df desc, term asc) is deterministic on both sides. At scale
+    // the posting join touches only the two terms' postings (partition-
+    // pruned in a real index layout — streaming/IncrementalIvf shows the
+    // same idea for vectors); the scan side grows with the corpus.
+    QueryDef("q154_boolean_retrieval", Some("""
+      WITH tr AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+                  FROM documents),
+      df AS (SELECT term, count(*) AS df FROM tr GROUP BY term),
+      top2 AS (SELECT term, row_number() OVER (ORDER BY df DESC, term) AS r
+               FROM df QUALIFY r <= 2),
+      t1 AS (SELECT term FROM top2 WHERE r = 1),
+      t2 AS (SELECT term FROM top2 WHERE r = 2)
+      SELECT d.doc_id,
+             CAST(len(list_filter(string_split(d.text, ' '), x -> x = t1.term)) AS INTEGER) AS tf_1,
+             CAST(len(list_filter(string_split(d.text, ' '), x -> x = t2.term)) AS INTEGER) AS tf_2
+      FROM documents d CROSS JOIN t1 CROSS JOIN t2
+      WHERE list_contains(string_split(d.text, ' '), t1.term)
+        AND list_contains(string_split(d.text, ' '), t2.term)"""),
+      (spark, dir) => {
+        // index side: postings with term frequencies, one term-keyed agg
+        val tf = T(spark, dir, "documents")
+          .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("term"))
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val top2 = dfreq.orderBy(col("df").desc, col("term")).limit(2)
+          .select(col("term"),
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("df").desc, col("term"))).as("r"))
+        val p1 = tf.join(broadcast(top2.filter(col("r") === 1)), "term")
+          .select(col("doc_id"), col("tf").cast("int").as("tf_1"))
+        val p2 = tf.join(broadcast(top2.filter(col("r") === 2)), "term")
+          .select(col("doc_id"), col("tf").cast("int").as("tf_2"))
+        p1.join(p2, "doc_id")
       })
   )
 }
