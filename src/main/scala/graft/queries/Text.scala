@@ -13,6 +13,9 @@ object Text {
 
   /** Stopword list shared by Spark and oracle sides. */
   val Stop: Seq[String] = Seq("a", "the", "of", "and", "to")
+
+  /** q155 histogram bucket width (chars) — the quantile error bound. */
+  val HistWidth = 32
   private val stopSqlList = Stop.map(s => s"'$s'").mkString(", ")
 
   val defs: Seq[QueryDef] = Seq(
@@ -620,6 +623,56 @@ object Text {
           .select(col("n"), col("np").as("n_pos"), (col("n") - col("np")).as("n_neg"),
             ((col("spr").cast("double") - col("np").cast("double") * (col("np") + 1) / 2)
               / (col("np").cast("double") * (col("n") - col("np")))).as("auc"))
+      }),
+
+    // Histogram-sketch quantiles — the concrete 100 TB path q121's note
+    // promises: per source, p50/p95 estimated from a fixed-width bucket
+    // histogram whose state is pure integer counts — exactly mergeable,
+    // partition-order-INDEPENDENT (unlike Greenwald-Khanna summaries,
+    // whose merge order shifts the result and makes them un-oracle-able)
+    // — with the exact interpolated percentile alongside and the error
+    // bounded by the bucket width. The cumulative window partitions by
+    // source over the bucket-count table (≤ range/width rows per
+    // source), never the corpus.
+    QueryDef("q155_hist_quantiles", Some(s"""
+      WITH b AS (SELECT source, n_chars // $HistWidth AS b, count(*) AS c
+                 FROM documents GROUP BY source, n_chars // $HistWidth),
+      cum AS (SELECT source, b, sum(c) OVER (PARTITION BY source ORDER BY b) AS cum FROM b),
+      n AS (SELECT source, sum(c) AS n FROM b GROUP BY source),
+      s50 AS (SELECT cum.source, min(b) AS b50 FROM cum JOIN n USING (source)
+              WHERE cum >= 0.5 * n GROUP BY cum.source),
+      s95 AS (SELECT cum.source, min(b) AS b95 FROM cum JOIN n USING (source)
+              WHERE cum >= 0.95 * n GROUP BY cum.source)
+      SELECT n.source, CAST(n.n AS BIGINT) AS n_docs,
+             CAST(b50 * $HistWidth + ${HistWidth / 2} AS INTEGER) AS p50_est,
+             CAST(b95 * $HistWidth + ${HistWidth / 2} AS INTEGER) AS p95_est,
+             round(quantile_cont(d.n_chars, 0.50), 6) AS p50_exact,
+             round(quantile_cont(d.n_chars, 0.95), 6) AS p95_exact
+      FROM documents d JOIN n ON d.source = n.source
+        JOIN s50 ON d.source = s50.source JOIN s95 ON d.source = s95.source
+      GROUP BY n.source, n.n, b50, b95"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = HistWidth
+        val docs = T(spark, dir, "documents")
+        val b = docs.groupBy(col("source"),
+            (col("n_chars") / w).cast("long").as("b"))
+          .agg(count(lit(1)).as("c"))
+        val cum = b.withColumn("cum",
+          sum("c").over(Window.partitionBy("source").orderBy("b")))
+        val n = b.groupBy("source").agg(sum("c").as("n"))
+        def sel(frac: Double, out: String) = cum.join(n, "source")
+          .filter(col("cum") >= lit(frac) * col("n"))
+          .groupBy("source").agg(min("b").as(out))
+        val ex = docs.groupBy("source")
+          .agg(round(expr("percentile(n_chars, 0.50)"), 6).as("p50_exact"),
+            round(expr("percentile(n_chars, 0.95)"), 6).as("p95_exact"))
+        n.join(sel(0.5, "b50"), "source").join(sel(0.95, "b95"), "source")
+          .join(ex, "source")
+          .select(col("source"), col("n").as("n_docs"),
+            (col("b50") * w + w / 2).cast("int").as("p50_est"),
+            (col("b95") * w + w / 2).cast("int").as("p95_est"),
+            col("p50_exact"), col("p95_exact"))
       })
   )
 
