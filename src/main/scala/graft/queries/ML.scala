@@ -235,6 +235,60 @@ object ML {
         val neg = cand.join(pos, Seq("user_id", "part_key"), "left_anti")
         pos.select(col("user_id"), col("part_key"), lit(1).as("label"))
           .unionByName(neg.select(col("user_id"), col("part_key"), lit(0).as("label")))
+      }),
+
+    // Item-item co-occurrence recommendation (market-basket): parts
+    // co-ordered in the same order, scored by lift and Jaccard, top-5
+    // neighbors per part — the classic non-factorized complement to ALS
+    // (q40) that needs no training and explains its output ("bought
+    // together"). The pair space is Σ_order lines², bounded by lines
+    // per order (~4), NOT corpus size; per-part top-K is a group-limit
+    // window. Lift/jaccard are single divisions of exact integer
+    // counts; the global order count is a broadcast one-row aggregate.
+    QueryDef("q157_item_cooccurrence", Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      n AS (SELECT count(DISTINCT o) AS n_orders FROM li),
+      cnt AS (SELECT p, count(*) AS c FROM li GROUP BY p),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+                GROUP BY a.p, b.p),
+      sym AS (SELECT pa, pb, n_ab FROM pairs
+              UNION ALL SELECT pb, pa, n_ab FROM pairs),
+      sc AS (SELECT s.pa, s.pb, s.n_ab,
+                    CAST(s.n_ab AS DOUBLE) * n.n_orders / (ca.c * cb.c) AS lift,
+                    CAST(s.n_ab AS DOUBLE) / (ca.c + cb.c - s.n_ab) AS jaccard
+             FROM sym s JOIN cnt ca ON s.pa = ca.p JOIN cnt cb ON s.pb = cb.p
+             CROSS JOIN n)
+      SELECT pa AS part_key, pb AS rec_part, CAST(n_ab AS INTEGER) AS n_co,
+             round(lift, 6) AS lift, round(jaccard, 6) AS jaccard,
+             CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY pa
+                        ORDER BY n_ab DESC, lift DESC, pb) AS rnk FROM sc)
+      WHERE rnk <= 5"""),
+      (spark, dir) => {
+        val li = T(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val n = li.agg(countDistinct(col("o")).as("n_orders"))
+        val cnt = li.groupBy("p").agg(count(lit(1)).as("c"))
+        val pairs = li.select(col("o"), col("p").as("pa"))
+          .join(li.select(col("o"), col("p").as("pb")), "o")
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+        val sym = pairs.unionByName(pairs.select(col("pb").as("pa"),
+          col("pa").as("pb"), col("n_ab")))
+        val sc = sym
+          .join(cnt.select(col("p").as("pa"), col("c").as("ca")), "pa")
+          .join(cnt.select(col("p").as("pb"), col("c").as("cb")), "pb")
+          .crossJoin(broadcast(n))
+          .select(col("pa"), col("pb"), col("n_ab"),
+            (col("n_ab").cast("double") * col("n_orders") / (col("ca") * col("cb"))).as("lift"),
+            (col("n_ab").cast("double") / (col("ca") + col("cb") - col("n_ab"))).as("jaccard"))
+        graft.ops.TopK.exactPerKey(sc, Seq("pa"),
+            Seq(col("n_ab").desc, col("lift").desc, col("pb").asc), 5, "rnk")
+          .select(col("pa").as("part_key"), col("pb").as("rec_part"),
+            col("n_ab").cast("int").as("n_co"),
+            round(col("lift"), 6).as("lift"), round(col("jaccard"), 6).as("jaccard"),
+            col("rnk").cast("int").as("rnk"))
       })
   )
 }

@@ -952,6 +952,53 @@ object Vector {
           .select(col("query_id"), col("true_nn"),
             (col("n_better") + 1).cast("int").as("ann_rank"),
             round(lit(1.0) / (col("n_better") + 1), 6).as("rr"))
+      }),
+
+    // Hard-negative mining for retriever training: per query, the
+    // top-5 documents the compressed scan scores HIGHEST among those NOT
+    // in the exact cosine top-10 — near-misses are exactly the negatives
+    // a contrastive embedding model learns most from (random negatives
+    // are trivially separable). One anti-join of two already-oracled
+    // rankings + a group-limit; the pair space is the SQ8 scan's own.
+    QueryDef("q156_hard_negatives", Some(s"""
+      WITH $unitSql,
+      mm AS (SELECT vec_id, ne, list_aggregate(ne, 'min') AS minv,
+                    (list_aggregate(ne, 'max') - list_aggregate(ne, 'min')) / 255.0 AS step
+             FROM un),
+      enc AS (SELECT vec_id, minv, step,
+                     list_transform(ne, x -> CASE WHEN step = 0 THEN 0
+                         ELSE floor((x - minv) / step + 0.5) END) AS codes
+              FROM mm),
+      q AS (SELECT vec_id AS query_id, ne AS qe, list_aggregate(ne, 'sum') AS qsum
+            FROM un WHERE vec_id % 50 = 0),
+      sscored AS (
+        SELECT q.query_id, e.vec_id,
+               round(e.minv * q.qsum + e.step * list_aggregate(
+                   list_transform(range(1, len(q.qe) + 1),
+                     i -> CAST(e.codes[i] AS DOUBLE) * q.qe[i]), 'sum'), 6) AS s
+        FROM enc e JOIN q ON e.vec_id <> q.query_id),
+      escored AS (
+        SELECT q.query_id, e.vec_id, round(${dotSql("q.qe", "e.ne")}, 6) AS s
+        FROM un e JOIN q ON e.vec_id <> q.query_id),
+      exa AS (SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rnk
+                FROM escored) WHERE rnk <= 10),
+      neg AS (SELECT s.* FROM sscored s LEFT JOIN exa e
+              ON s.query_id = e.query_id AND s.vec_id = e.vec_id
+              WHERE e.vec_id IS NULL)
+      SELECT query_id, vec_id, s AS sq_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rnk
+        FROM neg) WHERE rnk <= 5"""),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") % 50 === 0)
+        val exa = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+          .select("query_id", "vec_id")
+        val neg = SimSearch.sq8Scores(emb, qs, "vec_id", "embedding")
+          .join(exa, Seq("query_id", "vec_id"), "left_anti")
+        graft.ops.TopK.exactPerKey(neg, Seq("query_id"),
+            Seq(col("sq_sim").desc, col("vec_id").asc), 5, "rnk")
+          .withColumn("rnk", col("rnk").cast("int"))
       })
   )
 
