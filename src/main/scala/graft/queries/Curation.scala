@@ -690,6 +690,47 @@ object Curation {
           .select(col("doc_id"), col("source"),
             when(col("rk") <= floor(col("n") * lit(EvalRate)).cast("long"), "eval")
               .otherwise("train").as("split"))
+      }),
+
+    // Dataset manifest — the "dataset card" a corpus release ships with:
+    // per source, document/token/char totals, the exact-duplicate rate,
+    // and an ORDER-INDEPENDENT content hash (bit_xor of per-doc content
+    // hashes — any engine, any partitioning, any row order produces the
+    // same fingerprint, so two releases can be compared by one number).
+    // One scan, one aggregation; the dup rate reuses the q30 fingerprint
+    // idea (16-byte hashes, never text, through the shuffle).
+    QueryDef("q158_dataset_manifest", Some("""
+      WITH d AS (SELECT source, text, len(string_split(text, ' ')) AS n_tokens,
+                        length(text) AS n_chars,
+                        ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+                 FROM documents),
+      dup AS (SELECT source, sum(c - 1) AS n_dups
+              FROM (SELECT source, h, count(*) AS c FROM d GROUP BY source, h)
+              GROUP BY source)
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             CAST(any_value(dup.n_dups) AS BIGINT) AS n_exact_dups,
+             round(CAST(any_value(dup.n_dups) AS DOUBLE) / count(*), 6) AS dup_rate,
+             bit_xor(h) AS content_hash
+      FROM d JOIN dup ON d.source = dup.source
+      GROUP BY d.source"""),
+      (spark, dir) => {
+        import graft.engine.expressions.KmvDistinct.hash60
+        val d = T(spark, dir, "documents")
+          .select(col("source"), size(TextOps.tokenize(col("text"))).as("n_tokens"),
+            length(col("text")).as("n_chars"), hash60(col("text")).as("h"))
+        val dup = d.groupBy("source", "h").agg(count(lit(1)).as("c"))
+          .groupBy("source").agg(sum(col("c") - 1).as("n_dups"))
+        d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"),
+            sum("n_chars").as("total_chars"),
+            expr("bit_xor(h)").as("content_hash"))
+          .join(dup, "source")
+          .select(col("source"), col("n_docs"), col("total_tokens"), col("total_chars"),
+            col("n_dups").as("n_exact_dups"),
+            round(col("n_dups").cast("double") / col("n_docs"), 6).as("dup_rate"),
+            col("content_hash"))
       })
   )
 }
