@@ -95,4 +95,75 @@ class EngineQueriesSpec extends SparkSuite {
       assert(srcs.distinct.length == srcs.length)
     }
   }
+
+  test("q153 MRR: ranks positive, rr = 1/rank, perfect queries rank 1") {
+    val rows = q("q153_mrr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rank, rr) = (r.getAs[Int]("ann_rank"), r.getAs[Double]("rr"))
+      assert(rank >= 1 && rr > 0 && rr <= 1.0)
+      assert(math.abs(rr - BigDecimal(1.0 / rank)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("q154 boolean retrieval equals the direct-scan Spark twin") {
+    // the registered path answers via posting intersection; this twin
+    // answers by scanning text directly — third algorithm, same result
+    val viaIndex = q("q154_boolean_retrieval").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val tf = docs.select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("t"))
+      .groupBy("t", "doc_id").count()
+    val top2 = tf.groupBy("t").agg(countDistinct("doc_id").as("df"))
+      .orderBy(col("df").desc, col("t")).limit(2).collect().map(_.getString(0))
+    val scan = docs.select(col("doc_id"), TextOps.tokenize(col("text")).as("ts"))
+      .filter(array_contains(col("ts"), top2(0)) && array_contains(col("ts"), top2(1)))
+      .select(col("doc_id"),
+        size(filter(col("ts"), x => x === top2(0))).as("tf_1"),
+        size(filter(col("ts"), x => x === top2(1))).as("tf_2"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(viaIndex === scan)
+  }
+
+  test("q156 hard negatives are disjoint from the exact top-10") {
+    import graft.llm.SimSearch
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+    val exa = SimSearch.bruteForceTopK(emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id")
+    val neg = q("q156_hard_negatives").select("query_id", "vec_id")
+    assert(neg.join(exa, Seq("query_id", "vec_id")).count() == 0)
+    // exactly 5 per query, ranked 1..5
+    val perQ = q("q156_hard_negatives").groupBy("query_id")
+      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"))
+      .filter(col("n") =!= 5 || col("lo") =!= 1 || col("hi") =!= 5)
+    assert(perQ.count() == 0)
+  }
+
+  test("q157 co-occurrence counts are symmetric and top-5 per part") {
+    val out = q("q157_item_cooccurrence").cache()
+    try {
+      // n_co symmetric: the pair (a,b) count equals (b,a) wherever both
+      // directions survive the per-part top-5 cut
+      val f = out.select(col("part_key").as("a"), col("rec_part").as("b"), col("n_co"))
+      val r = out.select(col("rec_part").as("a"), col("part_key").as("b"),
+        col("n_co").as("n2"))
+      assert(f.join(r, Seq("a", "b")).filter(col("n_co") =!= col("n2")).count() == 0)
+      assert(out.groupBy("part_key").count().filter(col("count") > 5).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("q158 content hash is invariant under repartitioning") {
+    val base = q("q158_dataset_manifest")
+      .select("source", "content_hash").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // same aggregation over a deliberately reshuffled input
+    import graft.engine.expressions.KmvDistinct.hash60
+    val rehashed = spark.read.parquet(s"$sf/documents.parquet")
+      .repartition(13).select(col("source"), hash60(col("text")).as("h"))
+      .groupBy("source").agg(expr("bit_xor(h)").as("ch"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rehashed === base)
+  }
 }
