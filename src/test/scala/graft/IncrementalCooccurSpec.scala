@@ -62,4 +62,29 @@ class IncrementalCooccurSpec extends SparkSuite {
       IncrementalCooccur.processBatch(slices.head, 1, storeDir)
     }
   }
+
+  test("the live streaming wiring maintains the same store as direct batches") {
+    // stage each order-atomic slice as one file; maxFilesPerTrigger=1
+    // makes each file one micro-batch through the real foreachBatch path
+    val srcDir = Files.createTempDirectory("graft_cooccur_src")
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val tmp = Files.createTempDirectory("graft_cooccur_stage")
+      s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, srcDir.resolve(f"slice$i%02d.parquet"))
+    }
+    val storeDir = Files.createTempDirectory("graft_cooccur_live").toString
+    val ckpt = Files.createTempDirectory("graft_cooccur_ckpt").toString
+    val stream = spark.readStream.schema(li.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = IncrementalCooccur.start(stream, storeDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val (pairs, parts, meta) = IncrementalCooccur.readStore(spark, storeDir, 3)
+    val streamed = IncrementalCooccur.neighbors(pairs, parts, meta, 5)
+      .collect().map(_.toSeq).toSet
+    val oneShot = SparkEntry.queries("q157_item_cooccurrence")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === oneShot)
+  }
 }
