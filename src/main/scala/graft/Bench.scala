@@ -33,6 +33,13 @@ object Bench {
       // keeps tiny-but-fanning stages wide and still lets AQE coalesce
       // genuinely empty splits.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+      // Broadcast/shuffle/RDD cleanup in Spark is GC-driven (ContextCleaner
+      // acts on weak-reference queues); with a large heap a full GC may
+      // never happen across a 157-query suite and block-manager state from
+      // hundreds of finished broadcasts accumulates. Tighten the cleaner's
+      // own periodic-GC fallback from its 30min default so long suites
+      // self-clean even between the explicit sweeps below.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -59,16 +66,48 @@ object Bench {
     // Optional local-iteration filter (unset in driver runs): benchmark
     // only the named queries.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+
+    // Inter-query hygiene (all of it OUTSIDE the timed region). Root cause
+    // of the r9 in-suite collapse (q139 36.9s in-suite vs 2.98s isolated,
+    // identical code): suite-JVM state accumulation, not the queries' plans.
+    // Two mechanisms, two counters:
+    //  (a) `spark.catalog.clearCache()` empties only the SQL CacheManager.
+    //      RDDs persisted OUTSIDE it — MLlib internals (ALS/KMeans),
+    //      localCheckpoints — survive it and pin executor storage for the
+    //      rest of the suite, so later queries run with less execution
+    //      memory and spill. `withQueryCaches` releases exactly what each
+    //      query persisted; the sweep below is the backstop for anything
+    //      persisted outside the scope.
+    //  (b) ContextCleaner reclaims finished broadcasts / shuffle files /
+    //      accumulators only when a JVM GC collects their weak refs; a
+    //      large heap can run the whole suite without a single full GC,
+    //      so hundreds of dead broadcasts stay resident in the block
+    //      manager. A periodic explicit GC between queries (plus the
+    //      1min periodicGC fallback above) keeps the cleaner's queue
+    //      draining.
+    val sc = spark.sparkContext
+    def sweep(forceGc: Boolean): Unit = {
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      if (forceGc) System.gc()
+    }
+
+    var i = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       def once(): Double = {
-        spark.catalog.clearCache()
+        sweep(forceGc = false)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try {
+          GraftSession.withQueryCaches(spark) { fn(spark, sfDir).count() }
+        } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val t = math.min(once(), once())
+      i += 1
+      sweep(forceGc = i % 8 == 0)
+      name -> t
     }
     val total = results.map(_._2).sum
     // The driver captures only the LAST 2000 chars of output; a full-name
