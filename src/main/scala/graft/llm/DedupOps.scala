@@ -58,12 +58,19 @@ object DedupOps {
     * boundary (fl(0.7·30) > 21) and silently shorten a prefix below
     * the completeness bound.
     *
-    * Scale shape: one shuffle keyed by token for the frequency count
-    * (map-side combined), the global rank via the two-pass
-    * GlobalRank scan (no single-task window), one shuffle by doc for
-    * per-doc prefix positions, the candidate join keyed by full-
-    * cardinality prefix tokens, and token arrays shuffle only for
-    * verified CANDIDATE pairs — never all pairs.
+    * Scale shape: tokens are hashed to `xxhash64` 8-byte keys at the
+    * scan, before any exchange — the frequency count, rank, prefix,
+    * candidate, and verify frames all shuffle fixed-width longs, never
+    * raw token strings (Jaccard on the hashed sets equals Jaccard on
+    * the token sets unless two tokens of one pair's union collide in
+    * 64 bits — P ~ |union|²/2⁶⁴, negligible — so the output, and the
+    * string-path DuckDB oracle, are unchanged). One shuffle keyed by
+    * token-hash for the frequency count (map-side combined), the
+    * global rank via the two-pass GlobalRank scan (no single-task
+    * window), one shuffle by doc for per-doc prefix positions, the
+    * candidate join keyed by full-cardinality prefix hashes, and
+    * hashed arrays shuffle only for verified CANDIDATE pairs — never
+    * all pairs.
     *
     * `tokCol` must hold distinct tokens (pass `array_distinct(...)`).
     * Reference behavior: the same near-dup semantics as q31's sampled
@@ -73,8 +80,12 @@ object DedupOps {
                          tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tDen >= tNum, s"threshold $tNum/$tDen must be in (0, 1]")
     import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col(idCol), explode(col(tokCol)).as("__term"),
-      size(col(tokCol)).as("__sz"))
+    // 8-byte exchange keys: hash each (already-distinct) token once at the
+    // scan; re-distinct on the hashed domain so sizes stay consistent.
+    val hashed = docs.select(col(idCol),
+      array_distinct(transform(col(tokCol), t => xxhash64(t))).as("__tk"))
+    val tok = hashed.select(col(idCol), explode(col("__tk")).as("__term"),
+      size(col("__tk")).as("__sz"))
     val dfr = tok.groupBy("__term").agg(count(lit(1)).as("__df"))
     val ranked = graft.ops.GlobalRank
       .withRowNumber(dfr, "__rnk", Seq(col("__df").asc, col("__term").asc))
@@ -93,12 +104,11 @@ object DedupOps {
         && lit(tNum) * col("__sza") <= lit(tDen) * col("__szb")
         && lit(tNum) * col("__szb") <= lit(tDen) * col("__sza"))
       .select("a_doc", "b_doc").distinct()
-    val sets = docs.select(col(idCol), col(tokCol))
     val inter = size(array_intersect(col("__ta"), col("__tb")))
     val union = size(col("__ta")) + size(col("__tb")) - inter
     cand
-      .join(sets.select(col(idCol).as("a_doc"), col(tokCol).as("__ta")), "a_doc")
-      .join(sets.select(col(idCol).as("b_doc"), col(tokCol).as("__tb")), "b_doc")
+      .join(hashed.select(col(idCol).as("a_doc"), col("__tk").as("__ta")), "a_doc")
+      .join(hashed.select(col(idCol).as("b_doc"), col("__tk").as("__tb")), "b_doc")
       // exact integer threshold: J ≥ tNum/tDen  ⇔  tDen·I ≥ tNum·U
       .filter(lit(tDen) * inter >= lit(tNum) * union)
       .select(col("a_doc"), col("b_doc"),

@@ -23,10 +23,17 @@ import org.apache.spark.sql.functions._
   * per-element pair fan-out is df², df small by construction. Verification
   * is exact Jaccard on the candidate pairs only.
   *
-  * At 100 TB: elements become `xxhash64` 8-byte keys before the exchange
-  * (results identical modulo 64-bit collisions), the df table is a
-  * vocabulary-sized aggregate, and the candidate join key (rare element)
-  * is high-cardinality — no skew salting needed, unlike the bounded-key
+  * Exchange discipline: elements are hashed to `xxhash64` 8-byte keys AT
+  * THE SCAN, before any shuffle — the df count, the canonical ordering,
+  * the prefix-candidate join, and the verify frames all move fixed-width
+  * longs, never the raw strings (a shingle is tens of bytes; the hash is
+  * 8). Jaccard on the hashed sets equals Jaccard on the string sets
+  * unless two distinct elements of one pair's union collide in 64 bits
+  * (P ~ |union|²/2⁶⁴ — negligible at any realistic vocabulary), so
+  * results are byte-identical to the string path and the DuckDB oracle
+  * keeps computing on raw strings. The df table is a vocabulary-sized
+  * aggregate, and the candidate join key (rare element) is
+  * high-cardinality — no skew salting needed, unlike the bounded-key
   * pair joins in `queries/Reports.scala`.
   */
 object SetSimJoin {
@@ -41,8 +48,11 @@ object SetSimJoin {
   def prefixFilterJoin(sets: DataFrame, idCol: String, setCol: String,
                        tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    // Hash to 8-byte keys scan-side; distinct on the hashed domain so set
+    // sizes are consistent with everything computed downstream.
     val distinctSets = sets
-      .select(col(idCol), array_distinct(col(setCol)).as("__s"))
+      .select(col(idCol),
+        array_distinct(transform(col(setCol), e => xxhash64(e))).as("__s"))
       .filter(size(col("__s")) > 0)
 
     val ex = distinctSets.select(col(idCol), explode(col("__s")).as("__g"))
