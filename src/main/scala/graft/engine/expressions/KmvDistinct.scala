@@ -133,7 +133,7 @@ object KmvDistinct {
   }
 
   /** Column API: KMV sketch of a pre-hashed long column.
-    * Returns struct<est double, n_kept int>.
+    * Returns struct<est double, n_kept int, values array<bigint>>.
     */
   def sketch(hashed: Column, k: Int): Column = call_function(name, hashed, lit(k))
 }

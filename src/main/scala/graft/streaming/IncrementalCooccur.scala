@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -65,7 +64,12 @@ object IncrementalCooccur {
     if (batchId == 0) (empty(pairSchema), empty(partSchema), empty(metaSchema))
     else {
       val prev = versionDir(storeDir, batchId - 1)
-      if (!Files.exists(Paths.get(prev))) throw new IllegalStateException(
+      // Resolve existence through the Hadoop FileSystem of the path itself
+      // so the store protocol works on any Spark-supported filesystem
+      // (hdfs://, s3a://, ...) — java.nio only understands local paths.
+      val prevPath = new org.apache.hadoop.fs.Path(prev)
+      val fs = prevPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(prevPath)) throw new IllegalStateException(
         s"IncrementalCooccur store version missing: $prev does not exist but " +
           s"batch $batchId is not the first. Refusing to restart counts from " +
           "zero — restore the store or reset checkpoint+store together.")
