@@ -8,16 +8,60 @@ import org.apache.spark.sql.types._
   * `binary` payloads with typed metadata; decode/feature-extract runs
   * partition-wise so a real codec slots in without touching the plan.
   *
-  * The decode step itself is STUBBED (this container ships no image or
-  * audio codecs): [[fakeDecode]] is a deterministic stand-in — a 16-bin
-  * byte histogram, L1-normalized — with the same shape a real decoder
-  * would have (bytes in, fixed-dim float features out). Everything
-  * around it (schema, batch iteration, partition preservation, column
-  * contracts) is real and tested.
+  * The decode step is PLUGGABLE ([[MediaDecoder]]): the contract is
+  * open-once-per-partition, decode-per-row, close-at-exhaustion —
+  * exactly the lifecycle a JNI/FFM codec or an ONNX feature extractor
+  * needs, with state amortized across a partition's rows and never
+  * held beyond one row's output at a time. This container ships no
+  * image/audio codecs, so the shipped instance is [[HistogramDecoder]]
+  * — a deterministic stand-in (16-bin byte histogram, L1-normalized)
+  * with the same shape a real decoder would have (bytes in, fixed-dim
+  * float features out). Everything around it (schema, batch iteration,
+  * partition preservation, column contracts, lifecycle) is real and
+  * spec-asserted (LlmOpsSpec "MediaDecoder seam").
   */
 object Multimodal {
 
   val featureDim = 16
+
+  /** The pluggable decode contract. Implementations are shipped to
+    * executors (Serializable) and driven partition-wise by
+    * [[extractFeatures]]:
+    *  - `open()` runs ONCE per partition before any row — acquire
+    *    codec/model state here, never in `decode`;
+    *  - `decode(payload)` runs per row: payload bytes in (null/empty
+    *    must yield a zero vector, not throw), `featureDim` floats out;
+    *  - `close()` runs when the partition's iterator is exhausted —
+    *    release native state. Must be idempotent (the consumer may
+    *    probe `hasNext` again after exhaustion).
+    */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def open(): Unit = ()
+    def decode(payload: Array[Byte]): Array[Float]
+    def close(): Unit = ()
+  }
+
+  /** The codec-free default/test instance: deterministic 16-bin byte
+    * histogram, L1-normalized. A real codec replaces this keeping the
+    * [[MediaDecoder]] lifecycle.
+    */
+  object HistogramDecoder extends MediaDecoder {
+    val featureDim: Int = Multimodal.featureDim
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val bins = new Array[Float](featureDim)
+      if (payload == null || payload.isEmpty) return bins
+      var i = 0
+      while (i < payload.length) {
+        bins((payload(i) & 0xff) / featureDim) += 1f
+        i += 1
+      }
+      val n = payload.length.toFloat
+      var j = 0
+      while (j < featureDim) { bins(j) /= n; j += 1 }
+      bins
+    }
+  }
 
   /** Payload schema: one row per asset. */
   val assetSchema: StructType = StructType(Seq(
@@ -27,28 +71,19 @@ object Multimodal {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true)))
 
-  /** STUB decoder: deterministic 16-bin byte histogram, L1-normalized.
-    * Replace with a real codec (JNI/FFM) keeping the signature.
-    */
-  def fakeDecode(payload: Array[Byte]): Array[Float] = {
-    val bins = new Array[Float](featureDim)
-    if (payload == null || payload.isEmpty) return bins
-    var i = 0
-    while (i < payload.length) {
-      bins((payload(i) & 0xff) / featureDim) += 1f
-      i += 1
-    }
-    val n = payload.length.toFloat
-    var j = 0
-    while (j < featureDim) { bins(j) /= n; j += 1 }
-    bins
-  }
+  /** Back-compat alias for the default decode ([[HistogramDecoder]]). */
+  def fakeDecode(payload: Array[Byte]): Array[Float] =
+    HistogramDecoder.decode(payload)
 
   /** Decode + feature-extract, partition-wise (the Scala analogue of a
-    * batched `mapInPandas` decode UDF): no shuffle, codec state
-    * amortized per partition, output schema fixed.
+    * batched `mapInPandas` decode UDF): no shuffle; decoder lifecycle
+    * at PARTITION bounds (open before the first row, close at
+    * exhaustion — never per row); one row in flight at a time, so
+    * memory is bounded by a single payload regardless of partition
+    * size; output schema fixed.
     */
-  def extractFeatures(assets: DataFrame): DataFrame = {
+  def extractFeatures(assets: DataFrame,
+                      decoder: MediaDecoder = HistogramDecoder): DataFrame = {
     val spark = assets.sparkSession
     val outSchema = StructType(Seq(
       StructField("asset_id", LongType, nullable = false),
@@ -56,12 +91,21 @@ object Multimodal {
       StructField("n_bytes", IntegerType, nullable = false),
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
     val rdd = assets.select("asset_id", "modality", "payload").rdd.mapPartitions { it =>
-      // Real codecs initialize here, once per partition.
-      it.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        Row(r.getLong(0), r.getString(1),
-          if (payload == null) 0 else payload.length,
-          fakeDecode(payload).toSeq)
+      decoder.open()
+      new Iterator[Row] {
+        private var closed = false
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !closed) { closed = true; decoder.close() }
+          h
+        }
+        def next(): Row = {
+          val r = it.next()
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getLong(0), r.getString(1),
+            if (payload == null) 0 else payload.length,
+            decoder.decode(payload).toSeq)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.engine.expressions.DotProduct.dot
 import graft.ops.TopK
@@ -157,6 +157,17 @@ object SimSearch {
     // probe stages. Lazy-return cache — resident sessions release it via
     // GraftSession.withQueryCaches.
     val c = unitized(corpus, idCol, embCol, idCol, "__ne").cache()
+    val cents = lloydCentroids(c, idCol, nCentroids, iters)
+    ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
+  }
+
+  /** Id-order seeds refined by `iters` deterministic spherical-Lloyd
+    * steps over a unitized corpus `c` (`idCol`, `__ne`) — the
+    * [[ivfTopKLloyd]] centroid discipline, shared with [[ivfPqTopK]]'s
+    * coarse quantizer. Returns (cent_id, cent_emb), materialized.
+    */
+  private[graft] def lloydCentroids(c: DataFrame, idCol: String,
+                                    nCentroids: Int, iters: Int): DataFrame = {
     var cents = c.orderBy(col(idCol)).limit(nCentroids)
       .select(col(idCol).as("cent_id"), col("__ne").as("cent_emb"))
     for (_ <- 0 until iters) {
@@ -189,7 +200,7 @@ object SimSearch {
       next.count()
       cents = next
     }
-    ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
+    cents
   }
 
   /** [[ivfTopK]] with LEARNED centroids: a seeded MLlib KMeans fit
@@ -362,6 +373,126 @@ object SimSearch {
         round(dot(col("__qe"), col("__ne")), 6).as("cos_sim"))
     TopK.exactPerKey(exact, Seq("query_id"),
       Seq(col("cos_sim").desc, col(idCol).asc), k, "rnk")
+      .withColumn("rnk", col("rnk").cast("int"))
+  }
+
+  /** IVF×PQ composition — the standard billion-scale ANN layout
+    * (coarse inverted file + product-quantized residuals, the FAISS
+    * `IVFx,PQy` shape): coarse Lloyd cells bucket the corpus with
+    * [[lloydCentroids]]' oracle discipline; each vector then stores
+    * ONLY its cell id plus `nSub` code ids of its RESIDUAL
+    * (vector − cell centroid); a query probes its `nProbe` nearest
+    * cells and scores their members from codes alone, as
+    * `<q, centroid> + Σ_m <q_m, codeword_m>` (exact inner product of
+    * the reconstruction `centroid + codewords`).
+    *
+    * Why residuals: within a cell, vectors cluster around the
+    * centroid, so residuals have far smaller spread than raw vectors
+    * and the same code budget quantizes them with less error —
+    * composed recall ≥ PQ-alone recall at equal bytes (pinned in
+    * LlmOpsSpec). Codeword assignment is by MINIMUM L2 distance
+    * (dist asc, code asc — the quantization objective; [[pqTopK]]'s
+    * max-dot assignment is only sound for near-unit inputs, which
+    * residuals are not).
+    *
+    * THE 100 TB shape on both axes: storage is cell id + `nSub` bytes
+    * per vector (the full-precision corpus is touched only at
+    * build), and a query batch SCANS only `nProbe`/`nCent` of those
+    * codes — IVF bounds what is read, PQ bounds the bytes per row
+    * read. Every arithmetic step keeps the ordered-fold oracle
+    * discipline of [[ivfTopKLloyd]]/[[pqTopK]], so the q159 DuckDB
+    * twin replays the exact double bits.
+    *
+    * Reference scope: completes `src/search_ranking_peers.py`'s
+    * similarity-ranking intent at corpus sizes where neither the
+    * brute-force dot (q23) nor single-level IVF/PQ suffices.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                embCol: String, k: Int, dim: Int, nCent: Int = 8,
+                nProbe: Int = 2, cIters: Int = 1, nSub: Int = 8,
+                nCodes: Int = 16, pIters: Int = 1): DataFrame = {
+    require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
+    val subDim = dim / nSub
+    // Lazy-return caches throughout — released via withQueryCaches.
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne").cache()
+    val cents = lloydCentroids(c, idCol, nCent, cIters)
+    val bucketed = nearestBuckets(c, cents, idCol, "__ne", 1)
+    // Residual = vector − its cell centroid (element-wise, no renorm).
+    val resid = bucketed
+      .join(cents.select(col("cent_id").as("bucket"), col("cent_emb")), "bucket")
+      .select(col(idCol), col("bucket"),
+        zip_with(col("__ne"), col("cent_emb"), (a, b) => a - b).as("__r"))
+      .cache()
+    def subSplit(df: DataFrame, id: String, emb: String): DataFrame =
+      df.select(col(id), posexplode(array((0 until nSub).map(m =>
+        slice(col(emb), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+    val rsubs = subSplit(resid, idCol, "__r").cache()
+    // Left-to-right squared-L2 fold (init 0.0 + non-negative squares —
+    // bit-identical to DuckDB's uninitialized list sum).
+    def l2sq(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    // id-order seeds: residual subvectors of the nCodes lowest ids.
+    var books = subSplit(
+      resid.orderBy(col(idCol)).limit(nCodes).withColumnRenamed(idCol, "code"),
+      "code", "__r").withColumnRenamed("sv", "ce")
+    // Argmin-L2 codeword per (id, m) as a min_by aggregate (map-side
+    // combined — only |points| rows reach the shuffle; q101's lesson).
+    // min_by on struct(dist, code) replicates ORDER BY dist ASC, code ASC.
+    def nearestCodeL2(points: DataFrame, id: String): DataFrame =
+      points.join(books, Seq("m"))
+        .select(col(id), col("m"), col("sv"), col("code"),
+          l2sq(col("sv"), col("ce")).as("__d"))
+        .groupBy(col(id), col("m"))
+        .agg(min_by(struct(col("code"), col("sv")), struct(col("__d"), col("code"))).as("__w"))
+        .select(col(id), col("m"), col("__w.sv").as("sv"), col("__w.code").as("code"))
+    for (_ <- 0 until pIters) {
+      // Per-(m, code) mean in id order (ordered fold, exact count
+      // division, no renorm); empty codes keep their codeword.
+      val refined = nearestCodeL2(rsubs, idCol).groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("__cnt"),
+          array_sort(collect_list(struct(col(idCol).as("id"), col("sv")))).as("__ms"))
+        .select(col("m"), col("code"),
+          transform(
+            aggregate(expr("slice(__ms, 2, size(__ms) - 1)"),
+              element_at(col("__ms"), 1).getField("sv"),
+              (acc, v) => zip_with(acc, v.getField("sv"), (a, b) => a + b)),
+            x => x / col("__cnt")).as("__new"))
+      val next = books.join(refined, Seq("m", "code"), "left")
+        .select(col("m"), col("code"), coalesce(col("__new"), col("ce")).as("ce"))
+        .cache()
+      next.count()
+      books = next
+    }
+    // The compressed corpus: cell id + nSub residual codes per vector.
+    val codes = nearestCodeL2(rsubs, idCol).select(col(idCol), col("m"), col("code"))
+      .join(bucketed.select(col(idCol), col("bucket")), Seq(idCol))
+    // Query side: probe nProbe cells; the centroid term <q, c> plus the
+    // per-(query, m, code) ADC partials — both bounded by the query
+    // batch, so the broadcasts are bounded (|Q|·nProbe, |Q|·nSub·nCodes).
+    val q = unitized(queries, idCol, embCol, "query_id", "__qe")
+    val probedC = nearestBuckets(q, cents, "query_id", "__qe", nProbe)
+      .join(cents.select(col("cent_id").as("bucket"), col("cent_emb")), "bucket")
+      .select(col("query_id"), col("__qe"), col("bucket"),
+        dot(col("__qe"), col("cent_emb")).as("__qc"))
+    val qtab = subSplit(q, "query_id", "__qe").join(books, Seq("m"))
+      .select(col("query_id"), col("m"), col("code"),
+        dot(col("sv"), col("ce")).as("__p"))
+    // m-ordered partial sum via pivot (one partial per m per pair —
+    // first() exact), plus the probed cell's centroid term; the explicit
+    // qc + (p0+…+p7) left fold is the oracle's addition order.
+    val scored = codes
+      .join(broadcast(probedC.select(col("query_id"), col("bucket"), col("__qc"))), Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .join(broadcast(qtab), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col(idCol), col("__qc"))
+      .pivot("m", (0 until nSub).map(m => m: Any))
+      .agg(first(col("__p")))
+      .select(col("query_id"), col(idCol),
+        round(col("__qc") + (0 until nSub).map(m => col(s"`$m`")).reduceLeft(_ + _), 6)
+          .as("adc_sim"))
+    TopK.exactPerKey(scored, Seq("query_id"),
+      Seq(col("adc_sim").desc, col(idCol).asc), k, "rnk")
       .withColumn("rnk", col("rnk").cast("int"))
   }
 
@@ -587,7 +718,7 @@ object SimSearch {
               embCol: String, k: Int, poolSize: Int = 20,
               lambda: Double = 0.7): DataFrame = {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
+    import org.apache.spark.sql.types._
     val spark = corpus.sparkSession
     val c = unitized(corpus, idCol, embCol, idCol, "__ne")
     val q = unitized(queries, idCol, embCol, "query_id", "__qe")
@@ -604,14 +735,29 @@ object SimSearch {
       StructField(idCol, pool.schema(idCol).dataType),
       StructField("score", DoubleType)))
     val (lam, oneMinusLam, kk) = (lambda, 1 - lambda, k)
+    // Tiebreak ordering derived from the id column's Catalyst type at
+    // plan-build time: integral ids compare as Long (no double round-trip —
+    // ids above 2^53 would collide there and break greedy-choice parity
+    // with the SQL twin), and an unsupported id type fails here, before
+    // any task runs.
+    val idLt: (Any, Any) => Boolean = pool.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        (a, b) => a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+      case FloatType | DoubleType =>
+        (a, b) => a.asInstanceOf[Number].doubleValue < b.asInstanceOf[Number].doubleValue
+      case StringType =>
+        (a, b) => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+      case _: DecimalType =>
+        (a, b) => a.asInstanceOf[java.math.BigDecimal]
+          .compareTo(b.asInstanceOf[java.math.BigDecimal]) < 0
+      case other => throw new IllegalArgumentException(
+        s"mmrTopK: unsupported id column type $other (need integral, floating, string, or decimal)")
+    }
     val outRdd = grouped.rdd.flatMap { row =>
       val qid = row.get(0)
       val items = row.getSeq[Row](1)
       val n = items.length
       val ids = items.map(_.get(0)).toArray
-      // numeric tiebreak — mirrors the struct(score, -id) max_by ordering
-      // of the distributed formulation (ids must be numeric, as there)
-      val idKey = items.map(_.getAs[Number](0).doubleValue()).toArray
       val nes = items.map(_.getSeq[Double](1).toArray).toArray
       val rels = items.map(_.getDouble(2)).toArray
       // DotProduct.nullSafeEval's exact loop: left-to-right, index order
@@ -628,7 +774,7 @@ object SimSearch {
       var i = 0
       while (i < n) {
         if (best < 0 || rels(i) > rels(best) ||
-          (rels(i) == rels(best) && idKey(i) < idKey(best))) best = i
+          (rels(i) == rels(best) && idLt(ids(i), ids(best)))) best = i
         i += 1
       }
       if (best >= 0) { sel += best; out += Row(qid, 1, ids(best), rels(best)) }
@@ -644,7 +790,7 @@ object SimSearch {
               val v = dotLocal(nes(j), nes(s)); if (v > ms) ms = v
             }
             val sc = lam * rels(j) - oneMinusLam * ms
-            if (bi < 0 || sc > bs || (sc == bs && idKey(j) < idKey(bi))) {
+            if (bi < 0 || sc > bs || (sc == bs && idLt(ids(j), ids(bi)))) {
               bi = j; bs = sc
             }
           }

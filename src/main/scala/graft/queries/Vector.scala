@@ -80,7 +80,11 @@ object Vector {
     * by the integer count and L2-renormalized, empty buckets keeping
     * the previous centroid), then the bucket/probe/top-K pipeline.
     */
-  private def ivfLloydSql(nCent: Int, nProbe: Int, k: Int, iters: Int): String = {
+  /** CTE chain `cents0 … cents$iters` — id-order seeds + `iters`
+    * spherical-Lloyd refinements over `un` (the q43 discipline), shared
+    * by [[ivfLloydSql]] and [[ivfPqSql]].
+    */
+  private def lloydCentCtes(nCent: Int, iters: Int): String = {
     val lloyd = (1 to iters).map { i =>
       s"""
       assign$i AS (
@@ -103,10 +107,14 @@ object Vector {
                     ELSE list_transform(n.m, x -> x / sqrt(${dotSql("n.m", "n.m")})) END AS ce
         FROM cents${i - 1} c LEFT JOIN mean$i n ON c.cent_id = n.bucket)"""
     }.mkString(",")
+    s"""cents0 AS (SELECT vec_id AS cent_id, ne AS ce FROM un ORDER BY vec_id LIMIT $nCent),
+      ${lloyd.stripPrefix("\n")}"""
+  }
+
+  private def ivfLloydSql(nCent: Int, nProbe: Int, k: Int, iters: Int): String = {
     s"""
       WITH $unitSql,
-      cents0 AS (SELECT vec_id AS cent_id, ne AS ce FROM un ORDER BY vec_id LIMIT $nCent),
-      ${lloyd.stripPrefix("\n")},
+      ${lloydCentCtes(nCent, iters)},
       assign AS (
         SELECT u.vec_id, u.ne, c.cent_id, ${dotSql("u.ne", "c.ce")} AS s
         FROM un u CROSS JOIN cents$iters c),
@@ -218,6 +226,96 @@ object Vector {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
             FROM exact)
       WHERE rnk <= $k"""
+
+  /** Left-to-right squared-L2 fold between two lists — the codeword
+    * assignment metric of the IVF×PQ twin (squares are non-negative, so
+    * DuckDB's uninitialized list sum matches Spark's 0.0-seeded fold).
+    */
+  private def l2sqSql(a: String, b: String): String =
+    s"""list_aggregate(list_transform(range(1, len($a) + 1),
+        i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum')"""
+
+  /** SQL twin of `SimSearch.ivfPqTopK`: coarse Lloyd cells
+    * ([[lloydCentCtes]]), per-vector residuals, PQ codebooks learned on
+    * the residuals with argmin-L2 assignment (dist asc, code asc),
+    * encode, then the probed ADC scan — score = centroid dot + m-ordered
+    * codeword partial sum, top-k per query.
+    */
+  private def ivfPqSql(dim: Int, nSub: Int, nCodes: Int, k: Int, nCent: Int,
+                       nProbe: Int, cIters: Int, pIters: Int): String = {
+    val sd = dim / nSub
+    val lloyd = (1 to pIters).map { i =>
+      s"""
+      rpassign$i AS (
+        SELECT b.vec_id, b.m, b.sv, c.code, ${l2sqSql("b.sv", "c.ce")} AS d
+        FROM rsub b JOIN rbooks${i - 1} c ON b.m = c.m),
+      rpa$i AS (
+        SELECT vec_id, m, sv, code
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code) AS rn FROM rpassign$i)
+        WHERE rn = 1),
+      rpmem$i AS (
+        SELECT m, code, list(sv ORDER BY vec_id) AS ms, count(*) AS cnt FROM rpa$i GROUP BY m, code),
+      rpmean$i AS (
+        SELECT m, code, list_transform(
+                 list_reduce(ms, (a, b) -> list_transform(range(1, len(a) + 1), j -> a[j] + b[j])),
+                 x -> x / cnt) AS mn
+        FROM rpmem$i),
+      rbooks$i AS (
+        SELECT c.m, c.code, coalesce(n.mn, c.ce) AS ce
+        FROM rbooks${i - 1} c LEFT JOIN rpmean$i n ON c.m = n.m AND c.code = n.code)"""
+    }.mkString(",")
+    s"""
+      WITH $unitSql,
+      ${lloydCentCtes(nCent, cIters)},
+      cassn AS (
+        SELECT u.vec_id, u.ne, c.cent_id, ${dotSql("u.ne", "c.ce")} AS s
+        FROM un u CROSS JOIN cents$cIters c),
+      cellof AS (
+        SELECT vec_id, ne, cent_id AS bucket
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM cassn)
+        WHERE rn = 1),
+      resid AS (
+        SELECT b.vec_id, b.bucket,
+               list_transform(range(1, len(b.ne) + 1), i -> b.ne[i] - c.ce[i]) AS r
+        FROM cellof b JOIN cents$cIters c ON b.bucket = c.cent_id),
+      ms AS (SELECT unnest(range($nSub)) AS m),
+      rsub AS (SELECT vec_id, m, r[m * $sd + 1 : m * $sd + $sd] AS sv FROM resid CROSS JOIN ms),
+      rseed AS (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT $nCodes),
+      rbooks0 AS (SELECT s.vec_id AS code, m, s.r[m * $sd + 1 : m * $sd + $sd] AS ce
+                  FROM rseed s CROSS JOIN ms),
+      ${lloyd.stripPrefix("\n")},
+      rcassign AS (
+        SELECT b.vec_id, b.m, c.code, ${l2sqSql("b.sv", "c.ce")} AS d
+        FROM rsub b JOIN rbooks$pIters c ON b.m = c.m),
+      codes AS (
+        SELECT vec_id, m, code
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code) AS rn FROM rcassign)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, ne AS qe FROM un WHERE vec_id % 50 = 0),
+      qassn AS (
+        SELECT q.query_id, q.qe, c.cent_id, ${dotSql("q.qe", "c.ce")} AS s
+        FROM q CROSS JOIN cents$cIters c),
+      probed AS (
+        SELECT query_id, qe, cent_id AS bucket, s AS qc
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cent_id) AS rn FROM qassn)
+        WHERE rn <= $nProbe),
+      qsub AS (SELECT query_id, m, qe[m * $sd + 1 : m * $sd + $sd] AS sv FROM q CROSS JOIN ms),
+      qtab AS (
+        SELECT q.query_id, c.m, c.code, ${dotSql("q.sv", "c.ce")} AS p
+        FROM qsub q JOIN rbooks$pIters c ON q.m = c.m),
+      scored AS (
+        SELECT p.query_id, x.vec_id,
+               round(p.qc + list_aggregate(list(t.p ORDER BY t.m), 'sum'), 6) AS adc_sim
+        FROM codes x
+        JOIN cellof b ON b.vec_id = x.vec_id
+        JOIN probed p ON p.bucket = b.bucket AND x.vec_id <> p.query_id
+        JOIN qtab t ON t.query_id = p.query_id AND t.m = x.m AND t.code = x.code
+        GROUP BY p.query_id, x.vec_id, p.qc)
+      SELECT query_id, vec_id, adc_sim, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_sim DESC, vec_id) AS rnk
+            FROM scored)
+      WHERE rnk <= $k"""
+  }
 
   /** The ±1 hyperplane sign for LSH bit `j`, dimension `i` — evaluated
     * with the same Catalyst XxHash64 (seed 42, int-typed children) that
@@ -451,6 +549,23 @@ object Vector {
         val emb = T(spark, dir, "embeddings")
         SimSearch.pqTopK(emb, emb.filter(col("vec_id") % 50 === 0),
             "vec_id", "embedding", 10, dim = 64, nSub = 8, nCodes = 16, iters = 1)
+          .select("query_id", "vec_id", "adc_sim", "rnk")
+      }),
+
+    // IVF×PQ composition — the billion-scale ANN layout: coarse Lloyd
+    // cells + product-quantized RESIDUAL codes, probed ADC scan over
+    // codes only. Storage is cell id + 8 code bytes per vector; a query
+    // reads 2/8 of the cells. Full hash oracle: every stage keeps the
+    // q43/q101 ordered-fold discipline (argmin-L2 codewords, dist asc /
+    // code asc; score = centroid dot + m-ordered partial sum).
+    QueryDef("q159_ivfpq_ann",
+      Some(ivfPqSql(dim = 64, nSub = 8, nCodes = 16, k = 10, nCent = 8,
+        nProbe = 2, cIters = 1, pIters = 1)),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        SimSearch.ivfPqTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", 10, dim = 64, nCent = 8, nProbe = 2,
+            cIters = 1, nSub = 8, nCodes = 16, pIters = 1)
           .select("query_id", "vec_id", "adc_sim", "rnk")
       }),
 
