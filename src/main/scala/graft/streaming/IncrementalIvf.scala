@@ -59,7 +59,8 @@ object IncrementalIvf {
   /** Top-K probe against the on-disk index: rank each query's `nProbe`
     * nearest buckets, then scan ONLY those buckets' partitions with the
     * exact cosine rerank shared with the batch path
-    * ([[SimSearch.probeRank]]).
+    * ([[SimSearch.probeRank]]). Reads through [[readIndex]], so probes
+    * see compacted generations and live batches as one index.
     */
   def probe(spark: SparkSession, indexDir: String, queries: DataFrame,
             cents: DataFrame, idCol: String, embCol: String, k: Int,
@@ -69,9 +70,157 @@ object IncrementalIvf {
     // ≤ nCentroids scalar ids — the literal IN list that turns the scan
     // filter into hive-directory pruning
     val buckets = probed.select("bucket").distinct().collect().map(_.getLong(0))
-    val index = spark.read.parquet(indexDir)
+    val index = readIndex(spark, indexDir)
       .filter(col("bucket").isin(buckets: _*))
       .select(col(idCol), col("__ne"), col("bucket").cast("long").as("bucket"))
     SimSearch.probeRank(probed, index, idCol, k)
+  }
+
+  // ---------------------------------------------------------------------
+  // Compaction: fold the accumulated per-batch directories into one
+  // bucket-partitioned generation, so posting lists stop fragmenting
+  // (every micro-batch adds ≤1 small file per bucket; after B batches a
+  // probe of one bucket opens B files — compaction returns that to 1,
+  // sized at parquet's row-group sweet spot).
+  //
+  // Exactly-once protocol (the IncrementalPack/IncrementalCooccur
+  // discipline, applied to an index):
+  //  - generation data is written FIRST, to `_compacted/v=G` (the `_`
+  //    prefix hides it from any legacy whole-directory parquet scan);
+  //  - a one-line manifest `_compacted/v=G.manifest.json` (gen + the
+  //    max batch id folded in) is created AFTER the data via
+  //    write-temp-then-RENAME — the atomic commit point;
+  //  - folded `batch=N` directories are deleted only AFTER the manifest
+  //    commit, and deletion is idempotent.
+  // Crash anywhere: before the rename, readers never see v=G (no
+  // manifest) and a re-run overwrites the partial data; after the
+  // rename, readers already exclude the folded batches (reader filter
+  // is `batch id > manifest.maxBatch`), and a re-run just re-deletes.
+  // Restart mid-compaction therefore always yields an identical index
+  // (IncrementalIvfSpec pins this).
+  // ---------------------------------------------------------------------
+
+  private def compactedRoot(indexDir: String) = s"$indexDir/_compacted"
+  private def genDir(indexDir: String, gen: Long) = s"${compactedRoot(indexDir)}/v=$gen"
+  private def manifestPath(indexDir: String, gen: Long) =
+    s"${compactedRoot(indexDir)}/v=$gen.manifest.json"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The newest generation with a COMMITTED manifest, as
+    * (gen, maxBatchFolded) — partial/uncommitted generations are
+    * invisible by construction.
+    */
+  def latestCompaction(spark: SparkSession, indexDir: String): Option[(Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, indexDir)
+    val root = new Path(compactedRoot(indexDir))
+    if (!fs.exists(root)) return None
+    val gens = fs.listStatus(root).map(_.getPath.getName)
+      .collect { case name if name.startsWith("v=") && name.endsWith(".manifest.json") =>
+        name.stripPrefix("v=").stripSuffix(".manifest.json").toLong }
+    gens.sorted.reverse.headOption.map { g =>
+      val in = fs.open(new Path(manifestPath(indexDir, g)))
+      val body = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val mb = "\"max_batch\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
+        .getOrElse(sys.error(s"malformed manifest for gen $g: $body")).group(1).toLong
+      (g, mb)
+    }
+  }
+
+  /** Live (un-folded) batch ids: `batch=N` directories above the latest
+    * committed generation's high-water mark.
+    */
+  private def liveBatchIds(spark: SparkSession, indexDir: String,
+                           aboveBatch: Long): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, indexDir)
+    val root = new Path(indexDir)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).map(_.getPath.getName)
+      .collect { case name if name.startsWith("batch=") =>
+        name.stripPrefix("batch=").toLong }
+      .filter(_ > aboveBatch).sorted.toSeq
+  }
+
+  /** `batch=N` directories that actually contain data — an EMPTY
+    * micro-batch still commits its (file-less) directory, which must be
+    * skipped when dirs are read individually (a file-less root fails
+    * parquet schema inference).
+    */
+  private def nonEmptyBatchPaths(spark: SparkSession, indexDir: String,
+                                 ids: Seq[Long]): Seq[String] = {
+    val fs = fsOf(spark, indexDir)
+    ids.map(b => s"$indexDir/batch=$b").filter { p =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .exists(st => !st.getPath.getName.startsWith("_"))
+    }
+  }
+
+  /** The index as one frame: latest committed generation + live batch
+    * directories. Falls back to the legacy whole-directory read when no
+    * compaction has ever run.
+    */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    latestCompaction(spark, indexDir) match {
+      case None => spark.read.parquet(indexDir)
+      case Some((gen, maxBatch)) =>
+        val compacted = spark.read.parquet(genDir(indexDir, gen))
+        // one single-root read per batch dir: sibling `batch=N` roots in
+        // one multi-path read trip partition discovery
+        // (CONFLICTING_DIRECTORY_STRUCTURES); per-root reads are
+        // unambiguous and union cheaply (no shuffle)
+        nonEmptyBatchPaths(spark, indexDir,
+            liveBatchIds(spark, indexDir, maxBatch))
+          .map(spark.read.parquet(_))
+          .foldLeft(compacted)(_ unionByName _)
+    }
+
+  /** Fold every live batch into generation latest+1. No-op (except the
+    * idempotent cleanup re-run) when nothing new arrived. Safe to call
+    * from a maintenance schedule concurrent with probes: readers switch
+    * atomically at the manifest rename.
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsOf(spark, indexDir)
+    val prev = latestCompaction(spark, indexDir)
+    val prevMax = prev.map(_._2).getOrElse(-1L)
+    val live = liveBatchIds(spark, indexDir, prevMax)
+    // empty micro-batches fold trivially (no data, but the manifest's
+    // high-water mark still advances past them so cleanup removes them)
+    val sources = prev.map { case (g, _) => genDir(indexDir, g) }.toSeq ++
+      nonEmptyBatchPaths(spark, indexDir, live)
+    if (live.nonEmpty && sources.nonEmpty) {
+      val newGen = prev.map(_._1).getOrElse(0L) + 1
+      sources.map(spark.read.parquet(_)).reduce(_ unionByName _)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(genDir(indexDir, newGen))
+      // commit point: write the manifest beside the data, then rename
+      val tmp = new Path(manifestPath(indexDir, newGen) + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
+        s"""{"gen":$newGen,"max_batch":${live.max}}""".getBytes("UTF-8"))
+      finally out.close()
+      fs.rename(tmp, new Path(manifestPath(indexDir, newGen)))
+    }
+    // cleanup AFTER commit; idempotent, also re-run after a crash that
+    // landed between the rename and the deletes
+    latestCompaction(spark, indexDir).foreach { case (gen, maxBatch) =>
+      liveBatchIds(spark, indexDir, -1L).filter(_ <= maxBatch).foreach { b =>
+        fs.delete(new Path(s"$indexDir/batch=$b"), true)
+      }
+      // superseded generations (data + manifest) are also dead weight
+      val root = new Path(compactedRoot(indexDir))
+      if (fs.exists(root)) fs.listStatus(root).map(_.getPath).foreach { p =>
+        val n = p.getName
+        val g = n.stripPrefix("v=").stripSuffix(".tmp")
+          .stripSuffix(".manifest.json")
+        if (n.startsWith("v=") && g.forall(_.isDigit) && g.nonEmpty && g.toLong < gen)
+          fs.delete(p, true)
+      }
+    }
   }
 }

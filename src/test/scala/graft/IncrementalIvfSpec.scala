@@ -67,6 +67,64 @@ class IncrementalIvfSpec extends SparkSuite {
     c.unpersist()
   }
 
+  test("compaction: probes identical, batch dirs folded, crash-restart exactly-once") {
+    val dir = Files.createTempDirectory("ivf_idx4").toString
+    val c = cents.cache()
+    // sf0.001 has vec_ids 0-499; all four slices are non-empty
+    val slices = Seq(
+      emb.filter(col("vec_id") < 150),
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 300),
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+      emb.filter(col("vec_id") >= 400))
+    def probeNow() = sorted(IncrementalIvf
+      .probe(spark, dir, queries, c, "vec_id", "embedding", k, nProbe))
+    def fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).count(_.startsWith("batch="))
+
+    // batches 0-1 → compact → gen 1 folds both, dirs deleted, probes equal
+    slices.take(2).zipWithIndex.foreach { case (s, i) =>
+      IncrementalIvf.processBatch(s, i, c, "vec_id", "embedding", dir)
+    }
+    val before = probeNow()
+    IncrementalIvf.compact(spark, dir)
+    assert(IncrementalIvf.latestCompaction(spark, dir).contains((1L, 1L)))
+    assert(batchDirs == 0, "folded batch dirs must be deleted")
+    assert(probeNow() == before, "probe changed across compaction")
+
+    // live batches after a compaction are read alongside the generation
+    IncrementalIvf.processBatch(slices(2), 2, c, "vec_id", "embedding", dir)
+    IncrementalIvf.processBatch(slices(3), 3, c, "vec_id", "embedding", dir)
+    val full = SimSearch.ivfTopK(emb, queries, "vec_id", "embedding", k, nCents, nProbe)
+    assert(probeNow() == sorted(full), "gen + live batches != batch path")
+
+    // crash BEFORE the manifest commit: a partial generation directory
+    // with no manifest is invisible to readers and overwritten on re-run
+    val partial = s"$dir/_compacted/v=2"
+    spark.range(1).write.mode("overwrite").parquet(s"$partial/bucket=0")
+    assert(IncrementalIvf.latestCompaction(spark, dir).contains((1L, 1L)),
+      "uncommitted generation must stay invisible")
+    assert(probeNow() == sorted(full))
+    IncrementalIvf.compact(spark, dir)
+    assert(IncrementalIvf.latestCompaction(spark, dir).contains((2L, 3L)))
+    assert(batchDirs == 0)
+    assert(probeNow() == sorted(full), "restart mid-compaction changed the index")
+
+    // crash AFTER the manifest, before cleanup: re-run only re-deletes
+    IncrementalIvf.processBatch(slices(3), 99, c, "vec_id", "embedding", dir)
+    IncrementalIvf.compact(spark, dir)           // folds batch 99 → gen 3
+    IncrementalIvf.processBatch(slices(3), 99, c, "vec_id", "embedding", dir)
+    // simulate: batch=99 re-appeared (as if deletes hadn't landed) while
+    // the gen-3 manifest says it is folded — readers must exclude it
+    assert(IncrementalIvf.latestCompaction(spark, dir).exists(_._2 == 99L))
+    IncrementalIvf.compact(spark, dir)           // idempotent cleanup only
+    assert(batchDirs == 0)
+    assert(IncrementalIvf.latestCompaction(spark, dir).exists(_._1 == 3L),
+      "cleanup-only re-run must not mint a new generation")
+    c.unpersist()
+  }
+
   test("the wired stream builds the same index as direct batch calls") {
     val src = Files.createTempDirectory("ivf_src").toString
     val dir = Files.createTempDirectory("ivf_idx3").toString
