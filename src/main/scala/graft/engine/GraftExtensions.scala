@@ -76,9 +76,75 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           else (0.399, 0.001)
         lift(cs => F.blendedScore(cs(0), cs(1), cs(2), wHops, wHavs))(exprs.take(3))
       }))
+
+    // ------------------------------------------------------------------
+    // Table-valued SQL surface for the dedup/ANN operator families: a
+    // `spark.sql` user reaches the whole-relation 100 TB operators with
+    // `SELECT * FROM graft_minhash_pairs('docs', 'doc_id', 'shingles')`
+    // — no Scala. Each builder resolves its table-name arguments
+    // against the ACTIVE session's catalog (temp views included),
+    // builds the operator's DataFrame pipeline, and hands its logical
+    // plan to the analyzer; the plan is the exact plan the Scala API
+    // produces (RulesSpec pins parity), so the scale shape — banded
+    // shuffles, candidate-only verifies, bounded broadcasts — carries
+    // over unchanged. Arguments must be literals (they parameterize
+    // plan construction, not per-row evaluation).
+    // ------------------------------------------------------------------
+    injectTable(e, "graft_minhash_pairs", classOf[graft.llm.DedupOps.type]) { exprs =>
+      val df = activeTable(exprs(0))
+      graft.llm.DedupOps.lshCandidates(df, str(exprs(1)), str(exprs(2)),
+        bands = optInt(exprs, 3, 4), rowsPerBand = optInt(exprs, 4, 2))
+    }
+    injectTable(e, "graft_simhash_pairs", classOf[graft.llm.DedupOps.type]) { exprs =>
+      graft.llm.DedupOps.simhashNearDups(activeTable(exprs(0)),
+        str(exprs(1)), str(exprs(2)), hamMax = optInt(exprs, 3, 3))
+    }
+    injectTable(e, "graft_prefix_jaccard_pairs", classOf[graft.llm.DedupOps.type]) { exprs =>
+      graft.llm.DedupOps.prefixJaccardPairs(activeTable(exprs(0)),
+        str(exprs(1)), str(exprs(2)), int(exprs(3)), int(exprs(4)))
+    }
+    injectTable(e, "graft_brute_topk", classOf[graft.llm.SimSearch.type]) { exprs =>
+      graft.llm.SimSearch.bruteForceTopK(activeTable(exprs(0)), activeTable(exprs(1)),
+        str(exprs(2)), str(exprs(3)), int(exprs(4)))
+    }
+    injectTable(e, "graft_sq8_topk", classOf[graft.llm.SimSearch.type]) { exprs =>
+      graft.llm.SimSearch.sq8TopK(activeTable(exprs(0)), activeTable(exprs(1)),
+        str(exprs(2)), str(exprs(3)), int(exprs(4)))
+    }
+    injectTable(e, "graft_ivfpq_topk", classOf[graft.llm.SimSearch.type]) { exprs =>
+      graft.llm.SimSearch.ivfPqTopK(activeTable(exprs(0)), activeTable(exprs(1)),
+        str(exprs(2)), str(exprs(3)), int(exprs(4)), dim = int(exprs(5)))
+    }
   }
 
   /** Evaluate a foldable literal argument (the weight knobs) to Double. */
   private def foldedDouble(e: Expression): Double =
     Cast(e, org.apache.spark.sql.types.DoubleType).eval().asInstanceOf[Double]
+
+  // -- table-function plumbing ---------------------------------------
+
+  private def injectTable(e: SparkSessionExtensions, name: String, owner: Class[_])
+                         (build: Seq[Expression] => org.apache.spark.sql.DataFrame): Unit =
+    e.injectTableFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo(owner.getName, name),
+      (exprs: Seq[Expression]) => build(exprs).queryExecution.logical))
+
+  /** Resolve a table-name literal against the active session (the one
+    * analyzing the query that referenced the function).
+    */
+  private def activeTable(e: Expression): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.SparkSession.active.table(str(e))
+
+  private def str(e: Expression): String = {
+    val v = e.eval()
+    require(v != null, "graft table-function arguments must be non-null literals")
+    v.toString
+  }
+
+  private def int(e: Expression): Int =
+    Cast(e, org.apache.spark.sql.types.IntegerType).eval().asInstanceOf[Int]
+
+  private def optInt(exprs: Seq[Expression], i: Int, default: Int): Int =
+    if (exprs.length > i) int(exprs(i)) else default
 }

@@ -106,4 +106,39 @@ class RulesSpec extends SparkSuite {
       "SELECT p, iid FROM rj_pts JOIN rj_ivs ON x BETWEEN lo AND hi")
     assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 10)))
   }
+
+  test("table functions: SQL surface == Scala API for the dedup/ANN families") {
+    import graft.llm.{DedupOps, SimSearch, TextOps}
+    def img(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val toks = docs.select(col("doc_id"),
+      TextOps.ngramsAll(TextOps.tokenize(col("text")), 3).as("sh"))
+    toks.createOrReplaceTempView("tf_docs")
+    assert(img(spark.sql(
+        "SELECT * FROM graft_minhash_pairs('tf_docs', 'doc_id', 'sh')")) ==
+      img(DedupOps.lshCandidates(toks, "doc_id", "sh")))
+    assert(img(spark.sql(
+        "SELECT * FROM graft_simhash_pairs('tf_docs', 'doc_id', 'sh', 2)")) ==
+      img(DedupOps.simhashNearDups(toks, "doc_id", "sh", hamMax = 2)))
+    assert(img(spark.sql(
+        "SELECT * FROM graft_prefix_jaccard_pairs('tf_docs', 'doc_id', 'sh', 1, 2)")) ==
+      img(DedupOps.prefixJaccardPairs(toks, "doc_id", "sh", 1, 2)))
+
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    emb.createOrReplaceTempView("tf_emb")
+    emb.filter(col("vec_id") % 100 === 0).createOrReplaceTempView("tf_q")
+    val q = spark.table("tf_q")
+    assert(img(spark.sql(
+        "SELECT * FROM graft_brute_topk('tf_emb', 'tf_q', 'vec_id', 'embedding', 5)")) ==
+      img(SimSearch.bruteForceTopK(emb, q, "vec_id", "embedding", 5)))
+    assert(img(spark.sql(
+        "SELECT * FROM graft_sq8_topk('tf_emb', 'tf_q', 'vec_id', 'embedding', 5)")) ==
+      img(SimSearch.sq8TopK(emb, q, "vec_id", "embedding", 5)))
+    assert(img(spark.sql(
+        "SELECT * FROM graft_ivfpq_topk('tf_emb', 'tf_q', 'vec_id', 'embedding', 5, 64)")) ==
+      img(SimSearch.ivfPqTopK(emb, q, "vec_id", "embedding", 5, dim = 64)))
+  }
 }
