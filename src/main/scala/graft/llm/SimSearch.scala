@@ -161,6 +161,44 @@ object SimSearch {
     ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
   }
 
+  /** Metadata-FILTERED IVF ANN — vector search with a WHERE clause,
+    * the regime every production retrieval stack hits (tenant, language,
+    * date-range, permission filters). Semantics are PRE-FILTERED: the
+    * top-K ranks only corpus rows satisfying `predicate`, so a query is
+    * never starved of results by post-filtering an unfiltered top-K.
+    *
+    * The index is FILTER-AGNOSTIC: centroids are learned on the FULL
+    * corpus ([[ivfTopKLloyd]]'s ordered-fold Lloyd discipline), exactly
+    * as a prebuilt index would be shared across every filter. Bucket
+    * assignment is per-row (a row's cell depends only on its own
+    * embedding and the centroids), so filtering before assignment is
+    * row-identical to slicing a prebuilt assignment — and pushes the
+    * predicate all the way into the corpus scan (`PushedFilters`,
+    * spec-asserted) instead of materializing buckets first.
+    *
+    * Scale note: probing still reads `nProbe`/`nCentroids` of the
+    * (filtered) corpus. When the predicate is so selective that the
+    * survivors are ~k-scale, [[bruteForceTopK]] over
+    * `corpus.filter(predicate)` is exact at the same cost — the
+    * crossover mirrors the brute/LSH switch points in SCALE.md. Recall
+    * caveat of every pre-filtered IVF: a probed cell may hold few
+    * surviving rows; raise `nProbe` under selective filters (the
+    * spec's recall floor is measured at the default).
+    */
+  def filteredIvfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      embCol: String, predicate: Column, k: Int,
+                      nCentroids: Int = 16, nProbe: Int = 4,
+                      iters: Int = 2): DataFrame = {
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne").cache()
+    val cents = lloydCentroids(c, idCol, nCentroids, iters)
+    val q = unitized(queries, idCol, embCol, "query_id", "__qe")
+    val bucketed = nearestBuckets(
+      unitized(corpus.filter(predicate), idCol, embCol, idCol, "__ne"),
+      cents, idCol, "__ne", 1)
+    val probed = nearestBuckets(q, cents, "query_id", "__qe", nProbe)
+    probeRank(probed, bucketed, idCol, k)
+  }
+
   /** Id-order seeds refined by `iters` deterministic spherical-Lloyd
     * steps over a unitized corpus `c` (`idCol`, `__ne`) — the
     * [[ivfTopKLloyd]] centroid discipline, shared with [[ivfPqTopK]]'s

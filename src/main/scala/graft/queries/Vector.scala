@@ -111,13 +111,22 @@ object Vector {
       ${lloyd.stripPrefix("\n")}"""
   }
 
-  private def ivfLloydSql(nCent: Int, nProbe: Int, k: Int, iters: Int): String = {
+  /** @param filterSql optional corpus predicate over `embeddings e`
+    *        (e.g. "e.label = 1"): centroids stay full-corpus (the
+    *        filter-agnostic index), only the bucketed side is filtered —
+    *        mirrors `SimSearch.filteredIvfTopK` exactly.
+    */
+  private def ivfLloydSql(nCent: Int, nProbe: Int, k: Int, iters: Int,
+                          filterSql: Option[String] = None): String = {
+    val bucketFilter = filterSql
+      .map(f => s"JOIN embeddings e ON e.vec_id = u.vec_id AND ($f)")
+      .getOrElse("")
     s"""
       WITH $unitSql,
       ${lloydCentCtes(nCent, iters)},
       assign AS (
         SELECT u.vec_id, u.ne, c.cent_id, ${dotSql("u.ne", "c.ce")} AS s
-        FROM un u CROSS JOIN cents$iters c),
+        FROM un u $bucketFilter CROSS JOIN cents$iters c),
       bucketed AS (
         SELECT vec_id, ne, cent_id AS bucket
         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM assign)
@@ -536,6 +545,23 @@ object Vector {
         val emb = T(spark, dir, "embeddings")
         SimSearch.ivfTopKLloyd(emb, emb.filter(col("vec_id") % 50 === 0),
             "vec_id", "embedding", 10, nCentroids = 16, nProbe = 4, iters = 2)
+          .select("query_id", "vec_id", "cos_sim", "rnk")
+      }),
+
+    // Metadata-FILTERED ANN — vector search with a WHERE clause:
+    // pre-filtered semantics (only label=1 rows are ranked, a query is
+    // never starved by post-filtering), filter-agnostic index (Lloyd
+    // centroids on the FULL corpus, as a shared prebuilt index would
+    // be), and the predicate lands on the corpus scan. Full hash
+    // oracle: the q43 SQL twin with the bucketed side filtered.
+    QueryDef("q160_filtered_ann",
+      Some(ivfLloydSql(nCent = 16, nProbe = 4, k = 10, iters = 2,
+        filterSql = Some("e.label = 1"))),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        SimSearch.filteredIvfTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", col("label") === 1, 10,
+            nCentroids = 16, nProbe = 4, iters = 2)
           .select("query_id", "vec_id", "cos_sim", "rnk")
       }),
 

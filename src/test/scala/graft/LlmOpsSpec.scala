@@ -231,6 +231,35 @@ class LlmOpsSpec extends SparkSuite {
     assert(ivfPq() == probed, "IVFPQ pipeline is not deterministic across runs")
   }
 
+  test("SimSearch.filteredIvfTopK: pre-filtered semantics, recall, pushed predicate") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val pred = col("label") === 1
+    val res = SimSearch.filteredIvfTopK(emb, queries, "vec_id", "embedding",
+      pred, 5, nCentroids = 8, nProbe = 4, iters = 2).cache()
+    // PRE-filtered: every returned neighbor satisfies the predicate
+    val allowed = emb.filter(pred).select(col("vec_id")).as[Long].collect().toSet
+    val got = res.select("query_id", "vec_id").as[(Long, Long)].collect()
+    assert(got.nonEmpty && got.forall { case (_, v) => allowed(v) },
+      "a filtered-ANN result violates the predicate")
+    // recall vs the EXACT filtered search (same predicate, brute force)
+    val exact = SimSearch.bruteForceTopK(emb.filter(pred), queries,
+        "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(got.toSet).size.toDouble / exact.size
+    assert(recall >= 0.3, s"filtered-IVF recall $recall")
+    // filter-agnostic index: the same query WITHOUT the filter ranks a
+    // superset pool, so filtered results are never ranked above rows the
+    // predicate excludes (probe cells coincide because centroids do)
+    res.unpersist()
+    // the predicate reaches the parquet scan of the bucketed side
+    val plan = SimSearch.filteredIvfTopK(emb, queries, "vec_id", "embedding",
+      pred, 5, nCentroids = 8, nProbe = 4, iters = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,1)"),
+      s"label predicate not pushed to the corpus scan:\n${plan.take(4000)}")
+  }
+
   test("SimSearch.ivfTopKKMeans: learned centroids, recall vs brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
