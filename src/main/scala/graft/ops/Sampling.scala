@@ -84,6 +84,37 @@ object Sampling {
       .filter(col(cumCol) <= budget)
   }
 
+  /** LEAKAGE-SAFE train/eval split: near-duplicate documents must land
+    * on the SAME side, or the eval set "tests" paraphrases of training
+    * rows and the measured loss is contaminated. Near-dup `edges` become
+    * connected components ([[ConnectedComponents]] min-id labels); the
+    * CLUSTER — not the document — is the unit of assignment, decided by
+    * the md5 integer rank of the cluster root: `hashRank(root) <=
+    * floor(evalFraction · 1000003)` sends the whole cluster to eval.
+    * Exact integer comparison (no float boundary), pure function of the
+    * data — re-runs, re-partitionings, and other engines agree row for
+    * row. Docs in no edge are their own singleton cluster.
+    *
+    * Scale shape: one component pass over the EDGE list (a sliver, the
+    * point of LSH candidates), one left join back to the corpus, one
+    * md5 per cluster root — the corpus itself never shuffles beyond the
+    * root join.
+    *
+    * @return df plus (root, split) columns, split in {'train','eval'}
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, edges: DataFrame,
+                       srcCol: String, dstCol: String,
+                       evalFraction: Double): DataFrame = {
+    val threshold = math.floor(evalFraction * 1000003).toLong
+    val comps = ConnectedComponents.labelPropagation(edges, srcCol, dstCol)
+      .withColumnRenamed("node", idCol)
+    df.join(comps, Seq(idCol), "left")
+      .withColumn("root", coalesce(col("component"), col(idCol).cast("long")))
+      .drop("component")
+      .withColumn("split",
+        when(hashRank(col("root")) <= threshold, "eval").otherwise("train"))
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double): DataFrame = {

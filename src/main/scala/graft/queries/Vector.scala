@@ -446,7 +446,53 @@ object Vector {
       FROM embeddings e LEFT JOIN losers l ON e.vec_id = l.node
       WHERE l.node IS NULL"""
 
+  /** SQL twin of `Sampling.leakageSafeSplit` over the q99 edge set:
+    * recursive-CTE components (min-reachable-id roots, singletons their
+    * own root) + the exact md5 integer-rank cluster decision.
+    */
+  private def leakageSafeSplitSql(nBits: Int, dim: Int, minCos: Double,
+                                  evalFraction: Double): String = {
+    val threshold = math.floor(evalFraction * 1000003).toLong
+    s"""
+      WITH RECURSIVE ${hyperplaneCtes(nBits, dim, minCos)},
+      sym AS (SELECT id_a AS a, id_b AS b FROM lshpairs
+              UNION SELECT id_b, id_a FROM lshpairs
+              UNION SELECT id_a, id_a FROM lshpairs
+              UNION SELECT id_b, id_b FROM lshpairs),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+      rooted AS (SELECT e.vec_id, e.label,
+                        COALESCE(c.component, e.vec_id) AS root
+                 FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node)
+      SELECT vec_id, label, root,
+             CASE WHEN ('0x' || substr(md5(CAST(root AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000003 + 1 <= $threshold
+                  THEN 'eval' ELSE 'train' END AS split
+      FROM rooted"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Leakage-safe train/eval split: near-dup CLUSTERS (q99's verified
+    // hyperplane-LSH edges -> components) are the unit of assignment,
+    // so an eval document can never be a paraphrase of a training one.
+    // The decision is the md5 integer rank of the cluster root - exact
+    // integer compare, no float boundary, reproduced bit-for-bit by the
+    // DuckDB twin's recursive-CTE components.
+    QueryDef("q161_leakage_safe_split",
+      Some(leakageSafeSplitSql(nBits = 6, dim = 64, minCos = 0.3, evalFraction = 0.2)),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        val edges = SimSearch.hyperplaneLshPairs(emb, "vec_id", "embedding",
+            minCos = 0.3, nBits = 6)
+          .select(col("id_a"), col("id_b"))
+        graft.ops.Sampling.leakageSafeSplit(
+          emb.select(col("vec_id"), col("label")), "vec_id",
+          edges, "id_a", "id_b", 0.2)
+      }),
 
     // Brute-force exact ANN baseline: top-10 cosine neighbors for each
     // query vector (vec_id % 50 = 0), broadcast-queries × corpus scan.

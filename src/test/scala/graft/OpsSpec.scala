@@ -157,6 +157,32 @@ class OpsSpec extends SparkSuite {
     assert(s1.count(_ < 500) > 150)
   }
 
+  test("Sampling.leakageSafeSplit: near-dup clusters never straddle the split") {
+    val docs = (0L until 300L).toDF("id")
+    // chain 10-11-12, pair 40-41, big clique 100..104, singletons elsewhere
+    val edges = Seq((10L, 11L), (11L, 12L), (40L, 41L),
+      (100L, 101L), (101L, 102L), (102L, 103L), (103L, 104L), (100L, 104L))
+      .toDF("a", "b")
+    val s = graft.ops.Sampling.leakageSafeSplit(docs, "id", edges, "a", "b", 0.2)
+      .cache()
+    // THE invariant: both endpoints of every edge share root AND split
+    val viol = edges
+      .join(s.select(col("id").as("a"), col("root").as("ra"), col("split").as("sa")), "a")
+      .join(s.select(col("id").as("b"), col("root").as("rb"), col("split").as("sb")), "b")
+      .filter(col("ra") =!= col("rb") || col("sa") =!= col("sb"))
+    assert(viol.count() == 0, "a near-dup edge straddles the split")
+    // cluster roots are the component minima; singletons are their own root
+    assert(s.filter(col("id") === 12L).head.getAs[Long]("root") == 10L)
+    assert(s.filter(col("id") === 7L).head.getAs[Long]("root") == 7L)
+    // deterministic across partitionings, and the eval share is sane
+    val s2 = graft.ops.Sampling.leakageSafeSplit(
+      docs.repartition(7), "id", edges, "a", "b", 0.2)
+    assert(s2.collect().map(_.toSeq).toSet == s.collect().map(_.toSeq).toSet)
+    val evalN = s.filter(col("split") === "eval").count()
+    assert(evalN > 20 && evalN < 120, s"eval share $evalN/300 implausible for 0.2")
+    s.unpersist()
+  }
+
   test("ConnectedComponents: chains, cliques, isolated pairs; dedup keeps min id") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
