@@ -39,6 +39,8 @@ import graft.ops.ConnectedComponents
   *   batch=N/docs/        (id, sh)         — admitted docs' xxhash64'd
   *                        shingle sets (8-byte elements, q129 discipline)
   *   batch=N/decisions/   (id, admitted, dup_of)
+  *   _compacted/v=G/      the same three sub-stores folded by
+  *                        [[compact]] (GenStore manifest protocol)
   * }}}
   *
   * 100 TB shape:
@@ -85,19 +87,43 @@ object IncrementalDedup {
     StructField("admitted", BooleanType, nullable = false),
     StructField("dup_of", LongType, nullable = true)))
 
-  /** Existing predecessor batch dirs (`batch<upTo`), via the store's own
-    * Hadoop FileSystem so any Spark-supported scheme works.
+  /** The store's readable parts covering batches `< upTo`: the newest
+    * committed generation (which folds batches ≤ its high-water mark)
+    * plus the live `batch=N` dirs above it. Generations share the batch
+    * dirs' internal layout (`sigs`/`docs`/`decisions`), so readers
+    * treat both uniformly. FAILS FAST when a generation has folded
+    * batch `upTo` itself or beyond — replaying a batch after its output
+    * was folded would let the batch see its own admitted docs as
+    * history and reject everything as a dup of itself; compaction is a
+    * between-batches maintenance step, never concurrent with a replay
+    * window (the [[IncrementalCooccur]] fail-fast discipline).
     */
-  private def priorBatchDirs(spark: SparkSession, storeDir: String,
-                             upTo: Long): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq.map(_.getPath)
-      .filter(_.getName.startsWith("batch="))
-      .filter(_.getName.stripPrefix("batch=").toLong < upTo)
-      .sortBy(_.getName.stripPrefix("batch=").toLong)
-      .map(_.toString)
+  private def storeParts(spark: SparkSession, storeDir: String,
+                         upTo: Long): Seq[String] =
+    GenStore.latestCompaction(spark, storeDir) match {
+      case Some((g, mb)) =>
+        if (mb >= upTo) throw new IllegalStateException(
+          s"IncrementalDedup: batch $upTo would replay but generation $g already " +
+            s"folded batches <= $mb - its own output would screen itself. " +
+            "Reset checkpoint+store together, or compact only between batches.")
+        GenStore.genDir(storeDir, g) +:
+          GenStore.liveBatchIds(spark, storeDir, mb).filter(_ < upTo)
+            .map(b => s"$storeDir/batch=$b")
+      case None =>
+        GenStore.liveBatchIds(spark, storeDir, -1L).filter(_ < upTo)
+          .map(b => s"$storeDir/batch=$b")
+    }
+
+  /** Union of one sub-store (`sigs`/`docs`/`decisions`) across parts —
+    * one single-root read per part (sibling partitioned trees trip
+    * multi-root discovery), skipping parts without data. None when no
+    * part has any.
+    */
+  private def readSub(spark: SparkSession, storeDir: String,
+                      parts: Seq[String], sub: String): Option[DataFrame] = {
+    val ps = GenStore.nonEmptyPaths(spark, storeDir, parts.map(_ + "/" + sub))
+    if (ps.isEmpty) None
+    else Some(ps.map(spark.read.parquet(_)).reduce(_ unionByName _))
   }
 
   /** Screen one micro-batch and commit its admitted docs + decisions.
@@ -132,30 +158,27 @@ object IncrementalDedup {
       .cache()
 
     // ---- 1. history screen -------------------------------------------
-    val prior = priorBatchDirs(spark, storeDir, batchId)
+    val prior = storeParts(spark, storeDir, batchId)
+    val emptyDups = () => spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("id", LongType), StructField("dup_of", LongType))))
     val histDups: DataFrame =
-      if (prior.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          StructType(Seq(StructField("id", LongType), StructField("dup_of", LongType))))
-      else {
-        // Bounded driver pull: distinct signature buckets of THIS batch
-        // (≤ sigBuckets values) → partition pruning on the history scan.
-        val sbSet = sigs.select("sb").distinct().collect().map(_.getInt(0)).toSeq
-        // One read per batch dir (multi-root hive discovery rejects
-        // sibling partitioned trees); each scan prunes to the batch's
-        // buckets before the union.
-        val histSigs = prior.map(p => spark.read.parquet(p + "/sigs")
-          .filter(col("sb").isin(sbSet: _*))).reduce(_ unionByName _)
-        val cand = sigs
-          .join(histSigs.select(col("sb"), col("band"), col("sig"),
-            col("id").as("hid")), Seq("sb", "band", "sig"))
-          .select("id", "hid").distinct()
-        val histDocs = spark.read.parquet(prior.map(_ + "/docs"): _*)
-        cand
-          .join(b.select(col("id"), col("sh")), "id")
-          .join(histDocs.select(col("id").as("hid"), col("sh").as("hsh")), "hid")
-          .filter(DedupOps.jaccard(col("sh"), col("hsh")) >= cfg.tau)
-          .groupBy("id").agg(min("hid").as("dup_of"))
+      readSub(spark, storeDir, prior, "sigs").zip(
+          readSub(spark, storeDir, prior, "docs")) match {
+        case None => emptyDups()
+        case Some((allHistSigs, histDocs)) =>
+          // Bounded driver pull: distinct signature buckets of THIS batch
+          // (≤ sigBuckets values) → partition pruning on the history scan.
+          val sbSet = sigs.select("sb").distinct().collect().map(_.getInt(0)).toSeq
+          val histSigs = allHistSigs.filter(col("sb").isin(sbSet: _*))
+          val cand = sigs
+            .join(histSigs.select(col("sb"), col("band"), col("sig"),
+              col("id").as("hid")), Seq("sb", "band", "sig"))
+            .select("id", "hid").distinct()
+          cand
+            .join(b.select(col("id"), col("sh")), "id")
+            .join(histDocs.select(col("id").as("hid"), col("sh").as("hsh")), "hid")
+            .filter(DedupOps.jaccard(col("sh"), col("hsh")) >= cfg.tau)
+            .groupBy("id").agg(min("hid").as("dup_of"))
       }
     val histDupsCached = histDups.cache()
 
@@ -210,17 +233,42 @@ object IncrementalDedup {
       }
       .start()
 
-  /** All admitted docs' hashed shingle sets across the store. */
-  def admitted(spark: SparkSession, storeDir: String): DataFrame = {
-    val dirs = priorBatchDirs(spark, storeDir, Long.MaxValue)
-    require(dirs.nonEmpty, s"IncrementalDedup store empty: $storeDir")
-    spark.read.parquet(dirs.map(_ + "/docs"): _*)
-  }
+  /** All admitted docs' hashed shingle sets across the store
+    * (generation + live batches).
+    */
+  def admitted(spark: SparkSession, storeDir: String): DataFrame =
+    readSub(spark, storeDir, storeParts(spark, storeDir, Long.MaxValue), "docs")
+      .getOrElse(sys.error(s"IncrementalDedup store empty: $storeDir"))
 
   /** Every admission decision (id, admitted, dup_of) across the store. */
-  def decisions(spark: SparkSession, storeDir: String): DataFrame = {
-    val dirs = priorBatchDirs(spark, storeDir, Long.MaxValue)
-    require(dirs.nonEmpty, s"IncrementalDedup store empty: $storeDir")
-    spark.read.parquet(dirs.map(_ + "/decisions"): _*)
+  def decisions(spark: SparkSession, storeDir: String): DataFrame =
+    readSub(spark, storeDir, storeParts(spark, storeDir, Long.MaxValue), "decisions")
+      .getOrElse(sys.error(s"IncrementalDedup store empty: $storeDir"))
+
+  /** Fold every live batch into generation latest+1 — the
+    * [[GenStore]] protocol over the three sub-stores. Per-batch file
+    * counts otherwise grow linearly in batch count (each micro-batch
+    * adds up to one file per signature bucket); compaction keeps the
+    * history read O(sigBuckets) files. Call BETWEEN batches (a
+    * maintenance trigger, the [[IncrementalIvf.compact]] cadence);
+    * [[storeParts]] fail-fasts if a replayable batch was folded.
+    */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    val prev = GenStore.latestCompaction(spark, storeDir)
+    val prevMax = prev.map(_._2).getOrElse(-1L)
+    val live = GenStore.liveBatchIds(spark, storeDir, prevMax)
+    if (live.nonEmpty) {
+      val newGen = prev.map(_._1).getOrElse(0L) + 1
+      val parts = prev.map { case (g, _) => GenStore.genDir(storeDir, g) }.toSeq ++
+        live.map(b => s"$storeDir/batch=$b")
+      val dst = GenStore.genDir(storeDir, newGen)
+      for ((sub, partBy) <- Seq(("sigs", Some("sb")), ("docs", None), ("decisions", None)))
+        readSub(spark, storeDir, parts, sub).foreach { df =>
+          val w = df.write.mode("overwrite")
+          partBy.fold(w)(c => w.partitionBy(c)).parquet(s"$dst/$sub")
+        }
+      GenStore.commitManifest(spark, storeDir, newGen, live.max)
+    }
+    GenStore.cleanup(spark, storeDir)
   }
 }

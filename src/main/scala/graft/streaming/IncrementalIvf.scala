@@ -100,64 +100,13 @@ object IncrementalIvf {
   // (IncrementalIvfSpec pins this).
   // ---------------------------------------------------------------------
 
-  private def compactedRoot(indexDir: String) = s"$indexDir/_compacted"
-  private def genDir(indexDir: String, gen: Long) = s"${compactedRoot(indexDir)}/v=$gen"
-  private def manifestPath(indexDir: String, gen: Long) =
-    s"${compactedRoot(indexDir)}/v=$gen.manifest.json"
+  // Protocol primitives shared with the other generation stores live in
+  // [[GenStore]]; only the fold itself (what a generation contains, how
+  // it partitions) is index-specific.
 
-  private def fsOf(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  /** The newest generation with a COMMITTED manifest, as
-    * (gen, maxBatchFolded) — partial/uncommitted generations are
-    * invisible by construction.
-    */
-  def latestCompaction(spark: SparkSession, indexDir: String): Option[(Long, Long)] = {
-    import org.apache.hadoop.fs.Path
-    val fs = fsOf(spark, indexDir)
-    val root = new Path(compactedRoot(indexDir))
-    if (!fs.exists(root)) return None
-    val gens = fs.listStatus(root).map(_.getPath.getName)
-      .collect { case name if name.startsWith("v=") && name.endsWith(".manifest.json") =>
-        name.stripPrefix("v=").stripSuffix(".manifest.json").toLong }
-    gens.sorted.reverse.headOption.map { g =>
-      val in = fs.open(new Path(manifestPath(indexDir, g)))
-      val body = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-      val mb = "\"max_batch\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(body)
-        .getOrElse(sys.error(s"malformed manifest for gen $g: $body")).group(1).toLong
-      (g, mb)
-    }
-  }
-
-  /** Live (un-folded) batch ids: `batch=N` directories above the latest
-    * committed generation's high-water mark.
-    */
-  private def liveBatchIds(spark: SparkSession, indexDir: String,
-                           aboveBatch: Long): Seq[Long] = {
-    import org.apache.hadoop.fs.Path
-    val fs = fsOf(spark, indexDir)
-    val root = new Path(indexDir)
-    if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).map(_.getPath.getName)
-      .collect { case name if name.startsWith("batch=") =>
-        name.stripPrefix("batch=").toLong }
-      .filter(_ > aboveBatch).sorted.toSeq
-  }
-
-  /** `batch=N` directories that actually contain data — an EMPTY
-    * micro-batch still commits its (file-less) directory, which must be
-    * skipped when dirs are read individually (a file-less root fails
-    * parquet schema inference).
-    */
-  private def nonEmptyBatchPaths(spark: SparkSession, indexDir: String,
-                                 ids: Seq[Long]): Seq[String] = {
-    val fs = fsOf(spark, indexDir)
-    ids.map(b => s"$indexDir/batch=$b").filter { p =>
-      fs.listStatus(new org.apache.hadoop.fs.Path(p))
-        .exists(st => !st.getPath.getName.startsWith("_"))
-    }
-  }
+  /** The newest generation with a COMMITTED manifest (gen, maxBatch). */
+  def latestCompaction(spark: SparkSession, indexDir: String): Option[(Long, Long)] =
+    GenStore.latestCompaction(spark, indexDir)
 
   /** The index as one frame: latest committed generation + live batch
     * directories. Falls back to the legacy whole-directory read when no
@@ -167,13 +116,14 @@ object IncrementalIvf {
     latestCompaction(spark, indexDir) match {
       case None => spark.read.parquet(indexDir)
       case Some((gen, maxBatch)) =>
-        val compacted = spark.read.parquet(genDir(indexDir, gen))
+        val compacted = spark.read.parquet(GenStore.genDir(indexDir, gen))
         // one single-root read per batch dir: sibling `batch=N` roots in
         // one multi-path read trip partition discovery
         // (CONFLICTING_DIRECTORY_STRUCTURES); per-root reads are
         // unambiguous and union cheaply (no shuffle)
-        nonEmptyBatchPaths(spark, indexDir,
-            liveBatchIds(spark, indexDir, maxBatch))
+        GenStore.nonEmptyPaths(spark, indexDir,
+            GenStore.liveBatchIds(spark, indexDir, maxBatch)
+              .map(b => s"$indexDir/batch=$b"))
           .map(spark.read.parquet(_))
           .foldLeft(compacted)(_ unionByName _)
     }
@@ -184,43 +134,22 @@ object IncrementalIvf {
     * atomically at the manifest rename.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = fsOf(spark, indexDir)
-    val prev = latestCompaction(spark, indexDir)
+    val prev = GenStore.latestCompaction(spark, indexDir)
     val prevMax = prev.map(_._2).getOrElse(-1L)
-    val live = liveBatchIds(spark, indexDir, prevMax)
+    val live = GenStore.liveBatchIds(spark, indexDir, prevMax)
     // empty micro-batches fold trivially (no data, but the manifest's
     // high-water mark still advances past them so cleanup removes them)
-    val sources = prev.map { case (g, _) => genDir(indexDir, g) }.toSeq ++
-      nonEmptyBatchPaths(spark, indexDir, live)
+    val sources = prev.map { case (g, _) => GenStore.genDir(indexDir, g) }.toSeq ++
+      GenStore.nonEmptyPaths(spark, indexDir, live.map(b => s"$indexDir/batch=$b"))
     if (live.nonEmpty && sources.nonEmpty) {
       val newGen = prev.map(_._1).getOrElse(0L) + 1
       sources.map(spark.read.parquet(_)).reduce(_ unionByName _)
         .write.mode("overwrite").partitionBy("bucket")
-        .parquet(genDir(indexDir, newGen))
-      // commit point: write the manifest beside the data, then rename
-      val tmp = new Path(manifestPath(indexDir, newGen) + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(
-        s"""{"gen":$newGen,"max_batch":${live.max}}""".getBytes("UTF-8"))
-      finally out.close()
-      fs.rename(tmp, new Path(manifestPath(indexDir, newGen)))
+        .parquet(GenStore.genDir(indexDir, newGen))
+      GenStore.commitManifest(spark, indexDir, newGen, live.max)
     }
     // cleanup AFTER commit; idempotent, also re-run after a crash that
     // landed between the rename and the deletes
-    latestCompaction(spark, indexDir).foreach { case (gen, maxBatch) =>
-      liveBatchIds(spark, indexDir, -1L).filter(_ <= maxBatch).foreach { b =>
-        fs.delete(new Path(s"$indexDir/batch=$b"), true)
-      }
-      // superseded generations (data + manifest) are also dead weight
-      val root = new Path(compactedRoot(indexDir))
-      if (fs.exists(root)) fs.listStatus(root).map(_.getPath).foreach { p =>
-        val n = p.getName
-        val g = n.stripPrefix("v=").stripSuffix(".tmp")
-          .stripSuffix(".manifest.json")
-        if (n.startsWith("v=") && g.forall(_.isDigit) && g.nonEmpty && g.toLong < gen)
-          fs.delete(p, true)
-      }
-    }
+    GenStore.cleanup(spark, indexDir)
   }
 }

@@ -138,6 +138,48 @@ class IncrementalDedupSpec extends SparkSuite {
     d.unpersist()
   }
 
+  test("compaction: decisions identical, dirs folded, replay-after-fold fails fast") {
+    val store = Files.createTempDirectory("inc_dedup_compact").toString
+    val d = docs.cache()
+    val slices = Seq(
+      d.filter(col("doc_id") % 3 === 0),
+      d.filter(col("doc_id") % 3 === 1),
+      d.filter(col("doc_id") % 3 === 2))
+    def fs = new java.io.File(store)
+    def batchDirs = fs.listFiles().count(_.getName.startsWith("batch="))
+
+    // batches 0-1 → compact → gen folds both, dirs deleted, reads equal
+    slices.take(2).zipWithIndex.foreach { case (s, i) =>
+      IncrementalDedup.processBatch(s, i, "doc_id", "sh", store, cfg)
+    }
+    val before = (img(IncrementalDedup.decisions(spark, store)),
+      img(IncrementalDedup.admitted(spark, store)))
+    IncrementalDedup.compact(spark, store)
+    assert(batchDirs == 0, "folded batch dirs must be deleted")
+    assert((img(IncrementalDedup.decisions(spark, store)),
+      img(IncrementalDedup.admitted(spark, store))) == before,
+      "store reads changed across compaction")
+
+    // batch 2 on top of the generation: history = gen + nothing live,
+    // and the result equals the never-compacted 3-batch store
+    IncrementalDedup.processBatch(slices(2), 2, "doc_id", "sh", store, cfg)
+    val direct = Files.createTempDirectory("inc_dedup_nocompact").toString
+    slices.zipWithIndex.foreach { case (s, i) =>
+      IncrementalDedup.processBatch(s, i, "doc_id", "sh", direct, cfg)
+    }
+    assert(img(IncrementalDedup.decisions(spark, store)) ==
+      img(IncrementalDedup.decisions(spark, direct)),
+      "compacted history screens differently than raw batch history")
+
+    // replaying a batch the generation already folded must fail fast,
+    // not silently self-screen
+    val ex = intercept[IllegalStateException] {
+      IncrementalDedup.processBatch(slices(1), 1, "doc_id", "sh", store, cfg)
+    }
+    assert(ex.getMessage.contains("folded"))
+    d.unpersist()
+  }
+
   test("history scan prunes to the batch's signature buckets") {
     val store = Files.createTempDirectory("inc_dedup_prune").toString
     val d = docs.cache()
