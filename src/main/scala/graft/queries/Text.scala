@@ -409,6 +409,34 @@ object Text {
             (col("n_dup").cast("double") / col("n_grams")).as("dup_frac"))
       }),
 
+    // Winnowing span-overlap (the MOSS fingerprint shape): min-hash of
+    // each 4-window of word-4-gram md5 integers, distinct per doc, df
+    // cap on boilerplate fingerprints, then pairs sharing >= 2. Catches
+    // SPAN-level duplication (template reuse, quotation) that whole-doc
+    // Jaccard dilutes away; the guarantee is any shared run of >= n+w-1
+    // tokens contributes a shared fingerprint.
+    QueryDef("q162_winnowing_overlap", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      gr AS (SELECT doc_id, unnest(range(1, len(t) - 2)) AS i, t
+             FROM tok WHERE len(t) >= 4),
+      gh AS (SELECT doc_id, i - 1 AS pos,
+                    ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))::BIGINT AS gh
+             FROM gr),
+      winnowed AS (SELECT DISTINCT doc_id,
+                          min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+                   FROM gh),
+      kept AS (SELECT fp FROM winnowed GROUP BY fp
+               HAVING count(*) >= 2 AND count(*) <= 50)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+      FROM winnowed a JOIN kept USING (fp) JOIN winnowed b USING (fp)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2"""),
+      (spark, dir) =>
+        graft.llm.DedupOps.winnowingOverlap(T(spark, dir, "documents"),
+          "doc_id", "text", n = 4, w = 4, maxDf = 50, minShared = 2)),
+
     // Per-source token-distribution drift: KL(source ‖ corpus) over the
     // unigram distributions — the intake diagnostic that flags a domain
     // whose text is statistically unlike the blend it feeds (high KL =

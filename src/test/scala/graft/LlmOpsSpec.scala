@@ -19,6 +19,36 @@ class LlmOpsSpec extends SparkSuite {
     assert(got == Seq("ab", "12", "cd", "-", "ef"))
   }
 
+  test("DedupOps.winnowingOverlap: the n+w-1 span guarantee, and Jaccard-blind spans light up") {
+    val n = 4; val w = 4
+    // doc 1 and doc 2: completely different text EXCEPT one shared run of
+    // exactly n+w-1 = 7 tokens -> the winnowing guarantee forces >= 1
+    // shared fingerprint; doc 3 shares nothing
+    val span = "the quick brown fox jumps over fences"            // 7 tokens
+    val filler1 = (1 to 60).map(i => s"alpha$i").mkString(" ")
+    val filler2 = (1 to 60).map(i => s"beta$i").mkString(" ")
+    val filler3 = (1 to 60).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler1 $span ${(1 to 40).map(i => s"delta$i").mkString(" ")}"),
+      (2L, s"$filler2 $span ${(1 to 40).map(i => s"epsilon$i").mkString(" ")}"),
+      (3L, filler3)).toDF("doc_id", "text")
+    val pairs = DedupOps.winnowingOverlap(docs, "doc_id", "text",
+      n = n, w = w, maxDf = 10, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"expected exactly the planted span pair, got $pairs")
+    // the planted pair is Jaccard-invisible at whole-doc level: 7 shared
+    // tokens out of ~107 -> far below any dedup threshold
+    val j = docs.filter(col("doc_id") <= 2)
+      .select(collect_list(array_distinct(split(col("text"), " "))).as("ts"))
+      .select(DedupOps.jaccard(element_at(col("ts"), 1), element_at(col("ts"), 2)))
+      .head.getDouble(0)
+    assert(j < 0.1, s"fixture broken: whole-doc jaccard $j not small")
+    // short docs (< n tokens) contribute nothing and do not crash
+    val tiny = Seq((9L, "just three tokens")).toDF("doc_id", "text")
+    assert(DedupOps.winnowingFingerprints(tiny, "doc_id", "text", n, w).count() == 0)
+  }
+
   test("DedupOps.jaccard exact on known sets") {
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
     assert(df.select(DedupOps.jaccard(col("x"), col("y"))).head.getDouble(0) == 0.5)
