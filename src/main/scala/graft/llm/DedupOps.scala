@@ -280,7 +280,11 @@ object DedupOps {
   def winnowingOverlap(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 4, w: Int = 4, maxDf: Int = 50,
                        minShared: Int = 2): DataFrame = {
-    val fps = winnowingFingerprints(docs, idCol, textCol, n, w)
+    // Cached: feeds the df count and BOTH sides of the pair join — one
+    // tokenize+window pass instead of three corpus scans. Released by
+    // the caller's GraftSession.withQueryCaches scope in resident
+    // sessions (the lshCandidates discipline).
+    val fps = winnowingFingerprints(docs, idCol, textCol, n, w).cache()
     val kept = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("__df"))
         .filter(col("__df") >= 2 && col("__df") <= maxDf)
