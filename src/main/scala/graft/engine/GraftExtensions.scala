@@ -115,6 +115,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.llm.SimSearch.ivfPqTopK(activeTable(exprs(0)), activeTable(exprs(1)),
         str(exprs(2)), str(exprs(3)), int(exprs(4)), dim = int(exprs(5)))
     }
+    injectTable(e, "graft_winnowing_pairs", classOf[graft.llm.DedupOps.type]) { exprs =>
+      graft.llm.DedupOps.winnowingOverlap(activeTable(exprs(0)),
+        str(exprs(1)), str(exprs(2)),
+        n = optInt(exprs, 3, 4), w = optInt(exprs, 4, 4),
+        maxDf = optInt(exprs, 5, 50), minShared = optInt(exprs, 6, 2))
+    }
+    // filtered ANN: the predicate is a SQL expression string parsed in
+    // the active session — `graft_filtered_topk('emb','q','id','e',
+    // 'label = 1', 10)`
+    injectTable(e, "graft_filtered_topk", classOf[graft.llm.SimSearch.type]) { exprs =>
+      graft.llm.SimSearch.filteredIvfTopK(activeTable(exprs(0)), activeTable(exprs(1)),
+        str(exprs(2)), str(exprs(3)),
+        org.apache.spark.sql.functions.expr(str(exprs(4))), int(exprs(5)))
+    }
   }
 
   /** Evaluate a foldable literal argument (the weight knobs) to Double. */

@@ -140,5 +140,17 @@ class RulesSpec extends SparkSuite {
     assert(img(spark.sql(
         "SELECT * FROM graft_ivfpq_topk('tf_emb', 'tf_q', 'vec_id', 'embedding', 5, 64)")) ==
       img(SimSearch.ivfPqTopK(emb, q, "vec_id", "embedding", 5, dim = 64)))
+
+    docs.createOrReplaceTempView("tf_rawdocs")
+    assert(img(spark.sql(
+        "SELECT * FROM graft_winnowing_pairs('tf_rawdocs', 'doc_id', 'text', 4, 4, 50, 1)")) ==
+      img(DedupOps.winnowingOverlap(docs, "doc_id", "text",
+        n = 4, w = 4, maxDf = 50, minShared = 1)))
+    val embL = spark.read.parquet(s"$sf/embeddings.parquet")
+    embL.createOrReplaceTempView("tf_embl")
+    assert(img(spark.sql(
+        "SELECT * FROM graft_filtered_topk('tf_embl', 'tf_q', 'vec_id', 'embedding', 'label = 1', 5)")) ==
+      img(SimSearch.filteredIvfTopK(embL, q, "vec_id", "embedding",
+        col("label") === 1, 5)))
   }
 }
