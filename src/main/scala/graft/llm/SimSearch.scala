@@ -199,6 +199,28 @@ object SimSearch {
     probeRank(probed, bucketed, idCol, k)
   }
 
+  /** [[filteredIvfTopK]] with the brute-force crossover IMPLEMENTED
+    * instead of documented: one column-pruned, predicate-pushed count
+    * sizes the surviving corpus, and below `bruteThreshold` rows the
+    * search runs EXACT ([[bruteForceTopK]] over the filtered corpus —
+    * at that size the probe machinery costs more than scanning the
+    * survivors, and recall is free). Above it, the probed IVF path.
+    * The default threshold is the measured brute/bucketed switch point
+    * of SCALE.md ("LSH overtakes brute force at ~3×10⁴ vectors") —
+    * operators pass their own when the corpus profile differs.
+    */
+  def filteredTopKAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       embCol: String, predicate: Column, k: Int,
+                       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2,
+                       bruteThreshold: Long = 30000L): DataFrame = {
+    val survivors = corpus.filter(predicate).select(idCol).count()
+    if (survivors <= bruteThreshold)
+      bruteForceTopK(corpus.filter(predicate), queries, idCol, embCol, k)
+    else
+      filteredIvfTopK(corpus, queries, idCol, embCol, predicate, k,
+        nCentroids, nProbe, iters)
+  }
+
   /** Id-order seeds refined by `iters` deterministic spherical-Lloyd
     * steps over a unitized corpus `c` (`idCol`, `__ne`) — the
     * [[ivfTopKLloyd]] centroid discipline, shared with [[ivfPqTopK]]'s

@@ -290,6 +290,24 @@ class LlmOpsSpec extends SparkSuite {
       s"label predicate not pushed to the corpus scan:\n${plan.take(4000)}")
   }
 
+  test("SimSearch.filteredTopKAuto: selective filters go exact, wide ones probe") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val pred = col("label") === 1
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    // below the threshold: must be EXACTLY the brute-force result
+    val below = SimSearch.filteredTopKAuto(emb, queries, "vec_id", "embedding",
+      pred, 5, bruteThreshold = 1000000L)
+    assert(img(below) ==
+      img(SimSearch.bruteForceTopK(emb.filter(pred), queries, "vec_id", "embedding", 5)))
+    // above the threshold: must be EXACTLY the probed IVF result
+    val above = SimSearch.filteredTopKAuto(emb, queries, "vec_id", "embedding",
+      pred, 5, bruteThreshold = 0L)
+    assert(img(above) ==
+      img(SimSearch.filteredIvfTopK(emb, queries, "vec_id", "embedding", pred, 5)))
+  }
+
   test("SimSearch.ivfTopKKMeans: learned centroids, recall vs brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
