@@ -598,6 +598,44 @@ object SimSearch {
     probeRank(probed, bucketed, idCol, k)
   }
 
+  /** The ±1 sign of projection row `j`, dimension `i` — EXACTLY the
+    * hyperplane family of [[hyperplaneLshPairs]] (XxHash64(j, i), seed
+    * 42, parity): LSH signature bit j IS the sign of [[randomProject]]
+    * output dim j (spec-pinned), so the projection and the LSH index
+    * share one implicit matrix.
+    */
+  private def jlSign(j: Int, i: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(j), Literal(i)), 42L).eval(null).asInstanceOf[Long]
+    if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Johnson–Lindenstrauss sparse-sign random projection (Achlioptas,
+    * JCSS'03 density-1 variant): y_j = Σ_i x_i · s(j,i) / √outDim with
+    * s = ±1 derived from xxhash64 — no RNG state, no trained model, the
+    * projection is a pure function of (j, i) reproduced as a LITERAL
+    * matrix by the SQL twin (the q53 discipline). Dimensionality
+    * reduction BEFORE the expensive stages: at 100 TB, projecting
+    * 1024-dim float vectors to 64 dims cuts every downstream shuffle,
+    * scan, and cache 16× while the JL lemma bounds pairwise-dot
+    * distortion; compose with SQ8/PQ for further byte cuts.
+    *
+    * One narrow projection per row — `outDim` codegen'd literal-array
+    * dots, no shuffle, no UDF; each dot is the left-to-right fold the
+    * oracle replays. Output is (id, j, y) long form, y rounded to 6 dp.
+    */
+  def randomProject(df: DataFrame, idCol: String, embCol: String,
+                    dim: Int, outDim: Int): DataFrame = {
+    graft.engine.expressions.DotProduct.register(df.sparkSession)
+    val scale = math.sqrt(outDim.toDouble)
+    val projArr = array((0 until outDim).map { j =>
+      val sv = array((0 until dim).map(i => lit(jlSign(j, i))): _*)
+      round(dot(col("__d"), sv) / scale, 6)
+    }: _*)
+    df.withColumn("__d", col(embCol).cast("array<double>"))
+      .select(col(idCol), posexplode(projArr).as(Seq("j", "y")))
+  }
+
   /** Random-hyperplane LSH near-dup over cosine similarity: signature
     * bit j = sign(<x, h_j>) for `nBits` deterministic pseudo-random ±1
     * hyperplanes (seeded per (bit, dim) via Spark's xxhash64 — no RNG

@@ -474,7 +474,38 @@ object Vector {
       FROM rooted"""
   }
 
+  /** SQL twin of `SimSearch.randomProject`: the xxhash64-derived ±1
+    * matrix as literal VALUES rows (the q53 discipline), one
+    * left-to-right fold per output dim, ÷ √outDim, 6 dp.
+    */
+  private def randomProjectionSql(dim: Int, outDim: Int): String = {
+    val signRows = (0 until outDim).map { j =>
+      (0 until dim).map(i => if (lshSign(j, i) > 0) "1.0" else "-1.0")
+        .mkString(s"($j, [", ", ", "])")
+    }.mkString(",\n        ")
+    s"""
+      WITH du AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS de
+                  FROM embeddings),
+      signs AS (SELECT * FROM (VALUES
+        $signRows) AS t(j, sv))
+      SELECT du.vec_id, s.j,
+             round(list_aggregate(list_transform(range(1, len(de) + 1),
+                 i -> de[i] * s.sv[i]), 'sum') / sqrt($outDim.0), 6) AS y
+      FROM du CROSS JOIN signs s"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Johnson-Lindenstrauss sparse-sign random projection, 64 -> 16
+    // dims: the dimensionality-reduction front of the ANN family (at
+    // real widths it cuts every downstream shuffle/scan/cache 16x with
+    // JL-bounded dot distortion). The +-1 matrix is xxhash64-derived -
+    // the SAME hyperplane family as q53, so LSH signature bit j is the
+    // sign of projection dim j - and embeds as literals in the SQL twin.
+    QueryDef("q163_random_projection", Some(randomProjectionSql(dim = 64, outDim = 16)),
+      (spark, dir) =>
+        SimSearch.randomProject(T(spark, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, outDim = 16)),
 
     // Leakage-safe train/eval split: near-dup CLUSTERS (q99's verified
     // hyperplane-LSH edges -> components) are the unit of assignment,

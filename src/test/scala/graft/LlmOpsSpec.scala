@@ -290,6 +290,46 @@ class LlmOpsSpec extends SparkSuite {
       s"label predicate not pushed to the corpus scan:\n${plan.take(4000)}")
   }
 
+  test("SimSearch.randomProject: JL dot preservation and the LSH sign tie-in") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    val outDim = 16
+    val proj = SimSearch.randomProject(emb, "vec_id", "embedding", dim = 64,
+        outDim = outDim)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+    val raw = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dotL(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // JL: projected dots track raw dots in aggregate. Individual pairs
+    // fluctuate (outDim=16 is aggressive); the mean absolute distortion
+    // over sampled pairs is the lemma-scale quantity.
+    val ids = raw.keys.toSeq.sorted
+    val pairs = for (a <- ids; b <- ids if a < b && (a + b) % 7 == 0) yield (a, b)
+    val dists = pairs.map { case (a, b) =>
+      math.abs(dotL(raw(a), raw(b)) - dotL(proj(a), proj(b)))
+    }
+    val norms = ids.map(i => dotL(raw(i), raw(i))).sum / ids.size
+    val meanDist = dists.sum / dists.size
+    assert(meanDist < 0.5 * norms,
+      s"JL distortion $meanDist vs mean sq norm $norms")
+    // tie-in: LSH signature bit j == sign of projection dim j (same
+    // xxhash64 hyperplane family; unitization never flips a sign)
+    graft.engine.expressions.HyperplaneProbes.register(spark)
+    val sigs = SimSearch.unitized(emb, "vec_id", "embedding", "vec_id", "__ne")
+      .select(col("vec_id"),
+        graft.engine.expressions.HyperplaneProbes.signature(col("__ne"), outDim)
+          .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.foreach { id =>
+      val fromProj = proj(id).map(y => if (y > 0) '1' else '0').mkString
+      assert(fromProj == sigs(id),
+        s"vec $id: projection signs $fromProj != LSH signature ${sigs(id)}")
+    }
+  }
+
   test("SimSearch.filteredTopKAuto: selective filters go exact, wide ones probe") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
