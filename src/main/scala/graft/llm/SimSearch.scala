@@ -624,16 +624,56 @@ object SimSearch {
     * dots, no shuffle, no UDF; each dot is the left-to-right fold the
     * oracle replays. Output is (id, j, y) long form, y rounded to 6 dp.
     */
+  /** The rounded projection array of `v` — shared by [[randomProject]]
+    * (raw vectors, long-form output) and [[rpTopK]] (unit vectors,
+    * compressed search space).
+    */
+  private def jlProjArray(v: Column, dim: Int, outDim: Int): Column = {
+    val scale = math.sqrt(outDim.toDouble)
+    array((0 until outDim).map { j =>
+      val sv = array((0 until dim).map(i => lit(jlSign(j, i))): _*)
+      round(dot(v, sv) / scale, 6)
+    }: _*)
+  }
+
   def randomProject(df: DataFrame, idCol: String, embCol: String,
                     dim: Int, outDim: Int): DataFrame = {
     graft.engine.expressions.DotProduct.register(df.sparkSession)
-    val scale = math.sqrt(outDim.toDouble)
-    val projArr = array((0 until outDim).map { j =>
-      val sv = array((0 until dim).map(i => lit(jlSign(j, i))): _*)
-      round(dot(col("__d"), sv) / scale, 6)
-    }: _*)
     df.withColumn("__d", col(embCol).cast("array<double>"))
-      .select(col(idCol), posexplode(projArr).as(Seq("j", "y")))
+      .select(col(idCol),
+        posexplode(jlProjArray(col("__d"), dim, outDim)).as(Seq("j", "y")))
+  }
+
+  /** JL-compressed brute-force ANN with exact rerank: both sides project
+    * to `outDim` dims ([[jlProjArray]] over UNIT vectors, so projected
+    * dots approximate cosine), the candidate scan ranks the CHEAP
+    * projected dot (outDim/dim of the arithmetic and broadcast bytes —
+    * 16× at 1024→64), and the top `k·rerankFactor` candidates rerank
+    * against the full-precision vectors. The [[sq8TopK]] shape with JL
+    * instead of quantization as the compressor: any true neighbor the
+    * candidate stage retains is guaranteed into the exact top-k.
+    */
+  def rpTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             embCol: String, k: Int, dim: Int = 64, outDim: Int = 16,
+             rerankFactor: Int = 4): DataFrame = {
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne").cache()
+    val q = unitized(queries, idCol, embCol, "query_id", "__qe")
+    val cp = c.select(col(idCol), jlProjArray(col("__ne"), dim, outDim).as("__p"))
+    val qp = q.select(col("query_id"), jlProjArray(col("__qe"), dim, outDim).as("__qp"))
+    val rp = cp.join(broadcast(qp), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        round(dot(col("__qp"), col("__p")), 6).as("rp_sim"))
+    val cand = TopK.exactPerKey(rp, Seq("query_id"),
+      Seq(col("rp_sim").desc, col(idCol).asc), k * rerankFactor, "__r")
+      .select("query_id", idCol)
+    val exact = cand
+      .join(c.select(col(idCol), col("__ne")), idCol)
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(dot(col("__qe"), col("__ne")), 6).as("cos_sim"))
+    TopK.exactPerKey(exact, Seq("query_id"),
+      Seq(col("cos_sim").desc, col(idCol).asc), k, "rnk")
+      .withColumn("rnk", col("rnk").cast("int"))
   }
 
   /** Random-hyperplane LSH near-dup over cosine similarity: signature

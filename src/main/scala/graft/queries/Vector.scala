@@ -494,7 +494,62 @@ object Vector {
       FROM du CROSS JOIN signs s"""
   }
 
+  /** SQL twin of `SimSearch.rpTopK`: unit vectors, literal sign matrix,
+    * rounded projected arrays on both sides, projected-dot candidate
+    * rank (top k·factor, ties by id), exact-cosine rerank (top k).
+    */
+  private def rpTopKSql(dim: Int, outDim: Int, k: Int, factor: Int): String = {
+    val signRows = (0 until outDim).map { j =>
+      (0 until dim).map(i => if (lshSign(j, i) > 0) "1.0" else "-1.0")
+        .mkString(s"($j, [", ", ", "])")
+    }.mkString(",\n        ")
+    s"""
+      WITH $unitSql,
+      signs AS (SELECT * FROM (VALUES
+        $signRows) AS t(j, sv)),
+      proj AS (
+        SELECT u.vec_id,
+               list(round(list_aggregate(list_transform(range(1, len(u.ne) + 1),
+                   i -> u.ne[i] * s.sv[i]), 'sum') / sqrt($outDim.0), 6)
+                 ORDER BY s.j) AS p
+        FROM un u CROSS JOIN signs s
+        GROUP BY u.vec_id),
+      q AS (SELECT vec_id AS query_id, p AS qp FROM proj WHERE vec_id % 50 = 0),
+      rp AS (
+        SELECT q.query_id, c.vec_id,
+               round(${dotSql("q.qp", "c.p")}, 6) AS rp_sim
+        FROM proj c JOIN q ON c.vec_id <> q.query_id),
+      cand AS (
+        SELECT query_id, vec_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rp_sim DESC, vec_id) AS rn FROM rp)
+        WHERE rn <= ${k * factor}),
+      uq AS (SELECT vec_id AS query_id, ne AS qe FROM un WHERE vec_id % 50 = 0),
+      exact AS (
+        SELECT c.query_id, c.vec_id,
+               round(${dotSql("uq.qe", "e.ne")}, 6) AS cos_sim
+        FROM cand c
+        JOIN un e ON e.vec_id = c.vec_id
+        JOIN uq ON uq.query_id = c.query_id)
+      SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, vec_id) AS rnk FROM exact)
+      WHERE rnk <= $k"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // JL-compressed brute force + exact rerank: candidates ranked by the
+    // 16-dim projected dot (outDim/dim of the arithmetic and broadcast
+    // bytes), top k*4 reranked at full precision - the sq8 cheap-scan /
+    // exact-rerank shape with JL as the compressor. Full hash oracle.
+    QueryDef("q164_rp_ann", Some(rpTopKSql(dim = 64, outDim = 16, k = 10, factor = 4)),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        SimSearch.rpTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", 10, dim = 64, outDim = 16, rerankFactor = 4)
+          .select("query_id", "vec_id", "cos_sim", "rnk")
+      }),
 
     // Johnson-Lindenstrauss sparse-sign random projection, 64 -> 16
     // dims: the dimensionality-reduction front of the ANN family (at

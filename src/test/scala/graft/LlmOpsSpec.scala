@@ -330,6 +330,30 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("SimSearch.rpTopK: JL-compressed candidates + exact rerank recall") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    val exact = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def run() = SimSearch.rpTopK(emb, queries, "vec_id", "embedding", 5,
+        dim = 64, outDim = 16, rerankFactor = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val rp = run()
+    val recall = exact.intersect(rp).size.toDouble / exact.size
+    // 64->16 on ISOTROPIC random vectors is the worst case for JL
+    // ordering (all true sims ~0, so projection noise dominates the
+    // margin — the same regime caveat as the PQ 0.15 floor); the gate is
+    // far-above-chance (chance = k/N ~ 0.01) + deterministic + monotone
+    assert(recall >= 0.2, s"rp+rerank recall $recall")
+    assert(run() == rp, "rpTopK is not deterministic across runs")
+    // widening the candidate pool can only help (monotone recall)
+    val wide = SimSearch.rpTopK(emb, queries, "vec_id", "embedding", 5,
+        dim = 64, outDim = 16, rerankFactor = 16)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val wideRecall = exact.intersect(wide).size.toDouble / exact.size
+    assert(wideRecall >= recall, s"recall not monotone in rerankFactor: $wideRecall < $recall")
+  }
+
   test("SimSearch.filteredTopKAuto: selective filters go exact, wide ones probe") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
