@@ -199,6 +199,29 @@ object SimSearch {
     probeRank(probed, bucketed, idCol, k)
   }
 
+  /** [[filteredIvfTopK]] where the allowed corpus is an ID SET (semi-join
+    * membership) instead of a column predicate — the shape of
+    * split-aware retrieval: restrict search to the train side of a
+    * [[graft.ops.Sampling.leakageSafeSplit]] so a RAG training loop can
+    * never surface an eval document (q165 composes exactly this).
+    * Same filter-agnostic index discipline: full-corpus centroids,
+    * per-row assignment of the allowed rows only; the membership join
+    * is an id-only left-semi against the unitized scan.
+    */
+  def filteredIvfTopKByIds(corpus: DataFrame, allowedIds: DataFrame,
+                           queries: DataFrame, idCol: String, embCol: String,
+                           k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                           iters: Int = 2): DataFrame = {
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne").cache()
+    val cents = lloydCentroids(c, idCol, nCentroids, iters)
+    val q = unitized(queries, idCol, embCol, "query_id", "__qe")
+    val bucketed = nearestBuckets(
+      c.join(allowedIds.select(idCol), Seq(idCol), "left_semi"),
+      cents, idCol, "__ne", 1)
+    val probed = nearestBuckets(q, cents, "query_id", "__qe", nProbe)
+    probeRank(probed, bucketed, idCol, k)
+  }
+
   /** [[filteredIvfTopK]] with the brute-force crossover IMPLEMENTED
     * instead of documented: one column-pruned, predicate-pushed count
     * sizes the surviving corpus, and below `bruteThreshold` rows the

@@ -537,7 +537,79 @@ object Vector {
       WHERE rnk <= $k"""
   }
 
+  /** SQL twin of the q165 composition: q161's recursive-CTE cluster
+    * split (train side) feeding q160's filtered Lloyd-IVF — centroids
+    * full-corpus, bucketed side train-only.
+    */
+  private def splitAwareAnnSql(nBits: Int, dim: Int, minCos: Double,
+                               evalFraction: Double, nCent: Int,
+                               nProbe: Int, k: Int, iters: Int): String = {
+    val threshold = math.floor(evalFraction * 1000003).toLong
+    s"""
+      WITH RECURSIVE ${hyperplaneCtes(nBits, dim, minCos)},
+      sym AS (SELECT id_a AS a, id_b AS b FROM lshpairs
+              UNION SELECT id_b, id_a FROM lshpairs
+              UNION SELECT id_a, id_a FROM lshpairs
+              UNION SELECT id_b, id_b FROM lshpairs),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+      rooted AS (SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS root
+                 FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node),
+      train AS (SELECT vec_id FROM rooted
+                WHERE ('0x' || substr(md5(CAST(root AS VARCHAR)), 1, 15))::BIGINT
+                      % 1000003 + 1 > $threshold),
+      ${lloydCentCtes(nCent, iters)},
+      assign AS (
+        SELECT u.vec_id, u.ne, c.cent_id, ${dotSql("u.ne", "c.ce")} AS s
+        FROM un u JOIN train t ON t.vec_id = u.vec_id
+        CROSS JOIN cents$iters c),
+      bucketed AS (
+        SELECT vec_id, ne, cent_id AS bucket
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM assign)
+        WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, ne AS qe FROM un WHERE vec_id % 50 = 0),
+      qassign AS (
+        SELECT q.query_id, q.qe, c.cent_id, ${dotSql("q.qe", "c.ce")} AS s
+        FROM q CROSS JOIN cents$iters c),
+      probed AS (
+        SELECT query_id, qe, cent_id AS bucket
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cent_id) AS rn FROM qassign)
+        WHERE rn <= $nProbe),
+      pairs AS (
+        SELECT p.query_id, b.vec_id, round(${dotSql("p.qe", "b.ne")}, 6) AS cos_sim
+        FROM probed p JOIN bucketed b ON p.bucket = b.bucket AND b.vec_id <> p.query_id)
+      SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM pairs)
+      WHERE rnk <= $k"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Split-aware retrieval - the q161 x q160 composition: ANN search
+    // restricted to the TRAIN side of the leakage-safe cluster split,
+    // so a RAG training loop can never surface an eval document (the
+    // retrieval-side complement of decontamination). Full hash oracle:
+    // the recursive-CTE split feeds the filtered Lloyd-IVF twin.
+    QueryDef("q165_split_aware_ann",
+      Some(splitAwareAnnSql(nBits = 6, dim = 64, minCos = 0.3,
+        evalFraction = 0.2, nCent = 16, nProbe = 4, k = 10, iters = 2)),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        val edges = SimSearch.hyperplaneLshPairs(emb, "vec_id", "embedding",
+            minCos = 0.3, nBits = 6)
+          .select(col("id_a"), col("id_b"))
+        val trainIds = graft.ops.Sampling.leakageSafeSplit(
+            emb.select(col("vec_id")), "vec_id", edges, "id_a", "id_b", 0.2)
+          .filter(col("split") === "train").select("vec_id")
+        SimSearch.filteredIvfTopKByIds(emb, trainIds,
+            emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", 10, nCentroids = 16, nProbe = 4, iters = 2)
+          .select("query_id", "vec_id", "cos_sim", "rnk")
+      }),
 
     // JL-compressed brute force + exact rerank: candidates ranked by the
     // 16-dim projected dot (outDim/dim of the arithmetic and broadcast

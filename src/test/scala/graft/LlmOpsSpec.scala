@@ -372,6 +372,23 @@ class LlmOpsSpec extends SparkSuite {
       img(SimSearch.filteredIvfTopK(emb, queries, "vec_id", "embedding", pred, 5)))
   }
 
+  test("SimSearch.filteredIvfTopKByIds: no eval document ever surfaces") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val edges = SimSearch.hyperplaneLshPairs(emb, "vec_id", "embedding",
+        minCos = 0.3, nBits = 6).select("id_a", "id_b")
+    val split = graft.ops.Sampling.leakageSafeSplit(
+      emb.select(col("vec_id")), "vec_id", edges, "id_a", "id_b", 0.2)
+    val trainIds = split.filter(col("split") === "train").select("vec_id")
+    val res = SimSearch.filteredIvfTopKByIds(emb, trainIds,
+      emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", 5)
+    val evalIds = split.filter(col("split") === "eval")
+      .select("vec_id").as[Long].collect().toSet
+    assert(evalIds.nonEmpty, "fixture: split produced no eval docs")
+    val got = res.select("vec_id").as[Long].collect()
+    assert(got.nonEmpty && got.forall(!evalIds(_)),
+      "an eval document surfaced in split-aware retrieval")
+  }
+
   test("SimSearch.ivfTopKKMeans: learned centroids, recall vs brute force") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
