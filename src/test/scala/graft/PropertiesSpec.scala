@@ -126,4 +126,42 @@ class PropertiesSpec extends SparkSuite {
       assert(ident == 1.0)
     }
   }
+
+  test("winnowing guarantee: any shared n+w-1 run is detected, for random docs") {
+    import spark.implicits._
+    val (n, w) = (3, 3)
+    val word = Gen.choose(0, 5000).map(i => s"w$i")
+    val doc = Gen.choose(20, 60).flatMap(len => Gen.listOfN(len, word))
+    val run = Gen.listOfN(n + w - 1, word)                   // the planted span
+    samples(Gen.zip(doc, doc, run), 12).foreach { case (d1, d2, span) =>
+      val df = Seq(
+        (1L, (d1 ++ span ++ d1.reverse).mkString(" ")),
+        (2L, (d2 ++ span ++ d2.reverse).mkString(" "))).toDF("doc_id", "text")
+      val pairs = graft.llm.DedupOps.winnowingOverlap(df, "doc_id", "text",
+          n = n, w = w, maxDf = 100, minShared = 1)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)),
+        s"planted ${span.mkString(" ")} not detected between random docs")
+    }
+  }
+
+  test("leakage-safe split: cluster atomicity for random edge graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0L, 80L), Gen.choose(0L, 80L)).suchThat(p => p._1 != p._2))
+    samples(Gen.zip(edgeGen, Gen.choose(0.05, 0.9)), 8).foreach { case (es, frac) =>
+      val docs = (0L until 100L).toDF("id")
+      val edges = es.toDF("a", "b")
+      val s = graft.ops.Sampling.leakageSafeSplit(docs, "id", edges, "a", "b", frac)
+      val viol = edges
+        .join(s.select(col("id").as("a"), col("root").as("ra"), col("split").as("sa")), "a")
+        .join(s.select(col("id").as("b"), col("root").as("rb"), col("split").as("sb")), "b")
+        .filter(col("ra") =!= col("rb") || col("sa") =!= col("sb"))
+      assert(viol.count() == 0, s"edge straddles split at frac $frac: ${es.take(5)}")
+      // every doc decided exactly once, roots are component minima
+      assert(s.count() == 100 && s.select("id").distinct().count() == 100)
+      assert(s.filter(col("root") > col("id")).count() == 0,
+        "a root exceeds its member id (not the component min)")
+    }
+  }
 }
