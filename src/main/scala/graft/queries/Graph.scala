@@ -57,6 +57,42 @@ object Graph {
         .agg(count(lit(1)).as("w"))
       PageRank.run(e, "src", "dst", "w", iters = 5)
         .select(col("node"), round(col("rank"), 6).as("rank"))
-    })
+    }),
+
+    // Triangle counting + clustering coefficient over the part
+    // co-occurrence graph (support >= 2): the local-density metric that
+    // separates genuine affinity cliques from hub noise. Spark side
+    // runs the degree-ORIENTED enumeration (out-degree bounded by
+    // sqrt(2|E|), no hub deg^2 wedge blow-up); the oracle is the
+    // canonical a<b<c three-way join - identical counts by
+    // construction, spec-pinned.
+    QueryDef("q166_triangles", Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e e1 JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      deg AS (SELECT node, count(*) AS d
+              FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+              GROUP BY node),
+      corners AS (SELECT x AS node FROM tri
+                  UNION ALL SELECT y FROM tri
+                  UNION ALL SELECT z FROM tri)
+      SELECT c.node, CAST(count(*) AS BIGINT) AS n_tri,
+             round(2.0 * count(*) / (d * (d - 1)), 6) AS clustering
+      FROM corners c JOIN deg USING (node)
+      GROUP BY c.node, d"""),
+      (spark, dir) => {
+        val li = T(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val e = li.select(col("o"), col("p").as("pa"))
+          .join(li.select(col("o"), col("p").as("pb")), "o")
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        graft.ops.Triangles.perNode(e, "pa", "pb")
+      })
   )
 }

@@ -183,6 +183,28 @@ class OpsSpec extends SparkSuite {
     s.unpersist()
   }
 
+  test("Triangles: oriented enumeration == naive; clique/known fixtures exact") {
+    // 4-clique {1,2,3,4} + pendant 5 + disjoint path 6-7-8 (no triangle)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (7L, 8L)).toDF("s", "d")
+    val got = graft.ops.Triangles.perNode(edges, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // each clique node sits in C(3,2)=3 triangles; node 4 has degree 4
+    assert(got == Set((1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 3L, 1.0),
+      (4L, 3L, 0.5)), s"clique fixture mismatch: $got")
+    // random graphs: oriented == naive, including duplicate/reversed
+    // input edges (canonicalization) — seeds chosen deterministically
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val es = (1 to 120).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      val df = (es ++ es.map(_.swap)).toDF("s", "d")
+      def img(x: org.apache.spark.sql.DataFrame) =
+        x.collect().map(_.toSeq).toSet
+      assert(img(graft.ops.Triangles.perNode(df, "s", "d")) ==
+        img(graft.ops.Triangles.perNodeNaive(df, "s", "d")))
+    }
+  }
+
   test("ConnectedComponents: chains, cliques, isolated pairs; dedup keeps min id") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
