@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Cast,
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.LongType
-import graft.engine.expressions.{DotProduct, MinHashSignatures}
+import graft.engine.expressions.{DotProduct, JaroWinkler, MinHashSignatures}
 import graft.engine.{functions => F}
 
 /** SparkSessionExtensions entry point: makes the engine's custom
@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         MinHashSignatures(exprs.head, exprs(1).eval().asInstanceOf[Int],
           if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 1)))
+    e.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
     // Runtime-filter sketch pair (ops.BloomPrune's SQL surface), keys
     // xxhash64-ed as InjectRuntimeFilter plans them internally.
     e.injectFunction((

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.engine.expressions.JaroWinkler
+
+/** Fuzzy entity resolution: blocked Jaro-Winkler record linkage +
+  * canonicalization over the resulting match graph.
+  *
+  * The reference's entity-matching surface is exact after trim/upper
+  * normalization (prod-recommendation-pyspark utils/transforms.py —
+  * the J7 trim-normalized join, q38); this is the graded upgrade every
+  * production catalog eventually needs: "Jon's Pizza" vs "Jons Pizza"
+  * never string-equal. The shape is the record-linkage standard —
+  * block, band, verify:
+  *
+  *  - '''block''': candidates must share a cheap deterministic block key
+  *    (first character, phonetic code, …). The self-join shuffles each
+  *    block's slice only — never the entity table against itself.
+  *  - '''band''': a length filter inside the block (|len(a) − len(b)| ≤
+  *    maxLenDiff) — a JW score ≥ t implies near-equal lengths, so the
+  *    band only discards pairs that could not pass.
+  *  - '''verify''': the codegen'd [[JaroWinkler]] expression scores the
+  *    surviving candidates; only pairs ≥ threshold ship.
+  *
+  * 100 TB shape: the join is a shuffle on the block key, so block-key
+  * cardinality is the parallelism and the largest block is the skew
+  * bound (profile with q140, salt with [[Salt]] if one block dominates).
+  * Entity VOCABULARIES (distinct names) are orders of magnitude smaller
+  * than fact tables — resolve the vocabulary, then broadcast-map facts
+  * to canonical ids.
+  */
+object EntityResolution {
+
+  /** Fuzzy self-pairs over `entities` (one row per distinct entity
+    * name): pairs with the same `blockKey`, length within `maxLenDiff`,
+    * and Jaro-Winkler(nameA, nameB) ≥ `threshold`. Output columns:
+    * `name_a < name_b` (each pair once) and `jw_sim`, the raw score.
+    */
+  def blockedFuzzyPairs(entities: DataFrame, nameCol: String,
+                        blockKey: Column, threshold: Double,
+                        maxLenDiff: Int = 3): DataFrame = {
+    JaroWinkler.register(entities.sparkSession)
+    val a = entities.select(col(nameCol).as("name_a"),
+      blockKey.as("__blk"), length(col(nameCol)).as("__la"))
+    val b = entities.select(col(nameCol).as("name_b"),
+      blockKey.as("__blk"), length(col(nameCol)).as("__lb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("name_a") < col("name_b") &&
+        abs(col("__la") - col("__lb")) <= maxLenDiff)
+      .withColumn("jw_sim", JaroWinkler.jaroWinkler(col("name_a"), col("name_b")))
+      .filter(col("jw_sim") >= threshold)
+      .select(col("name_a"), col("name_b"), col("jw_sim"))
+  }
+
+  /** Canonical-name mapping from a fuzzy pair graph: connected
+    * components over the match pairs, canonical = the lexicographically
+    * smallest name in each component (singletons map to themselves).
+    *
+    * Names are keyed by a global row number in name order
+    * ([[GlobalRank.withRowNumber]] — distributed, no unpartitioned
+    * window), so component roots (min id) ARE min names and the
+    * propagation runs on 8-byte ids, not strings — the same
+    * hash-the-exchange discipline as the set-sim joins.
+    */
+  def canonicalize(entities: DataFrame, nameCol: String,
+                   pairs: DataFrame): DataFrame = {
+    val ids = GlobalRank.withRowNumber(
+      entities.select(col(nameCol)).distinct(), "__id", Seq(col(nameCol)))
+      .cache()
+    val edges = pairs
+      .join(ids.select(col(nameCol).as("name_a"), col("__id").as("id_a")), "name_a")
+      .join(ids.select(col(nameCol).as("name_b"), col("__id").as("id_b")), "name_b")
+      .select(col("id_a"), col("id_b"))
+    val comps = ConnectedComponents.labelPropagation(edges, "id_a", "id_b")
+    val out = ids
+      .join(comps.withColumnRenamed("node", "__id"), Seq("__id"), "left")
+      .join(ids.select(col("__id").as("component"), col(nameCol).as("canonical")),
+        Seq("component"), "left")
+      .select(col(nameCol),
+        coalesce(col("canonical"), col(nameCol)).as("canonical"))
+    out
+  }
+}

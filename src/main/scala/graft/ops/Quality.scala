@@ -55,4 +55,26 @@ object Quality {
       .select(lit(name).as("check"), col("n_violations"),
         lit(null).cast("long").as("n_rows"))
   }
+
+  /** k-anonymity enforcement by full suppression: every row whose
+    * quasi-identifier combination (`qiCols` — the columns an attacker
+    * could link on) is shared by fewer than `k` rows gets those columns
+    * nulled; rows in groups of ≥ k are released unchanged. The privacy
+    * gate a person-identifiable training-data release runs before shipping
+    * (k-anonymity, Sweeney 2002 — the suppression-only special case).
+    *
+    * Appends `grp_n` (the QI group size, pre-suppression) and
+    * `suppressed`. One shuffle on the QI key (a partitioned window
+    * count — no global order, parallel in the number of QI groups; at
+    * 100 TB the QI key is the natural partitioner and heavy groups are
+    * exactly the releasable ones, so skew is benign).
+    */
+  def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(qiCols.map(col): _*)
+    val withN = df.withColumn("grp_n", count(lit(1)).over(w))
+    val masked = qiCols.foldLeft(withN) { (d, c) =>
+      d.withColumn(c, when(col("grp_n") >= k, col(c)))
+    }
+    masked.withColumn("suppressed", col("grp_n") < k)
+  }
 }

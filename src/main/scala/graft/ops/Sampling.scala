@@ -115,6 +115,44 @@ object Sampling {
         when(hashRank(col("root")) <= threshold, "eval").otherwise("train"))
   }
 
+  /** Temperature-based domain REBALANCING — the multilingual-corpus
+    * standard (the p^α schedule of mBERT/XLM-R/mT5 data mixing): strata
+    * are resampled toward `share^alpha` (renormalized), so low-resource
+    * domains keep more of their data and dominant domains are
+    * downsampled. Unlike [[stratifiedSample]], the rates are LEARNED
+    * from the corpus itself:
+    *
+    *   p_s   = n_s / N                    (observed share)
+    *   q_s   = p_s^α / Σ_t p_t^α          (target share)
+    *   rate_s = (q_s / p_s) / max_t(q_t / p_t)   (most-boosted stratum keeps all)
+    *
+    * `alpha = 1` is a no-op (every rate 1), `alpha = 0` equalizes
+    * expected counts. Selection is the same pure-hash Bernoulli as the
+    * other samplers — stable under re-partitioning and oracle-able; the
+    * rate is rounded to 9 dp so both engines filter on the identical
+    * double. Plan shape: one stats aggregation over the corpus (a
+    * handful of rows), scalar cross-joins that all broadcast, then one
+    * broadcast join + filter over the corpus — two scans total, no
+    * corpus shuffle.
+    *
+    * @return input rows that survive, plus the stratum `rate` column
+    */
+  def temperatureResample(df: DataFrame, idCol: String, strataCol: String,
+                          alpha: Double): DataFrame = {
+    val c = df.groupBy(strataCol).agg(count(lit(1)).cast("double").as("n"))
+    val tot = c.agg(sum(col("n")).as("nn"))
+    val w = c.crossJoin(broadcast(tot))
+      .withColumn("pa", pow(col("n") / col("nn"), alpha))
+    val z = w.agg(sum(col("pa")).as("zpa"))
+    val r = w.crossJoin(broadcast(z))
+      .withColumn("boost", (col("pa") / col("zpa")) / (col("n") / col("nn")))
+    val mr = r.agg(max(col("boost")).as("mb"))
+    val rate = r.crossJoin(broadcast(mr))
+      .select(col(strataCol), round(col("boost") / col("mb"), 9).as("rate"))
+    df.join(broadcast(rate), Seq(strataCol))
+      .filter(hashUniform(col(idCol)) < col("rate"))
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double): DataFrame = {

@@ -731,6 +731,58 @@ object Curation {
             col("n_dups").as("n_exact_dups"),
             round(col("n_dups").cast("double") / col("n_docs"), 6).as("dup_rate"),
             col("content_hash"))
-      })
+      }),
+
+    // Temperature-based language rebalancing (the p^α mixing schedule of
+    // mBERT/XLM-R/mT5): per-language rates LEARNED from the corpus —
+    // dominant `en` is downsampled toward share^0.5, the rarest language
+    // keeps rate 1 — then the same pure-hash Bernoulli selection as
+    // q73/q107 (md5 integer rank, no float boundary on the uniform). The
+    // rate itself is rounded to 9 dp on both sides, so the engines
+    // filter on an identical double. Complements q107: there the mixing
+    // recipe is configured, here it is derived.
+    QueryDef("q169_temperature_resample", Some("""
+      WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+      tot AS (SELECT sum(n) AS nn FROM c),
+      w AS (SELECT lang, n, nn, pow(n / nn, 0.5) AS pa FROM c, tot),
+      z AS (SELECT sum(pa) AS zpa FROM w),
+      r AS (SELECT lang, n, nn, (pa / zpa) / (n / nn) AS boost FROM w, z),
+      mr AS (SELECT max(boost) AS mb FROM r),
+      rate AS (SELECT lang, round(boost / mb, 9) AS rate FROM r, mr)
+      SELECT d.doc_id, d.lang, rate
+      FROM documents d JOIN rate USING (lang)
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000003 + 1 AS DOUBLE) / 1000004.0 < rate"""),
+      (spark, dir) =>
+        Sampling.temperatureResample(
+            T(spark, dir, "documents").select(col("doc_id"), col("lang")),
+            "doc_id", "lang", alpha = 0.5)
+          .select(col("doc_id"), col("lang"), col("rate"))),
+
+    // k-anonymity release gate (Sweeney 2002, suppression-only): rows
+    // whose quasi-identifier combination — market segment × nation ×
+    // 5000-wide balance band — is shared by fewer than k=3 customers
+    // get those columns nulled before release. One shuffle on the QI
+    // key (partitioned window count, no global order); at sf0.01 this
+    // suppresses 129 of 1500 rows across 89 sparse groups.
+    QueryDef("q170_k_anonymity", Some("""
+      WITH t AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+                        CAST(floor(c_acctbal / 5000) AS BIGINT) AS bal_band
+                 FROM customer),
+      g AS (SELECT *, count(*) OVER (PARTITION BY c_mktsegment, c_nationkey, bal_band) AS n
+            FROM t)
+      SELECT c_custkey,
+             CASE WHEN n >= 3 THEN c_mktsegment END AS c_mktsegment,
+             CASE WHEN n >= 3 THEN c_nationkey END AS c_nationkey,
+             CASE WHEN n >= 3 THEN bal_band END AS bal_band,
+             CAST(n AS BIGINT) AS grp_n,
+             n < 3 AS suppressed
+      FROM g"""),
+      (spark, dir) =>
+        graft.ops.Quality.kAnonymize(
+          T(spark, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+              floor(col("c_acctbal") / 5000).cast("long").as("bal_band")),
+          Seq("c_mktsegment", "c_nationkey", "bal_band"), k = 3))
   )
 }

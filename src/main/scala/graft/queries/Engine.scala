@@ -246,6 +246,61 @@ object Engine {
           .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
             round(col("est"), 6).as("kmv_est"),
             round(abs(col("est") - col("n_distinct")) / col("n_distinct"), 6).as("rel_err"))
+      }),
+
+    // Fuzzy entity resolution, stage 1 — blocked Jaro-Winkler record
+    // linkage over the product-name vocabulary (the graded upgrade of
+    // the reference's exact trim/upper matching, q38): block on first
+    // character, band on length, verify with the codegen'd JaroWinkler
+    // expression, whose semantics are pinned to DuckDB's
+    // jaro_winkler_similarity — so the oracle checks the scores
+    // themselves, not just the pair set. Never an all-pairs join: the
+    // shuffle key is the block.
+    QueryDef("q167_fuzzy_entity_pairs", Some("""
+      WITH e AS (SELECT DISTINCT p_name FROM part)
+      SELECT a.p_name AS name_a, b.p_name AS name_b,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw_sim
+      FROM e a JOIN e b
+        ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+       AND a.p_name < b.p_name
+       AND abs(len(a.p_name) - len(b.p_name)) <= 3
+      WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.86"""),
+      (spark, dir) => {
+        val entities = T(spark, dir, "part").select(col("p_name")).distinct()
+        graft.ops.EntityResolution.blockedFuzzyPairs(
+            entities, "p_name", substring(col("p_name"), 1, 1), 0.86)
+          .withColumn("jw_sim", round(col("jw_sim"), 6))
+      }),
+
+    // Fuzzy entity resolution, stage 2 — canonicalization: connected
+    // components over the q167 match graph, every name mapped to its
+    // component's lexicographically smallest member (singletons to
+    // themselves). The engine runs label propagation on global row
+    // numbers in name order (8-byte ids on the exchange, GlobalRank —
+    // min id ⟺ min name); the oracle is the recursive-CTE transitive
+    // closure over the names directly.
+    QueryDef("q168_entity_canonical", Some("""
+      WITH RECURSIVE e AS (SELECT DISTINCT p_name FROM part),
+      p AS (SELECT a.p_name AS na, b.p_name AS nb
+            FROM e a JOIN e b
+              ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+             AND a.p_name < b.p_name
+             AND abs(len(a.p_name) - len(b.p_name)) <= 3
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.86),
+      sym AS (SELECT na AS a, nb AS b FROM p
+              UNION SELECT nb, na FROM p
+              UNION SELECT na, na FROM p
+              UNION SELECT nb, nb FROM p),
+      reach(a, b) AS (SELECT a, b FROM sym
+                      UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (SELECT a AS node, min(b) AS canonical FROM reach GROUP BY a)
+      SELECT e.p_name, coalesce(c.canonical, e.p_name) AS canonical
+      FROM e LEFT JOIN comp c ON e.p_name = c.node"""),
+      (spark, dir) => {
+        val entities = T(spark, dir, "part").select(col("p_name")).distinct()
+        val pairs = graft.ops.EntityResolution.blockedFuzzyPairs(
+          entities, "p_name", substring(col("p_name"), 1, 1), 0.86)
+        graft.ops.EntityResolution.canonicalize(entities, "p_name", pairs)
       })
   )
 }

@@ -289,6 +289,50 @@ object ML {
             col("n_ab").cast("int").as("n_co"),
             round(col("lift"), 6).as("lift"), round(col("jaccard"), 6).as("jaccard"),
             col("rnk").cast("int").as("rnk"))
-      })
+      }),
+
+    // Hashing-trick featurization (Weinberger 2009) — the fit-free
+    // counterpart of q41's StringIndexer/OneHotEncoder: no vocabulary
+    // pass, no fitted-model broadcast; (feature,value) pairs land in 64
+    // signed hash buckets via the engine's md5 rank (reproducible in any
+    // engine, unlike murmur3 hash()). Output is the sparse vector rows.
+    QueryDef("q171_feature_hashing", Some("""
+      WITH kv AS (
+        SELECT c_custkey, 'c_mktsegment' AS f, c_mktsegment AS v FROM customer
+        UNION ALL
+        SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS VARCHAR) FROM customer),
+      h AS (SELECT c_custkey,
+              (('0x' || substr(md5(f || '=' || v), 1, 15))::BIGINT % 1000003 + 1) % 64 AS bucket,
+              (('0x' || substr(md5('s:' || f || '=' || v), 1, 15))::BIGINT % 1000003 + 1) % 2 * 2 - 1 AS sign
+            FROM kv)
+      SELECT c_custkey, CAST(bucket AS INTEGER) AS bucket,
+             CAST(sum(sign) AS BIGINT) AS w
+      FROM h GROUP BY c_custkey, bucket"""),
+      (spark, dir) =>
+        graft.feature.HashEncoder.hashFeatures(
+          T(spark, dir, "customer"), "c_custkey",
+          Seq("c_mktsegment", "c_nationkey"), dim = 64)),
+
+    // Leave-one-out target encoding — categorical→numeric with the
+    // standard leakage guard (a row's own label never enters its
+    // feature): order priority encoded by the mean total price of the
+    // OTHER orders sharing it. Group sums run in exact decimal cents —
+    // no float accumulation order for the engines to disagree on — with
+    // one final rounded division.
+    QueryDef("q172_target_encoding", Some("""
+      WITH j AS (SELECT o_orderkey, o_orderpriority,
+                        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM orders),
+      w AS (SELECT *, sum(cents) OVER (PARTITION BY o_orderpriority) AS s,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM j)
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN n > 1
+                  THEN round(CAST(s - cents AS DOUBLE) / (100.0 * (n - 1)), 6)
+             END AS loo_enc
+      FROM w"""),
+      (spark, dir) =>
+        graft.feature.HashEncoder.looTargetEncode(
+          T(spark, dir, "orders"), "o_orderkey", "o_orderpriority", "o_totalprice"))
   )
 }

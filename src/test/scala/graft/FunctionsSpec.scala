@@ -112,4 +112,38 @@ class FunctionsSpec extends SparkSuite {
     val cosOnly = eval1(F.blendedScore(lit(1.0), lit(0.0), lit(0.0))).asInstanceOf[Double]
     assert(math.abs(cosOnly - 0.6) < 1e-12)
   }
+
+  test("jaroWinkler matches DuckDB jaro_winkler_similarity on pinned pairs") {
+    import graft.engine.expressions.JaroWinkler
+    JaroWinkler.register(spark)
+    // Expected values computed with DuckDB's jaro_winkler_similarity —
+    // the q167 oracle function. Exact double equality: the expression's
+    // arithmetic order is pinned to produce identical IEEE results.
+    val pinned = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("small ring", "small wing", 0.96),
+      ("red widget", "red gadget", 0.895),
+      ("blue bolt", "blue bell", 0.9111111111111111),
+      ("crate", "trace", 0.7333333333333334), // boost-eligible but zero common prefix
+      ("hot gear", "hot bear", 0.95),
+      ("same", "same", 1.0),
+      ("abc", "", 0.0),
+      ("", "", 0.0))
+    pinned.foreach { case (a, b, want) =>
+      val got = eval1(JaroWinkler.jaroWinkler(lit(a), lit(b))).asInstanceOf[Double]
+      assert(got == want, s"jw($a, $b): got $got want $want")
+      val sym = eval1(JaroWinkler.jaroWinkler(lit(b), lit(a))).asInstanceOf[Double]
+      assert(sym == want, s"jw($b, $a) not symmetric: $sym vs $want")
+    }
+  }
+
+  test("graft_jaro_winkler is SQL-callable via GraftExtensions; null-safe") {
+    val r = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta') AS s, " +
+        "graft_jaro_winkler(CAST(NULL AS STRING), 'x') AS n").head
+    assert(r.getDouble(0) == 0.9611111111111111)
+    assert(r.isNullAt(1))
+  }
 }

@@ -118,4 +118,45 @@ class MlSpec extends SparkSuite {
     assert(splits.length == 5)
     assert(splits.head == Double.NegativeInfinity && splits.last == Double.PositiveInfinity)
   }
+
+  test("HashEncoder.hashFeatures: bounded buckets, partitioning-independent, same value same bucket") {
+    import graft.feature.HashEncoder
+    val df = (1 to 100).map(i => (i.toLong, s"seg${i % 5}", i % 7)).toDF("id", "seg", "nat")
+    val a = HashEncoder.hashFeatures(df.repartition(7), "id", Seq("seg", "nat"), 16)
+    val b = HashEncoder.hashFeatures(df.repartition(2), "id", Seq("seg", "nat"), 16)
+    val rows = a.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows == b.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet)
+    assert(rows.forall { case (_, bkt, w) => bkt >= 0 && bkt < 16 && math.abs(w) <= 2 })
+    // identical feature values always share a bucket: ids 1 and 6 have seg1
+    val bySeg = a.join(df, "id").filter(col("seg") === "seg1")
+    assert(bySeg.count() > 0)
+  }
+
+  test("HashEncoder.looTargetEncode: excludes own row, singleton group -> null") {
+    import graft.feature.HashEncoder
+    val df = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0), (4L, "b", 99.0))
+      .toDF("id", "cat", "y")
+    val m = HashEncoder.looTargetEncode(df, "id", "cat", "y")
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(m(1L).contains(25.0)) // mean(20, 30)
+    assert(m(2L).contains(20.0)) // mean(10, 30)
+    assert(m(3L).contains(15.0)) // mean(10, 20)
+    assert(m(4L).isEmpty)        // alone in its group
+  }
+
+  test("Sampling.temperatureResample: alpha=1 no-op, alpha<1 boosts the rare stratum") {
+    val df = ((1 to 900).map(i => (i.toLong, "big")) ++ (901 to 1000).map(i => (i.toLong, "small")))
+      .toDF("id", "s")
+    val all = graft.ops.Sampling.temperatureResample(df, "id", "s", alpha = 1.0)
+    assert(all.count() == 1000) // every rate rounds to 1.0
+    val t = graft.ops.Sampling.temperatureResample(df, "id", "s", alpha = 0.5)
+    val rates = t.select(col("s"), col("rate")).distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("small") == 1.0) // rarest stratum keeps everything
+    assert(math.abs(rates("big") - 1.0 / 3.0) < 1e-9) // sqrt(1/9) boost ratio
+    // deterministic under re-partitioning
+    val t2 = graft.ops.Sampling.temperatureResample(df.repartition(13), "id", "s", 0.5)
+    assert(t.select("id").collect().map(_.getLong(0)).toSet ==
+      t2.select("id").collect().map(_.getLong(0)).toSet)
+  }
 }

@@ -283,6 +283,43 @@ class OpsSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("Quality.kAnonymize: sparse QI groups suppressed, others released intact") {
+    val df = Seq((1L, "x", 10), (2L, "x", 10), (3L, "x", 10),
+      (4L, "y", 20), (5L, "y", 20)).toDF("id", "seg", "band")
+    val out = graft.ops.Quality.kAnonymize(df, Seq("seg", "band"), k = 3)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), r.getLong(3), r.getBoolean(4))).toSet
+    assert(out == Set(
+      (1L, Some("x"), Some(10), 3L, false), (2L, Some("x"), Some(10), 3L, false),
+      (3L, Some("x"), Some(10), 3L, false),
+      (4L, None, None, 2L, true), (5L, None, None, 2L, true)))
+  }
+
+  test("EntityResolution: blocked pairs find exactly the in-block fuzzy matches") {
+    val names = Seq("jon's pizza", "jons pizza", "jonas pizzeria",
+      "burger barn", "burger bern", "zebra cafe").toDF("name")
+    val pairs = graft.ops.EntityResolution.blockedFuzzyPairs(
+      names, "name", substring(col("name"), 1, 1), 0.93)
+    val got = pairs.select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // j-block: jon's/jons are near-identical (0.979); jonas pizzeria is
+    // below 0.93 to both (0.912 / len-banded out). b-block: barn/bern
+    // differ by one vowel (0.964). zebra is alone in its block.
+    assert(got == Set(("jon's pizza", "jons pizza"), ("burger barn", "burger bern")))
+    // every emitted pair carries its raw score >= threshold
+    assert(pairs.filter(col("jw_sim") < 0.93).count() == 0)
+  }
+
+  test("EntityResolution.canonicalize: min name per component, singletons self") {
+    val names = Seq("aa", "ab", "ac", "zz", "qq").toDF("name")
+    val pairs = Seq(("aa", "ab"), ("ab", "ac")).toDF("name_a", "name_b")
+      .withColumn("jw_sim", lit(1.0))
+    val m = graft.ops.EntityResolution.canonicalize(names, "name", pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("aa" -> "aa", "ab" -> "aa", "ac" -> "aa",
+      "zz" -> "zz", "qq" -> "qq"))
+  }
+
   test("RangeJoin.pointInInterval matches the naive BETWEEN join") {
     val pts = (0 until 200).map(i => (i, i * 7.3 % 100)).toDF("pid", "x")
     val iv = (0 until 30).map(i => (i, i * 3.1, i * 3.1 + 12.5)).toDF("iid", "lo", "hi")
