@@ -53,6 +53,47 @@ object EntityResolution {
       .select(col("name_a"), col("name_b"), col("jw_sim"))
   }
 
+  /** Blocking-quality metrics — the two numbers that justify (or
+    * condemn) a blocking scheme before it runs at scale:
+    *
+    *  - '''pair completeness''' (blocking recall): the fraction of TRUE
+    *    match pairs (JW ≥ threshold, no blocking) that the block+band
+    *    candidate generation retains. Lost pairs are unrecoverable —
+    *    verify never sees them.
+    *  - '''reduction ratio''': 1 − candidates/allPairs — how much of
+    *    the quadratic comparison space the scheme discards.
+    *
+    * Ground truth needs the unblocked quadratic join, so this runs on
+    * the ENTITY VOCABULARY (or a sample of it) — the standard ER
+    * evaluation protocol; never point it at a fact table. One row out.
+    */
+  def blockingQuality(entities: DataFrame, nameCol: String,
+                      blockKey: Column, threshold: Double,
+                      maxLenDiff: Int = 3): DataFrame = {
+    JaroWinkler.register(entities.sparkSession)
+    val e = entities.select(col(nameCol)).distinct()
+    val a = e.select(col(nameCol).as("name_a"), blockKey.as("__ba"),
+      length(col(nameCol)).as("__la"))
+    val b = e.select(col(nameCol).as("name_b"), blockKey.as("__bb"),
+      length(col(nameCol)).as("__lb"))
+    val all = a.crossJoin(b).filter(col("name_a") < col("name_b"))
+      .withColumn("cand", col("__ba") === col("__bb") &&
+        abs(col("__la") - col("__lb")) <= maxLenDiff)
+      .withColumn("isTrue",
+        JaroWinkler.jaroWinkler(col("name_a"), col("name_b")) >= threshold)
+    all.agg(
+      count(lit(1)).as("n_all_pairs"),
+      sum(when(col("cand"), 1L).otherwise(0L)).as("n_candidates"),
+      sum(when(col("isTrue"), 1L).otherwise(0L)).as("n_true_pairs"),
+      sum(when(col("cand") && col("isTrue"), 1L).otherwise(0L)).as("n_blocked_true"))
+      .select(col("n_all_pairs"), col("n_candidates"), col("n_true_pairs"),
+        col("n_blocked_true"),
+        round(col("n_blocked_true").cast("double")
+          / greatest(col("n_true_pairs"), lit(1L)), 6).as("pair_completeness"),
+        round(lit(1.0) - col("n_candidates").cast("double")
+          / col("n_all_pairs"), 6).as("reduction_ratio"))
+  }
+
   /** Canonical-name mapping from a fuzzy pair graph: connected
     * components over the match pairs, canonical = the lexicographically
     * smallest name in each component (singletons map to themselves).

@@ -301,6 +301,34 @@ object Engine {
         val pairs = graft.ops.EntityResolution.blockedFuzzyPairs(
           entities, "p_name", substring(col("p_name"), 1, 1), 0.86)
         graft.ops.EntityResolution.canonicalize(entities, "p_name", pairs)
-      })
+      }),
+
+    // Blocking-quality evaluation for the q167 scheme: pair
+    // completeness (which true JW-pairs the first-char block + length
+    // band can even see) and reduction ratio (how much of the
+    // quadratic space it discards). Ground truth is the unblocked
+    // quadratic join, so this is an ENTITY-VOCABULARY protocol — the
+    // standard ER evaluation, run on the distinct-name table (or a
+    // sample) before committing a blocking key at fact scale.
+    QueryDef("q174_blocking_quality", Some("""
+      WITH e AS (SELECT DISTINCT p_name FROM part),
+      pr AS (SELECT a.p_name AS na, b.p_name AS nb,
+                    substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+                      AND abs(len(a.p_name) - len(b.p_name)) <= 3 AS cand,
+                    jaro_winkler_similarity(a.p_name, b.p_name) >= 0.86 AS istrue
+             FROM e a JOIN e b ON a.p_name < b.p_name)
+      SELECT CAST(count(*) AS BIGINT) AS n_all_pairs,
+             CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+             CAST(sum(CASE WHEN istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pairs,
+             CAST(sum(CASE WHEN cand AND istrue THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked_true,
+             round(CAST(sum(CASE WHEN cand AND istrue THEN 1 ELSE 0 END) AS DOUBLE)
+                   / greatest(sum(CASE WHEN istrue THEN 1 ELSE 0 END), 1), 6) AS pair_completeness,
+             round(1.0 - CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) AS reduction_ratio
+      FROM pr"""),
+      (spark, dir) =>
+        graft.ops.EntityResolution.blockingQuality(
+          T(spark, dir, "part").select(col("p_name")),
+          "p_name", substring(col("p_name"), 1, 1), 0.86))
   )
 }

@@ -338,42 +338,12 @@ object Text {
     // corpus. The per-doc float sum is an ordered fold (by gram; equal
     // grams carry equal logp, so tie order cannot change the sequence
     // of addends) making the hash oracle exact.
-    QueryDef("q123_bigram_lm", Some("""
-      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      uni AS (SELECT unnest(t) AS w FROM tok),
-      c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
-      v AS (SELECT count(*) AS v FROM c1),
-      bg AS (SELECT doc_id,
-                    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g,
-                    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1
-             FROM tok WHERE len(t) >= 2),
-      c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
-      lp AS (SELECT doc_id, b.g,
-                    ln((c2 + 0.5) / (c1 + 0.5 * v)) AS logp
-             FROM bg b JOIN c2 USING (g) JOIN c1 ON b.w1 = c1.w CROSS JOIN v)
+    QueryDef("q123_bigram_lm", Some(s"""
+      WITH $BigramNllCtes
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
              round(-list_reduce(list(logp ORDER BY g), (x, y) -> x + y) / count(*), 6) AS avg_nll
       FROM lp GROUP BY doc_id"""),
-      (spark, dir) => {
-        val docs = T(spark, dir, "documents")
-        val toks = TextOps.tokenize(col("text"))
-        val uni = docs.select(explode(toks).as("w"))
-          .groupBy("w").agg(count(lit(1)).as("c1"))
-        val vocab = uni.agg(count(lit(1)).as("v"))
-        val bg = docs
-          .select(col("doc_id"), explode(TextOps.ngramsAll(toks, 2)).as("g"))
-          .withColumn("w1", substring_index(col("g"), " ", 1))
-        val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
-        val lp = bg.join(c2, "g").join(uni, col("w1") === col("w"))
-          .crossJoin(broadcast(vocab))
-          .select(col("doc_id"), col("g"),
-            log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("v"))).as("logp"))
-        lp.select(col("doc_id"), struct(col("g"), col("logp").as("v")).as("e"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"), array_sort(collect_list(col("e"))).as("__s"))
-          .select(col("doc_id"), col("n_bigrams"),
-            round(-orderedSum("v") / col("n_bigrams"), 6).as("avg_nll"))
-      }),
+      (spark, dir) => bigramAvgNll(T(spark, dir, "documents"))),
 
     // Repeated-n-gram duplication signal (the exact-substring dedup
     // measure of Lee et al., "Deduplicating Training Data Makes
@@ -701,6 +671,42 @@ object Text {
             (col("b50") * w + w / 2).cast("int").as("p50_est"),
             (col("b95") * w + w / 2).cast("int").as("p95_est"),
             col("p50_exact"), col("p95_exact"))
+      }),
+
+    // CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): the
+    // q123 bigram-LM perplexity score cut into PER-LANGUAGE tertiles —
+    // quality thresholds must be relative to each language's own score
+    // distribution, or low-resource languages (systematically higher
+    // NLL under a shared model) would be filtered wholesale. Total
+    // order inside a language = (avg_nll, doc_id), so ntile is
+    // deterministic on both engines. Per-language windows are the
+    // natural partitioning (parallelism = languages; a giant
+    // single-language corpus would use GlobalRank.withNtile per
+    // stratum instead — same numbers, two-pass, cluster-wide).
+    QueryDef("q173_ccnet_buckets", Some(s"""
+      WITH $BigramNllCtes,
+      ppl AS (SELECT doc_id,
+                     round(-list_reduce(list(logp ORDER BY g), (x, y) -> x + y)
+                           / count(*), 6) AS avg_nll
+              FROM lp GROUP BY doc_id),
+      nt AS (SELECT p.doc_id, d.lang, p.avg_nll,
+                    ntile(3) OVER (PARTITION BY d.lang
+                                   ORDER BY p.avg_nll, p.doc_id) AS t
+             FROM ppl p JOIN documents d USING (doc_id))
+      SELECT doc_id, lang, avg_nll,
+             CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+      FROM nt"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = T(spark, dir, "documents")
+        val scored = bigramAvgNll(docs)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        val t = ntile(3).over(Window.partitionBy("lang")
+          .orderBy(col("avg_nll"), col("doc_id")))
+        scored.withColumn("t", t)
+          .select(col("doc_id"), col("lang"), col("avg_nll"),
+            when(col("t") === 1, "head").when(col("t") === 2, "middle")
+              .otherwise("tail").as("bucket"))
       })
   )
 
@@ -712,4 +718,46 @@ object Text {
     aggregate(expr("slice(__s, 2, size(__s) - 1)"),
       element_at(col("__s"), 1).getField(valCol),
       (acc, v) => acc + v.getField(valCol))
+
+  /** The q123 oracle's CTE chain (tok→uni→c1→v→bg→c2→lp), shared by
+    * the q123 and q173 oracles so the LM definition cannot drift.
+    */
+  // `def`, not `val`: defs above initializes first, and a forward `val`
+  // reference would interpolate null into the oracle SQL.
+  private def BigramNllCtes: String = """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      uni AS (SELECT unnest(t) AS w FROM tok),
+      c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+      v AS (SELECT count(*) AS v FROM c1),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g,
+                    unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1
+             FROM tok WHERE len(t) >= 2),
+      c2 AS (SELECT g, count(*) AS c2 FROM bg GROUP BY g),
+      lp AS (SELECT doc_id, b.g,
+                    ln((c2 + 0.5) / (c1 + 0.5 * v)) AS logp
+             FROM bg b JOIN c2 USING (g) JOIN c1 ON b.w1 = c1.w CROSS JOIN v)"""
+
+  /** The q123 pipeline as a reusable scorer: corpus-trained add-k
+    * bigram-LM average NLL per document → (doc_id, n_bigrams, avg_nll).
+    * Shared by q123 and the q173 CCNet-style bucketer.
+    */
+  private[queries] def bigramAvgNll(docs: org.apache.spark.sql.DataFrame) = {
+    val toks = TextOps.tokenize(col("text"))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bg = docs
+      .select(col("doc_id"), explode(TextOps.ngramsAll(toks, 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val c2 = bg.groupBy("g").agg(count(lit(1)).as("c2"))
+    val lp = bg.join(c2, "g").join(uni, col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("g"),
+        log((col("c2") + lit(0.5)) / (col("c1") + lit(0.5) * col("v"))).as("logp"))
+    lp.select(col("doc_id"), struct(col("g"), col("logp").as("v")).as("e"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), array_sort(collect_list(col("e"))).as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-orderedSum("v") / col("n_bigrams"), 6).as("avg_nll"))
+  }
 }

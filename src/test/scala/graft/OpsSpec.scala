@@ -310,6 +310,23 @@ class OpsSpec extends SparkSuite {
     assert(pairs.filter(col("jw_sim") < 0.93).count() == 0)
   }
 
+  test("EntityResolution.blockingQuality: trivial block -> completeness 1, no reduction") {
+    val names = Seq("abc", "abd", "xbd", "qqq").toDF("name")
+    // one global block, wide band: every pair is a candidate
+    val r = graft.ops.EntityResolution.blockingQuality(
+      names, "name", lit(1), 0.8, maxLenDiff = 99).head
+    assert(r.getLong(0) == 6)                  // C(4,2)
+    assert(r.getLong(1) == 6)                  // all candidates
+    assert(r.getLong(2) == r.getLong(3))       // every true pair retained
+    assert(r.getDouble(4) == 1.0)              // pair completeness
+    assert(r.getDouble(5) == 0.0)              // no reduction
+    // first-char blocking splits abc/abd from xbd: completeness drops, reduction rises
+    val b = graft.ops.EntityResolution.blockingQuality(
+      names, "name", substring(col("name"), 1, 1), 0.8).head
+    assert(b.getLong(1) < 6 && b.getDouble(5) > 0.0)
+    assert(b.getDouble(4) <= 1.0)
+  }
+
   test("EntityResolution.canonicalize: min name per component, singletons self") {
     val names = Seq("aa", "ab", "ac", "zz", "qq").toDF("name")
     val pairs = Seq(("aa", "ab"), ("ab", "ac")).toDF("name_a", "name_b")
