@@ -133,6 +133,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         str(exprs(2)), str(exprs(3)),
         org.apache.spark.sql.functions.expr(str(exprs(4))), int(exprs(5)))
     }
+    // fuzzy entity resolution: the block key is a SQL expression string
+    // over the name table's columns (same parse-in-session discipline
+    // as graft_filtered_topk) — `graft_fuzzy_pairs('names', 'name',
+    // 'substring(name, 1, 1)', 0.86[, 3])`
+    injectTable(e, "graft_fuzzy_pairs", classOf[graft.ops.EntityResolution.type]) { exprs =>
+      graft.ops.EntityResolution.blockedFuzzyPairs(
+        activeTable(exprs(0)), str(exprs(1)),
+        org.apache.spark.sql.functions.expr(str(exprs(2))),
+        foldedDouble(exprs(3)), optInt(exprs, 4, 3))
+    }
+    injectTable(e, "graft_er_canonicalize", classOf[graft.ops.EntityResolution.type]) { exprs =>
+      val entities = activeTable(exprs(0))
+      val nameCol = str(exprs(1))
+      val pairs = graft.ops.EntityResolution.blockedFuzzyPairs(
+        entities, nameCol, org.apache.spark.sql.functions.expr(str(exprs(2))),
+        foldedDouble(exprs(3)), optInt(exprs, 4, 3))
+      graft.ops.EntityResolution.canonicalize(entities, nameCol, pairs)
+    }
   }
 
   /** Evaluate a foldable literal argument (the weight knobs) to Double. */

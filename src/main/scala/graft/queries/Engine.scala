@@ -329,6 +329,73 @@ object Engine {
       (spark, dir) =>
         graft.ops.EntityResolution.blockingQuality(
           T(spark, dir, "part").select(col("p_name")),
-          "p_name", substring(col("p_name"), 1, 1), 0.86))
+          "p_name", substring(col("p_name"), 1, 1), 0.86)),
+
+    // Pre-join cardinality estimation from KMV sketches (the θ-sketch
+    // combine): |A∪B|, |A∩B| and key Jaccard for a prospective join,
+    // estimated from each side's k smallest distinct key hashes — the
+    // "how big is this shuffle" number a planner wants BEFORE running
+    // the join. Exact audit columns ride along to exhibit the error;
+    // at 100 TB only the sketch halves run (each one aggregation pass,
+    // k·8 bytes out, combine on two broadcast rows). Deterministic
+    // md5-derived hashes make the estimate itself oracle-checkable.
+    QueryDef("q175_join_cardinality", Some(s"""
+      WITH ka AS (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS key
+                  FROM part WHERE p_type = 'ECONOMY'),
+      kb AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS key FROM lineitem),
+      sa AS (SELECT ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT AS h
+             FROM ka ORDER BY h LIMIT $KmvJoinK),
+      sb AS (SELECT ('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 15))::BIGINT AS h
+             FROM kb ORDER BY h LIMIT $KmvJoinK),
+      m AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+            ORDER BY h LIMIT $KmvJoinK),
+      s AS (SELECT (SELECT count(*) FROM m) AS msz,
+                   (SELECT max(h) FROM m) AS hmax,
+                   (SELECT count(*) FROM m
+                    WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS c,
+                   (SELECT count(*) FROM ka) AS n_a,
+                   (SELECT count(*) FROM kb) AS n_b,
+                   (SELECT count(*) FROM ka JOIN kb USING (key)) AS n_inter),
+      e AS (SELECT *,
+                   CASE WHEN msz < $KmvJoinK THEN CAST(msz AS DOUBLE)
+                        ELSE ${KmvJoinK - 1}.0 / (hmax / 1152921504606846976.0)
+                   END AS union_est,
+                   CAST(c AS DOUBLE) / msz AS jac
+            FROM s)
+      SELECT CAST($KmvJoinK AS INTEGER) AS k,
+             CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(n_inter AS BIGINT) AS n_inter,
+             CAST(n_a + n_b - n_inter AS BIGINT) AS n_union,
+             round(union_est, 6) AS union_est,
+             round(jac * union_est, 6) AS inter_est,
+             round(jac, 6) AS jaccard_est,
+             round(abs(round(union_est, 6) - (n_a + n_b - n_inter))
+                   / (n_a + n_b - n_inter), 6) AS err_union
+      FROM e"""),
+      (spark, dir) => {
+        val k = KmvJoinK
+        val aKeys = T(spark, dir, "part").filter(col("p_type") === "ECONOMY")
+          .select(col("p_partkey").cast("long").as("key"))
+        val bKeys = T(spark, dir, "lineitem")
+          .select(col("l_partkey").cast("long").as("key"))
+        val est = graft.ops.JoinEstimate.keyOverlap(
+          aKeys, col("key"), bKeys, col("key"), k)
+        val da = aKeys.distinct()
+        val db = bKeys.distinct()
+        val exact = da.agg(count(lit(1)).as("n_a"))
+          .crossJoin(db.agg(count(lit(1)).as("n_b")))
+          .crossJoin(da.join(db, "key").agg(count(lit(1)).as("n_inter")))
+          .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+        est.crossJoin(broadcast(exact))
+          .select(col("k"), col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+            col("union_est"), col("inter_est"), col("jaccard_est"),
+            round(abs(col("union_est") - col("n_union")) / col("n_union"), 6)
+              .as("err_union"))
+      })
   )
+
+  /** Sketch size of the q175 join-cardinality estimate. (`def`: defs
+    * above initializes first — a forward `val` would interpolate 0.)
+    */
+  private def KmvJoinK = 256
 }

@@ -283,6 +283,24 @@ class OpsSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("JoinEstimate.keyOverlap: exact below k, bounded error above, partition-independent") {
+    val a = (1 to 2000).map(_.toLong).toDF("k")
+    val b = (1001 to 3000).map(_.toLong).toDF("k")
+    // sketches smaller than the key sets: estimates, bounded error
+    val est = graft.ops.JoinEstimate.keyOverlap(
+      a.repartition(7), col("k"), b.repartition(3), col("k"), 256).head
+    assert(math.abs(est.getDouble(1) - 3000) / 3000 < 0.2, s"union ${est.getDouble(1)}")
+    assert(math.abs(est.getDouble(2) - 1000) / 1000 < 0.3, s"inter ${est.getDouble(2)}")
+    // identical under any partitioning (pure function of the data)
+    val est2 = graft.ops.JoinEstimate.keyOverlap(a.repartition(2), col("k"), b, col("k"), 256).head
+    assert(est.toSeq == est2.toSeq)
+    // k above both cardinalities: everything exact
+    val sm = graft.ops.JoinEstimate.keyOverlap(
+      (1 to 50).map(_.toLong).toDF("k"), col("k"),
+      (1 to 80).map(_.toLong).toDF("k"), col("k"), 256).head
+    assert(sm.getDouble(1) == 80.0 && sm.getDouble(2) == 50.0)
+  }
+
   test("Quality.kAnonymize: sparse QI groups suppressed, others released intact") {
     val df = Seq((1L, "x", 10), (2L, "x", 10), (3L, "x", 10),
       (4L, "y", 20), (5L, "y", 20)).toDF("id", "seg", "band")

@@ -152,5 +152,19 @@ class RulesSpec extends SparkSuite {
         "SELECT * FROM graft_filtered_topk('tf_embl', 'tf_q', 'vec_id', 'embedding', 'label = 1', 5)")) ==
       img(SimSearch.filteredIvfTopK(embL, q, "vec_id", "embedding",
         col("label") === 1, 5)))
+    val names = spark.read.parquet(s"$sf/part.parquet").select(col("p_name"))
+    names.createOrReplaceTempView("tf_names")
+    assert(img(spark.sql(
+        "SELECT * FROM graft_fuzzy_pairs('tf_names', 'p_name', 'substring(p_name, 1, 1)', 0.86)")) ==
+      img(graft.ops.EntityResolution.blockedFuzzyPairs(
+        names, "p_name", substring(col("p_name"), 1, 1), 0.86)))
+    assert(img(spark.sql(
+        "SELECT * FROM graft_er_canonicalize('tf_names', 'p_name', 'substring(p_name, 1, 1)', 0.86)")) ==
+      img {
+        val e = names.select(col("p_name")).distinct()
+        graft.ops.EntityResolution.canonicalize(e, "p_name",
+          graft.ops.EntityResolution.blockedFuzzyPairs(
+            e, "p_name", substring(col("p_name"), 1, 1), 0.86))
+      })
   }
 }
