@@ -461,5 +461,51 @@ object Relational4 {
           T(spark, dir, "part").filter(col("p_brand") === "Brand#13"), "p_partkey")
           .groupBy("p_type")
           .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
-            count(lit(1)).as("n_items"))))
+            count(lit(1)).as("n_items"))),
+
+    // SCD Type-2 dimension maintenance (ops.Scd2): one update batch
+    // against the customer dimension exercising all three behaviors —
+    // a deterministic md5-selected fifth gets a balance change (old row
+    // closes at v1, new opens), another fifth arrives UNCHANGED (no-op,
+    // no empty version), and a twentieth arrives as brand-new keys
+    // (insert, open at v1). The oracle reconstructs the exact history
+    // table; the as-of join correctness this enables is q119's.
+    QueryDef("q176_scd2_history", Some("""
+      WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                           c_mktsegment, c_acctbal,
+                           ('0x' || substr(md5(CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT
+                             % 1000003 + 1 AS r
+                    FROM customer),
+      changed AS (SELECT c_custkey, c_mktsegment, c_acctbal + 100 AS c_acctbal
+                  FROM base WHERE r % 5 = 0),
+      inserts AS (SELECT c_custkey + 1000000 AS c_custkey,
+                         'NEW' AS c_mktsegment, 0.0 AS c_acctbal
+                  FROM base WHERE r % 20 = 2)
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(0 AS BIGINT) AS valid_from,
+             CASE WHEN r % 5 = 0 THEN CAST(1 AS BIGINT) END AS valid_to,
+             r % 5 <> 0 AS is_current
+      FROM base
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true FROM changed
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true FROM inserts"""),
+      (spark, dir) => {
+        import graft.ops.{Sampling, Scd2}
+        val base = T(spark, dir, "customer")
+          .select(col("c_custkey").cast("long").as("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal"))
+        val r = Sampling.hashRank(col("c_custkey"))
+        val changed = base.filter(r % 5 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100)
+        val noop = base.filter(r % 5 === 1)
+        val inserts = base.filter(r % 20 === 2)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+        val updates = changed.unionByName(noop).unionByName(inserts)
+        Scd2(Scd2.init(base, 0L), updates, "c_custkey",
+          Seq("c_mktsegment", "c_acctbal"), version = 1L)
+      }))
 }

@@ -482,6 +482,46 @@ object Retrieval {
         val p2 = tf.join(broadcast(top2.filter(col("r") === 2)), "term")
           .select(col("doc_id"), col("tf").cast("int").as("tf_2"))
         p1.join(p2, "doc_id")
+      }),
+
+    // Tokenizer-fertility evaluation per language — the acceptance
+    // metric of a trained tokenizer (tokens/word and chars/token by
+    // language; a vocabulary trained on a skewed mix over-fragments the
+    // under-represented languages). Reuses the q115/q128 BPE chain on
+    // the WORD VOCABULARY (the merge loop never touches the corpus
+    // twice); the corpus-side cost is one (lang, word) count and a
+    // vocabulary-sized broadcast join back.
+    QueryDef("q177_tokenizer_fertility", Some(s"""
+      ${bpeCtes(BpeSteps)},
+      enc AS (SELECT w, CAST(len(regexp_extract_all(s, '\\(([^()]+)\\)', 1)) AS BIGINT) AS nt
+              FROM w$BpeSteps),
+      lw AS (SELECT lang, w, count(*) AS n_occ
+             FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+             GROUP BY lang, w)
+      SELECT lang, CAST(sum(n_occ) AS BIGINT) AS n_words,
+             CAST(sum(n_occ * nt) AS BIGINT) AS n_tokens,
+             CAST(sum(n_occ * length(w)) AS BIGINT) AS n_chars,
+             round(CAST(sum(n_occ * nt) AS DOUBLE) / sum(n_occ), 6) AS fertility,
+             round(CAST(sum(n_occ * length(w)) AS DOUBLE) / sum(n_occ * nt), 6) AS chars_per_token
+      FROM lw JOIN enc USING (w) GROUP BY lang"""),
+      (spark, dir) => {
+        val docs = T(spark, dir, "documents")
+        val words = docs.select(explode(TextOps.tokenize(col("text"))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        val enc = graft.llm.Bpe.encodeWords(words, "w", "cnt", BpeSteps)
+          .select(col("w"), col("n_bpe_tokens").cast("long").as("nt"))
+        val lw = docs
+          .select(col("lang"), explode(TextOps.tokenize(col("text"))).as("w"))
+          .groupBy("lang", "w").agg(count(lit(1)).as("n_occ"))
+        lw.join(broadcast(enc), "w")
+          .groupBy("lang")
+          .agg(sum(col("n_occ")).as("n_words"),
+            sum(col("n_occ") * col("nt")).as("n_tokens"),
+            sum(col("n_occ") * length(col("w"))).as("n_chars"))
+          .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+            round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+            round(col("n_chars").cast("double") / col("n_tokens"), 6)
+              .as("chars_per_token"))
       })
   )
 }

@@ -283,6 +283,39 @@ class OpsSpec extends SparkSuite {
       .count() == 0)
   }
 
+  test("Scd2: insert/change/no-op per batch; asOf slices reconstruct each version") {
+    import graft.ops.Scd2
+    val v0 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "seg", "bal")
+    val h0 = Scd2.init(v0, 0L)
+    // v1: key 1 changes, key 2 arrives unchanged (no-op), key 4 is new
+    val u1 = Seq((1L, "a", 11.0), (2L, "b", 20.0), (4L, "d", 40.0)).toDF("k", "seg", "bal")
+    val h1 = Scd2(h0, u1, "k", Seq("seg", "bal"), 1L).cache()
+    assert(h1.count() == 5) // 3 originals + closed-and-reopened 1 + new 4
+    val cur = h1.filter(col("is_current")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(cur == Map(1L -> ("a", 11.0), 2L -> ("b", 20.0),
+      3L -> ("c", 30.0), 4L -> ("d", 40.0)))
+    val closedRow = h1.filter(col("k") === 1 && !col("is_current")).head
+    assert(closedRow.getDouble(2) == 10.0 &&
+      closedRow.getAs[Long]("valid_to") == 1L)
+    // v2: key 1 changes again -> three versions of key 1 in history
+    val u2 = Seq((1L, "z", 11.0)).toDF("k", "seg", "bal")
+    val h2 = Scd2(h1, u2, "k", Seq("seg", "bal"), 2L).cache()
+    assert(h2.filter(col("k") === 1).count() == 3)
+    // as-of slices reproduce each point-in-time image
+    def img(df: org.apache.spark.sql.DataFrame) = df.select("k", "seg", "bal")
+      .collect().map(_.toSeq).toSet
+    assert(img(Scd2.asOf(h2, 0)) == v0.collect().map(_.toSeq).toSet)
+    assert(img(Scd2.asOf(h2, 1)) == Set(Seq(1L, "a", 11.0), Seq(2L, "b", 20.0),
+      Seq(3L, "c", 30.0), Seq(4L, "d", 40.0)))
+    assert(img(Scd2.asOf(h2, 2)) == Set(Seq(1L, "z", 11.0), Seq(2L, "b", 20.0),
+      Seq(3L, "c", 30.0), Seq(4L, "d", 40.0)))
+    // null-safe change detection: null -> value IS a change
+    val hn = Scd2.init(Seq((9L, null.asInstanceOf[String], 1.0)).toDF("k", "seg", "bal"), 0L)
+    val hn1 = Scd2(hn, Seq((9L, "x", 1.0)).toDF("k", "seg", "bal"), "k", Seq("seg", "bal"), 1L)
+    assert(hn1.count() == 2)
+  }
+
   test("JoinEstimate.keyOverlap: exact below k, bounded error above, partition-independent") {
     val a = (1 to 2000).map(_.toLong).toDF("k")
     val b = (1001 to 3000).map(_.toLong).toDF("k")
