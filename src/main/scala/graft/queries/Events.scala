@@ -397,6 +397,64 @@ object Events {
               element_at(col("__s"), 1).getField("v"),
               (acc, x) => acc + x.getField("v")), 6).as("kl_vs_prev"),
             col("n_types"))
+      }),
+
+    // CUSUM changepoint/anomaly detection over hourly event rates (Page
+    // 1954): per type, S_t = max(0, S_{t-1} + (x_t − μ − 0.5μ)), alarm
+    // when S_t > 2μ — the sequential drift detector a rate monitor runs
+    // where the q149 weekly KL is too coarse. The recurrence is an
+    // ordered left fold over the type's hour series (the q123
+    // sorted-aggregate discipline, generalized from + to add-then-clamp
+    // — both engines execute the identical double-op sequence, so the
+    // whole S series hash-matches). Per-type series fold: parallelism =
+    // types, one shuffle for the hourly counts; the fold itself is an
+    // array op on one row per type, never a global window.
+    QueryDef("q178_cusum_anomaly", Some("""
+      WITH hx AS (SELECT event_type,
+                         strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                         CAST(count(*) AS DOUBLE) AS x
+                  FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, sum(x) / count(*) AS mu FROM hx GROUP BY 1),
+      a AS (SELECT h.event_type, mu,
+                   list(h.hour ORDER BY h.hour) AS hs,
+                   list(h.x ORDER BY h.hour) AS xs,
+                   list(h.x - mu - 0.5 * mu ORDER BY h.hour) AS devs
+            FROM hx h JOIN st USING (event_type) GROUP BY h.event_type, mu),
+      r AS (SELECT event_type, mu, unnest(hs) AS hour, unnest(xs) AS x,
+                   unnest(list_transform(generate_series(1, len(devs)),
+                     i -> list_reduce(list_prepend(0.0, devs[1:i]),
+                            (acc, v) -> greatest(acc + v, 0.0)))) AS s
+            FROM a)
+      SELECT event_type, hour, CAST(x AS BIGINT) AS n_events,
+             round(s, 6) AS cusum, s > 2 * mu AS alarm
+      FROM r"""),
+      (spark, dir) => {
+        val hx = T(spark, dir, "events")
+          .groupBy(col("event_type"),
+            date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"))
+          .agg(count(lit(1)).cast("double").as("x"))
+        val st = hx.groupBy("event_type")
+          .agg((sum(col("x")) / count(lit(1))).as("mu"))
+        val a = hx.join(st, "event_type")
+          .select(col("event_type"), col("mu"), struct(col("hour"), col("x")).as("e"))
+          .groupBy("event_type", "mu")
+          .agg(array_sort(collect_list(col("e"))).as("arr"))
+          .withColumn("devs", transform(col("arr"),
+            e => e.getField("x") - col("mu") - lit(0.5) * col("mu")))
+          // running CUSUM: array-accumulator left fold (S_t appended as
+          // max(S_{t-1} + dev_t, 0)); numerically identical to the
+          // oracle's per-prefix refold — same add-then-clamp chain.
+          .withColumn("ss", slice(
+            aggregate(col("devs"), array(lit(0.0)),
+              (acc, v) => concat(acc, array(greatest(element_at(acc, lit(-1)) + v, lit(0.0))))),
+            lit(2), size(col("devs"))))
+        a.select(col("event_type"), col("mu"),
+            posexplode(arrays_zip(col("arr"), col("ss"))).as(Seq("i", "z")))
+          .select(col("event_type"),
+            col("z.arr.hour").as("hour"),
+            col("z.arr.x").cast("long").as("n_events"),
+            round(col("z.ss"), 6).as("cusum"),
+            (col("z.ss") > lit(2.0) * col("mu")).as("alarm"))
       })
   )
 }

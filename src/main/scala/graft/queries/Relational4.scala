@@ -470,8 +470,67 @@ object Relational4 {
     // no empty version), and a twentieth arrives as brand-new keys
     // (insert, open at v1). The oracle reconstructs the exact history
     // table; the as-of join correctness this enables is q119's.
-    QueryDef("q176_scd2_history", Some("""
-      WITH base AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+    QueryDef("q176_scd2_history", Some(s"""
+      WITH $Scd2Ctes
+      SELECT c_custkey, c_mktsegment, c_acctbal, valid_from, valid_to, is_current
+      FROM hist"""),
+      (spark, dir) => scd2History(spark, dir)),
+
+    // The payoff of q176's history: an AS-OF fact join. Each order is
+    // stamped with a deterministic version (md5 rank of the order key,
+    // mod 2) and joins the customer dimension row VALID AT that version
+    // — version-0 orders see pre-change balances, version-1 orders see
+    // the post-batch rows. Key-equi join with the validity interval as
+    // the join filter; this is what Type 1 overwriting can never answer.
+    QueryDef("q179_scd2_asof_join", Some(s"""
+      WITH $Scd2Ctes,
+      facts AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                       CAST(o_custkey AS BIGINT) AS k,
+                       CAST(('0x' || substr(md5(CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT
+                            % 1000003 + 1 AS BIGINT) % 2 AS v
+                FROM orders)
+      SELECT f.o_orderkey, f.v AS version, h.c_custkey, h.c_mktsegment,
+             h.c_acctbal, h.valid_from
+      FROM facts f JOIN hist h ON f.k = h.c_custkey
+      WHERE h.valid_from <= f.v AND (h.valid_to IS NULL OR h.valid_to > f.v)"""),
+      (spark, dir) => {
+        import graft.ops.Sampling
+        val hist = scd2History(spark, dir)
+        val facts = T(spark, dir, "orders")
+          .select(col("o_orderkey").cast("long").as("o_orderkey"),
+            col("o_custkey").cast("long").as("k"),
+            (Sampling.hashRank(col("o_orderkey").cast("long")) % 2).as("v"))
+        facts.join(hist,
+            col("k") === col("c_custkey") && col("valid_from") <= col("v") &&
+              (col("valid_to").isNull || col("valid_to") > col("v")))
+          .select(col("o_orderkey"), col("v").as("version"), col("c_custkey"),
+            col("c_mktsegment"), col("c_acctbal"), col("valid_from"))
+      }))
+
+  /** The q176 history build, shared with q179's as-of join. */
+  private def scd2History(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.ops.{Sampling, Scd2}
+    val base = T(spark, dir, "customer")
+      .select(col("c_custkey").cast("long").as("c_custkey"),
+        col("c_mktsegment"), col("c_acctbal"))
+    val r = Sampling.hashRank(col("c_custkey"))
+    val changed = base.filter(r % 5 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 100)
+    val noop = base.filter(r % 5 === 1)
+    val inserts = base.filter(r % 20 === 2)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
+    val updates = changed.unionByName(noop).unionByName(inserts)
+    Scd2(Scd2.init(base, 0L), updates, "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"), version = 1L)
+  }
+
+  /** The q176 oracle's CTE chain ending in `hist` — shared with q179 so
+    * the history definition cannot drift. (`def`: defs initializes
+    * first.)
+    */
+  private def Scd2Ctes: String = """base AS (SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
                            c_mktsegment, c_acctbal,
                            ('0x' || substr(md5(CAST(CAST(c_custkey AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT
                              % 1000003 + 1 AS r
@@ -480,32 +539,17 @@ object Relational4 {
                   FROM base WHERE r % 5 = 0),
       inserts AS (SELECT c_custkey + 1000000 AS c_custkey,
                          'NEW' AS c_mktsegment, 0.0 AS c_acctbal
-                  FROM base WHERE r % 20 = 2)
-      SELECT c_custkey, c_mktsegment, c_acctbal,
-             CAST(0 AS BIGINT) AS valid_from,
-             CASE WHEN r % 5 = 0 THEN CAST(1 AS BIGINT) END AS valid_to,
-             r % 5 <> 0 AS is_current
-      FROM base
-      UNION ALL
-      SELECT c_custkey, c_mktsegment, c_acctbal,
-             CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true FROM changed
-      UNION ALL
-      SELECT c_custkey, c_mktsegment, c_acctbal,
-             CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true FROM inserts"""),
-      (spark, dir) => {
-        import graft.ops.{Sampling, Scd2}
-        val base = T(spark, dir, "customer")
-          .select(col("c_custkey").cast("long").as("c_custkey"),
-            col("c_mktsegment"), col("c_acctbal"))
-        val r = Sampling.hashRank(col("c_custkey"))
-        val changed = base.filter(r % 5 === 0)
-          .withColumn("c_acctbal", col("c_acctbal") + 100)
-        val noop = base.filter(r % 5 === 1)
-        val inserts = base.filter(r % 20 === 2)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"),
-            lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal"))
-        val updates = changed.unionByName(noop).unionByName(inserts)
-        Scd2(Scd2.init(base, 0L), updates, "c_custkey",
-          Seq("c_mktsegment", "c_acctbal"), version = 1L)
-      }))
+                  FROM base WHERE r % 20 = 2),
+      hist AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(0 AS BIGINT) AS valid_from,
+               CASE WHEN r % 5 = 0 THEN CAST(1 AS BIGINT) END AS valid_to,
+               r % 5 <> 0 AS is_current
+        FROM base
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true FROM changed
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(1 AS BIGINT), CAST(NULL AS BIGINT), true FROM inserts)"""
 }
