@@ -53,6 +53,36 @@ object EntityResolution {
       .select(col("name_a"), col("name_b"), col("jw_sim"))
   }
 
+  /** Cross-table fuzzy LOOKUP — the other half of record linkage: a
+    * dirty probe feed (misspellings, OCR output, user input) matched
+    * against a clean canonical directory, each probe resolved to its
+    * single best directory entry (highest Jaro-Winkler, ties to the
+    * lexicographically smallest name). Same block+band candidate
+    * generation as [[blockedFuzzyPairs]]; probes whose block key has no
+    * directory counterpart simply don't match (the recall cost
+    * [[blockingQuality]] measures). Top-1 plans as WindowGroupLimit via
+    * [[TopK.exactPerKey]] — no full sort of the candidate set.
+    */
+  def fuzzyLookup(probes: DataFrame, probeCol: String,
+                  directory: DataFrame, dirCol: String,
+                  blockOf: Column => Column, threshold: Double,
+                  maxLenDiff: Int = 3): DataFrame = {
+    JaroWinkler.register(probes.sparkSession)
+    val p = probes.select(col(probeCol)).distinct()
+      .select(col(probeCol), blockOf(col(probeCol)).as("__blk"),
+        length(col(probeCol)).as("__lp"))
+    val d = directory.select(col(dirCol)).distinct()
+      .select(col(dirCol).as("__dn"), blockOf(col(dirCol)).as("__blk"),
+        length(col(dirCol)).as("__ld"))
+    val cand = p.join(d, Seq("__blk"))
+      .filter(abs(col("__lp") - col("__ld")) <= maxLenDiff)
+      .withColumn("jw_sim", JaroWinkler.jaroWinkler(col(probeCol), col("__dn")))
+      .filter(col("jw_sim") >= threshold)
+    TopK.exactPerKey(cand, Seq(probeCol),
+        Seq(col("jw_sim").desc, col("__dn").asc), 1, "__r")
+      .select(col(probeCol), col("__dn").as("matched"), col("jw_sim"))
+  }
+
   /** Blocking-quality metrics — the two numbers that justify (or
     * condemn) a blocking scheme before it runs at scale:
     *

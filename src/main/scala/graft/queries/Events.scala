@@ -455,6 +455,48 @@ object Events {
             col("z.arr.x").cast("long").as("n_events"),
             round(col("z.ss"), 6).as("cusum"),
             (col("z.ss") > lit(2.0) * col("mu")).as("alarm"))
+      }),
+
+    // Per-type daily-rate trend: closed-form OLS slope/intercept of
+    // count-per-day against the day index — is this event type growing
+    // or shrinking, with slope in events/day. All five sufficient
+    // statistics (n, Σx, Σy, Σxy, Σx²) are EXACT integer sums (days are
+    // rebased to the corpus' first day so magnitudes stay small), so
+    // the only float ops are the two final divisions — rounded once on
+    // both engines. One aggregation, parallelism = types.
+    QueryDef("q180_trend_slope", Some("""
+      WITH d AS (SELECT event_type,
+                        CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT) AS day,
+                        count(*) AS y
+                 FROM events GROUP BY 1, 2),
+      mn AS (SELECT min(day) AS d0 FROM d),
+      t AS (SELECT event_type, day - d0 AS x, CAST(y AS BIGINT) AS y FROM d, mn),
+      s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM t GROUP BY event_type)
+      SELECT event_type, n,
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                   / (n * sxx - sx * sx), 6) AS slope,
+             round((sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+      FROM s"""),
+      (spark, dir) => {
+        val d = T(spark, dir, "events")
+          .groupBy(col("event_type"),
+            (unix_timestamp(date_trunc("day", col("ts"))) / 86400).cast("long").as("day"))
+          .agg(count(lit(1)).as("y"))
+        val mn = d.agg(min(col("day")).as("d0"))
+        val s = d.crossJoin(broadcast(mn))
+          .select(col("event_type"), (col("day") - col("d0")).as("x"), col("y"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        s.select(col("event_type"), col("n"),
+          round(num / den, 6).as("slope"),
+          round((col("sy") - num / den * col("sx")) / col("n"), 6).as("intercept"))
       })
   )
 }
