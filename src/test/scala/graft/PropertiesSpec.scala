@@ -164,4 +164,60 @@ class PropertiesSpec extends SparkSuite {
         "a root exceeds its member id (not the component min)")
     }
   }
+
+  test("jaroWinkler: bounded in [0,1], symmetric, identity=1, empty=0") {
+    import graft.engine.expressions.JaroWinkler
+    JaroWinkler.register(spark)
+    def jw(a: String, b: String): Double =
+      spark.range(1).select(JaroWinkler.jaroWinkler(lit(a), lit(b)).as("v"))
+        .head.getDouble(0)
+    val word = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar))
+      .map(_.mkString)
+    samples(Gen.zip(word, word), 60).foreach { case (a, b) =>
+      val v = jw(a, b)
+      assert(v >= 0.0 && v <= 1.0, s"jw($a,$b)=$v out of range")
+      assert(v == jw(b, a), s"asymmetric on ($a,$b)")
+      assert(jw(a, a) == 1.0)
+      assert(jw(a, "") == 0.0 && jw("", b) == 0.0)
+    }
+  }
+
+  test("Scd2: after any update sequence, one current row per key and seamless intervals") {
+    import org.apache.spark.sql.Row
+    import graft.ops.Scd2
+    val keys = (1L to 30L)
+    val segGen = Gen.oneOf("a", "b", "c")
+    // random batch: a random subset of keys with random segment values
+    def batch(seed: Long) = {
+      val rows = keys.flatMap { k =>
+        samples(Gen.zip(Gen.choose(0, 2), segGen), 1).headOption
+          .filter { case (keep, _) => (k + seed) % 3 != keep }
+          .map { case (_, s) => (k, s + ((k + seed) % 2)) }
+      }
+      spark.createDataFrame(rows).toDF("k", "seg")
+    }
+    var h = Scd2.init(batch(0), 0L)
+    (1L to 4L).foreach(v => h = Scd2(h, batch(v), "k", Seq("seg"), v))
+    val hist = h.cache()
+    // exactly one current row per key ever seen
+    val cur = hist.filter(col("is_current"))
+    assert(cur.count() == cur.select("k").distinct().count())
+    assert(hist.select("k").distinct().count() == cur.count())
+    // versions of one key never overlap: each closed row's valid_to is
+    // the next row's valid_from, the last row is open
+    val rows = hist.orderBy("k", "valid_from").collect()
+      .groupBy(_.getLong(0)).values
+    rows.foreach { versions =>
+      val vs = versions.sortBy(_.getLong(2)) // valid_from at index 2
+      vs.sliding(2).foreach {
+        case Array(prev, next) =>
+          assert(!prev.isNullAt(3) && prev.getLong(3) == next.getLong(2),
+            s"gap/overlap: $prev -> $next")
+        case _ => ()
+      }
+      assert(vs.last.isNullAt(3) && vs.last.getBoolean(4))
+      assert(vs.init.forall(r => !r.getBoolean(4)))
+    }
+    hist.unpersist()
+  }
 }
