@@ -420,6 +420,51 @@ object Engine {
             probes, "probe", names, "p_name",
             c => substring(c, 1, 1), threshold = 0.7, maxLenDiff = 4)
           .withColumn("jw_sim", round(col("jw_sim"), 6))
+      }),
+
+    // End-to-end catalog resolution: the ER family composed the way a
+    // revenue pipeline uses it — a dirty scanned feed (vowel-stripped
+    // names keyed by part) resolves against the canonical directory
+    // (q181's lookup), and line-item revenue aggregates BY CANONICAL
+    // NAME. Unresolved probes drop with their parts (the measured q174
+    // trade); the vocabulary-sized match map broadcasts into the fact
+    // join, so the only fact-table shuffle is the final aggregation.
+    QueryDef("q182_catalog_revenue", Some("""
+      WITH e AS (SELECT DISTINCT p_name FROM part),
+      pr AS (SELECT DISTINCT regexp_replace(p_name, '[aeiou]', '', 'g') AS probe FROM e),
+      cand AS (SELECT pr.probe, e.p_name,
+                      jaro_winkler_similarity(pr.probe, e.p_name) AS jw
+               FROM pr JOIN e ON substr(pr.probe, 1, 1) = substr(e.p_name, 1, 1)
+                 AND abs(len(pr.probe) - len(e.p_name)) <= 4
+               WHERE jaro_winkler_similarity(pr.probe, e.p_name) >= 0.7),
+      lk AS (SELECT probe, p_name AS matched
+             FROM (SELECT *, row_number() OVER (PARTITION BY probe ORDER BY jw DESC, p_name) AS rn
+                   FROM cand) WHERE rn = 1),
+      feed AS (SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '', 'g') AS probe FROM part)
+      SELECT lk.matched AS canonical_name,
+             CAST(count(DISTINCT feed.p_partkey) AS BIGINT) AS n_parts,
+             CAST(count(*) AS BIGINT) AS n_lineitems,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM feed JOIN lk USING (probe)
+        JOIN lineitem ON l_partkey = p_partkey
+      GROUP BY lk.matched"""),
+      (spark, dir) => {
+        val part = T(spark, dir, "part")
+        val names = part.select(col("p_name"))
+        val feed = part.select(col("p_partkey"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("probe"))
+        val lk = graft.ops.EntityResolution.fuzzyLookup(
+            feed.select(col("probe")), "probe", names, "p_name",
+            c => substring(c, 1, 1), threshold = 0.7, maxLenDiff = 4)
+          .select(col("probe"), col("matched"))
+        feed.join(broadcast(lk), "probe")
+          .join(T(spark, dir, "lineitem"),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("matched").as("canonical_name"))
+          .agg(countDistinct(col("p_partkey")).as("n_parts"),
+            count(lit(1)).as("n_lineitems"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+              .as("revenue"))
       })
   )
 
