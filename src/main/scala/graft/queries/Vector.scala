@@ -1344,6 +1344,83 @@ object Vector {
         graft.ops.TopK.exactPerKey(neg, Seq("query_id"),
             Seq(col("sq_sim").desc, col("vec_id").asc), 5, "rnk")
           .withColumn("rnk", col("rnk").cast("int"))
+      }),
+
+    // Margin-scored mutual nearest neighbors (Artetxe & Schwenk 2019 —
+    // the bitext/embedding-alignment miner): the corpus split into two
+    // spaces, each side's k-NN found in the other, pair scores divided
+    // by the mean of both endpoints' k-NN similarities (the margin
+    // kills hubs that are merely close to everything), and only pairs
+    // that are EACH OTHER's best margin survive. k-NN means fold in
+    // rank order, so every margin is engine-identical; candidates are
+    // the k-NN slivers, never the cross product.
+    QueryDef("q183_mutual_nn", Some(s"""
+      WITH $unitSql,
+      xs AS (SELECT vec_id, ne FROM un WHERE vec_id % 2 = 0),
+      ys AS (SELECT vec_id, ne FROM un WHERE vec_id % 2 = 1),
+      xy AS (SELECT * FROM (
+               SELECT x.vec_id AS xid, y.vec_id AS yid,
+                      round(${dotSql("x.ne", "y.ne")}, 6) AS c,
+                      row_number() OVER (PARTITION BY x.vec_id
+                        ORDER BY round(${dotSql("x.ne", "y.ne")}, 6) DESC, y.vec_id) AS rnk
+               FROM xs x JOIN ys y ON true) WHERE rnk <= 4),
+      yx AS (SELECT * FROM (
+               SELECT y.vec_id AS yid, x.vec_id AS xid,
+                      round(${dotSql("y.ne", "x.ne")}, 6) AS c,
+                      row_number() OVER (PARTITION BY y.vec_id
+                        ORDER BY round(${dotSql("y.ne", "x.ne")}, 6) DESC, x.vec_id) AS rnk
+               FROM ys y JOIN xs x ON true) WHERE rnk <= 4),
+      ax AS (SELECT xid, list_reduce(list_prepend(0.0, list(c ORDER BY rnk)),
+                      (a, v) -> a + v) / 4 AS avgx FROM xy GROUP BY xid),
+      ay AS (SELECT yid, list_reduce(list_prepend(0.0, list(c ORDER BY rnk)),
+                      (a, v) -> a + v) / 4 AS avgy FROM yx GROUP BY yid),
+      cand AS (SELECT xid, yid, c FROM xy
+               UNION SELECT xid, yid, c FROM yx),
+      m AS (SELECT cand.xid, cand.yid, c,
+                   c / ((avgx + avgy) / 2) AS margin
+            FROM cand JOIN ax USING (xid) JOIN ay USING (yid)),
+      bx AS (SELECT xid, yid, c, margin,
+                    row_number() OVER (PARTITION BY xid ORDER BY margin DESC, yid) AS r
+             FROM m),
+      byy AS (SELECT xid, yid,
+                    row_number() OVER (PARTITION BY yid ORDER BY margin DESC, xid) AS r
+             FROM m)
+      SELECT bx.xid AS x_id, bx.yid AS y_id, bx.c AS cos_sim,
+             round(bx.margin, 6) AS margin
+      FROM bx JOIN byy ON bx.xid = byy.xid AND bx.yid = byy.yid
+      WHERE bx.r = 1 AND byy.r = 1"""),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        val xs = emb.filter(col("vec_id") % 2 === 0)
+        val ys = emb.filter(col("vec_id") % 2 === 1)
+        val k = 4
+        def knn(corpus: org.apache.spark.sql.DataFrame,
+                queries: org.apache.spark.sql.DataFrame) =
+          SimSearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", k)
+        val xy = knn(ys, xs).select(col("query_id").as("xid"),
+          col("vec_id").as("yid"), col("cos_sim").as("c"), col("rnk"))
+        val yx = knn(xs, ys).select(col("query_id").as("yid"),
+          col("vec_id").as("xid"), col("cos_sim").as("c"), col("rnk"))
+        def knnMean(df: org.apache.spark.sql.DataFrame, idc: String, out: String) =
+          df.select(col(idc), struct(col("rnk"), col("c").as("v")).as("e"))
+            .groupBy(idc)
+            .agg(array_sort(collect_list(col("e"))).as("__s"))
+            .select(col(idc),
+              (aggregate(col("__s"), lit(0.0), (a, x) => a + x.getField("v")) / k)
+                .as(out))
+        val ax = knnMean(xy, "xid", "avgx")
+        val ay = knnMean(yx, "yid", "avgy")
+        val cand = xy.select("xid", "yid", "c")
+          .unionByName(yx.select("xid", "yid", "c")).distinct()
+        val m = cand.join(ax, "xid").join(ay, "yid")
+          .withColumn("margin", col("c") / ((col("avgx") + col("avgy")) / 2))
+        val bx = graft.ops.TopK.exactPerKey(m, Seq("xid"),
+          Seq(col("margin").desc, col("yid").asc), 1, "__rx")
+        val by = graft.ops.TopK.exactPerKey(m.select("xid", "yid", "margin"),
+          Seq("yid"), Seq(col("margin").desc, col("xid").asc), 1, "__ry")
+        bx.join(by.select("xid", "yid"), Seq("xid", "yid"))
+          .select(col("xid").as("x_id"), col("yid").as("y_id"),
+            col("c").as("cos_sim"), round(col("margin"), 6).as("margin"))
       })
   )
 
