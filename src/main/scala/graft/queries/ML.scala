@@ -333,6 +333,57 @@ object ML {
       FROM w"""),
       (spark, dir) =>
         graft.feature.HashEncoder.looTargetEncode(
-          T(spark, dir, "orders"), "o_orderkey", "o_orderpriority", "o_totalprice"))
+          T(spark, dir, "orders"), "o_orderkey", "o_orderpriority", "o_totalprice")),
+
+    // Recency-weighted item co-occurrence — q157 with a half-life: each
+    // order contributes weight 2^(−⌊age/180d⌋) (clamped at 7 half-lives),
+    // so stale baskets fade from the recommendations. The weights are
+    // DYADIC RATIONALS m/128 by construction, which makes the weighted
+    // sums EXACT doubles — no accumulation-order dependence to round
+    // away, and the oracle hash-checks the raw scores. "Now" is the
+    // corpus' own max order date (pure function of the data).
+    QueryDef("q184_decayed_cooccur", Some("""
+      WITH nowd AS (SELECT max(o_orderdate) AS mx FROM orders),
+      ow AS (SELECT o_orderkey AS o,
+                    1.0 / CAST(1 << CAST(least(date_diff('day', o_orderdate, mx) // 180, 7) AS INTEGER) AS DOUBLE) AS w
+             FROM orders, nowd),
+      li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb,
+                       CAST(count(*) AS BIGINT) AS n_ab, sum(w) AS wsum
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+                JOIN ow ON ow.o = a.o
+                GROUP BY a.p, b.p),
+      sym AS (SELECT pa, pb, n_ab, wsum FROM pairs
+              UNION ALL SELECT pb, pa, n_ab, wsum FROM pairs)
+      SELECT pa AS part_key, pb AS rec_part, n_ab AS n_co,
+             round(wsum, 6) AS w_co, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY pa
+                        ORDER BY wsum DESC, n_ab DESC, pb) AS rnk FROM sym)
+      WHERE rnk <= 5"""),
+      (spark, dir) => {
+        val orders = T(spark, dir, "orders")
+        val nowd = orders.agg(max(col("o_orderdate")).as("mx"))
+        val ow = orders.crossJoin(broadcast(nowd))
+          .select(col("o_orderkey").as("o"),
+            // 2^-k with k integral: both engines produce the exact dyadic
+            (lit(1.0) / pow(lit(2.0),
+              least(floor(datediff(col("mx"), col("o_orderdate")) / 180), lit(7L))
+                .cast("double"))).as("w"))
+        val li = T(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val pairs = li.select(col("o"), col("p").as("pa"))
+          .join(li.select(col("o"), col("p").as("pb")), "o")
+          .filter(col("pa") < col("pb"))
+          .join(ow, "o")
+          .groupBy("pa", "pb")
+          .agg(count(lit(1)).as("n_ab"), sum(col("w")).as("wsum"))
+        val sym = pairs.unionByName(pairs.select(col("pb").as("pa"),
+          col("pa").as("pb"), col("n_ab"), col("wsum")))
+        graft.ops.TopK.exactPerKey(sym, Seq("pa"),
+            Seq(col("wsum").desc, col("n_ab").desc, col("pb").asc), 5, "rnk")
+          .select(col("pa").as("part_key"), col("pb").as("rec_part"),
+            col("n_ab").as("n_co"), round(col("wsum"), 6).as("w_co"),
+            col("rnk").cast("int").as("rnk"))
+      })
   )
 }
