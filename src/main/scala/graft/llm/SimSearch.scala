@@ -250,28 +250,23 @@ object SimSearch {
     * coarse quantizer. Returns (cent_id, cent_emb), materialized.
     */
   private[graft] def lloydCentroids(c: DataFrame, idCol: String,
-                                    nCentroids: Int, iters: Int): DataFrame = {
-    var cents = c.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).as("cent_id"), col("__ne").as("cent_emb"))
+                                    nCentroids: Int, iters: Int): DataFrame =
+    lloydIterate(c,
+      c.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cent_id"), col("__ne").as("cent_emb")),
+      idCol, iters)
+
+  /** The Lloyd refinement loop from arbitrary `seeds` (cent_id,
+    * cent_emb) — shared by [[lloydCentroids]] (id-order seeding) and
+    * the streaming index's centroid refresh (seeded from the current
+    * assignment's bucket means).
+    */
+  private[graft] def lloydIterate(c: DataFrame, seeds: DataFrame,
+                                  idCol: String, iters: Int): DataFrame = {
+    var cents = seeds
     for (_ <- 0 until iters) {
       val assigned = nearestBuckets(c, cents, idCol, "__ne", 1)
-      // Per-bucket mean with a DETERMINISTIC summation order: members
-      // sorted by id, element-wise left fold seeded from the first
-      // member (the same shape as DuckDB's list_reduce), divided by the
-      // exact integer count, then renormalized to the unit sphere.
-      val refined = assigned.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("__cnt"),
-          array_sort(collect_list(struct(col(idCol).as("id"), col("__ne").as("ne"))))
-            .as("__ms"))
-        .select(col("bucket").as("cent_id"),
-          transform(
-            aggregate(expr("slice(__ms, 2, size(__ms) - 1)"),
-              element_at(col("__ms"), 1).getField("ne"),
-              (acc, m) => zip_with(acc, m.getField("ne"), (a, b) => a + b)),
-            x => x / col("__cnt")).as("__mean"))
-        .select(col("cent_id"),
-          transform(col("__mean"), x => x / sqrt(dot(col("__mean"), col("__mean"))))
-            .as("__new"))
+      val refined = bucketMeans(assigned, idCol)
       // Materialize each refined centroid set (nCentroids rows — tiny).
       // Unmaterialized, iteration i+1's assignment AND the final bucket
       // + probe stages each re-run every prior iteration's |corpus|
@@ -285,6 +280,28 @@ object SimSearch {
     }
     cents
   }
+
+  /** Per-bucket unit-normalized means of an assignment frame
+    * (id, __ne, bucket) → (cent_id, __new) with a DETERMINISTIC
+    * summation order: members sorted by id, element-wise left fold
+    * seeded from the first member (the same shape as DuckDB's
+    * list_reduce), divided by the exact integer count, renormalized to
+    * the unit sphere.
+    */
+  private[graft] def bucketMeans(assigned: DataFrame, idCol: String): DataFrame =
+    assigned.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__cnt"),
+        array_sort(collect_list(struct(col(idCol).as("id"), col("__ne").as("ne"))))
+          .as("__ms"))
+      .select(col("bucket").as("cent_id"),
+        transform(
+          aggregate(expr("slice(__ms, 2, size(__ms) - 1)"),
+            element_at(col("__ms"), 1).getField("ne"),
+            (acc, m) => zip_with(acc, m.getField("ne"), (a, b) => a + b)),
+          x => x / col("__cnt")).as("__mean"))
+      .select(col("cent_id"),
+        transform(col("__mean"), x => x / sqrt(dot(col("__mean"), col("__mean"))))
+          .as("__new"))
 
   /** [[ivfTopK]] with LEARNED centroids: a seeded MLlib KMeans fit
     * replaces the id-order seeding stand-in — the real centroid path at

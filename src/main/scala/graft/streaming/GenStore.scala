@@ -98,7 +98,7 @@ private[streaming] object GenStore {
       if (fs.exists(root)) fs.listStatus(root).map(_.getPath).foreach { p =>
         val n = p.getName
         val g = n.stripPrefix("v=").stripSuffix(".tmp")
-          .stripSuffix(".manifest.json")
+          .stripSuffix(".manifest.json").stripSuffix(".centroids")
         if (n.startsWith("v=") && g.forall(_.isDigit) && g.nonEmpty && g.toLong < gen)
           fs.delete(p, true)
       }

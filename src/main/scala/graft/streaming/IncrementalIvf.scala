@@ -152,4 +152,60 @@ object IncrementalIvf {
     // landed between the rename and the deletes
     GenStore.cleanup(spark, indexDir)
   }
+
+  private def centroidsDir(indexDir: String, gen: Long) =
+    s"${GenStore.compactedRoot(indexDir)}/v=$gen.centroids"
+
+  /** Centroid REFRESH — the drift answer the frozen-index regime needs
+    * eventually: re-learn centroids from the indexed corpus itself
+    * (Lloyd steps seeded from the CURRENT assignment's bucket means —
+    * never a cold restart) and atomically rebuild the index as a new
+    * generation assigned to the refreshed centroids, which are stored
+    * BESIDE the generation (`v=G.centroids`) so probes and subsequent
+    * ingestion read index + centroids as one versioned unit
+    * ([[latestCentroids]]). The manifest rename is still the only
+    * commit point: a crash mid-refresh leaves the old index (and old
+    * centroids) fully visible.
+    *
+    * Spherical-Lloyd objective (Σ max-cosine) is monotone in the seeds
+    * → means → refine chain, so a refresh never degrades the clustering
+    * it replaces (spec-pinned). Cost: one full-index read + iters+1
+    * assignment passes + one partitioned rewrite — the re-clustering
+    * floor; run it at drift cadence, not batch cadence.
+    */
+  def refresh(spark: SparkSession, indexDir: String, idCol: String,
+              iters: Int = 2): DataFrame = {
+    val prev = GenStore.latestCompaction(spark, indexDir)
+    val prevMax = prev.map(_._2).getOrElse(-1L)
+    val live = GenStore.liveBatchIds(spark, indexDir, prevMax)
+    val c = readIndex(spark, indexDir).select(col(idCol), col("__ne"),
+      col("bucket").cast("long").as("bucket")).cache()
+    val seeds = SimSearch.bucketMeans(c, idCol)
+      .select(col("cent_id"), col("__new").as("cent_emb"))
+    val cents = SimSearch.lloydIterate(c.select(col(idCol), col("__ne")),
+      seeds, idCol, iters)
+    val newGen = prev.map(_._1).getOrElse(0L) + 1
+    SimSearch.nearestBuckets(c.select(col(idCol), col("__ne")), cents,
+        idCol, "__ne", 1)
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(GenStore.genDir(indexDir, newGen))
+    cents.write.mode("overwrite").parquet(centroidsDir(indexDir, newGen))
+    GenStore.commitManifest(spark, indexDir, newGen,
+      if (live.nonEmpty) live.max else prevMax)
+    GenStore.cleanup(spark, indexDir)
+    c.unpersist(blocking = false)
+    cents
+  }
+
+  /** The centroid set committed with the newest generation, when that
+    * generation was produced by [[refresh]] (a plain [[compact]] keeps
+    * whatever centroids the caller holds).
+    */
+  def latestCentroids(spark: SparkSession, indexDir: String): Option[DataFrame] =
+    GenStore.latestCompaction(spark, indexDir).flatMap { case (g, _) =>
+      val dir = centroidsDir(indexDir, g)
+      if (GenStore.nonEmptyPaths(spark, indexDir, Seq(dir)).nonEmpty)
+        Some(spark.read.parquet(dir))
+      else None
+    }
 }

@@ -141,4 +141,45 @@ class IncrementalIvfSpec extends SparkSuite {
     assert(sorted(streamed) == sorted(batch))
     c.unpersist()
   }
+
+  test("centroid refresh: objective never degrades, probes stay batch-consistent, ingestion continues") {
+    val dir = Files.createTempDirectory("ivf_idx4").toString
+    val c = cents.cache()
+    val early = emb.filter(col("vec_id") % 4 =!= 3)
+    val late = emb.filter(col("vec_id") % 4 === 3)
+    IncrementalIvf.processBatch(early, 0, c, "vec_id", "embedding", dir)
+    // spherical k-means objective: mean best-cosine over the corpus
+    def objective(cs: org.apache.spark.sql.DataFrame, corpus: org.apache.spark.sql.DataFrame) = {
+      val u = SimSearch.bruteForceTopK(cs.select(col("cent_id").as("vec_id"),
+          col("cent_emb").as("embedding")), corpus, "vec_id", "embedding", 1)
+      u.agg(avg(col("cos_sim"))).head.getDouble(0)
+    }
+    val before = objective(c, early)
+    assert(IncrementalIvf.latestCentroids(spark, dir).isEmpty)
+    val refreshed = IncrementalIvf.refresh(spark, dir, "vec_id", iters = 2)
+    val after = objective(refreshed, early)
+    assert(after >= before - 1e-9, s"refresh degraded objective: $before -> $after")
+    // versioned centroids committed with the generation
+    val stored = IncrementalIvf.latestCentroids(spark, dir)
+    assert(stored.nonEmpty && stored.get.count() == refreshed.count())
+    // probe over the rebuilt index == batch assignment with the SAME centroids
+    val streamed = IncrementalIvf.probe(spark, dir, queries, refreshed,
+      "vec_id", "embedding", k, nProbe)
+    val cEarly = SimSearch.unitized(early, "vec_id", "embedding", "vec_id", "__ne")
+    val batch = {
+      val qs = SimSearch.unitized(queries, "vec_id", "embedding", "query_id", "__qe")
+      val probed = SimSearch.nearestBuckets(qs, refreshed, "query_id", "__qe", nProbe)
+      val bucketed = SimSearch.nearestBuckets(cEarly, refreshed, "vec_id", "__ne", 1)
+      SimSearch.probeRank(probed, bucketed, "vec_id", k)
+    }
+    assert(sorted(streamed) == sorted(batch))
+    // ingestion continues against the refreshed centroids
+    IncrementalIvf.processBatch(late, 1, refreshed, "vec_id", "embedding", dir)
+    val all = IncrementalIvf.probe(spark, dir, queries, refreshed,
+      "vec_id", "embedding", k, nProbe)
+    val ids = IncrementalIvf.readIndex(spark, dir).select("vec_id").distinct().count()
+    assert(ids == emb.count())
+    assert(all.count() >= streamed.count())
+    c.unpersist()
+  }
 }
