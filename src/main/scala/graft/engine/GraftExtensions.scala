@@ -151,6 +151,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         foldedDouble(exprs(3)), optInt(exprs, 4, 3))
       graft.ops.EntityResolution.canonicalize(entities, nameCol, pairs)
     }
+    // dirty-feed lookup: probes resolved top-1 against a directory —
+    // `graft_fuzzy_lookup('probes','probe','dir','name', prefixLen,
+    // threshold[, maxLenDiff])`; blocking is the name's prefixLen-char
+    // prefix on both sides (arbitrary block expressions stay on the
+    // Scala API, which takes a Column function).
+    injectTable(e, "graft_fuzzy_lookup", classOf[graft.ops.EntityResolution.type]) { exprs =>
+      val prefixLen = int(exprs(4))
+      graft.ops.EntityResolution.fuzzyLookup(
+        activeTable(exprs(0)), str(exprs(1)), activeTable(exprs(2)), str(exprs(3)),
+        c => org.apache.spark.sql.functions.substring(c, 1, prefixLen),
+        foldedDouble(exprs(5)), optInt(exprs, 6, 3))
+    }
   }
 
   /** Evaluate a foldable literal argument (the weight knobs) to Double. */

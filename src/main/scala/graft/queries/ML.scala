@@ -384,6 +384,63 @@ object ML {
           .select(col("pa").as("part_key"), col("pb").as("rec_part"),
             col("n_ab").as("n_co"), round(col("wsum"), 6).as("w_co"),
             col("rnk").cast("int").as("rnk"))
+      }),
+
+    // Recommender holdout evaluation — hit@5 of the co-occurrence
+    // recommender under a leave-one-out protocol: per multi-item
+    // basket, the max-key item is held out, co-occurrence trains on the
+    // REMAINING items only (no test co-occurrence leaks into the
+    // model), and each basket's held-out item is looked for in the
+    // top-5 scored by summed co-counts over the basket's train items.
+    // Scoring is all-integer (summed counts, total-order tiebreaks) —
+    // no float anywhere. Complements the retrieval metrics (recall/
+    // MRR/NDCG, q137/q153/q138) with the recommender-side evaluation.
+    QueryDef("q185_rec_hit_rate", Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      sz AS (SELECT o, count(*) AS n, max(p) AS held FROM li GROUP BY o),
+      mult AS (SELECT o, held FROM sz WHERE n >= 2),
+      tr AS (SELECT li.o, li.p FROM li JOIN mult ON li.o = mult.o AND li.p <> mult.held),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS c
+                FROM tr a JOIN tr b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      sym AS (SELECT pa, pb, c FROM pairs UNION ALL SELECT pb, pa, c FROM pairs),
+      cand AS (SELECT t.o, s.pb AS c_item, CAST(sum(s.c) AS BIGINT) AS score
+               FROM tr t JOIN sym s ON t.p = s.pa GROUP BY t.o, s.pb),
+      cand2 AS (SELECT cand.o, cand.c_item, cand.score
+                FROM cand LEFT JOIN tr ON tr.o = cand.o AND tr.p = cand.c_item
+                WHERE tr.p IS NULL),
+      rk AS (SELECT o, c_item, score,
+                    row_number() OVER (PARTITION BY o ORDER BY score DESC, c_item) AS rnk
+             FROM cand2)
+      SELECT m.o AS order_key, m.held AS held_item,
+             CAST(r.rnk AS INTEGER) AS hit_rank, r.rnk IS NOT NULL AS hit
+      FROM mult m LEFT JOIN rk r
+        ON r.o = m.o AND r.c_item = m.held AND r.rnk <= 5"""),
+      (spark, dir) => {
+        val li = T(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val mult = li.groupBy("o")
+          .agg(count(lit(1)).as("n"), max(col("p")).as("held"))
+          .filter(col("n") >= 2).select("o", "held")
+        val tr = li.join(mult, "o").filter(col("p") =!= col("held"))
+          .select("o", "p")
+        val pairs = tr.select(col("o"), col("p").as("pa"))
+          .join(tr.select(col("o"), col("p").as("pb")), "o")
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+        val sym = pairs.unionByName(
+          pairs.select(col("pb").as("pa"), col("pa").as("pb"), col("c")))
+        val cand = tr.join(sym, col("p") === col("pa"))
+          .groupBy(col("o"), col("pb").as("c_item"))
+          .agg(sum(col("c")).as("score"))
+        val cand2 = cand.join(
+          tr.select(col("o"), col("p").as("c_item")), Seq("o", "c_item"), "left_anti")
+        val rk = graft.ops.TopK.exactPerKey(cand2, Seq("o"),
+          Seq(col("score").desc, col("c_item").asc), 5, "rnk")
+        mult.join(
+            rk.select(col("o"), col("c_item").as("held"), col("rnk")),
+            Seq("o", "held"), "left")
+          .select(col("o").as("order_key"), col("held").as("held_item"),
+            col("rnk").cast("int").as("hit_rank"), col("rnk").isNotNull.as("hit"))
       })
   )
 }

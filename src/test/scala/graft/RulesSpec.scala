@@ -166,5 +166,11 @@ class RulesSpec extends SparkSuite {
           graft.ops.EntityResolution.blockedFuzzyPairs(
             e, "p_name", substring(col("p_name"), 1, 1), 0.86))
       })
+    val probes = names.select(regexp_replace(col("p_name"), "[aeiou]", "").as("probe"))
+    probes.createOrReplaceTempView("tf_probes")
+    assert(img(spark.sql(
+        "SELECT * FROM graft_fuzzy_lookup('tf_probes', 'probe', 'tf_names', 'p_name', 1, 0.7, 4)")) ==
+      img(graft.ops.EntityResolution.fuzzyLookup(probes, "probe", names, "p_name",
+        c => substring(c, 1, 1), 0.7, maxLenDiff = 4)))
   }
 }
