@@ -1421,6 +1421,75 @@ object Vector {
         bx.join(by.select("xid", "yid"), Seq("xid", "yid"))
           .select(col("xid").as("x_id"), col("yid").as("y_id"),
             col("c").as("cos_sim"), round(col("margin"), 6).as("margin"))
+      }),
+
+    // Embedding class-separation report — the retrieval-embedding QA
+    // check before an index is trusted: per label, the spherical
+    // centroid (id-ordered fold mean, renormalized — the q43 Lloyd
+    // discipline), then each vector's cosine to its OWN centroid vs its
+    // best OTHER centroid. mean margin ≈ a centroid silhouette;
+    // frac_correct is nearest-centroid classification accuracy. Labels
+    // are the parallelism; the per-vector work is |labels| codegen'd
+    // dots against a broadcast centroid table — no pairwise anything.
+    QueryDef("q186_class_separation", Some(s"""
+      WITH $unitSql,
+      lb AS (SELECT u.vec_id, u.ne, e.label FROM un u JOIN embeddings e USING (vec_id)),
+      mem AS (SELECT label, list(ne ORDER BY vec_id) AS ms, count(*) AS cnt
+              FROM lb GROUP BY label),
+      meanv AS (SELECT label, list_transform(
+                  list_reduce(ms, (a, b) -> list_transform(range(1, len(a) + 1), j -> a[j] + b[j])),
+                  x -> x / cnt) AS m
+                FROM mem),
+      cent AS (SELECT label AS clabel,
+                      list_transform(m, x -> x / sqrt(${dotSql("m", "m")})) AS ce
+               FROM meanv),
+      sc AS (SELECT l.vec_id, l.label, c.clabel, ${dotSql("l.ne", "c.ce")} AS s
+             FROM lb l CROSS JOIN cent c),
+      own AS (SELECT vec_id, label, s AS s_own FROM sc WHERE label = clabel),
+      oth AS (SELECT vec_id, max(s) AS s_oth FROM sc WHERE label <> clabel GROUP BY vec_id),
+      per AS (SELECT o.vec_id, o.label, o.s_own, t.s_oth,
+                     o.s_own - t.s_oth AS margin, o.s_own > t.s_oth AS correct
+              FROM own o JOIN oth t USING (vec_id))
+      SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             round(list_reduce(list_prepend(0.0, list(s_own ORDER BY vec_id)),
+                     (a, v) -> a + v) / count(*), 6) AS mean_own,
+             round(list_reduce(list_prepend(0.0, list(margin ORDER BY vec_id)),
+                     (a, v) -> a + v) / count(*), 6) AS mean_margin,
+             round(CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*), 6) AS frac_correct
+      FROM per GROUP BY label"""),
+      (spark, dir) => {
+        import graft.engine.expressions.DotProduct
+        val emb = T(spark, dir, "embeddings")
+        val u = SimSearch.unitized(emb, "vec_id", "embedding", "vec_id", "__ne")
+        val lb = u.join(emb.select(col("vec_id"), col("label")), "vec_id")
+        val cents = SimSearch.bucketMeans(
+          lb.withColumnRenamed("label", "bucket"), "vec_id")
+        val sc = lb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("label"), col("cent_id").as("clabel"),
+            DotProduct.dot(col("__ne"), col("__new")).as("s"))
+        val own = sc.filter(col("label") === col("clabel"))
+          .select(col("vec_id"), col("label"), col("s").as("s_own"))
+        val oth = sc.filter(col("label") =!= col("clabel"))
+          .groupBy("vec_id").agg(max(col("s")).as("s_oth"))
+        val per = own.join(oth, "vec_id")
+          .withColumn("margin", col("s_own") - col("s_oth"))
+          .withColumn("correct", col("s_own") > col("s_oth"))
+        def fold(src: String) =
+          aggregate(col(s"__$src"), lit(0.0), (a, x) => a + x.getField("v"))
+        per.select(col("label"),
+            struct(col("vec_id"), col("s_own").as("v")).as("eo"),
+            struct(col("vec_id"), col("margin").as("v")).as("em"),
+            col("correct"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n_vecs"),
+            array_sort(collect_list(col("eo"))).as("__own"),
+            array_sort(collect_list(col("em"))).as("__mar"),
+            sum(when(col("correct"), 1L).otherwise(0L)).as("__nc"))
+          .select(col("label"), col("n_vecs"),
+            round(fold("own") / col("n_vecs"), 6).as("mean_own"),
+            round(fold("mar") / col("n_vecs"), 6).as("mean_margin"),
+            round(col("__nc").cast("double") / col("n_vecs"), 6).as("frac_correct"))
       })
   )
 
