@@ -505,6 +505,69 @@ object Relational4 {
               (col("valid_to").isNull || col("valid_to") > col("v")))
           .select(col("o_orderkey"), col("v").as("version"), col("c_custkey"),
             col("c_mktsegment"), col("c_acctbal"), col("valid_from"))
+      }),
+
+    // Quantile (rank) transform of a feature column — the third scaler
+    // beside minmax (q19/M6) and standard (M13): values mapped to their
+    // percentile inside a stratum, making any monotone distribution
+    // uniform and outliers bounded. percent_rank derives from integer
+    // ranks under a total order ((bal, custkey) tiebreak), so the
+    // transform is exact — no float path at all until the final
+    // division. Per-segment windows partition naturally; the GLOBAL
+    // column uses the same percent_rank discipline over one partition —
+    // at fact scale that column switches to GlobalRank.withRowNumber
+    // (the q148/q151 no-global-window rule).
+    QueryDef("q187_quantile_transform", Some("""
+      SELECT c_custkey, c_mktsegment,
+             round(percent_rank() OVER (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey), 6) AS q_seg,
+             round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey), 6) AS q_global
+      FROM customer"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val byBal = Seq(col("c_acctbal").asc, col("c_custkey").asc)
+        T(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .withColumn("q_seg", round(percent_rank().over(
+            Window.partitionBy("c_mktsegment").orderBy(byBal: _*)), 6))
+          .withColumn("q_global", round(percent_rank().over(
+            Window.orderBy(byBal: _*)), 6))
+          .drop("c_acctbal")
+      }),
+
+    // Benford first-digit audit of order totals — the classic
+    // fabricated-numbers screen: observed first-digit shares vs the
+    // Benford expectation log10(1+1/d), with each digit's chi-square
+    // contribution. The digit comes from the exact decimal-cents
+    // integer (q172 discipline) rendered as a string — no float
+    // log/pow in the digit path; one aggregation over the facts.
+    // (Synthetic uniform-ish prices will FAIL Benford — large chi2 —
+    // which is exactly what the audit should say about them.)
+    QueryDef("q188_benford_audit", Some("""
+      WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM orders WHERE o_totalprice > 0),
+      d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM c),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d),
+      o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit)
+      SELECT o.digit, o.n_obs,
+             round(CAST(o.n_obs AS DOUBLE) / n.total, 6) AS obs_share,
+             round(log10(1.0 + 1.0 / o.digit), 6) AS exp_share,
+             round(pow(CAST(o.n_obs AS DOUBLE) / n.total - log10(1.0 + 1.0 / o.digit), 2)
+                   / log10(1.0 + 1.0 / o.digit) * n.total, 6) AS chi2_part
+      FROM o, n"""),
+      (spark, dir) => {
+        val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        val d = T(spark, dir, "orders").filter(col("o_totalprice") > 0)
+          .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        val n = d.agg(count(lit(1)).as("total"))
+        val expShare = log10(lit(1.0) + lit(1.0) / col("digit"))
+        d.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+          .crossJoin(broadcast(n))
+          .select(col("digit"), col("n_obs"),
+            round(col("n_obs").cast("double") / col("total"), 6).as("obs_share"),
+            round(expShare, 6).as("exp_share"),
+            round(pow(col("n_obs").cast("double") / col("total") - expShare, 2)
+              / expShare * col("total"), 6).as("chi2_part"))
       }))
 
   /** The q176 history build, shared with q179's as-of join. */
