@@ -497,6 +497,59 @@ object Events {
         s.select(col("event_type"), col("n"),
           round(num / den, 6).as("slope"),
           round((col("sy") - num / den * col("sx")) / col("n"), 6).as("intercept"))
+      }),
+
+    // Time-bounded funnel — q84 with conversion WINDOWS: a click counts
+    // only within 30 minutes of the first view, a purchase only within
+    // 30 minutes of that click. Unbounded funnels (q84) overstate
+    // conversion by crediting returns days later; the windowed variant
+    // is what growth teams actually track. All timestamps are integer
+    // epoch-millis mins — no float until the single rounded rate — and
+    // the per-user reduction is ONE groupBy over the events (the q84
+    // shape), never a self-join.
+    QueryDef("q190_funnel_windowed", Some("""
+      WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_buy
+        FROM events GROUP BY user_id),
+      s AS (SELECT user_id, t_view,
+                   CASE WHEN t_click > t_view
+                         AND t_click - t_view <= 1800000 THEN t_click END AS wc
+            FROM f),
+      s2 AS (SELECT s.user_id, s.t_view, s.wc,
+                    CASE WHEN f.t_buy > s.wc
+                          AND f.t_buy - s.wc <= 1800000 THEN f.t_buy END AS wb
+             FROM s JOIN f ON s.user_id = f.user_id)
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_view,
+             CAST(sum(CASE WHEN wc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_click_30m,
+             CAST(sum(CASE WHEN wb IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS step_buy_30m,
+             round(CAST(sum(CASE WHEN wc IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / greatest(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END), 1), 6)
+               AS view_to_click_rate
+      FROM s2"""),
+      (spark, dir) => {
+        val f = T(spark, dir, "events")
+          .groupBy("user_id")
+          .agg(
+            min(when(col("event_type") === "view", unix_millis(col("ts")))).as("t_view"),
+            min(when(col("event_type") === "click", unix_millis(col("ts")))).as("t_click"),
+            min(when(col("event_type") === "purchase", unix_millis(col("ts")))).as("t_buy"))
+        val wLimit = 1800000L
+        val s = f
+          .withColumn("wc", when(col("t_click") > col("t_view") &&
+            col("t_click") - col("t_view") <= wLimit, col("t_click")))
+          .withColumn("wb", when(col("t_buy") > col("wc") &&
+            col("t_buy") - col("wc") <= wLimit, col("t_buy")))
+        s.agg(count(lit(1)).as("n_users"),
+          sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("step_view"),
+          sum(when(col("wc").isNotNull, 1L).otherwise(0L)).as("step_click_30m"),
+          sum(when(col("wb").isNotNull, 1L).otherwise(0L)).as("step_buy_30m"),
+          round(sum(when(col("wc").isNotNull, 1L).otherwise(0L)).cast("double")
+            / greatest(sum(when(col("t_view").isNotNull, 1L).otherwise(0L)), lit(1L)), 6)
+            .as("view_to_click_rate"))
       })
   )
 }

@@ -241,36 +241,10 @@ object Text {
     // Corpus-driven language ID: build top-5 token profiles per lang,
     // then classify each doc as the best-matching profile (hit count,
     // lang-name tiebreak). A self-contained n-gram-profile LID pipeline.
-    QueryDef("q32_lang_id", Some("""
-      WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
-      counts AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),
-      profile AS (
-        SELECT lang, token
-        FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn FROM counts)
-        WHERE rn <= 5),
-      dtok AS (SELECT doc_id, lang AS true_lang, unnest(list_distinct(string_split(text, ' '))) AS token
-               FROM documents),
-      scores AS (SELECT d.doc_id, d.true_lang, p.lang AS cand_lang, count(*) AS hits
-                 FROM dtok d JOIN profile p ON d.token = p.token
-                 GROUP BY d.doc_id, d.true_lang, p.lang)
-      SELECT doc_id, true_lang, cand_lang AS guessed_lang
-      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
-            FROM scores)
-      WHERE rn = 1"""),
-      (spark, dir) => {
-        val docs = T(spark, dir, "documents")
-        val counts = docs.select(col("lang"), explode(TextOps.tokenize(col("text"))).as("token"))
-          .groupBy("lang", "token").agg(count(lit(1)).as("n"))
-        val profile = TopK.exactPerKey(counts, Seq("lang"),
-          Seq(col("n").desc, col("token").asc), 5).select("lang", "token")
-        val dtok = docs.select(col("doc_id"), col("lang").as("true_lang"),
-          explode(array_distinct(TextOps.tokenize(col("text")))).as("token"))
-        val scores = dtok.join(broadcast(profile.withColumnRenamed("lang", "cand_lang")), "token")
-          .groupBy("doc_id", "true_lang", "cand_lang").agg(count(lit(1)).as("hits"))
-        TopK.exactPerKey(scores, Seq("doc_id"),
-          Seq(col("hits").desc, col("cand_lang").asc), 1)
-          .select(col("doc_id"), col("true_lang"), col("cand_lang").as("guessed_lang"))
-      }),
+    QueryDef("q32_lang_id", Some(s"""
+      WITH $LangIdCtes
+      SELECT doc_id, true_lang, guessed_lang FROM lid"""),
+      (spark, dir) => langIdFrame(spark, dir)),
 
     // BM25 keyword retrieval (llm.Bm25): corpus stats (N, avgdl, df per
     // term) in ONE broadcast row, per-doc tf in the scoring scan, top-20
@@ -707,6 +681,45 @@ object Text {
           .select(col("doc_id"), col("lang"), col("avg_nll"),
             when(col("t") === 1, "head").when(col("t") === 2, "middle")
               .otherwise("tail").as("bucket"))
+      }),
+
+    // Classifier evaluation of the q32 language identifier: per-language
+    // precision / recall / F1 from the confusion counts (support = true
+    // docs, predicted = guessed docs, tp = both). Integer counts with
+    // single rounded divisions; the CTE chain is shared with q32 so the
+    // classifier under evaluation cannot drift from the one registered.
+    QueryDef("q189_langid_eval", Some(s"""
+      WITH $LangIdCtes,
+      t AS (SELECT true_lang AS lang, CAST(count(*) AS BIGINT) AS support FROM lid GROUP BY 1),
+      g AS (SELECT guessed_lang AS lang, CAST(count(*) AS BIGINT) AS predicted FROM lid GROUP BY 1),
+      c AS (SELECT true_lang AS lang, CAST(count(*) AS BIGINT) AS tp
+            FROM lid WHERE true_lang = guessed_lang GROUP BY 1)
+      SELECT t.lang, t.support, coalesce(g.predicted, 0) AS predicted,
+             coalesce(c.tp, 0) AS tp,
+             round(CAST(coalesce(c.tp, 0) AS DOUBLE) / greatest(coalesce(g.predicted, 0), 1), 6) AS precision,
+             round(CAST(coalesce(c.tp, 0) AS DOUBLE) / t.support, 6) AS recall,
+             round(2.0 * coalesce(c.tp, 0)
+                   / greatest(coalesce(g.predicted, 0) + t.support, 1), 6) AS f1
+      FROM t LEFT JOIN g ON t.lang = g.lang LEFT JOIN c ON t.lang = c.lang"""),
+      (spark, dir) => {
+        val lid = langIdFrame(spark, dir)
+        val t = lid.groupBy(col("true_lang").as("lang"))
+          .agg(count(lit(1)).as("support"))
+        val g = lid.groupBy(col("guessed_lang").as("lang"))
+          .agg(count(lit(1)).as("predicted"))
+        val c = lid.filter(col("true_lang") === col("guessed_lang"))
+          .groupBy(col("true_lang").as("lang")).agg(count(lit(1)).as("tp"))
+        t.join(g, Seq("lang"), "left").join(c, Seq("lang"), "left")
+          .select(col("lang"), col("support"),
+            coalesce(col("predicted"), lit(0L)).as("predicted"),
+            coalesce(col("tp"), lit(0L)).as("tp"),
+            round(coalesce(col("tp"), lit(0L)).cast("double")
+              / greatest(coalesce(col("predicted"), lit(0L)), lit(1L)), 6).as("precision"),
+            round(coalesce(col("tp"), lit(0L)).cast("double") / col("support"), 6)
+              .as("recall"),
+            round(lit(2.0) * coalesce(col("tp"), lit(0L))
+              / greatest(coalesce(col("predicted"), lit(0L)) + col("support"), lit(1L)), 6)
+              .as("f1"))
       })
   )
 
@@ -722,6 +735,45 @@ object Text {
   /** The q123 oracle's CTE chain (tok→uni→c1→v→bg→c2→lp), shared by
     * the q123 and q173 oracles so the LM definition cannot drift.
     */
+  /** The q32 pipeline (doc_id, true_lang, guessed_lang), shared with
+    * the q189 evaluation.
+    */
+  private def langIdFrame(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = T(spark, dir, "documents")
+    val counts = docs.select(col("lang"), explode(TextOps.tokenize(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+    val profile = TopK.exactPerKey(counts, Seq("lang"),
+      Seq(col("n").desc, col("token").asc), 5).select("lang", "token")
+    val dtok = docs.select(col("doc_id"), col("lang").as("true_lang"),
+      explode(array_distinct(TextOps.tokenize(col("text")))).as("token"))
+    val scores = dtok.join(broadcast(profile.withColumnRenamed("lang", "cand_lang")), "token")
+      .groupBy("doc_id", "true_lang", "cand_lang").agg(count(lit(1)).as("hits"))
+    TopK.exactPerKey(scores, Seq("doc_id"),
+      Seq(col("hits").desc, col("cand_lang").asc), 1)
+      .select(col("doc_id"), col("true_lang"), col("cand_lang").as("guessed_lang"))
+  }
+
+  /** The q32 oracle's CTE chain ending in `lid(doc_id, true_lang,
+    * guessed_lang)` — shared with the q189 classifier evaluation.
+    * (`def`: defs initializes first.)
+    */
+  private def LangIdCtes: String = """ltok AS (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+      lcounts AS (SELECT lang, token, count(*) AS n FROM ltok GROUP BY lang, token),
+      profile AS (
+        SELECT lang, token
+        FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn FROM lcounts)
+        WHERE rn <= 5),
+      dtok AS (SELECT doc_id, lang AS true_lang, unnest(list_distinct(string_split(text, ' '))) AS token
+               FROM documents),
+      lscores AS (SELECT d.doc_id, d.true_lang, p.lang AS cand_lang, count(*) AS hits
+                  FROM dtok d JOIN profile p ON d.token = p.token
+                  GROUP BY d.doc_id, d.true_lang, p.lang),
+      lid AS (SELECT doc_id, true_lang, cand_lang AS guessed_lang
+              FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand_lang) AS rn
+                    FROM lscores)
+              WHERE rn = 1)"""
+
   // `def`, not `val`: defs above initializes first, and a forward `val`
   // reference would interpolate null into the oracle SQL.
   private def BigramNllCtes: String = """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
