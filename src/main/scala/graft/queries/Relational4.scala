@@ -568,6 +568,56 @@ object Relational4 {
             round(expShare, 6).as("exp_share"),
             round(pow(col("n_obs").cast("double") / col("total") - expShare, 2)
               / expShare * col("total"), 6).as("chi2_part"))
+      }),
+
+    // Revenue-concentration report per market segment — Gini (rank
+    // formula over exact decimal cents: Σ rank·cents is an exact
+    // integer, so the coefficient has NO float accumulation at all),
+    // HHI on whole currency units (cents // 100 keeps Σ units² inside
+    // int64 at any realistic revenue — Σ cents² would overflow),
+    // and the top-customer share. The skew diagnostics of the REVENUE
+    // distribution, complementing q140's join-key skew profile; one
+    // shuffle on the customer, one window rank per segment.
+    QueryDef("q191_revenue_concentration", Some("""
+      WITH rev AS (SELECT c.c_mktsegment AS seg, c.c_custkey,
+                          CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+                   FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                   GROUP BY 1, 2),
+      rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY seg
+                              ORDER BY cents, c_custkey) AS BIGINT) AS r
+             FROM rev),
+      s AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS total,
+                   CAST(sum(r * cents) AS BIGINT) AS rc,
+                   CAST(max(cents) AS BIGINT) AS mx,
+                   CAST(sum((cents // 100) * (cents // 100)) AS BIGINT) AS sq,
+                   CAST(sum(cents // 100) AS BIGINT) AS tu
+            FROM rk GROUP BY seg)
+      SELECT seg, n,
+             round(CAST(2 * rc - (n + 1) * total AS DOUBLE) / (n * total), 6) AS gini,
+             round(CAST(sq AS DOUBLE) / (CAST(tu AS DOUBLE) * tu), 6) AS hhi,
+             round(CAST(mx AS DOUBLE) / total, 6) AS top1_share
+      FROM s"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        val rev = T(spark, dir, "customer")
+          .join(T(spark, dir, "orders"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"), col("c_custkey"))
+          .agg(sum(cents).as("cents"))
+        val rk = rev.withColumn("r", row_number().over(
+          Window.partitionBy("seg").orderBy(col("cents"), col("c_custkey"))).cast("long"))
+        rk.groupBy("seg")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"),
+            sum(col("r") * col("cents")).as("rc"), max(col("cents")).as("mx"),
+            sum(expr("(cents div 100) * (cents div 100)")).as("sq"),
+            sum(expr("cents div 100")).as("tu"))
+          .select(col("seg"), col("n"),
+            round((lit(2) * col("rc") - (col("n") + 1) * col("total")).cast("double")
+              / (col("n") * col("total")), 6).as("gini"),
+            round(col("sq").cast("double")
+              / (col("tu").cast("double") * col("tu")), 6).as("hhi"),
+            round(col("mx").cast("double") / col("total"), 6).as("top1_share"))
       }))
 
   /** The q176 history build, shared with q179's as-of join. */
