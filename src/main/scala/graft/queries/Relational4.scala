@@ -618,6 +618,43 @@ object Relational4 {
             round(col("sq").cast("double")
               / (col("tu").cast("double") * col("tu")), 6).as("hhi"),
             round(col("mx").cast("double") / col("total"), 6).as("top1_share"))
+      }),
+
+    // Repeat-purchase cadence per segment — the lifecycle metric behind
+    // churn models: per customer, day gaps between consecutive orders
+    // (lag under the (day, orderkey) total order — same-day repeats
+    // count as 0-day gaps), then mean / median / p90 per segment. Gaps
+    // are exact integer days; the mean divides one exact sum, and the
+    // percentiles use the interpolated-percentile pair already pinned
+    // engine-equal by q121.
+    QueryDef("q192_purchase_cadence", Some("""
+      WITH o AS (SELECT o_custkey AS c, o_orderkey AS k,
+                        CAST(epoch(date_trunc('day', o_orderdate)) / 86400 AS BIGINT) AS d
+                 FROM orders),
+      g AS (SELECT c, d - lag(d) OVER (PARTITION BY c ORDER BY d, k) AS gap FROM o),
+      j AS (SELECT c_mktsegment AS seg, gap
+            FROM g JOIN customer ON c = c_custkey
+            WHERE gap IS NOT NULL)
+      SELECT seg, CAST(count(*) AS BIGINT) AS n_gaps,
+             round(CAST(sum(gap) AS DOUBLE) / count(*), 6) AS mean_days,
+             round(quantile_cont(gap, 0.5), 6) AS median_days,
+             round(quantile_cont(gap, 0.9), 6) AS p90_days
+      FROM j GROUP BY seg"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = T(spark, dir, "orders")
+          .select(col("o_custkey").as("c"), col("o_orderkey").as("k"),
+            (unix_timestamp(date_trunc("day", col("o_orderdate"))) / 86400)
+              .cast("long").as("d"))
+        val g = o.withColumn("gap", col("d") - lag(col("d"), 1).over(
+          Window.partitionBy("c").orderBy(col("d"), col("k"))))
+          .filter(col("gap").isNotNull)
+        g.join(T(spark, dir, "customer"), col("c") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("n_gaps"),
+            round(sum(col("gap")).cast("double") / count(lit(1)), 6).as("mean_days"),
+            round(expr("percentile(gap, 0.5)"), 6).as("median_days"),
+            round(expr("percentile(gap, 0.9)"), 6).as("p90_days"))
       }))
 
   /** The q176 history build, shared with q179's as-of join. */
