@@ -655,6 +655,59 @@ object Relational4 {
             round(sum(col("gap")).cast("double") / count(lit(1)), 6).as("mean_days"),
             round(expr("percentile(gap, 0.5)"), 6).as("median_days"),
             round(expr("percentile(gap, 0.9)"), 6).as("p90_days"))
+      }),
+
+    // ABC / Pareto classification of parts by revenue — the inventory
+    // standard: rank parts by revenue, class A carries the first 80% of
+    // cumulative revenue, B to 95%, C the tail. Revenue and its running
+    // total are exact decimal-cents integers under a total order
+    // ((cents desc, partkey) — the running sum has no float in it), so
+    // every class boundary is an exact integer comparison:
+    // class = A iff cum_before < 80% of total, evaluated as
+    // 100·cum_prev < 80·total in integers. Output is the per-class
+    // summary; the per-part window partitions globally only over the
+    // PART dimension (vocabulary-scale — the q151 global-rank caveat).
+    QueryDef("q193_abc_classes", Some("""
+      WITH rev AS (SELECT l_partkey AS p,
+                          CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+                   FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+      r AS (SELECT p, cents,
+                   CAST(coalesce(sum(cents) OVER (ORDER BY cents DESC, p
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+            FROM rev),
+      cl AS (SELECT p, cents,
+                    CASE WHEN 100 * cum_prev < 80 * total THEN 'A'
+                         WHEN 100 * cum_prev < 95 * total THEN 'B'
+                         ELSE 'C' END AS cls
+             FROM r, t)
+      SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(cents) AS BIGINT) AS class_cents,
+             round(CAST(sum(cents) AS DOUBLE) / any_value(total), 6) AS revenue_share,
+             round(CAST(count(*) AS DOUBLE)
+                   / (SELECT count(*) FROM rev), 6) AS part_share
+      FROM cl, t GROUP BY cls"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+        val rev = T(spark, dir, "lineitem")
+          .groupBy(col("l_partkey").as("p")).agg(sum(cents).as("cents"))
+        val t = rev.agg(sum(col("cents")).as("total"),
+          count(lit(1)).as("n_all"))
+        val w = Window.orderBy(col("cents").desc, col("p").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r = rev.withColumn("cum_prev", coalesce(sum(col("cents")).over(w), lit(0L)))
+          .crossJoin(broadcast(t))
+          .withColumn("cls",
+            when(lit(100) * col("cum_prev") < lit(80) * col("total"), "A")
+              .when(lit(100) * col("cum_prev") < lit(95) * col("total"), "B")
+              .otherwise("C"))
+        r.groupBy("cls")
+          .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("class_cents"),
+            round(sum(col("cents")).cast("double") / first(col("total")), 6)
+              .as("revenue_share"),
+            round(count(lit(1)).cast("double") / first(col("n_all")), 6)
+              .as("part_share"))
       }))
 
   /** The q176 history build, shared with q179's as-of join. */
