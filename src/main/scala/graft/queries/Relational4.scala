@@ -708,6 +708,43 @@ object Relational4 {
               .as("revenue_share"),
             round(count(lit(1)).cast("double") / first(col("n_all")), 6)
               .as("part_share"))
+      }),
+
+    // New-vs-returning revenue split per month — the growth-accounting
+    // decomposition: a customer's first-ever order month tags every
+    // later order as 'returning'. One aggregation for the first-month
+    // map (customer-scale, broadcast into the fact scan), exact cents
+    // everywhere, one rounded share.
+    QueryDef("q194_new_vs_returning", Some("""
+      WITH o AS (SELECT o_custkey AS c, strftime(o_orderdate, '%Y-%m') AS m,
+                        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM orders),
+      fm AS (SELECT c, min(m) AS first_m FROM o GROUP BY c)
+      SELECT o.m AS month,
+             CAST(sum(CASE WHEN o.m = fm.first_m THEN cents ELSE 0 END) AS BIGINT) AS new_cents,
+             CAST(sum(CASE WHEN o.m <> fm.first_m THEN cents ELSE 0 END) AS BIGINT) AS returning_cents,
+             CAST(count(DISTINCT CASE WHEN o.m = fm.first_m THEN o.c END) AS BIGINT) AS new_customers,
+             round(CAST(sum(CASE WHEN o.m = fm.first_m THEN cents ELSE 0 END) AS DOUBLE)
+                   / sum(cents), 6) AS new_share
+      FROM o JOIN fm ON o.c = fm.c
+      GROUP BY o.m"""),
+      (spark, dir) => {
+        val o = T(spark, dir, "orders")
+          .select(col("o_custkey").as("c"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        val fm = o.groupBy("c").agg(min(col("m")).as("first_m"))
+        o.join(broadcast(fm), "c")
+          .groupBy(col("m").as("month"))
+          .agg(
+            sum(when(col("m") === col("first_m"), col("cents")).otherwise(0L))
+              .as("new_cents"),
+            sum(when(col("m") =!= col("first_m"), col("cents")).otherwise(0L))
+              .as("returning_cents"),
+            countDistinct(when(col("m") === col("first_m"), col("c")))
+              .as("new_customers"),
+            round(sum(when(col("m") === col("first_m"), col("cents")).otherwise(0L))
+              .cast("double") / sum(col("cents")), 6).as("new_share"))
       }))
 
   /** The q176 history build, shared with q179's as-of join. */
