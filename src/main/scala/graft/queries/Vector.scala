@@ -1490,6 +1490,60 @@ object Vector {
             round(fold("own") / col("n_vecs"), 6).as("mean_own"),
             round(fold("mar") / col("n_vecs"), 6).as("mean_margin"),
             round(col("__nc").cast("double") / col("n_vecs"), 6).as("frac_correct"))
+      }),
+
+    // Dedup impact report — what the near-dup pass actually buys,
+    // stated per cluster size: how many clusters of each size exist,
+    // the character mass they carry, and the mass that SURVIVES when
+    // only each cluster's min-id representative is kept. The number a
+    // curation run publishes to justify its dedup stage (singleton
+    // clusters = untouched mass). Components over the q26 edge sliver
+    // (the q77 machinery); the corpus pays one root join.
+    QueryDef("q195_dedup_impact", Some(s"""
+      WITH RECURSIVE ${lshCtes("documents")},
+      strong AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      sym AS (SELECT id_a AS a, id_b AS b FROM strong
+              UNION SELECT id_b, id_a FROM strong
+              UNION SELECT id_a, id_a FROM strong
+              UNION SELECT id_b, id_b FROM strong),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+      rooted AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS root,
+                        CAST(d.n_chars AS BIGINT) AS nc
+                 FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+      cl AS (SELECT r.root, CAST(count(*) AS BIGINT) AS sz,
+                    CAST(sum(r.nc) AS BIGINT) AS total_chars,
+                    CAST(any_value(k.n_chars) AS BIGINT) AS kept_chars
+             FROM rooted r JOIN documents k ON r.root = k.doc_id
+             GROUP BY r.root)
+      SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(total_chars) AS BIGINT) AS total_chars,
+             CAST(sum(kept_chars) AS BIGINT) AS kept_chars,
+             round(1.0 - CAST(sum(kept_chars) AS DOUBLE) / sum(total_chars), 6)
+               AS removed_share
+      FROM cl GROUP BY sz"""),
+      (spark, dir) => {
+        val docs = T(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+        val strong = lshPairs(spark, dir).filter(col("jaccard") >= 0.5)
+        val comp = graft.ops.ConnectedComponents
+          .labelPropagation(strong, "id_a", "id_b")
+          .withColumnRenamed("node", "doc_id")
+        val rooted = docs.join(comp, Seq("doc_id"), "left")
+          .withColumn("root", coalesce(col("component"), col("doc_id")))
+        val cl = rooted.groupBy("root")
+          .agg(count(lit(1)).as("sz"), sum(col("nc")).as("total_chars"))
+          .join(docs.select(col("doc_id").as("root"), col("nc").as("kept_chars")),
+            "root")
+        cl.groupBy(col("sz").as("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            sum(col("total_chars")).as("total_chars"),
+            sum(col("kept_chars")).as("kept_chars"),
+            round(lit(1.0) - sum(col("kept_chars")).cast("double")
+              / sum(col("total_chars")), 6).as("removed_share"))
       })
   )
 
