@@ -441,6 +441,52 @@ object ML {
             Seq("o", "held"), "left")
           .select(col("o").as("order_key"), col("held").as("held_item"),
             col("rnk").cast("int").as("hit_rank"), col("rnk").isNotNull.as("hit"))
+      }),
+
+    // Association RULES with minimum support — the Apriori level-2
+    // semantics on top of q157's pair counts: directed rules pa→pb with
+    // support (basket share), confidence (n_ab / baskets containing
+    // pa) and lift, kept only above an integer min-support count (no
+    // float threshold boundary to straddle). The rule mining every
+    // cross-sell engine starts from; pair space stays bounded per
+    // basket, never item².
+    QueryDef("q196_association_rules", Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+      cnt AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM li GROUP BY p),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2 HAVING count(*) >= 3),
+      rules AS (SELECT pa, pb, n_ab FROM pairs
+                UNION ALL SELECT pb, pa, n_ab FROM pairs)
+      SELECT r.pa AS antecedent, r.pb AS consequent, r.n_ab,
+             round(CAST(r.n_ab AS DOUBLE) / n.n_orders, 6) AS support,
+             round(CAST(r.n_ab AS DOUBLE) / ca.c, 6) AS confidence,
+             round(CAST(r.n_ab AS DOUBLE) * n.n_orders / (ca.c * cb.c), 6) AS lift
+      FROM rules r JOIN cnt ca ON r.pa = ca.p JOIN cnt cb ON r.pb = cb.p
+      CROSS JOIN n"""),
+      (spark, dir) => {
+        val li = T(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val n = li.agg(countDistinct(col("o")).as("n_orders"))
+        val cnt = li.groupBy("p").agg(count(lit(1)).as("c"))
+        val pairs = li.select(col("o"), col("p").as("pa"))
+          .join(li.select(col("o"), col("p").as("pb")), "o")
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 3)
+        val rules = pairs.unionByName(
+          pairs.select(col("pb").as("pa"), col("pa").as("pb"), col("n_ab")))
+        rules
+          .join(cnt.select(col("p").as("pa"), col("c").as("ca")), "pa")
+          .join(cnt.select(col("p").as("pb"), col("c").as("cb")), "pb")
+          .crossJoin(broadcast(n))
+          .select(col("pa").as("antecedent"), col("pb").as("consequent"),
+            col("n_ab"),
+            round(col("n_ab").cast("double") / col("n_orders"), 6).as("support"),
+            round(col("n_ab").cast("double") / col("ca"), 6).as("confidence"),
+            round(col("n_ab").cast("double") * col("n_orders")
+              / (col("ca") * col("cb")), 6).as("lift"))
       })
   )
 }
