@@ -745,6 +745,37 @@ object Relational4 {
               .as("new_customers"),
             round(sum(when(col("m") === col("first_m"), col("cents")).otherwise(0L))
               .cast("double") / sum(col("cents")), 6).as("new_share"))
+      }),
+
+    // Supplier return-rate league table — the ops quality metric: share
+    // of a supplier's line items returned (l_returnflag = 'R'), ranked
+    // worst-first among suppliers with enough volume for the rate to
+    // mean anything (integer min-volume gate, the q196 discipline).
+    // Exact integer counts, one rounded share, one vocabulary-scale
+    // rank.
+    QueryDef("q197_supplier_returns", Some("""
+      WITH s AS (SELECT l_suppkey,
+                        CAST(count(*) AS BIGINT) AS n_items,
+                        CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+                 FROM lineitem GROUP BY l_suppkey
+                 HAVING count(*) >= 20)
+      SELECT l_suppkey, n_items, n_returned,
+             round(CAST(n_returned AS DOUBLE) / n_items, 6) AS return_rate,
+             CAST(row_number() OVER (ORDER BY CAST(n_returned AS DOUBLE) / n_items DESC,
+                                              l_suppkey) AS INTEGER) AS worst_rank
+      FROM s"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val s = T(spark, dir, "lineitem")
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n_items"),
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+          .filter(col("n_items") >= 20)
+        val rate = col("n_returned").cast("double") / col("n_items")
+        s.select(col("l_suppkey"), col("n_items"), col("n_returned"),
+            round(rate, 6).as("return_rate"),
+            row_number().over(Window.orderBy(rate.desc, col("l_suppkey").asc))
+              .cast("int").as("worst_rank"))
       }))
 
   /** The q176 history build, shared with q179's as-of join. */
