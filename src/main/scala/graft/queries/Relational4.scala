@@ -776,6 +776,58 @@ object Relational4 {
             round(rate, 6).as("return_rate"),
             row_number().over(Window.orderBy(rate.desc, col("l_suppkey").asc))
               .cast("int").as("worst_rank"))
+      }),
+
+    // RFM segmentation — the classic customer scoring: Recency (days
+    // since last order, fewer = better), Frequency (order count),
+    // Monetary (exact cents revenue), each cut into quartiles under a
+    // total order (metric, custkey), composed into the familiar
+    // three-digit RFM code (444 = best). ntile over integer-exact
+    // metrics with unique tiebreaks is engine-deterministic; "now" is
+    // the corpus' own max order day.
+    QueryDef("q198_rfm_segments", Some("""
+      WITH o AS (SELECT o_custkey AS c,
+                        CAST(epoch(date_trunc('day', o_orderdate)) / 86400 AS BIGINT) AS d,
+                        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+                 FROM orders),
+      mx AS (SELECT max(d) AS now_d FROM o),
+      rfm AS (SELECT c, CAST(now_d - max(d) AS BIGINT) AS recency_days,
+                     CAST(count(*) AS BIGINT) AS frequency,
+                     CAST(sum(cents) AS BIGINT) AS monetary_cents
+              FROM o, mx GROUP BY c, now_d),
+      sc AS (SELECT *,
+                    CAST(5 - ntile(4) OVER (ORDER BY recency_days, c) AS INTEGER) AS r_score,
+                    CAST(ntile(4) OVER (ORDER BY frequency, c) AS INTEGER) AS f_score,
+                    CAST(ntile(4) OVER (ORDER BY monetary_cents, c) AS INTEGER) AS m_score
+             FROM rfm)
+      SELECT c AS c_custkey, recency_days, frequency, monetary_cents,
+             r_score, f_score, m_score,
+             CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_code
+      FROM sc"""),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = T(spark, dir, "orders")
+          .select(col("o_custkey").as("c"),
+            (unix_timestamp(date_trunc("day", col("o_orderdate"))) / 86400)
+              .cast("long").as("d"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        val mx = o.agg(max(col("d")).as("now_d"))
+        val rfm = o.crossJoin(broadcast(mx)).groupBy("c", "now_d")
+          .agg((first(col("now_d")) - max(col("d"))).as("recency_days"),
+            count(lit(1)).as("frequency"), sum(col("cents")).as("monetary_cents"))
+          .select(col("c"), col("recency_days"), col("frequency"),
+            col("monetary_cents"))
+        rfm
+          .withColumn("r_score", (lit(5) - ntile(4).over(
+            Window.orderBy(col("recency_days"), col("c")))).cast("int"))
+          .withColumn("f_score", ntile(4).over(
+            Window.orderBy(col("frequency"), col("c"))).cast("int"))
+          .withColumn("m_score", ntile(4).over(
+            Window.orderBy(col("monetary_cents"), col("c"))).cast("int"))
+          .select(col("c").as("c_custkey"), col("recency_days"), col("frequency"),
+            col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
+            (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+              .cast("int").as("rfm_code"))
       }))
 
   /** The q176 history build, shared with q179's as-of join. */
