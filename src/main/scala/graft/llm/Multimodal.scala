@@ -12,13 +12,14 @@ import org.apache.spark.sql.types._
   * open-once-per-partition, decode-per-row, close-at-exhaustion —
   * exactly the lifecycle a JNI/FFM codec or an ONNX feature extractor
   * needs, with state amortized across a partition's rows and never
-  * held beyond one row's output at a time. This container ships no
-  * image/audio codecs, so the shipped instance is [[HistogramDecoder]]
-  * — a deterministic stand-in (16-bin byte histogram, L1-normalized)
-  * with the same shape a real decoder would have (bytes in, fixed-dim
-  * float features out). Everything around it (schema, batch iteration,
-  * partition preservation, column contracts, lifecycle) is real and
-  * spec-asserted (LlmOpsSpec "MediaDecoder seam").
+  * held beyond one row's output at a time. Two instances ship:
+  * [[ImageIoDecoder]], a REAL image decoder on the JDK's bundled
+  * PNG/JPEG/BMP/GIF codecs (oracle-checked end to end in q199), and
+  * [[HistogramDecoder]], the codec-free byte-level default for opaque
+  * audio/video payloads this container has no codecs for. Everything
+  * around them (schema, batch iteration, partition preservation,
+  * column contracts, lifecycle) is spec-asserted (LlmOpsSpec
+  * "MediaDecoder seam").
   */
 object Multimodal {
 
@@ -61,6 +62,77 @@ object Multimodal {
       while (j < featureDim) { bins(j) /= n; j += 1 }
       bins
     }
+  }
+
+  /** A REAL image decoder on the JDK's bundled codecs (`javax.imageio`
+    * reads PNG/JPEG/BMP/GIF with zero added dependencies): payload bytes
+    * are decoded to pixels and reduced to a 16-bin band-0 intensity
+    * histogram (bin = sample >> 4, clamped to 8-bit) as EXACT counts —
+    * integer-valued floats, so a lossless format (PNG/BMP) round-trips
+    * bit-for-bit against an oracle that computes the same histogram from
+    * the pixel formula without decoding (q199). Contract corners:
+    * null/empty/unreadable payloads yield the zero vector, never throw —
+    * a corrupt asset must not kill a 100 TB decode pass.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    val featureDim: Int = Multimodal.featureDim
+    override def open(): Unit =
+      // keep codec scratch in memory: the default ImageIO disk cache
+      // writes a temp file per image — pure overhead at decode scale
+      javax.imageio.ImageIO.setUseCache(false)
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val bins = new Array[Float](featureDim)
+      if (payload == null || payload.isEmpty) return bins
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) return bins
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          bins(math.min(raster.getSample(x, y, 0), 255) >> 4) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      bins
+    }
+  }
+
+  /** Deterministic synthetic PNG assets for `ids`: a w×h grayscale image
+    * per id with sample(x, y) = (id·31 + x·7 + y·13) mod 256, encoded
+    * with the JDK PNG writer partition-wise (no shuffle). PNG is
+    * lossless, so [[ImageIoDecoder]] recovers exactly these samples —
+    * the encode→decode pair is oracle-checkable from the formula alone.
+    */
+  def syntheticPngAssets(ids: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val id = r.getLong(0)
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, "image", bos.toByteArray, w, h)
+      }
+    }
+    spark.createDataFrame(rdd, assetSchema)
   }
 
   /** Payload schema: one row per asset. */

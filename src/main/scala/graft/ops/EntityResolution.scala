@@ -150,6 +150,12 @@ object EntityResolution {
         Seq("component"), "left")
       .select(col(nameCol),
         coalesce(col("canonical"), col(nameCol)).as("canonical"))
+      // localCheckpoint materializes the mapping so `ids` can be released
+      // here — a per-micro-batch caller (IncrementalEntityResolution)
+      // must not accumulate one pinned RDD per batch for the stream's
+      // lifetime
+      .localCheckpoint(eager = true)
+    ids.unpersist(blocking = false)
     out
   }
 }

@@ -45,7 +45,11 @@ object JoinEstimate {
         when(col("msz") < k, col("msz").cast("double"))
           .otherwise(lit((k - 1).toDouble)
             / (element_at(col("m"), k).cast("double") / KmvDistinct.Norm)))
-      .withColumn("jaccard_est", col("c").cast("double") / col("msz"))
+      // msz = 0 ⇔ both inputs empty: report clean zero estimates, not
+      // the null a 0/0 division would hand a consuming planner
+      .withColumn("jaccard_est",
+        when(col("msz") === 0, lit(0.0))
+          .otherwise(col("c").cast("double") / col("msz")))
       .select(lit(k).as("k"),
         round(col("union_est"), 6).as("union_est"),
         round(col("jaccard_est") * col("union_est"), 6).as("inter_est"),

@@ -70,6 +70,9 @@ object Quality {
     * exactly the releasable ones, so skew is benign).
     */
   def kAnonymize(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    val clash = df.columns.toSet.intersect(Set("grp_n", "suppressed"))
+    require(clash.isEmpty,
+      s"kAnonymize appends grp_n/suppressed; input already has ${clash.mkString(", ")}")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(qiCols.map(col): _*)
     val withN = df.withColumn("grp_n", count(lit(1)).over(w))
     val masked = qiCols.foldLeft(withN) { (d, c) =>

@@ -104,6 +104,34 @@ object Media {
             Seq(col("cos_sim").desc, col("other_id").asc), 3, "rnk")
           .withColumn("rnk", col("rnk").cast("int"))
           .select("asset_id", "other_id", "cos_sim", "rnk")
+      }),
+
+    // REAL codec end to end: encode a deterministic grayscale PNG per
+    // doc (sample(x,y) = (id*31 + x*7 + y*13) mod 256, JDK PNG writer),
+    // decode it back with javax.imageio (llm.Multimodal.ImageIoDecoder),
+    // histogram the decoded pixels. PNG is lossless, so the oracle can
+    // compute the exact same histogram from the pixel FORMULA without
+    // ever touching an image library — a full-hash gate on the decode
+    // path itself, not just the plumbing around it.
+    QueryDef("q199_imageio_decode", Some("""
+      WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+      px AS (
+        SELECT i.doc_id, ((i.doc_id * 31 + x.x * 7 + y.y * 13) % 256) // 16 AS bin
+        FROM ids i, range(0, 24) AS x(x), range(0, 16) AS y(y)),
+      cnt AS (SELECT doc_id, bin, count(*) AS n FROM px GROUP BY 1, 2)
+      SELECT i.doc_id AS asset_id, CAST(b.j AS INTEGER) AS bin,
+             CAST(coalesce(c.n, 0) AS INTEGER) AS n_px
+      FROM ids i CROSS JOIN range(0, 16) AS b(j)
+      LEFT JOIN cnt c ON c.doc_id = i.doc_id AND c.bin = b.j"""),
+      (spark, dir) => {
+        val ids = T(spark, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 5 === 0)
+        val assets = Multimodal.syntheticPngAssets(ids, "doc_id", w = 24, h = 16)
+        Multimodal.extractFeatures(assets, Multimodal.ImageIoDecoder)
+          .select(col("asset_id"),
+            posexplode(col("features")).as(Seq("bin", "n_px")))
+          .select(col("asset_id"), col("bin").cast("int").as("bin"),
+            col("n_px").cast("int").as("n_px"))
       })
   )
 }

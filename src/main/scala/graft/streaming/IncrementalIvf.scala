@@ -36,11 +36,21 @@ import graft.llm.SimSearch
   */
 object IncrementalIvf {
 
-  /** Assign one arriving slice to buckets and commit it to the index. */
+  /** Assign one arriving slice to buckets and commit it to the index.
+    *
+    * Centroid resolution: a [[refresh]] commits new centroids BESIDE the
+    * generation it rebuilds, so ingestion must follow them — otherwise
+    * batches after a refresh would be bucketed in the superseded centroid
+    * space while probes rank buckets in the refreshed one. `cents` is
+    * therefore only the FALLBACK for an index that has never been
+    * refreshed; when `v=G.centroids` exists it wins
+    * (IncrementalIvfSpec pins post-refresh ingestion equality).
+    */
   def processBatch(batch: Dataset[Row], batchId: Long, cents: DataFrame,
                    idCol: String, embCol: String, indexDir: String): Unit = {
+    val live = latestCentroids(batch.sparkSession, indexDir).getOrElse(cents)
     val c = SimSearch.unitized(batch.toDF(), idCol, embCol, idCol, "__ne")
-    SimSearch.nearestBuckets(c, cents, idCol, "__ne", 1)
+    SimSearch.nearestBuckets(c, live, idCol, "__ne", 1)
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$indexDir/batch=$batchId")
   }
@@ -146,6 +156,16 @@ object IncrementalIvf {
       sources.map(spark.read.parquet(_)).reduce(_ unionByName _)
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(GenStore.genDir(indexDir, newGen))
+      // carry refreshed centroids forward: cleanup deletes EVERYTHING of
+      // superseded generations including `v=G.centroids`, and the folded
+      // data is still assigned in that centroid space — copy before the
+      // commit point so a crash in between leaves the old unit intact
+      prev.map(_._1).map(centroidsDir(indexDir, _))
+        .filter(d => GenStore.nonEmptyPaths(spark, indexDir, Seq(d)).nonEmpty)
+        .foreach { d =>
+          spark.read.parquet(d).write.mode("overwrite")
+            .parquet(centroidsDir(indexDir, newGen))
+        }
       GenStore.commitManifest(spark, indexDir, newGen, live.max)
     }
     // cleanup AFTER commit; idempotent, also re-run after a crash that
@@ -178,8 +198,17 @@ object IncrementalIvf {
     val prev = GenStore.latestCompaction(spark, indexDir)
     val prevMax = prev.map(_._2).getOrElse(-1L)
     val live = GenStore.liveBatchIds(spark, indexDir, prevMax)
-    val c = readIndex(spark, indexDir).select(col(idCol), col("__ne"),
-      col("bucket").cast("long").as("bucket")).cache()
+    // fold the CAPTURED read set (mirroring compact), not a re-listing
+    // via readIndex: a micro-batch landing between two listings would be
+    // folded yet stay above the manifest high-water mark and be read
+    // twice ever after
+    val sources = prev.map { case (g, _) => GenStore.genDir(indexDir, g) }.toSeq ++
+      GenStore.nonEmptyPaths(spark, indexDir, live.map(b => s"$indexDir/batch=$b"))
+    val c = (if (prev.isEmpty && sources.isEmpty)
+        spark.read.parquet(indexDir) // legacy never-compacted layout
+      else sources.map(spark.read.parquet(_)).reduce(_ unionByName _))
+      .select(col(idCol), col("__ne"),
+        col("bucket").cast("long").as("bucket")).cache()
     val seeds = SimSearch.bucketMeans(c, idCol)
       .select(col("cent_id"), col("__new").as("cent_emb"))
     val cents = SimSearch.lloydIterate(c.select(col(idCol), col("__ne")),

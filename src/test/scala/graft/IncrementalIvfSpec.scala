@@ -173,13 +173,33 @@ class IncrementalIvfSpec extends SparkSuite {
       SimSearch.probeRank(probed, bucketed, "vec_id", k)
     }
     assert(sorted(streamed) == sorted(batch))
-    // ingestion continues against the refreshed centroids
-    IncrementalIvf.processBatch(late, 1, refreshed, "vec_id", "embedding", dir)
+    // ingestion continues against the refreshed centroids even when the
+    // caller still holds the STALE pre-refresh frame: processBatch
+    // resolves the committed `v=G.centroids` itself
+    IncrementalIvf.processBatch(late, 1, c, "vec_id", "embedding", dir)
     val all = IncrementalIvf.probe(spark, dir, queries, refreshed,
       "vec_id", "embedding", k, nProbe)
     val ids = IncrementalIvf.readIndex(spark, dir).select("vec_id").distinct().count()
     assert(ids == emb.count())
     assert(all.count() >= streamed.count())
+    // the post-refresh incremental index is bucket-identical to batch
+    // assignment of the full corpus under the refreshed centroids
+    val cAll = SimSearch.unitized(emb, "vec_id", "embedding", "vec_id", "__ne")
+    val fullBatch = {
+      val qs = SimSearch.unitized(queries, "vec_id", "embedding", "query_id", "__qe")
+      val probed = SimSearch.nearestBuckets(qs, refreshed, "query_id", "__qe", nProbe)
+      val bucketed = SimSearch.nearestBuckets(cAll, refreshed, "vec_id", "__ne", 1)
+      SimSearch.probeRank(probed, bucketed, "vec_id", k)
+    }
+    assert(sorted(all) == sorted(fullBatch))
+    // a plain compact() carries the refreshed centroids to the new
+    // generation (cleanup deletes the superseded one wholesale)
+    IncrementalIvf.compact(spark, dir)
+    val carried = IncrementalIvf.latestCentroids(spark, dir)
+    assert(carried.nonEmpty && carried.get.count() == refreshed.count())
+    val afterCompact = IncrementalIvf.probe(spark, dir, queries, refreshed,
+      "vec_id", "embedding", k, nProbe)
+    assert(sorted(afterCompact) == sorted(fullBatch))
     c.unpersist()
   }
 }

@@ -582,6 +582,39 @@ class LlmOpsSpec extends SparkSuite {
     assets.unpersist()
   }
 
+  test("Multimodal.ImageIoDecoder: PNG round-trip recovers the pixel formula; corrupt/empty → zeros") {
+    val (w, h) = (24, 16)
+    val ids = spark.range(0, 12).toDF("id")
+    val assets = Multimodal.syntheticPngAssets(ids, "id", w, h)
+    // payloads really are PNGs (magic bytes), metadata consistent
+    val first = assets.orderBy("asset_id").head
+    val png = first.getAs[Array[Byte]]("payload")
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    // decoded histogram == histogram computed from the formula directly
+    val feats = Multimodal.extractFeatures(assets, Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    for (id <- 0L until 12L) {
+      val expected = new Array[Float](Multimodal.featureDim)
+      for (y <- 0 until h; x <- 0 until w)
+        expected(java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt >> 4) += 1f
+      assert(feats(id) == expected.toSeq, s"pixel histogram mismatch for id=$id")
+      assert(feats(id).map(_.toDouble).sum == w * h) // every pixel binned once
+    }
+    // contract corners: null, empty, and unreadable payloads → zero vector
+    val zeros = Array.fill(Multimodal.featureDim)(0f).toSeq
+    assert(Multimodal.ImageIoDecoder.decode(null).toSeq == zeros)
+    assert(Multimodal.ImageIoDecoder.decode(Array.empty).toSeq == zeros)
+    assert(Multimodal.ImageIoDecoder.decode("not a png".getBytes).toSeq == zeros)
+    // a JPEG written by the JDK decodes through the same seam (lossy, so
+    // just shape + mass — the exactness gate stays with lossless PNG)
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jf = Multimodal.ImageIoDecoder.decode(bos.toByteArray)
+    assert(jf.length == Multimodal.featureDim && jf.map(_.toDouble).sum == 64.0)
+  }
+
   test("Multimodal.resizeStub: metadata updated, payload shrunk proportionally") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
     val assets = Multimodal.assetsFromDocuments(docs) // 64x48
