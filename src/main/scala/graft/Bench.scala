@@ -86,18 +86,32 @@ object Bench {
     //      1min periodicGC fallback above) keeps the cleaner's queue
     //      draining.
     val sc = spark.sparkContext
+    // Residual block-manager storage across ALL executors (cached RDD
+    // blocks + still-referenced broadcast blocks) — the direct gauge of
+    // the state whose accumulation caused the r9 collapse.
+    def storageUsedMB(): Double =
+      sc.getExecutorMemoryStatus.values
+        .map { case (max, remaining) => max - remaining }.sum / 1e6
     def sweep(forceGc: Boolean): Unit = {
       spark.catalog.clearCache()
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      if (forceGc) System.gc()
+      // GC when asked OR whenever measured residue says the cleaner's
+      // queue is behind — dead broadcasts hold storage until a GC
+      // collects their weak refs, so storage residue IS the trigger
+      if (forceGc || storageUsedMB() > 256.0) System.gc()
     }
+    // The heaviest allocator families get an unconditional pre-run GC:
+    // r10's i%8 cadence left BENCH_r10 q139/q120/q101 3-4.5x their
+    // isolated mins when the GC slot landed just before a lighter query.
+    val heavy = Set("q99", "q101", "q115", "q120", "q139", "q159", "q166")
 
     var i = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      val isHeavy = heavy.contains(name.takeWhile(_ != '_'))
       def once(): Double = {
-        sweep(forceGc = false)
+        sweep(forceGc = isHeavy)
         val t0 = System.nanoTime()
         try {
           GraftSession.withQueryCaches(spark) { fn(spark, sfDir).count() }
@@ -106,6 +120,10 @@ object Bench {
       }
       val t = math.min(once(), once())
       i += 1
+      // post-run, pre-cleanup: what THIS query left behind (the leaker
+      // shows up here as rdds>0 / storage growth in the artifact's log)
+      System.err.println(f"[bench-diag] $name%-28s rdds=${sc.getPersistentRDDs.size}%-3d " +
+        f"storageMB=${storageUsedMB()}%8.1f sec=$t%.3f")
       sweep(forceGc = i % 8 == 0)
       name -> t
     }

@@ -239,45 +239,15 @@ object Retrieval {
       FROM dots JOIN nrm na ON doc_a = na.doc_id
                 JOIN nrm nb ON doc_b = nb.doc_id
       WHERE dot / (na.nrm * nb.nrm) >= $SimMinSim"""),
-      (spark, dir) => {
-        val docs = T(spark, dir, "documents")
-        val tf = docs
-          .select(col("doc_id"),
-            explode(TextOps.shingles(TextOps.tokenize(col("text")), SimGramN)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("g").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= SimMaxDf)
-        val n = docs.agg(count(lit(1)).as("n_docs"))
-        val w = tf.join(dfreq, "g").crossJoin(broadcast(n))
-          .select(col("doc_id"), col("g"),
-            (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("w"))
-        // ordered fold (by gram) — the q101 sorted-aggregate shape, so the
-        // float sum sequence matches the oracle's list_reduce exactly
-        def orderedSum(valCol: String) =
-          aggregate(expr("slice(__s, 2, size(__s) - 1)"),
-            element_at(col("__s"), 1).getField(valCol),
-            (acc, v) => acc + v.getField(valCol))
-        val nrm = w
-          .select(col("doc_id"), struct(col("g"), (col("w") * col("w")).as("v")).as("e"))
-          .groupBy("doc_id").agg(array_sort(collect_list(col("e"))).as("__s"))
-          .select(col("doc_id"), sqrt(orderedSum("v")).as("nrm"))
-        val pp = w.select(col("doc_id").as("doc_a"), col("g"), col("w").as("w_a"))
-          .join(w.select(col("doc_id").as("doc_b"), col("g"), col("w").as("w_b")), "g")
-          .filter(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"),
-            struct(col("g"), (col("w_a") * col("w_b")).as("v")).as("e"))
-        val dots = pp.groupBy("doc_a", "doc_b")
-          .agg(count(lit(1)).cast("int").as("n_shared"),
-            array_sort(collect_list(col("e"))).as("__s"))
-          .select(col("doc_a"), col("doc_b"), col("n_shared"),
-            orderedSum("v").as("dot"))
-        dots
-          .join(nrm.select(col("doc_id").as("doc_a"), col("nrm").as("na")), "doc_a")
-          .join(nrm.select(col("doc_id").as("doc_b"), col("nrm").as("nb")), "doc_b")
-          .filter(col("dot") / (col("na") * col("nb")) >= SimMinSim)
-          .select(col("doc_a"), col("doc_b"), col("n_shared"),
-            round(col("dot") / (col("na") * col("nb")), 6).as("sim"))
-      }),
+      (spark, dir) =>
+        // exactFold pays the ordered-fold oracle tax deliberately: this
+        // gated query must hash-match DuckDB's list_reduce bit for bit.
+        // Production callers use the plain-sum fast path
+        // (SparseSim.idfCosineJoin(exactFold = false) — same pair set,
+        // partial-aggregated; ProfileSparseSim measures the gap).
+        graft.llm.SparseSim.idfCosineJoin(T(spark, dir, "documents"),
+          "doc_id", "text", SimGramN, SimMaxDf, SimMinSim,
+          exactFold = true)),
 
     // Tokenizer training: learn BPE merge rules from the corpus word
     // counts — ONE corpus pass for the frequency table, then every

@@ -59,4 +59,29 @@ class RetrievalSpec extends SparkSuite {
       .count()
     assert(direct == nab, s"pair ($ta,$tb): index says $nab, recount says $direct")
   }
+
+  test("SparseSim fast path == exact-fold path: same pairs, sims within 1e-9") {
+    import graft.llm.SparseSim
+    import graft.queries.Retrieval.{SimGramN, SimMaxDf, SimMinSim}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = SparseSim.idfCosineJoin(docs, "doc_id", "text",
+      SimGramN, SimMaxDf, SimMinSim, exactFold = true)
+    val fast = SparseSim.idfCosineJoin(docs, "doc_id", "text",
+      SimGramN, SimMaxDf, SimMinSim, exactFold = false)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getInt(2), r.getDouble(3))).toMap
+    val (e, f) = (keyed(exact), keyed(fast))
+    assert(e.keySet == f.keySet,
+      s"pair sets differ: only-exact=${e.keySet -- f.keySet}, only-fast=${f.keySet -- e.keySet}")
+    assert(e.nonEmpty)
+    e.foreach { case (k, (nShared, sim)) =>
+      assert(f(k)._1 == nShared)
+      assert(math.abs(f(k)._2 - sim) <= 1e-9, s"$k: exact=$sim fast=${f(k)._2}")
+    }
+    // the fast path's aggregates are partial (no per-group array
+    // materialization): no collect_list/array_sort in its plan
+    val plan = fast.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("array_sort"), plan.take(1500))
+    assert(exact.queryExecution.optimizedPlan.toString.contains("collect_list"))
+  }
 }
