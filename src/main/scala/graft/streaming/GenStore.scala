@@ -72,6 +72,30 @@ private[streaming] object GenStore {
     }
   }
 
+  /** Size-triggered compaction for foreachBatch drivers: run
+    * `compactFn` when the live `batch=N` count has reached
+    * `minLiveBatches` (each micro-batch adds ≤1 file per bucket, so
+    * thresholding live batches IS thresholding per-bucket file count —
+    * a reader opens ≤ minLiveBatches + 1 files per bucket between
+    * triggers). Called at the TOP of a foreachBatch body, before the
+    * current batch's data is written.
+    *
+    * Replay safety: batches < batchId are durably committed by
+    * Structured Streaming (batch N starts only after N−1's checkpoint
+    * commit), so folding them can never race a replay. A batch dir
+    * whose id == batchId means THIS invocation is a crash replay of an
+    * uncommitted batch — folding it would double-count it when
+    * processBatch rewrites the dir, so the trigger skips this cycle
+    * and fires after the batch commits instead.
+    */
+  def autoCompact(spark: SparkSession, storeDir: String, batchId: Long,
+                  minLiveBatches: Int)(compactFn: => Unit): Unit = {
+    if (minLiveBatches <= 0) return
+    val prevMax = latestCompaction(spark, storeDir).map(_._2).getOrElse(-1L)
+    val live = liveBatchIds(spark, storeDir, prevMax)
+    if (live.size >= minLiveBatches && live.forall(_ < batchId)) compactFn
+  }
+
   /** Commit point: write `v=G.manifest.json` beside the generation data
     * via create-then-rename.
     */

@@ -222,13 +222,21 @@ object IncrementalDedup {
     Seq(b, sigs, histDupsCached, survivors).foreach(_.unpersist(blocking = false))
   }
 
-  /** Wire a document stream into the admission store. */
+  /** Wire a document stream into the admission store. `autoCompactEvery`
+    * > 0 folds live batches whenever that many have accumulated
+    * ([[GenStore.autoCompact]] — replay-safe: fires before the batch's
+    * own write, never on a replayed uncommitted batch).
+    */
   def start(stream: DataFrame, idCol: String, shinglesCol: String,
-            storeDir: String, checkpointDir: String, cfg: Config = Config())
+            storeDir: String, checkpointDir: String, cfg: Config = Config(),
+            autoCompactEvery: Int = 0)
   : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: Dataset[Row], id: Long) =>
+        GenStore.autoCompact(df.sparkSession, storeDir, id, autoCompactEvery) {
+          compact(df.sparkSession, storeDir)
+        }
         processBatch(df.toDF(), id, idCol, shinglesCol, storeDir, cfg)
       }
       .start()

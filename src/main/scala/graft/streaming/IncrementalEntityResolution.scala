@@ -164,13 +164,20 @@ object IncrementalEntityResolution {
     Seq(names, freshCached, histMatchedCached).foreach(_.unpersist(blocking = false))
   }
 
-  /** Wire a name stream into the canonical store. */
+  /** Wire a name stream into the canonical store. `autoCompactEvery`
+    * > 0 folds live batches whenever that many have accumulated
+    * ([[GenStore.autoCompact]] — replay-safe).
+    */
   def start(stream: DataFrame, nameCol: String, storeDir: String,
-            checkpointDir: String, cfg: Config = Config())
+            checkpointDir: String, cfg: Config = Config(),
+            autoCompactEvery: Int = 0)
   : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: Dataset[Row], id: Long) =>
+        GenStore.autoCompact(df.sparkSession, storeDir, id, autoCompactEvery) {
+          compact(df.sparkSession, storeDir)
+        }
         processBatch(df.toDF(), id, nameCol, storeDir, cfg)
       }
       .start()

@@ -55,13 +55,21 @@ object IncrementalIvf {
       .parquet(s"$indexDir/batch=$batchId")
   }
 
-  /** Wire an embeddings stream into the index. */
+  /** Wire an embeddings stream into the index. `autoCompactEvery` > 0
+    * folds live batches into a new generation whenever that many have
+    * accumulated ([[GenStore.autoCompact]] — replay-safe, fires before
+    * the batch's own write so probes mid-stream stay consistent).
+    */
   def start(stream: DataFrame, cents: DataFrame, idCol: String,
-            embCol: String, indexDir: String, checkpointDir: String)
+            embCol: String, indexDir: String, checkpointDir: String,
+            autoCompactEvery: Int = 0)
   : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: Dataset[Row], id: Long) =>
+        GenStore.autoCompact(df.sparkSession, indexDir, id, autoCompactEvery) {
+          compact(df.sparkSession, indexDir)
+        }
         processBatch(df, id, cents, idCol, embCol, indexDir)
       }
       .start()

@@ -110,13 +110,20 @@ object IncrementalScd2 {
     cached.foreach(_.unpersist(blocking = false))
   }
 
-  /** Wire a snapshot stream into the dimension store. */
+  /** Wire a snapshot stream into the dimension store. `autoCompactEvery`
+    * > 0 folds live batches whenever that many have accumulated
+    * ([[GenStore.autoCompact]] — replay-safe).
+    */
   def start(stream: DataFrame, key: String, attrs: Seq[String],
-            storeDir: String, checkpointDir: String)
+            storeDir: String, checkpointDir: String,
+            autoCompactEvery: Int = 0)
   : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: Dataset[Row], id: Long) =>
+        GenStore.autoCompact(df.sparkSession, storeDir, id, autoCompactEvery) {
+          compact(df.sparkSession, storeDir)
+        }
         processBatch(df.toDF(), id, key, attrs, storeDir)
       }
       .start()

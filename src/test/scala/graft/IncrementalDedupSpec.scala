@@ -138,6 +138,46 @@ class IncrementalDedupSpec extends SparkSuite {
     d.unpersist()
   }
 
+  test("auto-compaction mid-stream: triggered folds preserve every admission decision") {
+    val d = docs.cache()
+    val nSlices = 5
+    val slices = (0 until nSlices).map(i => d.filter(col("doc_id") % nSlices === i))
+    // never-compacted direct-batch reference
+    val direct = Files.createTempDirectory("inc_dedup_ac_direct").toString
+    slices.zipWithIndex.foreach { case (s, i) =>
+      IncrementalDedup.processBatch(s, i, "doc_id", "sh", direct, cfg)
+    }
+    val srcDir = Files.createTempDirectory("inc_dedup_ac_src")
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val tmp = Files.createTempDirectory("inc_dedup_ac_stage")
+      s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, srcDir.resolve(f"slice$i%02d.parquet"))
+    }
+    val live = Files.createTempDirectory("inc_dedup_ac_live").toString
+    val ckpt = Files.createTempDirectory("inc_dedup_ac_ckpt").toString
+    val stream = spark.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = IncrementalDedup.start(stream, "doc_id", "sh", live, ckpt, cfg,
+      autoCompactEvery = 2)
+    try q.processAllAvailable() finally q.stop()
+    // compaction really fired mid-stream (a committed generation
+    // manifest exists, and the last batch is still live — folding it
+    // would have raced its checkpoint commit)...
+    val manifests = Files.list(java.nio.file.Paths.get(live, "_compacted"))
+      .filter(_.getFileName.toString.endsWith(".manifest.json")).count()
+    assert(manifests > 0, "auto-compaction never fired")
+    assert(Files.exists(java.nio.file.Paths.get(live, s"batch=${nSlices - 1}")))
+    // ...and the admission history is byte-identical to the
+    // never-compacted run
+    assert(img(IncrementalDedup.decisions(spark, live)) ==
+      img(IncrementalDedup.decisions(spark, direct)))
+    assert(img(IncrementalDedup.admitted(spark, live)) ==
+      img(IncrementalDedup.admitted(spark, direct)))
+    d.unpersist()
+  }
+
   test("compaction: decisions identical, dirs folded, replay-after-fold fails fast") {
     val store = Files.createTempDirectory("inc_dedup_compact").toString
     val d = docs.cache()

@@ -67,6 +67,37 @@ class IncrementalIvfSpec extends SparkSuite {
     c.unpersist()
   }
 
+  test("auto-compaction mid-stream: triggered folds preserve probe results") {
+    val c = cents.cache()
+    val nSlices = 5
+    val slices = (0 until nSlices).map(i => emb.filter(col("vec_id") % nSlices === i))
+    val srcDir = Files.createTempDirectory("ivf_ac_src")
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val tmp = Files.createTempDirectory("ivf_ac_stage")
+      s.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, srcDir.resolve(f"slice$i%02d.parquet"))
+    }
+    val dir = Files.createTempDirectory("ivf_ac_idx").toString
+    val ckpt = Files.createTempDirectory("ivf_ac_ckpt").toString
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = IncrementalIvf.start(stream, c, "vec_id", "embedding", dir, ckpt,
+      autoCompactEvery = 2)
+    try q.processAllAvailable() finally q.stop()
+    // a generation committed mid-stream; the last batch stayed live
+    assert(IncrementalIvf.latestCompaction(spark, dir).nonEmpty,
+      "auto-compaction never fired")
+    assert(Files.exists(java.nio.file.Paths.get(dir, s"batch=${nSlices - 1}")))
+    // probes over the auto-compacted index == the batch path
+    val streamed = IncrementalIvf
+      .probe(spark, dir, queries, c, "vec_id", "embedding", k, nProbe)
+    val batch = SimSearch.ivfTopK(emb, queries, "vec_id", "embedding", k, nCents, nProbe)
+    assert(sorted(streamed) == sorted(batch))
+    c.unpersist()
+  }
+
   test("compaction: probes identical, batch dirs folded, crash-restart exactly-once") {
     val dir = Files.createTempDirectory("ivf_idx4").toString
     val c = cents.cache()
