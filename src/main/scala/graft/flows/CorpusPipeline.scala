@@ -67,4 +67,61 @@ object CorpusPipeline {
       when(Sampling.hashUniform(col("doc_id")) < cfg.trainFraction, "train")
         .otherwise("val").as("split"))
   }
+
+  /** The corpus-side canonical composition (the batch twin of the
+    * streaming IncrementalDedup→decontaminate→pack chain): near-dup
+    * clusters → one canonical doc per cluster → decontaminate against
+    * the eval holdout → concat-and-chunk pack layout. One oracled flow
+    * (q200) over four operators:
+    *
+    *  1. near-dup clusters — MinHash-LSH candidates (DedupOps), exact
+    *     Jaccard ≥ `minJaccard` edges, connected components; canonical
+    *     = the min-id member, all other members drop
+    *     (ConnectedComponents.dedupByComponents). Runs over the WHOLE
+    *     corpus including the holdout, so a train doc whose canonical
+    *     representative is an eval doc is dropped too — a near-dup of
+    *     the benchmark must never reach the training stream.
+    *  2. holdout split — eval docs (doc_id % evalMod == 0, the q109
+    *     convention) leave the packable set.
+    *  3. decontamination — canonical train docs sharing any word
+    *     `gramN`-gram with the RAW eval slice (not just its canonical
+    *     survivors — the conservative direction) drop
+    *     (Decontaminate.contaminatedIdsAgainst, hashed-gram join).
+    *  4. packing — survivors concatenated in doc_id order, cut into
+    *     `packCap`-token packs via the distributed two-phase prefix
+    *     scan (ops.PrefixSum — no unpartitioned window), emitted as
+    *     one (doc, pack) slice per row, the q108 layout.
+    *
+    * Scale shape: stages are LSH-bounded or linear; the only global
+    * coordination is the prefix scan's O(partitions) offset exchange.
+    */
+  def canonicalPack(docs: DataFrame, minJaccard: Double = 0.5,
+                    evalMod: Long = 97, gramN: Int = 3,
+                    packCap: Int = 64): DataFrame = {
+    val shingled = docs.select(col("doc_id"),
+      TextOps.shingles(TextOps.tokenize(col("text")), 2).as("sh"))
+    val strong = DedupOps.lshCandidates(shingled, "doc_id", "sh")
+      .filter(col("jaccard") >= minJaccard)
+    val canon = ConnectedComponents.dedupByComponents(
+      docs, "doc_id", strong, "id_a", "id_b")
+    val train = canon.filter(col("doc_id") % evalMod =!= 0)
+    val evalDocs = docs.filter(col("doc_id") % evalMod === 0)
+    val contaminated = graft.llm.Decontaminate.contaminatedIdsAgainst(
+      train, evalDocs, "doc_id", "text", gramN)
+    val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+    val t = clean.select(col("doc_id"),
+        size(TextOps.tokenize(col("text"))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    graft.ops.PrefixSum.withRunningSum(t, "n", "cb", Seq(col("doc_id")))
+      .withColumn("ca", col("cb") + col("n"))
+      .select(col("doc_id"), col("cb"), col("ca"),
+        explode(sequence(expr(s"cb div $packCap"), expr(s"(ca - 1) div $packCap")))
+          .as("pack_id"))
+      .select(col("doc_id"),
+        col("pack_id").cast("int").as("pack_id"),
+        (least(col("ca"), (col("pack_id") + 1) * packCap)
+          - greatest(col("cb"), col("pack_id") * packCap)).cast("int").as("n_pack_tokens"),
+        (greatest(col("cb"), col("pack_id") * packCap) - col("pack_id") * packCap)
+          .cast("int").as("offset_in_pack"))
+  }
 }

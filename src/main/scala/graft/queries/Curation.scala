@@ -783,6 +783,58 @@ object Curation {
           T(spark, dir, "customer")
             .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
               floor(col("c_acctbal") / 5000).cast("long").as("bal_band")),
-          Seq("c_mktsegment", "c_nationkey", "bal_band"), k = 3))
+          Seq("c_mktsegment", "c_nationkey", "bal_band"), k = 3)),
+
+    // The corpus-side canonical composition
+    // (flows.CorpusPipeline.canonicalPack, q109's near-dup-cluster
+    // sibling): LSH near-dup clusters → min-id canonical per cluster →
+    // eval holdout (doc_id % 97) → decontaminate canonical train docs
+    // against the RAW eval slice → q108 concat-and-chunk pack layout.
+    // Oracle: the q195 recursive-component CTEs over Vector.lshCtes,
+    // then q109's contamination CTE, then the q108 prefix-sum layout —
+    // every stage integer-exact, so the flow hash-gates end to end.
+    QueryDef("q200_corpus_canonical_pack", Some(s"""
+      WITH RECURSIVE ${Vector.lshCtes("documents")},
+      strong AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5),
+      sym AS (SELECT id_a AS a, id_b AS b FROM strong
+              UNION SELECT id_b, id_a FROM strong
+              UNION SELECT id_a, id_a FROM strong
+              UNION SELECT id_b, id_b FROM strong),
+      reach(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      comp AS (SELECT a AS node, min(b) AS component FROM reach GROUP BY a),
+      losers AS (SELECT node FROM comp WHERE node <> component),
+      train AS (SELECT doc_id, text FROM documents
+                WHERE doc_id NOT IN (SELECT node FROM losers)
+                  AND doc_id % 97 <> 0),
+      g3 AS (SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                 i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS g
+             FROM documents),
+      contam AS (SELECT DISTINCT tr.doc_id
+                 FROM (SELECT * FROM g3 WHERE doc_id IN (SELECT doc_id FROM train)) tr
+                 JOIN (SELECT g FROM g3 WHERE doc_id % 97 = 0) ev USING (g)),
+      surv AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM train
+               WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+                 AND len(string_split(text, ' ')) > 0),
+      c AS (SELECT doc_id, n,
+              CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+            FROM surv),
+      e AS (SELECT doc_id, n, cb, cb + n AS ca,
+              unnest(generate_series(cb // $PackCap, (cb + n - 1) // $PackCap)) AS pack_id
+            FROM c)
+      SELECT doc_id, CAST(pack_id AS INTEGER) AS pack_id,
+             CAST(least(ca, (pack_id+1)*$PackCap) - greatest(cb, pack_id*$PackCap) AS INTEGER) AS n_pack_tokens,
+             CAST(greatest(cb, pack_id*$PackCap) - pack_id*$PackCap AS INTEGER) AS offset_in_pack
+      FROM e"""),
+      (spark, dir) =>
+        graft.flows.CorpusPipeline.canonicalPack(
+          T(spark, dir, "documents").select(col("doc_id"), col("text")),
+          minJaccard = 0.5, evalMod = 97, gramN = 3, packCap = PackCap))
   )
 }
