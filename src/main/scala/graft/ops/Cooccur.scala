@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Within-group unordered pair generation — the primitive under the
+  * co-occurrence family (q157 item-item, q196 association rules): for
+  * each group, every (item_a < item_b) pair of its members, one output
+  * row per pair occurrence.
+  *
+  * The plain formulation is a self-join on the group key. That is
+  * correct AND bounded on TPC-H-shaped data (lines per order ≈ 4), but
+  * a shuffle join keys ALL of a group's rows to one reducer, so a
+  * single pathological hub group of k items puts k² pair emissions in
+  * ONE task — the straggler that kills a 100 TB run while 999 executors
+  * idle. AQE's skew-join split does not save the self-join case cheaply
+  * (both sides of the same key skew together), and no join strategy
+  * changes the k² OUTPUT — what the guard buys is spreading that
+  * inherent work across the cluster instead of one core.
+  *
+  * Guard = size-routed fragment-replicate (the 1-bucket theta-join
+  * partitioning of Okcan & Riedewald, SIGMOD'11, specialized to
+  * self-pairs): groups at or under `hubThreshold` take the plain
+  * self-join; larger groups hash each item into one of `salts` chunks
+  * and join on (group, chunk-of-right), with the left side replicated
+  * to every chunk — each pair is emitted by exactly one (chunk) task,
+  * and a hub group's k² work spreads over `salts` tasks at the cost of
+  * replicating its rows `salts`×. Output is row-identical to the plain
+  * self-join either way (CooccurSpec pins equality and that a
+  * synthetic hub key really fans out across tasks).
+  *
+  * Threshold math: a task handles ≤ max(hubThreshold², k²/salts) pair
+  * emissions. Pick hubThreshold at the p99.9 group size from a skew
+  * profile (the q140 machinery) and salts ≈ (p_max/p99.9)² capped by
+  * cluster width.
+  */
+object Cooccur {
+
+  def groupPairs(df: DataFrame, groupCol: String, itemCol: String,
+                 hubThreshold: Int = 1000, salts: Int = 16): DataFrame = {
+    val sizes = df.groupBy(groupCol).agg(count(lit(1)).as("__gsz"))
+    val tagged = df.join(sizes, Seq(groupCol))
+    val small = tagged.filter(col("__gsz") <= hubThreshold)
+    val big = tagged.filter(col("__gsz") > hubThreshold)
+    val smallPairs = small.select(col(groupCol), col(itemCol).as("pa"))
+      .join(small.select(col(groupCol), col(itemCol).as("pb")), Seq(groupCol))
+      .filter(col("pa") < col("pb"))
+    def chunk = pmod(xxhash64(col(itemCol)), lit(salts)).cast("int")
+    val left = big.select(col(groupCol), col(itemCol).as("pa"))
+      .withColumn("__cb", explode(sequence(lit(0), lit(salts - 1))))
+    val right = big.select(col(groupCol), chunk.as("__cb"), col(itemCol).as("pb"))
+    // the shuffle_hash hint IS the guard's teeth: left to itself the
+    // planner broadcasts whichever side fits and executes the join on
+    // the OTHER side's existing group-keyed distribution — putting the
+    // hub's k² emissions right back on one task. Forcing a shuffled
+    // join makes both sides exchange on (group, chunk), so a hub
+    // group's work occupies `salts` reducers by construction.
+    val bigPairs = left.hint("shuffle_hash").join(right, Seq(groupCol, "__cb"))
+      .filter(col("pa") < col("pb")).drop("__cb")
+    smallPairs.unionByName(bigPairs)
+  }
+}

@@ -270,9 +270,9 @@ object ML {
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
         val n = li.agg(countDistinct(col("o")).as("n_orders"))
         val cnt = li.groupBy("p").agg(count(lit(1)).as("c"))
-        val pairs = li.select(col("o"), col("p").as("pa"))
-          .join(li.select(col("o"), col("p").as("pb")), "o")
-          .filter(col("pa") < col("pb"))
+        // hub-guarded pair space (ops.Cooccur): plain self-join under the
+        // threshold — TPC-H orders are ~4 lines — fragment-replicate above
+        val pairs = graft.ops.Cooccur.groupPairs(li, "o", "p")
           .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
         val sym = pairs.unionByName(pairs.select(col("pb").as("pa"),
           col("pa").as("pb"), col("n_ab")))
@@ -470,9 +470,7 @@ object ML {
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
         val n = li.agg(countDistinct(col("o")).as("n_orders"))
         val cnt = li.groupBy("p").agg(count(lit(1)).as("c"))
-        val pairs = li.select(col("o"), col("p").as("pa"))
-          .join(li.select(col("o"), col("p").as("pb")), "o")
-          .filter(col("pa") < col("pb"))
+        val pairs = graft.ops.Cooccur.groupPairs(li, "o", "p")
           .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
           .filter(col("n_ab") >= 3)
         val rules = pairs.unionByName(

@@ -397,4 +397,44 @@ class OpsSpec extends SparkSuite {
       .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(binned == naive && binned.nonEmpty)
   }
+
+  test("Cooccur.groupPairs: hub groups route to the fragment-replicate path, pairs identical") {
+    import spark.implicits._
+    // 30 normal groups of 4 items + one pathological hub of 120 items
+    val normal = (0 until 30).flatMap(g => (0 until 4).map(i => (g.toLong, (g * 10 + i).toLong)))
+    val hub = (0 until 120).map(i => (999L, 10000L + i))
+    val df = (normal ++ hub).toDF("o", "p").repartition(8)
+    val guarded = graft.ops.Cooccur.groupPairs(df, "o", "p",
+      hubThreshold = 50, salts = 8)
+    val naive = df.select(col("o"), col("p").as("pa"))
+      .join(df.select(col("o"), col("p").as("pb")), "o")
+      .filter(col("pa") < col("pb"))
+    def img(d: org.apache.spark.sql.DataFrame) = d.select("o", "pa", "pb")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(img(guarded) == img(naive))
+    // the hub's 120·119/2 pairs really are produced across MANY tasks —
+    // the plain self-join keys them all to ONE reducer. (AQE's
+    // small-partition coalescing re-merges them at this toy scale, so
+    // switch it off to observe the distribution the exchange creates.)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val hubParts = graft.ops.Cooccur.groupPairs(df, "o", "p",
+          hubThreshold = 50, salts = 8)
+        .filter(col("o") === 999L)
+        .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
+      assert(hubParts > 1, s"hub pairs came from $hubParts task(s) — guard never engaged")
+      // the unguarded contrast: a SHUFFLED self-join on the group key
+      // (what real-scale stats force) hot-spots the hub on ONE reducer
+      val shuffledNaive = df.select(col("o"), col("p").as("pa")).hint("shuffle_hash")
+        .join(df.select(col("o"), col("p").as("pb")), "o")
+        .filter(col("pa") < col("pb"))
+      val plainParts = shuffledNaive.filter(col("o") === 999L)
+        .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
+      assert(plainParts == 1, s"expected the unguarded join to hot-spot one task, saw $plainParts")
+    } finally spark.conf.set(coalesceKey, prev)
+    // below the threshold the plain path runs: small groups' pairs exist
+    assert(guarded.filter(col("o") === 0L).count() == 6)
+  }
 }
