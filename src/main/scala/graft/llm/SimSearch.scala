@@ -510,7 +510,8 @@ object SimSearch {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 embCol: String, k: Int, dim: Int, nCent: Int = 8,
                 nProbe: Int = 2, cIters: Int = 1, nSub: Int = 8,
-                nCodes: Int = 16, pIters: Int = 1): DataFrame = {
+                nCodes: Int = 16, pIters: Int = 1,
+                opq: Boolean = false): DataFrame = {
     require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
     val subDim = dim / nSub
     // Lazy-return caches throughout — released via withQueryCaches.
@@ -518,11 +519,24 @@ object SimSearch {
     val cents = lloydCentroids(c, idCol, nCent, cIters)
     val bucketed = nearestBuckets(c, cents, idCol, "__ne", 1)
     // Residual = vector − its cell centroid (element-wise, no renorm).
-    val resid = bucketed
+    val resid0 = bucketed
       .join(cents.select(col("cent_id").as("bucket"), col("cent_emb")), "bucket")
       .select(col(idCol), col("bucket"),
         zip_with(col("__ne"), col("cent_emb"), (a, b) => a - b).as("__r"))
       .cache()
+    // OPQ-lite: a learned variance-balancing coordinate PERMUTATION
+    // applied to residuals (and, below, to the query subvector side)
+    // before codebook learning. A permutation is orthogonal, so every
+    // inner product is bit-preserved — only the subspace GROUPING
+    // changes, spreading high-variance coordinates across codebooks so
+    // no single subspace eats the quantization budget (the
+    // eigenvalue-allocation idea of Ge et al.'s OPQ, CVPR'13, without
+    // the rotation matrix). Zero extra bytes per code.
+    val perm = if (opq) Some(varianceBalancedPerm(resid0, "__r", dim, nSub)) else None
+    def maybePerm(e: Column): Column =
+      perm.map(p => array(p.map(i => element_at(e, i + 1)).toSeq: _*)).getOrElse(e)
+    val resid =
+      if (opq) resid0.withColumn("__r", maybePerm(col("__r"))) else resid0
     def subSplit(df: DataFrame, id: String, emb: String): DataFrame =
       df.select(col(id), posexplode(array((0 until nSub).map(m =>
         slice(col(emb), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
@@ -575,7 +589,11 @@ object SimSearch {
       .join(cents.select(col("cent_id").as("bucket"), col("cent_emb")), "bucket")
       .select(col("query_id"), col("__qe"), col("bucket"),
         dot(col("__qe"), col("cent_emb")).as("__qc"))
-    val qtab = subSplit(q, "query_id", "__qe").join(books, Seq("m"))
+    // ADC partials pair PERMUTED query subvectors with the permuted-
+    // residual codebooks (same perm ⇒ <q, r̂> is exactly preserved);
+    // the centroid term above stays in the original coordinates.
+    val qtab = subSplit(q.withColumn("__qe", maybePerm(col("__qe"))),
+        "query_id", "__qe").join(books, Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
         dot(col("sv"), col("ce")).as("__p"))
     // m-ordered partial sum via pivot (one partial per m per pair —
@@ -594,6 +612,36 @@ object SimSearch {
     TopK.exactPerKey(scored, Seq("query_id"),
       Seq(col("adc_sim").desc, col(idCol).asc), k, "rnk")
       .withColumn("rnk", col("rnk").cast("int"))
+  }
+
+  /** Variance-balancing coordinate permutation for PQ subspace
+    * assignment (the OPQ-lite of [[ivfPqTopK]]): per-coordinate
+    * variance of `embCol` (one exploded aggregation — dim rows reach
+    * the driver, never data), then greedy balanced assignment —
+    * coordinates in descending variance order, each to the currently
+    * lightest non-full subspace (longest-processing-time scheduling,
+    * ≤ 4/3·OPT imbalance). Returned as the permutation array p where
+    * permuted[j] = original[p(j)], subspace m owning positions
+    * m·subDim until (m+1)·subDim.
+    */
+  private[graft] def varianceBalancedPerm(df: DataFrame, embCol: String,
+                                          dim: Int, nSub: Int): Array[Int] = {
+    val subDim = dim / nSub
+    val vars = df.select(posexplode(col(embCol)).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(avg(col("x") * col("x")).as("ex2"), avg(col("x")).as("mu"))
+      .select(col("i"), (col("ex2") - col("mu") * col("mu")).as("v"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val order = (0 until dim).sortBy(i => (-vars.getOrElse(i, 0.0), i))
+    val binSum = Array.fill(nSub)(0.0)
+    val bins = Array.fill(nSub)(Vector.empty[Int])
+    for (i <- order) {
+      val b = (0 until nSub).filter(bins(_).size < subDim)
+        .minBy(b => (binSum(b), b))
+      bins(b) :+= i
+      binSum(b) += vars.getOrElse(i, 0.0)
+    }
+    bins.flatten.toArray
   }
 
   /** Persist an IVF index: learned centroids + bucket-PARTITIONED

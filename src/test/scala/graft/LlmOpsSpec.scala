@@ -261,6 +261,43 @@ class LlmOpsSpec extends SparkSuite {
     assert(ivfPq() == probed, "IVFPQ pipeline is not deterministic across runs")
   }
 
+  test("SimSearch OPQ-lite: balanced permutation is valid, balances variance, recall >= plain IVFPQ") {
+    // anisotropic clustered fixture: residual noise concentrated in
+    // coordinates 0-7 — exactly ONE subspace under identity grouping,
+    // so its codebook eats the whole quantization budget; the balanced
+    // permutation spreads the hot coordinates across subspaces
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    def sigma(j: Int) = if (j < 8) 0.3 else 0.01
+    val clustered = (0 until 400).map { i =>
+      (i.toLong, centers(i % 8).zipWithIndex
+        .map { case (x, j) => (x + sigma(j) * rnd.nextGaussian()).toFloat })
+    }.toDF("vec_id", "embedding")
+    val cq = clustered.filter(col("vec_id") % 40 === 0)
+    // permutation validity + balance on the raw frame
+    val unit = clustered.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val perm = SimSearch.varianceBalancedPerm(unit, "e", 64, 8)
+    assert(perm.sorted.toSeq == (0 until 64), "not a permutation")
+    // every subspace gets exactly one hot coordinate (8 hot coords, 8
+    // subspaces, greedy assigns heaviest-first to the lightest bin)
+    val hotPerSub = perm.grouped(8).map(_.count(_ < 8)).toSeq
+    assert(hotPerSub == Seq.fill(8)(1), s"hot coords per subspace: $hotPerSub")
+    // recall at byte parity: permuted codebooks >= identity grouping
+    val exact = SimSearch.bruteForceTopK(clustered, cq, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recallOf(pairs: Set[(Long, Long)]) =
+      exact.intersect(pairs).size.toDouble / exact.size
+    def run(useOpq: Boolean) = recallOf(
+      SimSearch.ivfPqTopK(clustered, cq, "vec_id", "embedding", 5,
+          dim = 64, nCent = 8, nProbe = 8, cIters = 1, nSub = 8,
+          nCodes = 16, pIters = 1, opq = useOpq)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet)
+    val (plain, opq) = (run(false), run(true))
+    assert(opq >= plain, s"OPQ recall $opq < plain IVFPQ recall $plain")
+  }
+
   test("SimSearch.filteredIvfTopK: pre-filtered semantics, recall, pushed predicate") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
