@@ -50,6 +50,52 @@ object SimSearch {
       .withColumn("rnk", col("rnk").cast("int"))
   }
 
+  /** Matryoshka-style truncated-prefix retrieval (Kusupati et al.,
+    * NeurIPS'22): score candidates on the RENORMALIZED first
+    * `prefixDim` coordinates of the unit embeddings — an MRL-trained
+    * model packs coarse similarity into the prefix — keep
+    * `k·candFactor` per query, then rerank exactly on the full vector.
+    * Any true neighbor the candidate set contains is guaranteed into
+    * the final top-k (exact scores are global), so recall only
+    * improves over the prefix ranking.
+    *
+    * THE 100 TB shape: the corpus-wide stage touches `prefixDim`/dim
+    * of the floats (store the prefix as its own column/file and the
+    * scan reads ⅛ of the bytes at prefixDim = dim/8); the full-width
+    * vectors are fetched for only |Q|·k·candFactor rows. Same
+    * candidates-then-exact discipline as [[pqTopKRerank]], with
+    * truncation instead of codes — no training loop at all.
+    */
+  def matryoshkaTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     embCol: String, k: Int, prefixDim: Int,
+                     candFactor: Int = 4): DataFrame = {
+    import graft.engine.functions.let
+    def prefixUnit(e: Column): Column =
+      let(slice(e, 1, prefixDim)) { p =>
+        let(sqrt(dot(p, p))) { n =>
+          when(n === 0.0, p).otherwise(transform(p, x => x / n))
+        }
+      }
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne")
+    val q = unitized(queries, idCol, embCol, "query_id", "__qe")
+      .select(col("query_id"), col("__qe"), prefixUnit(col("__qe")).as("__qp"))
+    val cand = TopK.exactPerKey(
+      c.select(col(idCol), col("__ne"), prefixUnit(col("__ne")).as("__pe"))
+        .join(broadcast(q.select(col("query_id"), col("__qp"))),
+          col(idCol) =!= col("query_id"))
+        .select(col("query_id"), col(idCol), col("__ne"),
+          round(dot(col("__pe"), col("__qp")), 6).as("pre_sim")),
+      Seq("query_id"), Seq(col("pre_sim").desc, col(idCol).asc),
+      k * candFactor, "__pr")
+    val exact = cand
+      .join(broadcast(q.select(col("query_id"), col("__qe"))), "query_id")
+      .select(col("query_id"), col(idCol),
+        round(dot(col("__qe"), col("__ne")), 6).as("cos_sim"))
+    TopK.exactPerKey(exact, Seq("query_id"),
+      Seq(col("cos_sim").desc, col(idCol).asc), k, "rnk")
+      .withColumn("rnk", col("rnk").cast("int"))
+  }
+
   /** Per-vector int8 scalar quantization (SQ8) of the unit embeddings:
     * codes[i] = floor((ne[i] - minv) / step + 0.5) - 128 stored as
     * TINYINT, with per-vector (minv, step = (max - min) / 255). The

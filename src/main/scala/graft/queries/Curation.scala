@@ -30,6 +30,9 @@ object Curation {
   /** Per-source token quota (q114). */
   val TokenBudget = 2000L
 
+  /** Per-source document cap (q201). */
+  val SourceCap = 100
+
   /** Sliding-window chunk size and stride (q117); overlap = 64−48. */
   val OverlapWindow = 64
   val OverlapStride = 48
@@ -835,6 +838,31 @@ object Curation {
       (spark, dir) =>
         graft.flows.CorpusPipeline.canonicalPack(
           T(spark, dir, "documents").select(col("doc_id"), col("text")),
-          minJaccard = 0.5, evalMod = 97, gramN = 3, packCap = PackCap))
+          minJaccard = 0.5, evalMod = 97, gramN = 3, packCap = PackCap)),
+
+    // Per-source document cap — the crawl-pipeline "domain cap" that
+    // stops any single source from dominating the mix: keep at most
+    // SourceCap docs per source, chosen by deterministic hash rank
+    // (Sampling.hashRank — an order-free uniform draw reproducible on
+    // any engine, unlike head-of-scan which depends on file order).
+    // One group-limit window per source (WindowGroupLimit pushes the
+    // cap below the sort at scale); the survivors' rank doubles as a
+    // stable epoch-independent shuffle order within the source.
+    QueryDef("q201_source_cap", Some(s"""
+      SELECT doc_id, source, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            % 1000003 + 1, doc_id) AS rnk
+        FROM documents)
+      WHERE rnk <= $SourceCap"""),
+      (spark, dir) =>
+        graft.ops.TopK.exactPerKey(
+          T(spark, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              Sampling.hashRank(col("doc_id")).as("__hr")),
+          Seq("source"), Seq(col("__hr").asc, col("doc_id").asc),
+          SourceCap, "rnk")
+          .select(col("doc_id"), col("source"), col("rnk").cast("int").as("rnk")))
   )
 }

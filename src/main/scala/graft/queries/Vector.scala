@@ -1544,6 +1544,42 @@ object Vector {
             sum(col("kept_chars")).as("kept_chars"),
             round(lit(1.0) - sum(col("kept_chars")).cast("double")
               / sum(col("total_chars")), 6).as("removed_share"))
+      }),
+
+    // Matryoshka truncated-prefix retrieval (SimSearch.matryoshkaTopK):
+    // candidates ranked on the renormalized FIRST 8 of 64 unit
+    // coordinates (an MRL model's coarse head — the corpus-wide stage
+    // reads 1/8 of the floats), exact full-width rerank of the 4k
+    // survivors. Training-free compute-tiering next to PQ (q102) and
+    // SQ8 (q118); every reduction a sequential fold, both stages rank
+    // on round()-ed scores, so the hash oracle is exact.
+    QueryDef("q202_matryoshka_rerank", Some(s"""
+      WITH $unitSql,
+      pu AS (SELECT vec_id, ne,
+               list_transform(p, x -> x / sqrt(list_aggregate(
+                   list_transform(p, y -> y * y), 'sum'))) AS pe
+             FROM (SELECT vec_id, ne, ne[1:8] AS p FROM un)),
+      q AS (SELECT vec_id AS query_id, ne AS qe, pe AS qp
+            FROM pu WHERE vec_id % 50 = 0),
+      cand AS (
+        SELECT query_id, vec_id, ne FROM (
+          SELECT q.query_id, e.vec_id, e.ne,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY round(${dotSql("e.pe", "q.qp")}, 6) DESC, e.vec_id) AS prnk
+          FROM pu e JOIN q ON e.vec_id <> q.query_id)
+        WHERE prnk <= 40)
+      SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT c.query_id, c.vec_id,
+               round(${dotSql("c.ne", "q.qe")}, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY round(${dotSql("c.ne", "q.qe")}, 6) DESC, c.vec_id) AS rnk
+        FROM cand c JOIN q ON c.query_id = q.query_id)
+      WHERE rnk <= 10"""),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        SimSearch.matryoshkaTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 10, prefixDim = 8, candFactor = 4)
+          .select("query_id", "vec_id", "cos_sim", "rnk")
       })
   )
 
