@@ -38,13 +38,29 @@ object Cooccur {
 
   def groupPairs(df: DataFrame, groupCol: String, itemCol: String,
                  hubThreshold: Int = 1000, salts: Int = 16): DataFrame = {
-    val sizes = df.groupBy(groupCol).agg(count(lit(1)).as("__gsz"))
-    val tagged = df.join(sizes, Seq(groupCol))
-    val small = tagged.filter(col("__gsz") <= hubThreshold)
-    val big = tagged.filter(col("__gsz") > hubThreshold)
-    val smallPairs = small.select(col(groupCol), col(itemCol).as("pa"))
-      .join(small.select(col(groupCol), col(itemCol).as("pb")), Seq(groupCol))
-      .filter(col("pa") < col("pb"))
+    // Eager, BOUNDED routing decision (the JoinEstimate/skew-profile
+    // discipline, same spirit as AQE's runtime re-plan): one
+    // partial-aggregated pass finds the hub ids. Hubs are pathological
+    // outliers by definition, so the pull is tiny — and guarded: if
+    // "hubs" were ever a meaningful fraction of groups, the threshold
+    // is wrong, not the data.
+    val hubIds = df.groupBy(groupCol).agg(count(lit(1)).as("__gsz"))
+      .filter(col("__gsz") > hubThreshold).select(groupCol)
+      .limit(10001).collect().map(_.get(0)).toSeq
+    require(hubIds.size <= 10000,
+      s"more than 10000 groups exceed hubThreshold=$hubThreshold — raise the threshold")
+
+    def pairsOf(part: DataFrame): DataFrame =
+      part.select(col(groupCol), col(itemCol).as("pa"))
+        .join(part.select(col(groupCol), col(itemCol).as("pb")), Seq(groupCol))
+        .filter(col("pa") < col("pb"))
+
+    // the common case pays literally nothing beyond the count pass
+    if (hubIds.isEmpty) return pairsOf(df)
+
+    // literal IN routing pushes to the scan — no routing join at all
+    val small = df.filter(!col(groupCol).isin(hubIds: _*))
+    val big = df.filter(col(groupCol).isin(hubIds: _*))
     def chunk = pmod(xxhash64(col(itemCol)), lit(salts)).cast("int")
     val left = big.select(col(groupCol), col(itemCol).as("pa"))
       .withColumn("__cb", explode(sequence(lit(0), lit(salts - 1))))
@@ -57,6 +73,6 @@ object Cooccur {
     // group's work occupies `salts` reducers by construction.
     val bigPairs = left.hint("shuffle_hash").join(right, Seq(groupCol, "__cb"))
       .filter(col("pa") < col("pb")).drop("__cb")
-    smallPairs.unionByName(bigPairs)
+    pairsOf(small).unionByName(bigPairs)
   }
 }
