@@ -83,9 +83,13 @@ object Multimodal {
     def decode(payload: Array[Byte]): Array[Float] = {
       val bins = new Array[Float](featureDim)
       if (payload == null || payload.isEmpty) return bins
+      // NonFatal, not just IOException: the JDK readers throw unchecked
+      // exceptions on malformed bodies behind valid headers (CMMException
+      // on a bad ICC profile, index errors in the JPEG/GIF plugins) and
+      // one adversarial payload must not kill the pass
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) return bins
       val raster = img.getRaster
       val (w, h) = (img.getWidth, img.getHeight)

@@ -150,11 +150,14 @@ object EntityResolution {
         Seq("component"), "left")
       .select(col(nameCol),
         coalesce(col("canonical"), col(nameCol)).as("canonical"))
-      // localCheckpoint materializes the mapping so `ids` can be released
-      // here — a per-micro-batch caller (IncrementalEntityResolution)
-      // must not accumulate one pinned RDD per batch for the stream's
-      // lifetime
-      .localCheckpoint(eager = true)
+      // lazy-return cache, eagerly filled while `ids` is still cached,
+      // so `ids` can be released HERE instead of pinning one RDD per
+      // micro-batch for a stream's lifetime. Plain cache, NOT a
+      // localCheckpoint: lineage stays intact, so a lost block (or a
+      // withQueryCaches sweep) recomputes instead of failing, at the
+      // cost of re-running the id ranking in that rare path.
+      .cache()
+    out.count()
     ids.unpersist(blocking = false)
     out
   }

@@ -1556,8 +1556,11 @@ object Vector {
     QueryDef("q202_matryoshka_rerank", Some(s"""
       WITH $unitSql,
       pu AS (SELECT vec_id, ne,
-               list_transform(p, x -> x / sqrt(list_aggregate(
-                   list_transform(p, y -> y * y), 'sum'))) AS pe
+               CASE WHEN list_aggregate(list_transform(p, y -> y * y), 'sum') = 0
+                    THEN p
+                    ELSE list_transform(p, x -> x / sqrt(list_aggregate(
+                           list_transform(p, y -> y * y), 'sum')))
+               END AS pe
              FROM (SELECT vec_id, ne, ne[1:8] AS p FROM un)),
       q AS (SELECT vec_id AS query_id, ne AS qe, pe AS qp
             FROM pu WHERE vec_id % 50 = 0),

@@ -161,7 +161,10 @@ object IncrementalEntityResolution {
       .select(col("name"), bk(col("name"), cfg.blkBuckets).as("bk"))
       .write.mode("overwrite").partitionBy("bk").parquet(s"$dir/canon")
 
-    Seq(names, freshCached, histMatchedCached).foreach(_.unpersist(blocking = false))
+    // inBatch rides canonicalize's lazy-return cache — release it with
+    // the batch's own caches so nothing accumulates across the stream
+    Seq(names, freshCached, histMatchedCached, inBatch)
+      .foreach(_.unpersist(blocking = false))
   }
 
   /** Wire a name stream into the canonical store. `autoCompactEvery`

@@ -83,8 +83,13 @@ object IncrementalIvf {
   def probe(spark: SparkSession, indexDir: String, queries: DataFrame,
             cents: DataFrame, idCol: String, embCol: String, k: Int,
             nProbe: Int): DataFrame = {
+    // same centroid resolution as processBatch: after a refresh, query
+    // buckets MUST be ranked in the committed centroid space the index
+    // is bucketed in — a caller still holding the seed frame would
+    // otherwise probe the wrong partitions and silently lose recall
+    val live = latestCentroids(spark, indexDir).getOrElse(cents)
     val q = SimSearch.unitized(queries, idCol, embCol, "query_id", "__qe")
-    val probed = SimSearch.nearestBuckets(q, cents, "query_id", "__qe", nProbe)
+    val probed = SimSearch.nearestBuckets(q, live, "query_id", "__qe", nProbe)
     // ≤ nCentroids scalar ids — the literal IN list that turns the scan
     // filter into hive-directory pruning
     val buckets = probed.select("bucket").distinct().collect().map(_.getLong(0))
@@ -200,6 +205,15 @@ object IncrementalIvf {
     * it replaces (spec-pinned). Cost: one full-index read + iters+1
     * assignment passes + one partitioned rewrite — the re-clustering
     * floor; run it at drift cadence, not batch cadence.
+    *
+    * Concurrency contract: refresh() must not run concurrently with
+    * ingestion across the CENTROID-SPACE SWITCH — a micro-batch that
+    * resolved centroids before the new manifest commit but wrote after
+    * it would land old-space bucket ids that the next compact() folds
+    * into the refreshed generation unrepaired. Quiesce the stream (or
+    * schedule refresh between triggers, as the auto-compaction hook
+    * does for folds) around the refresh call; captured-read-set
+    * batches racing only compact() remain safe.
     */
   def refresh(spark: SparkSession, indexDir: String, idCol: String,
               iters: Int = 2): DataFrame = {
