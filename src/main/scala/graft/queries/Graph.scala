@@ -42,6 +42,12 @@ object Graph {
     SELECT node, round(rank, 6) AS rank FROM r5"""
   }
 
+  /** q203 peel parameters: the sf0.01 part graph converges at round 5,
+    * so 4 rounds exercise a genuinely partial frontier too.
+    */
+  val KCoreK = 3
+  val KCoreRounds = 4
+
   val defs: Seq[QueryDef] = Seq(
 
     // Weighted PageRank over the nation-level trade graph (edge weight =
@@ -85,14 +91,50 @@ object Graph {
       FROM corners c JOIN deg USING (node)
       GROUP BY c.node, d"""),
       (spark, dir) => {
-        val li = T(spark, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-        val e = li.select(col("o"), col("p").as("pa"))
-          .join(li.select(col("o"), col("p").as("pb")), "o")
-          .filter(col("pa") < col("pb"))
-          .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
-        graft.ops.Triangles.perNode(e, "pa", "pb")
-      })
+        graft.ops.Triangles.perNode(coEdges(spark, dir), "pa", "pb")
+      }),
+
+    // k-core decomposition of the same co-occurrence graph (support
+    // ≥ 2): 4 synchronous peels at k = 3 (ops.KCore — frontier
+    // deletion, node-keyed shuffles only), surviving nodes with their
+    // in-core degree. The oracle unrolls the identical peels CTE by
+    // CTE, so the gate is a full hash match (integer degrees — no
+    // float discipline needed).
+    QueryDef("q203_kcore", Some {
+      val peels = (0 until KCoreRounds).map { i =>
+        s"""d$i AS (SELECT node, count(*) AS d
+              FROM (SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i)
+              GROUP BY node),
+      k$i AS (SELECT node FROM d$i WHERE d >= $KCoreK),
+      e${i + 1} AS (SELECT a, b FROM e$i
+                    WHERE a IN (SELECT node FROM k$i)
+                      AND b IN (SELECT node FROM k$i))"""
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      $peels,
+      dF AS (SELECT node, count(*) AS d
+             FROM (SELECT a AS node FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds)
+             GROUP BY node)
+      SELECT node, CAST(d AS INTEGER) AS deg FROM dF WHERE d >= $KCoreK"""
+    },
+      (spark, dir) =>
+        graft.ops.KCore.kCore(coEdges(spark, dir), "pa", "pb",
+          k = KCoreK, rounds = KCoreRounds))
   )
+
+  /** Shared part co-occurrence graph (support ≥ 2), hub-guarded pair
+    * generation (ops.Cooccur — the q157/q196 discipline).
+    */
+  private def coEdges(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = T(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    graft.ops.Cooccur.groupPairs(li, "o", "p")
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+      .select("pa", "pb")
+  }
 }

@@ -398,6 +398,28 @@ class OpsSpec extends SparkSuite {
     assert(binned == naive && binned.nonEmpty)
   }
 
+  test("KCore: converged peel equals the true k-core fixpoint; monotone in rounds") {
+    import spark.implicits._
+    // planted structure: a K5 clique (5 nodes, deg 4), a path of 6
+    // (interior deg 2), and a pendant chain off the clique
+    val clique = for (a <- 0 to 4; b <- 0 to 4 if a < b) yield (a.toLong, b.toLong)
+    val path = (10L to 14L).map(i => (i, i + 1))
+    val pendant = Seq((4L, 20L), (20L, 21L))
+    val edges = (clique ++ path ++ pendant).toDF("s", "d")
+    def core(k: Int, rounds: Int) = graft.ops.KCore.kCore(edges, "s", "d", k, rounds)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 3-core = exactly the K5 clique, every member at in-core degree 4
+    assert(core(3, 5) == (0L to 4L).map(_ -> 4).toMap)
+    // 2-core: clique only again (the path/pendant peel away end-first)
+    assert(core(2, 8).keySet == (0L to 4L).toSet)
+    // fixpoint: more rounds past convergence change nothing
+    assert(core(3, 5) == core(3, 10))
+    // monotone: survivors can only shrink as rounds increase
+    val r1 = core(2, 1).keySet
+    val r3 = core(2, 3).keySet
+    assert(r3.subsetOf(r1))
+  }
+
   test("Cooccur.groupPairs: hub groups route to the fragment-replicate path, pairs identical") {
     import spark.implicits._
     // 30 normal groups of 4 items + one pathological hub of 120 items
