@@ -59,4 +59,49 @@ object PageRank {
     trans.unpersist(blocking = false)
     ranks
   }
+
+  /** PERSONALIZED PageRank (Haveliwala 2002): the random surfer
+    * teleports only to the `seeds` set (uniformly), so rank measures
+    * proximity TO THE SEEDS through the edge structure — the
+    * graph-side retrieval/rerank primitive ("entities related to this
+    * query set") next to the global importance of [[run]]. Start
+    * distribution = uniform over seeds; per-iteration update
+    * `rank(v) = isSeed(v)·(1−d)/|S| + d·Σ_u rank(u)·p(u→v)`. Same
+    * join-iteration shape, cadence, and 10-dp per-iteration rounding
+    * discipline as [[run]] — an external oracle unrolls it CTE by CTE
+    * (q204).
+    */
+  def personalized(edges: DataFrame, src: String, dst: String, weight: String,
+                   seeds: DataFrame, seedCol: String, iters: Int,
+                   damping: Double = 0.85, checkpointEvery: Int = 15): DataFrame = {
+    val seedSet = seeds.select(col(seedCol).as("node")).distinct()
+    val nodes = edges.select(col(src).as("node"))
+      .union(edges.select(col(dst).as("node"))).distinct()
+      .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0)).as("__s"))
+      .cache()
+    val nSeeds = nodes.filter(col("__s") === 1).count()
+    require(nSeeds > 0, "personalized PageRank needs at least one seed present in the graph")
+    val outW = edges.groupBy(col(src)).agg(sum(col(weight)).as("__out_w"))
+    val trans = edges.join(outW, src)
+      .select(col(src).as("__u"), col(dst).as("__v"),
+        (col(weight) / col("__out_w")).as("__p"))
+      .cache()
+    val teleport = (1.0 - damping) / nSeeds
+    var ranks = nodes.select(col("node"),
+      (col("__s") * lit(1.0 / nSeeds)).as("rank"))
+    for (i <- 1 to iters) {
+      val contrib = trans.join(ranks, trans("__u") === ranks("node"))
+        .groupBy(col("__v")).agg(sum(col("rank") * col("__p")).as("__in"))
+      ranks = nodes.join(contrib, nodes("node") === contrib("__v"), "left")
+        .select(col("node"),
+          round(col("__s") * lit(teleport)
+            + lit(damping) * coalesce(col("__in"), lit(0.0)), 10).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(false)
+    }
+    nodes.unpersist(blocking = false)
+    trans.unpersist(blocking = false)
+    ranks
+  }
 }

@@ -48,6 +48,9 @@ object Graph {
   val KCoreK = 3
   val KCoreRounds = 4
 
+  /** q204 seed nations. */
+  private val PprSeeds = Seq(0L, 1L, 2L)
+
   val defs: Seq[QueryDef] = Seq(
 
     // Weighted PageRank over the nation-level trade graph (edge weight =
@@ -123,8 +126,59 @@ object Graph {
     },
       (spark, dir) =>
         graft.ops.KCore.kCore(coEdges(spark, dir), "pa", "pb",
-          k = KCoreK, rounds = KCoreRounds))
+          k = KCoreK, rounds = KCoreRounds)),
+
+    // Personalized PageRank from seed nations {0, 1, 2} over the same
+    // trade graph as q94: teleport mass lands only on the seeds, so
+    // rank = proximity to the seed set — the graph-side retrieval
+    // primitive (Haveliwala 2002). Identical iteration/rounding
+    // discipline as q94; the oracle unrolls the personalized update.
+    QueryDef("q204_personalized_pagerank", Some(pprSql), (spark, dir) => {
+      val session = spark
+      import session.implicits._
+      val e = T(spark, dir, "lineitem")
+        .join(T(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(T(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(T(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = PprSeeds.toDF("seed")
+      PageRank.personalized(e, "src", "dst", "w", seeds, "seed", iters = 5)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+    })
   )
+
+  private def pprSql: String = {
+    val seedList = PprSeeds.mkString(", ")
+    def iter(rPrev: String, rCur: String): String = s"""
+    $rCur AS (
+      SELECT nodes.node,
+             round(CASE WHEN nodes.node IN ($seedList) THEN (1.0 - 0.85) / ns.n ELSE 0.0 END
+                   + 0.85 * coalesce(c.s, 0.0), 10) AS rank
+      FROM nodes CROSS JOIN ns
+      LEFT JOIN (SELECT t.v, sum($rPrev.rank * t.p) AS s
+                 FROM t JOIN $rPrev ON t.u = $rPrev.node GROUP BY t.v) c
+        ON nodes.node = c.v)"""
+    val iters = (1 to 5).map(i => iter(s"r${i - 1}", s"r$i")).mkString(",")
+    s"""
+    WITH e AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    ns AS (SELECT count(*) AS n FROM nodes WHERE node IN ($seedList)),
+    outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY src),
+    t AS (SELECT e.src AS u, e.dst AS v, e.w / o.out_w AS p
+          FROM e JOIN outw o ON e.src = o.src),
+    r0 AS (SELECT node,
+                  CASE WHEN node IN ($seedList) THEN 1.0 / ns.n ELSE 0.0 END AS rank
+           FROM nodes CROSS JOIN ns),
+    $iters
+    SELECT node, round(rank, 6) AS rank FROM r5"""
+  }
 
   /** Shared part co-occurrence graph (support ≥ 2), hub-guarded pair
     * generation (ops.Cooccur — the q157/q196 discipline).

