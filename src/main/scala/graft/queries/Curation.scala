@@ -33,6 +33,9 @@ object Curation {
   /** Per-source document cap (q201). */
   val SourceCap = 100
 
+  /** Slot budget apportioned across sources (q205). */
+  val AllocBudget = 9973L
+
   /** Sliding-window chunk size and stride (q117); overlap = 64−48. */
   val OverlapWindow = 64
   val OverlapStride = 48
@@ -863,6 +866,32 @@ object Curation {
               Sampling.hashRank(col("doc_id")).as("__hr")),
           Seq("source"), Seq(col("__hr").asc, col("doc_id").asc),
           SourceCap, "rnk")
-          .select(col("doc_id"), col("source"), col("rnk").cast("int").as("rnk")))
+          .select(col("doc_id"), col("source"), col("rnk").cast("int").as("rnk"))),
+
+    // Largest-remainder apportionment of a fixed slot budget across
+    // sources by token mass (ops.Allocate — Hamilton's method): the
+    // exact-integer step that turns a target mixture into whole
+    // per-source counts summing to EXACTLY the budget, each within one
+    // slot of its real-valued quota. Integral div/mod end to end, so
+    // the oracle replays it bit-for-bit.
+    QueryDef("q205_budget_allocation", Some(s"""
+      WITH s AS (SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS w
+                 FROM documents GROUP BY source),
+      t AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM s),
+      b AS (SELECT source, w, ($AllocBudget * w) // tw AS base,
+                   ($AllocBudget * w) % tw AS rem
+            FROM s CROSS JOIN t),
+      l AS (SELECT $AllocBudget - CAST(sum(base) AS BIGINT) AS lo FROM b),
+      r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+      SELECT source, CAST(w AS BIGINT) AS weight,
+             CAST(base + CASE WHEN rk <= l.lo THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM r CROSS JOIN l"""),
+      (spark, dir) =>
+        graft.ops.Allocate.largestRemainder(
+          T(spark, dir, "documents")
+            .groupBy("source")
+            .agg(sum(size(TextOps.tokenize(col("text")))).as("w")),
+          "source", "w", AllocBudget))
   )
 }

@@ -398,6 +398,25 @@ class OpsSpec extends SparkSuite {
     assert(binned == naive && binned.nonEmpty)
   }
 
+  test("Allocate.largestRemainder: sums to budget exactly, each within one of its quota") {
+    import spark.implicits._
+    val w = Seq(("a", 372L), ("b", 415L), ("c", 213L), ("d", 1L)).toDF("k", "w")
+    val budget = 1000L
+    val out = graft.ops.Allocate.largestRemainder(w, "k", "w", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum == budget)
+    val tw = out.map(_._2).sum.toDouble
+    out.foreach { case (k, wi, a) =>
+      val quota = budget * wi / tw
+      assert(math.abs(a - quota) < 1.0, s"$k: alloc $a vs quota $quota")
+    }
+    // zero-weight keys get zero; budget smaller than #keys still sums
+    val tiny = graft.ops.Allocate.largestRemainder(
+      Seq(("a", 5L), ("b", 5L), ("c", 0L)).toDF("k", "w"), "k", "w", 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tiny.values.sum == 1L && tiny("c") == 0L)
+  }
+
   test("KCore: converged peel equals the true k-core fixpoint; monotone in rounds") {
     import spark.implicits._
     // planted structure: a K5 clique (5 nodes, deg 4), a path of 6
