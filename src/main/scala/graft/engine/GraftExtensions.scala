@@ -163,6 +163,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         c => org.apache.spark.sql.functions.substring(c, 1, prefixLen),
         foldedDouble(exprs(5)), optInt(exprs, 6, 3))
     }
+    // tiered retrieval: truncated-prefix candidates + exact rerank —
+    // `graft_matryoshka_topk('emb', 'queries', 'id', 'emb', k,
+    // prefixDim[, candFactor])`
+    injectTable(e, "graft_matryoshka_topk", classOf[graft.llm.SimSearch.type]) { exprs =>
+      graft.llm.SimSearch.matryoshkaTopK(activeTable(exprs(0)), activeTable(exprs(1)),
+        str(exprs(2)), str(exprs(3)), int(exprs(4)), int(exprs(5)),
+        candFactor = optInt(exprs, 6, 4))
+    }
+    // graph family: `graft_kcore('edges', 'src', 'dst', k, rounds)` and
+    // `graft_ppr('edges', 'src', 'dst', 'w', 'seeds', 'seedCol', iters)`
+    injectTable(e, "graft_kcore", classOf[graft.ops.KCore.type]) { exprs =>
+      graft.ops.KCore.kCore(activeTable(exprs(0)), str(exprs(1)), str(exprs(2)),
+        int(exprs(3)), int(exprs(4)))
+    }
+    injectTable(e, "graft_ppr", classOf[graft.ops.PageRank.type]) { exprs =>
+      graft.ops.PageRank.personalized(activeTable(exprs(0)), str(exprs(1)),
+        str(exprs(2)), str(exprs(3)), activeTable(exprs(4)), str(exprs(5)),
+        int(exprs(6)))
+    }
+    // hub-guarded within-group pairs — `graft_group_pairs('t', 'group',
+    // 'item'[, hubThreshold, salts])`
+    injectTable(e, "graft_group_pairs", classOf[graft.ops.Cooccur.type]) { exprs =>
+      graft.ops.Cooccur.groupPairs(activeTable(exprs(0)), str(exprs(1)),
+        str(exprs(2)), hubThreshold = optInt(exprs, 3, 1000),
+        salts = optInt(exprs, 4, 16))
+    }
   }
 
   /** Evaluate a foldable literal argument (the weight knobs) to Double. */

@@ -172,5 +172,30 @@ class RulesSpec extends SparkSuite {
         "SELECT * FROM graft_fuzzy_lookup('tf_probes', 'probe', 'tf_names', 'p_name', 1, 0.7, 4)")) ==
       img(graft.ops.EntityResolution.fuzzyLookup(probes, "probe", names, "p_name",
         c => substring(c, 1, 1), 0.7, maxLenDiff = 4)))
+
+    // round-11 additions: tiered retrieval, graph family, guarded pairs
+    assert(img(spark.sql(
+        "SELECT * FROM graft_matryoshka_topk('tf_emb', 'tf_q', 'vec_id', 'embedding', 5, 8)")) ==
+      img(SimSearch.matryoshkaTopK(emb, q, "vec_id", "embedding", 5, 8)))
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    edges.createOrReplaceTempView("tf_li")
+    assert(img(spark.sql(
+        "SELECT * FROM graft_group_pairs('tf_li', 'o', 'p')")) ==
+      img(graft.ops.Cooccur.groupPairs(edges, "o", "p")))
+    val pe = graft.ops.Cooccur.groupPairs(edges, "o", "p")
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2).select("pa", "pb")
+    pe.createOrReplaceTempView("tf_pe")
+    assert(img(spark.sql("SELECT * FROM graft_kcore('tf_pe', 'pa', 'pb', 3, 2)")) ==
+      img(graft.ops.KCore.kCore(pe, "pa", "pb", 3, 2)))
+    val we = edges.groupBy(col("o").as("src")).agg(count(lit(1)).as("w"))
+      .select(col("src"), (col("src") % 7).as("dst"), col("w"))
+    we.createOrReplaceTempView("tf_we")
+    spark.sql("SELECT 0 AS seed UNION ALL SELECT 1").createOrReplaceTempView("tf_seeds")
+    assert(img(spark.sql(
+        "SELECT * FROM graft_ppr('tf_we', 'src', 'dst', 'w', 'tf_seeds', 'seed', 3)")) ==
+      img(graft.ops.PageRank.personalized(we, "src", "dst", "w",
+        spark.table("tf_seeds"), "seed", 3)))
   }
 }
