@@ -36,6 +36,10 @@ object Curation {
   /** Slot budget apportioned across sources (q205). */
   val AllocBudget = 9973L
 
+  /** q206 span-corruption knobs: block width and 1-in-N selection. */
+  val SpanLen = 3
+  val SpanSelMod = 8
+
   /** Sliding-window chunk size and stride (q117); overlap = 64−48. */
   val OverlapWindow = 64
   val OverlapStride = 48
@@ -892,6 +896,63 @@ object Curation {
           T(spark, dir, "documents")
             .groupBy("source")
             .agg(sum(size(TextOps.tokenize(col("text")))).as("w")),
-          "source", "w", AllocBudget))
+          "source", "w", AllocBudget)),
+
+    // T5-style span corruption (Raffel et al. 2020): tokens partition
+    // into fixed 3-token blocks; a block is masked iff the md5 hash
+    // rank of (doc_id, block) selects it (~1/8 of blocks — disjoint by
+    // construction, so no greedy overlap state). `input` replaces each
+    // masked block with its <extra_id_k> sentinel (k = order among the
+    // doc's masked blocks); `target` is the sentinel-prefixed masked
+    // text. Pure per-row column ops — the example generator runs at
+    // scan speed with zero shuffle — and every string is an exact
+    // deterministic function of (doc_id, text), so the oracle replays
+    // it verbatim.
+    QueryDef("q206_span_corruption", Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      blks AS (SELECT doc_id, tk,
+                 range(0, CAST((len(tk) + ${SpanLen - 1}) // $SpanLen AS INT)) AS blocks
+               FROM t),
+      m AS (SELECT doc_id, tk, blocks,
+              list_filter(blocks, b ->
+                (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000003 + 1) % $SpanSelMod = 0) AS mb
+            FROM blks)
+      SELECT doc_id, CAST(len(mb) AS INTEGER) AS n_spans,
+             coalesce(array_to_string(flatten(list_transform(blocks, b ->
+               CASE WHEN list_contains(mb, b)
+                    THEN ['<extra_id_' || CAST(list_position(mb, b) - 1 AS VARCHAR) || '>']
+                    ELSE tk[b * $SpanLen + 1 : b * $SpanLen + $SpanLen] END)), ' '), '') AS input,
+             coalesce(array_to_string(flatten(list_transform(mb, b ->
+               list_concat(['<extra_id_' || CAST(list_position(mb, b) - 1 AS VARCHAR) || '>'],
+                 tk[b * $SpanLen + 1 : b * $SpanLen + $SpanLen]))), ' '), '') AS target
+      FROM m"""),
+      (spark, dir) => {
+        import graft.engine.functions.let
+        val L = SpanLen
+        def sentinel(k: org.apache.spark.sql.Column) =
+          concat(lit("<extra_id_"), (k - 1).cast("string"), lit(">"))
+        T(spark, dir, "documents").select(col("doc_id"),
+          let(TextOps.tokenize(col("text"))) { tk =>
+            let(when(size(tk) > 0,
+                sequence(lit(0), ((size(tk) + lit(L - 1)) / lit(L)).cast("int") - 1))
+              .otherwise(array().cast("array<int>"))) { blocks =>
+              let(filter(blocks, b =>
+                  Sampling.hashRank(concat(col("doc_id").cast("string"),
+                    lit(":"), b.cast("string"))) % SpanSelMod === 0)) { mb =>
+                struct(
+                  size(mb).cast("int").as("n_spans"),
+                  array_join(flatten(transform(blocks, b =>
+                    when(array_contains(mb, b), array(sentinel(array_position(mb, b))))
+                      .otherwise(slice(tk, b * L + 1, lit(L))))), " ").as("input"),
+                  array_join(flatten(transform(mb, b =>
+                    concat(array(sentinel(array_position(mb, b))),
+                      slice(tk, b * L + 1, lit(L))))), " ").as("target"))
+              }
+            }
+          }.as("__o"))
+          .select(col("doc_id"), col("__o.n_spans").as("n_spans"),
+            col("__o.input").as("input"), col("__o.target").as("target"))
+      })
   )
 }
