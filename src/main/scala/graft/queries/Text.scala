@@ -47,6 +47,76 @@ object Text {
     // DISAGREE when a ratio of small integers lands exactly on a
     // .5e-6 boundary (Spark rounds the exact binary value via
     // BigDecimal, DuckDB via float multiply; observed at sf0.1).
+    // Inter-rater agreement between two independent quality gates —
+    // the label-audit a curation team runs before trusting a filter:
+    // rater A = the q28 blended heuristic at threshold 0.85, rater B =
+    // the q106 repetition gate. Confusion counts are exact integers;
+    // Cohen's kappa corrects raw agreement for chance (po − pe)/(1 − pe).
+    // One corpus scan, one four-cell aggregate — no shuffle beyond it.
+    QueryDef("q207_rater_agreement", Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      a AS (SELECT doc_id,
+              (0.5 * (1.0 - CAST(len(list_filter(toks, x -> x IN ($stopSqlList))) AS DOUBLE) / len(toks))
+               + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks))
+               + 0.2 * least(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                               / len(toks) / 10.0, 1.0)) >= 0.85 AS ra
+            FROM t),
+      m AS (SELECT doc_id, len(toks) AS n,
+              list_max(list_transform(list_distinct(toks),
+                x -> len(list_filter(toks, y -> y = x)))) AS max_tf,
+              list_transform(generate_series(1, greatest(len(toks)-1, 0)),
+                i -> toks[i] || ' ' || toks[i+1]) AS bi
+            FROM t),
+      b AS (SELECT doc_id,
+              NOT (CAST(max_tf AS DOUBLE) / n > 0.2
+                   OR 1.0 - CAST(len(list_distinct(bi)) AS DOUBLE) / greatest(len(bi), 1) > 0.1) AS rb
+            FROM m),
+      c AS (SELECT CAST(count(*) FILTER (ra AND rb) AS BIGINT) AS n11,
+                   CAST(count(*) FILTER (ra AND NOT rb) AS BIGINT) AS n10,
+                   CAST(count(*) FILTER (NOT ra AND rb) AS BIGINT) AS n01,
+                   CAST(count(*) FILTER (NOT ra AND NOT rb) AS BIGINT) AS n00,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM a JOIN b USING (doc_id))
+      SELECT n11, n10, n01, n00,
+             round(CAST(n11 + n00 AS DOUBLE) / n, 6) AS po,
+             round((CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                    + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / n / n, 6) AS pe,
+             round((CAST(n11 + n00 AS DOUBLE) / n
+                    - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                       + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / n / n)
+                   / (1.0 - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                             + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)) / n / n), 6) AS kappa
+      FROM c"""),
+      (spark, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        val n = size(toks)
+        val quality =
+          lit(0.5) * (lit(1.0) - TextOps.stopCount(toks, Stop).cast("double") / n) +
+          lit(0.3) * (lit(1.0) - size(filter(toks, t => length(t) <= 2)).cast("double") / n) +
+          lit(0.2) * least(aggregate(transform(toks, t => length(t)), lit(0),
+            (acc, x) => acc + x).cast("double") / n / 10.0, lit(1.0))
+        val maxTf = TextOps.maxTokenFreq(toks)
+        val bi = TextOps.ngramsAll(toks, 2)
+        val repetitive = (maxTf.cast("double") / n > 0.2) ||
+          (lit(1.0) - size(array_distinct(bi)).cast("double")
+            / greatest(size(bi), lit(1)) > 0.1)
+        val flagged = T(spark, dir, "documents").select(
+          (quality >= 0.85).as("ra"), (!repetitive).as("rb"))
+        val c = flagged.agg(
+          sum(when(col("ra") && col("rb"), 1L).otherwise(0L)).as("n11"),
+          sum(when(col("ra") && !col("rb"), 1L).otherwise(0L)).as("n10"),
+          sum(when(!col("ra") && col("rb"), 1L).otherwise(0L)).as("n01"),
+          sum(when(!col("ra") && !col("rb"), 1L).otherwise(0L)).as("n00"),
+          count(lit(1)).as("n"))
+        val po = (col("n11") + col("n00")).cast("double") / col("n")
+        val pe = (((col("n11") + col("n10")).cast("double") * (col("n11") + col("n01"))
+          + (col("n01") + col("n00")).cast("double") * (col("n10") + col("n00")))
+          / col("n")) / col("n")
+        c.select(col("n11"), col("n10"), col("n01"), col("n00"),
+          round(po, 6).as("po"), round(pe, 6).as("pe"),
+          round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+      }),
+
     QueryDef("q28_quality_score", Some(s"""
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
