@@ -398,6 +398,27 @@ class OpsSpec extends SparkSuite {
     assert(binned == naive && binned.nonEmpty)
   }
 
+  test("TableMaintenance.smallFiles: fragmented partitions flagged, compacted ones clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tm_tbl").toString
+    val df = (0 until 2000).map(i => (i.toLong, i % 2, "x" * 50)).toDF("id", "p", "s")
+    // p=0 fragmented into 8 files; p=1 compacted to one
+    df.filter(col("p") === 0).repartition(8)
+      .write.mode("overwrite").parquet(s"$dir/p=0")
+    df.filter(col("p") === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/p=1")
+    val rep = graft.ops.TableMaintenance.smallFiles(spark, dir, targetBytes = 1L << 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4), r.getBoolean(5))).toMap
+    val (n0, b0, s0, t0, rw0) = rep("p=0")
+    assert(n0 == 8 && s0 == 8 && t0 == 1 && rw0, s"p=0: $rep")
+    assert(b0 > 0)
+    val (n1, _, _, t1, rw1) = rep("p=1")
+    assert(n1 == 1 && t1 == 1 && !rw1, s"p=1: $rep")
+    // underscore/dot bookkeeping files (_SUCCESS, .crc) are not counted
+    assert(rep.keySet == Set("p=0", "p=1"), rep.keySet.toString)
+  }
+
   test("Allocate.largestRemainder: sums to budget exactly, each within one of its quota") {
     import spark.implicits._
     val w = Seq(("a", 372L), ("b", 415L), ("c", 213L), ("d", 1L)).toDF("k", "w")

@@ -220,4 +220,58 @@ class PropertiesSpec extends SparkSuite {
     }
     hist.unpersist()
   }
+
+  test("Allocate.largestRemainder: random weights — exact budget sum, within-one quotas") {
+    import spark.implicits._
+    val gen = for {
+      k <- Gen.choose(1, 12)
+      ws <- Gen.listOfN(k, Gen.choose(0L, 5000L))
+      budget <- Gen.choose(1L, 100000L)
+    } yield (ws, budget)
+    samples(gen, 25).foreach { case (ws, budget) =>
+      if (ws.sum > 0) {
+        val df = ws.zipWithIndex.map { case (w, i) => (s"k$i", w) }.toDF("k", "w")
+        val out = graft.ops.Allocate.largestRemainder(df, "k", "w", budget)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        assert(out.map(_._3).sum == budget, s"ws=$ws budget=$budget")
+        val tw = ws.sum.toDouble
+        out.foreach { case (k, w, a) =>
+          val quota = budget * w / tw
+          assert(a >= math.floor(quota) - 1e-9 && a <= math.ceil(quota) + 1e-9,
+            s"$k: alloc $a outside [floor, ceil] of quota $quota (ws=$ws budget=$budget)")
+        }
+      }
+    }
+  }
+
+  test("KCore: random graphs — converged output is the true k-core (all-degrees >= k, maximal)") {
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(6, 16)
+      m <- Gen.choose(5, 30)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+    } yield es.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong) }.distinct
+    samples(edgeGen, 10).filter(_.nonEmpty).foreach { es =>
+      val df = es.toDF("a", "b")
+      val k = 2
+      val core = graft.ops.KCore.kCore(df, "a", "b", k, rounds = 20)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // reference fixpoint computed driver-side
+      var alive = es.toSet
+      var changed = true
+      while (changed) {
+        val deg = alive.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n2, xs) => n2 -> xs.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = alive.filter(e => keep(e._1) && keep(e._2))
+        changed = next != alive
+        alive = next
+      }
+      val refDeg = alive.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n2, xs) => n2 -> xs.size }
+        .filter(_._2 >= k)
+      assert(core == refDeg, s"edges=$es core=$core ref=$refDeg")
+    }
+  }
 }
