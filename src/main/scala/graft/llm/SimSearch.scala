@@ -96,6 +96,52 @@ object SimSearch {
       .withColumn("rnk", col("rnk").cast("int"))
   }
 
+  /** Binary (1-bit) quantization retrieval: each unit vector compresses
+    * to its SIGN PATTERN — 64 dims become two 32-bit words packed into
+    * longs — candidates rank by Hamming distance (popcount of XOR, a
+    * few machine instructions per pair), and the k·candFactor
+    * survivors rerank on exact full-precision cosine. For vectors on
+    * the unit sphere, Hamming distance of sign patterns estimates
+    * angular distance (Goemans–Williamson / SimHash bound:
+    * P[sign differs] = θ/π per dim), which is what makes the 1-bit
+    * code a usable prefilter at 512× compression of a 64-dim double
+    * vector.
+    *
+    * The cheapest tier of the compression ladder (BQ → PQ → SQ8 →
+    * Matryoshka → full): the corpus-wide stage scans 16 BYTES per
+    * vector with integer-only math — at 100 TB the code table for a
+    * billion vectors is ~16 GB, cacheable cluster-wide. Bit packing is
+    * a SEQUENTIAL acc·2+bit fold per 32-dim half, so an external
+    * engine replays the exact codes, and Hamming scores are integers —
+    * no float discipline anywhere until the exact rerank (q208).
+    */
+  def binaryHammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        embCol: String, k: Int, candFactor: Int = 4): DataFrame = {
+    def packBits(e: Column, from: Int, len: Int): Column =
+      aggregate(
+        transform(slice(e, from, len), x => when(x > 0, 1L).otherwise(0L)),
+        lit(0L), (acc, b) => acc * 2 + b)
+    def withCodes(df: DataFrame, emb: String): DataFrame =
+      df.withColumn("__lo", packBits(col(emb), 1, 32))
+        .withColumn("__hi", packBits(col(emb), 33, 32))
+    val c = withCodes(unitized(corpus, idCol, embCol, idCol, "__ne"), "__ne")
+    val q = withCodes(unitized(queries, idCol, embCol, "query_id", "__qe"), "__qe")
+    val cand = TopK.exactPerKey(
+      c.join(broadcast(q.select(col("query_id"), col("__qe"),
+          col("__lo").as("__qlo"), col("__hi").as("__qhi"))),
+        col(idCol) =!= col("query_id"))
+        .select(col("query_id"), col(idCol), col("__ne"), col("__qe"),
+          (bit_count(col("__lo").bitwiseXOR(col("__qlo")))
+            + bit_count(col("__hi").bitwiseXOR(col("__qhi")))).as("hamming")),
+      Seq("query_id"), Seq(col("hamming").asc, col(idCol).asc),
+      k * candFactor, "__hr")
+    val exact = cand.select(col("query_id"), col(idCol),
+      round(dot(col("__qe"), col("__ne")), 6).as("cos_sim"))
+    TopK.exactPerKey(exact, Seq("query_id"),
+      Seq(col("cos_sim").desc, col(idCol).asc), k, "rnk")
+      .withColumn("rnk", col("rnk").cast("int"))
+  }
+
   /** Per-vector int8 scalar quantization (SQ8) of the unit embeddings:
     * codes[i] = floor((ne[i] - minv) / step + 0.5) - 128 stored as
     * TINYINT, with per-vector (minv, step = (max - min) / 255). The

@@ -1583,6 +1583,46 @@ object Vector {
         SimSearch.matryoshkaTopK(emb, emb.filter(col("vec_id") % 50 === 0),
             "vec_id", "embedding", k = 10, prefixDim = 8, candFactor = 4)
           .select("query_id", "vec_id", "cos_sim", "rnk")
+      }),
+
+    // Binary-quantization retrieval (SimSearch.binaryHammingTopK): sign
+    // patterns packed into two 32-bit words per vector (sequential
+    // acc*2+bit folds — engine-replayable codes), integer Hamming
+    // prefilter, exact full-precision rerank of the 4k survivors. The
+    // cheapest tier of the compression ladder: 16 bytes and integer-only
+    // math per corpus vector in the wide stage.
+    QueryDef("q208_binary_quant_ann", Some(s"""
+      WITH $unitSql,
+      bq AS (SELECT vec_id, ne,
+               list_reduce(list_transform(ne[1:32],
+                 x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+                 (a, b) -> a * 2 + b) AS lo,
+               list_reduce(list_transform(ne[33:64],
+                 x -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+                 (a, b) -> a * 2 + b) AS hi
+             FROM un),
+      q AS (SELECT vec_id AS query_id, ne AS qe, lo AS qlo, hi AS qhi
+            FROM bq WHERE vec_id % 50 = 0),
+      cand AS (
+        SELECT query_id, vec_id, ne, qe FROM (
+          SELECT q.query_id, e.vec_id, e.ne, q.qe,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY bit_count(xor(e.lo, q.qlo)) + bit_count(xor(e.hi, q.qhi)),
+                            e.vec_id) AS hr
+          FROM bq e JOIN q ON e.vec_id <> q.query_id)
+        WHERE hr <= 40)
+      SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT query_id, vec_id,
+               round(${dotSql("ne", "qe")}, 6) AS cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(${dotSql("ne", "qe")}, 6) DESC, vec_id) AS rnk
+        FROM cand)
+      WHERE rnk <= 10"""),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        SimSearch.binaryHammingTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", k = 10, candFactor = 4)
+          .select("query_id", "vec_id", "cos_sim", "rnk")
       })
   )
 

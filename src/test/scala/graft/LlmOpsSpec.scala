@@ -326,6 +326,30 @@ class LlmOpsSpec extends SparkSuite {
     assert(r8 > 0.1, s"tiered recall $r8 at chance level")
   }
 
+  test("SimSearch.binaryHammingTopK: all-candidates run equals brute force; Hamming tiering beats chance") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cos_sim", "rnk")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val all = SimSearch.binaryHammingTopK(emb, queries, "vec_id", "embedding",
+      k = 10, candFactor = 1000)
+    val bf = SimSearch.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+    assert(img(all) == img(bf))
+    val exact = bf.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(cf: Int) = {
+      val got = SimSearch.binaryHammingTopK(emb, queries, "vec_id", "embedding",
+          k = 10, candFactor = cf)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val (r2, r8) = (recallAt(2), recallAt(8))
+    assert(r8 >= r2, s"recall fell as candidates grew: cf=2 $r2 vs cf=8 $r8")
+    assert(r8 > 0.2, s"BQ-tiered recall $r8 at chance level")
+  }
+
   test("SimSearch.filteredIvfTopK: pre-filtered semantics, recall, pushed predicate") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
