@@ -163,6 +163,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         c => org.apache.spark.sql.functions.substring(c, 1, prefixLen),
         foldedDouble(exprs(5)), optInt(exprs, 6, 3))
     }
+    injectTable(e, "graft_bq_topk", classOf[graft.llm.SimSearch.type]) { exprs =>
+      graft.llm.SimSearch.binaryHammingTopK(activeTable(exprs(0)), activeTable(exprs(1)),
+        str(exprs(2)), str(exprs(3)), int(exprs(4)),
+        candFactor = optInt(exprs, 5, 4))
+    }
     // tiered retrieval: truncated-prefix candidates + exact rerank —
     // `graft_matryoshka_topk('emb', 'queries', 'id', 'emb', k,
     // prefixDim[, candFactor])`

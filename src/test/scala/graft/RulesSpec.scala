@@ -175,6 +175,9 @@ class RulesSpec extends SparkSuite {
 
     // round-11 additions: tiered retrieval, graph family, guarded pairs
     assert(img(spark.sql(
+        "SELECT * FROM graft_bq_topk('tf_emb', 'tf_q', 'vec_id', 'embedding', 5)")) ==
+      img(SimSearch.binaryHammingTopK(emb, q, "vec_id", "embedding", 5)))
+    assert(img(spark.sql(
         "SELECT * FROM graft_matryoshka_topk('tf_emb', 'tf_q', 'vec_id', 'embedding', 5, 8)")) ==
       img(SimSearch.matryoshkaTopK(emb, q, "vec_id", "embedding", 5, 8)))
     val edges = spark.read.parquet(s"$sf/lineitem.parquet")
