@@ -898,6 +898,56 @@ object Curation {
             .agg(sum(size(TextOps.tokenize(col("text")))).as("w")),
           "source", "w", AllocBudget)),
 
+    // Length-bucketed batching (the fairseq/HF bucketing discipline —
+    // the FIX for the padding waste q151 measures): docs route to
+    // power-of-2 length buckets, each bucket batches floor(cap/ub) docs
+    // and pads only to its own upper bound. Per-bucket ranks come from
+    // the distributed global row number plus a broadcast per-bucket
+    // offset — NOT a window partitioned by the ~7 bucket values, which
+    // would cap the whole layout at 7 tasks (the q151 caveat applied).
+    QueryDef("q209_bucketed_batching", Some(s"""
+      WITH t AS (SELECT doc_id,
+                   least(len(string_split(text, ' ')), $PackCap) AS len
+                 FROM documents),
+      b AS (SELECT doc_id, len,
+              CASE WHEN len <= 1 THEN 1 WHEN len <= 2 THEN 2 WHEN len <= 4 THEN 4
+                   WHEN len <= 8 THEN 8 WHEN len <= 16 THEN 16
+                   WHEN len <= 32 THEN 32 ELSE 64 END AS ub
+            FROM t),
+      r AS (SELECT doc_id, len, ub,
+              row_number() OVER (PARTITION BY ub ORDER BY doc_id) AS rk
+            FROM b)
+      SELECT doc_id, CAST(len AS INTEGER) AS n_tokens, CAST(ub AS INTEGER) AS padded_to,
+             CAST((rk - 1) // ($PackCap // ub) AS INTEGER) AS batch_id,
+             CAST((rk - 1) % ($PackCap // ub) AS INTEGER) AS slot,
+             CAST(ub - len AS INTEGER) AS waste
+      FROM r"""),
+      (spark, dir) => {
+        val cap = PackCap
+        val withUb = T(spark, dir, "documents")
+          .select(col("doc_id"),
+            least(size(TextOps.tokenize(col("text"))), lit(cap)).as("len"))
+          .withColumn("ub",
+            when(col("len") <= 1, 1).when(col("len") <= 2, 2)
+              .when(col("len") <= 4, 4).when(col("len") <= 8, 8)
+              .when(col("len") <= 16, 16).when(col("len") <= 32, 32)
+              .otherwise(64))
+        // distributed per-bucket rank: global row number ordered by
+        // (ub, doc_id), minus each bucket's broadcast min — full cluster
+        // width regardless of how few buckets exist
+        val ranked = graft.ops.GlobalRank.withRowNumber(withUb, "__gr",
+          Seq(col("ub").asc, col("doc_id").asc))
+        val offsets = ranked.groupBy("ub").agg(min(col("__gr")).as("__off"))
+        ranked.join(broadcast(offsets), "ub")
+          .select(col("doc_id"),
+            col("len").cast("int").as("n_tokens"),
+            col("ub").cast("int").as("padded_to"),
+            // integral div/mod end to end (the Allocate discipline)
+            expr(s"CAST((__gr - __off) div ($cap div ub) AS INT)").as("batch_id"),
+            expr(s"CAST((__gr - __off) % ($cap div ub) AS INT)").as("slot"),
+            (col("ub") - col("len")).cast("int").as("waste"))
+      }),
+
     // T5-style span corruption (Raffel et al. 2020): tokens partition
     // into fixed 3-token blocks; a block is masked iff the md5 hash
     // rank of (doc_id, block) selects it (~1/8 of blocks — disjoint by
