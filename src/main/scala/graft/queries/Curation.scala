@@ -40,6 +40,9 @@ object Curation {
   val SpanLen = 3
   val SpanSelMod = 8
 
+  /** q210 content-defined chunk boundary rate (1-in-N tokens). */
+  val CdcSelMod = 8
+
   /** Sliding-window chunk size and stride (q117); overlap = 64−48. */
   val OverlapWindow = 64
   val OverlapStride = 48
@@ -946,6 +949,54 @@ object Curation {
             expr(s"CAST((__gr - __off) div ($cap div ub) AS INT)").as("batch_id"),
             expr(s"CAST((__gr - __off) % ($cap div ub) AS INT)").as("slot"),
             (col("ub") - col("len")).cast("int").as("waste"))
+      }),
+
+    // Content-defined chunking (the CDC boundary idea of LBFS/rsync
+    // applied to token streams): a chunk ends after any token whose
+    // hash rank selects it (1-in-8), so boundaries follow CONTENT, not
+    // position — insert a sentence and every chunk after it still
+    // starts at the same tokens, which is what makes sub-document
+    // near-dup detection robust to edits (fixed-width q103 windows all
+    // shift). Pure per-row array ops — cut points from one filtered
+    // index pass, chunks sliced between consecutive cuts; linear in
+    // tokens, zero shuffle.
+    QueryDef("q210_cdc_chunks", Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      c AS (SELECT doc_id, tk,
+              list_concat(list_concat([0], list_filter(range(1, len(tk)),
+                i -> (('0x' || substr(md5(tk[i]), 1, 15))::BIGINT % 1000003 + 1)
+                       % $CdcSelMod = 0)), [len(tk)]) AS cuts
+            FROM t),
+      e AS (SELECT doc_id, tk, cuts,
+              unnest(generate_series(1, len(cuts) - 1)) AS k
+            FROM c)
+      SELECT doc_id, CAST(k - 1 AS INTEGER) AS chunk_idx,
+             array_to_string(tk[cuts[k] + 1 : cuts[k + 1]], ' ') AS chunk_text,
+             CAST(cuts[k + 1] - cuts[k] AS INTEGER) AS n_chunk_tokens
+      FROM e"""),
+      (spark, dir) => {
+        import graft.engine.functions.let
+        T(spark, dir, "documents").select(col("doc_id"),
+          posexplode(let(TextOps.tokenize(col("text"))) { tk =>
+            let(concat(
+                array(lit(0)),
+                when(size(tk) > 1,
+                  filter(sequence(lit(1), size(tk) - 1), i =>
+                    Sampling.hashRank(element_at(tk, i)) % CdcSelMod === 0))
+                  .otherwise(array().cast("array<int>")),
+                array(size(tk)))) { cuts =>
+              transform(
+                sequence(lit(1), size(cuts) - 1), k =>
+                struct(
+                  concat_ws(" ", slice(tk, element_at(cuts, k) + 1,
+                    element_at(cuts, k + 1) - element_at(cuts, k))).as("chunk_text"),
+                  (element_at(cuts, k + 1) - element_at(cuts, k)).cast("int")
+                    .as("n_chunk_tokens")))
+            }
+          }).as(Seq("chunk_idx", "__c")))
+          .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+            col("__c.chunk_text").as("chunk_text"),
+            col("__c.n_chunk_tokens").as("n_chunk_tokens"))
       }),
 
     // T5-style span corruption (Raffel et al. 2020): tokens partition

@@ -299,4 +299,33 @@ class CurationSpec extends SparkSuite {
     val p7 = q("q107_domain_mix").queryExecution.executedPlan.toString
     assert(!p7.contains("ShuffleExchange") && p7.contains("BroadcastExchange"), p7.take(1500))
   }
+
+  test("q210 CDC chunking: lossless reassembly; boundaries survive a front insertion") {
+    import spark.implicits._
+    // real corpus: lossless reassembly per doc
+    val sfDir = sf
+    val chunks = graft.SparkEntry.queries("q210_cdc_chunks")(spark, sfDir)
+    val reassembled = chunks.groupBy("doc_id")
+      .agg(concat_ws(" ", array_sort(collect_list(struct(col("chunk_idx"),
+        col("chunk_text")))).getField("chunk_text")).as("re"))
+    val orig = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    assert(orig.join(reassembled, "doc_id")
+      .filter(col("re") =!= col("text")).count() == 0)
+    // insertion robustness: prepend one token to a doc; every chunk after
+    // the insertion-containing one is unchanged (fixed windows all shift)
+    val one = orig.orderBy("doc_id").head
+    val base = one.getString(1)
+    def cdc(text: String): Seq[String] = {
+      val dir2 = java.nio.file.Files.createTempDirectory("cdc_one").toString
+      Seq((1L, text)).toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+      graft.SparkEntry.queries("q210_cdc_chunks")(spark, dir2)
+        .orderBy("chunk_idx").collect().map(_.getString(2)).toSeq
+    }
+    val a = cdc(base)
+    val b = cdc("inserted " + base)
+    val keep = math.min(a.size, b.size) - 1
+    assert(keep > 0 && a.takeRight(keep) == b.takeRight(keep),
+      s"suffix chunks shifted: a=${a.size} b=${b.size}")
+  }
 }
