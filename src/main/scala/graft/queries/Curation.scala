@@ -999,6 +999,45 @@ object Curation {
             col("__c.n_chunk_tokens").as("n_chunk_tokens"))
       }),
 
+    // Sub-document duplication map — q210's payoff: content-defined
+    // chunks hashed (md5 — engine-replayable) and grouped across the
+    // corpus; a chunk appearing in ≥2 documents is shared boilerplate
+    // (headers, disclaimers, templated text) that document-level
+    // near-dup never sees because the surrounding text differs. The
+    // report a curation run uses to strip boilerplate BEFORE minhashing
+    // — shuffle moves 16-byte hashes, never chunk text.
+    QueryDef("q211_shared_chunks", Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      c AS (SELECT doc_id, tk,
+              list_concat(list_concat([0], list_filter(range(1, len(tk)),
+                i -> (('0x' || substr(md5(tk[i]), 1, 15))::BIGINT % 1000003 + 1)
+                       % $CdcSelMod = 0)), [len(tk)]) AS cuts
+            FROM t),
+      e AS (SELECT doc_id, tk, cuts,
+              unnest(generate_series(1, len(cuts) - 1)) AS k
+            FROM c),
+      ch AS (SELECT doc_id,
+               md5(array_to_string(tk[cuts[k] + 1 : cuts[k + 1]], ' ')) AS h,
+               cuts[k + 1] - cuts[k] AS n_toks
+             FROM e)
+      SELECT h AS chunk_md5,
+             CAST(any_value(n_toks) AS INTEGER) AS n_chunk_tokens,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(min(doc_id) AS BIGINT) AS example_doc
+      FROM ch GROUP BY h HAVING count(DISTINCT doc_id) >= 2"""),
+      (spark, dir) => {
+        val chunks = graft.SparkEntry.queries("q210_cdc_chunks")(spark, dir)
+          .select(col("doc_id"), md5(col("chunk_text")).as("chunk_md5"),
+            col("n_chunk_tokens"))
+        chunks.groupBy("chunk_md5")
+          .agg(first(col("n_chunk_tokens")).as("n_chunk_tokens"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occurrences"),
+            min(col("doc_id")).as("example_doc"))
+          .filter(col("n_docs") >= 2)
+      }),
+
     // T5-style span corruption (Raffel et al. 2020): tokens partition
     // into fixed 3-token blocks; a block is masked iff the md5 hash
     // rank of (doc_id, block) selects it (~1/8 of blocks — disjoint by

@@ -174,6 +174,14 @@ class RulesSpec extends SparkSuite {
         c => substring(c, 1, 1), 0.7, maxLenDiff = 4)))
 
     // round-11 additions: tiered retrieval, graph family, guarded pairs
+    // (sparse-sim compares the integer projection only: the fast path's
+    // plain float sums may differ in the last ulp across executions)
+    def pairsImg(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "n_shared").collect().map(_.toString).toSet
+    assert(pairsImg(spark.sql(
+        "SELECT * FROM graft_sparse_sim('tf_rawdocs', 'doc_id', 'text')")) ==
+      pairsImg(graft.llm.SparseSim.idfCosineJoin(docs, "doc_id", "text",
+        3, 100, 0.5)))
     assert(img(spark.sql(
         "SELECT * FROM graft_bq_topk('tf_emb', 'tf_q', 'vec_id', 'embedding', 5)")) ==
       img(SimSearch.binaryHammingTopK(emb, q, "vec_id", "embedding", 5)))
