@@ -47,6 +47,54 @@ object Text {
     // DISAGREE when a ratio of small integers lands exactly on a
     // .5e-6 boundary (Spark rounds the exact binary value via
     // BigDecimal, DuckDB via float multiply; observed at sf0.1).
+    // Calibration report for the quality scorer read as P(lang = en) —
+    // the reliability-diagram table (Guo et al. 2017) next to q135's
+    // AUC: 10 fixed confidence bins, per bin the exact count, exact
+    // integer accuracy, and the mean confidence as an ordered fold by
+    // doc_id (the q120 discipline — bit-parity with the oracle's
+    // list_reduce; a production pass would plain-sum). ECE is the
+    // reader's n-weighted |acc − conf| sum over these 10 rows.
+    QueryDef("q212_calibration_ece", Some(s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+                 FROM documents),
+      q AS (SELECT doc_id, label,
+              0.5 * (1.0 - CAST(len(list_filter(toks, x -> x IN ($stopSqlList))) AS DOUBLE) / len(toks))
+              + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks))
+              + 0.2 * least(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+                              / len(toks) / 10.0, 1.0) AS conf
+            FROM t),
+      b AS (SELECT doc_id, label, conf,
+                   CAST(least(floor(conf * 10), 9) AS INTEGER) AS bin FROM q)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS accuracy,
+             round(list_reduce(list(conf ORDER BY doc_id), (x, y) -> x + y)
+                     / count(*), 6) AS confidence,
+             round(abs(CAST(sum(label) AS DOUBLE) / count(*)
+                       - list_reduce(list(conf ORDER BY doc_id), (x, y) -> x + y)
+                           / count(*)), 6) AS gap
+      FROM b GROUP BY bin"""),
+      (spark, dir) => {
+        val toks = TextOps.tokenize(col("text"))
+        val scored = T(spark, dir, "documents").select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("label"),
+          TextOps.qualityScore(toks, Text.Stop).as("conf"))
+          .withColumn("bin", least(floor(col("conf") * 10), lit(9)).cast("int"))
+        // ordered fold by doc_id per bin — the oracle-exact float mean
+        val agg = scored.groupBy("bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("np"),
+            array_sort(collect_list(struct(col("doc_id"), col("conf")))).as("__s"))
+          .select(col("bin"), col("n_docs"), col("np"),
+            aggregate(slice(col("__s"), lit(2), size(col("__s")) - 1),
+              element_at(col("__s"), 1).getField("conf"),
+              (acc, v) => acc + v.getField("conf")).as("__csum"))
+        val acc = col("np").cast("double") / col("n_docs")
+        val conf = col("__csum") / col("n_docs")
+        agg.select(col("bin"), col("n_docs"),
+          round(acc, 6).as("accuracy"), round(conf, 6).as("confidence"),
+          round(abs(acc - conf), 6).as("gap"))
+      }),
+
     // Inter-rater agreement between two independent quality gates —
     // the label-audit a curation team runs before trusting a filter:
     // rater A = the q28 blended heuristic at threshold 0.85, rater B =
