@@ -296,4 +296,46 @@ object DedupOps {
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** CONTAINMENT pairs (Broder 1997): pairs where the smaller document's
+    * distinct-shingle set is mostly inside the other's —
+    * shared / min(|A|, |B|) ≥ `minContain`. Catches the asymmetric
+    * duplication Jaccard misses by construction: a quote, excerpt, or
+    * wholesale inclusion of a short doc in a long one scores
+    * Jaccard ≈ |A|/|B| (tiny) but containment ≈ 1.
+    *
+    * Same scale shape as the q120 family: grams are xxhash64-ed (8-byte
+    * exchange), candidates materialize only through shared grams with
+    * document frequency ≤ `maxDf` (pair space Σ_g df(g)² — boilerplate
+    * grams generate nothing), and the score is one exact integer
+    * division — no float folds anywhere, so the q213 oracle is a plain
+    * hash match.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, shinglesCol: String,
+                       maxDf: Int = 100, minContain: Double = 0.8): DataFrame = {
+    val grams = df.select(col(idCol).as("__id"),
+        explode(array_distinct(col(shinglesCol))).as("__gram"))
+      .select(col("__id"), xxhash64(col("__gram")).as("__g"))
+    val rare = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    // set sizes over the FILTERED vocabulary, so the score is a true
+    // containment in the discriminative gram space (boilerplate grams
+    // neither generate pairs nor dilute the denominator)
+    val posting = grams.join(rare.select("__g"), "__g")
+    val sizes = posting.groupBy("__id").agg(count(lit(1)).as("__n"))
+    val withN = posting.join(sizes, "__id")
+    val shared = withN.select(col("__id").as("id_a"), col("__n").as("n_a"), col("__g"))
+      .join(withN.select(col("__id").as("id_b"), col("__n").as("n_b"), col("__g")), "__g")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_shared"))
+    shared
+      .filter(col("n_shared").cast("double") / least(col("n_a"), col("n_b")) >= minContain)
+      .select(col("id_a"), col("id_b"),
+        col("n_a").cast("int").as("n_a"), col("n_b").cast("int").as("n_b"),
+        col("n_shared").cast("int").as("n_shared"),
+        round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
+          .as("containment"))
+  }
 }

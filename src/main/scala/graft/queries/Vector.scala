@@ -587,6 +587,9 @@ object Vector {
       WHERE rnk <= $k"""
   }
 
+  /** q213 posting-list cap (the q120 SimMaxDf discipline). */
+  private val SimMaxDfV = 100
+
   val defs: Seq[QueryDef] = Seq(
 
     // Split-aware retrieval - the q161 x q160 composition: ANN search
@@ -1623,8 +1626,39 @@ object Vector {
         SimSearch.binaryHammingTopK(emb, emb.filter(col("vec_id") % 50 === 0),
             "vec_id", "embedding", k = 10, candFactor = 4)
           .select("query_id", "vec_id", "cos_sim", "rnk")
-      })
+      }),
+
+    // Containment pairs (DedupOps.containmentPairs, Broder 1997): the
+    // asymmetric duplication Jaccard misses — a short doc quoted inside
+    // a long one scores Jaccard ~ |A|/|B| but containment ~ 1. Grams
+    // hash to 8 bytes before the exchange (oracle joins the raw strings
+    // — the documented conservative-collision equivalence of q104),
+    // df-capped posting join bounds the pair space, one exact integer
+    // division per pair.
+    QueryDef("q213_containment_pairs", Some(s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1]))) AS g
+             FROM tok),
+      rare AS (SELECT g FROM (SELECT g, count(*) AS c FROM sh GROUP BY g)
+               WHERE c <= $SimMaxDfV),
+      p AS (SELECT doc_id, g FROM sh JOIN rare USING (g)),
+      n AS (SELECT doc_id, count(*) AS n FROM p GROUP BY doc_id),
+      pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+                FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(na.n AS INTEGER) AS n_a, CAST(nb.n AS INTEGER) AS n_b,
+             CAST(n_shared AS INTEGER) AS n_shared,
+             round(CAST(n_shared AS DOUBLE) / least(na.n, nb.n), 6) AS containment
+      FROM pairs JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+      WHERE CAST(n_shared AS DOUBLE) / least(na.n, nb.n) >= 0.5"""),
+      (spark, dir) =>
+        DedupOps.containmentPairs(
+          T(spark, dir, "documents").select(col("doc_id"),
+            TextOps.shingles(TextOps.tokenize(col("text")), 2).as("sh")),
+          "doc_id", "sh", maxDf = SimMaxDfV, minContain = 0.5))
   )
+
 
   /** Shared DuckDB CTE chain ending in `verified(id_a, id_b, jaccard)` —
     * the oracle twin of `DedupOps.lshCandidates` (bands = 4,
