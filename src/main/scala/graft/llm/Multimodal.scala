@@ -106,6 +106,76 @@ object Multimodal {
     }
   }
 
+  /** A REAL audio decoder on the JDK's bundled codec (`javax.sound.
+    * sampled` parses WAV/AIFF/AU with zero added dependencies): the
+    * payload decodes to PCM frames and reduces to a 16-bin amplitude
+    * histogram over 16-bit samples (bin = (sample + 32768) >> 12) as
+    * EXACT counts — PCM is uncompressed, so the decoded samples equal
+    * the written ones bit-for-bit and q214 gates the decode path
+    * against a sample-formula oracle, the audio twin of
+    * [[ImageIoDecoder]]/q199. Contract corners identical: null/empty/
+    * unreadable payloads yield the zero vector, never throw.
+    * Assumes 16-bit little-endian PCM (what [[syntheticWavAssets]]
+    * writes and the overwhelmingly common WAV layout); other depths
+    * decode to zeros rather than mis-binning.
+    */
+  object WavDecoder extends MediaDecoder {
+    val featureDim: Int = Multimodal.featureDim
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val bins = new Array[Float](featureDim)
+      if (payload == null || payload.isEmpty) return bins
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (in == null) return bins
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return bins
+        val bytes = in.readAllBytes()
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val sample = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort.toInt
+          bins((sample + 32768) >> 12) += 1f
+          i += 2
+        }
+        bins
+      } catch { case scala.util.control.NonFatal(_) => new Array[Float](featureDim) }
+      finally in.close()
+    }
+  }
+
+  /** Deterministic synthetic WAV assets for `ids`: `nSamples` of 16-bit
+    * mono PCM at 8 kHz per id with sample(i) = ((id·31 + i·7) mod
+    * 65536) − 32768, wrapped in a hand-built RIFF header. PCM is
+    * lossless, so [[WavDecoder]] recovers exactly these samples.
+    */
+  def syntheticWavAssets(ids: DataFrame, idCol: String, nSamples: Int): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val dataLen = nSamples * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1)            // PCM, mono
+          .putInt(8000).putInt(16000)         // sample rate, byte rate
+          .putShort(2).putShort(16)           // block align, bits
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < nSamples) {
+          buf.putShort((java.lang.Math.floorMod(id * 31 + i * 7, 65536L) - 32768L).toShort)
+          i += 1
+        }
+        Row(id, "audio", buf.array(), nSamples, 1)
+      }
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
   /** Deterministic synthetic PNG assets for `ids`: a w×h grayscale image
     * per id with sample(x, y) = (id·31 + x·7 + y·13) mod 256, encoded
     * with the JDK PNG writer partition-wise (no shuffle). PNG is

@@ -132,6 +132,32 @@ object Media {
             posexplode(col("features")).as(Seq("bin", "n_px")))
           .select(col("asset_id"), col("bin").cast("int").as("bin"),
             col("n_px").cast("int").as("n_px"))
+      }),
+
+    // REAL audio codec end to end (q199's twin for the audio modality):
+    // encode deterministic 16-bit PCM WAVs (sample(i) = (id*31 + i*7)
+    // mod 65536 − 32768, hand-built RIFF header), decode back with
+    // javax.sound.sampled (llm.Multimodal.WavDecoder), histogram the
+    // amplitudes. PCM is uncompressed, so the oracle computes the same
+    // histogram from the sample formula without any audio library.
+    QueryDef("q214_wav_decode", Some("""
+      WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+      s AS (SELECT i.doc_id, ((i.doc_id * 31 + x.i * 7) % 65536) // 4096 AS bin
+            FROM ids i, range(0, 400) AS x(i)),
+      cnt AS (SELECT doc_id, bin, count(*) AS n FROM s GROUP BY 1, 2)
+      SELECT i.doc_id AS asset_id, CAST(b.j AS INTEGER) AS bin,
+             CAST(coalesce(c.n, 0) AS INTEGER) AS n_samples
+      FROM ids i CROSS JOIN range(0, 16) AS b(j)
+      LEFT JOIN cnt c ON c.doc_id = i.doc_id AND c.bin = b.j"""),
+      (spark, dir) => {
+        val ids = T(spark, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 5 === 0)
+        val assets = Multimodal.syntheticWavAssets(ids, "doc_id", nSamples = 400)
+        Multimodal.extractFeatures(assets, Multimodal.WavDecoder)
+          .select(col("asset_id"),
+            posexplode(col("features")).as(Seq("bin", "n_samples")))
+          .select(col("asset_id"), col("bin").cast("int").as("bin"),
+            col("n_samples").cast("int").as("n_samples"))
       })
   )
 }

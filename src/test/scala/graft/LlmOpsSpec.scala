@@ -704,6 +704,34 @@ class LlmOpsSpec extends SparkSuite {
     assert(jf.length == Multimodal.featureDim && jf.map(_.toDouble).sum == 64.0)
   }
 
+  test("Multimodal.WavDecoder: PCM round-trip recovers the sample formula; corrupt/empty → zeros") {
+    val n = 400
+    val ids = spark.range(0, 10).toDF("id")
+    val assets = Multimodal.syntheticWavAssets(ids, "id", n)
+    // payloads really are RIFF/WAVE containers
+    val first = assets.orderBy("asset_id").head
+    val wav = first.getAs[Array[Byte]]("payload")
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    // decoded amplitude histogram == histogram from the formula
+    val feats = Multimodal.extractFeatures(assets, Multimodal.WavDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    for (id <- 0L until 10L) {
+      val expected = new Array[Float](Multimodal.featureDim)
+      for (i <- 0 until n)
+        expected((java.lang.Math.floorMod(id * 31 + i * 7, 65536L) / 4096L).toInt) += 1f
+      assert(feats(id) == expected.toSeq, s"amplitude histogram mismatch for id=$id")
+      assert(feats(id).map(_.toDouble).sum == n)
+    }
+    // contract corners
+    val zeros = Array.fill(Multimodal.featureDim)(0f).toSeq
+    assert(Multimodal.WavDecoder.decode(null).toSeq == zeros)
+    assert(Multimodal.WavDecoder.decode(Array.empty).toSeq == zeros)
+    assert(Multimodal.WavDecoder.decode("not a wav".getBytes).toSeq == zeros)
+    // a truncated header must not throw either
+    assert(Multimodal.WavDecoder.decode(wav.take(20)).toSeq == zeros)
+  }
+
   test("Multimodal.resizeStub: metadata updated, payload shrunk proportionally") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
     val assets = Multimodal.assetsFromDocuments(docs) // 64x48
