@@ -291,6 +291,37 @@ object ML {
             col("rnk").cast("int").as("rnk"))
       }),
 
+    // Sequential purchase patterns (the temporal sibling of q157/q196's
+    // same-basket rules, AprioriAll's 2-sequences): part A in a
+    // STRICTLY EARLIER order than part B for the same customer,
+    // supported by >= 3 distinct customers. The pair space is bounded
+    // per customer by (orders x lines)^2 — activity-bounded, not
+    // corpus-bounded; a pathological hub customer routes through the
+    // q140 skew profile like the co-occurrence family (SCALE.md). All
+    // counts exact integers.
+    QueryDef("q215_sequential_patterns", Some("""
+      WITH li AS (SELECT DISTINCT o.o_custkey AS c, o.o_orderdate AS d,
+                                  l.l_partkey AS p
+                  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      sp AS (SELECT DISTINCT a.c, a.p AS pa, b.p AS pb
+             FROM li a JOIN li b ON a.c = b.c AND a.d < b.d AND a.p <> b.p)
+      SELECT pa AS antecedent, pb AS consequent,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM sp GROUP BY 1, 2 HAVING count(*) >= 3"""),
+      (spark, dir) => {
+        val li = T(spark, dir, "lineitem")
+          .join(T(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("o_orderdate").as("d"),
+            col("l_partkey").as("p")).distinct()
+        val sp = li.select(col("c"), col("d").as("da"), col("p").as("pa"))
+          .join(li.select(col("c"), col("d").as("db"), col("p").as("pb")), "c")
+          .filter(col("da") < col("db") && col("pa") =!= col("pb"))
+          .select("c", "pa", "pb").distinct()
+        sp.groupBy(col("pa").as("antecedent"), col("pb").as("consequent"))
+          .agg(count(lit(1)).as("n_customers"))
+          .filter(col("n_customers") >= 3)
+      }),
+
     // Hashing-trick featurization (Weinberger 2009) — the fit-free
     // counterpart of q41's StringIndexer/OneHotEncoder: no vocabulary
     // pass, no fitted-model broadcast; (feature,value) pairs land in 64
