@@ -110,4 +110,33 @@ object TextOps {
 
   /** 128-bit content fingerprint (md5 hex) — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(text)
+
+  /** Content-defined chunking (q210/q211): split a token array into
+    * chunks that end after any token whose md5 hash rank selects it
+    * (1-in-`selMod`), so boundaries follow CONTENT, not position —
+    * edits shift only the chunk they touch. Returns an array of
+    * structs (chunk_text, n_chunk_tokens) in order; pure per-row array
+    * ops (one filtered index pass + slicing between consecutive cuts),
+    * linear in tokens.
+    */
+  def cdcChunks(tokens: Column, selMod: Int): Column = {
+    import graft.engine.functions.let
+    let(tokens) { tk =>
+      let(concat(
+          array(lit(0)),
+          when(size(tk) > 1,
+            filter(sequence(lit(1), size(tk) - 1), i =>
+              graft.ops.Sampling.hashRank(element_at(tk, i)) % selMod === 0))
+            .otherwise(array().cast("array<int>")),
+          array(size(tk)))) { cuts =>
+        transform(
+          sequence(lit(1), size(cuts) - 1), k =>
+          struct(
+            concat_ws(" ", slice(tk, element_at(cuts, k) + 1,
+              element_at(cuts, k + 1) - element_at(cuts, k))).as("chunk_text"),
+            (element_at(cuts, k + 1) - element_at(cuts, k)).cast("int")
+              .as("n_chunk_tokens")))
+      }
+    }
+  }
 }

@@ -974,30 +974,13 @@ object Curation {
              array_to_string(tk[cuts[k] + 1 : cuts[k + 1]], ' ') AS chunk_text,
              CAST(cuts[k + 1] - cuts[k] AS INTEGER) AS n_chunk_tokens
       FROM e"""),
-      (spark, dir) => {
-        import graft.engine.functions.let
+      (spark, dir) =>
         T(spark, dir, "documents").select(col("doc_id"),
-          posexplode(let(TextOps.tokenize(col("text"))) { tk =>
-            let(concat(
-                array(lit(0)),
-                when(size(tk) > 1,
-                  filter(sequence(lit(1), size(tk) - 1), i =>
-                    Sampling.hashRank(element_at(tk, i)) % CdcSelMod === 0))
-                  .otherwise(array().cast("array<int>")),
-                array(size(tk)))) { cuts =>
-              transform(
-                sequence(lit(1), size(cuts) - 1), k =>
-                struct(
-                  concat_ws(" ", slice(tk, element_at(cuts, k) + 1,
-                    element_at(cuts, k + 1) - element_at(cuts, k))).as("chunk_text"),
-                  (element_at(cuts, k + 1) - element_at(cuts, k)).cast("int")
-                    .as("n_chunk_tokens")))
-            }
-          }).as(Seq("chunk_idx", "__c")))
+          posexplode(TextOps.cdcChunks(TextOps.tokenize(col("text")), CdcSelMod))
+            .as(Seq("chunk_idx", "__c")))
           .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
             col("__c.chunk_text").as("chunk_text"),
-            col("__c.n_chunk_tokens").as("n_chunk_tokens"))
-      }),
+            col("__c.n_chunk_tokens").as("n_chunk_tokens"))),
 
     // Sub-document duplication map — q210's payoff: content-defined
     // chunks hashed (md5 — engine-replayable) and grouped across the
