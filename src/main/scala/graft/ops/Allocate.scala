@@ -27,6 +27,12 @@ object Allocate {
   def largestRemainder(weights: DataFrame, keyCol: String, weightCol: String,
                        budget: Long): DataFrame = {
     val tot = weights.agg(sum(col(weightCol)).cast("long").as("__tw"))
+    // fail fast on Σw = 0 (or an empty input, where sum is null):
+    // div/mod by zero would silently NULL every allocation, breaking
+    // the sums-to-budget guarantee downstream
+    val twRow = tot.head
+    val tw = if (twRow.isNullAt(0)) 0L else twRow.getLong(0)
+    require(tw > 0, s"largestRemainder needs positive total weight, got $tw")
     // `div`, not `/`: Spark's / is always DOUBLE division — exactness
     // here rides on integral div/mod end to end
     val based = weights.crossJoin(broadcast(tot))

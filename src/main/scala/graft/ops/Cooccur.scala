@@ -75,4 +75,44 @@ object Cooccur {
       .filter(col("pa") < col("pb")).drop("__cb")
     pairsOf(small).unionByName(bigPairs)
   }
+
+  /** ORDERED within-group pairs — [[groupPairs]] for sequential
+    * semantics (q215): one row per (row_a, row_b) of the same group
+    * with `orderCol`(a) strictly before `orderCol`(b) and distinct
+    * items, as (group, pa, pb). Same size-routed guard: a hub group's
+    * k² ordered emissions spread over `salts` reducers via the forced
+    * (group, chunk-of-right) shuffle instead of hot-spotting one task.
+    * Callers dedup/aggregate downstream (multiple qualifying row pairs
+    * for the same item pair each emit).
+    */
+  def orderedGroupPairs(df: DataFrame, groupCol: String, orderCol: String,
+                        itemCol: String, hubThreshold: Int = 1000,
+                        salts: Int = 16): DataFrame = {
+    val hubIds = df.groupBy(groupCol).agg(count(lit(1)).as("__gsz"))
+      .filter(col("__gsz") > hubThreshold).select(groupCol)
+      .limit(10001).collect().map(_.get(0)).toSeq
+    require(hubIds.size <= 10000,
+      s"more than 10000 groups exceed hubThreshold=$hubThreshold — raise the threshold")
+
+    def pairsOf(part: DataFrame): DataFrame =
+      part.select(col(groupCol), col(orderCol).as("__oa"), col(itemCol).as("pa"))
+        .join(part.select(col(groupCol), col(orderCol).as("__ob"),
+          col(itemCol).as("pb")), Seq(groupCol))
+        .filter(col("__oa") < col("__ob") && col("pa") =!= col("pb"))
+        .select(col(groupCol), col("pa"), col("pb"))
+
+    if (hubIds.isEmpty) return pairsOf(df)
+
+    val small = df.filter(!col(groupCol).isin(hubIds: _*))
+    val big = df.filter(col(groupCol).isin(hubIds: _*))
+    def chunk = pmod(xxhash64(col(itemCol)), lit(salts)).cast("int")
+    val left = big.select(col(groupCol), col(orderCol).as("__oa"), col(itemCol).as("pa"))
+      .withColumn("__cb", explode(sequence(lit(0), lit(salts - 1))))
+    val right = big.select(col(groupCol), chunk.as("__cb"),
+      col(orderCol).as("__ob"), col(itemCol).as("pb"))
+    val bigPairs = left.hint("shuffle_hash").join(right, Seq(groupCol, "__cb"))
+      .filter(col("__oa") < col("__ob") && col("pa") =!= col("pb"))
+      .select(col(groupCol), col("pa"), col("pb"))
+    pairsOf(small).unionByName(bigPairs)
+  }
 }

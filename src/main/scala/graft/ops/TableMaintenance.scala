@@ -41,10 +41,17 @@ object TableMaintenance {
     val perPart = scala.collection.mutable.Map.empty[String, (Int, Long, Int)]
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
-        val parent = fs.makeQualified(st.getPath.getParent).toString
-        val rel = parent.stripPrefix(rootStr).stripPrefix("/")
+      val parent = fs.makeQualified(st.getPath.getParent).toString
+      val rel = parent.stripPrefix(rootStr).stripPrefix("/")
+      // bookkeeping is invisible at ANY depth: a file is data only if
+      // neither its name nor any ancestor directory segment under the
+      // root is underscore/dot-prefixed — otherwise _spark_metadata/,
+      // _delta_log/, .hive-staging*/ and _temporary/ contents would
+      // surface as phantom partitions and a maintenance job acting on
+      // the report would rewrite a sink's commit log
+      def visible(seg: String) = !seg.startsWith("_") && !seg.startsWith(".")
+      if (st.isFile && visible(st.getPath.getName)
+          && rel.split("/").filter(_.nonEmpty).forall(visible)) {
         val (n, b, s) = perPart.getOrElse(rel, (0, 0L, 0))
         perPart(rel) = (n + 1, b + st.getLen,
           s + (if (st.getLen < targetBytes / 2) 1 else 0))

@@ -313,10 +313,10 @@ object ML {
           .join(T(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("o_orderdate").as("d"),
             col("l_partkey").as("p")).distinct()
-        val sp = li.select(col("c"), col("d").as("da"), col("p").as("pa"))
-          .join(li.select(col("c"), col("d").as("db"), col("p").as("pb")), "c")
-          .filter(col("da") < col("db") && col("pa") =!= col("pb"))
-          .select("c", "pa", "pb").distinct()
+        // hub-guarded ordered pairs (ops.Cooccur): a pathological hub
+        // customer spreads over salts reducers instead of one task
+        val sp = graft.ops.Cooccur.orderedGroupPairs(li, "c", "d", "p")
+          .distinct()
         sp.groupBy(col("pa").as("antecedent"), col("pb").as("consequent"))
           .agg(count(lit(1)).as("n_customers"))
           .filter(col("n_customers") >= 3)

@@ -50,10 +50,14 @@ object Text {
     // Calibration report for the quality scorer read as P(lang = en) —
     // the reliability-diagram table (Guo et al. 2017) next to q135's
     // AUC: 10 fixed confidence bins, per bin the exact count, exact
-    // integer accuracy, and the mean confidence as an ordered fold by
-    // doc_id (the q120 discipline — bit-parity with the oracle's
-    // list_reduce; a production pass would plain-sum). ECE is the
-    // reader's n-weighted |acc − conf| sum over these 10 rows.
+    // integer accuracy, and the mean confidence over per-doc scores
+    // QUANTIZED to 1e-6 before summing. The quantization is the scale
+    // move: floor(conf·10⁶) is bit-identical in both engines (conf is
+    // IEEE-identical), so the per-bin mean is an exact INTEGER sum with
+    // map-side partial aggregation — no per-bin collect_list whose
+    // buffer would hold ~a tenth of the corpus (the q120 ordered-fold
+    // tax is affordable per PAIR, not per TENTH-OF-CORPUS bin). ECE is
+    // the reader's n-weighted gap sum over these 10 rows.
     QueryDef("q212_calibration_ece", Some(s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
                         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
@@ -64,32 +68,28 @@ object Text {
               + 0.2 * least(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
                               / len(toks) / 10.0, 1.0) AS conf
             FROM t),
-      b AS (SELECT doc_id, label, conf,
+      b AS (SELECT doc_id, label,
+                   CAST(floor(conf * 1000000) AS BIGINT) AS confq,
                    CAST(least(floor(conf * 10), 9) AS INTEGER) AS bin FROM q)
       SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
              round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS accuracy,
-             round(list_reduce(list(conf ORDER BY doc_id), (x, y) -> x + y)
-                     / count(*), 6) AS confidence,
+             round(CAST(sum(confq) AS DOUBLE) / count(*) / 1000000, 6) AS confidence,
              round(abs(CAST(sum(label) AS DOUBLE) / count(*)
-                       - list_reduce(list(conf ORDER BY doc_id), (x, y) -> x + y)
-                           / count(*)), 6) AS gap
+                       - CAST(sum(confq) AS DOUBLE) / count(*) / 1000000), 6) AS gap
       FROM b GROUP BY bin"""),
       (spark, dir) => {
         val toks = TextOps.tokenize(col("text"))
-        val scored = T(spark, dir, "documents").select(col("doc_id"),
+        val scored = T(spark, dir, "documents").select(
           when(col("lang") === "en", 1L).otherwise(0L).as("label"),
           TextOps.qualityScore(toks, Text.Stop).as("conf"))
-          .withColumn("bin", least(floor(col("conf") * 10), lit(9)).cast("int"))
-        // ordered fold by doc_id per bin — the oracle-exact float mean
+          .select(col("label"),
+            floor(col("conf") * 1000000).cast("long").as("confq"),
+            least(floor(col("conf") * 10), lit(9)).cast("int").as("bin"))
         val agg = scored.groupBy("bin")
           .agg(count(lit(1)).as("n_docs"), sum(col("label")).as("np"),
-            array_sort(collect_list(struct(col("doc_id"), col("conf")))).as("__s"))
-          .select(col("bin"), col("n_docs"), col("np"),
-            aggregate(slice(col("__s"), lit(2), size(col("__s")) - 1),
-              element_at(col("__s"), 1).getField("conf"),
-              (acc, v) => acc + v.getField("conf")).as("__csum"))
+            sum(col("confq")).as("__cq"))
         val acc = col("np").cast("double") / col("n_docs")
-        val conf = col("__csum") / col("n_docs")
+        val conf = (col("__cq").cast("double") / col("n_docs")) / 1000000
         agg.select(col("bin"), col("n_docs"),
           round(acc, 6).as("accuracy"), round(conf, 6).as("confidence"),
           round(abs(acc - conf), 6).as("gap"))

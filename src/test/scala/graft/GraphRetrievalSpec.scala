@@ -44,7 +44,10 @@ class GraphRetrievalSpec extends SparkSuite {
     val ppr = img(PageRank.personalized(chain, "s", "d", "w",
       Seq(1L).toDF("seed"), "seed", iters = 20))
     assert(ppr(1L) >= 0.15 - 1e-9) // (1 - 0.85) / |S|
-    assert(ppr(1L) > ppr(2L) && ppr(2L) < ppr(3L) || ppr(1L) > 0) // decay toward sink
+    // one damping step off the seed: rank(2) = d·rank(1) < rank(1);
+    // the self-looping sink accumulates past both
+    assert(ppr(1L) > ppr(2L), s"no decay off the seed: $ppr")
+    assert(ppr(3L) > ppr(2L), s"sink did not accumulate: $ppr")
     // non-seed with no path from the seed gets exactly zero
     val split = Seq((1L, 2L, 1L), (3L, 4L, 1L)).toDF("s", "d", "w")
     val ppr2 = img(PageRank.personalized(split, "s", "d", "w",

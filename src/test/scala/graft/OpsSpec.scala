@@ -419,6 +419,33 @@ class OpsSpec extends SparkSuite {
     assert(rep.keySet == Set("p=0", "p=1"), rep.keySet.toString)
   }
 
+  test("Cooccur.orderedGroupPairs: hub fan-out, pairs identical to the naive ordered self-join") {
+    import spark.implicits._
+    val normal = (0 until 20).flatMap(g => (0 until 4).map(i =>
+      (g.toLong, i.toLong, (g * 10 + i).toLong)))
+    val hub = (0 until 120).map(i => (999L, (i % 10).toLong, 10000L + i))
+    val df = (normal ++ hub).toDF("o", "d", "p").repartition(8)
+    val guarded = graft.ops.Cooccur.orderedGroupPairs(df, "o", "d", "p",
+      hubThreshold = 50, salts = 8)
+    val naive = df.select(col("o"), col("d").as("da"), col("p").as("pa"))
+      .join(df.select(col("o"), col("d").as("db"), col("p").as("pb")), "o")
+      .filter(col("da") < col("db") && col("pa") =!= col("pb"))
+      .select("o", "pa", "pb")
+    def img(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(img(guarded) == img(naive))
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val hubParts = graft.ops.Cooccur.orderedGroupPairs(df, "o", "d", "p",
+          hubThreshold = 50, salts = 8)
+        .filter(col("o") === 999L)
+        .select(org.apache.spark.sql.functions.spark_partition_id()).distinct().count()
+      assert(hubParts > 1, s"hub ordered pairs came from $hubParts task(s)")
+    } finally spark.conf.set(coalesceKey, prev)
+  }
+
   test("Allocate.largestRemainder: sums to budget exactly, each within one of its quota") {
     import spark.implicits._
     val w = Seq(("a", 372L), ("b", 415L), ("c", 213L), ("d", 1L)).toDF("k", "w")
