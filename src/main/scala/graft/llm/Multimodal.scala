@@ -106,6 +106,103 @@ object Multimodal {
     }
   }
 
+  /** Perceptual-hash front end: the decoded image reduced to an 8×8
+    * grid of cell SUMS (band-0 samples; cell of pixel (x, y) is
+    * (y·8 div h)·8 + (x·8 div w)) — the average-hash (aHash)
+    * downsampling step with the division deferred. Sums, not means, so
+    * every value is an exact integer and the hash bits derive from the
+    * pure-integer comparison 64·cellSum > totalSum (no float division
+    * anywhere an external oracle would have to replicate in bits).
+    * Exact while cellSum < 2²⁴ (float mantissa) — i.e. cells up to
+    * ~65k pixels, far beyond thumbnail scale; downstream hashing lives
+    * in [[aHashNearDups]]. Contract corners as [[ImageIoDecoder]]:
+    * null/empty/corrupt payloads → zero vector, never throw.
+    */
+  object AHashCellDecoder extends MediaDecoder {
+    val featureDim: Int = 64
+    override def open(): Unit = javax.imageio.ImageIO.setUseCache(false)
+    def decode(payload: Array[Byte]): Array[Float] = {
+      val sums = new Array[Float](featureDim)
+      if (payload == null || payload.isEmpty) return sums
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) return sums
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w < 8 || h < 8) return sums
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          sums(cy * 8 + x * 8 / w) += math.min(raster.getSample(x, y, 0), 255)
+          x += 1
+        }
+        y += 1
+      }
+      sums
+    }
+  }
+
+  /** Perceptual (average-hash) image near-dup pairs: decode → 8×8 cell
+    * sums ([[AHashCellDecoder]], partition-wise — payloads never
+    * shuffle) → 64 hash bits (cell brighter than the image mean, the
+    * integer comparison 64·cellSum > totalSum) → Hamming-banded
+    * self-join (the [[DedupOps.simhashNearDups]] shape: `nBlocks`
+    * bands, pairs collide only on an identical band, so the shuffle
+    * carries (id, band, 8-bit block) slivers — never pixels, never
+    * all-pairs) → exact 64-bit Hamming ≤ `hamMax` on the survivors.
+    *
+    * By pigeonhole the banding is COMPLETE for hamMax < nBlocks (any
+    * pair within hamMax differs in at most hamMax blocks, leaving one
+    * intact to collide on) — enforced, so the output is exactly "all
+    * pairs with Hamming ≤ hamMax", which is what lets q216's oracle
+    * compute the same set from a plain all-pairs formula replay.
+    *
+    * aHash is the classic perceptual fingerprint (brightness-scale
+    * invariant, robust to small local edits); the near-dup completion
+    * of the multimodal family next to exact byte fingerprints (q76)
+    * and the text-side SimHash/MinHash tiers.
+    *
+    * @return (id_a, id_b, hamming), id_a < id_b, hamming <= hamMax
+    */
+  def aHashNearDups(assets: DataFrame, hamMax: Int = 6,
+                    nBlocks: Int = 8): DataFrame = {
+    require(64 % nBlocks == 0, s"64 bits must split evenly into $nBlocks blocks")
+    require(hamMax < nBlocks,
+      s"$nBlocks-block banding only guarantees recall to hamming ${nBlocks - 1} (got $hamMax)")
+    val blockBits = 64 / nBlocks
+    val sums = extractFeatures(assets, AHashCellDecoder)
+      .select(col("asset_id"),
+        transform(col("features"), x => x.cast("long")).as("__s"))
+    // bit i = 64·sum_i > total — exact longs end to end
+    val bits = sums
+      .withColumn("__tot", aggregate(col("__s"), lit(0L), (a, x) => a + x))
+      .select(col("asset_id"),
+        transform(col("__s"), s =>
+          when(s * 64 > col("__tot"), 1).otherwise(0)).as("__bits"))
+      .cache()
+    val blocks = bits.select(col("asset_id"), posexplode(
+        transform(sequence(lit(0), lit(nBlocks - 1)), b =>
+          aggregate(slice(col("__bits"), b * blockBits + 1, lit(blockBits)),
+            lit(0), (acc, x) => acc * 2 + x)))
+      .as(Seq("b", "blk")))
+    val cand = blocks.select(col("b"), col("blk"), col("asset_id").as("id_a"))
+      .join(blocks.select(col("b"), col("blk"), col("asset_id").as("id_b")),
+        Seq("b", "blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(bits.select(col("asset_id").as("id_a"), col("__bits").as("__ba")), "id_a")
+      .join(bits.select(col("asset_id").as("id_b"), col("__bits").as("__bb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("__ba"), col("__bb"),
+          (a, b) => abs(a - b)), lit(0), (acc, d) => acc + d)
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= hamMax)
+  }
+
   /** A REAL audio decoder on the JDK's bundled codec (`javax.sound.
     * sampled` parses WAV/AIFF/AU with zero added dependencies): the
     * payload decodes to PCM frames and reduces to a 16-bin amplitude
@@ -115,9 +212,10 @@ object Multimodal {
     * against a sample-formula oracle, the audio twin of
     * [[ImageIoDecoder]]/q199. Contract corners identical: null/empty/
     * unreadable payloads yield the zero vector, never throw.
-    * Assumes 16-bit little-endian PCM (what [[syntheticWavAssets]]
-    * writes and the overwhelmingly common WAV layout); other depths
-    * decode to zeros rather than mis-binning.
+    * Assumes 16-bit little-endian SIGNED PCM (what
+    * [[syntheticWavAssets]] writes and the overwhelmingly common WAV
+    * layout); other layouts — depth, endianness, or unsigned/float
+    * encodings — decode to zeros rather than mis-binning.
     */
   object WavDecoder extends MediaDecoder {
     val featureDim: Int = Multimodal.featureDim
@@ -131,7 +229,13 @@ object Multimodal {
       if (in == null) return bins
       try {
         val fmt = in.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) return bins
+        // the full layout guard, not just width/endianness: a 16-bit
+        // little-endian PCM_UNSIGNED stream would pass the narrower
+        // check and mis-bin its samples as signed instead of honoring
+        // the "other layouts decode to zeros" contract
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+            fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+          return bins
         val bytes = in.readAllBytes()
         var i = 0
         while (i + 1 < bytes.length) {
@@ -181,8 +285,16 @@ object Multimodal {
     * with the JDK PNG writer partition-wise (no shuffle). PNG is
     * lossless, so [[ImageIoDecoder]] recovers exactly these samples —
     * the encode→decode pair is oracle-checkable from the formula alone.
+    *
+    * `idScale`/`idOffset` map the emitted asset_id (= id·scale + offset)
+    * without changing the PIXEL formula (still keyed on the raw id), so
+    * a caller can plant a near-identical twin of an existing asset under
+    * a fresh id; `spot255` corrupts exactly pixel (0, 0) to 255 — the
+    * one-pixel perturbation behind the q216 perceptual near-dup oracle.
     */
-  def syntheticPngAssets(ids: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+  def syntheticPngAssets(ids: DataFrame, idCol: String, w: Int, h: Int,
+                         idScale: Long = 1L, idOffset: Long = 0L,
+                         spot255: Boolean = false): DataFrame = {
     val spark = ids.sparkSession
     val rdd = ids.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
@@ -196,14 +308,15 @@ object Multimodal {
           var x = 0
           while (x < w) {
             raster.setSample(x, y, 0,
-              java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt)
+              if (spot255 && x == 0 && y == 0) 255
+              else java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt)
             x += 1
           }
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
-        Row(id, "image", bos.toByteArray, w, h)
+        Row(id * idScale + idOffset, "image", bos.toByteArray, w, h)
       }
     }
     spark.createDataFrame(rdd, assetSchema)

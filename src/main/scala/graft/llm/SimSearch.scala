@@ -97,8 +97,9 @@ object SimSearch {
   }
 
   /** Binary (1-bit) quantization retrieval: each unit vector compresses
-    * to its SIGN PATTERN — 64 dims become two 32-bit words packed into
-    * longs — candidates rank by Hamming distance (popcount of XOR, a
+    * to its SIGN PATTERN — one 32-bit word per 32 dims, packed into an
+    * array of longs sized by the embedding dimension — candidates rank
+    * by Hamming distance (popcount of XOR, a
     * few machine instructions per pair), and the k·candFactor
     * survivors rerank on exact full-precision cosine. For vectors on
     * the unit sphere, Hamming distance of sign patterns estimates
@@ -111,28 +112,41 @@ object SimSearch {
     * Matryoshka → full): the corpus-wide stage scans 16 BYTES per
     * vector with integer-only math — at 100 TB the code table for a
     * billion vectors is ~16 GB, cacheable cluster-wide. Bit packing is
-    * a SEQUENTIAL acc·2+bit fold per 32-dim half, so an external
+    * a SEQUENTIAL acc·2+bit fold per 32-dim word, so an external
     * engine replays the exact codes, and Hamming scores are integers —
     * no float discipline anywhere until the exact rerank (q208).
     */
   def binaryHammingTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                         embCol: String, k: Int, candFactor: Int = 4): DataFrame = {
-    def packBits(e: Column, from: Int, len: Int): Column =
+    def packBits(e: Column, from: Column): Column =
       aggregate(
-        transform(slice(e, from, len), x => when(x > 0, 1L).otherwise(0L)),
+        transform(slice(e, from, lit(32)), x => when(x > 0, 1L).otherwise(0L)),
         lit(0L), (acc, b) => acc * 2 + b)
+    // One 32-bit word per 32 dims, the LAST word shorter when
+    // dim % 32 != 0 — the code length FOLLOWS the embedding dimension,
+    // so a 256-dim corpus prefilters on all 256 sign bits instead of
+    // silently truncating to the first 64 (the fixed two-word packing
+    // this replaces). Corpus and query dims must match (they share the
+    // embedding space by construction); packing order per word is the
+    // same sequential acc·2+bit fold, so dim=64 codes are bit-identical
+    // to the previous (__lo, __hi) pair.
     def withCodes(df: DataFrame, emb: String): DataFrame =
-      df.withColumn("__lo", packBits(col(emb), 1, 32))
-        .withColumn("__hi", packBits(col(emb), 33, 32))
+      df.withColumn("__code",
+        transform(
+          sequence(lit(0), greatest(lit(0),
+            floor((size(col(emb)) - 1) / 32).cast("int"))),
+          w => packBits(col(emb), w * 32 + 1)))
     val c = withCodes(unitized(corpus, idCol, embCol, idCol, "__ne"), "__ne")
     val q = withCodes(unitized(queries, idCol, embCol, "query_id", "__qe"), "__qe")
     val cand = TopK.exactPerKey(
       c.join(broadcast(q.select(col("query_id"), col("__qe"),
-          col("__lo").as("__qlo"), col("__hi").as("__qhi"))),
+          col("__code").as("__qcode"))),
         col(idCol) =!= col("query_id"))
         .select(col("query_id"), col(idCol), col("__ne"), col("__qe"),
-          (bit_count(col("__lo").bitwiseXOR(col("__qlo")))
-            + bit_count(col("__hi").bitwiseXOR(col("__qhi")))).as("hamming")),
+          aggregate(
+            zip_with(col("__code"), col("__qcode"),
+              (a, b) => bit_count(a.bitwiseXOR(b))),
+            lit(0L), (acc, h) => acc + h).as("hamming")),
       Seq("query_id"), Seq(col("hamming").asc, col(idCol).asc),
       k * candFactor, "__hr")
     val exact = cand.select(col("query_id"), col(idCol),

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   * (budget·w) mod Σw) so any engine replays it bit-for-bit. The
   * ranking window is unpartitioned BUT runs on the key-level frame
   * (one row per key — vocabulary scale, the q151 caveat), never on
-  * data rows. budget·w must fit a long — at 100 TB token weights,
-  * allocate in units (thousands of docs, whole shards) rather than
-  * raw tokens, or pre-divide weights by their gcd.
+  * data rows. budget·w must fit a long (enforced by a fail-fast
+  * multiplyHigh overflow check on budget·Σw, which bounds every
+  * per-row product) — at 100 TB token weights, allocate in units
+  * (thousands of docs, whole shards) rather than raw tokens, or
+  * pre-divide weights by their gcd.
   */
 object Allocate {
 
@@ -33,6 +35,14 @@ object Allocate {
     val twRow = tot.head
     val tw = if (twRow.isNullAt(0)) 0L else twRow.getLong(0)
     require(tw > 0, s"largestRemainder needs positive total weight, got $tw")
+    require(budget >= 0, s"largestRemainder needs a nonnegative budget, got $budget")
+    // budget·w rides on exact long arithmetic; w ≤ Σw, so checking
+    // budget·Σw covers every per-row product. multiplyHigh sees the
+    // wrap the doc comment could only warn about — fail fast instead
+    // of silently corrupting every allocation.
+    require(java.lang.Math.multiplyHigh(budget, tw) == 0 && budget * tw >= 0,
+      s"budget*totalWeight overflows Long (budget=$budget, totalWeight=$tw) — " +
+        "allocate in coarser units (shards/thousands) or pre-divide weights by their gcd")
     // `div`, not `/`: Spark's / is always DOUBLE division — exactness
     // here rides on integral div/mod end to end
     val based = weights.crossJoin(broadcast(tot))

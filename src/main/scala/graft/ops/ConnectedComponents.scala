@@ -8,19 +8,30 @@ import org.apache.spark.sql.functions._
   * candidates) become duplicate GROUPS, from which one representative
   * per group survives.
   *
-  * Algorithm: iterative min-label propagation. Every node starts as its
-  * own label; each round joins labels across edges and keeps the
-  * per-node minimum; convergence when a round changes nothing. Rounds
-  * are whole shuffles (label-hash joins) — O(diameter) rounds, each
-  * linear in |E| — the standard Spark formulation when diameters are
-  * small (dedup clusters are near-cliques, so 2-3 rounds). The
-  * alternating large-star/small-star optimization (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond") drops in here if
-  * adversarial long-chain graphs appear.
+  * Algorithm: iterative min-label propagation with an OBSERVED-diameter
+  * switch. Every node starts as its own label; each round joins labels
+  * across edges and keeps the per-node minimum; convergence when a
+  * round changes nothing. Rounds are whole shuffles (label-hash joins)
+  * — O(diameter) rounds, each linear in |E| — the right formulation
+  * when diameters are small (dedup clusters are near-cliques, so 2-3
+  * rounds). If propagation has NOT converged after `starSwitchAfter`
+  * rounds, the graph has demonstrated a long diameter and the loop
+  * hands off to [[alternatingStar]] — the large-star/small-star
+  * alternation of Kiveris et al., "Connected Components in MapReduce
+  * and Beyond" (MR'14), which contracts any graph in O(log² n) rounds
+  * (O(log d) in practice) instead of O(d). Observed, not guessed: the
+  * diameter is exactly what a few wasted propagation rounds measure.
   *
   * Deterministic: labels are min node ids — no RNG, no tie ambiguity.
   */
 object ConnectedComponents {
+
+  /** Rounds the last [[alternatingStar]] call ran, including the
+    * fixpoint-confirming one (spec observability for the O(log d)
+    * claim; written once per call, read only by tests).
+    */
+  private[graft] val lastAlternations =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** @param edges two-column frame of undirected edges (columns `srcCol`,
     *              `dstCol`, integral ids); nodes not present in any edge
@@ -39,7 +50,8 @@ object ConnectedComponents {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        maxIter: Int = 20,
-                       driverThreshold: Long = 1000000L): DataFrame = {
+                       driverThreshold: Long = 1000000L,
+                       starSwitchAfter: Int = 6): DataFrame = {
     val sym = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"),
@@ -59,7 +71,7 @@ object ConnectedComponents {
     var prevSum = Option.empty[Long]
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    while (!converged && i < math.min(maxIter, starSwitchAfter)) {
       // neighbor labels: for node a, the labels of all b adjacent to a
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("node", "b"), "b")
@@ -79,11 +91,107 @@ object ConnectedComponents {
       labels = next
       i += 1
     }
+    if (!converged) {
+      // The graph just measured its own diameter as > starSwitchAfter:
+      // each further propagation round would move labels only one hop.
+      // Hand the ORIGINAL edges to the star alternation (partial labels
+      // are discarded — the wasted rounds are bounded by the switch
+      // constant, and restarting keeps both algorithms independently
+      // correct instead of entangling their invariants).
+      sym.unpersist()
+      return alternatingStar(edges, srcCol, dstCol, maxIter = maxIter)
+    }
     // labels stays materialized (it is the returned frame); sym's rounds
     // are done — dropping it here is what keeps k successive components()
     // calls from accumulating k edge caches in executor storage.
     sym.unpersist()
     labels
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al., MR'14
+    * §3): the long-diameter path behind [[labelPropagation]]'s switch,
+    * also callable directly when the caller KNOWS the graph is chainy.
+    *
+    * Each round rewires edges toward per-neighborhood minima:
+    *  - large-star: every node u computes m = min(Γ(u) ∪ {u}) and
+    *    reconnects each STRICTLY LARGER neighbor v > u to m — long
+    *    tails fold toward small ids without ever disconnecting;
+    *  - small-star: every node u (over edges oriented high→low)
+    *    reconnects itself and all its SMALLER neighbors to m — stars
+    *    flatten to depth one.
+    * Both preserve connectivity and only ever decrease endpoint ids,
+    * so (edge count, Σa, Σb) is a deterministic convergence witness:
+    * a repeated triple ⟺ fixpoint. At the fixpoint the edge set IS the
+    * component star {(child, root)} — the paper proves O(log² n)
+    * rounds on any graph, O(log d) on paths/trees, vs label
+    * propagation's O(d) (OpsSpec pins a 64-chain converging in ≤ 8
+    * alternations with output identical to propagation).
+    *
+    * Scale shape: each half-round is one groupBy(min) + one key-join —
+    * fixed-width 16-byte edge rows, no collect, no per-node state on
+    * the driver; lineage is cut EVERY round (each round's plan nests
+    * three joins, so unbounded nesting is the q94/PageRank hazard at
+    * double rate).
+    *
+    * @return (node, component) — component = min node id reachable;
+    *         nodes absent from any edge are absent (contract of
+    *         [[labelPropagation]])
+    */
+  def alternatingStar(edges: DataFrame, srcCol: String, dstCol: String,
+                      maxIter: Int = 50): DataFrame = {
+    var e = edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val nodes = edges.select(col(srcCol).cast("long").as("node"))
+      .union(edges.select(col(dstCol).cast("long").as("node")))
+      .distinct().cache()
+
+    def largeStar(in: DataFrame): DataFrame = {
+      val sym = in.union(in.select(col("b").as("a"), col("a").as("b"))).distinct()
+      val mn = sym.groupBy("a").agg(min(col("b")).as("mn"))
+      sym.join(mn, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), least(col("a"), col("mn")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(in: DataFrame): DataFrame = {
+      val dir = in.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v")).distinct()
+      val mn = dir.groupBy("u").agg(min(col("v")).as("m")) // m < u always
+      dir.join(mn, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mn.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+
+    var prev = Option.empty[(Long, Long, Long)]
+    var converged = false
+    var i = 0
+    var lastRound: DataFrame = null
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val w = next.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head
+      val witness = (w.getLong(0),
+        if (w.isNullAt(1)) 0L else w.getLong(1),
+        if (w.isNullAt(2)) 0L else w.getLong(2))
+      converged = prev.contains(witness)
+      prev = Some(witness)
+      if (lastRound != null) lastRound.unpersist(blocking = false)
+      lastRound = next
+      e = next
+      i += 1
+    }
+    lastAlternations.set(i)
+    // fixpoint edge set = the star (child, root) with root = child's
+    // component min; roots (and edge-touching nodes whose component is
+    // themselves) re-enter via the left join
+    val star = e.select(greatest(col("a"), col("b")).as("node"),
+      least(col("a"), col("b")).as("component")).distinct()
+    val out = nodes.join(star, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+    nodes.unpersist(blocking = false)
+    out
   }
 
   /** Exact union-find over a collected edge list (union-by-min keeps the

@@ -39,16 +39,13 @@ object Cooccur {
   def groupPairs(df: DataFrame, groupCol: String, itemCol: String,
                  hubThreshold: Int = 1000, salts: Int = 16): DataFrame = {
     // Eager, BOUNDED routing decision (the JoinEstimate/skew-profile
-    // discipline, same spirit as AQE's runtime re-plan): one
-    // partial-aggregated pass finds the hub ids. Hubs are pathological
-    // outliers by definition, so the pull is tiny — and guarded: if
-    // "hubs" were ever a meaningful fraction of groups, the threshold
-    // is wrong, not the data.
-    val hubIds = df.groupBy(groupCol).agg(count(lit(1)).as("__gsz"))
-      .filter(col("__gsz") > hubThreshold).select(groupCol)
-      .limit(10001).collect().map(_.get(0)).toSeq
-    require(hubIds.size <= 10000,
-      s"more than 10000 groups exceed hubThreshold=$hubThreshold — raise the threshold")
+    // discipline, same spirit as AQE's runtime re-plan), served from
+    // the process-wide [[SkewProfile]] cache: the profile is a property
+    // of (relation, key), so the whole co-occurrence family over the
+    // same input pays ONE counting pass, not one per query — and plan
+    // re-construction (e.g. the graft_group_pairs SQL function's
+    // analyzer resolution) hits the cache instead of re-scanning.
+    val hubIds = SkewProfile.hubIds(df, groupCol, hubThreshold)
 
     def pairsOf(part: DataFrame): DataFrame =
       part.select(col(groupCol), col(itemCol).as("pa"))
@@ -88,11 +85,8 @@ object Cooccur {
   def orderedGroupPairs(df: DataFrame, groupCol: String, orderCol: String,
                         itemCol: String, hubThreshold: Int = 1000,
                         salts: Int = 16): DataFrame = {
-    val hubIds = df.groupBy(groupCol).agg(count(lit(1)).as("__gsz"))
-      .filter(col("__gsz") > hubThreshold).select(groupCol)
-      .limit(10001).collect().map(_.get(0)).toSeq
-    require(hubIds.size <= 10000,
-      s"more than 10000 groups exceed hubThreshold=$hubThreshold — raise the threshold")
+    // shared cached routing decision — see [[groupPairs]]
+    val hubIds = SkewProfile.hubIds(df, groupCol, hubThreshold)
 
     def pairsOf(part: DataFrame): DataFrame =
       part.select(col(groupCol), col(orderCol).as("__oa"), col(itemCol).as("pa"))

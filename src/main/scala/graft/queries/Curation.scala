@@ -14,10 +14,10 @@ import graft.ops.Sampling
   * decontamination gram join (8-byte hashed keys, never document text)
   * and its final per-doc count aggregation.
   *
-  * Reference scope: the reference engine's text pipeline stops at
-  * tokenize/filter (core/text_pipeline, see SURVEY.md §2.6); these are
-  * the additional curation stages a production pre-training pipeline
-  * runs on the same tables.
+  * Reference scope: the reference has NO text-curation surface — its
+  * queries are the relational/ML flows of SURVEY.md §2. These are the
+  * beyond-reference curation stages a production pre-training pipeline
+  * runs on the same tables (SURVEY.md "LLM-data-pipeline operators").
   */
 object Curation {
 

@@ -158,6 +158,45 @@ object Media {
             posexplode(col("features")).as(Seq("bin", "n_samples")))
           .select(col("asset_id"), col("bin").cast("int").as("bin"),
             col("n_samples").cast("int").as("n_samples"))
+      }),
+
+    // Perceptual image near-dup (llm.Multimodal.aHashNearDups): decode
+    // real PNGs, 8×8 average-hash over the pixels (bit = 64·cellSum >
+    // totalSum, pure-integer), Hamming-banded candidate join (8 bands —
+    // complete for hamming ≤ 6 by pigeonhole), exact Hamming verify.
+    // The corpus plants a near-identical twin (asset 2·id+1, one pixel
+    // corrupted to 255) next to every 20th base asset (2·id); the
+    // oracle replays hash + ALL-pairs Hamming from the pixel formula —
+    // legal because completeness makes banding ≡ all-pairs — so the
+    // full hash gate covers decode, hash, banding and verify at once.
+    QueryDef("q216_phash_neardup", Some("""
+      WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+      base AS (SELECT doc_id, doc_id * 2 AS aid, FALSE AS sp FROM ids
+               UNION ALL
+               SELECT doc_id, doc_id * 2 + 1, TRUE FROM ids WHERE doc_id % 20 = 0),
+      px AS (SELECT b.aid, (y.y // 2) * 8 + (x.x // 3) AS c,
+                    CASE WHEN b.sp AND x.x = 0 AND y.y = 0 THEN 255
+                         ELSE (b.doc_id * 31 + x.x * 7 + y.y * 13) % 256 END AS v
+             FROM base b, range(0, 24) AS x(x), range(0, 16) AS y(y)),
+      cell AS (SELECT aid, c, sum(v) AS s FROM px GROUP BY 1, 2),
+      tot AS (SELECT aid, sum(s) AS t FROM cell GROUP BY 1),
+      bits AS (SELECT c.aid, c.c, CASE WHEN 64 * c.s > t.t THEN 1 ELSE 0 END AS b
+               FROM cell c JOIN tot t USING (aid)),
+      ham AS (SELECT a.aid AS id_a, b.aid AS id_b,
+                     sum(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS hamming
+              FROM bits a JOIN bits b ON a.c = b.c AND a.aid < b.aid
+              GROUP BY 1, 2)
+      SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+      FROM ham WHERE hamming <= 6"""),
+      (spark, dir) => {
+        val ids = T(spark, dir, "documents").select("doc_id")
+          .filter(col("doc_id") % 5 === 0)
+        val base = Multimodal.syntheticPngAssets(ids, "doc_id", w = 24, h = 16,
+          idScale = 2)
+        val twins = Multimodal.syntheticPngAssets(
+          ids.filter(col("doc_id") % 20 === 0), "doc_id", w = 24, h = 16,
+          idScale = 2, idOffset = 1, spot255 = true)
+        Multimodal.aHashNearDups(base.unionByName(twins), hamMax = 6, nBlocks = 8)
       })
   )
 }

@@ -69,10 +69,13 @@ class GraphRetrievalSpec extends SparkSuite {
   test("label propagation: long-diameter graph crosses checkpoint rounds") {
     // A 14-edge path needs ~7 min-label rounds to converge — enough to
     // cross the every-5-rounds truncation in the distributed loop
-    // (driverThreshold=0 forces it). All nodes must land on component 1.
+    // (driverThreshold=0 forces it; starSwitchAfter above the round
+    // count pins the PURE propagation path — the default would hand
+    // off to alternatingStar at round 6). All nodes land on component 1.
     val path = (1L to 14L).map(i => (i, i + 1)).toDF("s", "d")
     val comps = graft.ops.ConnectedComponents
-      .labelPropagation(path, "s", "d", maxIter = 30, driverThreshold = 0L)
+      .labelPropagation(path, "s", "d", maxIter = 30, driverThreshold = 0L,
+        starSwitchAfter = 30)
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(comps.size == 15 && comps.values.forall(_ == 1L))
   }

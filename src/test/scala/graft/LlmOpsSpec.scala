@@ -350,6 +350,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(r8 > 0.2, s"BQ-tiered recall $r8 at chance level")
   }
 
+  test("SimSearch.binaryHammingTopK: codes follow the embedding dimension past 64") {
+    import spark.implicits._
+    // 96-dim corpus where vectors agree on the FIRST 64 dims and differ
+    // only beyond them: a 64-truncated prefilter sees Hamming 0 for all
+    // and tie-breaks by id (picking id 1, the wrong neighbor); the
+    // dimension-sized code ranks the true match first.
+    def vec(tail: Double): Array[Double] =
+      Array.fill(64)(1.0) ++ Array.fill(32)(tail)
+    val corpus = ((1L to 19L).map(i => (i, vec(-1.0))) :+ (20L, vec(1.0)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, vec(1.0))).toDF("vec_id", "embedding")
+    val top = SimSearch.binaryHammingTopK(corpus, queries, "vec_id", "embedding",
+      k = 1, candFactor = 1)
+    val got = top.select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(20L), s"prefilter ignored dims past 64: picked $got")
+    // and with every candidate admitted it still equals brute force
+    def img(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "cos_sim", "rnk")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val all = SimSearch.binaryHammingTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, candFactor = 100)
+    val bf = SimSearch.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+    assert(img(all) == img(bf))
+  }
+
   test("SimSearch.filteredIvfTopK: pre-filtered semantics, recall, pushed predicate") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
@@ -730,6 +755,48 @@ class LlmOpsSpec extends SparkSuite {
     assert(Multimodal.WavDecoder.decode("not a wav".getBytes).toSeq == zeros)
     // a truncated header must not throw either
     assert(Multimodal.WavDecoder.decode(wav.take(20)).toSeq == zeros)
+    // non-16-bit-signed layouts honor the "decode to zeros" contract:
+    // an 8-bit WAV parses as PCM_UNSIGNED and must not be mis-binned
+    val u8fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      8000f, 8, 1, 1, 8000f, false)
+    val u8bytes = Array.tabulate(64)(i => (i * 4).toByte)
+    val u8out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(u8bytes), u8fmt, 64),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, u8out)
+    assert(Multimodal.WavDecoder.decode(u8out.toByteArray).toSeq == zeros,
+      "unsigned-PCM WAV must decode to zeros, not mis-binned samples")
+  }
+
+  test("Multimodal.aHashNearDups: planted one-pixel twins found; hash separates unrelated images") {
+    import spark.implicits._
+    // 20 base images (asset 2k) + a one-pixel-corrupted twin (2k+1) each
+    val ids = (0L until 20L).toDF("id")
+    val base = Multimodal.syntheticPngAssets(ids, "id", w = 24, h = 16, idScale = 2)
+    val twins = Multimodal.syntheticPngAssets(ids, "id", w = 24, h = 16,
+      idScale = 2, idOffset = 1, spot255 = true)
+    val pairs = Multimodal.aHashNearDups(base.unionByName(twins),
+        hamMax = 6, nBlocks = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // planted recall: a one-pixel edit flips at most the touched cell's
+    // bit plus borderline cells near the global mean — nearly every
+    // twin must surface within the Hamming budget
+    val found = (0L until 20L).count(k => pairs.contains((2 * k, 2 * k + 1)))
+    assert(found >= 18, s"only $found/20 planted twins found")
+    (0L until 20L).foreach { k =>
+      pairs.get((2 * k, 2 * k + 1)).foreach(h => assert(h <= 6))
+    }
+    // the hash DISCRIMINATES: the threshold must reject most of the
+    // 780-pair space, not degenerate into all-pairs
+    assert(pairs.size < 200, s"${pairs.size} pairs pass hamming<=6 — no separation")
+    // contract corner: a corrupt payload decodes to the zero hash and
+    // must not throw anywhere in the pipeline
+    val corrupt = Seq((900L, "image", "not a png".getBytes, 24, 16),
+        (901L, "image", Array.empty[Byte], 24, 16))
+      .toDF("asset_id", "modality", "payload", "width", "height")
+    assert(Multimodal.aHashNearDups(corrupt, hamMax = 6).count() >= 0)
   }
 
   test("Multimodal.resizeStub: metadata updated, payload shrunk proportionally") {

@@ -228,6 +228,36 @@ class OpsSpec extends SparkSuite {
     assert(kept == (1L to 25L).toSet -- Set(2L, 3L, 4L, 11L, 12L, 21L))
   }
 
+  test("ConnectedComponents.alternatingStar: 63-diameter chain in O(log d) rounds, output == propagation") {
+    import spark.implicits._
+    val cc = graft.ops.ConnectedComponents
+    // a 64-node path (diameter 63, the adversarial case for O(d)
+    // propagation), a clique, an isolated edge, and a self-loop node
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val clique = for (a <- 100L to 104L; b <- 100L to 104L if a < b) yield (a, b)
+    val edges = (chain ++ clique ++ Seq((200L, 201L), (300L, 300L))).toDF("s", "d")
+    val expected = ((0L to 63L).map(_ -> 0L) ++ (100L to 104L).map(_ -> 100L) ++
+      Seq(200L -> 200L, 201L -> 200L, 300L -> 300L)).toMap
+    val star = cc.alternatingStar(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == expected)
+    // O(log d), not O(d): the 63-hop chain must converge in far fewer
+    // than 63 alternations (log2(63) ≈ 6; the bound leaves headroom for
+    // the fixpoint-confirmation round and constant factors)
+    assert(cc.lastAlternations.get() <= 12,
+      s"${cc.lastAlternations.get()} alternations for a 63-chain — not O(log d)")
+    // ground truth: the driver union-find path agrees
+    val lp = cc.labelPropagation(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == lp)
+    // the observed-diameter switch: distributed propagation capped at 4
+    // rounds hands off to the star path and still converges exactly
+    val switched = cc.labelPropagation(edges, "s", "d", maxIter = 50,
+        driverThreshold = 0L, starSwitchAfter = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(switched == expected)
+  }
+
   test("GlobalRank: two-pass row_number and ntile match the window forms") {
     import org.apache.spark.sql.expressions.Window
     val cust = spark.read.parquet(s"$sf/customer.parquet")
@@ -525,5 +555,65 @@ class OpsSpec extends SparkSuite {
     } finally spark.conf.set(coalesceKey, prev)
     // below the threshold the plain path runs: small groups' pairs exist
     assert(guarded.filter(col("o") === 0L).count() == 6)
+  }
+
+  test("SkewProfile: one computed pass per (relation, key, threshold); independent reads share it") {
+    import spark.implicits._
+    val sp = graft.ops.SkewProfile
+    sp.invalidate()
+    // 5 groups of 10 rows each; threshold 8 makes every group a "hub"
+    val data = (0 until 50).map(i => (i.toLong % 5, i.toLong))
+    val c0 = sp.computes.get()
+    val a = sp.hubIds(data.toDF("o", "p"), "o", 8)
+    assert(sp.computes.get() == c0 + 1)
+    // an identically-constructed FRESH frame must hit the cache
+    val b = sp.hubIds(data.toDF("o", "p"), "o", 8)
+    assert(sp.computes.get() == c0 + 1, "second identical construction recomputed the profile")
+    assert(a.toSet == b.toSet && a.toSet == (0L until 5L).map(x => x: Any).toSet)
+    // a different threshold is a different profile
+    assert(sp.hubIds(data.toDF("o", "p"), "o", 20).isEmpty)
+    assert(sp.computes.get() == c0 + 2)
+    // different DATA with the same shape must NOT alias
+    val other = (0 until 50).map(i => (i.toLong % 2, i.toLong))
+    assert(sp.hubIds(other.toDF("o", "p"), "o", 8).toSet == Set[Any](0L, 1L))
+    assert(sp.computes.get() == c0 + 3)
+
+    // the production path: two INDEPENDENT parquet reads of the same
+    // path (separate FileIndex objects — plan-object equality fails,
+    // the structural fingerprint must not)
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    try {
+      data.toDF("o", "p").write.mode("overwrite").parquet(dir)
+      val c1 = sp.computes.get()
+      val r1 = sp.hubIds(spark.read.parquet(dir).select("o", "p"), "o", 8)
+      val r2 = sp.hubIds(spark.read.parquet(dir).select("o", "p"), "o", 8)
+      assert(sp.computes.get() == c1 + 1, "independent reads of one path recomputed the profile")
+      assert(r1.toSet == r2.toSet && r1.size == 5)
+      // Cooccur output is identical whether the profile is cached or
+      // fresh (the guard is advisory): pin end-to-end through the cache
+      val viaCache = graft.ops.Cooccur.groupPairs(
+        spark.read.parquet(dir), "o", "p", hubThreshold = 8, salts = 4)
+      sp.invalidate()
+      val fresh = graft.ops.Cooccur.groupPairs(
+        spark.read.parquet(dir), "o", "p", hubThreshold = 8, salts = 4)
+      def img(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(_.toSeq).sortBy(_.toString).toSeq
+      assert(img(viaCache) == img(fresh))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("Allocate.largestRemainder: budget*totalWeight overflow fails fast instead of wrapping") {
+    import spark.implicits._
+    val huge = Seq(("a", 1L << 40), ("b", 1L << 40)).toDF("k", "w")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Allocate.largestRemainder(huge, "k", "w", 1L << 40)
+    }
+    assert(ex.getMessage.contains("overflows"))
+    // the same weights with a sane budget still allocate exactly
+    val ok = graft.ops.Allocate.largestRemainder(huge, "k", "w", 11L)
+      .collect().map(_.getLong(2)).sum
+    assert(ok == 11L)
   }
 }
