@@ -197,6 +197,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         str(exprs(2)), str(exprs(3)), activeTable(exprs(4)), str(exprs(5)),
         int(exprs(6)))
     }
+    // ANN tier auto-selection — `graft_auto_topk('corpus', 'queries',
+    // 'id', 'emb', k[, recallTarget, bytesPerVector])`: planner picks
+    // BQ/PQ/SQ8/IVF/brute from corpus stats + the target/budget
+    injectTable(e, "graft_auto_topk", classOf[graft.llm.SimSearch.type]) { exprs =>
+      graft.llm.SimSearch.autoTopK(activeTable(exprs(0)), activeTable(exprs(1)),
+        str(exprs(2)), str(exprs(3)), int(exprs(4)),
+        recallTarget = if (exprs.length > 5) foldedDouble(exprs(5)) else 0.9,
+        bytesPerVector = if (exprs.length > 6) int(exprs(6)).toLong else Long.MaxValue)
+    }
     // hub-guarded within-group pairs — `graft_group_pairs('t', 'group',
     // 'item'[, hubThreshold, salts])`
     injectTable(e, "graft_group_pairs", classOf[graft.ops.Cooccur.type]) { exprs =>

@@ -485,33 +485,67 @@ object SimSearch {
     require(dim % nSub == 0, s"dim $dim must split evenly into $nSub subspaces")
     val subDim = dim / nSub
     val c = unitized(corpus, idCol, embCol, idCol, "__ne").cache()
-    def subSplit(df: DataFrame, id: String, emb: String): DataFrame =
-      df.select(col(id), posexplode(array((0 until nSub).map(m =>
-        slice(col(emb), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
     // Cached: read once per Lloyd pass plus the final encode — same
     // total floats as the corpus, split into nSub rows per vector.
-    val subs = subSplit(c, idCol, "__ne").cache()
-    // id-order seeds: subvectors of the nCodes lowest ids, code = seed id
-    var books = subSplit(
-      c.orderBy(col(idCol)).limit(nCodes).withColumnRenamed(idCol, "code"),
-      "code", "__ne").withColumnRenamed("sv", "ce")
-    // Top-1-per-(id, m) as a max_by aggregation, not a window: the
-    // join output is |points|·nCodes rows, and an aggregate gets
-    // map-side partial combine — only |points| rows reach the shuffle,
-    // where a window would shuffle (and sort) the full join output.
-    // max_by on (score, -code) replicates ORDER BY score DESC, code ASC.
-    def nearestCode(points: DataFrame, id: String): DataFrame =
-      points.join(books, Seq("m"))
-        .select(col(id), col("m"), col("sv"), col("code"),
-          dot(col("sv"), col("ce")).as("__c"))
-        .groupBy(col(id), col("m"))
-        .agg(max_by(struct(col("code"), col("sv")), struct(col("__c"), -col("code"))).as("__w"))
-        .select(col(id), col("m"), col("__w.sv").as("sv"), col("__w.code").as("code"))
+    val subs = pqSubSplit(c, idCol, "__ne", nSub, subDim).cache()
+    val books = pqTrainBooks(c, subs, idCol, nSub, subDim, nCodes, iters)
+    // the compressed corpus: nSub code ids per vector
+    val codes = pqNearestCode(subs, books, idCol)
+      .select(col(idCol), col("m"), col("code"))
+    pqAdcTopK(codes, books, queries, idCol, embCol, k, nSub, subDim)
+  }
+
+  /** One row per (id, subspace m): the m-th `subDim` slice of `emb`. */
+  private[graft] def pqSubSplit(df: DataFrame, id: String, emb: String,
+                                nSub: Int, subDim: Int): DataFrame =
+    df.select(col(id), posexplode(array((0 until nSub).map(m =>
+      slice(col(emb), m * subDim + 1, subDim)): _*)).as(Seq("m", "sv")))
+
+  /** Top-1 codeword per (id, m) as a max_by aggregation, not a window:
+    * the join output is |points|·nCodes rows, and an aggregate gets
+    * map-side partial combine — only |points| rows reach the shuffle,
+    * where a window would shuffle (and sort) the full join output.
+    * max_by on (score, -code) replicates ORDER BY score DESC, code ASC.
+    */
+  private[graft] def pqNearestCode(points: DataFrame, books: DataFrame,
+                                   id: String): DataFrame =
+    points.join(books, Seq("m"))
+      .select(col(id), col("m"), col("sv"), col("code"),
+        dot(col("sv"), col("ce")).as("__c"))
+      .groupBy(col(id), col("m"))
+      .agg(max_by(struct(col("code"), col("sv")), struct(col("__c"), -col("code"))).as("__w"))
+      .select(col(id), col("m"), col("__w.sv").as("sv"), col("__w.code").as("code"))
+
+  /** PQ codebook training: id-order seeds (subvectors of the nCodes
+    * lowest ids, code = seed id) refined by `iters` subspace Lloyd
+    * passes — the [[pqTopK]] discipline factored out so the streaming
+    * store ([[graft.streaming.IncrementalPq]]) retrains with the exact
+    * batch semantics. `c` is the unitized (id, __ne) corpus, `subs` its
+    * [[pqSubSplit]] (cached by the caller — read once per pass).
+    *
+    * @return (m, code, ce) codebook rows, materialized (tiny)
+    */
+  private[graft] def pqTrainBooks(c: DataFrame, subs: DataFrame, idCol: String,
+                                  nSub: Int, subDim: Int, nCodes: Int,
+                                  iters: Int,
+                                  spreadSeeds: Boolean = false): DataFrame = {
+    // Seeding: lowest-id rows (the q101-oracled batch discipline), or —
+    // for retraining a store whose ids correlate with ARRIVAL ORDER —
+    // lowest-xxhash64 rows: a deterministic pseudo-random sample spread
+    // across the whole stored distribution, so a drifted tail is
+    // represented in the seeds instead of only the oldest vectors.
+    // Both are distributed partial top-k (orderBy+limit), never a sort.
+    val seedRows =
+      if (spreadSeeds) c.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCodes)
+      else c.orderBy(col(idCol)).limit(nCodes)
+    var books = pqSubSplit(
+      seedRows.withColumnRenamed(idCol, "code"),
+      "code", "__ne", nSub, subDim).withColumnRenamed("sv", "ce")
     for (_ <- 0 until iters) {
       // per-(m, code) mean in id order (ordered fold, exact count
       // division, NO renorm — PQ codewords are plain subspace means);
       // empty codes keep their previous codeword
-      val refined = nearestCode(subs, idCol).groupBy(col("m"), col("code"))
+      val refined = pqNearestCode(subs, books, idCol).groupBy(col("m"), col("code"))
         .agg(count(lit(1)).as("__cnt"),
           array_sort(collect_list(struct(col(idCol).as("id"), col("sv")))).as("__ms"))
         .select(col("m"), col("code"),
@@ -523,18 +557,27 @@ object SimSearch {
       // Materialize each refined codebook (nSub·nCodes rows — tiny).
       // Unmaterialized, the codebook's lineage re-runs EVERY prior
       // iteration's |corpus|·nSub assignment join each time it is read —
-      // and it is read twice below (final encode + ADC table). With the
-      // eager cache, each Lloyd pass's assignment executes exactly once.
+      // and it is read twice downstream (final encode + ADC table). With
+      // the eager cache, each Lloyd pass's assignment executes exactly once.
       val next = books.join(refined, Seq("m", "code"), "left")
         .select(col("m"), col("code"), coalesce(col("__new"), col("ce")).as("ce"))
         .cache()
       next.count()
       books = next
     }
-    // the compressed corpus: nSub code ids per vector
-    val codes = nearestCode(subs, idCol).select(col(idCol), col("m"), col("code"))
-    val qsubs = subSplit(unitized(queries, idCol, embCol, "query_id", "__qe"),
-      "query_id", "__qe")
+    books
+  }
+
+  /** ADC top-K over an already-encoded corpus: `codes` is (id, m, code)
+    * — the compressed representation, whether just built ([[pqTopK]])
+    * or read back from a persisted store.
+    */
+  private[graft] def pqAdcTopK(codes: DataFrame, books: DataFrame,
+                               queries: DataFrame, idCol: String,
+                               embCol: String, k: Int, nSub: Int,
+                               subDim: Int): DataFrame = {
+    val qsubs = pqSubSplit(unitized(queries, idCol, embCol, "query_id", "__qe"),
+      "query_id", "__qe", nSub, subDim)
     // ADC lookup table — bounded by |queries|·nSub·nCodes, broadcast it
     val qtab = qsubs.join(books, Seq("m"))
       .select(col("query_id"), col("m"), col("code"),
@@ -1135,5 +1178,117 @@ object SimSearch {
     }
     spark.createDataFrame(outRdd, outSchema)
       .withColumn("score", round(col("score"), 6))
+  }
+
+  // -- ANN tier auto-selection ---------------------------------------
+
+  /** A resolved retrieval plan: which tier [[autoTopK]] will run and
+    * with which knobs. `tier` names match the underlying functions.
+    */
+  sealed abstract class AnnPlan(val tier: String)
+  case object BrutePlan extends AnnPlan("brute")
+  final case class IvfPlan(nCentroids: Int, nProbe: Int) extends AnnPlan("ivf")
+  case object Sq8Plan extends AnnPlan("sq8")
+  final case class BqPlan(candFactor: Int) extends AnnPlan("bq")
+  final case class PqRerankPlan(nSub: Int, nCodes: Int,
+                                rerankFactor: Int) extends AnnPlan("pq")
+
+  /** Below this corpus size no index amortizes: one broadcast scan is
+    * cheaper than any tier's build + probe.
+    */
+  val BruteForceCutoff = 10000L
+
+  /** Pure tier selection — the planner behind [[autoTopK]], exposed so
+    * the choice logic is testable without data.
+    *
+    * The decision walks the compression ladder CHEAPEST-SCAN-FIRST and
+    * takes the first tier whose (a) spec-pinned conservative recall
+    * meets `recallTarget` and (b) resident bytes/vector fit
+    * `bytesPerVector`:
+    *
+    * | tier         | bytes/vector      | recall floor (specs)      |
+    * |--------------|-------------------|---------------------------|
+    * | BQ + rerank  | ceil(dim/32)·8    | 0.60 (LlmOpsSpec BQ)      |
+    * | PQ + rerank  | nSub codes        | 0.70 (q102/q137 family)   |
+    * | SQ8 + rerank | dim + 16          | 0.90 (q137 recall audit)  |
+    * | IVF (Lloyd)  | 8·dim (probed /2) | 0.95 (q43-family, p=c/2)  |
+    * | brute        | 8·dim             | 1.00 (exact)              |
+    *
+    * The floors are deliberately conservative lower bounds from the
+    * measured planted-structure specs, not optimistic averages — the
+    * planner promises only what the suite pins. A budget too tight for
+    * the target fails fast instead of silently under-delivering.
+    * recallTarget ≥ 0.999 or a sub-cutoff corpus short-circuits to
+    * brute (the only tier that GUARANTEES its recall).
+    */
+  def choosePlan(n: Long, dim: Int, recallTarget: Double,
+                 bytesPerVector: Long = Long.MaxValue): AnnPlan = {
+    require(recallTarget > 0.0 && recallTarget <= 1.0,
+      s"recallTarget must be in (0, 1], got $recallTarget")
+    require(dim > 0, s"embedding dim must be positive, got $dim")
+    if (recallTarget >= 0.999 || n <= BruteForceCutoff) {
+      require(bytesPerVector >= 8L * dim,
+        s"exact search needs the full 8*dim=${8L * dim} bytes/vector (budget $bytesPerVector)")
+      return BrutePlan
+    }
+    val nSub = Seq(8, 4, 2, 1).find(dim % _ == 0).get
+    val bqBytes = (dim + 31) / 32 * 8L
+    val pqBytes = nSub.toLong
+    val sq8Bytes = dim + 16L
+    val fullBytes = 8L * dim
+    if (recallTarget <= 0.60 && bqBytes <= bytesPerVector)
+      BqPlan(candFactor = 8)
+    else if (recallTarget <= 0.70 && pqBytes <= bytesPerVector)
+      // rerankFactor 8 (not the function default 4) is the measured
+      // 0.70-floor operating point on the planted-cluster fixture
+      PqRerankPlan(nSub, nCodes = 16, rerankFactor = 8)
+    else if (recallTarget <= 0.90 && sq8Bytes <= bytesPerVector)
+      Sq8Plan
+    else if (recallTarget <= 0.95 && fullBytes <= bytesPerVector) {
+      // cells ~ sqrt(n) balances centroid-scan vs cell-scan; probing
+      // half of them is the spec-pinned 0.95 operating point
+      val nCent = math.max(8, math.min(4096, math.sqrt(n.toDouble).toInt))
+      IvfPlan(nCent, nProbe = math.max(2, nCent / 2))
+    } else {
+      require(fullBytes <= bytesPerVector,
+        s"no tier reaches recall $recallTarget within $bytesPerVector bytes/vector " +
+          s"(BQ=$bqBytes@0.60, PQ=$pqBytes@0.70, SQ8=$sq8Bytes@0.90, full=$fullBytes)")
+      BrutePlan
+    }
+  }
+
+  /** The plan the last [[autoTopK]] call executed (spec observability). */
+  private[graft] val lastPlan =
+    new java.util.concurrent.atomic.AtomicReference[AnnPlan](BrutePlan)
+
+  /** Auto-selected top-K: measure the corpus (one count + one head for
+    * n and dim — bounded planner statistics, the [[graft.ops.SkewProfile]]
+    * discipline), pick the tier with [[choosePlan]], run it. Pass
+    * `knownN` when the caller already has the count (at 100 TB a count
+    * job is real planning cost; catalog stats or a prior pass usually
+    * have it).
+    *
+    * @return (query_id, idCol, cos_sim, rnk) — the common contract of
+    *         every tier
+    */
+  def autoTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               embCol: String, k: Int, recallTarget: Double = 0.9,
+               bytesPerVector: Long = Long.MaxValue,
+               knownN: Long = -1L): DataFrame = {
+    val n = if (knownN >= 0) knownN else corpus.count()
+    val dim = corpus.select(size(col(embCol)).as("__d")).head.getInt(0)
+    val plan = choosePlan(n, dim, recallTarget, bytesPerVector)
+    lastPlan.set(plan)
+    plan match {
+      case BrutePlan => bruteForceTopK(corpus, queries, idCol, embCol, k)
+      case IvfPlan(nc, np) =>
+        ivfTopKLloyd(corpus, queries, idCol, embCol, k, nc, np, iters = 2)
+      case Sq8Plan => sq8TopK(corpus, queries, idCol, embCol, k)
+      case BqPlan(cf) =>
+        binaryHammingTopK(corpus, queries, idCol, embCol, k, cf)
+      case PqRerankPlan(ns, ncodes, rf) =>
+        pqTopKRerank(corpus, queries, idCol, embCol, k, dim, ns, ncodes,
+          iters = 2, rerankFactor = rf)
+    }
   }
 }

@@ -146,23 +146,36 @@ object ConnectedComponents {
       .union(edges.select(col(dstCol).cast("long").as("node")))
       .distinct().cache()
 
-    def largeStar(in: DataFrame): DataFrame = {
-      val sym = in.union(in.select(col("b").as("a"), col("a").as("b"))).distinct()
-      val mn = sym.groupBy("a").agg(min(col("b")).as("mn"))
-      sym.join(mn, "a")
+    // Each star op needs, per node u, BOTH the neighborhood min and the
+    // per-neighbor emission — a whole-partition window aggregate
+    // delivers them in ONE exchange on u (groupBy + re-join would pay
+    // three), and duplicate inputs are harmless (min is idempotent, the
+    // closing distinct dedups emissions), so no intermediate distinct
+    // either. A component root's window group reaches component size at
+    // the fixpoint — the same single-reducer residency the groupBy/join
+    // formulation has, and WindowExec spills it rather than OOMing.
+    // largeStar needs no closing distinct of its own: smallStar
+    // re-aggregates per node and the round's closing distinct dedups
+    // emissions, so duplicate large-star edges cost only a slightly
+    // fatter half-round exchange — cheaper than a dedicated dedup
+    // shuffle every round.
+    import org.apache.spark.sql.expressions.Window
+    def largeStar(in: DataFrame): DataFrame =
+      in.union(in.select(col("b").as("a"), col("a").as("b")))
+        .withColumn("mn",
+          least(min(col("b")).over(Window.partitionBy("a")), col("a")))
         .filter(col("b") > col("a"))
-        .select(col("b").as("a"), least(col("a"), col("mn")).as("b"))
+        .select(col("b").as("a"), col("mn").as("b"))
+        .filter(col("a") =!= col("b"))
+    def smallStar(in: DataFrame): DataFrame =
+      in.select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .withColumn("m", min(col("v")).over(Window.partitionBy("u"))) // m < u always
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
         .filter(col("a") =!= col("b")).distinct()
-    }
-    def smallStar(in: DataFrame): DataFrame = {
-      val dir = in.select(greatest(col("a"), col("b")).as("u"),
-        least(col("a"), col("b")).as("v")).distinct()
-      val mn = dir.groupBy("u").agg(min(col("v")).as("m")) // m < u always
-      dir.join(mn, "u")
-        .select(col("v").as("a"), col("m").as("b"))
-        .union(mn.select(col("u").as("a"), col("m").as("b")))
-        .filter(col("a") =!= col("b")).distinct()
-    }
 
     var prev = Option.empty[(Long, Long, Long)]
     var converged = false

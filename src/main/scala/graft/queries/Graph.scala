@@ -145,7 +145,35 @@ object Graph {
       val seeds = PprSeeds.toDF("seed")
       PageRank.personalized(e, "src", "dst", "w", seeds, "seed", iters = 5)
         .select(col("node"), round(col("rank"), 6).as("rank"))
-    })
+    }),
+
+    // Long-diameter connected components on the large-star/small-star
+    // path (ops.ConnectedComponents.alternatingStar — Kiveris et al.):
+    // the graph is each customer's ORDER CHAIN (edges between
+    // date-consecutive orders), a forest of paths whose diameter is
+    // the per-customer order count — exactly the regime where O(d)
+    // min-label propagation drowns and the alternation converges in
+    // O(log d) rounds. A chain connects ALL of a customer's orders, so
+    // component = min orderkey of the customer — the closed form the
+    // oracle states directly, independent of tie order in the chain.
+    QueryDef("q217_chain_components", Some("""
+      WITH c2 AS (SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) >= 2),
+      m AS (SELECT o.o_custkey, min(o.o_orderkey) AS mk
+            FROM orders o JOIN c2 USING (o_custkey) GROUP BY 1)
+      SELECT CAST(o.o_orderkey AS BIGINT) AS node,
+             CAST(m.mk AS BIGINT) AS component
+      FROM orders o JOIN m ON o.o_custkey = m.o_custkey"""),
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c").orderBy(col("d"), col("k"))
+        val edges = T(spark, dir, "orders")
+          .select(col("o_custkey").as("c"), col("o_orderkey").as("k"),
+            col("o_orderdate").as("d"))
+          .withColumn("nk", lead(col("k"), 1).over(w))
+          .filter(col("nk").isNotNull)
+          .select(col("k").as("s"), col("nk").as("t"))
+        graft.ops.ConnectedComponents.alternatingStar(edges, "s", "t")
+      })
   )
 
   private def pprSql: String = {

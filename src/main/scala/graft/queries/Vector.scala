@@ -674,6 +674,29 @@ object Vector {
           .select("query_id", "vec_id", "cos_sim", "rnk")
       }),
 
+    // ANN tier auto-selection, exact tier end to end: recallTarget 1.0
+    // routes SimSearch.autoTopK's planner to brute force, so the whole
+    // planner + dispatch path is gated by the same oracle as q23, which
+    // it must reproduce bit for bit. The approximate tiers are
+    // recall-gated in LlmOpsSpec (no SQL twin can replay a recall
+    // TARGET — only a tier's exact output).
+    QueryDef("q218_auto_topk", Some(s"""
+      WITH $unitSql,
+      q AS (SELECT vec_id AS query_id, ne AS qe FROM un WHERE vec_id % 50 = 0),
+      pairs AS (
+        SELECT q.query_id, e.vec_id, round(${dotSql("q.qe", "e.ne")}, 6) AS cos_sim
+        FROM un e JOIN q ON e.vec_id <> q.query_id)
+      SELECT query_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rnk
+            FROM pairs)
+      WHERE rnk <= 10"""),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        SimSearch.autoTopK(emb, emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", 10, recallTarget = 1.0)
+          .select("query_id", "vec_id", "cos_sim", "rnk")
+      }),
+
     // Embedding near-dup: all pairs >= 0.35 cosine within a sampled slice.
     QueryDef("q24_cosine_pairs", Some(s"""
       WITH $unitSql,

@@ -375,6 +375,66 @@ class LlmOpsSpec extends SparkSuite {
     assert(img(all) == img(bf))
   }
 
+  test("SimSearch.autoTopK: planner walks the ladder cheapest-first; executed choice meets its recall target") {
+    import spark.implicits._
+    val sp = SimSearch
+    // pure planner decisions across the table
+    assert(sp.choosePlan(1000L, 64, 0.5) == sp.BrutePlan)   // sub-cutoff corpus
+    assert(sp.choosePlan(1000000L, 64, 1.0) == sp.BrutePlan) // exactness demanded
+    assert(sp.choosePlan(1000000L, 64, 0.5) == sp.BqPlan(8))
+    assert(sp.choosePlan(1000000L, 64, 0.65) == sp.PqRerankPlan(8, 16, 8))
+    assert(sp.choosePlan(1000000L, 64, 0.85) == sp.Sq8Plan)
+    sp.choosePlan(1000000L, 64, 0.93) match {
+      case sp.IvfPlan(nc, np) => assert(nc == 1000 && np == 500)
+      case other => fail(s"expected IvfPlan, got $other")
+    }
+    assert(sp.choosePlan(1000000L, 64, 0.97) == sp.BrutePlan) // above every approx floor
+    // the budget axis: a 16-byte/vector cap rules out everything but
+    // the 1-bit and PQ codes; an impossible (target, budget) pair
+    // fails fast instead of under-delivering
+    assert(sp.choosePlan(1000000L, 64, 0.5, bytesPerVector = 16L) == sp.BqPlan(8))
+    assert(sp.choosePlan(1000000L, 64, 0.65, bytesPerVector = 8L) ==
+      sp.PqRerankPlan(8, 16, 8))
+    intercept[IllegalArgumentException] {
+      sp.choosePlan(1000000L, 64, 0.97, bytesPerVector = 64L)
+    }
+    // a non-multiple-of-8 dim picks the largest dividing subspace count
+    assert(sp.choosePlan(1000000L, 96, 0.65) == sp.PqRerankPlan(8, 16, 8))
+    assert(sp.choosePlan(1000000L, 50, 0.65) == sp.PqRerankPlan(2, 16, 8))
+
+    // executed on the planted-cluster fixture (the real-embedding
+    // regime: 8 unit centers, σ=0.05): each auto-chosen tier must
+    // DELIVER the recall it promised. knownN forces the planner past
+    // the brute cutoff while executing at spec scale.
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian()))
+      .map { v => val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n) }
+    val clustered = (0 until 400).map { i =>
+      (i.toLong, centers(i % 8).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cq = clustered.filter(col("vec_id") % 40 === 0)
+    val exact = SimSearch.bruteForceTopK(clustered, cq, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    for (target <- Seq(0.6, 0.7, 0.9)) {
+      val got = SimSearch.autoTopK(clustered, cq, "vec_id", "embedding", 5,
+          recallTarget = target, knownN = 1000000L)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      val recall = exact.intersect(got).size.toDouble / exact.size
+      assert(recall >= target,
+        s"tier ${sp.lastPlan.get().tier} for target $target delivered $recall")
+    }
+    // the SQL surface routes through the same planner
+    clustered.createOrReplaceTempView("auto_corpus")
+    cq.createOrReplaceTempView("auto_queries")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_auto_topk('auto_corpus', 'auto_queries', 'vec_id', 'embedding', 5, 0.9)")
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val viaApi = SimSearch.autoTopK(clustered, cq, "vec_id", "embedding", 5,
+        recallTarget = 0.9)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(viaSql == viaApi)
+  }
+
   test("SimSearch.filteredIvfTopK: pre-filtered semantics, recall, pushed predicate") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val queries = emb.filter(col("vec_id") % 100 === 0)
