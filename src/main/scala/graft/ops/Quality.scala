@@ -80,4 +80,43 @@ object Quality {
     }
     masked.withColumn("suppressed", col("grp_n") < k)
   }
+
+  /** ε-differentially-private group counts (Laplace mechanism, Dwork
+    * et al. 2006): exact per-group counts released with additive
+    * Laplace(1/ε) noise — counting queries have sensitivity 1, so the
+    * release satisfies ε-DP for the standard add/remove-one-row
+    * neighborhood. The aggregate-statistics companion to [[kAnonymize]]
+    * for training-data reporting: composition tables, source counts,
+    * label distributions that must not leak any individual row.
+    *
+    * The noise is DETERMINISTICALLY SEEDED — u = md5-uniform(seed ‖ group)
+    * via [[Sampling.hashUniform]]'s fold, then the inverse-CDF
+    * transform noise = −(1/ε)·sign(u−½)·ln(1−2·|u−½|) — so results are
+    * pure functions of (data, seed): reproducible across engines,
+    * partitionings and reruns, and replayable by the DuckDB oracle
+    * (q220) from the same md5 formula. Rotate `seed` per release; a
+    * REUSED seed across overlapping releases leaks correlated noise
+    * exactly like publishing twice, and the determinism means this is
+    * a protocol decision, not an accident of RNG state.
+    *
+    * One hash shuffle on the group keys (partial-aggregated counts);
+    * the noise is a per-GROUP projection after aggregation — zero
+    * extra exchange, vocabulary-scale rows.
+    *
+    * @return group keys + `noisy_count` (rounded to 6; may be negative
+    *         or fractional — the unbiased raw release; clamp/round
+    *         downstream if the consumer needs integers)
+    */
+  def dpGroupCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
+                    seed: Long): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val key = concat_ws("|", lit(seed.toString) +: groupCols.map(c => col(c).cast("string")): _*)
+    val u = Sampling.hashUniform(key)
+    val noise = -(lit(1.0) / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(col) :+
+        round(col("__n") + noise, 6).as("noisy_count"): _*)
+  }
 }

@@ -798,6 +798,33 @@ object Curation {
               floor(col("c_acctbal") / 5000).cast("long").as("bal_band")),
           Seq("c_mktsegment", "c_nationkey", "bal_band"), k = 3)),
 
+    // ε-differentially-private composition release (Laplace mechanism,
+    // Dwork et al. 2006 — q170's aggregate-statistics companion):
+    // customer counts per nation × segment with seeded Laplace(1/ε)
+    // noise. The noise is a pure function of (seed, group) through the
+    // engine's md5-uniform fold (ops.Sampling.hashUniform — the q171/
+    // q73 hashing discipline), so the oracle replays the exact doubles:
+    // determinism is what makes a DP release auditable AND what makes
+    // seed rotation a protocol decision rather than RNG state.
+    QueryDef("q220_dp_release", Some("""
+      WITH g AS (SELECT c_nationkey AS nation_key, c_mktsegment AS segment,
+                        count(*) AS n
+                 FROM customer GROUP BY 1, 2),
+      u AS (SELECT *,
+              (('0x' || substr(md5('7|' || CAST(nation_key AS VARCHAR) || '|' || segment), 1, 15))::BIGINT
+                 % 1000003 + 1) / 1000004.0 AS uu
+            FROM g)
+      SELECT nation_key, segment,
+             round(n + -(1.0 / 0.5) * sign(uu - 0.5) * ln(1 - 2 * abs(uu - 0.5)), 6)
+               AS noisy_count
+      FROM u"""),
+      (spark, dir) =>
+        graft.ops.Quality.dpGroupCounts(
+          T(spark, dir, "customer")
+            .select(col("c_nationkey").as("nation_key"),
+              col("c_mktsegment").as("segment")),
+          Seq("nation_key", "segment"), epsilon = 0.5, seed = 7L)),
+
     // The corpus-side canonical composition
     // (flows.CorpusPipeline.canonicalPack, q109's near-dup-cluster
     // sibling): LSH near-dup clusters → min-id canonical per cluster →

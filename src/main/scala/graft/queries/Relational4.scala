@@ -78,6 +78,48 @@ object Relational4 {
           .agg(count(lit(1)).as("n_orders"), round(avg(col("price_pt")), 4).as("avg_price"))
       }),
 
+    // Interval-OVERLAP join (RangeJoin.intervalOverlap — q65's
+    // two-sided sibling): same-part shipment pairs whose delivery
+    // windows ([shipdate, shipdate + quantity days] — the driver table
+    // carries no receiptdate, so the window length is the in-data
+    // deterministic l_quantity) were in flight together. Both sides
+    // bin, pairs meet on (part, bin), and each pair is emitted only in
+    // the bin holding its overlap's left edge — duplicate-free without
+    // a distinct. The part key bounds the pair space; the oracle is
+    // the plain quadratic overlap self-join.
+    QueryDef("q219_overlap_join", Some("""
+      WITH li AS (SELECT l_partkey AS p,
+                         l_orderkey * 10 + l_linenumber AS id,
+                         datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS lo,
+                         datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+                           + CAST(l_quantity AS INTEGER) AS hi
+                  FROM lineitem),
+      pr AS (SELECT a.p, least(a.hi, b.hi) - greatest(a.lo, b.lo) + 1 AS od
+             FROM li a JOIN li b
+             ON a.p = b.p AND a.id < b.id AND a.lo <= b.hi AND b.lo <= a.hi)
+      SELECT p AS part_key, CAST(count(*) AS BIGINT) AS n_overlaps,
+             CAST(sum(od) AS BIGINT) AS overlap_days
+      FROM pr GROUP BY 1"""),
+      (spark, dir) => {
+        val li = T(spark, dir, "lineitem").select(col("l_partkey").as("p"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("id"),
+          datediff(col("l_shipdate"), lit("1992-01-01")).as("lo"),
+          (datediff(col("l_shipdate"), lit("1992-01-01"))
+            + col("l_quantity").cast("int")).as("hi"))
+        val a = li.select(col("p"), col("id").as("id_a"),
+          col("lo").as("lo_a"), col("hi").as("hi_a"))
+        val b = li.select(col("p"), col("id").as("id_b"),
+          col("lo").as("lo_b"), col("hi").as("hi_b"))
+        RangeJoin.intervalOverlap(a, "lo_a", "hi_a", b, "lo_b", "hi_b",
+            Seq("p"), binWidth = 32.0)
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("p"))
+          .agg(count(lit(1)).as("n_overlaps"),
+            sum(least(col("hi_a"), col("hi_b")) - greatest(col("lo_a"), col("lo_b")) + 1)
+              .cast("long").as("overlap_days"))
+          .select(col("p").as("part_key"), col("n_overlaps"), col("overlap_days"))
+      }),
+
     // CUBE: all 4 grouping combinations over region × market segment in
     // one pass, grouping-id disambiguated (completes the ROLLUP/GROUPING
     // SETS family of q45/q57).

@@ -604,6 +604,50 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("RangeJoin.intervalOverlap == naive quadratic overlap join; each pair exactly once") {
+    import spark.implicits._
+    // intervals spanning MANY bins (width 10 vs spans up to 40) so the
+    // emit-only-at-overlap-left-edge dedup is actually exercised, plus
+    // touching endpoints (closed-bound overlap) and separated keys
+    val left = Seq((1L, "k1", 0, 40), (2L, "k1", 35, 36), (3L, "k2", 0, 5),
+      (4L, "k1", 50, 60)).toDF("id_a", "k", "lo_a", "hi_a")
+    val right = Seq((10L, "k1", 5, 45), (11L, "k1", 40, 55), (12L, "k2", 5, 9),
+      (13L, "k3", 0, 100)).toDF("id_b", "k", "lo_b", "hi_b")
+    val got = graft.ops.RangeJoin.intervalOverlap(left, "lo_a", "hi_a",
+        right, "lo_b", "hi_b", Seq("k"), binWidth = 10.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    val naive = left.join(right, "k")
+      .filter(col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted, s"got ${got.sorted} vs ${naive.sorted}")
+    assert(got.size == got.distinct.size, "a pair was emitted in more than one bin")
+    // the fixture really covers the corners: touching endpoints (3,12)
+    // overlap at exactly one day; k3 never pairs (no shared key)
+    assert(got.contains((3L, 12L)) && !got.exists(_._2 == 13L))
+  }
+
+  test("Quality.dpGroupCounts: seeded determinism, bounded noise, seed rotation changes the release") {
+    import spark.implicits._
+    val df = (0 until 300).map(i => (i, s"g${i % 5}")).toDF("id", "g")
+    def release(seed: Long) = graft.ops.Quality
+      .dpGroupCounts(df, Seq("g"), epsilon = 0.5, seed = seed)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r1 = release(7L)
+    // deterministic: the same (data, seed) releases identical doubles
+    assert(release(7L) == r1)
+    // unbiased-release shape: every noisy count is the exact count (60)
+    // plus Laplace(1/eps) noise — bounded by the md5-uniform floor
+    // (u >= 1/1000004 -> |noise| <= 2*ln(500002) ~ 26.3)
+    r1.values.foreach(v => assert(math.abs(v - 60.0) <= 27.0, s"noise out of range: $v"))
+    // at least one group actually noised (not the exact count)
+    assert(r1.values.exists(v => v != 60.0))
+    // seed rotation IS a fresh release
+    assert(release(8L) != r1)
+    intercept[IllegalArgumentException] {
+      graft.ops.Quality.dpGroupCounts(df, Seq("g"), epsilon = 0.0, seed = 1L)
+    }
+  }
+
   test("Allocate.largestRemainder: budget*totalWeight overflow fails fast instead of wrapping") {
     import spark.implicits._
     val huge = Seq(("a", 1L << 40), ("b", 1L << 40)).toDF("k", "w")

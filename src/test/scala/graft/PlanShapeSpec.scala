@@ -185,6 +185,21 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(exchanges <= 2, s"sketch path shuffles more than once:\n${p.take(2000)}")
   }
 
+  test("q216 perceptual near-dup: image payloads never enter a shuffle; no cartesian") {
+    // aHashNearDups extracts cell sums partition-wise; from there only
+    // (id, bits, band blocks) travel. An exchange carrying `payload`
+    // would ship image bytes across the cluster — the multimodal
+    // discipline (SCALE.md) is features-move-payloads-don't.
+    val df = q("q216_phash_neardup")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val exchangeBlocks = p.split("\\(\\d+\\) ").toSeq
+      .filter(b => b.startsWith("Exchange") || b.startsWith("ShuffleExchange"))
+    assert(!p.contains("CartesianProduct"), s"q216 all-pairs:\n${p.take(2000)}")
+    assert(exchangeBlocks.forall(b => !b.contains("payload")),
+      s"image payload leaked into a shuffle:\n${p.take(3000)}")
+  }
+
   test("posting-join pair generators never plan a cartesian product") {
     // q120/q124/q126 bound their pair space through shared-gram joins
     // (Σ_g df(g)²); a CartesianProduct would mean the |docs|² explosion
