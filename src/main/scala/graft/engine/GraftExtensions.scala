@@ -213,6 +213,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         str(exprs(2)), hubThreshold = optInt(exprs, 3, 1000),
         salts = optInt(exprs, 4, 16))
     }
+    // interval-overlap join — `graft_interval_overlap('left', 'loL',
+    // 'hiL', 'right', 'loR', 'hiR', 'key', binWidth)` (single equi-key;
+    // multi-key callers use the Scala API)
+    injectTable(e, "graft_interval_overlap", classOf[graft.ops.RangeJoin.type]) { exprs =>
+      graft.ops.RangeJoin.intervalOverlap(
+        activeTable(exprs(0)), str(exprs(1)), str(exprs(2)),
+        activeTable(exprs(3)), str(exprs(4)), str(exprs(5)),
+        Seq(str(exprs(6))), foldedDouble(exprs(7)))
+    }
+    // ε-DP group-count release — `graft_dp_counts('t', 'group', eps, seed)`
+    injectTable(e, "graft_dp_counts", classOf[graft.ops.Quality.type]) { exprs =>
+      graft.ops.Quality.dpGroupCounts(activeTable(exprs(0)),
+        Seq(str(exprs(1))), foldedDouble(exprs(2)), int(exprs(3)).toLong)
+    }
+    // large-star/small-star connected components —
+    // `graft_alternating_cc('edges', 'src', 'dst')`
+    injectTable(e, "graft_alternating_cc",
+        classOf[graft.ops.ConnectedComponents.type]) { exprs =>
+      graft.ops.ConnectedComponents.alternatingStar(activeTable(exprs(0)),
+        str(exprs(1)), str(exprs(2)))
+    }
   }
 
   /** Evaluate a foldable literal argument (the weight knobs) to Double. */

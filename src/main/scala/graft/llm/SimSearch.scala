@@ -1180,6 +1180,58 @@ object SimSearch {
       .withColumn("score", round(col("score"), 6))
   }
 
+  // -- PCA rotation (energy compaction) ------------------------------
+
+  /** PCA rotation learned from the corpus: the orthogonal matrix whose
+    * rows are the covariance eigenvectors in DESCENDING eigenvalue
+    * order. Rotating embeddings by it preserves every inner product
+    * and norm EXACTLY in math (orthogonal transform; spec pins ≤1e-9
+    * in floats) while concentrating variance into the leading
+    * coordinates — which is precisely the property the Matryoshka
+    * prefix tier ([[matryoshkaTopK]]) assumes of its embeddings and
+    * arbitrary embeddings lack: after rotation, a `prefixDim` prefix
+    * carries the spectrum's top mass instead of an arbitrary
+    * coordinate subset. The full-rotation complement of
+    * [[varianceBalancedPerm]] (which only PERMUTES dims for PQ
+    * subspace balance).
+    *
+    * Scale shape: one distributed covariance pass (treeAggregate of
+    * dim×dim partials — the only data-sized cost), then a dim×dim
+    * eigendecomposition on the driver (dim ≤ a few thousand — model-
+    * sized, the same bounded-pull class as a codebook). Eigenvector
+    * SIGNS are canonicalized (largest-|component| positive) so the
+    * rotation is reproducible across runs and platforms up to LAPACK
+    * float noise.
+    */
+  def pcaRotation(corpus: DataFrame, idCol: String, embCol: String): Array[Array[Double]] = {
+    val unit = unitized(corpus, idCol, embCol, idCol, "__ne")
+    val rows = unit.select(col("__ne")).rdd.map { r =>
+      org.apache.spark.mllib.linalg.Vectors.dense(r.getSeq[Double](0).toArray)
+    }
+    val cov = new org.apache.spark.mllib.linalg.distributed.RowMatrix(rows)
+      .computeCovariance()
+    val dim = cov.numRows
+    val bm = breeze.linalg.DenseMatrix.tabulate(dim, dim)((i, j) => cov(i, j))
+    val es = breeze.linalg.eigSym(bm)
+    // breeze orders eigenvalues ASCENDING; emit rows by descending
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i))
+    order.map { i =>
+      val v = Array.tabulate(dim)(j => es.eigenvectors(j, i))
+      val m = v.indices.maxBy(j => math.abs(v(j)))
+      if (v(m) < 0) v.map(x => -x) else v
+    }.toArray
+  }
+
+  /** Apply a [[pcaRotation]] matrix to an embedding column:
+    * rotated[i] = Σ_j R[i][j]·emb[j], as one codegen'd
+    * transform/zip_with chain over a single matrix literal — no UDF,
+    * no shuffle, broadcast-free (the matrix travels in the plan).
+    */
+  def rotateEmb(emb: Column, rot: Array[Array[Double]]): Column =
+    transform(typedLit(rot.map(_.toSeq).toSeq),
+      row => aggregate(zip_with(row, emb, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x))
+
   // -- ANN tier auto-selection ---------------------------------------
 
   /** A resolved retrieval plan: which tier [[autoTopK]] will run and

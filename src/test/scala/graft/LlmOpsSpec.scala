@@ -375,6 +375,67 @@ class LlmOpsSpec extends SparkSuite {
     assert(img(all) == img(bf))
   }
 
+  test("SimSearch.pcaRotation: orthogonal, dot-preserving, and it rescues the Matryoshka prefix on latent-structure embeddings") {
+    import spark.implicits._
+    // Latent-structure fixture: an 8-dim signal mixed into 64 dims by a
+    // fixed random matrix + small noise. The ENERGY lives in an 8-dim
+    // subspace, but NOT in the first 8 coordinates — the regime where a
+    // raw Matryoshka prefix is blind and PCA rotation is the fix.
+    val rnd = new scala.util.Random(23)
+    val mix = Array.fill(64, 8)(rnd.nextGaussian())
+    val vecs = (0 until 300).map { i =>
+      val s = Array.fill(8)(rnd.nextGaussian() + (if (i % 6 == 0) 3.0 else 0.0))
+      val v = Array.tabulate(64)(j =>
+        (0 until 8).map(k => mix(j)(k) * s(k)).sum + 0.01 * rnd.nextGaussian())
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val rot = SimSearch.pcaRotation(vecs, "vec_id", "embedding")
+    // orthogonality: R·Rᵀ = I
+    val dim = rot.length
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = (0 until dim).map(k => rot(i)(k) * rot(j)(k)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9, s"R·Rᵀ[$i][$j] = $d")
+    }
+    // rotation preserves pairwise dots (checked on the unit embeddings
+    // through the column op itself, not just the matrix)
+    val rotated = vecs.select(col("vec_id"),
+      SimSearch.rotateEmb(col("embedding"), rot).as("embedding"))
+    def dots(df: org.apache.spark.sql.DataFrame) =
+      SimSearch.bruteForceTopK(df, df.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", 5)
+        .select("query_id", "vec_id", "cos_sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val (dRaw, dRot) = (dots(vecs), dots(rotated))
+    assert(dRaw.keySet == dRot.keySet)
+    dRaw.foreach { case (k, v) => assert(math.abs(v - dRot(k)) <= 2e-6, s"$k: $v vs ${dRot(k)}") }
+    // energy compaction: the rotated 8-prefix carries nearly all the
+    // variance; the raw 8-prefix carries only its proportional share
+    def prefixEnergy(df: org.apache.spark.sql.DataFrame): Double =
+      SimSearch.unitized(df, "vec_id", "embedding", "vec_id", "ne")
+        .select(
+          aggregate(slice(col("ne"), 1, 8), lit(0.0), (a, x) => a + x * x).as("p"))
+        .agg(avg(col("p"))).head.getDouble(0)
+    val (eRaw, eRot) = (prefixEnergy(vecs), prefixEnergy(rotated))
+    assert(eRot > 0.95 && eRot > eRaw + 0.3,
+      s"no energy compaction: raw $eRaw vs rotated $eRot")
+    // the retrieval consequence: prefix-only candidates (candFactor 1 —
+    // no rerank slack) recover the true top-k far better after rotation
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+    val exact = SimSearch.bruteForceTopK(vecs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame, q: org.apache.spark.sql.DataFrame) = {
+      val got = SimSearch.matryoshkaTopK(df, q, "vec_id", "embedding", 5,
+          prefixDim = 8, candFactor = 1)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      exact.intersect(got).size.toDouble / exact.size
+    }
+    val rRaw = recall(vecs, queries)
+    val rRot = recall(rotated, rotated.filter(col("vec_id") % 50 === 0))
+    assert(rRot >= rRaw,
+      s"rotation hurt matryoshka prefix recall: $rRaw -> $rRot")
+    assert(rRot >= 0.9, s"rotated prefix recall only $rRot")
+  }
+
   test("SimSearch.autoTopK: planner walks the ladder cheapest-first; executed choice meets its recall target") {
     import spark.implicits._
     val sp = SimSearch

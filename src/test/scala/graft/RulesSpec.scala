@@ -208,5 +208,31 @@ class RulesSpec extends SparkSuite {
         "SELECT * FROM graft_ppr('tf_we', 'src', 'dst', 'w', 'tf_seeds', 'seed', 3)")) ==
       img(graft.ops.PageRank.personalized(we, "src", "dst", "w",
         spark.table("tf_seeds"), "seed", 3)))
+
+    // round-12 additions: overlap join, DP release, star CC, auto-ANN
+    val ivA = spark.sql(
+      "SELECT l_partkey AS k, l_orderkey * 10 + l_linenumber AS id_a, " +
+      "datediff(l_shipdate, DATE '1992-01-01') AS lo_a, " +
+      "datediff(l_shipdate, DATE '1992-01-01') + CAST(l_quantity AS INT) AS hi_a " +
+      "FROM parquet.`" + sf + "/lineitem.parquet` WHERE l_orderkey % 7 = 0")
+    val ivB = ivA.select(col("k"), col("id_a").as("id_b"),
+      col("lo_a").as("lo_b"), col("hi_a").as("hi_b"))
+    ivA.createOrReplaceTempView("tf_iva"); ivB.createOrReplaceTempView("tf_ivb")
+    assert(img(spark.sql(
+        "SELECT * FROM graft_interval_overlap('tf_iva', 'lo_a', 'hi_a', 'tf_ivb', 'lo_b', 'hi_b', 'k', 32.0)")) ==
+      img(graft.ops.RangeJoin.intervalOverlap(ivA, "lo_a", "hi_a",
+        ivB, "lo_b", "hi_b", Seq("k"), 32.0)))
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_mktsegment").as("seg"))
+    cust.createOrReplaceTempView("tf_cust")
+    assert(img(spark.sql(
+        "SELECT * FROM graft_dp_counts('tf_cust', 'seg', 0.5, 7)")) ==
+      img(graft.ops.Quality.dpGroupCounts(cust, Seq("seg"), 0.5, 7L)))
+    assert(img(spark.sql(
+        "SELECT * FROM graft_alternating_cc('tf_pe', 'pa', 'pb')")) ==
+      img(graft.ops.ConnectedComponents.alternatingStar(pe, "pa", "pb")))
+    assert(img(spark.sql(
+        "SELECT * FROM graft_auto_topk('tf_emb', 'tf_q', 'vec_id', 'embedding', 5, 1.0)")) ==
+      img(SimSearch.bruteForceTopK(emb, q, "vec_id", "embedding", 5)))
   }
 }
