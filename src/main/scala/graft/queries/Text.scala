@@ -437,6 +437,52 @@ object Text {
       FROM lp GROUP BY doc_id"""),
       (spark, dir) => bigramAvgNll(T(spark, dir, "documents"))),
 
+    // Interpolated Kneser-Ney perplexity gate (llm.LanguageModel — the
+    // smoothing KenLM/CCNet actually filter with, vs q123's add-k):
+    // a KN bigram model trained on the % 7 != 0 slice scores the
+    // HELD-OUT % 7 == 0 docs — unseen bigrams exercise the
+    // continuation backoff, unseen histories the Pcont fallback, and
+    // every model quantity is an integer count, so the oracle replays
+    // the exact doubles. Lower avg_nll = more in-distribution.
+    QueryDef("q221_kn_perplexity", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      trb AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+              FROM tok WHERE doc_id % 7 <> 0 AND len(t) >= 2),
+      trs AS (SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2 FROM trb),
+      c2 AS (SELECT w1, w2, count(*) AS c FROM trs GROUP BY 1, 2),
+      hist AS (SELECT w1, sum(c) AS ch, count(*) AS n1f FROM c2 GROUP BY 1),
+      cont AS (SELECT w2, count(*) AS n1b FROM c2 GROUP BY 1),
+      tot AS (SELECT count(*) AS tt FROM c2),
+      voc AS (SELECT count(DISTINCT w) AS v
+              FROM (SELECT unnest(t) AS w FROM tok WHERE doc_id % 7 <> 0)),
+      evb AS (SELECT doc_id,
+                     unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+              FROM tok WHERE doc_id % 7 = 0 AND len(t) >= 2),
+      evs AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1,
+                     string_split(g, ' ')[2] AS w2 FROM evb),
+      lp AS (SELECT e.doc_id, e.g,
+                    ln(CASE WHEN h.ch IS NULL
+                            THEN (coalesce(co.n1b, 0) + 0.5) / (tot.tt + 0.5 * voc.v)
+                            ELSE greatest(coalesce(c2.c, 0) - 0.75, 0) / h.ch
+                                 + 0.75 * h.n1f / h.ch *
+                                   ((coalesce(co.n1b, 0) + 0.5) / (tot.tt + 0.5 * voc.v))
+                       END) AS logp
+             FROM evs e
+             LEFT JOIN c2 ON e.w1 = c2.w1 AND e.w2 = c2.w2
+             LEFT JOIN hist h ON e.w1 = h.w1
+             LEFT JOIN cont co ON e.w2 = co.w2
+             CROSS JOIN tot CROSS JOIN voc)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(-list_reduce(list(logp ORDER BY g), (x, y) -> x + y) / count(*), 6) AS avg_nll
+      FROM lp GROUP BY doc_id"""),
+      (spark, dir) => {
+        val docs = T(spark, dir, "documents")
+        graft.llm.LanguageModel.knBigramNll(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "doc_id", "text")
+      }),
+
     // Repeated-n-gram duplication signal (the exact-substring dedup
     // measure of Lee et al., "Deduplicating Training Data Makes
     // Language Models Better", at 5-gram granularity): per document,

@@ -375,6 +375,38 @@ class LlmOpsSpec extends SparkSuite {
     assert(img(all) == img(bf))
   }
 
+  test("LanguageModel.knBigramNll: continuation backoff ranks open-context words above frequent-but-bound ones; held-out finite") {
+    import spark.implicits._
+    // the classic KN discriminator: "francisco" is FREQUENT but only
+    // ever follows "san"; "pine" is rarer overall but follows many
+    // distinct histories. After an unseen history, KN must prefer
+    // "pine" (high continuation count) over "francisco" (N1+(. w)=1) —
+    // the case add-k smoothing gets backwards.
+    val train = (
+      (1 to 30).map(i => (i.toLong, "san francisco")) ++
+      Seq((100L, "tall pine"), (101L, "old pine"), (102L, "green pine"),
+        (103L, "small pine"), (104L, "dry pine"))
+    ).toDF("doc_id", "text")
+    val eval = Seq((900L, "the francisco"), (901L, "the pine")).toDF("doc_id", "text")
+    val nll = graft.llm.LanguageModel.knBigramNll(train, eval, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // both bigrams are unseen and the history "the" is unseen — scores
+    // are pure continuation probabilities, finite in both cases
+    assert(nll(900L).isFinite && nll(901L).isFinite)
+    assert(nll(901L) < nll(900L),
+      s"KN ranked bound-context 'francisco' (${nll(900L)}) above open-context 'pine' (${nll(901L)})")
+    // in-distribution text scores far better than held-out gibberish
+    val eval2 = Seq((910L, "san francisco san francisco"),
+      (911L, "zzq qqz zqz qzz")).toDF("doc_id", "text")
+    val nll2 = graft.llm.LanguageModel.knBigramNll(train, eval2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll2(910L) + 1.0 < nll2(911L),
+      s"training-distribution text (${nll2(910L)}) not clearly under gibberish (${nll2(911L)})")
+    // sub-2-token docs have no bigrams and are absent, not crashed
+    val tiny = Seq((920L, "one")).toDF("doc_id", "text")
+    assert(graft.llm.LanguageModel.knBigramNll(train, tiny, "doc_id", "text").count() == 0)
+  }
+
   test("SimSearch.pcaRotation: orthogonal, dot-preserving, and it rescues the Matryoshka prefix on latent-structure embeddings") {
     import spark.implicits._
     // Latent-structure fixture: an 8-dim signal mixed into 64 dims by a
