@@ -338,4 +338,51 @@ object DedupOps {
         round(col("n_shared").cast("double") / least(col("n_a"), col("n_b")), 6)
           .as("containment"))
   }
+
+  /** Exact-substring dedup as a TRANSFORM (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): every corpus-wide
+    * duplicated n-gram keeps exactly ONE canonical occurrence (the
+    * globally smallest (doc, position)) and every other occurrence's
+    * token span is MASKED OUT of the text — q124 measures the
+    * duplication, this removes it. The detection shuffle is gram-keyed
+    * (swap the join key for xxhash64(gram) at corpus scale — the q124
+    * note); covered positions explode ×n bounded by document length;
+    * reconstruction is one doc-keyed aggregation.
+    *
+    * Winner selection is the deterministic integer key
+    * doc_id·1e6 + position (positions < 1e6 — enforce upstream for
+    * book-length docs), so any engine replays the same canonical
+    * choice. A position covered by ANY losing occurrence is masked,
+    * even if some other gram's winning occurrence also covers it —
+    * one rule, applied identically on both sides (q222's oracle).
+    *
+    * @return (idCol, n_tokens, n_masked, cleaned) — one row per input
+    *         document, `cleaned` the space-joined surviving tokens
+    */
+  def maskDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    val toks = TextOps.tokenize(col(textCol))
+    val tok = docs.select(col(idCol).as("__id"), posexplode(toks).as(Seq("p", "w")))
+    val gr = docs.select(col(idCol).as("__id"),
+      posexplode(TextOps.ngramsAll(toks, n)).as(Seq("gp", "g")))
+    val dupStats = gr.groupBy("g")
+      .agg(count(lit(1)).as("__cnt"),
+        min(col("__id") * 1000000L + col("gp")).as("__win"))
+      .filter(col("__cnt") >= 2)
+    val covered = gr.join(dupStats, "g")
+      .filter(col("__id") * 1000000L + col("gp") =!= col("__win"))
+      .select(col("__id"), explode(sequence(col("gp"), col("gp") + (n - 1))).as("p"))
+      .distinct()
+    tok.join(covered.withColumn("__m", lit(1L)), Seq("__id", "p"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__m"), lit(0L))).as("n_masked"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__m").isNull, struct(col("p"), col("w"))))),
+            x => x.getField("w")), " ").as("cleaned"))
+      .select(col("__id").as(idCol), col("n_tokens").cast("int").as("n_tokens"),
+        col("n_masked").cast("int").as("n_masked"), col("cleaned"))
+  }
 }

@@ -375,6 +375,33 @@ class LlmOpsSpec extends SparkSuite {
     assert(img(all) == img(bf))
   }
 
+  test("DedupOps.maskDuplicateSpans: canonical occurrence survives, other occurrences masked, unique text untouched") {
+    import spark.implicits._
+    val boiler = "all rights reserved by the"        // a 5-token boilerplate span
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta"),       // first occurrence -> canonical
+      (2L, s"$boiler epsilon zeta eta theta iota"),  // duplicate -> masked
+      (3L, "completely unique words appear here only once")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.maskDuplicateSpans(docs, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    // doc 1 holds the globally-first occurrence: nothing masked
+    assert(out(1L) == ((9, 0, s"alpha beta gamma $boiler delta")), out(1L).toString)
+    // doc 2's copy of the span is masked out, the rest survives intact
+    assert(out(2L) == ((10, 5, "epsilon zeta eta theta iota")), out(2L).toString)
+    // unique text is untouched
+    assert(out(3L) == ((7, 0, "completely unique words appear here only once")))
+    // a doc that is ENTIRELY a duplicate span masks to the empty string
+    val docs2 = docs.unionByName(Seq((4L, boiler)).toDF("doc_id", "text"))
+    val all = DedupOps.maskDuplicateSpans(docs2, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(all(4L) == "" || all(1L).contains(boiler),
+      "span lost from every document — no canonical survivor")
+    // exactly one of the three occurrences keeps the span
+    val survivors = all.values.count(_.contains(boiler))
+    assert(survivors == 1, s"$survivors documents kept the duplicated span")
+  }
+
   test("LanguageModel.knBigramNll: continuation backoff ranks open-context words above frequent-but-bound ones; held-out finite") {
     import spark.implicits._
     // the classic KN discriminator: "francisco" is FREQUENT but only
