@@ -53,6 +53,45 @@ object EntityResolution {
       .select(col("name_a"), col("name_b"), col("jw_sim"))
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95) —
+    * the classic complement to [[blockedFuzzyPairs]]' key blocking:
+    * entities sort globally by `sortKey` and every pair within a
+    * sliding window of `window` consecutive ranks becomes a candidate.
+    * Where an equality block key misses any pair that disagrees on the
+    * key (a FIRST-character typo escapes first-letter blocking
+    * entirely), the sort brings near-misses adjacent — run it with a
+    * key that sorts the error's locus last (e.g. `reverse(name)` for
+    * prefix typos) or multi-pass with several keys and union.
+    *
+    * Scale shape: the global rank is the distributed two-pass
+    * zipWithIndex ([[GlobalRank.withRowNumber]] — range-partitioned
+    * sort, no single-task window); candidates replicate each row
+    * window−1 times and meet on RANK EQUALITY (8-byte keys,
+    * collision-only shuffle) — total candidate count is exactly
+    * (n − window/2)·(window − 1), linear in n, never quadratic. Each
+    * unordered pair is generated once (ranks are unique), then scored
+    * with the codegen Jaro-Winkler.
+    *
+    * @return (name_a < name_b, jw_sim ≥ threshold)
+    */
+  def sortedNeighborhoodPairs(entities: DataFrame, nameCol: String,
+                              sortKey: Column, window: Int,
+                              threshold: Double): DataFrame = {
+    require(window >= 2, s"window must be at least 2, got $window")
+    JaroWinkler.register(entities.sparkSession)
+    val ranked = GlobalRank.withRowNumber(
+      entities.select(col(nameCol), sortKey.as("__sk")), "__rn",
+      Seq(col("__sk"), col(nameCol)))
+    val a = ranked.select(col(nameCol).as("__na"),
+      explode(sequence(col("__rn") + 1, col("__rn") + (window - 1))).as("__rb"))
+    val b = ranked.select(col(nameCol).as("__nb"), col("__rn").as("__rb"))
+    a.join(b, "__rb")
+      .select(least(col("__na"), col("__nb")).as("name_a"),
+        greatest(col("__na"), col("__nb")).as("name_b"))
+      .withColumn("jw_sim", JaroWinkler.jaroWinkler(col("name_a"), col("name_b")))
+      .filter(col("jw_sim") >= threshold)
+  }
+
   /** Cross-table fuzzy LOOKUP — the other half of record linkage: a
     * dirty probe feed (misspellings, OCR output, user input) matched
     * against a clean canonical directory, each probe resolved to its

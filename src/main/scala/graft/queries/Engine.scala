@@ -272,6 +272,31 @@ object Engine {
           .withColumn("jw_sim", round(col("jw_sim"), 6))
       }),
 
+    // Sorted-neighborhood blocking (EntityResolution
+    // .sortedNeighborhoodPairs — Hernandez & Stolfo): q167's
+    // first-letter block misses any pair disagreeing on letter 1;
+    // sorting by REVERSED name brings suffix-sharing names adjacent
+    // instead, and the sliding window (distributed rank + rank-equality
+    // join, (n)(w-1) candidates — never quadratic) catches them. The
+    // oracle replays the identical rank/window/JW arithmetic.
+    QueryDef("q223_sorted_neighborhood", Some("""
+      WITH e AS (SELECT DISTINCT p_name FROM part),
+      r AS (SELECT p_name,
+                   row_number() OVER (ORDER BY reverse(p_name), p_name) AS rn
+            FROM e),
+      pr AS (SELECT a.p_name AS na, b.p_name AS nb
+             FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 9),
+      p2 AS (SELECT least(na, nb) AS name_a, greatest(na, nb) AS name_b FROM pr)
+      SELECT name_a, name_b,
+             round(jaro_winkler_similarity(name_a, name_b), 6) AS jw_sim
+      FROM p2 WHERE jaro_winkler_similarity(name_a, name_b) >= 0.9"""),
+      (spark, dir) => {
+        val entities = T(spark, dir, "part").select(col("p_name")).distinct()
+        graft.ops.EntityResolution.sortedNeighborhoodPairs(
+            entities, "p_name", reverse(col("p_name")), window = 10, 0.9)
+          .withColumn("jw_sim", round(col("jw_sim"), 6))
+      }),
+
     // Fuzzy entity resolution, stage 2 — canonicalization: connected
     // components over the q167 match graph, every name mapped to its
     // component's lexicographically smallest member (singletons to

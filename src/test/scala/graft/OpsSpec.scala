@@ -391,6 +391,30 @@ class OpsSpec extends SparkSuite {
     assert(pairs.filter(col("jw_sim") < 0.93).count() == 0)
   }
 
+  test("EntityResolution.sortedNeighborhoodPairs: reversed-sort window catches the first-letter typo prefix blocking misses") {
+    // "kurger barn" is a FIRST-letter typo of "burger barn": first-letter
+    // blocking can never pair them (different blocks); sorting by
+    // reversed name makes the shared "...urger barn" suffix adjacent.
+    val names = Seq("burger barn", "kurger barn", "zebra cafe",
+      "jon's pizza", "mango hut").toDF("name")
+    val prefixBlocked = graft.ops.EntityResolution.blockedFuzzyPairs(
+        names, "name", substring(col("name"), 1, 1), 0.85)
+      .select("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!prefixBlocked.contains(("burger barn", "kurger barn")),
+      "fixture broken: prefix blocking found the cross-block pair")
+    val snm = graft.ops.EntityResolution.sortedNeighborhoodPairs(
+        names, "name", reverse(col("name")), window = 3, 0.85)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(snm.map(p => (p._1, p._2)).contains(("burger barn", "kurger barn")),
+      s"SNM missed the planted pair, got ${snm.toSeq}")
+    snm.foreach(p => assert(p._3 >= 0.85))
+    // window math: n entities emit at most (window-1) candidates each;
+    // each unordered pair appears exactly once
+    val pairs = snm.map(p => (p._1, p._2)).toSeq
+    assert(pairs.size == pairs.distinct.size)
+  }
+
   test("EntityResolution.blockingQuality: trivial block -> completeness 1, no reduction") {
     val names = Seq("abc", "abd", "xbd", "qqq").toDF("name")
     // one global block, wide band: every pair is a candidate
