@@ -21,6 +21,35 @@ object Events {
             col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))),
 
+    // Seasonal-naive forecast backtest (ops.Forecast — the baseline
+    // every production forecast must beat): predict each hour's event
+    // count as the count 24 hours earlier, score MAPE/bias per event
+    // type. Join-based (gap-safe — a row lag would misread across
+    // missing hours); hours without a day-ago observation honestly
+    // drop out of n_eval. Completes the ops time-series family next to
+    // q178 CUSUM and q180 trend.
+    QueryDef("q224_seasonal_backtest", Some("""
+      WITH h AS (SELECT datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                                 date_trunc('hour', ts)) AS t,
+                        event_type, count(*) AS n
+                 FROM events GROUP BY 1, 2),
+      j AS (SELECT c.event_type, c.n AS v, p.n AS pred
+            FROM h c JOIN h p ON c.event_type = p.event_type AND c.t = p.t + 24
+            WHERE c.n > 0)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_eval,
+             round(avg(abs(pred - v) / CAST(v AS DOUBLE)), 6) AS mape,
+             round(avg(CAST(pred - v AS DOUBLE)), 6) AS bias
+      FROM j GROUP BY 1"""),
+      (spark, dir) => {
+        val h = T(spark, dir, "events")
+          .groupBy((unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+              .cast("long").as("t"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        graft.ops.Forecast.seasonalNaiveBacktest(h, Seq("event_type"),
+          "t", "n", season = 24L)
+      }),
+
     // The same aggregation executed by a real Structured Streaming query
     // (file source → watermark → window agg → memory sink); oracle is
     // the batch SQL — stream/batch parity is the check.

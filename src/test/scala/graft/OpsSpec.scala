@@ -415,6 +415,23 @@ class OpsSpec extends SparkSuite {
     assert(pairs.size == pairs.distinct.size)
   }
 
+  test("Forecast.seasonalNaiveBacktest: perfect season scores zero; gaps drop honestly instead of misaligning") {
+    import spark.implicits._
+    val perfect = (0L until 72L).map(t => ("a", t, (t % 24) + 1))
+    val out = graft.ops.Forecast.seasonalNaiveBacktest(
+      perfect.toDF("k", "t", "v"), Seq("k"), "t", "v", season = 24L).head
+    // hours 24..71 each have a day-ago twin with the identical value
+    assert(out.getLong(1) == 48 && out.getDouble(2) == 0.0 && out.getDouble(3) == 0.0)
+    // remove hour 30: a ROW-lag would misalign every later hour by one
+    // and score spurious error; the join drops exactly hour 30 (no
+    // current row) and hour 54 (no predictor) and still scores 0
+    val gapped = perfect.filterNot(_._2 == 30L)
+    val g = graft.ops.Forecast.seasonalNaiveBacktest(
+      gapped.toDF("k", "t", "v"), Seq("k"), "t", "v", season = 24L).head
+    assert(g.getLong(1) == 46, s"n_eval ${g.getLong(1)}")
+    assert(g.getDouble(2) == 0.0, s"gap misaligned the season: mape ${g.getDouble(2)}")
+  }
+
   test("EntityResolution.blockingQuality: trivial block -> completeness 1, no reduction") {
     val names = Seq("abc", "abd", "xbd", "qqq").toDF("name")
     // one global block, wide band: every pair is a candidate
