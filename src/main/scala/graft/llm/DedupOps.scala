@@ -350,9 +350,9 @@ object DedupOps {
     * reconstruction is one doc-keyed aggregation.
     *
     * Winner selection is the deterministic integer key
-    * doc_id·1e6 + position (positions < 1e6 — enforce upstream for
-    * book-length docs), so any engine replays the same canonical
-    * choice. A position covered by ANY losing occurrence is masked,
+    * doc_id·2³² + position (exact for doc ids < 2³¹ and documents
+    * under 4B tokens — far past book length), so any engine replays
+    * the same canonical choice. A position covered by ANY losing occurrence is masked,
     * even if some other gram's winning occurrence also covers it —
     * one rule, applied identically on both sides (q222's oracle).
     *
@@ -367,10 +367,10 @@ object DedupOps {
       posexplode(TextOps.ngramsAll(toks, n)).as(Seq("gp", "g")))
     val dupStats = gr.groupBy("g")
       .agg(count(lit(1)).as("__cnt"),
-        min(col("__id") * 1000000L + col("gp")).as("__win"))
+        min(col("__id") * 4294967296L + col("gp")).as("__win"))
       .filter(col("__cnt") >= 2)
     val covered = gr.join(dupStats, "g")
-      .filter(col("__id") * 1000000L + col("gp") =!= col("__win"))
+      .filter(col("__id") * 4294967296L + col("gp") =!= col("__win"))
       .select(col("__id"), explode(sequence(col("gp"), col("gp") + (n - 1))).as("p"))
       .distinct()
     tok.join(covered.withColumn("__m", lit(1L)), Seq("__id", "p"), "left")

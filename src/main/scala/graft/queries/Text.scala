@@ -486,7 +486,7 @@ object Text {
     // Exact-substring dedup as a TRANSFORM (llm.DedupOps
     // .maskDuplicateSpans — Lee et al.'s cleaning step, where q124 only
     // measures): every corpus-duplicated 5-gram keeps its globally
-    // first occurrence (min doc·1e6+pos) and all other occurrences'
+    // first occurrence (min doc·2^32+pos) and all other occurrences'
     // spans are masked out of the text. Gram-keyed detection, bounded
     // ×5 position explode, one doc-keyed reconstruction; winner choice
     // and coverage rule are pure integer arithmetic, so the oracle
@@ -499,11 +499,11 @@ object Text {
                     unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
              FROM tok WHERE len(t) >= 5),
-      ds AS (SELECT g, count(*) AS cnt, min(doc_id * 1000000 + gp) AS win
+      ds AS (SELECT g, count(*) AS cnt, min(doc_id * 4294967296 + gp) AS win
              FROM gr GROUP BY g HAVING count(*) >= 2),
       cov AS (SELECT DISTINCT gr.doc_id, gp + j.j AS p
               FROM gr JOIN ds USING (g), range(0, 5) j(j)
-              WHERE gr.doc_id * 1000000 + gr.gp <> ds.win)
+              WHERE gr.doc_id * 4294967296 + gr.gp <> ds.win)
       SELECT tp.doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
              CAST(sum(CASE WHEN cov.p IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_masked,
              coalesce(string_agg(CASE WHEN cov.p IS NULL THEN tp.w END, ' ' ORDER BY tp.p), '') AS cleaned

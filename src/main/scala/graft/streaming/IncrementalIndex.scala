@@ -103,6 +103,9 @@ object IncrementalIndex {
             k1: Double = graft.llm.Bm25.K1, b: Double = graft.llm.Bm25.B)
   : DataFrame = {
     require(terms.nonEmpty, "probe needs at least one term")
+    // terms become pivot column names below — a backtick would escape
+    // the quoting and resolve the wrong column
+    require(terms.forall(!_.contains("`")), "terms must not contain backticks")
     val buckets = terms.map(t =>
       java.lang.Math.floorMod(
         org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
