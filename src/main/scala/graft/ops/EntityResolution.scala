@@ -88,6 +88,9 @@ object EntityResolution {
     a.join(b, "__rb")
       .select(least(col("__na"), col("__nb")).as("name_a"),
         greatest(col("__na"), col("__nb")).as("name_b"))
+      // strict: duplicate input names would otherwise emit (x, x)
+      // self-pairs at jw 1.0 (the blockedFuzzyPairs contract)
+      .filter(col("name_a") < col("name_b"))
       .withColumn("jw_sim", JaroWinkler.jaroWinkler(col("name_a"), col("name_b")))
       .filter(col("jw_sim") >= threshold)
   }

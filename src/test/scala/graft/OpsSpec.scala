@@ -413,6 +413,15 @@ class OpsSpec extends SparkSuite {
     // each unordered pair appears exactly once
     val pairs = snm.map(p => (p._1, p._2)).toSeq
     assert(pairs.size == pairs.distinct.size)
+    // duplicate input names sort adjacent (unique ranks, equal keys) —
+    // the strict name_a < name_b guard must drop the (x, x) self-pair
+    // rather than emit it at jw 1.0
+    val withDup = names.union(Seq("burger barn").toDF("name"))
+    val dupPairs = graft.ops.EntityResolution.sortedNeighborhoodPairs(
+        withDup, "name", reverse(col("name")), window = 3, 0.85)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(dupPairs.forall(p => p._1 < p._2),
+      s"self-pair leaked from duplicate names: ${dupPairs.toSeq}")
   }
 
   test("Forecast.seasonalNaiveBacktest: perfect season scores zero; gaps drop honestly instead of misaligning") {
