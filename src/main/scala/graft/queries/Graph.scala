@@ -51,6 +51,27 @@ object Graph {
   /** q204 seed nations. */
   private val PprSeeds = Seq(0L, 1L, 2L)
 
+  /** q225 rounds — 3 exercises a genuinely partial frontier on the
+    * sf0.01 co-occurrence graph (not yet full coverage). Declared
+    * BEFORE `defs`: the oracle SQL interpolates it eagerly at object
+    * init, and a forward reference would silently read 0.
+    */
+  val BfsHops = 3
+
+  /** q226 iterations — matches q94's 5-iteration discipline. */
+  val HitsIters = 5
+
+  /** q227 rounds — enough for the near-clique co-occurrence graph's
+    * labels to consolidate while still exercising the keep-old path.
+    */
+  val LpaRounds = 3
+
+  /** q228 relaxation rounds — 3 keeps the frontier genuinely partial
+    * (the q225 discipline) while exercising the improve-after-discovery
+    * path that separates Bellman–Ford from BFS.
+    */
+  val SsspRounds = 3
+
   val defs: Seq[QueryDef] = Seq(
 
     // Weighted PageRank over the nation-level trade graph (edge weight =
@@ -173,6 +194,180 @@ object Graph {
           .filter(col("nk").isNotNull)
           .select(col("k").as("s"), col("nk").as("t"))
         graft.ops.ConnectedComponents.alternatingStar(edges, "s", "t")
+      }),
+
+    // Multi-source BFS (ops.Bfs — synchronous frontier expansion)
+    // over the symmetrized part co-occurrence graph: minimum hop
+    // count from the seed parts (every 97th key) — the unweighted
+    // proximity measure next to q204's weighted PPR. 3 fixed rounds;
+    // the oracle unrolls frontier-by-frontier (NOT a recursive CTE,
+    // whose path enumeration explodes on dense cyclic graphs).
+    QueryDef("q225_bfs_hops", Some {
+      // AS MATERIALIZED: every d_i/n_i is referenced twice downstream, so
+      // DuckDB's default CTE inlining re-evaluates the whole chain 2^i-fold
+      // (q94 got away with it on a 25-node graph; this one is ~2k nodes).
+      val rounds = (1 to BfsHops).map { i =>
+        s"""n$i AS MATERIALIZED (SELECT DISTINCT e.b AS node FROM e JOIN n${i - 1} ON e.a = n${i - 1}.node
+              WHERE e.b NOT IN (SELECT node FROM d${i - 1})),
+      d$i AS MATERIALIZED (SELECT node, hops FROM d${i - 1} UNION ALL SELECT node, $i FROM n$i)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      seeds AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey % 97 = 0),
+      d0 AS MATERIALIZED (SELECT node, 0 AS hops FROM seeds),
+      n0 AS (SELECT node FROM seeds),
+      $rounds
+      SELECT CAST(node AS BIGINT) AS node, CAST(hops AS INTEGER) AS hops FROM d$BfsHops"""
+    },
+      (spark, dir) => {
+        val seeds = T(spark, dir, "part")
+          .filter(col("p_partkey") % 97 === 0)
+          .select(col("p_partkey").as("seed"))
+        graft.ops.Bfs.hopCounts(coEdges(spark, dir), "pa", "pb",
+            seeds, "seed", maxHops = BfsHops)
+          .select(col("node").cast("long").as("node"), col("hops"))
+      }),
+
+    // HITS hubs & authorities (ops.Hits — Kleinberg '99) over the
+    // customer→supplier purchase graph (edge weight = lineitem
+    // count): authorities = suppliers favored by broad buyers, hubs =
+    // buyers aimed at important suppliers. 5 iterations, 1-norm
+    // normalization, the q94 per-iteration 10-dp rounding discipline;
+    // the oracle unrolls both half-updates CTE by CTE.
+    QueryDef("q226_hits", Some {
+      // AS MATERIALIZED throughout: ar_i/hr_i are each referenced twice
+      // (scores + the normalization total) and chain through a_i/h_i, so
+      // inlined evaluation costs 4^iters re-runs of the base edge join —
+      // minutes at sf0.01; materialized it's linear in iters.
+      val iters = (1 to HitsIters).map { i =>
+        s"""ar$i AS MATERIALIZED (SELECT e.s AS node, sum(h${i - 1}.score * e.w) AS raw
+               FROM e JOIN h${i - 1} ON e.c = h${i - 1}.node GROUP BY 1),
+      a$i AS MATERIALIZED (SELECT node, round(raw / t.tot, 10) AS score
+              FROM ar$i CROSS JOIN (SELECT sum(raw) AS tot FROM ar$i) t),
+      hr$i AS MATERIALIZED (SELECT e.c AS node, sum(a$i.score * e.w) AS raw
+               FROM e JOIN a$i ON e.s = a$i.node GROUP BY 1),
+      h$i AS MATERIALIZED (SELECT node, round(raw / t.tot, 10) AS score
+              FROM hr$i CROSS JOIN (SELECT sum(raw) AS tot FROM hr$i) t)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS MATERIALIZED (SELECT o.o_custkey AS c, l.l_suppkey AS s,
+                        CAST(count(*) AS DOUBLE) AS w
+                 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 GROUP BY 1, 2),
+      hub0 AS (SELECT DISTINCT c AS node FROM e),
+      h0 AS (SELECT node, 1.0 / t.n AS score
+             FROM hub0 CROSS JOIN (SELECT count(*) AS n FROM hub0) t),
+      $iters
+      SELECT 'hub' AS kind, CAST(node AS BIGINT) AS node,
+             round(score, 6) AS score FROM h$HitsIters
+      UNION ALL
+      SELECT 'auth' AS kind, CAST(node AS BIGINT) AS node,
+             round(score, 6) AS score FROM a$HitsIters"""
+    },
+      (spark, dir) => {
+        val e = T(spark, dir, "lineitem")
+          .join(T(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .agg(count(lit(1)).as("w"))
+        graft.ops.Hits.bipartite(e, "c", "s", "w", iters = HitsIters)
+          .select(col("kind"), col("node").cast("long").as("node"),
+            round(col("score"), 6).as("score"))
+      }),
+
+    // Label-propagation communities (ops.LabelProp — synchronous
+    // deterministic LPA, min-label tie-break) over the part
+    // co-occurrence graph: the membership pass between q77's
+    // components (one label per component) and q203's k-core
+    // (density only). Fixed 3 rounds; the oracle unrolls each round
+    // as count → per-node argmax (row_number, the same
+    // count-desc/label-asc order as the engine's max(struct)) →
+    // keep-old fallback, every CTE MATERIALIZED (each is referenced
+    // twice downstream; inlined, the chain re-evaluates 2^i-fold —
+    // the q226 lesson).
+    QueryDef("q227_label_prop", Some {
+      val rounds = (1 to LpaRounds).map { i =>
+        s"""cnt$i AS MATERIALIZED (
+          SELECT e.a AS node, l.label, count(*) AS c
+          FROM e JOIN l${i - 1} l ON e.b = l.node GROUP BY 1, 2),
+      b$i AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM cnt$i) WHERE rn = 1),
+      l$i AS MATERIALIZED (
+          SELECT l.node, coalesce(b.label, l.label) AS label
+          FROM l${i - 1} l LEFT JOIN b$i b ON l.node = b.node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM e),
+      $rounds
+      SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+      FROM l$LpaRounds"""
+    },
+      (spark, dir) =>
+        graft.ops.LabelProp.communities(coEdges(spark, dir), "pa", "pb",
+            rounds = LpaRounds)
+          .select(col("node").cast("long").as("node"),
+            col("label").cast("long").as("label"))),
+
+    // Weighted shortest paths (ops.ShortestPaths — synchronous
+    // Bellman–Ford, fixed rounds) from the q225 seed parts over the
+    // co-occurrence graph with the integer "affinity distance"
+    // w = max(1, 6 − n_ab) (stronger co-occurrence = cheaper hop):
+    // the weighted twin of q225's hop counts — a 2-hop path through
+    // strong edges can undercut a direct weak edge, exercising the
+    // improve-after-discovery relaxation BFS never takes. Pure long
+    // arithmetic end to end; the oracle unrolls each relaxation
+    // (standing distances UNION ALL edge-extended candidates → min per
+    // node), every d_i MATERIALIZED (referenced twice per round).
+    QueryDef("q228_sssp", Some {
+      val rounds = (1 to SsspRounds).map { i =>
+        s"""d$i AS MATERIALIZED (
+          SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM d${i - 1}
+            UNION ALL
+            SELECT e.b AS node, d${i - 1}.dist + e.w AS dist
+            FROM e JOIN d${i - 1} ON e.a = d${i - 1}.node)
+          GROUP BY node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS (SELECT pa AS a, pb AS b, greatest(1, 6 - n_ab) AS w
+             FROM pairs WHERE n_ab >= 2),
+      e AS MATERIALIZED (SELECT a, b, w FROM e0 UNION ALL SELECT b, a, w FROM e0),
+      seeds AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_partkey % 97 = 0),
+      d0 AS MATERIALIZED (SELECT node, 0 AS dist FROM seeds),
+      $rounds
+      SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+      FROM d$SsspRounds"""
+    },
+      (spark, dir) => {
+        val li = T(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        val e = graft.ops.Cooccur.groupPairs(li, "o", "p")
+          .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+          .select(col("pa"), col("pb"),
+            greatest(lit(1L), lit(6L) - col("n_ab")).as("w"))
+        val seeds = T(spark, dir, "part")
+          .filter(col("p_partkey") % 97 === 0)
+          .select(col("p_partkey").as("seed"))
+        graft.ops.ShortestPaths.bellmanFord(e, "pa", "pb", "w",
+            seeds, "seed", rounds = SsspRounds)
+          .select(col("node").cast("long").as("node"),
+            col("dist").cast("long").as("dist"))
       })
   )
 

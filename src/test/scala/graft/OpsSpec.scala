@@ -424,6 +424,87 @@ class OpsSpec extends SparkSuite {
       s"self-pair leaked from duplicate names: ${dupPairs.toSeq}")
   }
 
+  test("Bfs.hopCounts: min-hop labels on a chain, isolated seeds kept at 0, directed mode one-way") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("s", "t")
+    val seeds = Seq(1L, 9L).toDF("seed")
+    val out = graft.ops.Bfs.hopCounts(edges, "s", "t", seeds, "seed", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // 4 is 3 hops out -> beyond maxHops; 9 is an isolated seed at 0
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 9L -> 0))
+    // a node reachable two ways keeps the MINIMUM hop count
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "t")
+    val out2 = graft.ops.Bfs.hopCounts(tri, "s", "t", Seq(1L).toDF("seed"),
+      "seed", maxHops = 3).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out2 == Map(1L -> 0, 2L -> 1, 3L -> 1))
+    // directed: edges only expand forward
+    val dir = graft.ops.Bfs.hopCounts(Seq((2L, 1L)).toDF("s", "t"),
+        "s", "t", Seq(1L).toDF("seed"), "seed", maxHops = 2, undirected = false)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dir == Map(1L -> 0), s"directed BFS crossed a reverse edge: $dir")
+  }
+
+  test("Hits.bipartite: mutual reinforcement ranks the aimed buyer over the stray; sides sum to 1") {
+    import spark.implicits._
+    // c1 buys from both suppliers, c2 only from s2 -> s2 out-ranks s1
+    // (two buyers), c1 out-ranks c2 (broader + aimed at the winner)
+    val e = Seq((10L, 100L, 1.0), (10L, 200L, 1.0), (20L, 200L, 1.0))
+      .toDF("c", "s", "w")
+    val out = graft.ops.Hits.bipartite(e, "c", "s", "w", iters = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out(("auth", 200L)) > out(("auth", 100L)))
+    assert(out(("hub", 10L)) > out(("hub", 20L)))
+    val hubSum = out.collect { case (("hub", _), v) => v }.sum
+    val authSum = out.collect { case (("auth", _), v) => v }.sum
+    assert(math.abs(hubSum - 1.0) < 1e-8 && math.abs(authSum - 1.0) < 1e-8)
+  }
+
+  test("LabelProp.communities: two bridged triangles split into their cliques; ties break to the min label") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} joined by the bridge 3-4: after 3
+    // synchronous rounds each clique consolidates on its own side of
+    // the bridge (hand-traced: round 3 = {1,2,3}->1, {4,5,6}->3)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("s", "t")
+    val out = graft.ops.LabelProp.communities(edges, "s", "t", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 3, 5L -> 3, 6L -> 3))
+    // rounds = 0 is the identity labeling
+    val id = graft.ops.LabelProp.communities(edges, "s", "t", rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(id == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4, 5L -> 5, 6L -> 6))
+    // directed: a node votes only over its OUT-neighbors; a source with
+    // no out-edges keeps its own label
+    val dir = graft.ops.LabelProp.communities(
+        Seq((1L, 2L)).toDF("s", "t"), "s", "t", rounds = 1, undirected = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dir == Map(1L -> 2, 2L -> 2), s"directed vote wrong: $dir")
+  }
+
+  test("ShortestPaths.bellmanFord: a cheap 2-hop path undercuts a direct edge; labels improve after discovery") {
+    import spark.implicits._
+    // 1-3 direct costs 10; 1-2-3 costs 2 — round 1 labels node 3 with
+    // 10 (discovery), round 2 IMPROVES it to 2 (the relaxation BFS
+    // never does); node 4 is 3 edges out, beyond rounds = 2
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 1L))
+      .toDF("s", "t", "w")
+    val seeds = Seq(1L).toDF("seed")
+    val r1 = graft.ops.ShortestPaths.bellmanFord(edges, "s", "t", "w",
+        seeds, "seed", rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0, 2L -> 1, 3L -> 10))
+    val r2 = graft.ops.ShortestPaths.bellmanFord(edges, "s", "t", "w",
+        seeds, "seed", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 11))
+    // directed: the reverse edge does not relax
+    val dir = graft.ops.ShortestPaths.bellmanFord(
+        Seq((2L, 1L, 5L)).toDF("s", "t", "w"), "s", "t", "w",
+        seeds, "seed", rounds = 2, undirected = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dir == Map(1L -> 0), s"directed relaxation crossed a reverse edge: $dir")
+  }
+
   test("Forecast.seasonalNaiveBacktest: perfect season scores zero; gaps drop honestly instead of misaligning") {
     import spark.implicits._
     val perfect = (0L until 72L).map(t => ("a", t, (t % 24) + 1))
