@@ -113,8 +113,10 @@ object Bench {
     // q102 rides q101's wake (PQ rerank right after PQ training — r11
     // measured 3.74s in-suite vs 1.96s isolated); q214/q215 are the r11
     // media/sequence heavies.
+    // q226 is the r12 heavy: 10 edge-sweeps (5 HITS iterations) over the
+    // ~550k-edge customer→supplier graph.
     val heavy = Set("q99", "q101", "q102", "q115", "q120", "q139", "q157",
-      "q159", "q166", "q214", "q215")
+      "q159", "q166", "q214", "q215", "q226")
 
     var i = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -36,9 +36,22 @@ import org.apache.spark.sql.functions._
   */
 object Hits {
 
+  /** @param exactRounding true (the oracle-parity contract above):
+    *        normalize + round(10) after EVERY half-update — each
+    *        normalization is a global reduction, so the run pays
+    *        2·iters sequential barrier jobs. false (production): HITS
+    *        is scale-invariant, so run the raw join+agg chain as ONE
+    *        lazy plan and normalize each side once at the end — same
+    *        ranking, floats differ below the rounding grid (the q120
+    *        fold-vs-plain-sum pattern; spec-pinned agreement). Raw
+    *        magnitudes drift by ~(mean weighted degree)^iters between
+    *        the end-point normalizations — far inside double range for
+    *        real graphs, but don't feed 1e30-scale weights at high
+    *        iters without normalizing.
+    */
   def bipartite(edges: DataFrame, hubCol: String, authCol: String,
                 weightCol: String, iters: Int,
-                checkpointEvery: Int = 1): DataFrame = {
+                exactRounding: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be at least 1, got $iters")
     val e = edges.select(col(hubCol).as("__c"), col(authCol).as("__s"),
       col(weightCol).cast("double").as("__w")).cache()
@@ -46,28 +59,40 @@ object Hits {
     var h = hubs.crossJoin(broadcast(hubs.agg(count(lit(1)).as("__n"))))
       .select(col("node"), (lit(1.0) / col("__n")).as("score"))
     var a: DataFrame = null
-    def normalized(raw: DataFrame): DataFrame =
+    // The raw scores feed BOTH the normalization total and the scored
+    // rows. Checkpointing raw (lazily) BEFORE fanning out makes the two
+    // references share one materialized copy — without it each
+    // half-step runs its edge join twice (once under the broadcast
+    // total, once under the scores) and the doubled plans nest, so an
+    // untruncated loop costs 4^i re-evaluations of the first join
+    // (measured 22 s vs 3 s at sf0.1, iters = 5). Truncation every
+    // half-step also keeps the analyzer's plan depth constant.
+    def normalized(rawIn: DataFrame, roundTo: Int): DataFrame = {
+      val raw = rawIn.localCheckpoint(eager = false)
       raw.crossJoin(broadcast(raw.agg(sum(col("__raw")).as("__tot"))))
-        .select(col("node"), round(col("__raw") / col("__tot"), 10).as("score"))
-    for (i <- 1 to iters) {
-      a = normalized(
-        e.join(h, e("__c") === h("node"))
-          .groupBy(col("__s").as("node")).agg(sum(col("score") * col("__w")).as("__raw")))
-      h = normalized(
-        e.join(a.select(col("node").as("__an"), col("score").as("__as")),
-            e("__s") === col("__an"))
-          .groupBy(col("__c").as("node")).agg(sum(col("__as") * col("__w")).as("__raw")))
-      // truncate lineage EVERY iteration by default, not the PageRank
-      // cadence: `normalized` embeds its input plan twice (the agg and
-      // the scored rows), so an untruncated loop grows the logical
-      // plan 4^i-fold — analysis alone stalls past ~4 iterations
-      if (i % checkpointEvery == 0 && i < iters) {
-        a = a.localCheckpoint(eager = false)
-        h = h.localCheckpoint(eager = false)
-      }
+        .select(col("node"), round(col("__raw") / col("__tot"), roundTo).as("score"))
     }
+    def half(scores: DataFrame, inCol: String, outCol: String): DataFrame =
+      e.join(scores.select(col("node").as("__jn"), col("score")),
+          e(inCol) === col("__jn"))
+        .groupBy(e(outCol).as("node"))
+        .agg(sum(col("score") * col("__w")).as("__raw"))
+    for (_ <- 1 to iters) {
+      val aRaw = half(h, "__c", "__s")
+      a = if (exactRounding) normalized(aRaw, 10)
+          else aRaw.localCheckpoint(eager = false)
+            .select(col("node"), col("__raw").as("score"))
+      val hRaw = half(a, "__s", "__c")
+      h = if (exactRounding) normalized(hRaw, 10)
+          else hRaw.localCheckpoint(eager = false)
+            .select(col("node"), col("__raw").as("score"))
+    }
+    val (hOut, aOut) =
+      if (exactRounding) (h, a)
+      else (normalized(h.select(col("node"), col("score").as("__raw")), 10),
+            normalized(a.select(col("node"), col("score").as("__raw")), 10))
     e.unpersist(blocking = false)
-    h.select(lit("hub").as("kind"), col("node"), col("score"))
-      .unionByName(a.select(lit("auth").as("kind"), col("node"), col("score")))
+    hOut.select(lit("hub").as("kind"), col("node"), col("score"))
+      .unionByName(aOut.select(lit("auth").as("kind"), col("node"), col("score")))
   }
 }

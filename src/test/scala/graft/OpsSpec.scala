@@ -457,6 +457,15 @@ class OpsSpec extends SparkSuite {
     val hubSum = out.collect { case (("hub", _), v) => v }.sum
     val authSum = out.collect { case (("auth", _), v) => v }.sum
     assert(math.abs(hubSum - 1.0) < 1e-8 && math.abs(authSum - 1.0) < 1e-8)
+    // production path (single end-point normalization, scale-invariant)
+    // matches the exact-rounding contract to the rounding grid
+    val prod = graft.ops.Hits.bipartite(e, "c", "s", "w", iters = 5,
+        exactRounding = false)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(prod.keySet == out.keySet)
+    prod.foreach { case (k, v) =>
+      assert(math.abs(v - out(k)) < 1e-6, s"$k: prod $v vs exact ${out(k)}")
+    }
   }
 
   test("LabelProp.communities: two bridged triangles split into their cliques; ties break to the min label") {
