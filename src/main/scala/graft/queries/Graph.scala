@@ -72,6 +72,11 @@ object Graph {
     */
   val SsspRounds = 3
 
+  /** q229 sketch radius. 3 also fixes the harmonic sum's integer
+    * scaling: LCM(1..3) = 6, so 6/hops is exact long arithmetic.
+    */
+  val LandmarkHops = 3
+
   val defs: Seq[QueryDef] = Seq(
 
     // Weighted PageRank over the nation-level trade graph (edge weight =
@@ -372,6 +377,59 @@ object Graph {
             seeds, "seed", rounds = SsspRounds)
           .select(col("node").cast("long").as("node"),
             col("dist").cast("long").as("dist"))
+      }),
+
+    // Landmark-estimated harmonic centrality (ops.Landmarks — Das
+    // Sarma et al. distance sketches): per-landmark BFS distances from
+    // the ~10 p_partkey%199 landmark parts, folded into Σ 1/d over
+    // reached landmarks. The query keeps the fold in EXACT long
+    // arithmetic — 6/hops with hops ≤ 3 (LCM scaling) — so the oracle
+    // replays it with integer division; the float-output variant
+    // (Landmarks.harmonicCentrality, ascending-landmark fold) is
+    // spec-pinned instead. The oracle unrolls the (node, landmark)
+    // frontier with a correlated NOT EXISTS (pair keys — q225's NOT IN
+    // only handles scalars), every round MATERIALIZED.
+    QueryDef("q229_landmark_centrality", Some {
+      val rounds = (1 to LandmarkHops).map { i =>
+        s"""n$i AS MATERIALIZED (
+          SELECT DISTINCT e.b AS node, f.landmark
+          FROM e JOIN n${i - 1} f ON e.a = f.node
+          WHERE NOT EXISTS (SELECT 1 FROM d${i - 1} d
+                            WHERE d.node = e.b AND d.landmark = f.landmark)),
+      d$i AS MATERIALIZED (
+          SELECT node, landmark, hops FROM d${i - 1}
+          UNION ALL SELECT node, landmark, $i FROM n$i)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      lm AS (SELECT DISTINCT p_partkey AS landmark FROM part
+             WHERE p_partkey % 199 = 0),
+      d0 AS MATERIALIZED (SELECT landmark AS node, landmark, 0 AS hops FROM lm),
+      n0 AS (SELECT node, landmark FROM d0),
+      $rounds
+      SELECT CAST(node AS BIGINT) AS node,
+             CAST(count(CASE WHEN hops >= 1 THEN 1 END) AS INTEGER) AS n_reached,
+             CAST(coalesce(sum(CASE WHEN hops >= 1 THEN 6 // hops END), 0)
+                  AS BIGINT) AS harmonic_x6
+      FROM d$LandmarkHops GROUP BY node"""
+    },
+      (spark, dir) => {
+        val lms = T(spark, dir, "part")
+          .filter(col("p_partkey") % 199 === 0)
+          .select(col("p_partkey").as("lm"))
+        graft.ops.Landmarks.hopDistances(coEdges(spark, dir), "pa", "pb",
+            lms, "lm", maxHops = LandmarkHops)
+          .groupBy(col("node"))
+          .agg(
+            count(when(col("hops") >= 1, 1)).cast("int").as("n_reached"),
+            coalesce(sum(when(col("hops") >= 1,
+              (lit(6) / col("hops")).cast("long"))), lit(0L)).as("harmonic_x6"))
+          .select(col("node").cast("long").as("node"),
+            col("n_reached"), col("harmonic_x6"))
       })
   )
 

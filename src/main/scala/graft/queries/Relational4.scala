@@ -870,6 +870,49 @@ object Relational4 {
             col("monetary_cents"), col("r_score"), col("f_score"), col("m_score"),
             (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
               .cast("int").as("rfm_code"))
+      }),
+
+    // Winsorized per-brand price statistics (ops.Robust — exact order
+    // statistics, Tukey clamping at the 5th/95th ranks): the
+    // outlier-hardening pass ahead of scaling, where a single corrupt
+    // price would drag q19's min-max bounds arbitrarily but moves the
+    // winsorized mean by at most the clamp width. Prices go through
+    // the q198 cents discipline (decimal→long), so ranks, bounds, clip
+    // and sum are pure long arithmetic; the only floats are the final
+    // grain-restoring divisions, each a single IEEE op the oracle
+    // replays bit-for-bit.
+    QueryDef("q230_winsorized_stats", Some("""
+      WITH v AS (SELECT p_brand AS g,
+                        CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+                 FROM part),
+      r AS (SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rk,
+                   count(*) OVER (PARTITION BY g) AS n FROM v),
+      b AS (SELECT g,
+                   max(CASE WHEN rk = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+                       THEN c END) AS lo,
+                   max(CASE WHEN rk = least(n, CAST(ceil(0.95 * n) AS BIGINT))
+                       THEN c END) AS hi
+            FROM r GROUP BY g),
+      s AS (SELECT v.g, count(*) AS n, max(b.lo) AS lo, max(b.hi) AS hi,
+                   sum(least(greatest(v.c, b.lo), b.hi)) AS sc,
+                   sum(CASE WHEN v.c < b.lo OR v.c > b.hi THEN 1 ELSE 0 END) AS ncl
+            FROM v JOIN b ON v.g = b.g GROUP BY v.g)
+      SELECT g AS p_brand, CAST(n AS INTEGER) AS n,
+             lo / 100.0 AS lo_price, hi / 100.0 AS hi_price,
+             CAST(ncl AS INTEGER) AS n_clipped,
+             round(sc / (100.0 * n), 4) AS mean_winsor
+      FROM s"""),
+      (spark, dir) => {
+        val v = T(spark, dir, "part").select(col("p_brand"),
+          (col("p_retailprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        graft.ops.Robust.winsorizedStats(v, "p_brand", "cents", 0.05, 0.95)
+          .select(col("p_brand"), col("n"),
+            (col("lo") / 100.0).as("lo_price"),
+            (col("hi") / 100.0).as("hi_price"),
+            col("n_clipped"),
+            round(col("sum_winsor") / (lit(100.0) * col("n")), 4)
+              .as("mean_winsor"))
       }))
 
   /** The q176 history build, shared with q179's as-of join. */

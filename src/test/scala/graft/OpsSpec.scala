@@ -514,6 +514,39 @@ class OpsSpec extends SparkSuite {
     assert(dir == Map(1L -> 0), s"directed relaxation crossed a reverse edge: $dir")
   }
 
+  test("Landmarks: per-landmark distances stay separate where Bfs would merge; harmonic folds only reached landmarks") {
+    import spark.implicits._
+    // path 1-2-3-4-5, landmarks {1, 5}: node 3 is 2 hops from BOTH —
+    // two sketch rows, where Bfs.hopCounts would keep a single min
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
+    val sk = graft.ops.Landmarks.hopDistances(edges, "s", "t",
+      Seq(1L, 5L).toDF("lm"), "lm", maxHops = 2)
+    val rows = sk.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(rows == Map((1L, 1L) -> 0, (2L, 1L) -> 1, (3L, 1L) -> 2,
+      (5L, 5L) -> 0, (4L, 5L) -> 1, (3L, 5L) -> 2))
+    val hc = graft.ops.Landmarks.harmonicCentrality(sk)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    // node 3 reaches both landmarks at 2 hops -> 0.5 + 0.5; endpoints
+    // see only their OWN landmark row (d = 0, excluded) -> harmonic 0
+    assert(hc(3L) == ((2, 1.0)))
+    assert(hc(2L) == ((1, 1.0)) && hc(4L) == ((1, 1.0)))
+    assert(hc(1L) == ((0, 0.0)) && hc(5L) == ((0, 0.0)))
+  }
+
+  test("Robust.winsorizedStats: bounds at the exact p-ranks, clamp counted, singleton group self-bounded") {
+    import spark.implicits._
+    // group A: 1..10 at (0.2, 0.8) -> lo = rank ceil(2) = 2, hi = rank
+    // ceil(8) = 8; clipped {1, 9, 10}; sum = 2+2+3+4+5+6+7+8+8+8
+    val df = ((1L to 10L).map(("A", _)) :+ (("B", 100L))).toDF("g", "v")
+    val out = graft.ops.Robust.winsorizedStats(df, "g", "v", 0.2, 0.8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getLong(5)))).toMap
+    assert(out("A") == ((10, 2L, 8L, 3, 53L)), s"got ${out("A")}")
+    // a singleton group clamps to itself: lo = hi = the value, nothing clipped
+    assert(out("B") == ((1, 100L, 100L, 0, 100L)), s"got ${out("B")}")
+  }
+
   test("Forecast.seasonalNaiveBacktest: perfect season scores zero; gaps drop honestly instead of misaligning") {
     import spark.implicits._
     val perfect = (0L until 72L).map(t => ("a", t, (t % 24) + 1))
