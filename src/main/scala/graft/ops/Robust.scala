@@ -63,4 +63,51 @@ object Robust {
           .otherwise(0L)).cast("int").as("n_clipped"),
         sum(clipped).as("sum_winsor"))
   }
+
+  /** Exact per-group LOWER median — the value at rank ⌊(n+1)/2⌋ of the
+    * group's sort order (for even n the lower of the two central
+    * values, so the result is always an ELEMENT and integral inputs
+    * stay integral — no interpolated float for an oracle to chase).
+    * `tieCol` pins row_number order under equal values; the selected
+    * VALUE is tie-insensitive, the pin just keeps plans deterministic.
+    */
+  def groupMedian(df: DataFrame, groupCol: String, valCol: String,
+                  tieCol: String, outCol: String): DataFrame = {
+    val r = df
+      .withColumn("__rk", row_number()
+        .over(Window.partitionBy(groupCol).orderBy(col(valCol), col(tieCol))))
+      .withColumn("__m", count(lit(1)).over(Window.partitionBy(groupCol)))
+    r.groupBy(groupCol)
+      .agg(max(when(col("__rk") === ((col("__m") + 1) / 2).cast("long"),
+        col(valCol))).as(outCol))
+  }
+
+  /** MAD outlier flags (Hampel's robust z): a row is anomalous when
+    * |v − median| > k·MAD, with MAD the [[groupMedian]] of the
+    * absolute deviations — the robust replacement for mean±k·σ, whose
+    * threshold the outliers themselves inflate (one wild value moves
+    * the mean AND widens σ; the median and MAD barely move). Integral
+    * inputs keep the whole chain — medians, deviations, threshold —
+    * in exact long arithmetic (q232's oracle replays it bit-for-bit).
+    *
+    * Degenerate contract: MAD = 0 (over half the group at the median)
+    * flags EVERY row off the median — the standard Hampel behavior;
+    * pre-filter or fall back to a fixed floor if that's too sharp.
+    *
+    * Scale shape: two window-rank passes + two broadcast-size joins
+    * keyed on the group column; parallelism equals group count (the
+    * [[winsorizedStats]] note on few-group inputs applies).
+    *
+    * @return flagged rows (group, tie, v, med, mad)
+    */
+  def madOutliers(df: DataFrame, groupCol: String, tieCol: String,
+                  valCol: String, k: Int = 3): DataFrame = {
+    val v = df.select(col(groupCol), col(tieCol), col(valCol))
+    val dev = v.join(groupMedian(v, groupCol, valCol, tieCol, "med"),
+        Seq(groupCol))
+      .withColumn("__dev", abs(col(valCol) - col("med")))
+    dev.join(groupMedian(dev, groupCol, "__dev", tieCol, "mad"), Seq(groupCol))
+      .filter(col("__dev") > lit(k) * col("mad"))
+      .select(col(groupCol), col(tieCol), col(valCol), col("med"), col("mad"))
+  }
 }

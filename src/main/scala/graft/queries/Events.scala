@@ -579,6 +579,48 @@ object Events {
           round(sum(when(col("wc").isNotNull, 1L).otherwise(0L)).cast("double")
             / greatest(sum(when(col("t_view").isNotNull, 1L).otherwise(0L)), lit(1L)), 6)
             .as("view_to_click_rate"))
+      }),
+
+    // MAD anomaly flags over hourly event-type counts (ops.Robust —
+    // Hampel's robust z): hours whose count deviates from the type's
+    // median by more than 3× the median absolute deviation. The robust
+    // companion to q178's CUSUM (which detects sustained SHIFTS; MAD
+    // flags individual spikes, and unlike mean±kσ the spikes being
+    // hunted don't inflate the threshold that should catch them).
+    // Counts, medians (exact lower-median order statistics), deviations
+    // and the 3×MAD threshold are all long arithmetic — zero float
+    // discipline for the oracle.
+    QueryDef("q232_mad_anomaly", Some("""
+      WITH h AS (SELECT event_type,
+                   datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS t,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY n, t) AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS m FROM h),
+      med AS (SELECT event_type,
+                     max(CASE WHEN rk = (m + 1) // 2 THEN n END) AS med
+              FROM r GROUP BY 1),
+      d AS (SELECT h.event_type, h.t, h.n, med.med,
+                   abs(h.n - med.med) AS dev
+            FROM h JOIN med USING (event_type)),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dev, t) AS rk,
+                    count(*) OVER (PARTITION BY event_type) AS m FROM d),
+      mad AS (SELECT event_type,
+                     max(CASE WHEN rk = (m + 1) // 2 THEN dev END) AS mad
+              FROM r2 GROUP BY 1)
+      SELECT d.event_type, d.t, d.n, d.med, mad.mad
+      FROM d JOIN mad USING (event_type)
+      WHERE d.dev > 3 * mad.mad"""),
+      (spark, dir) => {
+        val h = T(spark, dir, "events")
+          .groupBy(col("event_type"),
+            (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+              .cast("long").as("t"))
+          .agg(count(lit(1)).as("n"))
+        graft.ops.Robust.madOutliers(h, "event_type", "t", "n", k = 3)
       })
   )
 }

@@ -430,6 +430,48 @@ object Graph {
               (lit(6) / col("hops")).cast("long"))), lit(0L)).as("harmonic_x6"))
           .select(col("node").cast("long").as("node"),
             col("n_reached"), col("harmonic_x6"))
+      }),
+
+    // Degree assortativity (Newman, PRL 2002): Pearson correlation of
+    // endpoint degrees over the directed-edge list of the symmetrized
+    // co-occurrence graph — the one-number mixing diagnostic (do hubs
+    // attach to hubs?) that decides whether the hub guards in
+    // ops.Cooccur face assortative clumps or disassortative stars.
+    // Every sum is exact long arithmetic (degrees are ints); the
+    // single float op is one division of exact longs in the algebraic
+    // form r = (m·Σjk − (Σj)²) / (m·Σj² − (Σj)²), so the oracle
+    // replays it bit-for-bit.
+    QueryDef("q231_assortativity", Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      deg AS (SELECT a AS node, count(*) AS d FROM e GROUP BY a),
+      x AS (SELECT da.d AS j, db.d AS k
+            FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(j * k) AS BIGINT) AS sjk,
+                   CAST(sum(j) AS BIGINT) AS sj,
+                   CAST(sum(j * j) AS BIGINT) AS sjj FROM x)
+      SELECT m AS m_edges,
+             round(CAST(m * sjk - sj * sj AS DOUBLE) /
+                   CAST(m * sjj - sj * sj AS DOUBLE), 6) AS assortativity
+      FROM s"""),
+      (spark, dir) => {
+        val e = coEdges(spark, dir)
+        val sym = e.select(col("pa").as("a"), col("pb").as("b"))
+          .unionByName(e.select(col("pb").as("a"), col("pa").as("b")))
+        val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+        val x = sym
+          .join(deg.select(col("node").as("a"), col("d").as("j")), Seq("a"))
+          .join(deg.select(col("node").as("b"), col("d").as("k")), Seq("b"))
+        x.agg(count(lit(1)).as("m"), sum(col("j") * col("k")).as("sjk"),
+            sum(col("j")).as("sj"), sum(col("j") * col("j")).as("sjj"))
+          .select(col("m").as("m_edges"),
+            round((col("m") * col("sjk") - col("sj") * col("sj")).cast("double") /
+              (col("m") * col("sjj") - col("sj") * col("sj")).cast("double"), 6)
+              .as("assortativity"))
       })
   )
 

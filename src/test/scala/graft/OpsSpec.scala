@@ -547,6 +547,24 @@ class OpsSpec extends SparkSuite {
     assert(out("B") == ((1, 100L, 100L, 0, 100L)), s"got ${out("B")}")
   }
 
+  test("Robust.madOutliers: the spike can't widen its own threshold; zero-MAD group flags every off-median row") {
+    import spark.implicits._
+    // A: 1,2,3,100 -> lower median 2, devs {1,0,1,98} -> MAD 1; only
+    // the 100 clears 3·MAD (mean±3σ would have been dragged to ~26±...
+    // by the spike itself and missed nothing smaller)
+    val df = Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 3L, 3L), ("A", 4L, 100L),
+      ("B", 1L, 5L), ("B", 2L, 5L), ("B", 3L, 5L), ("B", 4L, 9L))
+      .toDF("g", "t", "v")
+    val out = graft.ops.Robust.madOutliers(df, "g", "t", "v", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet == Set(("A", 4L), ("B", 4L)), s"flags: ${out.keySet}")
+    assert(out(("A", 4L)) == ((100L, 2L, 1L)))
+    // B: median 5, devs {0,0,0,4} -> MAD 0 (the documented degenerate
+    // contract): any deviation flags
+    assert(out(("B", 4L)) == ((9L, 5L, 0L)))
+  }
+
   test("Forecast.seasonalNaiveBacktest: perfect season scores zero; gaps drop honestly instead of misaligning") {
     import spark.implicits._
     val perfect = (0L until 72L).map(t => ("a", t, (t % 24) + 1))

@@ -200,6 +200,26 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       s"image payload leaked into a shuffle:\n${p.take(3000)}")
   }
 
+  test("iterative graph ops keep their lineage truncated (checkpoint-RDD plan roots)") {
+    // The r12 frontier family (BFS / LPA / Bellman-Ford / landmarks)
+    // localCheckpoints every round — without it the per-round plans
+    // nest 2-3^R-fold and the ANALYZER dies before execution (the KCore
+    // lesson). Each round's SQL plan is compiled at checkpoint time, so
+    // the final frame's executed plan reduces to (a projection over)
+    // the last checkpoint's RDD scan — that collapse IS the observable
+    // form of the truncation, and it is also why there's no AQE
+    // isFinalPlan marker to wait for here (planOf would reject these).
+    // Per-round join shapes are equi-joins pinned by the ops' specs.
+    Seq("q225_bfs_hops", "q227_label_prop", "q228_sssp",
+        "q229_landmark_centrality").foreach { name =>
+      val df = q(name)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Scan ExistingRDD"),
+        s"$name lost its lineage truncation:\n${p.take(2000)}")
+    }
+  }
+
   test("posting-join pair generators never plan a cartesian product") {
     // q120/q124/q126 bound their pair space through shared-gram joins
     // (Σ_g df(g)²); a CartesianProduct would mean the |docs|² explosion
