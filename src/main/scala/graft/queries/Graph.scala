@@ -472,6 +472,39 @@ object Graph {
             round((col("m") * col("sjk") - col("sj") * col("sj")).cast("double") /
               (col("m") * col("sjj") - col("sj") * col("sj")).cast("double"), 6)
               .as("assortativity"))
+      }),
+
+    // Incrementally maintained connected components
+    // (streaming.IncrementalComponents): q217's chain graph arrives as
+    // THREE edge batches (split by s mod 3, so each customer's chain
+    // scatters across batches and clusters genuinely merge ACROSS
+    // versions), each batch folding only (previous labels ∪ batch
+    // edges) — the star-contraction argument makes the final version
+    // bit-identical to the one-shot CC, so the q217 closed-form chain
+    // oracle applies verbatim.
+    QueryDef("q233_incremental_cc", Some("""
+      WITH c2 AS (SELECT o_custkey FROM orders GROUP BY 1 HAVING count(*) >= 2),
+      m AS (SELECT o.o_custkey, min(o.o_orderkey) AS mk
+            FROM orders o JOIN c2 USING (o_custkey) GROUP BY 1)
+      SELECT CAST(o.o_orderkey AS BIGINT) AS node,
+             CAST(m.mk AS BIGINT) AS component
+      FROM orders o JOIN m ON o.o_custkey = m.o_custkey"""),
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c").orderBy(col("d"), col("k"))
+        val edges = T(spark, dir, "orders")
+          .select(col("o_custkey").as("c"), col("o_orderkey").as("k"),
+            col("o_orderdate").as("d"))
+          .withColumn("nk", lead(col("k"), 1).over(w))
+          .filter(col("nk").isNotNull)
+          .select(col("k").as("s"), col("nk").as("t"))
+        val store = java.nio.file.Files
+          .createTempDirectory("graft_q233_cc").toString
+        (0L to 2L).foreach { i =>
+          graft.streaming.IncrementalComponents.processBatch(
+            edges.filter(pmod(col("s"), lit(3)) === i), i, store)
+        }
+        spark.read.parquet(s"$store/v=2")
       })
   )
 
