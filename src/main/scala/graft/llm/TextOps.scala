@@ -108,6 +108,30 @@ object TextOps {
         lit(0.2) * least(meanLen / lit(10.0), lit(1.0))
     }
 
+  /** Flesch reading ease (Flesch 1948; the readability axis q28's
+    * lexical ratios don't see — sentence structure and word weight):
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`.
+    * Counts are regex-run integers — words = `\S+` runs, sentences =
+    * `[.!?]+` runs, syllables ≈ `[aeiouy]+` vowel groups of the
+    * lowercased text (the classic approximation; exact syllabification
+    * needs a dictionary) — and the score is a FIXED left-associated
+    * chain of IEEE ops over their ratios, so an external engine
+    * replays it bit-for-bit (q234). Degenerate inputs stay finite:
+    * word and sentence counts floor at 1 inside the formula (raw
+    * counts are the caller's to report), so punctuation-free corpora
+    * score as one long sentence rather than dividing by zero.
+    */
+  def fleschEase(text: Column): Column =
+    graft.engine.functions.let(text) { t =>
+      val w = greatest(lit(1),
+        size(regexp_extract_all(t, lit("\\S+"), lit(0)))).cast("double")
+      val s = greatest(lit(1),
+        size(regexp_extract_all(t, lit("[.!?]+"), lit(0)))).cast("double")
+      val syl = size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+        .cast("double")
+      lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (syl / w)
+    }
+
   /** 128-bit content fingerprint (md5 hex) — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(text)
 

@@ -914,7 +914,36 @@ object Text {
             round(lit(2.0) * coalesce(col("tp"), lit(0L))
               / greatest(coalesce(col("predicted"), lit(0L)) + col("support"), lit(1L)), 6)
               .as("f1"))
-      })
+      }),
+
+    // Flesch reading ease (llm.TextOps.fleschEase) — the readability
+    // axis q28's lexical ratios don't measure: sentence structure and
+    // syllable weight. On this punctuation-free synthetic corpus every
+    // doc scores as one long sentence (the documented floor); the
+    // sentence-splitting path is pinned by the TextOps spec on
+    // punctuated fixtures. Counts are regex-run integers and the score
+    // is a fixed IEEE chain over their ratios — bit-replayable.
+    QueryDef("q234_readability", Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS INTEGER) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS INTEGER) AS n_syllables,
+             round(206.835
+                   - 1.015 * (CAST(greatest(1, len(regexp_extract_all(text, '\S+'))) AS DOUBLE)
+                              / greatest(1, len(regexp_extract_all(text, '[.!?]+'))))
+                   - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+                             / greatest(1, len(regexp_extract_all(text, '\S+')))), 4)
+               AS flesch
+      FROM documents"""),
+      (spark, dir) =>
+        T(spark, dir, "documents").select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .as("n_words"),
+          size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+            .as("n_sentences"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+            .as("n_syllables"),
+          round(TextOps.fleschEase(col("text")), 4).as("flesch")))
   )
 
   /** Ordered float fold over a pre-sorted `__s` array of structs — sum

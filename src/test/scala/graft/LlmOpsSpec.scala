@@ -1062,4 +1062,21 @@ class LlmOpsSpec extends SparkSuite {
     assert(math.abs(jEst - 1.0 / 3) < 5.0 / math.sqrt(k),
       s"sketch Jaccard $jEst too far from ${1.0 / 3}")
   }
+
+  test("TextOps.fleschEase: sentence runs and vowel-group syllables land the hand-computed score; degenerate floors") {
+    import spark.implicits._
+    // "The cat sat. The dog ran!": 6 words, 2 sentence runs, 6 vowel
+    // groups -> 206.835 - 1.015·3 - 84.6·1 = 119.19
+    val out = Seq("The cat sat. The dog ran!", "", "no punctuation here at all")
+      .toDF("text")
+      .select(graft.llm.TextOps.fleschEase(org.apache.spark.sql.functions.col("text"))
+        .as("f"))
+      .collect().map(r => math.rint(r.getDouble(0) * 10000) / 10000)
+    assert(out(0) == 119.19, s"got ${out(0)}")
+    // empty text: both counts floor at 1, zero syllables -> finite
+    assert(out(1) == 205.82, s"got ${out(1)}")
+    // punctuation-free: the whole text is one sentence (w/s = word
+    // count), which must read strictly harder than the punctuated text
+    assert(out(2) < out(0), s"one-long-sentence text should score harder: $out")
+  }
 }
