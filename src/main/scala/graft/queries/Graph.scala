@@ -505,6 +505,74 @@ object Graph {
             edges.filter(pmod(col("s"), lit(3)) === i), i, store)
         }
         spark.read.parquet(s"$store/v=2")
+      }),
+
+    // Modularity (Newman–Girvan) of the q227 LPA partition — the
+    // standard "is this community structure real?" score: Q = Σ_c
+    // (in_c/2m − (d_c/2m)²), computed in the exact-fraction form
+    // Q = (m₂·Σin_c − Σd_c²)/m₂² over the symmetrized directed-edge
+    // count m₂ = 2m, so every sum is long arithmetic and the single
+    // final division replays bit-for-bit. The oracle re-derives the
+    // partition through q227's unrolled CTE chain, then folds the same
+    // integer sums.
+    QueryDef("q235_modularity", Some {
+      val rounds = (1 to LpaRounds).map { i =>
+        s"""cnt$i AS MATERIALIZED (
+          SELECT e.a AS node, l.label, count(*) AS c
+          FROM e JOIN l${i - 1} l ON e.b = l.node GROUP BY 1, 2),
+      b$i AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM cnt$i) WHERE rn = 1),
+      l$i AS MATERIALIZED (
+          SELECT l.node, coalesce(b.label, l.label) AS label
+          FROM l${i - 1} l LEFT JOIN b$i b ON l.node = b.node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM e),
+      $rounds,
+      lab AS (SELECT node, label FROM l$LpaRounds),
+      m2 AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+      within AS (SELECT CAST(count(*) AS BIGINT) AS w
+                 FROM e JOIN lab la ON e.a = la.node
+                        JOIN lab lb ON e.b = lb.node
+                 WHERE la.label = lb.label),
+      dc AS (SELECT la.label, CAST(count(*) AS BIGINT) AS d
+             FROM e JOIN lab la ON e.a = la.node GROUP BY 1),
+      sq AS (SELECT CAST(sum(d * d) AS BIGINT) AS s2,
+                    CAST(count(*) AS BIGINT) AS n_comm FROM dc)
+      SELECT n_comm AS n_communities, m2.m AS m_directed,
+             round(CAST(m2.m * within.w - sq.s2 AS DOUBLE) /
+                   CAST(m2.m * m2.m AS DOUBLE), 6) AS modularity
+      FROM m2 CROSS JOIN within CROSS JOIN sq"""
+    },
+      (spark, dir) => {
+        val e0 = coEdges(spark, dir)
+        val e = e0.select(col("pa").as("a"), col("pb").as("b"))
+          .unionByName(e0.select(col("pb").as("a"), col("pa").as("b")))
+        val lab = graft.ops.LabelProp.communities(e0, "pa", "pb",
+          rounds = LpaRounds)
+        val labeled = e
+          .join(lab.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+          .join(lab.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+        val m2 = labeled.agg(count(lit(1)).as("m"))
+        val within = labeled.filter(col("la") === col("lb"))
+          .agg(count(lit(1)).as("w"))
+        val sq = labeled.groupBy("la").agg(count(lit(1)).as("d"))
+          .agg(sum(col("d") * col("d")).as("s2"),
+            count(lit(1)).as("n_comm"))
+        m2.crossJoin(within).crossJoin(sq)
+          .select(col("n_comm").as("n_communities"),
+            col("m").as("m_directed"),
+            round((col("m") * col("w") - col("s2")).cast("double") /
+              (col("m") * col("m")).cast("double"), 6).as("modularity"))
       })
   )
 
