@@ -77,6 +77,11 @@ object Graph {
     */
   val LandmarkHops = 3
 
+  /** q236 Luby rounds — 4 decides most of the co-occurrence graph and
+    * leaves a genuinely-undecided remainder for the status contract.
+    */
+  val MisRounds = 4
+
   val defs: Seq[QueryDef] = Seq(
 
     // Weighted PageRank over the nation-level trade graph (edge weight =
@@ -573,7 +578,59 @@ object Graph {
             col("m").as("m_directed"),
             round((col("m") * col("w") - col("s2")).cast("double") /
               (col("m") * col("m")).cast("double"), 6).as("modularity"))
-      })
+      }),
+
+    // Maximal independent set (ops.Mis — Luby's algorithm with the
+    // engine's md5 hash priorities instead of coin flips, so the
+    // O(log n) symmetry-breaking is bit-reproducible and the oracle
+    // replays every round: winners = undecided nodes beating all
+    // undecided neighbors on (priority, id), their neighbors drop
+    // out). 4 fixed rounds; nodes still undecided surface as such.
+    QueryDef("q236_luby_mis", Some {
+      val rounds = (1 to MisRounds).map { i =>
+        s"""c$i AS MATERIALIZED (
+          SELECT u.node FROM u${i - 1} u
+          WHERE NOT EXISTS (
+            SELECT 1 FROM e JOIN u${i - 1} w ON e.b = w.node
+            WHERE e.a = u.node
+              AND (w.pr > u.pr OR (w.pr = u.pr AND w.node > u.node)))),
+      k$i AS MATERIALIZED (
+          SELECT u.node FROM u${i - 1} u
+          WHERE u.node NOT IN (SELECT node FROM c$i)
+            AND EXISTS (SELECT 1 FROM e JOIN c$i c ON e.b = c.node
+                        WHERE e.a = u.node)),
+      u$i AS MATERIALIZED (
+          SELECT node, pr FROM u${i - 1}
+          WHERE node NOT IN (SELECT node FROM c$i)
+            AND node NOT IN (SELECT node FROM k$i))"""
+      }.mkString(",\n      ")
+      val ins = (1 to MisRounds).map(i => s"SELECT node FROM c$i")
+        .mkString(" UNION ALL ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      nodes AS (SELECT DISTINCT a AS node FROM e),
+      u0 AS MATERIALIZED (
+        SELECT node,
+               ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000003 + 1 AS pr
+        FROM nodes),
+      $rounds,
+      ins AS ($ins)
+      SELECT CAST(n.node AS BIGINT) AS node,
+             CASE WHEN i.node IS NOT NULL THEN 'in'
+                  WHEN ur.node IS NOT NULL THEN 'undecided'
+                  ELSE 'out' END AS status
+      FROM nodes n
+      LEFT JOIN ins i ON n.node = i.node
+      LEFT JOIN u$MisRounds ur ON n.node = ur.node"""
+    },
+      (spark, dir) =>
+        graft.ops.Mis.luby(coEdges(spark, dir), "pa", "pb", rounds = MisRounds)
+          .select(col("node").cast("long").as("node"), col("status")))
   )
 
   private def pprSql: String = {

@@ -565,6 +565,35 @@ class OpsSpec extends SparkSuite {
     assert(out(("B", 4L)) == ((9L, 5L, 0L)))
   }
 
+  test("Mis.luby: independent every round, maximal at convergence, bit-deterministic, partial rounds honest") {
+    import spark.implicits._
+    // 20-node lattice: path edges + skip-5 chords
+    val epairs = (1L to 19L).map(i => (i, i + 1)) ++ (1L to 15L).map(i => (i, i + 5))
+    val edges = epairs.toDF("s", "t")
+    def run(r: Int) = graft.ops.Mis.luby(edges, "s", "t", rounds = r)
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    val out = run(8)
+    assert(out.size == 20 && !out.values.exists(_ == "undecided"),
+      s"unconverged at 8 rounds: $out")
+    val inSet = out.collect { case (n, "in") => n }.toSet
+    // independence: no edge joins two members
+    assert(!epairs.exists { case (a, b) => inSet(a) && inSet(b) },
+      s"adjacent members: $inSet")
+    // maximality: every excluded node has a member neighbor
+    val nbrs = epairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    out.collect { case (n, "out") => n }.foreach { n =>
+      assert(nbrs(n).exists(inSet), s"node $n excluded with no member neighbor")
+    }
+    // hash priorities, not coin flips: a re-run is bit-identical
+    assert(run(8) == out)
+    // a partial run reports undecided nodes instead of dropping them,
+    // and members are monotone: a round-1 winner never un-wins
+    val one = run(1)
+    assert(one.size == 20, s"round-1 output lost nodes: ${one.size}")
+    assert(one.collect { case (n, "in") => n }.toSet.subsetOf(inSet))
+  }
+
   test("Forecast.seasonalNaiveBacktest: perfect season scores zero; gaps drop honestly instead of misaligning") {
     import spark.implicits._
     val perfect = (0L until 72L).map(t => ("a", t, (t % 24) + 1))
