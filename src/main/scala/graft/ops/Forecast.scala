@@ -45,4 +45,65 @@ object Forecast {
         round(avg(abs(col("__p") - col("__v")) / col("__v")), 6).as("mape"),
         round(avg(col("__p") - col("__v")), 6).as("bias"))
   }
+
+  /** Per-key backtest of Holt double exponential smoothing (Holt 1957 —
+    * level + additive trend, the first forecaster expected to BEAT
+    * [[seasonalNaiveBacktest]]'s floor): one-step-ahead forecast
+    * f_t = l + b, then l' = α·y_t + (1−α)(l+b),
+    * b' = β(l'−l) + (1−β)b, scored by mean absolute error over the
+    * key's time-ordered observations (l₀ = y₀, b₀ = 0).
+    *
+    * The recurrence is inherently sequential PER KEY, so it runs as
+    * the engine's ordered-fold shape (the q123/q221 discipline): sort
+    * the key's observations into an array, fold once left-to-right —
+    * a FIXED float-op chain an external engine replays bit-for-bit
+    * via `list_reduce(list(... ORDER BY t), ...)` (q237). Parallelism
+    * is across keys; a key's history must fit one row (~720 hourly
+    * points ≈ 12 KB — at 100 TB, window the history or keep (l, b)
+    * in a streaming state store instead).
+    *
+    * Gap-blind by design: observations fold in time order whether or
+    * not periods are contiguous — this evaluates the SMOOTHER;
+    * gap-filling is q78's job, upstream.
+    *
+    * @return (keys…, n_obs, mae, level, trend) — mae over the n−1
+    *         one-step forecasts, final state rounded to 6
+    */
+  def holtBacktest(series: DataFrame, keys: Seq[String],
+                   tCol: String, vCol: String,
+                   alpha: Double, beta: Double): DataFrame = {
+    require(0 < alpha && alpha < 1 && 0 < beta && beta < 1,
+      s"need 0 < alpha, beta < 1, got ($alpha, $beta)")
+    val sorted = series
+      .select(keys.map(col) :+
+        struct(col(tCol).as("t"), col(vCol).cast("double").as("y")).as("__e"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_list(col("__e"))).as("__s"),
+        count(lit(1)).as("n_obs"))
+    val init = struct(
+      element_at(col("__s"), 1).getField("y").as("l"),
+      lit(0.0).as("b"), lit(0.0).as("sae"), lit(0.0).as("n"))
+    val folded = aggregate(
+      expr("slice(__s, 2, size(__s) - 1)"), init,
+      (acc, x) => {
+        // the duplicated l' subexpression in b' is deliberate: the
+        // oracle's lambda writes the same text twice, and identical
+        // pure float expressions yield identical doubles
+        val l = acc.getField("l"); val b = acc.getField("b")
+        val y = x.getField("y")
+        val nl = lit(alpha) * y + lit(1.0 - alpha) * (l + b)
+        struct(
+          nl.as("l"),
+          (lit(beta) * (nl - l) + lit(1.0 - beta) * b).as("b"),
+          (acc.getField("sae") + abs(y - (l + b))).as("sae"),
+          (acc.getField("n") + lit(1.0)).as("n"))
+      })
+    sorted.select(
+      keys.map(col) :+ col("n_obs") :+ folded.as("__st"): _*)
+      .select(keys.map(col) :+ col("n_obs") :+
+        round(col("__st").getField("sae") /
+          greatest(col("__st").getField("n"), lit(1.0)), 6).as("mae") :+
+        round(col("__st").getField("l"), 6).as("level") :+
+        round(col("__st").getField("b"), 6).as("trend"): _*)
+  }
 }

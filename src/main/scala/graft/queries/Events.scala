@@ -8,6 +8,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Events {
 
+  /** q237 smoothing constants — α binary-exact, β deliberately not
+    * (exercises the roundtrip-interpolation discipline). Declared
+    * BEFORE `defs`: the oracle SQL interpolates them eagerly at object
+    * init, and a forward reference would silently read 0.0.
+    */
+  val HoltAlpha = 0.5
+  val HoltBeta = 0.3
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tumbling 1-hour windows, batch formulation.
@@ -621,6 +629,57 @@ object Events {
               .cast("long").as("t"))
           .agg(count(lit(1)).as("n"))
         graft.ops.Robust.madOutliers(h, "event_type", "t", "n", k = 3)
+      }),
+
+    // Holt double-exponential-smoothing backtest (ops.Forecast — level
+    // + additive trend), the first forecaster expected to beat q224's
+    // seasonal-naive floor on trending series. The per-key recurrence
+    // runs as the ordered-fold shape (q123/q221 discipline); the
+    // oracle replays the identical float chain as a RECURSIVE CTE over
+    // the row-numbered series — NOT list_reduce: DuckDB 1.0's
+    // list_reduce mis-evaluates multi-field struct accumulators whose
+    // later fields read acc (probe: (a := acc.a*10 + x.a,
+    // b := acc.b + acc.a) over [(1,100),(2,_),(3,_)] returns b = 224,
+    // not 113 — scalar folds like q123's are unaffected). Smoothing
+    // constants interpolate from the SAME Scala doubles on both sides
+    // (shortest-roundtrip printing), so 1−β computed in Scala can
+    // never mismatch a hand-typed SQL literal by one ulp.
+    QueryDef("q237_holt_backtest", Some {
+      val (a, a1, b, b1) = (HoltAlpha, 1.0 - HoltAlpha, HoltBeta, 1.0 - HoltBeta)
+      s"""
+      WITH RECURSIVE h AS (
+        SELECT event_type,
+               datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                        date_trunc('hour', ts)) AS t,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, CAST(n AS DOUBLE) AS y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY t) AS i
+            FROM h),
+      cnt AS (SELECT event_type, count(*) AS n_obs FROM r GROUP BY 1),
+      st AS (
+        SELECT event_type, i, y AS l, 0.0::DOUBLE AS b, 0.0::DOUBLE AS sae
+        FROM r WHERE i = 1
+        UNION ALL
+        SELECT st.event_type, r.i,
+               $a::DOUBLE * r.y + $a1::DOUBLE * (st.l + st.b),
+               $b::DOUBLE * (($a::DOUBLE * r.y + $a1::DOUBLE * (st.l + st.b))
+                 - st.l) + $b1::DOUBLE * st.b,
+               st.sae + abs(r.y - (st.l + st.b))
+        FROM st JOIN r ON r.event_type = st.event_type AND r.i = st.i + 1)
+      SELECT st.event_type, CAST(cnt.n_obs AS BIGINT) AS n_obs,
+             round(st.sae / greatest(CAST(cnt.n_obs - 1 AS DOUBLE), 1.0::DOUBLE), 6) AS mae,
+             round(st.l, 6) AS level, round(st.b, 6) AS trend
+      FROM st JOIN cnt ON st.event_type = cnt.event_type AND st.i = cnt.n_obs"""
+    },
+      (spark, dir) => {
+        val h = T(spark, dir, "events")
+          .groupBy(col("event_type"),
+            (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+              .cast("long").as("t"))
+          .agg(count(lit(1)).as("n"))
+        graft.ops.Forecast.holtBacktest(h, Seq("event_type"), "t", "n",
+          HoltAlpha, HoltBeta)
       })
   )
 }

@@ -594,6 +594,21 @@ class OpsSpec extends SparkSuite {
     assert(one.collect { case (n, "in") => n }.toSet.subsetOf(inSet))
   }
 
+  test("Forecast.holtBacktest: hand-traced level/trend on a linear ramp; singleton key scores zero") {
+    import spark.implicits._
+    // y = 10,12,14,16 at alpha = beta = 0.5 (all state binary-exact):
+    // l: 10 -> 11 -> 12.75 -> 14.9375; b: 0 -> 0.5 -> 1.125 -> 1.65625
+    // one-step errors 2, 2.5, 2.125 -> mae = 6.625/3
+    val df = Seq(("a", 0L, 10L), ("a", 1L, 12L), ("a", 2L, 14L),
+      ("a", 3L, 16L), ("b", 0L, 7L)).toDF("k", "t", "v")
+    val out = graft.ops.Forecast.holtBacktest(df, Seq("k"), "t", "v", 0.5, 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("a") == ((4L, 2.208333, 14.9375, 1.65625)), s"got ${out("a")}")
+    // a single observation: no forecast to score, state = (y0, 0)
+    assert(out("b") == ((1L, 0.0, 7.0, 0.0)), s"got ${out("b")}")
+  }
+
   test("Forecast.seasonalNaiveBacktest: perfect season scores zero; gaps drop honestly instead of misaligning") {
     import spark.implicits._
     val perfect = (0L until 72L).map(t => ("a", t, (t % 24) + 1))
