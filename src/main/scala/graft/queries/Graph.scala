@@ -82,6 +82,11 @@ object Graph {
     */
   val MisRounds = 4
 
+  /** q238 walk length — skip-gram windows rarely need more; isolated
+    * seeds surface at step 0 only (the q225 isolated-seed contract).
+    */
+  val WalkSteps = 3
+
   val defs: Seq[QueryDef] = Seq(
 
     // Weighted PageRank over the nation-level trade graph (edge weight =
@@ -630,7 +635,53 @@ object Graph {
     },
       (spark, dir) =>
         graft.ops.Mis.luby(coEdges(spark, dir), "pa", "pb", rounds = MisRounds)
-          .select(col("node").cast("long").as("node"), col("status")))
+          .select(col("node").cast("long").as("node"), col("status"))),
+
+    // Random-walk corpus (ops.RandomWalk — the DeepWalk/node2vec
+    // training-sequence generator) from the q225 seed parts: 3
+    // hash-derandomized uniform hops over the co-occurrence graph.
+    // Hop i of walker w at node v takes neighbor index
+    // hash(w|i|v) mod deg(v) of the id-ordered adjacency — a pure
+    // function of the data, so the oracle replays every hop with the
+    // same md5 fold (the Scd2/hashRank parity precedent).
+    QueryDef("q238_random_walks", Some {
+      val hops = (1 to WalkSteps).map { i =>
+        s"""w$i AS MATERIALIZED (
+          SELECT w.walker, a.b AS node
+          FROM w${i - 1} w JOIN adj a ON a.a = w.node
+           AND a.idx = ('0x' || substr(md5(CAST(w.walker AS VARCHAR)
+                          || '|$i|' || CAST(w.node AS VARCHAR)), 1, 15))::BIGINT
+                        % 1000003 % a.deg + 1)"""
+      }.mkString(",\n      ")
+      val union = (0 to WalkSteps).map { i =>
+        s"""SELECT CAST(walker AS BIGINT) AS walker, CAST($i AS INTEGER) AS step,
+               CAST(node AS BIGINT) AS node FROM w$i"""
+      }.mkString("\n      UNION ALL\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      adj AS MATERIALIZED (
+        SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) AS idx,
+               count(*) OVER (PARTITION BY a) AS deg FROM e),
+      seeds AS (SELECT DISTINCT p_partkey AS node FROM part
+                WHERE p_partkey % 97 = 0),
+      w0 AS MATERIALIZED (
+        SELECT node AS walker, node FROM seeds),
+      $hops
+      $union"""
+    },
+      (spark, dir) => {
+        val seeds = T(spark, dir, "part")
+          .filter(col("p_partkey") % 97 === 0)
+          .select(col("p_partkey").as("seed"))
+        graft.ops.RandomWalk.walks(coEdges(spark, dir), "pa", "pb",
+            seeds, "seed", steps = WalkSteps)
+          .select(col("walker").cast("long").as("walker"), col("step"),
+            col("node").cast("long").as("node"))
+      })
   )
 
   private def pprSql: String = {

@@ -594,6 +594,27 @@ class OpsSpec extends SparkSuite {
     assert(one.collect { case (n, "in") => n }.toSet.subsetOf(inSet))
   }
 
+  test("RandomWalk.walks: every hop follows an edge, walks run full length, and hash seeding makes re-runs identical") {
+    import spark.implicits._
+    // 5-cycle: every node has degree 2, no dead ends
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+    val edges = ring.toDF("s", "t")
+    val seeds = Seq(1L, 3L).toDF("seed")
+    def run() = graft.ops.RandomWalk.walks(edges, "s", "t", seeds, "seed", steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val out = run()
+    // 2 walkers × steps 0..3, none lost
+    assert(out.size == 8, s"expected 8 (walker, step) rows, got ${out.size}")
+    assert(out((1L, 0)) == 1L && out((3L, 0)) == 3L)
+    // every consecutive pair is a real (symmetrized) edge
+    val adj = ring.flatMap { case (a, b) => Seq(a -> b, b -> a) }.toSet
+    for (w <- Seq(1L, 3L); i <- 0 to 2)
+      assert(adj(out((w, i)) -> out((w, i + 1))),
+        s"walker $w hopped ${out((w, i))} -> ${out((w, i + 1))}, not an edge")
+    // derandomized: a second run is bit-identical
+    assert(run() == out)
+  }
+
   test("Forecast.holtBacktest: hand-traced level/trend on a linear ramp; singleton key scores zero") {
     import spark.implicits._
     // y = 10,12,14,16 at alpha = beta = 0.5 (all state binary-exact):
