@@ -42,10 +42,16 @@ object Bfs {
                 undirected: Boolean = true): DataFrame = {
     require(maxHops >= 0, s"maxHops must be non-negative, got $maxHops")
     val fwd = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+    // Lazy checkpoint, not cache(): the loop is one lazy plan referencing
+    // e once per round, and no action runs before return — a cache()
+    // paired with a pre-return unpersist would never serve a single job
+    // and every round would rebuild the edge projection. The checkpoint
+    // materializes once at the caller's first action and feeds all
+    // rounds; release it via GraftSession.withQueryCaches.
     val e =
       (if (undirected)
          fwd.unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
-       else fwd).cache()
+       else fwd).localCheckpoint(eager = false)
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hops", lit(0))
     var frontier = dist.select("node")
@@ -58,7 +64,6 @@ object Bfs {
         .localCheckpoint(eager = false)
       frontier = next
     }
-    e.unpersist(blocking = false)
     dist.withColumn("hops", col("hops").cast("int"))
   }
 }

@@ -98,14 +98,23 @@ object ConnectedComponents {
       // are discarded — the wasted rounds are bounded by the switch
       // constant, and restarting keeps both algorithms independently
       // correct instead of entangling their invariants).
+      // Budget decoupled from the propagation cap: the star alternation
+      // needs O(log² n) rounds — a caller tuning maxIter for SHALLOW
+      // propagation (barely above the switch) must not starve it.
       sym.unpersist()
-      return alternatingStar(edges, srcCol, dstCol, maxIter = maxIter)
+      return alternatingStar(edges, srcCol, dstCol,
+        maxIter = math.max(maxIter, 50))
     }
-    // labels stays materialized (it is the returned frame); sym's rounds
-    // are done — dropping it here is what keeps k successive components()
-    // calls from accumulating k edge caches in executor storage.
+    // Materialize the final labels EAGERLY while sym is still cached:
+    // the loop's per-round sum actions were only convergence probes, so
+    // without this the returned frame would replay every non-checkpointed
+    // round — against a by-then-unpersisted sym — at the caller's first
+    // action. One cheap job here (≤ 5 rounds from the last checkpoint,
+    // edge cache hot) buys a Scan-ExistingRDD return plan; released by
+    // GraftSession.withQueryCaches.
+    val out = labels.localCheckpoint()
     sym.unpersist()
-    labels
+    out
   }
 
   /** Large-star/small-star connected components (Kiveris et al., MR'14
@@ -142,9 +151,12 @@ object ConnectedComponents {
     var e = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // Referenced exactly once (the closing left join) — caching it would
+    // never serve a second consumer, and the previous cache()+unpersist
+    // pair released it before the caller's action ever ran anyway.
     val nodes = edges.select(col(srcCol).cast("long").as("node"))
       .union(edges.select(col(dstCol).cast("long").as("node")))
-      .distinct().cache()
+      .distinct()
 
     // Each star op needs, per node u, BOTH the neighborhood min and the
     // per-neighbor emission — a whole-partition window aggregate
@@ -195,16 +207,27 @@ object ConnectedComponents {
       i += 1
     }
     lastAlternations.set(i)
+    // A budget exhaustion means the edge set is NOT a star: mapping
+    // nodes through it would hand back component ids that are not the
+    // reachable minimum — silently wrong labels. The witness triple is
+    // only a fixpoint certificate when it repeats, so refuse to guess.
+    // (Kiveris et al. prove O(log² n) rounds; 50 is far above any real
+    // graph — hitting this means the input, not the budget, is wrong.)
+    require(converged, s"alternatingStar did not reach its edge-set " +
+      s"fixpoint within maxIter=$maxIter rounds; the contracted edges " +
+      "are not yet a star and per-node labels would be incorrect. " +
+      "Raise maxIter (rounds needed are O(log² n)).")
     // fixpoint edge set = the star (child, root) with root = child's
     // component min; roots (and edge-touching nodes whose component is
-    // themselves) re-enter via the left join
+    // themselves) re-enter via the left join. groupBy-min rather than
+    // distinct (same single exchange) so the one-label-per-node output
+    // contract is structural, not an artifact of star-ness.
     val star = e.select(greatest(col("a"), col("b")).as("node"),
-      least(col("a"), col("b")).as("component")).distinct()
-    val out = nodes.join(star, Seq("node"), "left")
+      least(col("a"), col("b")).as("component"))
+      .groupBy("node").agg(min(col("component")).as("component"))
+    nodes.join(star, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("component"), col("node")).as("component"))
-    nodes.unpersist(blocking = false)
-    out
   }
 
   /** Exact union-find over a collected edge list (union-by-min keeps the

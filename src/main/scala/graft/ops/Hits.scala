@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * Each half-iteration is one hash join (edges × current scores) +
   * one aggregation, both shuffling only (node, score) slivers keyed
   * by node — the PageRank scale shape verbatim; the edge frame is
-  * cached once. Normalization is 1-norm (scores sum to 1 per side):
+  * checkpointed once and serves every half-step. Normalization is 1-norm (scores sum to 1 per side):
   * unlike the classic 2-norm it needs no sqrt and keeps the oracle
   * arithmetic plain SQL, and since normalization is only a shared
   * scale factor the RANKING is identical. The per-side total lands
@@ -53,8 +53,13 @@ object Hits {
                 weightCol: String, iters: Int,
                 exactRounding: Boolean = true): DataFrame = {
     require(iters >= 1, s"iters must be at least 1, got $iters")
+    // Lazy checkpoint, not cache(): the whole run is one lazy plan with
+    // no action before return, so a cache unpersisted before return
+    // would never serve a job and all 2·iters half-step joins would
+    // rebuild the edge projection. The checkpoint materializes once at
+    // the caller's first action; withQueryCaches releases it.
     val e = edges.select(col(hubCol).as("__c"), col(authCol).as("__s"),
-      col(weightCol).cast("double").as("__w")).cache()
+      col(weightCol).cast("double").as("__w")).localCheckpoint(eager = false)
     val hubs = e.select(col("__c").as("node")).distinct()
     var h = hubs.crossJoin(broadcast(hubs.agg(count(lit(1)).as("__n"))))
       .select(col("node"), (lit(1.0) / col("__n")).as("score"))
@@ -91,7 +96,6 @@ object Hits {
       if (exactRounding) (h, a)
       else (normalized(h.select(col("node"), col("score").as("__raw")), 10),
             normalized(a.select(col("node"), col("score").as("__raw")), 10))
-    e.unpersist(blocking = false)
     hOut.select(lit("hub").as("kind"), col("node"), col("score"))
       .unionByName(aOut.select(lit("auth").as("kind"), col("node"), col("score")))
   }

@@ -45,10 +45,14 @@ object LabelProp {
                   rounds: Int, undirected: Boolean = true): DataFrame = {
     require(rounds >= 0, s"rounds must be non-negative, got $rounds")
     val fwd = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+    // Lazy checkpoint, not cache() (the Bfs note): no action runs before
+    // return, so a cache released pre-return would never serve; the
+    // checkpoint materializes at the caller's first action and feeds
+    // every round's join. Released by GraftSession.withQueryCaches.
     val e =
       (if (undirected)
          fwd.unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
-       else fwd).cache()
+       else fwd).localCheckpoint(eager = false)
     val nodes =
       (if (undirected) e.select(col("__a").as("node"))
        else e.select(col("__a").as("node"))
@@ -72,7 +76,6 @@ object LabelProp {
         .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
         .localCheckpoint(eager = false)
     }
-    e.unpersist(blocking = false)
     lab
   }
 }

@@ -43,7 +43,9 @@ object Landmarks {
     val e =
       (if (undirected)
          fwd.unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
-       else fwd).cache()
+       else fwd).localCheckpoint(eager = false) // serves every hop's
+    // frontier join at the caller's first action (the Bfs note: a cache
+    // unpersisted before return never serves); withQueryCaches releases
     var dist = landmarks.select(col(landmarkCol).as("landmark")).distinct()
       .select(col("landmark").as("node"), col("landmark"))
       .withColumn("hops", lit(0))
@@ -57,7 +59,6 @@ object Landmarks {
         .localCheckpoint(eager = false)
       frontier = next
     }
-    e.unpersist(blocking = false)
     dist.withColumn("hops", col("hops").cast("int"))
   }
 

@@ -37,9 +37,12 @@ object Mis {
   def luby(edges: DataFrame, srcCol: String, dstCol: String,
            rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be at least 1, got $rounds")
+    // Lazy checkpoint, not cache() (the Bfs note): the whole run is one
+    // lazy plan, so a cache unpersisted before return never serves and
+    // each of the 2·rounds edge joins would rebuild the symmetrization.
     val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
-      .cache()
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("__a").as("node")).distinct()
       .localCheckpoint(eager = false)
     var u = nodes.withColumn("pr", Sampling.hashRank(col("node")))
@@ -74,7 +77,6 @@ object Mis {
         .join(kill, Seq("node"), "left_anti")
         .localCheckpoint(eager = false)
     }
-    e.unpersist(blocking = false)
     ins.select(col("node"), lit("in").as("status"))
       .unionByName(u.select(col("node"), lit("undecided").as("status")))
       .unionByName(nodes

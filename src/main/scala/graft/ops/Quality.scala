@@ -99,24 +99,59 @@ object Quality {
     * exactly like publishing twice, and the determinism means this is
     * a protocol decision, not an accident of RNG state.
     *
+    * THE SEED IS PART OF THE PRIVACY BARRIER. Because the noise is a
+    * pure function of (seed, group), any release consumer who learns
+    * the seed can subtract the exact noise and recover exact counts —
+    * the ε-DP guarantee holds only against consumers who never see the
+    * seed (treat it like a key: generate per release, store with the
+    * raw data's access controls, never alongside the release). True
+    * randomness would make noise unrecoverable but also unreproducible
+    * and un-oracle-able; this engine chooses replayability and states
+    * the resulting trust boundary.
+    *
+    * GROUP PRESENCE IS ITSELF A SECRET when the group domain is not
+    * public: with `domain = None` only non-empty groups are emitted,
+    * so a group's appearance in the release reveals ≥ 1 row existed —
+    * a direct, un-noised disclosure if that group could be one person.
+    * Pass `domain` (the PUBLIC list of releasable group keys, e.g. the
+    * fixed label vocabulary or region list) and every domain group is
+    * released with noise whether empty or not, closing the presence
+    * channel; groups outside the domain are dropped (they were not
+    * releasable anyway).
+    *
     * One hash shuffle on the group keys (partial-aggregated counts);
     * the noise is a per-GROUP projection after aggregation — zero
-    * extra exchange, vocabulary-scale rows.
+    * extra exchange, vocabulary-scale rows. The domain join is a
+    * broadcast (domains are vocabulary-sized by construction).
     *
+    * @param domain optional PUBLIC group domain: a frame with exactly
+    *        `groupCols`; when set, the release has one row per domain
+    *        key (empty groups get noise around 0) and is restricted to
+    *        the domain
     * @return group keys + `noisy_count` (rounded to 6; may be negative
     *         or fractional — the unbiased raw release; clamp/round
     *         downstream if the consumer needs integers)
     */
   def dpGroupCounts(df: DataFrame, groupCols: Seq[String], epsilon: Double,
-                    seed: Long): DataFrame = {
+                    seed: Long, domain: Option[DataFrame] = None): DataFrame = {
     require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    domain.foreach { d =>
+      require(d.columns.toSeq == groupCols,
+        s"domain columns ${d.columns.toSeq} must equal groupCols $groupCols")
+    }
     val key = concat_ws("|", lit(seed.toString) +: groupCols.map(c => col(c).cast("string")): _*)
     val u = Sampling.hashUniform(key)
     val noise = -(lit(1.0) / epsilon) * signum(u - 0.5) *
       log(lit(1.0) - lit(2.0) * abs(u - 0.5))
-    df.groupBy(groupCols.map(col): _*)
+    val counts = df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
-      .select(groupCols.map(col) :+
-        round(col("__n") + noise, 6).as("noisy_count"): _*)
+    val based = domain match {
+      case None => counts
+      case Some(d) => broadcast(d.distinct())
+        .join(counts, groupCols, "left")
+        .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    }
+    based.select(groupCols.map(col) :+
+      round(col("__n") + noise, 6).as("noisy_count"): _*)
   }
 }

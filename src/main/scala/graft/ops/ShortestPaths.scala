@@ -49,7 +49,9 @@ object ShortestPaths {
       (if (undirected)
          fwd.unionByName(edges.select(col(dstCol).as("__a"),
            col(srcCol).as("__b"), col(weightCol).cast("long").as("__w")))
-       else fwd).cache()
+       else fwd).localCheckpoint(eager = false) // serves every round's
+    // relax join at the caller's first action (the Bfs note: a cache
+    // unpersisted before return never serves); withQueryCaches releases
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("dist", lit(0L))
     for (_ <- 1 to rounds) {
@@ -62,7 +64,6 @@ object ShortestPaths {
         .groupBy("node").agg(min(col("dist")).as("dist"))
         .localCheckpoint(eager = false)
     }
-    e.unpersist(blocking = false)
     dist
   }
 }

@@ -67,7 +67,19 @@ object SkewProfile {
   def hubIds(df: DataFrame, groupCol: String, hubThreshold: Int): Seq[Any] = {
     val key = fingerprint(df) + "|g=" + groupCol + "|t=" + hubThreshold
     if (cache.size > MaxEntries) cache.clear()
-    cache.computeIfAbsent(key, _ => compute(df, groupCol, hubThreshold))
+    // NOT computeIfAbsent: compute() runs a full Spark job, and
+    // computeIfAbsent would hold the map's bin lock for its whole
+    // duration, serializing unrelated callers that hash to the same
+    // bin. get → compute → putIfAbsent tolerates the rare duplicate
+    // pass (profiles are pure; first writer wins) and never blocks
+    // anyone on a collect.
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else {
+      val computed = compute(df, groupCol, hubThreshold)
+      val prev = cache.putIfAbsent(key, computed)
+      if (prev != null) prev else computed
+    }
   }
 
   /** Drop every cached profile (tests; in-process file mutation). */
@@ -104,6 +116,14 @@ object SkewProfile {
       case l: LocalRelation => "local:" + l.hashCode
       case other => other.nodeName + ":" + other.hashCode
     }
-    plan.treeString + "|" + leaves.mkString(";")
+    // Untruncated tree: the no-arg treeString elides node fields past
+    // spark.sql.debug.maxToStringFields (default 25), so two distinct
+    // wide projections of one file could alias a profile — harmless for
+    // routing (output is path-identical) but it could aim the MaxHubs
+    // fail-fast at the wrong relation. maxFields = MaxValue keys on the
+    // full canonical structure.
+    plan.treeString(verbose = true, addSuffix = false,
+      maxFields = Int.MaxValue, printOperatorId = false) +
+      "|" + leaves.mkString(";")
   }
 }

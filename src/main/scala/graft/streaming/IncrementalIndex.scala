@@ -128,12 +128,16 @@ object IncrementalIndex {
         col("__idf") * (col("tf") * lit(k1 + 1.0)) / (col("tf") + col("__norm")))
       // term-ordered sum via pivot: one contribution per (doc, term),
       // folded left in the caller's term order — bit-identical to the
-      // batch scorer's fixed column-order addition
+      // batch scorer's fixed column-order addition. Pivot values carry
+      // a reserved "__t_" prefix: a raw term literally equal to
+      // "doc_id" or "dl" would otherwise duplicate a groupBy column
+      // name and break resolution of the summed columns below.
       .groupBy("doc_id", "dl")
-      .pivot("term", terms.distinct.map(t => t: Any))
+      .pivot(concat(lit("__t_"), col("term")),
+        terms.distinct.map(t => ("__t_" + t): Any))
       .agg(first(col("__c")))
     val total = terms.distinct
-      .map(t => coalesce(col(s"`$t`"), lit(0.0)))
+      .map(t => coalesce(col(s"`__t_$t`"), lit(0.0)))
       .reduceLeft(_ + _)
     import org.apache.spark.sql.expressions.Window
     scored.select(col("doc_id"), col("dl"), round(total, 6).as("score"))
