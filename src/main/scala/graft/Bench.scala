@@ -49,6 +49,16 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Two benign WARN families flood stderr across a 237-query run and
+    // scroll real [bench-diag] lines out of the driver's 2000-char
+    // capture window: "RDD N was locally checkpointed" on every
+    // post-query unpersist sweep of an iterative op's checkpoint, and
+    // the block-manager's removal chatter. Silence just those loggers;
+    // everything else stays at WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.storage", org.apache.logging.log4j.Level.ERROR)
 
     // Warm-up (untimed): exercise the parquet reader, shuffle machinery,
     // and the JIT paths the suite leans on (whole-stage codegen compile,
@@ -114,9 +124,14 @@ object Bench {
     // measured 3.74s in-suite vs 1.96s isolated); q214/q215 are the r11
     // media/sequence heavies.
     // q226 is the r12 heavy: 10 edge-sweeps (5 HITS iterations) over the
-    // ~550k-edge customer→supplier graph.
+    // ~550k-edge customer→supplier graph. q217/q233/q235/q236 are the
+    // rest of the r12 graph family (iterative, many short-lived
+    // checkpoint RDDs + broadcasts): BENCH_r12 carried 3 small queries
+    // at 7-9x their isolated mins right after this block of the sorted
+    // order — a pre-run GC ahead of each bounds how much cleaner debt
+    // any neighbor can inherit.
     val heavy = Set("q99", "q101", "q102", "q115", "q120", "q139", "q157",
-      "q159", "q166", "q214", "q215", "q226")
+      "q159", "q166", "q214", "q215", "q217", "q226", "q233", "q235", "q236")
 
     var i = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -77,8 +77,8 @@ object DotProduct {
     * [[dot]]-built plans resolve.
     */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    graft.engine.Registration.once(spark, name)(
+      exprs => DotProduct(exprs.head, exprs(1)))
 
   /** Column API: dot product of two array<double> columns. Requires
     * [[register]] on the owning session (SimSearch does this).

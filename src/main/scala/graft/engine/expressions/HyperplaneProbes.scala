@@ -136,10 +136,10 @@ object HyperplaneProbes {
 
   /** Idempotent session registration (public extension point). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => HyperplaneProbes(exprs.head,
+    graft.engine.Registration.once(spark, name)(
+      exprs => HyperplaneProbes(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
-        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 0), "built-in")
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 0))
 
   /** Column API: base signature + `nProbe` single-bit-flip probes. */
   def probes(emb: Column, nBits: Int, nProbe: Int): Column =

@@ -63,8 +63,8 @@ object JaroWinkler {
 
   /** Register in the session's function registry (idempotent). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
+    graft.engine.Registration.once(spark, name)(
+      exprs => JaroWinkler(exprs.head, exprs(1)))
 
   /** Column API: Jaro-Winkler similarity in [0, 1]. */
   def jaroWinkler(a: Column, b: Column): Column = call_function(name, a, b)

@@ -119,9 +119,9 @@ object KmvDistinct {
 
   /** Idempotent session registration (public extension point). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => KmvDistinct(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
+    graft.engine.Registration.once(spark, name)(
+      exprs => KmvDistinct(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression())
 
   /** The first 60 bits of md5(s) as a non-negative long — computed with
     * codegen'd built-ins, reproducible as

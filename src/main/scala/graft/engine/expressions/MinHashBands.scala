@@ -130,10 +130,10 @@ object MinHashBands {
 
   /** Idempotent session registration (public extension point). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => MinHashBands(exprs.head,
+    graft.engine.Registration.once(spark, name)(
+      exprs => MinHashBands(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]), "built-in")
+        exprs(2).eval().asInstanceOf[Int]))
 
   /** Column API: array of `bands` LSH band signatures, each covering
     * `rowsPerBand` consecutive MinHash values.

@@ -115,10 +115,10 @@ object MinHashSignatures {
 
   /** Idempotent session registration (public extension point). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => MinHashSignatures(exprs.head,
+    graft.engine.Registration.once(spark, name)(
+      exprs => MinHashSignatures(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
-        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 1), "built-in")
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else 1))
 
   /** Column API: array of `k` MinHash hex digests of a string-array column. */
   def minhashes(shingles: Column, k: Int): Column =

@@ -120,9 +120,9 @@ object MisraGries {
 
   /** Idempotent session registration (public extension point). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, exprs => MisraGries(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
+    graft.engine.Registration.once(spark, name)(
+      exprs => MisraGries(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression())
 
   /** Column API: the k-counter sketch of a string column as an aggregate. */
   def sketch(item: Column, k: Int): Column = call_function(name, item, lit(k))

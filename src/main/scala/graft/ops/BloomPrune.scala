@@ -39,16 +39,12 @@ object BloomPrune {
     * subquery (Spark's BloomFilterMightContain constraint).
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      AggName,
+    graft.engine.Registration.once(spark, AggName)(
       exprs => new BloomFilterAggregate(new XxHash64(Seq(exprs.head)),
         org.apache.spark.sql.catalyst.expressions.Cast(exprs(1), org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.catalyst.expressions.Cast(exprs(2), org.apache.spark.sql.types.LongType)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      MightName,
-      exprs => BloomFilterMightContain(exprs.head, new XxHash64(Seq(exprs(1)))),
-      "built-in")
+        org.apache.spark.sql.catalyst.expressions.Cast(exprs(2), org.apache.spark.sql.types.LongType)))
+    graft.engine.Registration.once(spark, MightName)(
+      exprs => BloomFilterMightContain(exprs.head, new XxHash64(Seq(exprs(1)))))
   }
 
   /** Optimal Bloom bit count for `n` items at false-positive rate `fpp`:
