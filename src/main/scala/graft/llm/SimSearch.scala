@@ -362,6 +362,182 @@ object SimSearch {
         .select(col(idCol).as("cent_id"), col("__ne").as("cent_emb")),
       idCol, iters)
 
+  /** KMeans‖ seeding (Bahmani et al., "Scalable K-Means++", VLDB'12
+    * §3.3) over the unit sphere — the distributed, weighted seeding
+    * that replaces id-order seeds at real scale. Id-order seeding
+    * reads the k lowest-id rows: when ids correlate with ingestion
+    * order or cluster membership (they usually do), every seed can
+    * land in ONE dense region and nProbe buckets then tile that region
+    * while the rest of the corpus crowds into few huge buckets — the
+    * recall cliff KMeansParSpec reproduces. KMeans‖ instead samples
+    * each round with probability ∝ d²(x, C) (distance to the current
+    * candidate set), oversampled ℓ = `oversample`·k per round, so far
+    * regions are found with high probability in O(log φ) rounds; the
+    * O(ℓ·rounds) candidates are then weighted by the size of their
+    * Voronoi cell and reduced to k on the driver with weighted
+    * k-means++ + weighted spherical Lloyd.
+    *
+    * Fully DETERMINISTIC (data + seed + params): sampling coins are
+    * [[graft.ops.Sampling.hashUniform]] folds of (seed, round, id) —
+    * pure per-row functions, independent of partitioning — collected
+    * candidates are re-sorted by id before any order-sensitive step,
+    * and the driver reduction draws from an md5 stream keyed
+    * (seed, step). Same discipline as the id-order paths, so runs
+    * reproduce across cluster sizes; unlike them the RESULT depends on
+    * the data distribution, which is the point and also why the
+    * DuckDB-oracled queries keep the id-order twins (the
+    * [[ivfTopKKMeans]] precedent).
+    *
+    * Scale shape: 2 passes over the corpus per round (φ aggregate +
+    * sample filter) and one weighting pass — all map-side against a
+    * broadcast candidate literal (≤ ℓ·rounds + 1 ≈ 150 vectors at the
+    * defaults), no shuffle wider than the candidate collect, driver
+    * state O(candidates·dim). The per-pass cost is |corpus|·|C| dot
+    * products; with bounded |C| that is the same O(n·k·rounds) as the
+    * Lloyd iterations that follow.
+    *
+    * @param c unitized corpus (`idCol`, `__ne`)
+    * @return (cent_id ∈ [0, k), cent_emb) — k unit-normalized seeds,
+    *         ready for [[lloydIterate]] or [[ivfWithCentroids]]
+    */
+  private[graft] def kmeansParRows(c: DataFrame, idCol: String, k: Int,
+                                   rounds: Int = 4, oversample: Double = 2.0,
+                                   seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be at least 1, got $k")
+    require(rounds >= 1, s"rounds must be at least 1, got $rounds")
+    val ell = oversample * k
+    // candidate cap: E[sample] = ℓ per round; 8ℓ per round is far past
+    // any Chernoff tail, so a breach means degenerate inputs (e.g. a
+    // corpus of one repeated vector plus one outlier), not bad luck —
+    // surfaced, never silently truncated
+    val roundCap = math.max(16, (8 * ell).toInt)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5u(tag: String): Double = {
+      val h = md.digest(s"$seed|$tag".getBytes("UTF-8"))
+        .take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      (h >>> 4).toDouble / (1L << 60).toDouble // 60 uniform bits
+    }
+    def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def rowsOf(df: DataFrame): Seq[(String, Array[Double])] =
+      df.collect().toSeq
+        .map(r => (String.valueOf(r.get(0)),
+          r.getSeq[Double](1).toArray))
+        .sortBy(_._1) // collect order is partition order — re-sort
+    // first candidate: deterministic pseudo-random row (hash-min, the
+    // pqTrainBooks spreadSeeds discipline), never id-min — id order is
+    // exactly the bias this seeding exists to escape
+    var cands = rowsOf(c
+      .orderBy(xxhash64(col(idCol).cast("string"), lit(seed)), col(idCol))
+      .limit(1).select(col(idCol).cast("string"), col("__ne")))
+    if (cands.isEmpty) { // empty corpus: empty centroid set, typed
+      val session = c.sparkSession
+      import session.implicits._
+      return Seq.empty[(Long, Seq[Double])].toDF("cent_id", "cent_emb")
+    }
+    for (r <- 1 to rounds) {
+      val candLit = typedLit(cands.map(_._2.toSeq))
+      val bestDot = aggregate(candLit, lit(-2.0),
+        (acc, ce) => greatest(acc, dot(col("__ne"), ce)))
+      // unit vectors: d² = ‖x − c‖² = 2 − 2⟨x, c⟩, clamped at float edge
+      val d2 = greatest(lit(0.0), lit(2.0) - lit(2.0) * bestDot)
+      val phi = c.agg(sum(d2)).head.getDouble(0)
+      if (phi > 0) {
+        val coin = graft.ops.Sampling.hashUniform(
+          concat_ws("|", lit(seed.toString), lit(r.toString), col(idCol).cast("string")))
+        val picked = rowsOf(c
+          .filter(coin < lit(ell) * d2 / lit(phi))
+          .select(col(idCol).cast("string"), col("__ne"))
+          .limit(roundCap + 1))
+        require(picked.size <= roundCap,
+          s"KMeans|| round $r sampled more than $roundCap candidates " +
+            s"(expected ~${ell.toInt}) — degenerate distance mass; inspect the corpus")
+        val seen = cands.map(_._1).toSet
+        cands = cands ++ picked.filterNot(p => seen.contains(p._1))
+      }
+    }
+    // Voronoi weights: corpus points per candidate (one map-side pass)
+    val candIdx = typedLit(cands.indices.map(i => (i.toDouble, cands(i)._2.toSeq)))
+    val weights = scala.collection.mutable.HashMap.empty[Int, Long]
+    c.select(
+        aggregate(candIdx, struct(lit(-2.0).as("s"), lit(-1.0).as("i")),
+          (acc, ce) => {
+            val s = dot(col("__ne"), ce.getField("_2"))
+            when(s > acc.getField("s"),
+              struct(s.as("s"), ce.getField("_1").as("i"))).otherwise(acc)
+          }).getField("i").cast("int").as("__b"))
+      .groupBy("__b").agg(count(lit(1)).as("__w"))
+      .collect().foreach(r => weights(r.getInt(0)) = r.getLong(1))
+    val w = cands.indices.map(i => weights.getOrElse(i, 0L).toDouble).toArray
+    // ---- driver-side weighted k-means++ reduction to k ----
+    val emb = cands.map(_._2).toArray
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def pickWeighted(mass: Array[Double], step: Int): Int = {
+      val total = mass.sum
+      if (total <= 0) // all residual mass zero: fall back to heaviest unchosen
+        mass.indices.filterNot(chosen.contains)
+          .maxBy(i => (w(i), cands(i)._1))
+      else {
+        val u = md5u(s"pick|$step") * total
+        var acc = 0.0; var i = 0
+        while (i < mass.length && acc + mass(i) <= u) { acc += mass(i); i += 1 }
+        math.min(i, mass.length - 1)
+      }
+    }
+    chosen += pickWeighted(w.clone(), 0)
+    while (chosen.size < math.min(k, emb.length)) {
+      val mass = emb.indices.map { i =>
+        if (chosen.contains(i)) 0.0
+        else {
+          val d2 = chosen.map(j => math.max(0.0, 2.0 - 2.0 * dotLocal(emb(i), emb(j)))).min
+          w(i) * d2
+        }
+      }.toArray
+      chosen += pickWeighted(mass, chosen.size)
+    }
+    // weighted spherical Lloyd over the candidate set (driver, tiny)
+    var centers = chosen.map(emb(_).clone()).toArray
+    for (_ <- 1 to 5) {
+      val sums = Array.fill(centers.length)(new Array[Double](centers(0).length))
+      val mass = new Array[Double](centers.length)
+      emb.indices.foreach { i =>
+        val j = centers.indices.maxBy(j => dotLocal(emb(i), centers(j)))
+        val s = sums(j); val e = emb(i)
+        var d = 0; while (d < e.length) { s(d) += w(i) * e(d); d += 1 }
+        mass(j) += w(i)
+      }
+      centers = centers.indices.map { j =>
+        if (mass(j) <= 0) centers(j)
+        else {
+          val s = sums(j)
+          val n = math.sqrt(dotLocal(s, s))
+          if (n == 0) centers(j) else s.map(_ / n)
+        }
+      }.toArray
+    }
+    val session = c.sparkSession
+    import session.implicits._
+    centers.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("cent_id", "cent_emb")
+  }
+
+  /** [[ivfTopK]] with KMeans‖-seeded, Lloyd-refined centroids — the
+    * production seeding path ([[kmeansParRows]]; id-order variants stay
+    * the DuckDB-oracled twins). KMeansParSpec pins recall ≥ the
+    * id-order seeding on a skewed clustered corpus.
+    */
+  def ivfTopKPar(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 embCol: String, k: Int, nCentroids: Int = 16, nProbe: Int = 4,
+                 iters: Int = 2, seed: Long = 42L): DataFrame = {
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne")
+    val cents = lloydIterate(c,
+      kmeansParRows(c, idCol, nCentroids, seed = seed), idCol, iters)
+    ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
+  }
+
   /** The Lloyd refinement loop from arbitrary `seeds` (cent_id,
     * cent_emb) — shared by [[lloydCentroids]] (id-order seeding) and
     * the streaming index's centroid refresh (seeded from the current
@@ -528,18 +704,29 @@ object SimSearch {
   private[graft] def pqTrainBooks(c: DataFrame, subs: DataFrame, idCol: String,
                                   nSub: Int, subDim: Int, nCodes: Int,
                                   iters: Int,
-                                  spreadSeeds: Boolean = false): DataFrame = {
+                                  spreadSeeds: Boolean = false,
+                                  kmeansParSeed: Option[Long] = None): DataFrame = {
     // Seeding: lowest-id rows (the q101-oracled batch discipline), or —
     // for retraining a store whose ids correlate with ARRIVAL ORDER —
     // lowest-xxhash64 rows: a deterministic pseudo-random sample spread
     // across the whole stored distribution, so a drifted tail is
     // represented in the seeds instead of only the oldest vectors.
     // Both are distributed partial top-k (orderBy+limit), never a sort.
-    val seedRows =
-      if (spreadSeeds) c.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCodes)
-      else c.orderBy(col(idCol)).limit(nCodes)
+    // `kmeansParSeed` upgrades to the [[kmeansParRows]] weighted sample
+    // (one full-vector KMeans‖ run shared by all nSub subspaces — rows
+    // diverse in the full space are diverse in each slice, at 1/nSub
+    // the cost of per-subspace seeding); codes are the 0-based seed
+    // ranks instead of seed-row ids, which downstream never interprets.
+    val seedRows = kmeansParSeed match {
+      case Some(s) => kmeansParRows(c, idCol, nCodes, seed = s)
+        .select(col("cent_id").as("code"), col("cent_emb").as("__ne"))
+      case None =>
+        (if (spreadSeeds) c.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCodes)
+         else c.orderBy(col(idCol)).limit(nCodes))
+          .withColumnRenamed(idCol, "code")
+    }
     var books = pqSubSplit(
-      seedRows.withColumnRenamed(idCol, "code"),
+      seedRows,
       "code", "__ne", nSub, subDim).withColumnRenamed("sv", "ce")
     for (_ <- 0 until iters) {
       // per-(m, code) mean in id order (ordered fold, exact count

@@ -16,6 +16,15 @@ object Events {
   val HoltAlpha = 0.5
   val HoltBeta = 0.3
 
+  /** q240 Holt-Winters constants (same declaration-order discipline).
+    * γ deliberately non-binary-exact; season = 24 hours (daily cycle
+    * in the synthetic event stream).
+    */
+  val HwAlpha = 0.5
+  val HwBeta = 0.3
+  val HwGamma = 0.2
+  val HwSeason = 24
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tumbling 1-hour windows, batch formulation.
@@ -680,6 +689,73 @@ object Events {
           .agg(count(lit(1)).as("n"))
         graft.ops.Forecast.holtBacktest(h, Seq("event_type"), "t", "n",
           HoltAlpha, HoltBeta)
+      }),
+
+    // Holt-Winters triple-smoothing backtest (ops.Forecast — level +
+    // trend + ADDITIVE 24h SEASONALITY), closing the forecasting
+    // ladder q224 (seasonal-naive) → q237 (Holt) → here. The seasonal
+    // state rides the accumulator as a length-24 queue (head = s_{t−m},
+    // append the refresh), so the oracle replays the identical list
+    // ops — s[2:] + list_append inside a RECURSIVE CTE; the seasonal
+    // ARRAY is exactly the multi-variable accumulator shape DuckDB's
+    // list_reduce mis-folds (q237's documented probe), making the
+    // recursion mandatory, not stylistic. Constants interpolate from
+    // the same Scala doubles on both sides (1−β, 1−γ are NOT the
+    // doubles "0.7"/"0.8" parse to — shortest-roundtrip printing keeps
+    // the engines on the same ulp).
+    QueryDef("q240_holt_winters", Some {
+      val m = HwSeason
+      val (a, a1) = (HwAlpha, 1.0 - HwAlpha)
+      val (b, b1) = (HwBeta, 1.0 - HwBeta)
+      val (g, g1) = (HwGamma, 1.0 - HwGamma)
+      s"""
+      WITH RECURSIVE h AS (
+        SELECT event_type,
+               datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                        date_trunc('hour', ts)) AS t,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, CAST(n AS DOUBLE) AS y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY t) AS i
+            FROM h),
+      cnt AS (SELECT event_type, count(*) AS n_obs FROM r GROUP BY 1),
+      init AS (SELECT event_type, list(y ORDER BY i) AS ys
+               FROM r WHERE i <= $m GROUP BY event_type),
+      base AS (SELECT event_type,
+                      list_reduce(ys, (a, b) -> a + b) / ${m.toDouble} AS l0,
+                      ys
+               FROM init),
+      st AS (
+        SELECT event_type, $m AS i, l0 AS l, 0.0::DOUBLE AS b,
+               0.0::DOUBLE AS sae, list_transform(ys, x -> x - l0) AS s
+        FROM base
+        UNION ALL
+        SELECT st.event_type, r.i,
+               $a::DOUBLE * (r.y - st.s[1]) + $a1::DOUBLE * (st.l + st.b),
+               $b::DOUBLE * (($a::DOUBLE * (r.y - st.s[1])
+                   + $a1::DOUBLE * (st.l + st.b)) - st.l)
+                 + $b1::DOUBLE * st.b,
+               st.sae + abs(r.y - (st.l + st.b + st.s[1])),
+               list_append(st.s[2:],
+                 $g::DOUBLE * (r.y - (st.l + st.b)) + $g1::DOUBLE * st.s[1])
+        FROM st JOIN r ON r.event_type = st.event_type AND r.i = st.i + 1)
+      SELECT st.event_type, CAST(cnt.n_obs AS BIGINT) AS n_obs,
+             round(st.sae / greatest(CAST(cnt.n_obs - $m AS DOUBLE),
+                                     1.0::DOUBLE), 6) AS mae,
+             round(st.l, 6) AS level, round(st.b, 6) AS trend,
+             round(st.s[1], 6) AS seasonal_next
+      FROM st JOIN cnt ON st.event_type = cnt.event_type
+                      AND st.i = cnt.n_obs
+      WHERE cnt.n_obs > $m"""
+    },
+      (spark, dir) => {
+        val h = T(spark, dir, "events")
+          .groupBy(col("event_type"),
+            (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+              .cast("long").as("t"))
+          .agg(count(lit(1)).as("n"))
+        graft.ops.Forecast.holtWintersBacktest(h, Seq("event_type"), "t", "n",
+          HwAlpha, HwBeta, HwGamma, HwSeason)
       })
   )
 }

@@ -615,6 +615,43 @@ class OpsSpec extends SparkSuite {
     assert(run() == out)
   }
 
+  test("RandomWalk.biasedWalks: p/q steer returns vs ventures; hops valid; deterministic; non-pow2 rejected") {
+    import spark.implicits._
+    // path 0-1-2-...-30: every interior step-2+ hop is a binary choice
+    // between RETURNING to prev (weight 1/p) and VENTURING on (the far
+    // neighbor is at distance 2 from prev -> weight 1/q)
+    val path = (0L until 30L).map(i => (i, i + 1)).toDF("s", "t")
+    val seeds = Seq(5L, 10L, 15L, 20L, 25L).toDF("seed")
+    def runWalk(p: Double, q: Double) =
+      graft.ops.RandomWalk.biasedWalks(path, "s", "t", seeds, "seed",
+          steps = 4, returnP = p, inoutQ = q)
+        .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    def returnFraction(out: Map[(Long, Int), Long]): Double = {
+      val moves = for (w <- Seq(5L, 10L, 15L, 20L, 25L); i <- 2 to 4)
+        yield out((w, i)) == out((w, i - 2)) // hopped back where it came from
+      moves.count(identity).toDouble / moves.size
+    }
+    // outward bias (p high, q low): weight ratio venture/return = 2^20 —
+    // with 15 binary choices the deterministic md5 coins all go outward
+    val dfs = runWalk(1024.0, 1.0 / 1024.0)
+    assert(dfs.size == 25, s"expected 5 walkers x steps 0..4, got ${dfs.size}")
+    val adj = (0L until 30L).flatMap(i => Seq((i, i + 1), (i + 1, i))).toSet
+    for (w <- Seq(5L, 10L, 15L, 20L, 25L); i <- 0 to 3)
+      assert(adj((dfs((w, i)), dfs((w, i + 1)))),
+        s"walker $w hopped ${dfs((w, i))} -> ${dfs((w, i + 1))}, not an edge")
+    assert(returnFraction(dfs) == 0.0, "outward bias still returned")
+    // return bias (p low, q high): every binary choice snaps back
+    val bfs = runWalk(1.0 / 1024.0, 1024.0)
+    assert(returnFraction(bfs) == 1.0, "return bias still ventured")
+    // derandomized: bit-identical re-run
+    assert(runWalk(1024.0, 1.0 / 1024.0) == dfs)
+    // float discipline is enforced, not advisory
+    intercept[IllegalArgumentException] {
+      graft.ops.RandomWalk.biasedWalks(path, "s", "t", seeds, "seed",
+        steps = 1, returnP = 3.0, inoutQ = 0.5)
+    }
+  }
+
   test("Forecast.holtBacktest: hand-traced level/trend on a linear ramp; singleton key scores zero") {
     import spark.implicits._
     // y = 10,12,14,16 at alpha = beta = 0.5 (all state binary-exact):
@@ -628,6 +665,24 @@ class OpsSpec extends SparkSuite {
     assert(out("a") == ((4L, 2.208333, 14.9375, 1.65625)), s"got ${out("a")}")
     // a single observation: no forecast to score, state = (y0, 0)
     assert(out("b") == ((1L, 0.0, 7.0, 0.0)), s"got ${out("b")}")
+  }
+
+  test("Forecast.holtWintersBacktest: pure alternating season is predicted exactly; short keys drop") {
+    import spark.implicits._
+    // season = 2, y = 10,20,10,20,10,20: l0 = 15, s = [-5, 5], b = 0.
+    // Every one-step forecast l+b+s_head hits the truth exactly, so the
+    // state is a fixpoint: mae 0, level 15, trend 0; after the last
+    // (even-index) observation the queue is [-5, 5] -> seasonal_next -5.
+    val df = ((0 until 6).map(t => ("a", t.toLong, if (t % 2 == 0) 10L else 20L)) :+
+      (("b", 0L, 7L)) :+ (("b", 1L, 9L))).toDF("k", "t", "v")
+    val out = graft.ops.Forecast.holtWintersBacktest(
+        df, Seq("k"), "t", "v", 0.5, 0.3, 0.2, season = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out("a") == ((6L, 0.0, 15.0, 0.0, -5.0)), s"got ${out.get("a")}")
+    // "b" has exactly season observations: nothing to forecast -> dropped
+    assert(!out.contains("b"), s"short key survived: ${out.get("b")}")
   }
 
   test("Forecast.seasonalNaiveBacktest: perfect season scores zero; gaps drop honestly instead of misaligning") {
