@@ -100,6 +100,29 @@ class KMeansParSpec extends SparkSuite {
     assert(SimSearch.kmeansParRows(ue, "vec_id", 3).count() == 0)
   }
 
+  test("IncrementalIvf seeded with KMeans|| centroids probes identically to the batch path") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_kpar").toString
+    val u = SimSearch.unitized(corpus, "vec_id", "emb", "vec_id", "__ne")
+    // same (seed, rounds, iters) defaults as ivfTopKPar -> identical
+    // centroid space, so the streamed index must probe identically
+    val cents = SimSearch.lloydIterate(u,
+      SimSearch.kmeansParRows(u, "vec_id", 4), "vec_id", 2).cache()
+    graft.streaming.IncrementalIvf.processBatch(
+      corpus.filter(col("vec_id") < 60), 0, cents, "vec_id", "emb", dir)
+    graft.streaming.IncrementalIvf.processBatch(
+      corpus.filter(col("vec_id") >= 60), 1, cents, "vec_id", "emb", dir)
+    def img(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select("query_id", "vec_id", "cos_sim", "rnk")
+        .collect().toSeq.map(_.toString).sorted
+    val streamed = graft.streaming.IncrementalIvf.probe(
+      spark, dir, queries, cents, "vec_id", "emb", 5, nProbe = 2)
+    val batch = SimSearch.ivfTopKPar(corpus, queries, "vec_id", "emb", 5,
+      nCentroids = 4, nProbe = 2, iters = 2)
+    assert(img(streamed) == img(batch),
+      "KMeans||-seeded incremental index diverged from the batch path")
+    cents.unpersist()
+  }
+
   test("pqTrainBooks kmeansParSeed: codebook trains and spans clusters") {
     val u = SimSearch.unitized(corpus, "vec_id", "emb", "vec_id", "__ne").cache()
     val subs = SimSearch.pqSubSplit(u, "vec_id", "__ne", 2, 4)
