@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * one aggregation — the standard scale-out formulation: rank state and
   * edges both stay partitioned by node key, so a 10^9-node graph runs as
   * `iters` shuffles of the (node, rank) sliver, never materializing a
-  * matrix. The edge/transition frame is cached once; dangling nodes
-  * (no in-edges after a hop) keep the teleport term via the left join.
+  * matrix. The edge/transition frame is checkpointed once and serves
+  * every iteration; dangling nodes (no in-edges after a hop) keep the
+  * teleport term via the left join.
   *
   * Determinism contract for oracle parity: ranks are rounded to 10 dp
   * each iteration, so cross-engine float-sum ordering differences
@@ -36,14 +37,20 @@ object PageRank {
     */
   def run(edges: DataFrame, src: String, dst: String, weight: String,
           iters: Int, damping: Double = 0.85, checkpointEvery: Int = 15): DataFrame = {
+    // Checkpoints, not cache()+pre-return unpersist (the Bfs note): the
+    // loop is lazy, so a cache released before return would never serve
+    // the caller's action and nodes/trans would rebuild once per
+    // iteration. nodes materializes here via the count below; trans at
+    // the caller's first action; withQueryCaches releases both.
     val nodes = edges.select(col(src).as("node"))
-      .union(edges.select(col(dst).as("node"))).distinct().cache()
+      .union(edges.select(col(dst).as("node"))).distinct()
+      .localCheckpoint(eager = false)
     val n = nodes.count()
     val outW = edges.groupBy(col(src)).agg(sum(col(weight)).as("__out_w"))
     val trans = edges.join(outW, src)
       .select(col(src).as("__u"), col(dst).as("__v"),
         (col(weight) / col("__out_w")).as("__p"))
-      .cache()
+      .localCheckpoint(eager = false)
     val teleport = (1.0 - damping) / n
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (i <- 1 to iters) {
@@ -55,8 +62,6 @@ object PageRank {
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(false)
     }
-    nodes.unpersist(blocking = false)
-    trans.unpersist(blocking = false)
     ranks
   }
 
@@ -79,14 +84,14 @@ object PageRank {
       .union(edges.select(col(dst).as("node"))).distinct()
       .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0)).as("__s"))
-      .cache()
+      .localCheckpoint(eager = false) // materialized by the count below
     val nSeeds = nodes.filter(col("__s") === 1).count()
     require(nSeeds > 0, "personalized PageRank needs at least one seed present in the graph")
     val outW = edges.groupBy(col(src)).agg(sum(col(weight)).as("__out_w"))
     val trans = edges.join(outW, src)
       .select(col(src).as("__u"), col(dst).as("__v"),
         (col(weight) / col("__out_w")).as("__p"))
-      .cache()
+      .localCheckpoint(eager = false) // serves all iters at the caller's action
     val teleport = (1.0 - damping) / nSeeds
     var ranks = nodes.select(col("node"),
       (col("__s") * lit(1.0 / nSeeds)).as("rank"))
@@ -100,8 +105,6 @@ object PageRank {
       if (i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint(false)
     }
-    nodes.unpersist(blocking = false)
-    trans.unpersist(blocking = false)
     ranks
   }
 }

@@ -102,6 +102,16 @@ object Graph {
   val Node2vecP = 4.0
   val Node2vecQ = 0.25
 
+  /** q242 truss order and the oracle's unrolled-round budget. Peeling
+    * is monotone, so rounds past the fixpoint are no-ops — the oracle
+    * may unroll MORE rounds than the data needs and still agree; the
+    * engine's convergence loop fails fast if it ever needs more than
+    * its own (much larger) budget. k ≥ 3 assumed by the oracle's
+    * inner support join (zero-support edges only survive at k = 2).
+    */
+  val TrussK = 3
+  val TrussRounds = 5
+
   val defs: Seq[QueryDef] = Seq(
 
     // Weighted PageRank over the nation-level trade graph (edge weight =
@@ -827,6 +837,110 @@ object Graph {
             returnP = Node2vecP, inoutQ = Node2vecQ)
           .select(col("walker").cast("long").as("walker"), col("step"),
             col("node").cast("long").as("node"))
+      }),
+
+    // k-truss of the co-occurrence graph (ops.Truss — edge-support
+    // peeling to a fixpoint; per-round support via the q166
+    // degree-ordered orientation, no hub deg² wedge blow-up): the
+    // EDGE-cohesion refinement of q203's k-core — an edge survives the
+    // 3-truss only when it closes a triangle among survivors, so
+    // incidental ties die and triangulated cores remain (the 4-truss
+    // of this sparse co-occurrence graph is empty at test scale —
+    // TrussSpec exercises the cascade regime; k is a caller knob). The
+    // oracle
+    // unrolls TrussRounds canonical-3-join peels (extra rounds past
+    // the fixpoint are no-ops, which is how a fixed-round SQL replays
+    // a convergence loop); all-integer output, no float choreography.
+    QueryDef("q242_ktruss", Some {
+      val km2 = TrussK - 2
+      def triSql(prev: String, r: Int): String = s"""
+      t$r AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM $prev e1 JOIN $prev e2 ON e2.a = e1.b
+              JOIN $prev e3 ON e3.a = e1.a AND e3.b = e2.b),
+      s$r AS MATERIALIZED (SELECT a, b, count(*) AS sup FROM (
+              SELECT x AS a, y AS b FROM t$r
+              UNION ALL SELECT x AS a, z AS b FROM t$r
+              UNION ALL SELECT y AS a, z AS b FROM t$r) GROUP BY 1, 2)"""
+      val rounds = (1 to TrussRounds).map { r =>
+        triSql(s"e${r - 1}", r) + s""",
+      e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e
+              JOIN s$r s ON e.a = s.a AND e.b = s.b
+              WHERE s.sup >= $km2)"""
+      }.mkString(",")
+      val fin = TrussRounds + 1
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      $rounds,
+      ${triSql(s"e$TrussRounds", fin).drop(1)}
+      SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b,
+             CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+      FROM e$TrussRounds e LEFT JOIN s$fin s ON e.a = s.a AND e.b = s.b"""
+    },
+      (spark, dir) =>
+        graft.ops.Truss.ktruss(coEdges(spark, dir), "pa", "pb", TrussK)
+          .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+            col("support").cast("long").as("support"))),
+
+    // TextRank keywords (Mihalcea & Tarau, EMNLP'04) — corpus-level
+    // keyword ranking as PageRank over the word-adjacency graph:
+    // adjacent content tokens (length ≥ 4, space tokenization — the
+    // q29 parity recipe) become undirected weighted edges, and q94's
+    // weighted PageRank machinery runs verbatim (teleport + damping +
+    // 10 dp per-iteration rounding, 5 unrolled CTE rounds). Ranks are
+    // computed on the 10 dp values, ties break by token, output rounds
+    // to 6 — the document-side twin of the trade-graph q94.
+    QueryDef("q243_textrank_keywords", Some {
+      val iters = (1 to 5).map(i => iterSql(s"r${i - 1}", s"r$i")).mkString(",")
+      s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks),
+      tok AS (SELECT doc_id, i, ts[i] AS tok FROM pos),
+      nxt AS (SELECT doc_id, tok AS ta,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS tb
+              FROM tok),
+      pr0 AS (SELECT least(ta, tb) AS wa, greatest(ta, tb) AS wb
+              FROM nxt
+              WHERE tb IS NOT NULL AND ta <> tb
+                AND len(ta) >= 4 AND len(tb) >= 4),
+      e AS (SELECT wa, wb, count(*) AS w FROM pr0 GROUP BY 1, 2),
+      sym AS MATERIALIZED (SELECT wa AS src, wb AS dst, w FROM e
+             UNION ALL SELECT wb, wa, w FROM e),
+      nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM sym GROUP BY src),
+      t AS MATERIALIZED (SELECT sym.src AS u, sym.dst AS v, sym.w / o.out_w AS p
+            FROM sym JOIN outw o ON sym.src = o.src),
+      r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+      $iters
+      SELECT token, prrank AS rank, CAST(rnk AS INTEGER) AS rnk FROM (
+        SELECT node AS token, round(rank, 6) AS prrank,
+               row_number() OVER (ORDER BY rank DESC, node ASC) AS rnk
+        FROM r5)
+      WHERE rnk <= 25"""
+    },
+      (spark, dir) => {
+        import graft.llm.TextOps
+        val toks = T(spark, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextOps.tokenize(col("text"))).as(Seq("i", "tok")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("i"))
+        val pairs = toks.withColumn("tb", lead(col("tok"), 1).over(w))
+          .filter(col("tb").isNotNull && col("tok") =!= col("tb") &&
+            length(col("tok")) >= 4 && length(col("tb")) >= 4)
+          .select(least(col("tok"), col("tb")).as("wa"),
+            greatest(col("tok"), col("tb")).as("wb"))
+        val e = pairs.groupBy("wa", "wb").agg(count(lit(1)).as("w"))
+        val sym = e.select(col("wa").as("s"), col("wb").as("d"), col("w"))
+          .unionByName(e.select(col("wb").as("s"), col("wa").as("d"), col("w")))
+        val pr = PageRank.run(sym, "s", "d", "w", iters = 5)
+        graft.ops.TopK.exactPerKey(pr, Seq.empty,
+            Seq(col("rank").desc, col("node").asc), 25, "rnk")
+          .select(col("node").as("token"), round(col("rank"), 6).as("rank"),
+            col("rnk").cast("int").as("rnk"))
       })
   )
 

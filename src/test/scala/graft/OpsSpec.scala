@@ -615,6 +615,30 @@ class OpsSpec extends SparkSuite {
     assert(run() == out)
   }
 
+  test("Truss.ktruss: clique survives, pendant triangles/edges peel by k, cascades drain to empty") {
+    import spark.implicits._
+    // 5-clique {1..5} + pendant triangle {5,6,7} + pendant edge 7-8
+    val clique = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val g = clique ++ Seq((5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L))
+    def truss(k: Int, edges: Seq[(Long, Long)]) =
+      graft.ops.Truss.ktruss(edges.toDF("s", "t"), "s", "t", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // 4-truss: every clique edge closes 3 triangles among survivors;
+    // the pendant triangle (support 1) and edge (0) peel in round one
+    val t4 = truss(4, g)
+    assert(t4.keySet == clique.toSet && t4.values.forall(_ == 3L), s"got $t4")
+    // 3-truss keeps the pendant triangle (support 1), not the edge
+    val t3 = truss(3, g)
+    assert(t3.keySet == clique.toSet ++ Set((5L, 6L), (5L, 7L), (6L, 7L)))
+    // 2-truss is the whole simple graph, support-0 edges included
+    assert(truss(2, g).get((7L, 8L)).contains(0L))
+    // cascade: a triangle strip where the two support-2 edges lose
+    // their triangles once the support-1 edges peel -> empty 4-truss
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L))
+    assert(truss(4, strip).isEmpty, "cascade did not drain")
+  }
+
   test("RandomWalk.biasedWalks: p/q steer returns vs ventures; hops valid; deterministic; non-pow2 rejected") {
     import spark.implicits._
     // path 0-1-2-...-30: every interior step-2+ hop is a binary choice
