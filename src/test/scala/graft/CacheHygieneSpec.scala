@@ -29,6 +29,36 @@ class CacheHygieneSpec extends SparkSuite {
     }
   }
 
+  test("iterative ops' edge checkpoints actually SERVE the caller's action") {
+    // The r12 ADVICE class: cache() + lazy loop + pre-return unpersist
+    // never persisted a byte, so every round rebuilt the edge frame.
+    // The fix (lazy localCheckpoint, released by withQueryCaches) is
+    // observable: during the scope, the action must leave persisted
+    // RDD blocks behind — zero persisted RDDs would mean the loop ran
+    // uncheckpointed again.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val edges = (1L to 200L).map(i => (i, i % 37 + 1, 1L)).toDF("s", "d", "w")
+    val before = sc.getPersistentRDDs.keySet
+    GraftSession.withQueryCaches(spark) {
+      assert(graft.ops.PageRank.run(edges, "s", "d", "w", iters = 3).count() > 0)
+      val during = sc.getPersistentRDDs.keySet -- before
+      assert(during.nonEmpty,
+        "PageRank ran without any materialized checkpoint — the " +
+          "transition frame is being rebuilt every iteration again")
+    }
+    val before2 = sc.getPersistentRDDs.keySet
+    GraftSession.withQueryCaches(spark) {
+      assert(graft.ops.Hits.bipartite(edges, "s", "d", "w", iters = 2)
+        .count() > 0)
+      assert((sc.getPersistentRDDs.keySet -- before2).nonEmpty,
+        "HITS ran without any materialized checkpoint")
+    }
+    // and the scope still drains them afterwards
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("withQueryCaches does not touch caches that predate the scope") {
     import spark.implicits._
     val outer = Seq(1, 2, 3).toDF("x").cache()

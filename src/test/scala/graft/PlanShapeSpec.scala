@@ -210,8 +210,15 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // form of the truncation, and it is also why there's no AQE
     // isFinalPlan marker to wait for here (planOf would reject these).
     // Per-round join shapes are equi-joins pinned by the ops' specs.
+    // q94/q204/q243 (PageRank family) and q226 (HITS) joined the list in
+    // r13: their edge/transition frames moved from a never-serving
+    // cache()+unpersist pair to lazy localCheckpoints, so a checkpoint
+    // RDD scan in the executed plan is now the observable proof that
+    // the iterations share one materialized edge build.
     Seq("q225_bfs_hops", "q227_label_prop", "q228_sssp",
-        "q229_landmark_centrality").foreach { name =>
+        "q229_landmark_centrality", "q94_pagerank",
+        "q204_personalized_pagerank", "q226_hits",
+        "q243_textrank_keywords").foreach { name =>
       val df = q(name)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
