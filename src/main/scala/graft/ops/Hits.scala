@@ -84,9 +84,14 @@ object Hits {
         .agg(sum(col("score") * col("__w")).as("__raw"))
     for (_ <- 1 to iters) {
       val aRaw = half(h, "__c", "__s")
+      // Production path checkpoints only the h-half: a is referenced
+      // exactly once (by the next h update), so an inline a costs one
+      // extra join re-evaluation ONLY for the final output's a side,
+      // while halving the per-iteration (node, score) materializations
+      // — at cluster scale, half the barriers. The exact path keeps
+      // both (each normalization is referenced twice).
       a = if (exactRounding) normalized(aRaw, 10)
-          else aRaw.localCheckpoint(eager = false)
-            .select(col("node"), col("__raw").as("score"))
+          else aRaw.select(col("node"), col("__raw").as("score"))
       val hRaw = half(a, "__s", "__c")
       h = if (exactRounding) normalized(hRaw, 10)
           else hRaw.localCheckpoint(eager = false)
