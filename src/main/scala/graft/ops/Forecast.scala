@@ -191,4 +191,175 @@ object Forecast {
         round(col("__st").getField("b"), 6).as("trend") :+
         round(element_at(col("__st").getField("s"), 1), 6).as("seasonal_next"): _*)
   }
+
+  /** Per-key AR(2) fit by Yule-Walker plus an in-sample one-step
+    * backtest — the AUTOREGRESSIVE member of the forecasting ladder
+    * (q224 seasonal-naive → q237 Holt → q240 Holt-Winters → here):
+    * where the smoothing family tracks level/trend/season with decay
+    * knobs, AR(2) ESTIMATES its dynamics from the series' own
+    * autocovariances, and its fitted (φ₁, φ₂) double as a stationarity
+    * diagnostic (roots near the unit circle = near-random-walk load).
+    *
+    * Estimation is MOMENT-BASED, which is what makes it the scale
+    * shape: the whole fit is one pass of exact integer sums
+    * (Σy, Σy², Σy_t·y_{t−k} over lag-k JOIN pairs — join-based lags,
+    * the [[seasonalNaiveBacktest]] gap discipline: a missing hour
+    * simply contributes no pair, never a wrong one), then a
+    * closed-form 2×2 solve per key on the driver-free aggregate row:
+    *
+    *   c_k  = (Σy_t·y_{t−k} − ȳ(Σy_t + Σy_{t−k}) + n_k·ȳ²) / n
+    *   φ₁ = c₁(c₀−c₂)/(c₀²−c₁²),  φ₂ = (c₀c₂−c₁²)/(c₀²−c₁²)
+    *
+    * Because every sum is exact long arithmetic, the float work is a
+    * FIXED expression tree over exact inputs — deterministic across
+    * engines with no intermediate rounding (the q241 exactness
+    * discipline, achieved here with integer moments instead of
+    * power-of-two weights). Degenerate keys (constant series or
+    * c₀²=c₁², e.g. fewer than 3 points) fall back to φ=0 — the
+    * predict-the-mean model — rather than NaN.
+    *
+    * The backtest scores pred_t = ȳ + φ₁(y_{t−1}−ȳ) + φ₂(y_{t−2}−ȳ)
+    * over every row with BOTH lags present (inner 3-way join), MAE
+    * rounded to 6 (the only unordered float sum, bounded by n·ulp).
+    *
+    * At 100 TB nothing changes shape: three narrow (keys, t, v)
+    * hash-joins and one aggregation, all partial-aggregated, no
+    * window, no sort, no per-key history row (unlike the fold family
+    * — this is the forecaster to reach for when a key's history does
+    * NOT fit one row).
+    *
+    * @param series (keys…, tCol, vCol) with vCol integer-typed counts
+    *        (cast to long internally — exactness of the moment sums
+    *        is the determinism contract)
+    * @return (keys…, n_obs, n_eval, phi1, phi2, mae) rounded to 6
+    */
+  def ar2Backtest(series: DataFrame, keys: Seq[String],
+                  tCol: String, vCol: String): DataFrame = {
+    val base = series.select(
+      keys.map(col) :+ col(tCol).cast("long").as("__t") :+
+        col(vCol).cast("long").as("__y"): _*)
+    def lagged(k: Int) = base.select(
+      keys.map(col) :+ (col("__t") + k).as("__t") :+
+        col("__y").as(s"__p$k"): _*)
+    // Global moments: n, Σy, Σy² (exact longs).
+    val g = base.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("s"),
+        sum(col("__y") * col("__y")).as("syy"))
+    // Lag-k pair moments (exact longs over the join-surviving pairs).
+    def pairMoments(k: Int) = base.join(lagged(k), keys :+ "__t")
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(s"n$k"),
+        sum(col("__y") * col(s"__p$k")).as(s"sxy$k"),
+        sum(col("__y")).as(s"sy$k"), sum(col(s"__p$k")).as(s"sx$k"))
+    val m = g.join(pairMoments(1), keys).join(pairMoments(2), keys)
+    val nD = col("n").cast("double")
+    val mean = col("s").cast("double") / nD
+    def cov(k: Int) =
+      (col(s"sxy$k").cast("double") -
+        mean * (col(s"sy$k") + col(s"sx$k")).cast("double") +
+        col(s"n$k").cast("double") * mean * mean) / nD
+    val c0 = (col("syy").cast("double") -
+      mean * (col("s") + col("s")).cast("double") + nD * mean * mean) / nD
+    val withPhi = m
+      .withColumn("__mean", mean)
+      .withColumn("__c0", c0)
+      .withColumn("__c1", cov(1)).withColumn("__c2", cov(2))
+      .withColumn("__d",
+        col("__c0") * col("__c0") - col("__c1") * col("__c1"))
+      .withColumn("__phi1",
+        when(abs(col("__d")) < 1e-12, 0.0)
+          .otherwise(col("__c1") * (col("__c0") - col("__c2")) / col("__d")))
+      .withColumn("__phi2",
+        when(abs(col("__d")) < 1e-12, 0.0)
+          .otherwise((col("__c0") * col("__c2") -
+            col("__c1") * col("__c1")) / col("__d")))
+    // One-step in-sample backtest over rows with both lags.
+    val triple = base.join(lagged(1), keys :+ "__t").join(lagged(2), keys :+ "__t")
+    val scored = triple.join(
+        withPhi.select(keys.map(col) :+ col("__mean") :+
+          col("__phi1") :+ col("__phi2"): _*), keys)
+      .withColumn("__pred",
+        col("__mean") + col("__phi1") * (col("__p1").cast("double") - col("__mean")) +
+          col("__phi2") * (col("__p2").cast("double") - col("__mean")))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_eval"),
+        round(avg(abs(col("__pred") - col("__y").cast("double"))), 6).as("mae"))
+    withPhi.join(scored, keys, "left")
+      .select(keys.map(col) :+ col("n").as("n_obs") :+
+        coalesce(col("n_eval"), lit(0L)).as("n_eval") :+
+        round(col("__phi1"), 6).as("phi1") :+
+        round(col("__phi2"), 6).as("phi2") :+
+        coalesce(col("mae"), lit(0.0)).as("mae"): _*)
+  }
+
+  /** Per-key classical additive decomposition (the textbook
+    * moving-average method — Hyndman & Athanasopoulos fpp3 §3.4) of a
+    * gap-tolerant integer series into trend + seasonal + remainder:
+    * the DIAGNOSTIC face of the forecasting family (q224/q237/q240
+    * predict; this explains, and its remainder is the right input for
+    * q232's MAD spike detector — deseasonalized residuals don't
+    * inflate the threshold the way raw diurnal counts do).
+    *
+    * Trend is the 2×m centered moving average, computed GAP-HONESTLY
+    * with a RANGE window over the period index: the window sums rows
+    * whose t lies in [t−m/2, t+m/2], and a row only gets a trend when
+    * that window holds ALL m+1 periods (count = m+1 → the series is
+    * locally contiguous, so the row-based lag/lead(m/2) that fetches
+    * the half-weighted endpoints provably lands on t∓m/2):
+    *
+    *   trend_t = (Σ_{|o|≤m/2} y_{t+o} − (y_{t−m/2} + y_{t+m/2})/2) / m
+    *
+    * — an exact long window sum and two exact endpoints, so trend is
+    * a fixed float expression over exact integers (deterministic, no
+    * rounding needed). Seasonal = per-(key, t mod m) mean of the
+    * detrended values, centered to zero mean across the m phases
+    * (both unordered float averages — rounded at 6 once, after
+    * centering); remainder = y − trend − seasonal(rounded).
+    *
+    * Scale shape: one RANGE window (a sort per key — rows stay
+    * (keys, t, y)-narrow), two small aggregations (m rows per key),
+    * one broadcast-back join. No self-join fan-out, no per-key
+    * history row.
+    *
+    * @param season m, even (the 2×m form; 24 for hourly-daily)
+    * @return (keys…, t, y, trend, seasonal, remainder) for rows with
+    *         a full trend window; trend/seasonal/remainder rounded 6
+    */
+  def decompose(series: DataFrame, keys: Seq[String],
+                tCol: String, vCol: String, season: Int): DataFrame = {
+    require(season >= 2 && season % 2 == 0,
+      s"season must be even and at least 2, got $season")
+    val h = season / 2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__t"))
+    val rangeW = w.rangeBetween(-h, h)
+    val base = series.select(
+      keys.map(col) :+ col(tCol).cast("long").as("__t") :+
+        col(vCol).cast("long").as("__y"): _*)
+    val trended = base
+      .withColumn("__wsum", sum(col("__y")).over(rangeW))
+      .withColumn("__wcnt", count(lit(1)).over(rangeW))
+      .withColumn("__yl", lag(col("__y"), h).over(w))
+      .withColumn("__yr", lead(col("__y"), h).over(w))
+      .filter(col("__wcnt") === season + 1)
+      .withColumn("__trend",
+        (col("__wsum").cast("double") -
+          (col("__yl") + col("__yr")).cast("double") / 2.0) / season.toDouble)
+      .withColumn("__phase", pmod(col("__t"), lit(season.toLong)))
+      .withColumn("__detr", col("__y").cast("double") - col("__trend"))
+    val phaseMeans = trended.groupBy(keys.map(col) :+ col("__phase"): _*)
+      .agg(avg(col("__detr")).as("__s_raw"))
+    val centered = phaseMeans
+      .withColumn("__s_mean",
+        avg(col("__s_raw")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)))
+      .withColumn("__seasonal", round(col("__s_raw") - col("__s_mean"), 6))
+      .select(keys.map(col) :+ col("__phase") :+ col("__seasonal"): _*)
+    trended.join(broadcast(centered), keys :+ "__phase")
+      .select(keys.map(col) :+ col("__t").as("t") :+ col("__y").as("y") :+
+        round(col("__trend"), 6).as("trend") :+
+        col("__seasonal").as("seasonal") :+
+        round(col("__y").cast("double") - col("__trend") - col("__seasonal"), 6)
+          .as("remainder"): _*)
+  }
 }

@@ -25,6 +25,11 @@ object Events {
   val HwGamma = 0.2
   val HwSeason = 24
 
+  /** q245 decomposition season (2×m centered moving average; 24-hour
+    * daily cycle, m even as the 2×m form requires).
+    */
+  val StlSeason = 24
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tumbling 1-hour windows, batch formulation.
@@ -756,6 +761,186 @@ object Events {
           .agg(count(lit(1)).as("n"))
         graft.ops.Forecast.holtWintersBacktest(h, Seq("event_type"), "t", "n",
           HwAlpha, HwBeta, HwGamma, HwSeason)
+      }),
+
+    // AR(2) by Yule-Walker + one-step in-sample backtest
+    // (ops.Forecast.ar2Backtest) — the autoregressive rung of the
+    // forecasting ladder, and the one whose whole fit is a single
+    // pass of EXACT INTEGER moment sums (Σy, Σy², lag-k pair products
+    // over join-based lags) followed by a closed-form 2×2 solve: the
+    // float work is a fixed expression tree over exact longs, so both
+    // engines compute bit-identical φ with NO intermediate rounding
+    // (the q241 exactness discipline via integer moments). Gap-honest
+    // lags: a missing hour contributes no pair, never a wrong one.
+    // The MAE is the only unordered float sum — rounded at 6.
+    QueryDef("q244_ar2_backtest", Some("""
+      WITH h AS (SELECT event_type,
+                   datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS t,
+                   CAST(count(*) AS BIGINT) AS y
+                 FROM events GROUP BY 1, 2),
+      g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM h GROUP BY 1),
+      p1 AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n1,
+                    CAST(sum(a.y * b.y) AS BIGINT) AS sxy1,
+                    CAST(sum(a.y) AS BIGINT) AS sy1,
+                    CAST(sum(b.y) AS BIGINT) AS sx1
+             FROM h a JOIN h b ON b.event_type = a.event_type
+                              AND b.t = a.t - 1
+             GROUP BY 1),
+      p2 AS (SELECT a.event_type, CAST(count(*) AS BIGINT) AS n2,
+                    CAST(sum(a.y * b.y) AS BIGINT) AS sxy2,
+                    CAST(sum(a.y) AS BIGINT) AS sy2,
+                    CAST(sum(b.y) AS BIGINT) AS sx2
+             FROM h a JOIN h b ON b.event_type = a.event_type
+                              AND b.t = a.t - 2
+             GROUP BY 1),
+      m AS (SELECT g.*, p1.n1, p1.sxy1, p1.sy1, p1.sx1,
+                   p2.n2, p2.sxy2, p2.sy2, p2.sx2,
+                   CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+            FROM g JOIN p1 USING (event_type) JOIN p2 USING (event_type)),
+      c AS (SELECT *,
+              (CAST(syy AS DOUBLE) - mean * CAST(s + s AS DOUBLE)
+                 + CAST(n AS DOUBLE) * mean * mean) / CAST(n AS DOUBLE) AS c0,
+              (CAST(sxy1 AS DOUBLE) - mean * CAST(sy1 + sx1 AS DOUBLE)
+                 + CAST(n1 AS DOUBLE) * mean * mean) / CAST(n AS DOUBLE) AS c1,
+              (CAST(sxy2 AS DOUBLE) - mean * CAST(sy2 + sx2 AS DOUBLE)
+                 + CAST(n2 AS DOUBLE) * mean * mean) / CAST(n AS DOUBLE) AS c2
+            FROM m),
+      phi AS (SELECT *,
+                CASE WHEN abs(c0 * c0 - c1 * c1) < 1e-12::DOUBLE
+                     THEN 0.0::DOUBLE
+                     ELSE c1 * (c0 - c2) / (c0 * c0 - c1 * c1) END AS phi1,
+                CASE WHEN abs(c0 * c0 - c1 * c1) < 1e-12::DOUBLE
+                     THEN 0.0::DOUBLE
+                     ELSE (c0 * c2 - c1 * c1) / (c0 * c0 - c1 * c1) END AS phi2
+              FROM c),
+      ev AS (SELECT cur.event_type, CAST(count(*) AS BIGINT) AS n_eval,
+                    avg(abs(phi.mean
+                        + phi.phi1 * (CAST(l1.y AS DOUBLE) - phi.mean)
+                        + phi.phi2 * (CAST(l2.y AS DOUBLE) - phi.mean)
+                        - CAST(cur.y AS DOUBLE))) AS mae
+             FROM h cur
+             JOIN h l1 ON l1.event_type = cur.event_type AND l1.t = cur.t - 1
+             JOIN h l2 ON l2.event_type = cur.event_type AND l2.t = cur.t - 2
+             JOIN phi ON phi.event_type = cur.event_type
+             GROUP BY 1)
+      SELECT phi.event_type, phi.n AS n_obs,
+             CAST(coalesce(ev.n_eval, 0) AS BIGINT) AS n_eval,
+             round(phi.phi1, 6) AS phi1, round(phi.phi2, 6) AS phi2,
+             round(coalesce(ev.mae, 0.0::DOUBLE), 6) AS mae
+      FROM phi LEFT JOIN ev USING (event_type)"""),
+      (spark, dir) => {
+        val h = T(spark, dir, "events")
+          .groupBy(col("event_type"),
+            (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+              .cast("long").as("t"))
+          .agg(count(lit(1)).as("n"))
+        graft.ops.Forecast.ar2Backtest(h, Seq("event_type"), "t", "n")
+      }),
+
+    // Classical additive decomposition (ops.Forecast.decompose — the
+    // 2×24 centered-moving-average method) of the hourly counts into
+    // trend + seasonal + remainder: the diagnostic face of the
+    // forecasting family, and the deseasonalized residual feed q232's
+    // MAD detector actually wants. Trend is gap-honest by the RANGE
+    // window + full-coverage count (= season+1) contract, which also
+    // proves the row-based lag/lead endpoints land on t∓12, so trend
+    // is a fixed float expression over exact long sums (deterministic
+    // unrounded). Seasonal phase means and their centering are the
+    // only unordered float averages — seasonal rounds once at 6 after
+    // centering; remainder = y − trend(unrounded) − seasonal(rounded),
+    // rounded at 6 (mirrored exactly here).
+    QueryDef("q245_stl_decompose", Some {
+      val m = StlSeason; val h = m / 2
+      s"""
+      WITH h AS (SELECT event_type,
+                   datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS t,
+                   CAST(count(*) AS BIGINT) AS y
+                 FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, t, y,
+              CAST(sum(y) OVER (PARTITION BY event_type ORDER BY t
+                     RANGE BETWEEN $h PRECEDING AND $h FOLLOWING) AS BIGINT) AS wsum,
+              count(*) OVER (PARTITION BY event_type ORDER BY t
+                     RANGE BETWEEN $h PRECEDING AND $h FOLLOWING) AS wcnt,
+              lag(y, $h) OVER (PARTITION BY event_type ORDER BY t) AS yl,
+              lead(y, $h) OVER (PARTITION BY event_type ORDER BY t) AS yr
+            FROM h),
+      tr AS (SELECT event_type, t, y,
+               (CAST(wsum AS DOUBLE)
+                  - CAST(yl + yr AS DOUBLE) / 2.0::DOUBLE) / ${m.toDouble}::DOUBLE AS trend,
+               t % $m AS phase
+             FROM w WHERE wcnt = ${m + 1}),
+      dt AS (SELECT *, CAST(y AS DOUBLE) - trend AS detr FROM tr),
+      pm AS (SELECT event_type, phase, avg(detr) AS s_raw
+             FROM dt GROUP BY 1, 2),
+      ctr AS (SELECT event_type, phase,
+                round(s_raw - avg(s_raw) OVER (PARTITION BY event_type),
+                      6) AS seasonal
+              FROM pm)
+      SELECT dt.event_type, CAST(dt.t AS BIGINT) AS t,
+             CAST(dt.y AS BIGINT) AS y,
+             round(dt.trend, 6) AS trend, ctr.seasonal,
+             round(CAST(dt.y AS DOUBLE) - dt.trend - ctr.seasonal,
+                   6) AS remainder
+      FROM dt JOIN ctr ON ctr.event_type = dt.event_type
+                      AND ctr.phase = dt.phase"""
+    },
+      (spark, dir) => {
+        val h = T(spark, dir, "events")
+          .groupBy(col("event_type"),
+            (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+              .cast("long").as("t"))
+          .agg(count(lit(1)).as("n"))
+        graft.ops.Forecast.decompose(h, Seq("event_type"), "t", "n", StlSeason)
+      }),
+
+    // First-order Markov next-event backtest (ops.Markov) — the
+    // SEQUENCE rung of the prediction ladder (q224-q245 predict
+    // per-key counts; this predicts the next discrete state). Pairs
+    // via lead over (user, second, event_id) — the unique tie column
+    // makes the sequence reproducible; the train/test split is a
+    // TEMPORAL integer floor-division cutoff at 4/5 of the observed
+    // range (a random split would leak the future into training);
+    // the model is the per-state argmax with lexicographic
+    // tie-break; accuracy is exact-integer hits/n_test divided once
+    // (the q244 discipline — no unordered float accumulation).
+    QueryDef("q246_markov_next", Some("""
+      WITH p AS (SELECT event_type AS cur,
+                   lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY datediff('second',
+                       TIMESTAMP '1970-01-01 00:00:00', ts), event_id) AS nxt,
+                   datediff('second', TIMESTAMP '1970-01-01 00:00:00',
+                            ts) AS t
+                 FROM events),
+      pp AS (SELECT * FROM p WHERE nxt IS NOT NULL),
+      b AS (SELECT min(t) + ((max(t) - min(t)) * 4) // 5 AS cut FROM pp),
+      tr AS (SELECT cur, nxt FROM pp, b WHERE t < cut),
+      te AS (SELECT cur, nxt FROM pp, b WHERE t >= cut),
+      c AS (SELECT cur, nxt, count(*) AS c FROM tr GROUP BY 1, 2),
+      pr AS (SELECT cur, nxt AS top_next FROM (
+               SELECT *, row_number() OVER (PARTITION BY cur
+                 ORDER BY c DESC, nxt) AS rn FROM c) WHERE rn = 1),
+      tn AS (SELECT cur, CAST(count(*) AS BIGINT) AS n_train
+             FROM tr GROUP BY 1),
+      sc AS (SELECT te.cur, CAST(count(*) AS BIGINT) AS n_test,
+                    CAST(sum(CASE WHEN te.nxt = pr.top_next
+                                  THEN 1 ELSE 0 END) AS BIGINT) AS hits
+             FROM te JOIN pr ON pr.cur = te.cur GROUP BY 1)
+      SELECT pr.cur AS event_type, tn.n_train,
+             CAST(coalesce(sc.n_test, 0) AS BIGINT) AS n_test, pr.top_next,
+             round(CAST(coalesce(sc.hits, 0) AS DOUBLE) /
+                   CAST(CASE WHEN coalesce(sc.n_test, 0) = 0 THEN 1
+                             ELSE sc.n_test END AS DOUBLE), 6) AS acc
+      FROM pr JOIN tn USING (cur) LEFT JOIN sc USING (cur)"""),
+      (spark, dir) => {
+        val e = T(spark, dir, "events")
+          .withColumn("t", unix_timestamp(col("ts")))
+        graft.ops.Markov.firstOrderBacktest(
+          e, "user_id", "t", "event_id", "event_type")
       })
   )
 }

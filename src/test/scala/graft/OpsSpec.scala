@@ -726,6 +726,83 @@ class OpsSpec extends SparkSuite {
     assert(g.getDouble(2) == 0.0, s"gap misaligned the season: mape ${g.getDouble(2)}")
   }
 
+  test("Forecast.ar2Backtest: alternating series fits phi=(-10/11,-1/11) closed-form; degenerates to the mean model") {
+    import spark.implicits._
+    // y = 10,20,10,20,10,20 (n=6, mean 15). Exact integer moments:
+    //   c0 = 25, c1 = -125/6, c2 = 100/6, d = 6875/36
+    //   phi1 = -10/11, phi2 = -1/11; every scored row errs by 10/11.
+    val alt = (0 until 6).map(t => ("a", t.toLong, if (t % 2 == 0) 10L else 20L))
+    // constant series: c0 = 0 -> degenerate -> mean model, zero error
+    val const = (0 until 5).map(t => ("c", t.toLong, 7L))
+    // two points: no lag-2 pair row -> inner moment join drops the key
+    val short = Seq(("s", 0L, 1L), ("s", 1L, 2L))
+    val out = graft.ops.Forecast.ar2Backtest(
+        (alt ++ const ++ short).toDF("k", "t", "v"), Seq("k"), "t", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(out("a") == ((6L, 4L, -0.909091, -0.090909, 0.909091)),
+      s"got ${out.get("a")}")
+    assert(out("c") == ((5L, 3L, 0.0, 0.0, 0.0)), s"got ${out.get("c")}")
+    assert(!out.contains("s"), s"keyless-of-lag2 key survived: ${out.get("s")}")
+  }
+
+  test("Forecast.decompose: linear trend + alternating season recovered exactly; a gap drops windows, never misaligns") {
+    import spark.implicits._
+    // y_t = 10t + s_t with s = +3 (even t) / -3 (odd t), season m = 2:
+    // the 2x2 centered MA cancels the season exactly -> trend 10t,
+    // seasonal +-3 after centering, remainder 0 on every full window.
+    def y(t: Long) = 10L * t + (if (t % 2 == 0) 3L else -3L)
+    val full = (0L until 10L).map(t => ("a", t, y(t))).toDF("k", "t", "v")
+    val out = graft.ops.Forecast.decompose(full, Seq("k"), "t", "v", 2)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out.keySet == (1L to 8L).toSet, s"full-window rows: ${out.keySet}")
+    (1L to 8L).foreach { t =>
+      val exp = ((y(t), 10.0 * t, if (t % 2 == 0) 3.0 else -3.0, 0.0))
+      assert(out(t) == exp, s"t=$t got ${out(t)} want $exp")
+    }
+    // remove t=5: rows 4,5,6 lose their window (wcnt < m+1) and are
+    // DROPPED; survivors keep exact trend/seasonal (no row-lag slip)
+    val gapped = (0L until 10L).filterNot(_ == 5L).map(t => ("a", t, y(t)))
+      .toDF("k", "t", "v")
+    val g = graft.ops.Forecast.decompose(gapped, Seq("k"), "t", "v", 2)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(g.keySet == Set(1L, 2L, 3L, 7L, 8L), s"gap survivors: ${g.keySet}")
+    g.foreach { case (t, got) =>
+      val exp = ((10.0 * t, if (t % 2 == 0) 3.0 else -3.0, 0.0))
+      assert(got == exp, s"gapped t=$t got $got want $exp")
+    }
+  }
+
+  test("Markov.firstOrderBacktest: temporal split, argmax with lexicographic tie, unseen state drops") {
+    import spark.implicits._
+    // user 1: A,B alternate through t=6 then A->C, C->A, A->B; pair
+    // times span [0,8] -> integer cutoff 0 + (8*4) div 5 = 6.
+    val u1 = Seq((1L, 0L, 10L, "A"), (1L, 1L, 11L, "B"), (1L, 2L, 12L, "A"),
+      (1L, 3L, 13L, "B"), (1L, 4L, 14L, "A"), (1L, 5L, 15L, "B"),
+      (1L, 6L, 16L, "A"), (1L, 7L, 17L, "C"), (1L, 8L, 18L, "A"),
+      (1L, 9L, 19L, "B"))
+    // user 2 (all train): D->A and D->B tie at 1 -> lexicographic "A"
+    val u2 = Seq((2L, 0L, 20L, "D"), (2L, 1L, 21L, "A"), (2L, 2L, 22L, "D"),
+      (2L, 3L, 23L, "B"))
+    // user 3: equal-time rows ordered by the unique tie column
+    val u3 = Seq((3L, 5L, 31L, "X"), (3L, 5L, 32L, "Y"))
+    val out = graft.ops.Markov.firstOrderBacktest(
+        (u1 ++ u2 ++ u3).toDF("user_id", "t", "event_id", "event_type"),
+        "user_id", "t", "event_id", "event_type")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))).toMap
+    // A trains B x3 + D x1 -> top B; test pairs A@6->C (miss), A@8->B (hit)
+    assert(out("A") == ((4L, 2L, "B", 0.5)), s"got ${out.get("A")}")
+    assert(out("B") == ((3L, 0L, "A", 0.0)), s"got ${out.get("B")}")
+    assert(out("D") == ((2L, 0L, "A", 0.0)), s"tie-break: ${out.get("D")}")
+    assert(out("X") == ((1L, 0L, "Y", 0.0)), s"got ${out.get("X")}")
+    // C appears as "current" only in the test window: no model row
+    assert(!out.contains("C"), s"unseen-in-train state scored: ${out.get("C")}")
+  }
+
   test("EntityResolution.blockingQuality: trivial block -> completeness 1, no reduction") {
     val names = Seq("abc", "abd", "xbd", "qqq").toDF("name")
     // one global block, wide band: every pair is a candidate
