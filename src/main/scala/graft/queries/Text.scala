@@ -943,7 +943,50 @@ object Text {
             .as("n_sentences"),
           size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
             .as("n_syllables"),
-          round(TextOps.fleschEase(col("text")), 4).as("flesch")))
+          round(TextOps.fleschEase(col("text")), 4).as("flesch"))),
+
+    // Zipf's-law fit over the whole vocabulary (llm.CorpusStats
+    // .zipfFit) — the post-curation health check: natural text slopes
+    // near -1; boilerplate flattens the head, over-dedup starves the
+    // tail. Determinism: ln(rank)/ln(freq) are QUANTIZED to 1e6
+    // fixed-point longs per row (ln of an exact integer, forgiving
+    // sub-1e-6 libm disagreement), then every OLS moment is an exact
+    // 128-bit integer sum — order-free, partial-aggregated — and
+    // slope/intercept are fixed float expressions over those exact
+    // integers, rounded once. Ranks via GlobalRank (sort +
+    // zipWithIndex), not a single-task unpartitioned window.
+    QueryDef("q247_zipf_fit", Some("""
+      WITH c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+                 FROM (SELECT unnest(string_split(text, ' ')) AS token
+                       FROM documents)
+                 GROUP BY token),
+      r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rnk
+            FROM c),
+      f AS (SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+                   CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS y,
+                   n
+            FROM r),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                   sum(x::HUGEINT * y::HUGEINT) AS sxy,
+                   sum(x::HUGEINT * x::HUGEINT) AS sxx
+            FROM f),
+      k AS (SELECT *,
+              CAST(n_types * sxy - sx * sy AS DOUBLE) AS num,
+              CAST(n_types * sxx - sx * sx AS DOUBLE) AS den
+            FROM s)
+      SELECT n_types, n_tokens,
+             round(CASE WHEN den = 0.0::DOUBLE THEN 0.0::DOUBLE
+                        ELSE num / den END, 6) AS slope,
+             round((CAST(sy AS DOUBLE)
+                    - (CASE WHEN den = 0.0::DOUBLE THEN 0.0::DOUBLE
+                            ELSE num / den END) * CAST(sx AS DOUBLE))
+                   / (CAST(n_types AS DOUBLE) * 1000000.0::DOUBLE), 6)
+               AS intercept
+      FROM k"""),
+      (spark, dir) =>
+        graft.llm.CorpusStats.zipfFit(T(spark, dir, "documents"), "text"))
   )
 
   /** Ordered float fold over a pre-sorted `__s` array of structs — sum

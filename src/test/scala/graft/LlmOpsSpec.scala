@@ -1079,4 +1079,24 @@ class LlmOpsSpec extends SparkSuite {
     // count), which must read strictly harder than the punctuated text
     assert(out(2) < out(0), s"one-long-sentence text should score harder: $out")
   }
+
+  test("CorpusStats.zipfFit: two-point corpus fits slope -1 exactly; single-type vocabulary degenerates, not NaN") {
+    import spark.implicits._
+    // freqs (2, 1) at ranks (1, 2): both fixed-point points lie on
+    // y = -x + 1e6·ln2, so OLS is exact: slope -1, intercept ln 2.
+    val two = graft.llm.CorpusStats.zipfFit(Seq("a a b").toDF("text"), "text")
+      .head
+    assert(two.getLong(0) == 2 && two.getLong(1) == 3, s"counts: $two")
+    assert(two.getDouble(2) == -1.0, s"slope ${two.getDouble(2)}")
+    assert(two.getDouble(3) == 0.693147, s"intercept ${two.getDouble(3)}")
+    // one type: zero x-variance -> mean model (slope 0, intercept ln 3)
+    val one = graft.llm.CorpusStats.zipfFit(Seq("a a a").toDF("text"), "text")
+      .head
+    assert(one.getDouble(2) == 0.0 && one.getDouble(3) == 1.098612,
+      s"degenerate fit: $one")
+    // a skewed (roughly Zipfian) corpus must fit a negative slope
+    val skew = graft.llm.CorpusStats.zipfFit(
+      Seq("x x x x x x x x y y y y z z w").toDF("text"), "text").head
+    assert(skew.getDouble(2) < -0.5, s"skewed corpus slope ${skew.getDouble(2)}")
+  }
 }
