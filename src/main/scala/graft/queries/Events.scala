@@ -845,22 +845,35 @@ object Events {
     // 2×24 centered-moving-average method) of the hourly counts into
     // trend + seasonal + remainder: the diagnostic face of the
     // forecasting family, and the deseasonalized residual feed q232's
-    // MAD detector actually wants. Trend is gap-honest by the RANGE
-    // window + full-coverage count (= season+1) contract, which also
-    // proves the row-based lag/lead endpoints land on t∓12, so trend
-    // is a fixed float expression over exact long sums (deterministic
-    // unrounded). Seasonal phase means and their centering are the
-    // only unordered float averages — seasonal rounds once at 6 after
-    // centering; remainder = y − trend(unrounded) − seasonal(rounded),
-    // rounded at 6 (mirrored exactly here).
+    // MAD detector actually wants. COUNT semantics: an hour with no
+    // events is a real observation of 0, so the series is ZERO-FILLED
+    // over each type's [min, max] hour range before decomposing (at
+    // sparse scale factors no 25-hour run is fully observed; for a
+    // count series that's density, not missingness — the op's
+    // gap-honest contract stays for series where absent ≠ 0). Trend
+    // is then exact by the RANGE window + full-coverage count
+    // (= season+1) contract, which also proves the row-based lag/lead
+    // endpoints land on t∓12, so trend is a fixed float expression
+    // over exact long sums (deterministic unrounded). Seasonal phase
+    // means and their centering are the only unordered float averages
+    // — seasonal rounds once at 6 after centering; remainder =
+    // y − trend(unrounded) − seasonal(rounded), rounded at 6
+    // (mirrored exactly here).
     QueryDef("q245_stl_decompose", Some {
       val m = StlSeason; val h = m / 2
       s"""
-      WITH h AS (SELECT event_type,
+      WITH hr AS (SELECT event_type,
                    datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
                             date_trunc('hour', ts)) AS t,
                    CAST(count(*) AS BIGINT) AS y
                  FROM events GROUP BY 1, 2),
+      hb AS (SELECT event_type, min(t) AS lo, max(t) AS hi
+             FROM hr GROUP BY 1),
+      grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS t FROM hb),
+      h AS (SELECT g.event_type, g.t,
+                   CAST(coalesce(hr.y, 0) AS BIGINT) AS y
+            FROM grid g LEFT JOIN hr ON hr.event_type = g.event_type
+                                    AND hr.t = g.t),
       w AS (SELECT event_type, t, y,
               CAST(sum(y) OVER (PARTITION BY event_type ORDER BY t
                      RANGE BETWEEN $h PRECEDING AND $h FOLLOWING) AS BIGINT) AS wsum,
@@ -890,12 +903,20 @@ object Events {
                       AND ctr.phase = dt.phase"""
     },
       (spark, dir) => {
-        val h = T(spark, dir, "events")
+        val hr = T(spark, dir, "events")
           .groupBy(col("event_type"),
             (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
               .cast("long").as("t"))
           .agg(count(lit(1)).as("n"))
-        graft.ops.Forecast.decompose(h, Seq("event_type"), "t", "n", StlSeason)
+        val dense = hr.groupBy(col("event_type"))
+          .agg(min(col("t")).as("__lo"), max(col("t")).as("__hi"))
+          .select(col("event_type"),
+            explode(sequence(col("__lo"), col("__hi"))).as("t"))
+          .join(hr, Seq("event_type", "t"), "left")
+          .select(col("event_type"), col("t"),
+            coalesce(col("n"), lit(0L)).as("n"))
+        graft.ops.Forecast.decompose(dense, Seq("event_type"), "t", "n",
+          StlSeason)
       }),
 
     // First-order Markov next-event backtest (ops.Markov) — the
