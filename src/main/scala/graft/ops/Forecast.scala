@@ -69,6 +69,29 @@ object Forecast {
     * @return (keys…, n_obs, mae, level, trend) — mae over the n−1
     *         one-step forecasts, final state rounded to 6
     */
+  /** One Holt update as a fold step over `(l, b, sae, n)` accumulator
+    * structs — the SINGLE definition of the float-op chain, shared by
+    * [[holtBacktest]] and `streaming.IncrementalForecast` so the
+    * incremental store's continuation is bit-identical to the batch
+    * fold by construction (same expression tree, same doubles).
+    */
+  private[graft] def holtStep(alpha: Double, beta: Double)
+                             (acc: org.apache.spark.sql.Column,
+                              x: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column = {
+    // the duplicated l' subexpression in b' is deliberate: the
+    // oracle's lambda writes the same text twice, and identical
+    // pure float expressions yield identical doubles
+    val l = acc.getField("l"); val b = acc.getField("b")
+    val y = x.getField("y")
+    val nl = lit(alpha) * y + lit(1.0 - alpha) * (l + b)
+    struct(
+      nl.as("l"),
+      (lit(beta) * (nl - l) + lit(1.0 - beta) * b).as("b"),
+      (acc.getField("sae") + abs(y - (l + b))).as("sae"),
+      (acc.getField("n") + lit(1.0)).as("n"))
+  }
+
   def holtBacktest(series: DataFrame, keys: Seq[String],
                    tCol: String, vCol: String,
                    alpha: Double, beta: Double): DataFrame = {
@@ -84,20 +107,7 @@ object Forecast {
       element_at(col("__s"), 1).getField("y").as("l"),
       lit(0.0).as("b"), lit(0.0).as("sae"), lit(0.0).as("n"))
     val folded = aggregate(
-      expr("slice(__s, 2, size(__s) - 1)"), init,
-      (acc, x) => {
-        // the duplicated l' subexpression in b' is deliberate: the
-        // oracle's lambda writes the same text twice, and identical
-        // pure float expressions yield identical doubles
-        val l = acc.getField("l"); val b = acc.getField("b")
-        val y = x.getField("y")
-        val nl = lit(alpha) * y + lit(1.0 - alpha) * (l + b)
-        struct(
-          nl.as("l"),
-          (lit(beta) * (nl - l) + lit(1.0 - beta) * b).as("b"),
-          (acc.getField("sae") + abs(y - (l + b))).as("sae"),
-          (acc.getField("n") + lit(1.0)).as("n"))
-      })
+      expr("slice(__s, 2, size(__s) - 1)"), init, holtStep(alpha, beta))
     sorted.select(
       keys.map(col) :+ col("n_obs") :+ folded.as("__st"): _*)
       .select(keys.map(col) :+ col("n_obs") :+

@@ -30,6 +30,48 @@ object Events {
     */
   val StlSeason = 24
 
+  /** Holt backtest oracle over the hourly counts — shared verbatim by
+    * q237 (batch fold) and q248 (incremental store): the store's
+    * 3-batch result is CONTRACTUALLY bit-identical to the full-history
+    * fold, so both gate against the same recursive CTE. Declared
+    * before `defs` (eager interpolation discipline).
+    */
+  private val holtOracleSql: String = {
+    val (a, a1, b, b1) = (HoltAlpha, 1.0 - HoltAlpha, HoltBeta, 1.0 - HoltBeta)
+    s"""
+      WITH RECURSIVE h AS (
+        SELECT event_type,
+               datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                        date_trunc('hour', ts)) AS t,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      r AS (SELECT event_type, CAST(n AS DOUBLE) AS y,
+                   row_number() OVER (PARTITION BY event_type ORDER BY t) AS i
+            FROM h),
+      cnt AS (SELECT event_type, count(*) AS n_obs FROM r GROUP BY 1),
+      st AS (
+        SELECT event_type, i, y AS l, 0.0::DOUBLE AS b, 0.0::DOUBLE AS sae
+        FROM r WHERE i = 1
+        UNION ALL
+        SELECT st.event_type, r.i,
+               $a::DOUBLE * r.y + $a1::DOUBLE * (st.l + st.b),
+               $b::DOUBLE * (($a::DOUBLE * r.y + $a1::DOUBLE * (st.l + st.b))
+                 - st.l) + $b1::DOUBLE * st.b,
+               st.sae + abs(r.y - (st.l + st.b))
+        FROM st JOIN r ON r.event_type = st.event_type AND r.i = st.i + 1)
+      SELECT st.event_type, CAST(cnt.n_obs AS BIGINT) AS n_obs,
+             round(st.sae / greatest(CAST(cnt.n_obs - 1 AS DOUBLE), 1.0::DOUBLE), 6) AS mae,
+             round(st.l, 6) AS level, round(st.b, 6) AS trend
+      FROM st JOIN cnt ON st.event_type = cnt.event_type AND st.i = cnt.n_obs"""
+  }
+
+  /** q248's bench-production steady-state stores, keyed by sf dir (the
+    * q233 pattern): versions 0-1 build once per process so the
+    * measured body is one batch against an existing store.
+    */
+  private val q248ProdStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tumbling 1-hour windows, batch formulation.
@@ -658,34 +700,7 @@ object Events {
     // constants interpolate from the SAME Scala doubles on both sides
     // (shortest-roundtrip printing), so 1−β computed in Scala can
     // never mismatch a hand-typed SQL literal by one ulp.
-    QueryDef("q237_holt_backtest", Some {
-      val (a, a1, b, b1) = (HoltAlpha, 1.0 - HoltAlpha, HoltBeta, 1.0 - HoltBeta)
-      s"""
-      WITH RECURSIVE h AS (
-        SELECT event_type,
-               datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
-                        date_trunc('hour', ts)) AS t,
-               CAST(count(*) AS BIGINT) AS n
-        FROM events GROUP BY 1, 2),
-      r AS (SELECT event_type, CAST(n AS DOUBLE) AS y,
-                   row_number() OVER (PARTITION BY event_type ORDER BY t) AS i
-            FROM h),
-      cnt AS (SELECT event_type, count(*) AS n_obs FROM r GROUP BY 1),
-      st AS (
-        SELECT event_type, i, y AS l, 0.0::DOUBLE AS b, 0.0::DOUBLE AS sae
-        FROM r WHERE i = 1
-        UNION ALL
-        SELECT st.event_type, r.i,
-               $a::DOUBLE * r.y + $a1::DOUBLE * (st.l + st.b),
-               $b::DOUBLE * (($a::DOUBLE * r.y + $a1::DOUBLE * (st.l + st.b))
-                 - st.l) + $b1::DOUBLE * st.b,
-               st.sae + abs(r.y - (st.l + st.b))
-        FROM st JOIN r ON r.event_type = st.event_type AND r.i = st.i + 1)
-      SELECT st.event_type, CAST(cnt.n_obs AS BIGINT) AS n_obs,
-             round(st.sae / greatest(CAST(cnt.n_obs - 1 AS DOUBLE), 1.0::DOUBLE), 6) AS mae,
-             round(st.l, 6) AS level, round(st.b, 6) AS trend
-      FROM st JOIN cnt ON st.event_type = cnt.event_type AND st.i = cnt.n_obs"""
-    },
+    QueryDef("q237_holt_backtest", Some(holtOracleSql),
       (spark, dir) => {
         val h = T(spark, dir, "events")
           .groupBy(col("event_type"),
@@ -962,6 +977,55 @@ object Events {
           .withColumn("t", unix_timestamp(col("ts")))
         graft.ops.Markov.firstOrderBacktest(
           e, "user_id", "t", "event_id", "event_type")
+      }),
+
+    // Incremental Holt state store (streaming.IncrementalForecast):
+    // the hourly series split into 3 TIME-ordered batches (integer
+    // tertile cutoffs), each folded into a versioned per-key
+    // (level, trend, sae) store — and the final state is
+    // CONTRACTUALLY bit-identical to q237's full-history fold (the
+    // fold continues from stored unrounded doubles through the same
+    // shared holtStep expression tree), so this query gates against
+    // q237's recursive-CTE oracle VERBATIM. Bench measures the
+    // steady state (one batch into an existing store, the q233
+    // production-twin pattern); Verify keeps the 3-batch cold replay.
+    QueryDef("q248_incremental_holt", Some(holtOracleSql),
+      (spark, dir) => {
+        val h = T(spark, dir, "events")
+          .groupBy(col("event_type"),
+            (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+              .cast("long").as("t"))
+          .agg(count(lit(1)).as("n"))
+        val cuts = h.agg(min(col("t")).as("__lo"), max(col("t")).as("__hi"))
+          .select(expr("__lo + (__hi - __lo) div 3").as("__c1"),
+            expr("__lo + ((__hi - __lo) * 2) div 3").as("__c2"))
+        val hh = h.crossJoin(broadcast(cuts))
+        def part(i: Long) = i match {
+          case 0 => hh.filter(col("t") < col("__c1"))
+          case 1 => hh.filter(col("t") >= col("__c1") && col("t") < col("__c2"))
+          case _ => hh.filter(col("t") >= col("__c2"))
+        }
+        def batch(store: String, i: Long): Unit = {
+          graft.streaming.IncrementalForecast.processBatch(
+            part(i), i, store, Seq("event_type"), "t", "n",
+            HoltAlpha, HoltBeta): Unit
+        }
+        if (sys.props.get("graft.bench.production").contains("true")) {
+          val store = q248ProdStores.computeIfAbsent(dir, _ => {
+            val s = java.nio.file.Files
+              .createTempDirectory("graft_q248_holt_prod").toString
+            batch(s, 0L); batch(s, 1L); s
+          })
+          batch(store, 2L)
+          graft.streaming.IncrementalForecast.backtest(
+            spark, store, 2L, Seq("event_type"))
+        } else {
+          val store = java.nio.file.Files
+            .createTempDirectory("graft_q248_holt").toString
+          (0L to 2L).foreach(batch(store, _))
+          graft.streaming.IncrementalForecast.backtest(
+            spark, store, 2L, Seq("event_type"))
+        }
       })
   )
 }
