@@ -941,6 +941,41 @@ object Graph {
             Seq(col("rank").desc, col("node").asc), 25, "rnk")
           .select(col("node").as("token"), round(col("rank"), 6).as("rank"),
             col("rnk").cast("int").as("rnk"))
+      }),
+
+    // Bounded-distance betweenness (ops.Betweenness.truncatedBrandes,
+    // horizon 4) from sampled chain heads over the q233 order-chain
+    // forest — the brokerage diagnostic: which orders sit on the
+    // shortest routes. The planted chains have UNIQUE shortest paths,
+    // so every Brandes dependency is integer-valued (float sums exact
+    // in any order) and the oracle is closed-form: from a chain head,
+    // delta at position q is min(D, L) − q — no iteration to replay.
+    // The dyadic sigma-splitting path is spec-pinned on a diamond.
+    QueryDef("q249_betweenness", Some("""
+      WITH r AS (SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) - 1 AS q,
+                   count(*) OVER (PARTITION BY o_custkey) - 1 AS L
+                 FROM orders)
+      SELECT CAST(o_orderkey AS BIGINT) AS node,
+             round(CAST(least(4, L) - q AS DOUBLE), 6) AS bc
+      FROM r
+      WHERE o_custkey % 10 = 0 AND q BETWEEN 1 AND least(4, L)"""),
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c").orderBy(col("d"), col("k"))
+        val o = T(spark, dir, "orders")
+          .select(col("o_custkey").as("c"), col("o_orderkey").as("k"),
+            col("o_orderdate").as("d"))
+        val edges = o.withColumn("nk", lead(col("k"), 1).over(w))
+          .filter(col("nk").isNotNull)
+          .select(col("k").as("s"), col("nk").as("t"))
+        val sources = o.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && pmod(col("c"), lit(10)) === 0)
+          .select(col("k").as("n"))
+        graft.ops.Betweenness.truncatedBrandes(
+            edges, "s", "t", sources, "n", maxDepth = 4)
+          .select(col("node").cast("long").as("node"), col("bc"))
       })
   )
 

@@ -803,6 +803,30 @@ class OpsSpec extends SparkSuite {
     assert(!out.contains("C"), s"unseen-in-train state scored: ${out.get("C")}")
   }
 
+  test("Betweenness.truncatedBrandes: diamond splits dependency dyadically; horizon truncates; sources sum") {
+    import spark.implicits._
+    // diamond + tail: s->a, s->b, a->t, b->t, t->u (sigma(t) = 2)
+    val dia = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("s", "t")
+    val bc = graft.ops.Betweenness.truncatedBrandes(
+        dia, "s", "t", Seq(0L).toDF("n"), "n", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // delta(t) = 2/2·(1+0) = 1; delta(a) = delta(b) = 1/2·(1+1) = 1
+    assert(bc == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 0.0), s"got $bc")
+    // chain 0->1->...->5, horizon 3: delta(pos p) = 3 - p; 4,5 unreached
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("s", "t")
+    val one = graft.ops.Betweenness.truncatedBrandes(
+        chain, "s", "t", Seq(0L).toDF("n"), "n", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one == Map(1L -> 2.0, 2L -> 1.0, 3L -> 0.0), s"got $one")
+    // a second source contributes additively from its own sweep
+    val two = graft.ops.Betweenness.truncatedBrandes(
+        chain, "s", "t", Seq(0L, 2L).toDF("n"), "n", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(two == Map(1L -> 2.0, 2L -> 1.0, 3L -> 2.0, 4L -> 1.0, 5L -> 0.0),
+      s"got $two")
+  }
+
   test("EntityResolution.blockingQuality: trivial block -> completeness 1, no reduction") {
     val names = Seq("abc", "abd", "xbd", "qqq").toDF("name")
     // one global block, wide band: every pair is a candidate
