@@ -43,30 +43,85 @@ object CorpusStats {
     * @return one row: (n_types, n_tokens, slope, intercept)
     */
   def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
-    val dec = "decimal(38,0)"
     val counts = docs
       .select(explode(TextOps.tokenize(col(textCol))).as("__tok"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
     val ranked = graft.ops.GlobalRank.withRowNumber(
       counts, "__rnk", Seq(col("__n").desc, col("__tok").asc))
-    val fixed = ranked.select(
-      round(log(col("__rnk").cast("double")) * 1e6, 0).cast("long").as("__x"),
-      round(log(col("__n").cast("double")) * 1e6, 0).cast("long").as("__y"),
-      col("__n"))
+    fixedLogOls(ranked, col("__rnk"), col("__n"), "n_types",
+      Seq(sum(col("__n")) -> "n_tokens"))
+  }
+
+  /** Heaps'-law fit: OLS of ln(cumulative vocabulary) on ln(cumulative
+    * tokens) over the doc-id-ordered corpus prefix curve — the
+    * companion diagnostic to [[zipfFit]] (natural text grows V ≈ K·N^β
+    * with β ≈ 0.4–0.6; a near-1 slope after curation means the corpus
+    * is still absorbing boilerplate/noise vocabularies, near-0 means
+    * dedup collapsed its sources).
+    *
+    * Distributed construction of the prefix curve: each type's FIRST
+    * document (one min-aggregate), new-type counts per document (one
+    * count), then both cumulative sums ride
+    * [[graft.ops.PrefixSum.withRunningSum]] — never an unpartitioned
+    * running-sum window over the corpus. The fit is the same
+    * fixed-point-log exact-moment OLS as [[zipfFit]].
+    *
+    * @return one row: (n_docs, slope, intercept)
+    */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("__doc"),
+      TextOps.tokenize(col(textCol)).as("__t"))
+    val perDoc = toks.select(col("__doc"), size(col("__t")).cast("long").as("__ntok"))
+    val firstDoc = toks.select(col("__doc"), explode(col("__t")).as("__tok"))
+      .groupBy(col("__tok")).agg(min(col("__doc")).as("__fd"))
+    val newPerDoc = firstDoc.groupBy(col("__fd").as("__doc"))
+      .agg(count(lit(1)).as("__nnew"))
+    val joined = perDoc.join(newPerDoc, Seq("__doc"), "left")
+      .select(col("__doc"), col("__ntok"),
+        coalesce(col("__nnew"), lit(0L)).as("__nnew"))
+    val withN = graft.ops.PrefixSum.withRunningSum(
+      joined, "__ntok", "__cn0", Seq(col("__doc")))
+    val withV = graft.ops.PrefixSum.withRunningSum(
+      withN, "__nnew", "__cv0", Seq(col("__doc")))
+    val curve = withV.select(
+      (col("__cn0") + col("__ntok")).as("__cn"),
+      (col("__cv0") + col("__nnew")).as("__cv"))
+      .filter(col("__cn") >= 1 && col("__cv") >= 1)
+    fixedLogOls(curve, col("__cn"), col("__cv"), "n_docs", Seq.empty)
+  }
+
+  /** Shared exact-moment OLS of ln(yRaw) on ln(xRaw): quantize both
+    * logs to 1e6 fixed-point longs, accumulate Σx/Σy/Σxy/Σx² as exact
+    * decimal(38) integer sums, emit (countName, extras…, slope,
+    * intercept) — the single definition of the determinism discipline
+    * both fits share.
+    */
+  private def fixedLogOls(pts: DataFrame,
+                          xRaw: org.apache.spark.sql.Column,
+                          yRaw: org.apache.spark.sql.Column,
+                          countName: String,
+                          extras: Seq[(org.apache.spark.sql.Column, String)])
+  : DataFrame = {
+    val dec = "decimal(38,0)"
+    val fixed = pts.withColumn("__x",
+        round(log(xRaw.cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("__y",
+        round(log(yRaw.cast("double")) * 1e6, 0).cast("long"))
     val s = fixed.agg(
-      count(lit(1)).as("n_types"), sum(col("__n")).as("n_tokens"),
-      sum(col("__x").cast(dec)).as("__sx"),
-      sum(col("__y").cast(dec)).as("__sy"),
-      sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
-      sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx"))
-    val num = (col("n_types").cast(dec) * col("__sxy") -
+      count(lit(1)).as(countName),
+      extras.map { case (c, n) => c.as(n) } ++ Seq(
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum(col("__y").cast(dec)).as("__sy"),
+        sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__sxy"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__sxx")): _*)
+    val num = (col(countName).cast(dec) * col("__sxy") -
       col("__sx") * col("__sy")).cast("double")
-    val den = (col("n_types").cast(dec) * col("__sxx") -
+    val den = (col(countName).cast(dec) * col("__sxx") -
       col("__sx") * col("__sx")).cast("double")
     val slope = when(den === 0.0, 0.0).otherwise(num / den)
-    s.select(col("n_types"), col("n_tokens"),
-      round(slope, 6).as("slope"),
-      round((col("__sy").cast("double") - slope * col("__sx").cast("double")) /
-        (col("n_types").cast("double") * 1e6), 6).as("intercept"))
+    s.select(Seq(col(countName)) ++ extras.map { case (_, n) => col(n) } ++
+      Seq(round(slope, 6).as("slope"),
+        round((col("__sy").cast("double") - slope * col("__sx").cast("double")) /
+          (col(countName).cast("double") * 1e6), 6).as("intercept")): _*)
   }
 }

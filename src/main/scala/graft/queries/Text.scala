@@ -986,7 +986,56 @@ object Text {
                AS intercept
       FROM k"""),
       (spark, dir) =>
-        graft.llm.CorpusStats.zipfFit(T(spark, dir, "documents"), "text"))
+        graft.llm.CorpusStats.zipfFit(T(spark, dir, "documents"), "text")),
+
+    // Heaps'-law fit over the doc-id-ordered prefix curve
+    // (llm.CorpusStats.heapsFit) — q247's companion: V ≈ K·N^β with
+    // β ≈ 0.4-0.6 for natural text; slope near 1 after curation means
+    // the corpus is still absorbing noise vocabularies, near 0 means
+    // dedup collapsed its sources. The prefix curve is built
+    // distributed: each type's FIRST document (one min-agg), new-type
+    // counts per doc, cumulative sums via the two-phase PrefixSum scan
+    // (never an unpartitioned running-sum window); the fit reuses
+    // q247's fixed-point-log exact-moment OLS, so both sums below are
+    // plain integer window sums the engines replay exactly.
+    QueryDef("q250_heaps_fit", Some("""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t
+                   FROM documents),
+      n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM tok),
+      ft AS (SELECT tok, min(doc_id) AS fd
+             FROM (SELECT doc_id, unnest(t) AS tok FROM tok) GROUP BY tok),
+      nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+             FROM ft GROUP BY fd),
+      c AS (SELECT n.doc_id,
+              CAST(sum(n.n_tok) OVER (ORDER BY n.doc_id) AS BIGINT) AS cn,
+              CAST(sum(coalesce(nv.n_new, 0)) OVER (ORDER BY n.doc_id)
+                   AS BIGINT) AS cv
+            FROM n LEFT JOIN nv USING (doc_id)),
+      f AS (SELECT
+              CAST(round(ln(CAST(cn AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+              CAST(round(ln(CAST(cv AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+            FROM c WHERE cn >= 1 AND cv >= 1),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                   sum(x::HUGEINT * y::HUGEINT) AS sxy,
+                   sum(x::HUGEINT * x::HUGEINT) AS sxx
+            FROM f),
+      k AS (SELECT *,
+              CAST(n_docs * sxy - sx * sy AS DOUBLE) AS num,
+              CAST(n_docs * sxx - sx * sx AS DOUBLE) AS den
+            FROM s)
+      SELECT n_docs,
+             round(CASE WHEN den = 0.0::DOUBLE THEN 0.0::DOUBLE
+                        ELSE num / den END, 6) AS slope,
+             round((CAST(sy AS DOUBLE)
+                    - (CASE WHEN den = 0.0::DOUBLE THEN 0.0::DOUBLE
+                            ELSE num / den END) * CAST(sx AS DOUBLE))
+                   / (CAST(n_docs AS DOUBLE) * 1000000.0::DOUBLE), 6)
+               AS intercept
+      FROM k"""),
+      (spark, dir) =>
+        graft.llm.CorpusStats.heapsFit(
+          T(spark, dir, "documents"), "doc_id", "text"))
   )
 
   /** Ordered float fold over a pre-sorted `__s` array of structs — sum

@@ -1099,4 +1099,27 @@ class LlmOpsSpec extends SparkSuite {
       Seq("x x x x x x x x y y y y z z w").toDF("text"), "text").head
     assert(skew.getDouble(2) < -0.5, s"skewed corpus slope ${skew.getDouble(2)}")
   }
+
+  test("CorpusStats.heapsFit: two-point prefix curve fits V = N/2 exactly; single doc degenerates") {
+    import spark.implicits._
+    // doc 1 "a a": (N, V) = (2, 1); doc 2 "b b": (4, 2) — the curve is
+    // V = N/2, and both quantized points land exactly on slope 1,
+    // intercept ln(1/2) (round(ln4·1e6) = 2·round(ln2·1e6)).
+    val two = graft.llm.CorpusStats.heapsFit(
+      Seq((1L, "a a"), (2L, "b b")).toDF("doc_id", "text"),
+      "doc_id", "text").head
+    assert(two.getLong(0) == 2, s"n_docs: $two")
+    assert(two.getDouble(1) == 1.0, s"slope ${two.getDouble(1)}")
+    assert(two.getDouble(2) == -0.693147, s"intercept ${two.getDouble(2)}")
+    // one document: one point, zero x-variance -> mean model
+    val one = graft.llm.CorpusStats.heapsFit(
+      Seq((1L, "a a a")).toDF("doc_id", "text"), "doc_id", "text").head
+    assert(one.getDouble(1) == 0.0, s"degenerate slope: $one")
+    // sublinear growth: repeating the same vocabulary across docs must
+    // fit a slope well below 1 (types saturate while tokens grow)
+    val sat = graft.llm.CorpusStats.heapsFit(
+      (1L to 8L).map(i => (i, "w x y z")).toDF("doc_id", "text"),
+      "doc_id", "text").head
+    assert(sat.getDouble(1) < 0.2, s"saturated slope ${sat.getDouble(1)}")
+  }
 }
