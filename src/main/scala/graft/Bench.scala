@@ -130,11 +130,11 @@ object Bench {
     // at 7-9x their isolated mins right after this block of the sorted
     // order — a pre-run GC ahead of each bounds how much cleaner debt
     // any neighbor can inherit.
-    // q249 joins the set in r13: 8 frontier rounds (4 forward + 4
-    // backward Brandes sweeps), the same short-lived-checkpoint class.
+    // q249/q251 join the set in r13: 8 and 6 frontier rounds (Brandes
+    // sweeps / harmonic BFS), the same short-lived-checkpoint class.
     val heavy = Set("q99", "q101", "q102", "q115", "q120", "q139", "q157",
       "q159", "q166", "q214", "q215", "q217", "q226", "q233", "q235", "q236",
-      "q249")
+      "q249", "q251")
 
     var i = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -39,14 +39,15 @@ import org.apache.spark.sql.functions._
   */
 object Betweenness {
 
-  def truncatedBrandes(edges: DataFrame, srcCol: String, dstCol: String,
-                       sources: DataFrame, sourceCol: String,
-                       maxDepth: Int): DataFrame = {
-    require(maxDepth >= 1, s"maxDepth must be at least 1, got $maxDepth")
-    // One lazy checkpoint serves all 2·maxDepth joins (the Bfs lesson).
-    val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
-      .distinct().localCheckpoint(eager = false)
-    // Forward sweep: visited(src, node, dist, sigma).
+  /** Per-source truncated BFS with shortest-path counting: one frame
+    * of (__src, node, __d, __sigma) rows covering every source's sweep
+    * in the same `maxDepth` fixed rounds. σ sums are exact integers.
+    * The edge frame must already be projected to (__a, __b) and
+    * lazily checkpointed by the caller (it is reused per round —
+    * and, in Brandes, by the backward sweep too).
+    */
+  private[ops] def perSourceBfs(e: DataFrame, sources: DataFrame,
+                                sourceCol: String, maxDepth: Int): DataFrame = {
     var visited = sources.select(col(sourceCol).as("__src")).distinct()
       .select(col("__src"), col("__src").as("node"),
         lit(0).as("__d"), lit(1L).as("__sigma"))
@@ -63,6 +64,17 @@ object Betweenness {
       visited = visited.unionByName(next).localCheckpoint(eager = false)
       frontier = next
     }
+    visited
+  }
+
+  def truncatedBrandes(edges: DataFrame, srcCol: String, dstCol: String,
+                       sources: DataFrame, sourceCol: String,
+                       maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be at least 1, got $maxDepth")
+    // One lazy checkpoint serves all 2·maxDepth joins (the Bfs lesson).
+    val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
+      .distinct().localCheckpoint(eager = false)
+    val visited = perSourceBfs(e, sources, sourceCol, maxDepth)
     // Backward sweep: delta by decreasing depth; horizon starts at 0.
     var deltas = visited.filter(col("__d") === maxDepth)
       .select(col("__src"), col("node"), col("__sigma"),

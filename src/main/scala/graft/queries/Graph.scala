@@ -976,6 +976,44 @@ object Graph {
         graft.ops.Betweenness.truncatedBrandes(
             edges, "s", "t", sources, "n", maxDepth = 4)
           .select(col("node").cast("long").as("node"), col("bc"))
+      }),
+
+    // Harmonic centrality (ops.Centrality.harmonicFromSources,
+    // horizon 6) from the same sampled chain heads — the proximity
+    // companion to q249's brokerage score. 1/d is not dyadic, so each
+    // distance contributes the fixed-point long round(1e6/d) and the
+    // per-node reduction is an exact integer sum (the q247
+    // quantization discipline applied to graph distances). On the
+    // disjoint chains exactly one source reaches each node at
+    // dist = its chain position, so the oracle is closed-form.
+    QueryDef("q251_harmonic_centrality", Some("""
+      WITH r AS (SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) - 1 AS q,
+                   count(*) OVER (PARTITION BY o_custkey) - 1 AS L
+                 FROM orders)
+      SELECT CAST(o_orderkey AS BIGINT) AS node,
+             CAST(1 AS BIGINT) AS n_reach,
+             round(CAST(CAST(round(1000000.0 / q) AS BIGINT) AS DOUBLE)
+                   / 1000000.0, 6) AS harmonic
+      FROM r
+      WHERE o_custkey % 10 = 0 AND q BETWEEN 1 AND least(6, L)"""),
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("c").orderBy(col("d"), col("k"))
+        val o = T(spark, dir, "orders")
+          .select(col("o_custkey").as("c"), col("o_orderkey").as("k"),
+            col("o_orderdate").as("d"))
+        val edges = o.withColumn("nk", lead(col("k"), 1).over(w))
+          .filter(col("nk").isNotNull)
+          .select(col("k").as("s"), col("nk").as("t"))
+        val sources = o.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && pmod(col("c"), lit(10)) === 0)
+          .select(col("k").as("n"))
+        graft.ops.Centrality.harmonicFromSources(
+            edges, "s", "t", sources, "n", maxDepth = 6)
+          .select(col("node").cast("long").as("node"), col("n_reach"),
+            col("harmonic"))
       })
   )
 

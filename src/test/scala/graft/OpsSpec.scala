@@ -827,6 +827,31 @@ class OpsSpec extends SparkSuite {
       s"got $two")
   }
 
+  test("Centrality.harmonicFromSources: fixed-point 1/d sums exactly across sources; horizon bounds reach") {
+    import spark.implicits._
+    val dia = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("s", "t")
+    val one = graft.ops.Centrality.harmonicFromSources(
+        dia, "s", "t", Seq(0L).toDF("n"), "n", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // dists from 0: {1:1, 2:1, 3:2, 4:3}; 1/3 quantizes to 0.333333
+    assert(one == Map(1L -> ((1L, 1.0)), 2L -> ((1L, 1.0)),
+      3L -> ((1L, 0.5)), 4L -> ((1L, 0.333333))), s"got $one")
+    // a second source: node 3 = 1/1 + 1/2, node 4 = 1/2 + 1/3 (exact
+    // integer sum of the quantized weights: 833333 -> 0.833333)
+    val two = graft.ops.Centrality.harmonicFromSources(
+        dia, "s", "t", Seq(0L, 1L).toDF("n"), "n", maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(two(3L) == ((2L, 1.5)) && two(4L) == ((2L, 0.833333)), s"got $two")
+    // horizon 1: only direct successors remain
+    val h1 = graft.ops.Centrality.harmonicFromSources(
+        dia, "s", "t", Seq(0L).toDF("n"), "n", maxDepth = 1)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(h1 == Set(1L, 2L), s"horizon leak: $h1")
+  }
+
   test("EntityResolution.blockingQuality: trivial block -> completeness 1, no reduction") {
     val names = Seq("abc", "abd", "xbd", "qqq").toDF("name")
     // one global block, wide band: every pair is a candidate
