@@ -1035,7 +1035,54 @@ object Text {
       FROM k"""),
       (spark, dir) =>
         graft.llm.CorpusStats.heapsFit(
-          T(spark, dir, "documents"), "doc_id", "text"))
+          T(spark, dir, "documents"), "doc_id", "text")),
+
+    // Count-Min sketch frequency estimation (engine.expressions
+    // .CountMin, a TypedImperativeAggregate next to MisraGries/
+    // KmvDistinct): depth×width integer counters in ONE mergeable
+    // pass, est = min over rows of the md5-bucketed counter —
+    // overestimate-only by construction (est >= exact always; the
+    // oracle enforces it by matching values). Counters are plain
+    // sums, so the sketch is partition-order-independent
+    // (spec-pinned), and the hashRank md5 bucket recipe replays
+    // verbatim in SQL: the oracle rebuilds all 4×1024 counters with a
+    // GROUP BY and takes the same min for the q29-parity top-20.
+    QueryDef("q252_countmin_freq", Some("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS exact
+              FROM tok GROUP BY 1),
+      rws AS (SELECT unnest(range(0, 4)) AS r),
+      bkt AS (SELECT rws.r, cnt.token, cnt.exact,
+                ('0x' || substr(md5(CAST(rws.r AS VARCHAR) || ':' || token),
+                                1, 15))::BIGINT % 1024 AS b
+              FROM cnt CROSS JOIN rws),
+      ctr AS (SELECT r, b, CAST(sum(exact) AS BIGINT) AS v
+              FROM bkt GROUP BY 1, 2),
+      top AS (SELECT token, exact,
+                row_number() OVER (ORDER BY exact DESC, token) AS rnk
+              FROM cnt)
+      SELECT t.token, t.exact, CAST(min(ctr.v) AS BIGINT) AS est,
+             CAST(t.rnk AS INTEGER) AS rnk
+      FROM top t
+      JOIN bkt ON bkt.token = t.token
+      JOIN ctr ON ctr.r = bkt.r AND ctr.b = bkt.b
+      WHERE t.rnk <= 20
+      GROUP BY 1, 2, 4"""),
+      (spark, dir) => {
+        import graft.engine.expressions.CountMin
+        CountMin.register(spark)
+        val toks = T(spark, dir, "documents")
+          .select(explode(TextOps.tokenize(col("text"))).as("token"))
+        val sk = toks.agg(CountMin.sketch(col("token"), 4, 1024).as("__sk"))
+        val counts = toks.groupBy("token").agg(count(lit(1)).as("exact"))
+        val top = graft.ops.TopK.exactPerKey(counts, Seq.empty,
+          Seq(col("exact").desc, col("token").asc), 20, "rnk")
+        top.crossJoin(broadcast(sk))
+          .select(col("token"), col("exact"),
+            CountMin.estimate(col("__sk"), col("token"), 4, 1024).as("est"),
+            col("rnk").cast("int").as("rnk"))
+      })
   )
 
   /** Ordered float fold over a pre-sorted `__s` array of structs — sum

@@ -1122,4 +1122,35 @@ class LlmOpsSpec extends SparkSuite {
       "doc_id", "text").head
     assert(sat.getDouble(1) < 0.2, s"saturated slope ${sat.getDouble(1)}")
   }
+
+  test("CountMin: overestimate-only, exact without collisions, partition-order-independent") {
+    import spark.implicits._
+    import graft.engine.expressions.CountMin
+    CountMin.register(spark)
+    val items = (Seq.fill(100)("hot") ++ Seq.fill(10)("warm") ++
+      (1 to 50).map(i => s"cold$i")).toDF("x")
+    def sketchOf(df: org.apache.spark.sql.DataFrame, d: Int, w: Int) =
+      df.agg(CountMin.sketch(col("x"), d, w).as("sk"))
+    // counters are sums: any partitioning yields the identical sketch
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Long]] =
+      df.head.getSeq[scala.collection.Seq[Long]](0).map(_.toSeq)
+    val a = rows(sketchOf(items.repartition(1), 4, 64))
+    val b = rows(sketchOf(items.repartition(7), 4, 64))
+    assert(a == b, "sketch depends on partitioning")
+    // est >= exact for EVERY key (one-sided error), and a wide sketch
+    // over a 52-type vocabulary is collision-free at depth 4 in
+    // practice -> the heavy keys estimate exactly
+    val est = items.distinct()
+      .join(items.groupBy("x").agg(count(lit(1)).as("exact")), "x")
+      .crossJoin(broadcast(sketchOf(items, 4, 4096)))
+      .select(col("x"), col("exact"),
+        CountMin.estimate(col("sk"), col("x"), 4, 4096).as("est"))
+      .collect()
+    est.foreach(r => assert(r.getLong(2) >= r.getLong(1),
+      s"underestimate for ${r.getString(0)}: ${r.getLong(2)} < ${r.getLong(1)}"))
+    val hot = est.find(_.getString(0) == "hot").get
+    assert(hot.getLong(2) == 100L, s"hot estimate ${hot.getLong(2)}")
+    // total mass per row is conserved: every row's counters sum to N
+    a.foreach(row => assert(row.sum == 160L, s"row mass ${row.sum}"))
+  }
 }
