@@ -215,10 +215,14 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // cache()+unpersist pair to lazy localCheckpoints, so a checkpoint
     // RDD scan in the executed plan is now the observable proof that
     // the iterations share one materialized edge build.
+    // q249 (Brandes sweeps) and q251 (harmonic BFS) joined late in
+    // r13: both run on the shared perSourceBfs frontier loop, same
+    // per-round truncation contract.
     Seq("q225_bfs_hops", "q227_label_prop", "q228_sssp",
         "q229_landmark_centrality", "q94_pagerank",
         "q204_personalized_pagerank", "q226_hits",
-        "q243_textrank_keywords").foreach { name =>
+        "q243_textrank_keywords", "q249_betweenness",
+        "q251_harmonic_centrality").foreach { name =>
       val df = q(name)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
