@@ -46,10 +46,29 @@ object CorpusStats {
     val counts = docs
       .select(explode(TextOps.tokenize(col(textCol))).as("__tok"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("__n"))
-    val ranked = graft.ops.GlobalRank.withRowNumber(
-      counts, "__rnk", Seq(col("__n").desc, col("__tok").asc))
-    fixedLogOls(ranked, col("__rnk"), col("__n"), "n_types",
+    rankSizeFit(counts, "__n", "__tok", "n_types",
       Seq(sum(col("__n")) -> "n_tokens"))
+  }
+
+  /** General rank-size law fit (Gabaix QJE'99 discipline: rank the
+    * units by a positive integer size, fit ln(size) on ln(rank)) — the
+    * same estimator as [[zipfFit]] with the unit left to the caller:
+    * customers by order count, suppliers by shipment count, hosts by
+    * document count. Slope near −1 = a Zipfian workload whose head
+    * dominates (the regime where [[graft.ops.SkewProfile]]'s hub
+    * routing pays for itself); a shallow slope = a balanced workload.
+    * Same fixed-point-log exact-moment determinism; ranks via
+    * GlobalRank; ties broken by `tieCol` ascending.
+    *
+    * @return one row: (countName, extras…, slope, intercept)
+    */
+  def rankSizeFit(units: DataFrame, sizeCol: String, tieCol: String,
+                  countName: String = "n_units",
+                  extras: Seq[(org.apache.spark.sql.Column, String)] = Seq.empty)
+  : DataFrame = {
+    val ranked = graft.ops.GlobalRank.withRowNumber(
+      units, "__rnk", Seq(col(sizeCol).desc, col(tieCol).asc))
+    fixedLogOls(ranked, col("__rnk"), col(sizeCol), countName, extras)
   }
 
   /** Heaps'-law fit: OLS of ln(cumulative vocabulary) on ln(cumulative

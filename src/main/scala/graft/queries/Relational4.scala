@@ -913,6 +913,50 @@ object Relational4 {
             col("n_clipped"),
             round(col("sum_winsor") / (lit(100.0) * col("n")), 4)
               .as("mean_winsor"))
+      }),
+
+    // Rank-size law fit of the customer order-count distribution
+    // (llm.CorpusStats.rankSizeFit — the Gabaix estimator q247 uses
+    // for vocabulary, pointed at workload units): slope near −1 means
+    // a Zipfian head dominates the workload (the regime where
+    // SkewProfile's hub routing pays for itself); shallow means
+    // balanced. Same fixed-point-log exact-moment determinism —
+    // quantized longs, HUGEINT/decimal(38) sums, one rounded division
+    // per output.
+    QueryDef("q254_ranksize_fit", Some("""
+      WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n
+                 FROM orders GROUP BY 1),
+      r AS (SELECT n, row_number() OVER (ORDER BY n DESC, o_custkey) AS rnk
+            FROM c),
+      f AS (SELECT
+              CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+              CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS y,
+              n
+            FROM r),
+      s AS (SELECT CAST(count(*) AS BIGINT) AS n_units,
+                   CAST(sum(n) AS BIGINT) AS n_orders,
+                   sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                   sum(x::HUGEINT * y::HUGEINT) AS sxy,
+                   sum(x::HUGEINT * x::HUGEINT) AS sxx
+            FROM f),
+      k AS (SELECT *,
+              CAST(n_units * sxy - sx * sy AS DOUBLE) AS num,
+              CAST(n_units * sxx - sx * sx AS DOUBLE) AS den
+            FROM s)
+      SELECT n_units, n_orders,
+             round(CASE WHEN den = 0.0::DOUBLE THEN 0.0::DOUBLE
+                        ELSE num / den END, 6) AS slope,
+             round((CAST(sy AS DOUBLE)
+                    - (CASE WHEN den = 0.0::DOUBLE THEN 0.0::DOUBLE
+                            ELSE num / den END) * CAST(sx AS DOUBLE))
+                   / (CAST(n_units AS DOUBLE) * 1000000.0::DOUBLE), 6)
+               AS intercept
+      FROM k"""),
+      (spark, dir) => {
+        val c = T(spark, dir, "orders")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        graft.llm.CorpusStats.rankSizeFit(c, "n", "o_custkey", "n_units",
+          Seq(sum(col("n")) -> "n_orders"))
       }))
 
   /** The q176 history build, shared with q179's as-of join. */
