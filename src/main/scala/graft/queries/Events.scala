@@ -72,6 +72,75 @@ object Events {
   private val q248ProdStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The q245 decomposition oracle as a CTE chain ending in `stl`
+    * (event_type, t, y, trend, seasonal, remainder) — shared with q255
+    * so the residual definition cannot drift between the diagnostic
+    * and the detector built on it. Declared before `defs`.
+    */
+  private val stlCtes: String = {
+    val m = StlSeason; val h = m / 2
+    s"""hr AS (SELECT event_type,
+                   datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS t,
+                   CAST(count(*) AS BIGINT) AS y
+                 FROM events GROUP BY 1, 2),
+      hb AS (SELECT event_type, min(t) AS lo, max(t) AS hi
+             FROM hr GROUP BY 1),
+      grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS t FROM hb),
+      h AS (SELECT g.event_type, g.t,
+                   CAST(coalesce(hr.y, 0) AS BIGINT) AS y
+            FROM grid g LEFT JOIN hr ON hr.event_type = g.event_type
+                                    AND hr.t = g.t),
+      w AS (SELECT event_type, t, y,
+              CAST(sum(y) OVER (PARTITION BY event_type ORDER BY t
+                     RANGE BETWEEN $h PRECEDING AND $h FOLLOWING) AS BIGINT) AS wsum,
+              count(*) OVER (PARTITION BY event_type ORDER BY t
+                     RANGE BETWEEN $h PRECEDING AND $h FOLLOWING) AS wcnt,
+              lag(y, $h) OVER (PARTITION BY event_type ORDER BY t) AS yl,
+              lead(y, $h) OVER (PARTITION BY event_type ORDER BY t) AS yr
+            FROM h),
+      tr AS (SELECT event_type, t, y,
+               (CAST(wsum AS DOUBLE)
+                  - CAST(yl + yr AS DOUBLE) / 2.0::DOUBLE) / ${m.toDouble}::DOUBLE AS trend,
+               t % $m AS phase
+             FROM w WHERE wcnt = ${m + 1}),
+      dt AS (SELECT *, CAST(y AS DOUBLE) - trend AS detr FROM tr),
+      pm AS (SELECT event_type, phase, avg(detr) AS s_raw
+             FROM dt GROUP BY 1, 2),
+      ctr AS (SELECT event_type, phase,
+                round(s_raw - avg(s_raw) OVER (PARTITION BY event_type),
+                      6) AS seasonal
+              FROM pm),
+      stl AS (SELECT dt.event_type, CAST(dt.t AS BIGINT) AS t,
+                CAST(dt.y AS BIGINT) AS y,
+                round(dt.trend, 6) AS trend, ctr.seasonal,
+                round(CAST(dt.y AS DOUBLE) - dt.trend - ctr.seasonal,
+                      6) AS remainder
+              FROM dt JOIN ctr ON ctr.event_type = dt.event_type
+                              AND ctr.phase = dt.phase)"""
+  }
+
+  /** Zero-filled hourly counts per event type (the q245/q255 input):
+    * COUNT semantics — an hour with no events is a real observation
+    * of 0, so each type's [min, max] hour range is densified before
+    * any window touches it.
+    */
+  private def hourlyDense(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): org.apache.spark.sql.DataFrame = {
+    val hr = T(spark, dir, "events")
+      .groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
+          .cast("long").as("t"))
+      .agg(count(lit(1)).as("n"))
+    hr.groupBy(col("event_type"))
+      .agg(min(col("t")).as("__lo"), max(col("t")).as("__hi"))
+      .select(col("event_type"),
+        explode(sequence(col("__lo"), col("__hi"))).as("t"))
+      .join(hr, Seq("event_type", "t"), "left")
+      .select(col("event_type"), col("t"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Tumbling 1-hour windows, batch formulation.
@@ -874,65 +943,11 @@ object Events {
     // — seasonal rounds once at 6 after centering; remainder =
     // y − trend(unrounded) − seasonal(rounded), rounded at 6
     // (mirrored exactly here).
-    QueryDef("q245_stl_decompose", Some {
-      val m = StlSeason; val h = m / 2
-      s"""
-      WITH hr AS (SELECT event_type,
-                   datediff('hour', TIMESTAMP '1970-01-01 00:00:00',
-                            date_trunc('hour', ts)) AS t,
-                   CAST(count(*) AS BIGINT) AS y
-                 FROM events GROUP BY 1, 2),
-      hb AS (SELECT event_type, min(t) AS lo, max(t) AS hi
-             FROM hr GROUP BY 1),
-      grid AS (SELECT event_type, unnest(range(lo, hi + 1)) AS t FROM hb),
-      h AS (SELECT g.event_type, g.t,
-                   CAST(coalesce(hr.y, 0) AS BIGINT) AS y
-            FROM grid g LEFT JOIN hr ON hr.event_type = g.event_type
-                                    AND hr.t = g.t),
-      w AS (SELECT event_type, t, y,
-              CAST(sum(y) OVER (PARTITION BY event_type ORDER BY t
-                     RANGE BETWEEN $h PRECEDING AND $h FOLLOWING) AS BIGINT) AS wsum,
-              count(*) OVER (PARTITION BY event_type ORDER BY t
-                     RANGE BETWEEN $h PRECEDING AND $h FOLLOWING) AS wcnt,
-              lag(y, $h) OVER (PARTITION BY event_type ORDER BY t) AS yl,
-              lead(y, $h) OVER (PARTITION BY event_type ORDER BY t) AS yr
-            FROM h),
-      tr AS (SELECT event_type, t, y,
-               (CAST(wsum AS DOUBLE)
-                  - CAST(yl + yr AS DOUBLE) / 2.0::DOUBLE) / ${m.toDouble}::DOUBLE AS trend,
-               t % $m AS phase
-             FROM w WHERE wcnt = ${m + 1}),
-      dt AS (SELECT *, CAST(y AS DOUBLE) - trend AS detr FROM tr),
-      pm AS (SELECT event_type, phase, avg(detr) AS s_raw
-             FROM dt GROUP BY 1, 2),
-      ctr AS (SELECT event_type, phase,
-                round(s_raw - avg(s_raw) OVER (PARTITION BY event_type),
-                      6) AS seasonal
-              FROM pm)
-      SELECT dt.event_type, CAST(dt.t AS BIGINT) AS t,
-             CAST(dt.y AS BIGINT) AS y,
-             round(dt.trend, 6) AS trend, ctr.seasonal,
-             round(CAST(dt.y AS DOUBLE) - dt.trend - ctr.seasonal,
-                   6) AS remainder
-      FROM dt JOIN ctr ON ctr.event_type = dt.event_type
-                      AND ctr.phase = dt.phase"""
-    },
-      (spark, dir) => {
-        val hr = T(spark, dir, "events")
-          .groupBy(col("event_type"),
-            (unix_timestamp(date_trunc("hour", col("ts"))) / 3600)
-              .cast("long").as("t"))
-          .agg(count(lit(1)).as("n"))
-        val dense = hr.groupBy(col("event_type"))
-          .agg(min(col("t")).as("__lo"), max(col("t")).as("__hi"))
-          .select(col("event_type"),
-            explode(sequence(col("__lo"), col("__hi"))).as("t"))
-          .join(hr, Seq("event_type", "t"), "left")
-          .select(col("event_type"), col("t"),
-            coalesce(col("n"), lit(0L)).as("n"))
-        graft.ops.Forecast.decompose(dense, Seq("event_type"), "t", "n",
-          StlSeason)
-      }),
+    QueryDef("q245_stl_decompose",
+      Some(s"WITH $stlCtes SELECT * FROM stl"),
+      (spark, dir) =>
+        graft.ops.Forecast.decompose(hourlyDense(spark, dir),
+          Seq("event_type"), "t", "n", StlSeason)),
 
     // First-order Markov next-event backtest (ops.Markov) — the
     // SEQUENCE rung of the prediction ladder (q224-q245 predict
@@ -1026,6 +1041,48 @@ object Events {
           graft.streaming.IncrementalForecast.backtest(
             spark, store, 2L, Seq("event_type"))
         }
+      }),
+
+    // Seasonal anomaly detection — the composition the q245 scaladoc
+    // promises: decompose the hourly counts, then run q232's MAD
+    // detector on the DESEASONALIZED remainder instead of the raw
+    // series (raw diurnal counts inflate the MAD threshold; residuals
+    // don't). The remainder is 6dp-rounded, so ×1e6 is integer-valued
+    // in a double and the round-then-cast to long is exact — the
+    // whole median/MAD/threshold chain runs in the same exact long
+    // arithmetic as q232, over residual micro-units.
+    QueryDef("q255_seasonal_anomaly", Some(s"""
+      WITH $stlCtes,
+      res AS (SELECT event_type, t,
+                CAST(round(remainder * 1000000.0::DOUBLE) AS BIGINT) AS r_fp
+              FROM stl),
+      r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                          ORDER BY r_fp, t) AS rk,
+                  count(*) OVER (PARTITION BY event_type) AS m FROM res),
+      med AS (SELECT event_type,
+                     max(CASE WHEN rk = (m + 1) // 2 THEN r_fp END) AS med
+              FROM r1 GROUP BY 1),
+      d AS (SELECT res.event_type, res.t, res.r_fp, med.med,
+                   abs(res.r_fp - med.med) AS dev
+            FROM res JOIN med USING (event_type)),
+      r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                          ORDER BY dev, t) AS rk,
+                  count(*) OVER (PARTITION BY event_type) AS m FROM d),
+      mad AS (SELECT event_type,
+                     max(CASE WHEN rk = (m + 1) // 2 THEN dev END) AS mad
+              FROM r2 GROUP BY 1)
+      SELECT d.event_type, d.t, d.r_fp, d.med, mad.mad
+      FROM d JOIN mad USING (event_type)
+      WHERE d.dev > 3 * mad.mad"""),
+      (spark, dir) => {
+        val dec = graft.ops.Forecast.decompose(hourlyDense(spark, dir),
+          Seq("event_type"), "t", "n", StlSeason)
+        val res = dec.select(col("event_type"), col("t"),
+          round(col("remainder") * lit(1000000.0), 0).cast("long")
+            .as("r_fp"))
+        graft.ops.Robust.madOutliers(res, "event_type", "t", "r_fp", k = 3)
+          .select(col("event_type"), col("t"), col("r_fp"), col("med"),
+            col("mad"))
       })
   )
 }
