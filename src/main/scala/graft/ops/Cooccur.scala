@@ -109,4 +109,46 @@ object Cooccur {
       .select(col(groupCol), col("pa"), col("pb"))
     pairsOf(small).unionByName(bigPairs)
   }
+
+  /** DISTINCT ordered pairs via span reduction — the algebraic
+    * strength-reduction of `orderedGroupPairs(...).distinct()` when
+    * the caller only needs each (group, pa, pb) ONCE (q215):
+    * ∃ t_a < t_b over the items' occurrence times  ⟺
+    * min t(pa) < max t(pb), so the input first collapses to ONE ROW
+    * per (group, item) carrying (min t, max t) — shrinking the join
+    * input by the item's repeat factor — and each qualifying pair is
+    * emitted exactly once, which deletes the downstream
+    * pair-cardinality DISTINCT exchange entirely (the dominant
+    * shuffle: pair rows outnumber item rows quadratically). Same
+    * size-routed hub guard as [[orderedGroupPairs]], applied after
+    * the reduction (the profile sees the smaller frame).
+    */
+  def spanGroupPairs(df: DataFrame, groupCol: String, orderCol: String,
+                     itemCol: String, hubThreshold: Int = 1000,
+                     salts: Int = 16): DataFrame = {
+    val spans = df.groupBy(col(groupCol), col(itemCol))
+      .agg(min(col(orderCol)).as("__t0"), max(col(orderCol)).as("__t1"))
+    val hubIds = SkewProfile.hubIds(spans, groupCol, hubThreshold)
+
+    def pairsOf(part: DataFrame): DataFrame =
+      part.select(col(groupCol), col("__t0"), col(itemCol).as("pa"))
+        .join(part.select(col(groupCol), col("__t1").as("__u1"),
+          col(itemCol).as("pb")), Seq(groupCol))
+        .filter(col("__t0") < col("__u1") && col("pa") =!= col("pb"))
+        .select(col(groupCol), col("pa"), col("pb"))
+
+    if (hubIds.isEmpty) return pairsOf(spans)
+
+    val small = spans.filter(!col(groupCol).isin(hubIds: _*))
+    val big = spans.filter(col(groupCol).isin(hubIds: _*))
+    def chunk = pmod(xxhash64(col(itemCol)), lit(salts)).cast("int")
+    val left = big.select(col(groupCol), col("__t0"), col(itemCol).as("pa"))
+      .withColumn("__cb", explode(sequence(lit(0), lit(salts - 1))))
+    val right = big.select(col(groupCol), chunk.as("__cb"),
+      col("__t1").as("__u1"), col(itemCol).as("pb"))
+    val bigPairs = left.hint("shuffle_hash").join(right, Seq(groupCol, "__cb"))
+      .filter(col("__t0") < col("__u1") && col("pa") =!= col("pb"))
+      .select(col(groupCol), col("pa"), col("pb"))
+    pairsOf(small).unionByName(bigPairs)
+  }
 }

@@ -312,11 +312,15 @@ object ML {
         val li = T(spark, dir, "lineitem")
           .join(T(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("o_orderdate").as("d"),
-            col("l_partkey").as("p")).distinct()
-        // hub-guarded ordered pairs (ops.Cooccur): a pathological hub
-        // customer spreads over salts reducers instead of one task
-        val sp = graft.ops.Cooccur.orderedGroupPairs(li, "c", "d", "p")
-          .distinct()
+            col("l_partkey").as("p"))
+        // span-reduced hub-guarded pairs (ops.Cooccur.spanGroupPairs):
+        // "∃ earlier purchase of A than a purchase of B" is exactly
+        // min_date(A) < max_date(B), so the pair join runs over ONE
+        // row per (customer, part) and each qualifying pair emits
+        // once — no pair-cardinality distinct shuffle at all (it was
+        // this query's dominant exchange). The hub guard still
+        // spreads a pathological customer over salts reducers.
+        val sp = graft.ops.Cooccur.spanGroupPairs(li, "c", "d", "p")
         sp.groupBy(col("pa").as("antecedent"), col("pb").as("consequent"))
           .agg(count(lit(1)).as("n_customers"))
           .filter(col("n_customers") >= 3)

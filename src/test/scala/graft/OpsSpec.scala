@@ -937,6 +937,25 @@ class OpsSpec extends SparkSuite {
     } finally spark.conf.set(coalesceKey, prev)
   }
 
+  test("Cooccur.spanGroupPairs: equals orderedGroupPairs.distinct on repeats and through the hub path") {
+    import spark.implicits._
+    // repeated purchases of the same item (multiple dates per (g, p))
+    // are the case the span reduction exists for
+    val normal = (0 until 12).flatMap(g => (0 until 6).map(i =>
+      (g.toLong, (i % 3).toLong, (g * 10 + i % 4).toLong)))
+    val hub = (0 until 120).map(i => (999L, (i % 5).toLong, 10000L + i % 40))
+    val df = (normal ++ hub).toDF("o", "d", "p").repartition(8)
+    def img(x: org.apache.spark.sql.DataFrame) =
+      x.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val span = graft.ops.Cooccur.spanGroupPairs(df, "o", "d", "p",
+      hubThreshold = 30, salts = 8)
+    val ref = graft.ops.Cooccur.orderedGroupPairs(df, "o", "d", "p",
+      hubThreshold = 30, salts = 8).distinct()
+    assert(img(span) == img(ref), "span reduction changed the pair set")
+    // and each pair really is emitted exactly once (no distinct needed)
+    assert(span.count() == span.distinct().count(), "duplicate emissions")
+  }
+
   test("Allocate.largestRemainder: sums to budget exactly, each within one of its quota") {
     import spark.implicits._
     val w = Seq(("a", 372L), ("b", 415L), ("c", 213L), ("d", 1L)).toDF("k", "w")
