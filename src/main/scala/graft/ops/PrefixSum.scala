@@ -56,4 +56,48 @@ object PrefixSum {
     spark.createDataFrame(out, StructType(
       sorted.schema.fields :+ StructField(outCol, LongType, nullable = false)))
   }
+
+  /** Append the EXCLUSIVE running MAX of `valueCol` (an integral
+    * column) over `order` as `outCol` (LongType, nullable): each row
+    * receives the max of all strictly-preceding rows' values, or NULL
+    * when no preceding row has a non-null value. Same two-phase scan as
+    * [[withRunningSum]] — per-partition maxima (one row per partition,
+    * bounded driver pull), then a seeded per-partition pass — so the
+    * global order never funnels through one task. This is the monoid
+    * the 2-D skyline ([[Skyline]]) needs: "best y seen at any strictly
+    * smaller x".
+    */
+  def withRunningMax(df: DataFrame, valueCol: String, outCol: String,
+                     order: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val idx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val valueAt: Row => Option[Long] = r => r.get(idx) match {
+      case null => None
+      case n: Number => Some(n.longValue())
+    }
+    val combine: (Option[Long], Option[Long]) => Option[Long] = {
+      case (Some(a), Some(b)) => Some(math.max(a, b))
+      case (a, None) => a
+      case (None, b) => b
+    }
+    val partMaxes = rdd.mapPartitionsWithIndex { (i, it) =>
+      var m: Option[Long] = None
+      it.foreach(r => m = combine(m, valueAt(r)))
+      Iterator((i, m))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partMaxes.scanLeft(Option.empty[Long])(combine)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var acc = bc.value(i)
+      it.map { r =>
+        val before = acc
+        acc = combine(acc, valueAt(r))
+        Row.fromSeq(r.toSeq :+ before.map(Long.box).orNull)
+      }
+    }
+    spark.createDataFrame(out, StructType(
+      sorted.schema.fields :+ StructField(outCol, LongType, nullable = true)))
+  }
 }

@@ -1014,7 +1014,39 @@ object Graph {
             edges, "s", "t", sources, "n", maxDepth = 6)
           .select(col("node").cast("long").as("node"), col("n_reach"),
             col("harmonic"))
-      })
+      }),
+
+    // Link prediction over the part co-occurrence graph: common
+    // neighbors, Jaccard, Adamic–Adar for NON-edges sharing at least
+    // one neighbor (ops.LinkPrediction — wedge enumeration with a
+    // deterministic hub cap, fixed-point AA sum). The oracle replays
+    // the identical cap and micro-unit rounding, so the gate is a full
+    // hash match. hubCap = 32 never fires at test SF (max degree 13) —
+    // it is the 100 TB guard against deg² wedge blow-up on hubs.
+    QueryDef("q256_link_prediction", Some("""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      adj AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+      deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+      ctr AS (SELECT node AS w, deg AS deg_w FROM deg WHERE deg <= 32),
+      aw AS (SELECT c.w, c.deg_w, adj.nbr FROM adj JOIN ctr c ON adj.node = c.w),
+      wg AS (SELECT x.w, x.deg_w, x.nbr AS u, y.nbr AS v
+             FROM aw x JOIN aw y ON x.w = y.w AND x.nbr < y.nbr),
+      pr AS (SELECT u, v, count(*) AS cn,
+                    sum(CAST(round(1000000.0 / ln(deg_w)) AS BIGINT)) AS aafx
+             FROM wg GROUP BY u, v),
+      ne AS (SELECT pr.* FROM pr LEFT JOIN e ON pr.u = e.a AND pr.v = e.b
+             WHERE e.a IS NULL)
+      SELECT u, v, CAST(cn AS INTEGER) AS cn,
+             round(cn * 1.0 / (du.deg + dv.deg - cn), 6) AS jaccard,
+             round(aafx / 1000000.0, 6) AS adamic_adar
+      FROM ne JOIN deg du ON ne.u = du.node
+              JOIN deg dv ON ne.v = dv.node"""),
+      (spark, dir) =>
+        graft.ops.LinkPrediction.scores(
+          coEdges(spark, dir), "pa", "pb", hubCap = 32))
   )
 
   private def pprSql: String = {

@@ -957,6 +957,60 @@ object Relational4 {
           .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
         graft.llm.CorpusStats.rankSizeFit(c, "n", "o_custkey", "n_units",
           Seq(sum(col("n")) -> "n_orders"))
+      }),
+
+    // 2-D skyline over orders: the Pareto frontier under (earliest
+    // order date, highest total price) — "no later order ever paid
+    // more" (ops.Skyline.frontier2d, Börzsönyi ICDE'01). Price is
+    // compared in fixed-point cents so the max monoid runs in exact
+    // integers. The distributed shape is a per-date reduction plus the
+    // PrefixSum two-phase running max over DISTINCT dates — never an
+    // all-pairs dominance join and never an unpartitioned window. The
+    // oracle's window over the 2.4k distinct dates is the semantic
+    // spec, not the plan.
+    QueryDef("q257_skyline", Some("""
+      WITH o AS (SELECT o_orderkey, o_orderdate, o_totalprice,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      b AS (SELECT o_orderdate AS x, max(cents) AS besty FROM o GROUP BY 1),
+      r AS (SELECT x, besty, max(besty) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+            FROM b),
+      f AS (SELECT x, besty FROM r WHERE pm IS NULL OR pm < besty)
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM o JOIN f ON o.o_orderdate = f.x AND o.cents = f.besty"""),
+      (spark, dir) => {
+        val o = T(spark, dir, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        graft.ops.Skyline.frontier2d(o, "o_orderdate", "cents")
+          .select("o_orderkey", "o_orderdate", "o_totalprice")
+      }),
+
+    // Per-priority skyline: the same frontier computed WITHIN each
+    // order priority (ops.Skyline.frontier2dByGroup). Here the scale
+    // story inverts — a window partitioned by the group key is already
+    // shuffle-safe, so the plain window IS the plan; the two-phase scan
+    // is only for the global variant above.
+    QueryDef("q258_skyline_by_group", Some("""
+      WITH o AS (SELECT o_orderkey, o_orderpriority, o_orderdate, o_totalprice,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                 FROM orders),
+      b AS (SELECT o_orderpriority AS g, o_orderdate AS x, max(cents) AS besty
+            FROM o GROUP BY 1, 2),
+      r AS (SELECT g, x, besty, max(besty) OVER (PARTITION BY g ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+            FROM b),
+      f AS (SELECT g, x, besty FROM r WHERE pm IS NULL OR pm < besty)
+      SELECT o_orderkey, o_orderpriority, o_orderdate, o_totalprice
+      FROM o JOIN f ON o.o_orderpriority = f.g AND o.o_orderdate = f.x
+                   AND o.cents = f.besty"""),
+      (spark, dir) => {
+        val o = T(spark, dir, "orders")
+          .withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+        graft.ops.Skyline.frontier2dByGroup(
+            o, "o_orderpriority", "o_orderdate", "cents")
+          .select("o_orderkey", "o_orderpriority", "o_orderdate",
+            "o_totalprice")
       }))
 
   /** The q176 history build, shared with q179's as-of join. */
