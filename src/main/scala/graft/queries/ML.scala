@@ -520,6 +520,40 @@ object ML {
             round(col("n_ab").cast("double") / col("ca"), 6).as("confidence"),
             round(col("n_ab").cast("double") * col("n_orders")
               / (col("ca") * col("cb")), 6).as("lift"))
+      }),
+
+    // A-priori frequent TRIPLES over customer baskets (ops.Itemsets —
+    // level-wise with full downward-closure pruning, exact by the
+    // closure property). Baskets are customers (all parts a customer
+    // ever ordered): larger baskets than q157's per-order view, which
+    // is exactly the regime where candidate pruning matters — the
+    // oracle replays the identical level-wise CTEs, so pruning
+    // correctness IS the hash gate. minSupport = 3 customers.
+    QueryDef("q259_frequent_triples", Some("""
+      WITH b AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      f1 AS (SELECT p FROM b GROUP BY p HAVING count(*) >= 3),
+      bf AS (SELECT c, p FROM b WHERE p IN (SELECT p FROM f1)),
+      f2 AS (SELECT x.p AS pa, y.p AS pb
+             FROM bf x JOIN bf y ON x.c = y.c AND x.p < y.p
+             GROUP BY 1, 2 HAVING count(*) >= 3),
+      cand AS (SELECT p2.pa, p2.pb, p3.pb AS pc
+               FROM f2 p2 JOIN f2 p3 ON p2.pb = p3.pa
+               WHERE EXISTS (SELECT 1 FROM f2 q
+                             WHERE q.pa = p2.pa AND q.pb = p3.pb)),
+      tri AS (SELECT t.pa, t.pb, t.pc, count(*) AS support
+              FROM cand t
+              JOIN bf x ON x.p = t.pa
+              WHERE EXISTS (SELECT 1 FROM bf y WHERE y.c = x.c AND y.p = t.pb)
+                AND EXISTS (SELECT 1 FROM bf z WHERE z.c = x.c AND z.p = t.pc)
+              GROUP BY 1, 2, 3 HAVING count(*) >= 3)
+      SELECT pa, pb, pc, CAST(support AS INTEGER) AS support FROM tri"""),
+      (spark, dir) => {
+        val baskets = T(spark, dir, "lineitem")
+          .join(T(spark, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        graft.ops.Itemsets.frequentTriples(baskets, "c", "p", minSupport = 3)
       })
   )
 }
