@@ -554,6 +554,40 @@ object ML {
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         graft.ops.Itemsets.frequentTriples(baskets, "c", "p", minSupport = 3)
+      }),
+
+    // AUC-ROC (tie-corrected Mann–Whitney rank sum) + KS statistic for
+    // a binary scorer (ops.Eval.aucKs): does discount "predict"
+    // returns. Deliberately tie-HEAVY (11 distinct discounts over 600k
+    // rows) — average-rank tie correction is the thing being gated.
+    // All rank math is integer (exclusive prefix sums over the
+    // score-grouped frame); the only floats are the two final
+    // divisions, so the oracle matches bit-for-bit.
+    QueryDef("q260_auc_ks", Some("""
+      WITH d AS (SELECT l_discount AS s, (l_returnflag = 'R') AS y FROM lineitem),
+      g AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np
+            FROM d GROUP BY s),
+      p AS (SELECT s, n, np,
+              CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS pn,
+              CAST(coalesce(sum(np) OVER w, 0) AS BIGINT) AS pp
+            FROM g
+            WINDOW w AS (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      t AS (SELECT CAST(sum(np) AS BIGINT) AS pos,
+                   CAST(sum(n - np) AS BIGINT) AS neg,
+                   CAST(sum(np * (2 * pn + n + 1)) AS BIGINT) AS two_u_plus
+            FROM p),
+      k AS (SELECT CAST(max(abs((pp + np) * t.neg - (pn + n - pp - np) * t.pos)) AS BIGINT) AS ks_num
+            FROM p CROSS JOIN t)
+      SELECT pos AS n_pos, neg AS n_neg,
+             round(CAST(two_u_plus - pos * (pos + 1) AS DOUBLE) / (2.0 * pos * neg), 6) AS auc,
+             round(CAST(ks_num AS DOUBLE) / (1.0 * pos * neg), 6) AS ks
+      FROM t CROSS JOIN k"""),
+      (spark, dir) => {
+        val d = T(spark, dir, "lineitem")
+          .select(col("l_discount").as("s"),
+            (col("l_returnflag") === "R").as("y"))
+        graft.ops.Eval.aucKs(d, "s", "y")
       })
   )
 }
