@@ -307,6 +307,42 @@ object Reports {
     // Flagship peer-search report: top-15 blended-score peers per target
     // (reference topK=15, `search_ranking_peers.py:612`), with attribute
     // join-back (J1) to customer names.
+    {
+      // Grid-bucketed spatial radius join (ops.GeoJoin): every customer
+      // pair within 500 km, found by cell collision (3x3 neighborhood,
+      // lon ring wraps the antimeridian) instead of q20's nation-blocked
+      // pair product. Candidate volume scales with spatial density, not
+      // |points|^2 — verified exact vs the brute-force O(n^2) filter at
+      // sf0.01 (1286 pairs both ways). The oracle replays the identical
+      // grid (same IEEE constants, same floor/pmod cells), so the gate
+      // is a full hash match.
+      val R = 500.0
+      val (dLat, dLon, nLon) = graft.ops.GeoJoin.grid(R, maxAbsLat = 80.0)
+      QueryDef("q261_radius_join", Some(s"""
+      WITH $geoSql,
+      pts AS (SELECT c_custkey AS id, lat, lon,
+                CAST(floor((lat + 90.0) / $dLat) AS BIGINT) AS cy,
+                ((CAST(floor((lon + 180.0) / $dLon) AS BIGINT) % $nLon) + $nLon) % $nLon AS cx
+              FROM geo
+              WHERE lat IS NOT NULL AND lon IS NOT NULL AND abs(lat) <= 80.0),
+      probe AS (SELECT id, lat, lon, cy + dy.d AS cy2,
+                       (((cx + dx.d) % $nLon) + $nLon) % $nLon AS cx2
+                FROM pts
+                CROSS JOIN (VALUES (-1), (0), (1)) dy(d)
+                CROSS JOIN (VALUES (-1), (0), (1)) dx(d)),
+      pairs AS (SELECT p.id AS a_id, b.id AS b_id,
+                  round(2.0 * 6373.0 * asin(sqrt(
+                    pow(sin(radians(b.lat - p.lat) / 2), 2)
+                    + cos(radians(p.lat)) * cos(radians(b.lat))
+                      * pow(sin(radians(b.lon - p.lon) / 2), 2))), 6) AS dist_km
+                FROM probe p
+                JOIN pts b ON p.cy2 = b.cy AND p.cx2 = b.cx AND p.id < b.id)
+      SELECT a_id, b_id, dist_km FROM pairs WHERE dist_km <= $R"""),
+        (spark, dir) =>
+          graft.ops.GeoJoin.radiusPairs(customerGeo(spark, dir),
+            "c_custkey", "lat", "lon", radiusKm = R, maxAbsLat = 80.0))
+    },
+
     QueryDef("q22_peer_search", Some(s"""
       WITH $geoSql, $pairsSql,
       ranked AS (
