@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   *
   * so the only floats are two final divisions — order-independent and
   * bit-reproducible in any engine (the DuckDB oracle replays the same
-  * integers). AUC is P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), the
+  * integers). The O(n²) products are taken in decimal(38,0), not Long:
+  * Long wraps silently past ~3e9 rows while decimal stays exact to
+  * 1e38, matching DuckDB's HUGEINT at any realistic scale. AUC is P(score⁺ > score⁻) + ½·P(score⁺ = score⁻), the
   * tie-corrected Mann–Whitney form; KS is the max CDF gap taken at
   * group boundaries, where it is always attained.
   *
@@ -49,28 +51,41 @@ object Eval {
     // (for average ranks) and positive count (for the KS cumulatives).
     val p1 = PrefixSum.withRunningSum(
       grouped, "__n", "__pn", Seq(col("__s").asc))
+    // cache(): p2 feeds both the totals aggregate and the main select,
+    // and each prefix pass collects per-partition subtotals at
+    // construction — without the cache the grouped scan and both passes
+    // re-execute per downstream action. Released by the caller's
+    // withQueryCaches scope (the Itemsets/LinkPrediction idiom).
     val p2 = PrefixSum.withRunningSum(
-      p1, "__np", "__pp", Seq(col("__s").asc))
+      p1, "__np", "__pp", Seq(col("__s").asc)).cache()
+    // The rank-sum and KS terms are O(n²) integer products; summed as
+    // Long they would wrap silently past ~3e9 rows, so every product is
+    // taken in decimal(38,0) (exact to 1e38 — far beyond any real row
+    // count; DuckDB's HUGEINT oracle agrees term-for-term).
+    val dec = "decimal(38,0)"
     val totals = p2.agg(
       sum(col("__np")).as("pos"),
       sum(col("__n") - col("__np")).as("neg"),
-      sum(col("__np") * (lit(2L) * col("__pn") + col("__n") + lit(1L)))
-        .as("two_u_plus"))
+      sum(col("__np").cast(dec) *
+          (lit(2L) * col("__pn") + col("__n") + lit(1L)))
+        .cast(dec).as("two_u_plus"))
     p2
       .select(col("__n"), col("__np"), col("__pn"), col("__pp"))
       .crossJoin(broadcast(totals)) // one-row broadcast, the Hits/Scale idiom
       .select(col("pos"), col("neg"), col("two_u_plus"),
-        abs((col("__pp") + col("__np")) * col("neg") -
-          (col("__pn") + col("__n") - col("__pp") - col("__np")) * col("pos"))
+        abs((col("__pp") + col("__np")).cast(dec) * col("neg") -
+          (col("__pn") + col("__n") - col("__pp") - col("__np")).cast(dec) *
+            col("pos"))
           .as("__ksnum"))
       .groupBy("pos", "neg", "two_u_plus")
       .agg(max(col("__ksnum")).as("ks_num"))
       .select(
         col("pos").as("n_pos"), col("neg").as("n_neg"),
-        round((col("two_u_plus") - col("pos") * (col("pos") + 1))
+        round((col("two_u_plus") - col("pos").cast(dec) * (col("pos") + 1))
           .cast("double") / (lit(2.0) * col("pos") * col("neg")), 6)
           .as("auc"),
-        round(col("ks_num").cast("double") / (col("pos") * col("neg")), 6)
+        round(col("ks_num").cast("double") /
+          (col("pos").cast("double") * col("neg")), 6)
           .as("ks"))
   }
 }

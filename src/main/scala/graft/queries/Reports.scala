@@ -304,25 +304,24 @@ object Reports {
             round(F.hopsScoreHex(col("t_naics_num"), col("s_naics_num")), 4).as("hops_score"))
       }),
 
-    // Flagship peer-search report: top-15 blended-score peers per target
-    // (reference topK=15, `search_ranking_peers.py:612`), with attribute
-    // join-back (J1) to customer names.
     {
       // Grid-bucketed spatial radius join (ops.GeoJoin): every customer
-      // pair within 500 km, found by cell collision (3x3 neighborhood,
-      // lon ring wraps the antimeridian) instead of q20's nation-blocked
-      // pair product. Candidate volume scales with spatial density, not
+      // pair within 1000 km, found by cell collision (3x3 neighborhood,
+      // UNIFORM lon ring — floor'd cell count, so no narrow seam cell
+      // at the antimeridian) instead of q20's nation-blocked pair
+      // product. Candidate volume scales with spatial density, not
       // |points|^2 — verified exact vs the brute-force O(n^2) filter at
-      // sf0.01 (1286 pairs both ways). The oracle replays the identical
-      // grid (same IEEE constants, same floor/pmod cells), so the gate
-      // is a full hash match.
-      val R = 500.0
-      val (dLat, dLon, nLon) = graft.ops.GeoJoin.grid(R, maxAbsLat = 80.0)
+      // sf0.01 (6952 pairs both ways). R=1000 km keeps the sf0.001
+      // smoke non-empty (25 pairs) on the sparse synthetic lattice. The
+      // oracle replays the identical grid (same IEEE constants, same
+      // floor/pmod cells), so the gate is a full hash match.
+      val R = 1000.0
+      val (dLat, wLon, nLon) = graft.ops.GeoJoin.grid(R, maxAbsLat = 80.0)
       QueryDef("q261_radius_join", Some(s"""
       WITH $geoSql,
       pts AS (SELECT c_custkey AS id, lat, lon,
                 CAST(floor((lat + 90.0) / $dLat) AS BIGINT) AS cy,
-                ((CAST(floor((lon + 180.0) / $dLon) AS BIGINT) % $nLon) + $nLon) % $nLon AS cx
+                ((CAST(floor((lon + 180.0) / $wLon) AS BIGINT) % $nLon) + $nLon) % $nLon AS cx
               FROM geo
               WHERE lat IS NOT NULL AND lon IS NOT NULL AND abs(lat) <= 80.0),
       probe AS (SELECT id, lat, lon, cy + dy.d AS cy2,
@@ -343,6 +342,9 @@ object Reports {
             "c_custkey", "lat", "lon", radiusKm = R, maxAbsLat = 80.0))
     },
 
+    // Flagship peer-search report: top-15 blended-score peers per target
+    // (reference topK=15, `search_ranking_peers.py:612`), with attribute
+    // join-back (J1) to customer names.
     QueryDef("q22_peer_search", Some(s"""
       WITH $geoSql, $pairsSql,
       ranked AS (

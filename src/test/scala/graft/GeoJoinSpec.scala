@@ -45,6 +45,34 @@ class GeoJoinSpec extends SparkSuite {
     assert(got == Set((1L, 2L))) // ~44 km apart across the antimeridian
   }
 
+  test("seam band at high latitude = brute force (uniform ring, no narrow seam cell)") {
+    // Regression for the ceil'd ring bug: with nLon = ceil(360/dLon) the
+    // last lon cell is narrower than dLon, so a close pair straddling
+    // ±180° at high latitude can land 2 ring cells apart and escape the
+    // ±1 probe. The scatter concentrates on the seam band |lon| > 150 at
+    // lat 70..79.5, where lon cells are widest relative to the radius.
+    val pts = (1 to 400).map { i =>
+      val lat = 70.0 + (i * 53 % 96) / 10.0          // 70.0 .. 79.5
+      val lonMag = 150.0 + (i * 29 % 300) / 10.0     // 150.0 .. 179.9
+      val lon = if (i % 2 == 0) lonMag else -lonMag
+      (i.toLong, lat, lon)
+    }
+    for (r <- Seq(97.5, 300.0, 800.0)) {
+      val got = GeoJoin.radiusPairs(
+          pts.toDF("id", "lat", "lon").repartition(6), "id", "lat", "lon",
+          radiusKm = r, maxAbsLat = 80.0)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        (i, la1, lo1) <- pts; (j, la2, lo2) <- pts if i < j
+        d = BigDecimal(havKm(la1, lo1, la2, lo2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if d <= r
+      } yield (i, j)).toSet
+      assert(got == brute, s"radius $r")
+      assert(got.nonEmpty, s"radius $r")
+    }
+  }
+
   test("null and out-of-bound coordinates are dropped, not joined") {
     val pts = Seq((1L, Some(85.0), 0.0), (2L, Some(84.9), 0.0),
       (3L, None, 0.0), (4L, Some(10.0), 0.0), (5L, Some(10.1), 0.0))
