@@ -132,9 +132,14 @@ object Bench {
     // any neighbor can inherit.
     // q249/q251 join the set in r13: 8 and 6 frontier rounds (Brandes
     // sweeps / harmonic BFS), the same short-lived-checkpoint class.
-    val heavy = Set("q99", "q101", "q102", "q115", "q120", "q139", "q157",
-      "q159", "q166", "q214", "q215", "q217", "q226", "q233", "q235", "q236",
-      "q249", "q251")
+    // q40/q41 join in r14: ALS training persists factor/instrumentation
+    // RDDs and broadcasts outside the CacheManager, and the feature
+    // pipeline (q41) rode that wake at 13x its isolated min in the r13
+    // official artifact. q128/q131/q164 are the other r13 residue
+    // victims — pre-run GC bounds what they can inherit.
+    val heavy = Set("q40", "q41", "q99", "q101", "q102", "q115", "q120",
+      "q128", "q131", "q139", "q157", "q159", "q164", "q166", "q214", "q215",
+      "q217", "q226", "q233", "q235", "q236", "q249", "q251")
 
     var i = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -155,7 +160,11 @@ object Bench {
       // shows up here as rdds>0 / storage growth in the artifact's log)
       System.err.println(f"[bench-diag] $name%-28s rdds=${sc.getPersistentRDDs.size}%-3d " +
         f"storageMB=${storageUsedMB()}%8.1f sec=$t%.3f")
-      sweep(forceGc = i % 8 == 0)
+      // Heavy allocators also drain EAGERLY after their timed region —
+      // ALS factor RDDs / instr broadcasts (q40) and iterative-graph
+      // checkpoint debt otherwise sit in the cleaner's weak-ref queue
+      // until the next scheduled GC, taxing whichever query runs next.
+      sweep(forceGc = isHeavy || i % 8 == 0)
       name -> t
     }
     val total = results.map(_._2).sum

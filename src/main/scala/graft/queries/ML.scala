@@ -155,10 +155,39 @@ object ML {
 
     // ALS end-to-end: usage triples (customer × part-brand intensity) →
     // surrogate ids → implicit ALS → top-5 recs per user, joined back to
-    // the entity maps.
-    QueryDef("q40_als_recommend", None, (spark, dir) => {
-      alsRecs(spark, dir)
-    }),
+    // the entity maps. Factor values are not SQL-reproducible (MlSpec
+    // pins score parity and planted structure instead), but the
+    // pipeline's STRUCTURE is, exactly: every user with >=1 usage row
+    // gets exactly 5 recommendations (n_users replayed from the base
+    // join), ranks run 1..5, recommended items are distinct per user,
+    // and every score is a finite non-null double.
+    QueryDef("q40_als_recommend", Some("""
+      WITH u AS (SELECT DISTINCT o_custkey FROM orders
+                 JOIN lineitem ON o_orderkey = l_orderkey)
+      SELECT CAST((SELECT count(*) FROM u) * 5 AS BIGINT) AS n_rows,
+             CAST((SELECT count(*) FROM u) AS BIGINT) AS n_users,
+             5 AS min_per_user, 5 AS max_per_user,
+             1 AS items_distinct,
+             1 AS min_rank, 5 AS max_rank,
+             CAST(0 AS BIGINT) AS n_bad_score"""),
+      (spark, dir) => {
+        val recs = alsRecs(spark, dir)
+        val perUser = recs.groupBy("userId").agg(
+          count(lit(1)).as("c"),
+          countDistinct(col("itemId")).as("di"),
+          min(col("rec_rank")).as("mnr"), max(col("rec_rank")).as("mxr"),
+          sum(when(col("score").isNull || isnan(col("score")), 1L)
+            .otherwise(0L)).as("bad"))
+        perUser.agg(
+          sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_users"),
+          min(col("c")).cast("int").as("min_per_user"),
+          max(col("c")).cast("int").as("max_per_user"),
+          min(when(col("di") === col("c"), 1).otherwise(0)).as("items_distinct"),
+          min(col("mnr")).cast("int").as("min_rank"),
+          max(col("mxr")).cast("int").as("max_rank"),
+          sum(col("bad")).as("n_bad_score"))
+      }),
 
     // Reference flagship §3.1 end-to-end: clean → literal prospect →
     // exact-median impute → dedup → index/batch → weighted features →

@@ -122,17 +122,31 @@ object Relational2 {
           reverse(col("c_mktsegment")).as("seg_rev"))),
 
     // O6: seeded randomSplit — per-partition Bernoulli sampling, no
-    // shuffle. Not SQL-reproducible (Spark's sampler), so rows-only:
-    // the output records split sizes + totals; reproducibility is
-    // additionally spec-checked.
-    QueryDef("q51_random_split", None,
+    // shuffle. The sampler's row assignment is not SQL-reproducible,
+    // but its ALGEBRAIC INVARIANTS are, exactly: the splits partition
+    // the table (total_n = |orders| AND distinct_keys = total_n since
+    // o_orderkey is unique — together: exhaustive, disjoint, no row
+    // duplicated), both splits are non-empty at the fixed seed
+    // (n_splits = 2), and value is conserved (sum_price in
+    // decimal(18,2) — exact integer-cents arithmetic, so the sum is
+    // order-independent and engine-independent, unlike a double fold).
+    // Seeded reproducibility of the assignment itself is spec-checked.
+    QueryDef("q51_random_split", Some("""
+      SELECT CAST(count(*) AS BIGINT) AS total_n,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_keys,
+             2 AS n_splits,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+      FROM orders"""),
       (spark, dir) => {
         val splits = T(spark, dir, "orders").randomSplit(Array(0.9, 0.1), seed = 100L)
-        val sizes = splits.zipWithIndex.map { case (s, i) =>
-          s.agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 4).as("total"))
-            .select(lit(i).as("split_id"), col("n"), col("total"))
-        }
-        sizes.reduce(_ unionByName _)
+        val u = splits.zipWithIndex
+          .map { case (s, i) => s.withColumn("split_id", lit(i)) }
+          .reduce(_ unionByName _)
+        u.agg(
+          count(lit(1)).as("total_n"),
+          countDistinct(col("o_orderkey")).as("distinct_keys"),
+          countDistinct(col("split_id")).cast("int").as("n_splits"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
       }),
 
     // Classic OLAP composite: shipping-priority shape (TPC-H Q3) —
