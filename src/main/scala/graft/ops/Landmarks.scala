@@ -78,4 +78,29 @@ object Landmarks {
         round(aggregate(array_sort(col("__lm")), lit(0.0),
           (acc, x) => acc + lit(1.0) / x.getField("hops")), roundTo)
           .as("harmonic"))
+
+  /** Landmark lower bounds on eccentricity and graph diameter (the
+    * Magnien–Latapy–Habib bounding discipline, JEA 2009): a node's
+    * true eccentricity is ≥ its distance to any landmark, so
+    * `ecc_lb(v) = max_ℓ d(v,ℓ)` — and the graph diameter is ≥ every
+    * eccentricity, so `diameter_lb = max_v ecc_lb(v)` (equivalently
+    * the largest distance the sketch observed anywhere). Exact
+    * eccentricity needs all-pairs BFS — Θ(|V|·|E|), dead at scale;
+    * the sketch bound is one groupBy over the L·|V| sketch rows plus
+    * a one-row broadcast for the global max. Bounds are truncated by
+    * the sketch's maxHops: d(v,ℓ) > maxHops contributes nothing, so
+    * both quantities are still valid LOWER bounds, just looser.
+    *
+    * @return (node, n_reached, ecc_lb, diameter_lb): one row per
+    *         sketched node; n_reached counts landmarks at d ≥ 1;
+    *         diameter_lb repeats the global bound on every row (the
+    *         one-row-broadcast idiom, so the frame stays rectangular)
+    */
+  def eccentricity(sketch: DataFrame): DataFrame = {
+    val perNode = sketch.groupBy("node").agg(
+      count(when(col("hops") >= 1, 1)).cast("int").as("n_reached"),
+      max(col("hops")).cast("int").as("ecc_lb"))
+    val diam = perNode.agg(max(col("ecc_lb")).as("diameter_lb"))
+    perNode.crossJoin(broadcast(diam))
+  }
 }

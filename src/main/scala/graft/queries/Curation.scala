@@ -62,6 +62,9 @@ object Curation {
   /** q152 per-source eval fraction (exact quota). */
   val EvalRate = 0.1
 
+  /** Quality-weighted subsample size (q262). */
+  val QualitySampleN = 200
+
   private val stopSqlList = Text.Stop.map(s => s"'$s'").mkString(", ")
 
   val defs: Seq[QueryDef] = Seq(
@@ -1103,6 +1106,46 @@ object Curation {
           }.as("__o"))
           .select(col("doc_id"), col("__o.n_spans").as("n_spans"),
             col("__o.input").as("input"), col("__o.target").as("target"))
+      }),
+
+    // Quality-weighted corpus subsampling (Efraimidis–Spirakis A-ES,
+    // "Weighted random sampling with a reservoir", IPL 2006): the
+    // standard "keep the best-ish N documents, biased by quality but
+    // still random" curation step. Each doc draws key ln(u)/w — u the
+    // pure md5-hash uniform of doc_id, w the q28 quality score (+0.05
+    // floor so degenerate all-stopword docs keep a nonzero weight) —
+    // and the SampleN largest keys win: selection probability ∝ w,
+    // without replacement. Plan: one corpus scan computing w and the
+    // key (codegen'd column math), then TakeOrderedAndProject —
+    // per-partition top-N heaps, only N·|partitions| rows ever move;
+    // no corpus shuffle, no global sort. The oracle replays the
+    // identical IEEE key (q28's formula hash-matches bit-for-bit, and
+    // u is the shared first-60-bits-of-md5 recipe), so the gate is a
+    // full hash match, not rows-only.
+    QueryDef("q262_quality_corpus_sample", Some(s"""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      m AS (SELECT doc_id, source,
+              0.5 * (1.0 - CAST(len(list_filter(toks, x -> x IN ($stopSqlList))) AS DOUBLE) / len(toks))
+              + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks))
+              + 0.2 * least(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) / 10.0, 1.0)
+                AS q
+            FROM t),
+      w AS (SELECT doc_id, source, q + 0.05 AS wt,
+              (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000003 + 1) / 1000004.0 AS u
+            FROM m)
+      SELECT doc_id, source, round(wt, 6) AS wt
+      FROM w
+      ORDER BY ln(u) / wt DESC, doc_id
+      LIMIT ${QualitySampleN}"""),
+      (spark, dir) => {
+        val wt = TextOps.qualityScore(TextOps.tokenize(col("text")),
+          Text.Stop) + lit(0.05)
+        Sampling.weightedSample(
+          T(spark, dir, "documents")
+            .select(col("doc_id"), col("source"), wt.as("wt")),
+          "doc_id", col("wt"), QualitySampleN)
+          .withColumn("wt", round(col("wt"), 6))
       })
   )
 }

@@ -84,6 +84,46 @@ object Graph {
     */
   val LandmarkHops = 3
 
+  /** Shared oracle text for the landmark distance sketch (q229/q263):
+    * co-occurrence edges + the ~10 p_partkey%199 landmarks, (node,
+    * landmark) BFS unrolled LandmarkHops rounds with a correlated NOT
+    * EXISTS per round (pair keys — q225's NOT IN only handles
+    * scalars), every round MATERIALIZED. Ends at CTE `d$LandmarkHops`
+    * = (node, landmark, hops).
+    */
+  private val landmarkSketchCtes: String = {
+    val rounds = (1 to LandmarkHops).map { i =>
+      s"""n$i AS MATERIALIZED (
+          SELECT DISTINCT e.b AS node, f.landmark
+          FROM e JOIN n${i - 1} f ON e.a = f.node
+          WHERE NOT EXISTS (SELECT 1 FROM d${i - 1} d
+                            WHERE d.node = e.b AND d.landmark = f.landmark)),
+      d$i AS MATERIALIZED (
+          SELECT node, landmark, hops FROM d${i - 1}
+          UNION ALL SELECT node, landmark, $i FROM n$i)"""
+    }.mkString(",\n      ")
+    s"""li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      lm AS (SELECT DISTINCT p_partkey AS landmark FROM part
+             WHERE p_partkey % 199 = 0),
+      d0 AS MATERIALIZED (SELECT landmark AS node, landmark, 0 AS hops FROM lm),
+      n0 AS (SELECT node, landmark FROM d0),
+      $rounds"""
+  }
+
+  /** Spark side of [[landmarkSketchCtes]] (q229/q263). */
+  private def landmarkSketch(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): org.apache.spark.sql.DataFrame = {
+    val lms = T(spark, dir, "part")
+      .filter(col("p_partkey") % 199 === 0)
+      .select(col("p_partkey").as("lm"))
+    graft.ops.Landmarks.hopDistances(coEdges(spark, dir), "pa", "pb",
+      lms, "lm", maxHops = LandmarkHops)
+  }
+
   /** q236 Luby rounds — 4 decides most of the co-occurrence graph and
     * leaves a genuinely-undecided remainder for the status contract.
     */
@@ -424,40 +464,15 @@ object Graph {
     // spec-pinned instead. The oracle unrolls the (node, landmark)
     // frontier with a correlated NOT EXISTS (pair keys — q225's NOT IN
     // only handles scalars), every round MATERIALIZED.
-    QueryDef("q229_landmark_centrality", Some {
-      val rounds = (1 to LandmarkHops).map { i =>
-        s"""n$i AS MATERIALIZED (
-          SELECT DISTINCT e.b AS node, f.landmark
-          FROM e JOIN n${i - 1} f ON e.a = f.node
-          WHERE NOT EXISTS (SELECT 1 FROM d${i - 1} d
-                            WHERE d.node = e.b AND d.landmark = f.landmark)),
-      d$i AS MATERIALIZED (
-          SELECT node, landmark, hops FROM d${i - 1}
-          UNION ALL SELECT node, landmark, $i FROM n$i)"""
-      }.mkString(",\n      ")
-      s"""
-      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
-                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
-      e0 AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
-      e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
-      lm AS (SELECT DISTINCT p_partkey AS landmark FROM part
-             WHERE p_partkey % 199 = 0),
-      d0 AS MATERIALIZED (SELECT landmark AS node, landmark, 0 AS hops FROM lm),
-      n0 AS (SELECT node, landmark FROM d0),
-      $rounds
+    QueryDef("q229_landmark_centrality", Some(s"""
+      WITH $landmarkSketchCtes
       SELECT CAST(node AS BIGINT) AS node,
              CAST(count(CASE WHEN hops >= 1 THEN 1 END) AS INTEGER) AS n_reached,
              CAST(coalesce(sum(CASE WHEN hops >= 1 THEN 6 // hops END), 0)
                   AS BIGINT) AS harmonic_x6
-      FROM d$LandmarkHops GROUP BY node"""
-    },
+      FROM d$LandmarkHops GROUP BY node"""),
       (spark, dir) => {
-        val lms = T(spark, dir, "part")
-          .filter(col("p_partkey") % 199 === 0)
-          .select(col("p_partkey").as("lm"))
-        graft.ops.Landmarks.hopDistances(coEdges(spark, dir), "pa", "pb",
-            lms, "lm", maxHops = LandmarkHops)
+        landmarkSketch(spark, dir)
           .groupBy(col("node"))
           .agg(
             count(when(col("hops") >= 1, 1)).cast("int").as("n_reached"),
@@ -466,6 +481,30 @@ object Graph {
           .select(col("node").cast("long").as("node"),
             col("n_reached"), col("harmonic_x6"))
       }),
+
+    // Landmark lower bounds on eccentricity + graph diameter (the
+    // Magnien-Latapy-Habib bounding discipline, JEA 2009) over the
+    // same q229 sketch: ecc_lb(v) = max landmark distance seen from v,
+    // diameter_lb = max over all nodes — exact all-pairs BFS is
+    // Theta(|V|*|E|) and dead at scale, while the sketch bound is one
+    // groupBy over the L*|V| sketch rows plus a one-row broadcast for
+    // the global max (repeated on every row so the frame stays
+    // rectangular). Bounds stay valid under the sketch's hop
+    // truncation, just looser. Oracle: the shared landmark-sketch CTE
+    // chain + one grouped max + a scalar subquery.
+    QueryDef("q263_graph_diameter", Some(s"""
+      WITH $landmarkSketchCtes,
+      per AS (SELECT node,
+                     CAST(count(CASE WHEN hops >= 1 THEN 1 END) AS INTEGER) AS n_reached,
+                     CAST(max(hops) AS INTEGER) AS ecc_lb
+              FROM d$LandmarkHops GROUP BY node)
+      SELECT CAST(node AS BIGINT) AS node, n_reached, ecc_lb,
+             (SELECT max(ecc_lb) FROM per) AS diameter_lb
+      FROM per"""),
+      (spark, dir) =>
+        graft.ops.Landmarks.eccentricity(landmarkSketch(spark, dir))
+          .select(col("node").cast("long").as("node"),
+            col("n_reached"), col("ecc_lb"), col("diameter_lb"))),
 
     // Degree assortativity (Newman, PRL 2002): Pearson correlation of
     // endpoint degrees over the directed-edge list of the symmetrized

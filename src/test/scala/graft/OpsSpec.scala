@@ -534,6 +534,34 @@ class OpsSpec extends SparkSuite {
     assert(hc(1L) == ((0, 0.0)) && hc(5L) == ((0, 0.0)))
   }
 
+  test("Landmarks.eccentricity: chain bound exact at full hops, star truncation keeps a valid lower bound") {
+    import spark.implicits._
+    // chain 1-2-3-4-5, landmarks {1, 5}, maxHops = 4 covers the whole
+    // chain: true ecc is max(d to 1, d to 5) = {4,3,2,3,4} and the
+    // sketch sees every distance, so the bound is EXACT and
+    // diameter_lb = 4 on every row.
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "t")
+    val full = graft.ops.Landmarks.eccentricity(
+      graft.ops.Landmarks.hopDistances(chain, "s", "t",
+        Seq(1L, 5L).toDF("lm"), "lm", maxHops = 4))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(full == Map(
+      1L -> ((1, 4, 4)), 2L -> ((2, 3, 4)), 3L -> ((2, 2, 4)),
+      4L -> ((2, 3, 4)), 5L -> ((1, 4, 4))), s"got $full")
+    // star center 0 with leaves 1..4, landmark {1}, maxHops = 1: leaf
+    // 2..4 are 2 hops away and fall outside the sketch — the bound
+    // degrades to the seen radius (diameter_lb = 1 ≤ true 2), never
+    // overshoots.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "t")
+    val trunc = graft.ops.Landmarks.eccentricity(
+      graft.ops.Landmarks.hopDistances(star, "s", "t",
+        Seq(1L).toDF("lm"), "lm", maxHops = 1))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(trunc == Map(1L -> ((0, 0, 1)), 0L -> ((1, 1, 1))), s"got $trunc")
+  }
+
   test("Robust.winsorizedStats: bounds at the exact p-ranks, clamp counted, singleton group self-bounded") {
     import spark.implicits._
     // group A: 1..10 at (0.2, 0.8) -> lo = rank ceil(2) = 2, hi = rank
