@@ -52,6 +52,60 @@ object Text {
       WHERE t.rnk <= 20
       GROUP BY 1, 2, 4"""
 
+  /** q265's bench-production steady-state stores, keyed by sf dir
+    * (the q233/q253 pattern).
+    */
+  private val q265ProdStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** HyperLogLog oracle shared verbatim by q264 (one-shot sketch) and
+    * q265 (incremental store): registers are elementwise maxes of a
+    * pure per-item function — commutative AND row-idempotent — so the
+    * 3-batch store is bit-identical to the one-shot grid and both gate
+    * against the same register-rebuild SQL. rho is trailing-zeros+1
+    * via `log2(w & -w)` (exact: the lowest set bit is a power of two);
+    * the estimator is the FFGM alpha_m·m²/Σ2^(−M_j) with the 2^53
+    * scaling that keeps the harmonic sum an exact BIGINT, plus linear
+    * counting below 2.5m (see engine/expressions/Hll.scala).
+    */
+  private val hllOracleSql: String = """
+      WITH src AS (
+        SELECT l_returnflag AS g, 'orders' AS kind,
+               CAST(l_orderkey AS VARCHAR) AS item FROM lineitem
+        UNION ALL
+        SELECT l_returnflag AS g, 'supp' AS kind,
+               CAST(l_suppkey AS VARCHAR) AS item FROM lineitem),
+      d AS (SELECT DISTINCT g, kind, item FROM src),
+      h AS (SELECT g, kind,
+              ('0x' || substr(md5(item), 1, 15))::BIGINT AS hv FROM d),
+      r AS (SELECT g, kind, hv % 256 AS j,
+              CASE WHEN hv // 256 = 0 THEN 53
+                   ELSE CAST(round(log2((hv // 256) & (-(hv // 256))))
+                        AS INTEGER) + 1
+              END AS rho
+            FROM h),
+      reg AS (SELECT g, kind, j, max(rho) AS mj FROM r GROUP BY 1, 2, 3),
+      grid AS (SELECT gk.g, gk.kind, b.j, coalesce(reg.mj, 0) AS mj
+               FROM (SELECT DISTINCT g, kind FROM d) gk
+               CROSS JOIN (SELECT unnest(range(0, 256)) AS j) b
+               LEFT JOIN reg ON reg.g = gk.g AND reg.kind = gk.kind
+                            AND reg.j = b.j),
+      s AS (SELECT g, kind,
+              CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT) AS s2,
+              CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS INTEGER) AS v
+            FROM grid GROUP BY 1, 2),
+      e AS (SELECT g, kind, v,
+              0.7213 / (1 + 1.079 / 256) * 65536 * 9007199254740992
+                / CAST(s2 AS DOUBLE) AS raw
+            FROM s),
+      ex AS (SELECT g, kind, CAST(count(DISTINCT item) AS BIGINT) AS n_exact
+             FROM src GROUP BY 1, 2)
+      SELECT ex.g AS grp, ex.kind, ex.n_exact,
+             round(CASE WHEN e.raw <= 640.0 AND e.v > 0
+                        THEN 256 * ln(256 / CAST(e.v AS DOUBLE))
+                        ELSE e.raw END, 4) AS est
+      FROM ex JOIN e ON ex.g = e.g AND ex.kind = e.kind"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens, distinct tokens, stopword hits.
@@ -1143,6 +1197,75 @@ object Text {
           .select(col("token"), col("exact"),
             CountMin.estimate(col("__sk"), col("token"), 4, 1024).as("est"),
             col("rnk").cast("int").as("rnk"))
+      }),
+
+    // HyperLogLog distinct counts (engine/expressions/Hll.scala — the
+    // sketch family's cardinality member): per-returnflag distinct
+    // orderkeys (~11k at sf0.01, exercises the raw FFGM estimator) and
+    // distinct suppkeys (~100, exercises the linear-counting branch)
+    // from 256 one-byte registers each, next to the exact
+    // count(distinct) the sketch replaces at scale. An exact distinct
+    // over 100 TB shuffles every key once; the sketch is one streaming
+    // pass with map-side partial merge and a 256-int result. The
+    // oracle rebuilds every register with GROUP BY over the same md5
+    // recipe and replays the estimator float-op-for-float-op.
+    QueryDef("q264_hll_distinct", Some(hllOracleSql),
+      (spark, dir) => {
+        import graft.engine.expressions.Hll
+        Hll.register(spark)
+        val li = T(spark, dir, "lineitem")
+        val src = li.select(col("l_returnflag").as("grp"),
+            lit("orders").as("kind"), col("l_orderkey").cast("string").as("item"))
+          .unionByName(li.select(col("l_returnflag").as("grp"),
+            lit("supp").as("kind"), col("l_suppkey").cast("string").as("item")))
+        val sk = src.groupBy("grp", "kind").agg(Hll.sketch(col("item"), 8).as("__sk"))
+        val ex = src.groupBy("grp", "kind").agg(countDistinct(col("item")).as("n_exact"))
+        ex.join(sk, Seq("grp", "kind"))
+          .select(col("grp"), col("kind"), col("n_exact"),
+            round(Hll.estimate(col("__sk"), 8), 4).as("est"))
+      }),
+
+    // Incremental HLL store (streaming.IncrementalHll): the lineitem
+    // feed arrives as 3 UNORDERED l_orderkey-mod batches — registers
+    // are elementwise maxes, commutative AND row-idempotent (even a
+    // re-delivered half-batch cannot move one), so any interleaving
+    // commits the bit-identical grid and the 3-batch store gates
+    // against q264's one-shot oracle VERBATIM. Per-batch cost is one
+    // sketch aggregate + one full-outer max-fold of 6 rows × 256
+    // registers.
+    QueryDef("q265_incremental_hll", Some(hllOracleSql),
+      (spark, dir) => {
+        import graft.engine.expressions.Hll
+        Hll.register(spark)
+        val li = T(spark, dir, "lineitem")
+        val src = li.select(col("l_orderkey"), col("l_returnflag").as("grp"),
+            lit("orders").as("kind"), col("l_orderkey").cast("string").as("item"))
+          .unionByName(li.select(col("l_orderkey"), col("l_returnflag").as("grp"),
+            lit("supp").as("kind"), col("l_suppkey").cast("string").as("item")))
+        def batch(store: String, i: Long): Unit = {
+          graft.streaming.IncrementalHll.processBatch(
+            src.filter(pmod(col("l_orderkey"), lit(3)) === i),
+            i, store, Seq("grp", "kind"), "item", 8): Unit
+        }
+        val store =
+          if (sys.props.get("graft.bench.production").contains("true"))
+            q265ProdStores.computeIfAbsent(dir, _ => {
+              val s = java.nio.file.Files
+                .createTempDirectory("graft_q265_hll_prod").toString
+              batch(s, 0L); batch(s, 1L); s
+            })
+          else {
+            val s = java.nio.file.Files
+              .createTempDirectory("graft_q265_hll").toString
+            batch(s, 0L); batch(s, 1L); s
+          }
+        batch(store, 2L)
+        val sk = spark.read.parquet(s"$store/v=2")
+          .withColumnRenamed("sk", "__sk")
+        val ex = src.groupBy("grp", "kind").agg(countDistinct(col("item")).as("n_exact"))
+        ex.join(sk, Seq("grp", "kind"))
+          .select(col("grp"), col("kind"), col("n_exact"),
+            round(Hll.estimate(col("__sk"), 8), 4).as("est"))
       })
   )
 
