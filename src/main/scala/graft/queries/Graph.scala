@@ -506,6 +506,40 @@ object Graph {
           .select(col("node").cast("long").as("node"),
             col("n_reached"), col("ecc_lb"), col("diameter_lb"))),
 
+    // k-core decomposition (ops.KCore — Lü et al. 2016 h-index
+    // fixed-point iteration; Batagelj–Zaversnik peeling is
+    // sequential, the h-operator is one join + one per-node fold per
+    // round). Spark iterates to the TRUE fixed point with a one-scalar
+    // convergence witness (sum(val) is monotone, unchanged ⟺ done) and
+    // fails fast on budget exhaustion; the oracle unrolls a FIXED 24
+    // rounds — strictly more than any tested scale needs (21 at
+    // sf0.001, 10 at sf0.01, 5 at sf0.1, measured) — and extra rounds
+    // past the fixed point are identity, so both sides agree exactly.
+    QueryDef("q266_kcore", Some {
+      val rounds = (1 to 24).map { i =>
+        s"""v$i AS MATERIALIZED (
+          SELECT node, CAST(max(least(val, rn)) AS INTEGER) AS val
+          FROM (SELECT e.a AS node, p.val,
+                       row_number() OVER (PARTITION BY e.a
+                                          ORDER BY p.val DESC) AS rn
+                FROM e JOIN v${i - 1} p ON e.b = p.node)
+          GROUP BY node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      e AS MATERIALIZED (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+      v0 AS MATERIALIZED (SELECT a AS node, CAST(count(*) AS INTEGER) AS val
+                          FROM e GROUP BY 1),
+      $rounds
+      SELECT CAST(node AS BIGINT) AS node, val AS coreness FROM v24"""
+    },
+      (spark, dir) =>
+        graft.ops.KCore.coreness(coEdges(spark, dir), "pa", "pb")
+          .select(col("node").cast("long").as("node"), col("coreness"))),
+
     // Degree assortativity (Newman, PRL 2002): Pearson correlation of
     // endpoint degrees over the directed-edge list of the symmetrized
     // co-occurrence graph — the one-number mixing diagnostic (do hubs

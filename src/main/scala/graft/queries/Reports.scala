@@ -342,6 +342,70 @@ object Reports {
             "c_custkey", "lat", "lon", radiusKm = R, maxAbsLat = 80.0))
     },
 
+    {
+      // DBSCAN density clustering (Ester et al., KDD'96) over customer
+      // geo, composed from the engine's own pieces: ops.GeoJoin
+      // candidate pairs (cell collision, never |points|²) +
+      // ops.ConnectedComponents over the core-core ε-graph. SITE
+      // COLLAPSE first — co-located points (the lattice repeats every
+      // 2720 keys, and real 100 TB feeds are full of duplicate
+      // coordinates) are grouped to one weighted site before any
+      // pairing, which is EXACTLY equivalent: same-site points share
+      // neighbor counts (d=0 ≤ ε), hence core status, hence cluster.
+      // Core = ≥ MinPts OTHER points within ε (multiplicity-weighted);
+      // border = non-core with a core site within ε, assigned the MIN
+      // core-neighbor cluster (a deterministic refinement of DBSCAN's
+      // order-dependent border tie); else noise. Cluster label = min
+      // core site id of the component. The oracle replays the exact
+      // rounded haversine predicate brute-force (the semantic spec —
+      // radiusPairs ≡ brute force is q261's proven property) and the
+      // component closure as a recursive CTE (the q77 discipline:
+      // tractable at oracle scale, the Spark side is the one that
+      // scales).
+      val Eps = 500.0
+      val MinPts = 4
+      QueryDef("q267_dbscan", Some(s"""
+      WITH RECURSIVE $geoSql,
+      pts AS (SELECT c_custkey AS id, lat, lon FROM geo
+              WHERE lat IS NOT NULL AND lon IS NOT NULL AND abs(lat) <= 80.0),
+      site AS (SELECT lat, lon, min(id) AS sid, count(*) AS mult
+               FROM pts GROUP BY 1, 2),
+      spr AS (SELECT a.sid AS sa, b.sid AS sb
+              FROM site a JOIN site b ON a.sid < b.sid
+              WHERE round(2.0 * 6373.0 * asin(sqrt(
+                  pow(sin(radians(b.lat - a.lat) / 2), 2)
+                  + cos(radians(a.lat)) * cos(radians(b.lat))
+                    * pow(sin(radians(b.lon - a.lon) / 2), 2))), 6) <= $Eps),
+      ssym AS (SELECT sa, sb FROM spr UNION ALL SELECT sb AS sa, sa AS sb FROM spr),
+      nc AS (SELECT s.sid, s.mult - 1 + coalesce(sum(t.mult), 0) AS n
+             FROM site s LEFT JOIN ssym ON s.sid = ssym.sa
+                         LEFT JOIN site t ON ssym.sb = t.sid
+             GROUP BY s.sid, s.mult),
+      core AS (SELECT sid FROM nc WHERE n >= $MinPts),
+      ce AS (SELECT sa, sb FROM ssym
+             WHERE sa IN (SELECT sid FROM core) AND sb IN (SELECT sid FROM core)
+             UNION SELECT sid AS sa, sid AS sb FROM core),
+      reach(a, b) AS (SELECT sa, sb FROM ce
+                      UNION SELECT r.a, c.sb FROM reach r JOIN ce c ON r.b = c.sa),
+      lbl AS (SELECT a AS sid, min(b) AS cluster FROM reach GROUP BY a),
+      bord AS (SELECT ssym.sa AS sid, min(l.cluster) AS cluster
+               FROM ssym JOIN lbl l ON ssym.sb = l.sid
+               WHERE ssym.sa NOT IN (SELECT sid FROM core)
+               GROUP BY 1)
+      SELECT p.id,
+             CASE WHEN cl.cluster IS NOT NULL THEN 'core'
+                  WHEN b.cluster IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role,
+             CAST(coalesce(cl.cluster, b.cluster) AS BIGINT) AS cluster
+      FROM pts p
+      JOIN site s ON p.lat = s.lat AND p.lon = s.lon
+      LEFT JOIN lbl cl ON s.sid = cl.sid
+      LEFT JOIN bord b ON s.sid = b.sid"""),
+        (spark, dir) =>
+          graft.ops.Dbscan.cluster(customerGeo(spark, dir),
+            "c_custkey", "lat", "lon", epsKm = Eps, minPts = MinPts))
+    },
+
     // Flagship peer-search report: top-15 blended-score peers per target
     // (reference topK=15, `search_ranking_peers.py:612`), with attribute
     // join-back (J1) to customer names.

@@ -562,6 +562,51 @@ class OpsSpec extends SparkSuite {
     assert(trunc == Map(1L -> ((0, 0, 1)), 0L -> ((1, 1, 1))), s"got $trunc")
   }
 
+  test("KCore.coreness: matches hand peeling on clique+tail+ring; degree is NOT coreness; budget fails fast") {
+    import spark.implicits._
+    // K4 {1,2,3,4} (coreness 3) with a tail 4-5-6 (coreness 1) and a
+    // separate ring 7-8-9-7 (coreness 2). Node 4 has DEGREE 4 but
+    // coreness 3, and node 5 has degree 2 but coreness 1 — the two
+    // standard "degree lies" cases h-index iteration must fix.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (7L, 8L), (8L, 9L), (9L, 7L))
+      .toDF("s", "t")
+    val out = graft.ops.KCore.coreness(edges, "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3,
+      5L -> 1, 6L -> 1, 7L -> 2, 8L -> 2, 9L -> 2), s"got $out")
+    // an exhausted round budget must refuse (values would be upper
+    // bounds, not corenesses)
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.KCore.coreness(edges, "s", "t", maxIter = 1)
+    }
+    assert(ex.getMessage.contains("fixed point"))
+  }
+
+  test("Dbscan.cluster: co-located collapse, core/border/noise roles, two separated clusters") {
+    import spark.implicits._
+    // equator points, 1 deg lon = 111.2 km; eps = 150 km, minPts = 3.
+    // Cluster 1: triple-duplicate site {1,2,3} at lon 10 (each sees 2
+    // co-located + point 4 -> core), point 4 at lon 11 (sees mult-3
+    // site -> core), point 5 at lon 12 (sees only 4 -> border).
+    // Cluster 2: chain 6..9 at lon 20/20.5/21/21.5 — inner pair {7,8}
+    // see 3 each (core), ends {6,9} see 2 (border). Point 10 at lon 50
+    // is noise. Labels = min core SITE id per component: 1 and 7.
+    val pts = Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 11.0),
+      (5L, 12.0), (6L, 20.0), (7L, 20.5), (8L, 21.0), (9L, 21.5),
+      (10L, 50.0)).map { case (id, lon) => (id, 0.0, lon) }
+      .toDF("id", "lat", "lon")
+    val out = graft.ops.Dbscan.cluster(pts, "id", "lat", "lon",
+        epsKm = 150.0, minPts = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(out == Map(
+      1L -> (("core", 1L)), 2L -> (("core", 1L)), 3L -> (("core", 1L)),
+      4L -> (("core", 1L)), 5L -> (("border", 1L)),
+      6L -> (("border", 7L)), 7L -> (("core", 7L)), 8L -> (("core", 7L)),
+      9L -> (("border", 7L)), 10L -> (("noise", -1L))), s"got $out")
+  }
+
   test("Robust.winsorizedStats: bounds at the exact p-ranks, clamp counted, singleton group self-bounded") {
     import spark.implicits._
     // group A: 1..10 at (0.2, 0.8) -> lo = rank ceil(2) = 2, hi = rank
