@@ -43,6 +43,26 @@ object Sampling {
       .drop("__skey")
   }
 
+  /** Per-stratum Efraimidis-Spirakis: an independent weighted
+    * without-replacement sample of `k` rows from EACH stratum (the
+    * "best k per domain, quality-biased but still random" curation
+    * shape — [[stratifiedSample]] mixes by RATE, this by QUOTA with
+    * weight bias). Same ln(u)/w key as [[weightedSample]]; winners by
+    * per-stratum rank, so the plan is one window partitioned by the
+    * stratum (shuffle on stratum keys, per-stratum cost bounded by
+    * stratum size — the q152 exact-quota shape). Selection stays a
+    * pure function of (id, weight): partitioning-independent,
+    * engine-replayable.
+    */
+  def weightedSampleByStratum(df: DataFrame, idCol: String,
+                              strataCol: String, weight: Column,
+                              k: Int): DataFrame = {
+    val key = log(hashUniform(col(idCol))) / weight
+    TopK.exactPerKey(df.withColumn("__skey", key), Seq(strataCol),
+        Seq(col("__skey").desc, col(idCol).asc), k, "__rk")
+      .drop("__skey", "__rk")
+  }
+
   /** Uniform deterministic sample of ~fraction of rows: keep rows whose
     * hash-uniform falls below the threshold (Bernoulli by data, not by
     * partition position).

@@ -65,6 +65,9 @@ object Curation {
   /** Quality-weighted subsample size (q262). */
   val QualitySampleN = 200
 
+  /** Per-source quality-weighted quota (q268). */
+  val StratumSampleK = 25
+
   private val stopSqlList = Text.Stop.map(s => s"'$s'").mkString(", ")
 
   val defs: Seq[QueryDef] = Seq(
@@ -1145,6 +1148,42 @@ object Curation {
           T(spark, dir, "documents")
             .select(col("doc_id"), col("source"), wt.as("wt")),
           "doc_id", col("wt"), QualitySampleN)
+          .withColumn("wt", round(col("wt"), 6))
+      }),
+
+    // Per-source quality-weighted quota (A-ES per stratum): the other
+    // half of the q262 sampler — "keep the best-ish K docs from EVERY
+    // source" instead of K overall, so no domain is starved by a
+    // quality-rich neighbor (q152's exact-quota discipline with q262's
+    // weight bias). Same ln(u)/w key; winners by per-source
+    // row_number, one window shuffled on source — per-stratum cost is
+    // bounded by stratum size, never corpus size. The oracle replays
+    // key, partition, and tiebreak bit-for-bit.
+    QueryDef("q268_stratified_quality_sample", Some(s"""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      m AS (SELECT doc_id, source,
+              0.5 * (1.0 - CAST(len(list_filter(toks, x -> x IN ($stopSqlList))) AS DOUBLE) / len(toks))
+              + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks))
+              + 0.2 * least(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) / 10.0, 1.0)
+                AS q
+            FROM t),
+      w AS (SELECT doc_id, source, q + 0.05 AS wt,
+              (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000003 + 1) / 1000004.0 AS u
+            FROM m),
+      r AS (SELECT doc_id, source, wt,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY ln(u) / wt DESC, doc_id) AS rk
+            FROM w)
+      SELECT doc_id, source, round(wt, 6) AS wt
+      FROM r WHERE rk <= ${StratumSampleK}"""),
+      (spark, dir) => {
+        val wt = TextOps.qualityScore(TextOps.tokenize(col("text")),
+          Text.Stop) + lit(0.05)
+        Sampling.weightedSampleByStratum(
+          T(spark, dir, "documents")
+            .select(col("doc_id"), col("source"), wt.as("wt")),
+          "doc_id", "source", col("wt"), StratumSampleK)
           .withColumn("wt", round(col("wt"), 6))
       })
   )

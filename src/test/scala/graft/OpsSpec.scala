@@ -157,6 +157,30 @@ class OpsSpec extends SparkSuite {
     assert(s1.count(_ < 500) > 150)
   }
 
+  test("Sampling.weightedSampleByStratum: exact quota per stratum, equals the per-stratum global sampler, partitioning-independent") {
+    val df = (0 until 600).map(i =>
+        (i.toLong, s"s${i % 3}", if (i % 10 == 0) 100.0 else 1.0))
+      .toDF("id", "src", "wt")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("id").as[Long].collect().toSet
+    val out = graft.ops.Sampling.weightedSampleByStratum(
+      df.repartition(7), "id", "src", col("wt"), 20)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("s0" -> 20L, "s1" -> 20L, "s2" -> 20L), s"got $bySrc")
+    // stratum independence: each stratum's winners are exactly what the
+    // GLOBAL sampler picks when run on that stratum alone
+    (0 until 3).foreach { s =>
+      val alone = ids(graft.ops.Sampling.weightedSample(
+        df.filter(col("src") === s"s$s"), "id", col("wt"), 20))
+      val inStrat = ids(out.filter(col("src") === s"s$s"))
+      assert(inStrat == alone, s"stratum s$s diverged from global sampler")
+    }
+    assert(ids(out) == ids(graft.ops.Sampling.weightedSampleByStratum(
+      df.repartition(1), "id", "src", col("wt"), 20)),
+      "sample depends on partitioning")
+  }
+
   test("Sampling.leakageSafeSplit: near-dup clusters never straddle the split") {
     val docs = (0L until 300L).toDF("id")
     // chain 10-11-12, pair 40-41, big clique 100..104, singletons elsewhere
