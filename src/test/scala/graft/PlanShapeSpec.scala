@@ -37,6 +37,36 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q262 A-ES sample plans as TakeOrderedAndProject (per-partition heaps, no corpus sort)") {
+    // No planOf here: this plan contains no exchange, so AQE never wraps
+    // it and there is no isFinalPlan marker — the absence is the point
+    val df = q("q262_quality_corpus_sample")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q262 lost its top-N heap path:\n${p.take(2000)}")
+    // a global Sort node would mean the whole corpus shuffles to rank
+    assert(!p.contains("Sort ["),
+      s"q262 sorts the corpus instead of heap-selecting:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"),
+      s"q262 shuffles — the sampler should be one scan + heaps:\n${p.take(2000)}")
+  }
+
+  test("q268 per-stratum quota plans as WindowGroupLimit; q264 HLL aggregates with a map-side partial") {
+    val p268 = planOf(q("q268_stratified_quality_sample"))
+    assert(p268.contains("WindowGroupLimit"),
+      s"q268 lost its group-limit:\n${p268.take(2000)}")
+    val p264 = planOf(q("q264_hll_distinct"))
+    // TypedImperativeAggregate rides ObjectHashAggregate with a partial
+    // pass before the exchange — registers merge map-side, so the
+    // shuffle carries one 256-register row per (group, partition), not
+    // the corpus
+    assert(p264.contains("ObjectHashAggregate"),
+      s"q264 lost the object-hash aggregate path:\n${p264.take(2000)}")
+    assert("partial_graft_hll|partial hll|hll".r.findFirstIn(p264.toLowerCase).isDefined,
+      s"q264 plan no longer shows the hll aggregate:\n${p264.take(2000)}")
+  }
+
   test("pair-scoring joins broadcast the candidate side and spread the probe") {
     Seq("q76_media_fingerprint", "q20_haversine", "q31_token_jaccard").foreach { name =>
       val p = planOf(q(name))
