@@ -109,13 +109,19 @@ object Hll {
     java.lang.Long.parseLong(hex, 16)
   }
 
-  /** Geometric rank: trailing zeros + 1; an all-zero suffix caps at 53
-    * (w < 2^56 for any p >= 4, so real ranks stop at 52 and the cap is
-    * strictly above them). SQL twin:
-    * `CASE WHEN w = 0 THEN 53 ELSE CAST(round(log2(w & -w)) AS INT) + 1 END`.
+  /** Geometric rank: trailing zeros + 1, CAPPED at 53 so the
+    * estimator's 2^(53 − M_j) scaling never sees a negative shift.
+    * For p ≥ 8 the cap is unreachable by a nonzero suffix (w < 2^52 →
+    * rank ≤ 52) and only the w = 0 case lands on it; for p ∈ [4,7] a
+    * nonzero w can carry up to 55 trailing zeros (probability
+    * ≤ 2^−53 per item) and the cap truncates it — a distortion far
+    * below the estimator's error floor, applied identically by any
+    * SQL twin: `CASE WHEN w = 0 THEN 53 ELSE
+    * least(CAST(round(log2(w & -w)) AS INT) + 1, 53) END`.
     */
   private[expressions] def rho(w: Long): Byte =
-    if (w == 0L) 53 else (java.lang.Long.numberOfTrailingZeros(w) + 1).toByte
+    if (w == 0L) 53
+    else math.min(java.lang.Long.numberOfTrailingZeros(w) + 1, 53).toByte
 
   /** Idempotent session registration (public extension point). */
   def register(spark: SparkSession): Unit =
