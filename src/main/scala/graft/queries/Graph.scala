@@ -205,12 +205,17 @@ object Graph {
     // CTE, so the gate is a full hash match (integer degrees — no
     // float discipline needed).
     QueryDef("q203_kcore", Some {
+      // Every peel MATERIALIZED (the q229/q266 discipline): each eN is
+      // consumed three times (its degree agg + both IN probes of the
+      // NEXT round), so an inlined chain re-expands the base self-join
+      // 3^R-fold — measured as a 37 GB DuckDB spill at sf0.1 before
+      // materialization, 6 s after.
       val peels = (0 until KCoreRounds).map { i =>
         s"""d$i AS (SELECT node, count(*) AS d
               FROM (SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i)
               GROUP BY node),
-      k$i AS (SELECT node FROM d$i WHERE d >= $KCoreK),
-      e${i + 1} AS (SELECT a, b FROM e$i
+      k$i AS MATERIALIZED (SELECT node FROM d$i WHERE d >= $KCoreK),
+      e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
                     WHERE a IN (SELECT node FROM k$i)
                       AND b IN (SELECT node FROM k$i))"""
       }.mkString(",\n      ")
@@ -218,7 +223,7 @@ object Graph {
       WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
       pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
                 FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
-      e0 AS (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
       $peels,
       dF AS (SELECT node, count(*) AS d
              FROM (SELECT a AS node FROM e$KCoreRounds UNION ALL SELECT b FROM e$KCoreRounds)
