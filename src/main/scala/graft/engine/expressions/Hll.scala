@@ -96,8 +96,75 @@ case class Hll(child: Expression, p: Int,
     copy(child = newChild)
 }
 
+/** Register-merge aggregate over HLL sketch VALUES: elementwise max of
+  * `array<int>` register rows — the rollup algebra that makes the
+  * sketch worth keeping (hour sketches fold to days, shards to a
+  * corpus, WITHOUT rescanning raw data). Max is associative,
+  * commutative, and idempotent, so a rollup merged from partials is
+  * BIT-IDENTICAL to a sketch built from the base data — the exactness
+  * a SQL oracle replays with one GROUP BY at the coarser key.
+  */
+case class HllMerge(child: Expression, p: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with UnaryLike[Expression] {
+
+  require(p >= 4 && p <= 16, s"precision must be in [4,16], got $p")
+
+  private val m = 1 << p
+
+  override def dataType: DataType = ArrayType(IntegerType)
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_merge"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<int> sketch input, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == m,
+        s"$prettyName: sketch has ${arr.numElements()} registers, expected $m")
+      var i = 0
+      while (i < m) {
+        val r = arr.getInt(i)
+        if (r > buf(i)) buf(i) = r.toByte
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < b1.length) { if (b2(i) > b1(i)) b1(i) = b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any =
+    new GenericArrayData(buf.map(_.toInt: Any))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllMerge =
+    copy(child = newChild)
+}
+
 object Hll {
   private val name = "graft_hll"
+  private val mergeName = "graft_hll_merge"
 
   /** The oracle-replayable 60-bit hash: first 15 hex chars of
     * md5(item) (DuckDB: `('0x' || substr(md5(item), 1, 15))::BIGINT`).
@@ -124,14 +191,22 @@ object Hll {
     else math.min(java.lang.Long.numberOfTrailingZeros(w) + 1, 53).toByte
 
   /** Idempotent session registration (public extension point). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     graft.engine.Registration.once(spark, name)(
       exprs => Hll(exprs.head,
         exprs(1).eval().asInstanceOf[Int]).toAggregateExpression())
+    graft.engine.Registration.once(spark, mergeName)(
+      exprs => HllMerge(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression())
+  }
 
   /** Column API: the 2^p-register sketch of a string column. */
   def sketch(item: Column, p: Int): Column =
     call_function(name, item, lit(p))
+
+  /** Column API: elementwise-max merge of sketch VALUE rows (rollup). */
+  def merge(sketch: Column, p: Int): Column =
+    call_function(mergeName, sketch, lit(p))
 
   /** FFGM estimate of a sketch VALUE column, float-op-for-float-op
     * replayable in SQL:

@@ -1083,6 +1083,80 @@ object Events {
         graft.ops.Robust.madOutliers(res, "event_type", "t", "r_fp", k = 3)
           .select(col("event_type"), col("t"), col("r_fp"), col("med"),
             col("mad"))
+      }),
+
+    // Windowed distinct-user sketches with a ROLLUP THAT NEVER RESCANS:
+    // hourly HLL registers of user_id, then daily sketches folded from
+    // the hourly ones by engine.expressions.HllMerge (elementwise max —
+    // associative + idempotent, so the rollup is BIT-IDENTICAL to a
+    // sketch built from the base rows, which is exactly what the oracle
+    // replays with one GROUP BY at day grain). The dashboard workload
+    // mergeable sketches exist for: at 100 TB the raw events are read
+    // once at the finest grain and every coarser distinct-count
+    // (day/week/source/global) is a register fold over sketch rows.
+    // Exact counts ride alongside to expose the estimator error.
+    QueryDef("q269_hll_window_rollup", Some("""
+      WITH ev AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+                         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                         CAST(user_id AS VARCHAR) AS uid
+                  FROM events),
+      d AS (SELECT DISTINCT hour, day, uid FROM ev),
+      h AS (SELECT hour, day, uid,
+              ('0x' || substr(md5(uid), 1, 15))::BIGINT AS hv FROM d),
+      r AS (SELECT hour, day, hv % 256 AS j,
+              CASE WHEN hv // 256 = 0 THEN 53
+                   ELSE CAST(round(log2((hv // 256) & (-(hv // 256))))
+                        AS INTEGER) + 1
+              END AS rho
+            FROM h),
+      lv AS (SELECT 'hour' AS level, hour AS bucket, j, rho FROM r
+             UNION ALL SELECT 'day' AS level, day AS bucket, j, rho FROM r),
+      reg AS (SELECT level, bucket, j, max(rho) AS mj FROM lv GROUP BY 1, 2, 3),
+      grid AS (SELECT k.level, k.bucket, b.j, coalesce(reg.mj, 0) AS mj
+               FROM (SELECT DISTINCT level, bucket FROM lv) k
+               CROSS JOIN (SELECT unnest(range(0, 256)) AS j) b
+               LEFT JOIN reg ON reg.level = k.level AND reg.bucket = k.bucket
+                            AND reg.j = b.j),
+      s AS (SELECT level, bucket,
+              CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT) AS s2,
+              CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS INTEGER) AS v
+            FROM grid GROUP BY 1, 2),
+      e AS (SELECT level, bucket, v,
+              0.7213 / (1 + 1.079 / 256) * 65536 * 9007199254740992
+                / CAST(s2 AS DOUBLE) AS raw
+            FROM s),
+      exh AS (SELECT 'hour' AS level, hour AS bucket,
+                     CAST(count(DISTINCT uid) AS BIGINT) AS n_exact
+              FROM ev GROUP BY 2
+              UNION ALL
+              SELECT 'day', day, CAST(count(DISTINCT uid) AS BIGINT)
+              FROM ev GROUP BY 2)
+      SELECT exh.level, exh.bucket, exh.n_exact,
+             round(CASE WHEN e.raw <= 640.0 AND e.v > 0
+                        THEN 256 * ln(256 / CAST(e.v AS DOUBLE))
+                        ELSE e.raw END, 4) AS est
+      FROM exh JOIN e ON exh.level = e.level AND exh.bucket = e.bucket"""),
+      (spark, dir) => {
+        import graft.engine.expressions.Hll
+        Hll.register(spark)
+        val ev = T(spark, dir, "events").select(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("user_id").cast("string").as("uid"))
+        val hourly = ev.groupBy("day", "hour").agg(
+          Hll.sketch(col("uid"), 8).as("sk"),
+          countDistinct(col("uid")).as("n_exact"))
+        val hrows = hourly.select(lit("hour").as("level"),
+          col("hour").as("bucket"), col("n_exact"),
+          round(Hll.estimate(col("sk"), 8), 4).as("est"))
+        // the day sketch folds from HOURLY SKETCH ROWS, never base data
+        val drows = hourly.groupBy("day")
+          .agg(Hll.merge(col("sk"), 8).as("sk"))
+          .join(ev.groupBy("day").agg(countDistinct(col("uid")).as("n_exact")),
+            "day")
+          .select(lit("day").as("level"), col("day").as("bucket"),
+            col("n_exact"), round(Hll.estimate(col("sk"), 8), 4).as("est"))
+        hrows.unionByName(drows)
       })
   )
 }

@@ -49,6 +49,27 @@ class IncrementalHllSpec extends SparkSuite {
     assert(eLarge > 640.0, "large set unexpectedly hit linear counting")
   }
 
+  test("HllMerge rollup: folding group sketches is bit-identical to sketching the base rows; duplicate partials are free") {
+    Hll.register(spark)
+    val rows = (1L to 200L).map(i => (s"g${i % 4}", s"item${i % 73}"))
+      .toDF("g", "item")
+    val per = rows.groupBy("g").agg(Hll.sketch(col("item"), 8).as("sk"))
+    def regs(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+      df.head.getSeq[Int](0).toSeq
+    val rolled = regs(per.agg(Hll.merge(col("sk"), 8).as("sk")))
+    val direct = regs(rows.agg(Hll.sketch(col("item"), 8).as("sk")))
+    assert(rolled == direct, "rollup diverged from the base-data sketch")
+    // idempotent: merging the partials twice over changes nothing
+    val doubled = regs(per.unionByName(per).agg(Hll.merge(col("sk"), 8).as("sk")))
+    assert(doubled == direct, "duplicate partials moved a register")
+    // estimates agree too (same registers, same fold)
+    val eR = per.agg(Hll.merge(col("sk"), 8).as("sk"))
+      .select(Hll.estimate(col("sk"), 8)).head.getDouble(0)
+    val eD = rows.agg(Hll.sketch(col("item"), 8).as("sk"))
+      .select(Hll.estimate(col("sk"), 8)).head.getDouble(0)
+    assert(eR == eD)
+  }
+
   test("3 batches in any order commit the one-shot grid bit-for-bit; replay idempotent; orphan fails fast") {
     Hll.register(spark)
     val all = (1L to 60L).map(i => (i, if (i % 2 == 0) "even" else "odd",
