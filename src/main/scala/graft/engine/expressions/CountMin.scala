@@ -105,15 +105,24 @@ case class CountMin(child: Expression, depth: Int, width: Int,
 object CountMin {
   private val name = "graft_count_min"
 
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** JVM twin of the oracle-replayable bucket: the
     * [[graft.ops.Sampling.hashRank]] md5 recipe over "r:item" — first
-    * 15 hex chars parse to a positive 60-bit long, mod width.
+    * 15 hex chars parse to a positive 60-bit long, mod width. String-
+    * free (this runs depth× per ROW): the first 8 digest bytes read
+    * big-endian `>>> 4` ARE parseLong(hex.take(15), 16) — same value,
+    * no per-row digest allocation or hex formatting (the Hll.hash60
+    * move; LlmOpsSpec's exactness cases pin the recipe).
     */
   private[expressions] def bucket(r: Int, item: String, width: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$r:$item".getBytes("UTF-8"))
-    val hex = md.take(8).map(b => f"$b%02x").mkString.take(15)
-    (java.lang.Long.parseLong(hex, 16) % width).toInt
+    val md = digest.get()
+    md.reset()
+    val bytes = md.digest(s"$r:$item".getBytes("UTF-8"))
+    ((java.nio.ByteBuffer.wrap(bytes, 0, 8).getLong >>> 4) % width).toInt
   }
 
   /** Idempotent session registration (public extension point). */

@@ -135,6 +135,11 @@ case class HllMerge(child: Expression, p: Int,
       var i = 0
       while (i < m) {
         val r = arr.getInt(i)
+        // fail fast on out-of-range registers: r.toByte would silently
+        // truncate (300 -> 44) or flip sign (200 -> -56, invisible to
+        // max) — corrupt sketch rows must not merge into wrong answers
+        require(r >= 0 && r <= 53,
+          s"$prettyName: register $i holds $r, outside the valid [0,53]")
         if (r > buf(i)) buf(i) = r.toByte
         i += 1
       }
@@ -166,14 +171,25 @@ object Hll {
   private val name = "graft_hll"
   private val mergeName = "graft_hll_merge"
 
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** The oracle-replayable 60-bit hash: first 15 hex chars of
     * md5(item) (DuckDB: `('0x' || substr(md5(item), 1, 15))::BIGINT`).
+    * Computed without strings — this runs once per ROW in the
+    * aggregate's update path, so no per-row digest allocation or hex
+    * formatting: the first 8 digest bytes read big-endian are the
+    * first 16 hex chars as a 64-bit value, and `>>> 4` drops the 16th
+    * hex char, leaving exactly `parseLong(hex.take(15), 16)`
+    * (equivalence pinned by HllRhoSpec against the literal recipe).
     */
   private[expressions] def hash60(item: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(item.getBytes("UTF-8"))
-    val hex = md.take(8).map(b => f"$b%02x").mkString.take(15)
-    java.lang.Long.parseLong(hex, 16)
+    val md = digest.get()
+    md.reset()
+    val bytes = md.digest(item.getBytes("UTF-8"))
+    java.nio.ByteBuffer.wrap(bytes, 0, 8).getLong >>> 4
   }
 
   /** Geometric rank: trailing zeros + 1, CAPPED at 53 so the
@@ -210,7 +226,7 @@ object Hll {
 
   /** FFGM estimate of a sketch VALUE column, float-op-for-float-op
     * replayable in SQL:
-    *   S2  = sum_j 2^(53 - M_j)        -- EXACT long (the 2^53 scaling
+    *   S2  = sum_j 2^(53 - M_j)        -- EXACT decimal(38,0) (the 2^53 scaling
     *                                      keeps the harmonic sum integral)
     *   raw = alpha_m * m^2 * 2^53 / S2 -- alpha_m * m^2 * 2^53 folds to
     *                                      one double literal; power-of-2
@@ -226,8 +242,14 @@ object Hll {
   def estimate(sketchCol: Column, p: Int): Column = {
     import org.apache.spark.sql.functions._
     val m = 1 << p
-    val s2 = aggregate(sketchCol, lit(0L),
-      (acc, r) => acc + call_function("shiftleft", lit(1L), lit(53) - r))
+    // decimal(38,0) fold: the scaled harmonic sum reaches m * 2^53 =
+    // 2^(p+53), which overflows Long for p >= 11 — decimal keeps it
+    // exact across the whole advertised p range (same move as
+    // ops.Eval's rank sums; at p <= 10 the value fits a BIGINT, which
+    // is what the committed p=8 oracles cast to)
+    val s2 = aggregate(sketchCol, lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
+      (acc, r) => acc +
+        call_function("shiftleft", lit(1L), lit(53) - r).cast("decimal(38,0)"))
     val v = size(filter(sketchCol, r => r === 0))
     val alphaNum =
       0.7213 / (1.0 + 1.079 / m) * (m.toLong * m).toDouble * 9007199254740992.0

@@ -106,21 +106,29 @@ object KCore {
     var v = e.groupBy(col("__a").as("node"))
       .agg(count(lit(1)).cast("int").as("val"))
       .localCheckpoint(eager = false)
-    var prevSum = v.agg(sum(col("val"))).head.getLong(0)
-    var converged = false
+    // coalesce: sum() over an EMPTY degree frame is null (an edgeless
+    // input — e.g. a support threshold that filtered every pair — must
+    // return the empty result, not NPE)
+    def valSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("val")), lit(0L))).head.getLong(0)
+    var prevSum = valSum(v)
+    var converged = prevSum == 0L
     var i = 0
     while (!converged && i < maxIter) {
       val nb = e.join(v, e("__b") === v("node"))
         .select(e("__a").as("node"), col("val"))
       val w = Window.partitionBy("node").orderBy(col("val").desc)
+      // superseded rounds' checkpoint frames stay persisted until the
+      // caller's withQueryCaches scope exits (the Bfs/Landmarks family
+      // idiom — Dataset.unpersist cannot release a localCheckpoint,
+      // only the RDD sweep can)
       val next = nb.withColumn("__rn", row_number().over(w))
         .groupBy("node")
         .agg(max(least(col("val"), col("__rn"))).cast("int").as("val"))
         .localCheckpoint(eager = false)
-      val s = next.agg(sum(col("val"))).head.getLong(0)
+      val s = valSum(next)
       converged = s == prevSum
       prevSum = s
-      v.unpersist(blocking = false)
       v = next
       i += 1
     }

@@ -70,6 +70,24 @@ object Curation {
 
   private val stopSqlList = Text.Stop.map(s => s"'$s'").mkString(", ")
 
+  /** Shared oracle CTE prefix of the A-ES samplers (q262 global /
+    * q268 per-stratum): the q28 quality weight (+0.05 floor) and the
+    * md5 hash-uniform, ending at CTE `w(doc_id, source, wt, u)` — one
+    * definition so the two samplers cannot drift.
+    */
+  private lazy val aesWeightCtes: String = s"""
+      t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      m AS (SELECT doc_id, source,
+              0.5 * (1.0 - CAST(len(list_filter(toks, x -> x IN ($stopSqlList))) AS DOUBLE) / len(toks))
+              + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks))
+              + 0.2 * least(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) / 10.0, 1.0)
+                AS q
+            FROM t),
+      w AS (SELECT doc_id, source, q + 0.05 AS wt,
+              (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1000003 + 1) / 1000004.0 AS u
+            FROM m)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Context-window chunking: split each document into fixed-size token
@@ -1126,17 +1144,7 @@ object Curation {
     // u is the shared first-60-bits-of-md5 recipe), so the gate is a
     // full hash match, not rows-only.
     QueryDef("q262_quality_corpus_sample", Some(s"""
-      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
-      m AS (SELECT doc_id, source,
-              0.5 * (1.0 - CAST(len(list_filter(toks, x -> x IN ($stopSqlList))) AS DOUBLE) / len(toks))
-              + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks))
-              + 0.2 * least(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) / 10.0, 1.0)
-                AS q
-            FROM t),
-      w AS (SELECT doc_id, source, q + 0.05 AS wt,
-              (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-               % 1000003 + 1) / 1000004.0 AS u
-            FROM m)
+      WITH $aesWeightCtes
       SELECT doc_id, source, round(wt, 6) AS wt
       FROM w
       ORDER BY ln(u) / wt DESC, doc_id
@@ -1160,17 +1168,7 @@ object Curation {
     // bounded by stratum size, never corpus size. The oracle replays
     // key, partition, and tiebreak bit-for-bit.
     QueryDef("q268_stratified_quality_sample", Some(s"""
-      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
-      m AS (SELECT doc_id, source,
-              0.5 * (1.0 - CAST(len(list_filter(toks, x -> x IN ($stopSqlList))) AS DOUBLE) / len(toks))
-              + 0.3 * (1.0 - CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE) / len(toks))
-              + 0.2 * least(CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE) / len(toks) / 10.0, 1.0)
-                AS q
-            FROM t),
-      w AS (SELECT doc_id, source, q + 0.05 AS wt,
-              (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-               % 1000003 + 1) / 1000004.0 AS u
-            FROM m),
+      WITH $aesWeightCtes,
       r AS (SELECT doc_id, source, wt,
               row_number() OVER (PARTITION BY source
                                  ORDER BY ln(u) / wt DESC, doc_id) AS rk

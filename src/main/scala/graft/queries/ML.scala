@@ -176,7 +176,8 @@ object ML {
           count(lit(1)).as("c"),
           countDistinct(col("itemId")).as("di"),
           min(col("rec_rank")).as("mnr"), max(col("rec_rank")).as("mxr"),
-          sum(when(col("score").isNull || isnan(col("score")), 1L)
+          sum(when(col("score").isNull || isnan(col("score")) ||
+              abs(col("score")) === lit(Double.PositiveInfinity), 1L)
             .otherwise(0L)).as("bad"))
         perUser.agg(
           sum(col("c")).as("n_rows"),

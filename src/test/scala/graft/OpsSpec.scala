@@ -605,6 +605,9 @@ class OpsSpec extends SparkSuite {
       graft.ops.KCore.coreness(edges, "s", "t", maxIter = 1)
     }
     assert(ex.getMessage.contains("fixed point"))
+    // an edgeless input returns the empty frame, not an NPE
+    assert(graft.ops.KCore.coreness(
+      edges.filter(col("s") < 0), "s", "t").count() == 0L)
   }
 
   test("Dbscan.cluster: co-located collapse, core/border/noise roles, two separated clusters") {
