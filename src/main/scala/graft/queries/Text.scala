@@ -1004,6 +1004,62 @@ object Text {
               .as("f1"))
       }),
 
+    // One-row classifier report over the q32/q189 language-ID frame:
+    // the cross-class summary q189's per-class table doesn't give —
+    // accuracy, macro-F1, and Cohen's kappa (the chance-corrected
+    // agreement a skewed class mix demands; Cohen 1960). All three are
+    // engine-exact: per-class F1 is quantized to integer micro-units
+    // via INTEGER division (floor(2·tp·10⁶/(pred+sup)) — the q212
+    // fixed-point move, so the macro sum is an exact BIGINT with
+    // map-side partials, no ordered float fold), and kappa reduces to
+    // ONE division of exact longs via
+    // (n·correct − Σ sup·pred) / (n² − Σ sup·pred).
+    QueryDef("q270_classifier_report", Some(s"""
+      WITH $LangIdCtes,
+      t AS (SELECT true_lang AS lang, count(*) AS sup FROM lid GROUP BY 1),
+      g AS (SELECT guessed_lang AS lang, count(*) AS pred FROM lid GROUP BY 1),
+      c AS (SELECT true_lang AS lang, count(*) AS tp
+            FROM lid WHERE true_lang = guessed_lang GROUP BY 1),
+      per AS (SELECT t.lang, t.sup, coalesce(g.pred, 0) AS pred,
+                     coalesce(c.tp, 0) AS tp
+              FROM t LEFT JOIN g USING (lang) LEFT JOIN c USING (lang)),
+      agg AS (SELECT CAST(sum(sup) AS BIGINT) AS n,
+                     CAST(count(*) AS INTEGER) AS n_classes,
+                     CAST(sum(tp) AS BIGINT) AS correct,
+                     CAST(sum(sup * pred) AS BIGINT) AS stg,
+                     CAST(sum((2 * tp * 1000000) // (pred + sup)) AS BIGINT) AS f1fp
+              FROM per)
+      SELECT n, n_classes,
+             round(CAST(correct AS DOUBLE) / n, 6) AS accuracy,
+             round(CAST(f1fp AS DOUBLE) / n_classes / 1000000, 6) AS macro_f1,
+             round(CAST(n * correct - stg AS DOUBLE) / (n * n - stg), 6) AS kappa
+      FROM agg"""),
+      (spark, dir) => {
+        val lid = langIdFrame(spark, dir)
+        val t = lid.groupBy(col("true_lang").as("lang"))
+          .agg(count(lit(1)).as("sup"))
+        val g = lid.groupBy(col("guessed_lang").as("lang"))
+          .agg(count(lit(1)).as("pred"))
+        val c = lid.filter(col("true_lang") === col("guessed_lang"))
+          .groupBy(col("true_lang").as("lang")).agg(count(lit(1)).as("tp"))
+        val per = t.join(g, Seq("lang"), "left").join(c, Seq("lang"), "left")
+          .select(col("lang"), col("sup"),
+            coalesce(col("pred"), lit(0L)).as("pred"),
+            coalesce(col("tp"), lit(0L)).as("tp"))
+        per.agg(
+            sum(col("sup")).as("n"),
+            count(lit(1)).cast("int").as("n_classes"),
+            sum(col("tp")).as("correct"),
+            sum(col("sup") * col("pred")).as("stg"),
+            sum(expr("(2 * tp * 1000000) div (pred + sup)")).as("f1fp"))
+          .select(col("n"), col("n_classes"),
+            round(col("correct").cast("double") / col("n"), 6).as("accuracy"),
+            round(col("f1fp").cast("double") / col("n_classes") / 1000000, 6)
+              .as("macro_f1"),
+            round((col("n") * col("correct") - col("stg")).cast("double")
+              / (col("n") * col("n") - col("stg")), 6).as("kappa"))
+      }),
+
     // Flesch reading ease (llm.TextOps.fleschEase) — the readability
     // axis q28's lexical ratios don't measure: sentence structure and
     // syllable weight. On this punctuation-free synthetic corpus every
