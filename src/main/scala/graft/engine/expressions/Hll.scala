@@ -247,10 +247,19 @@ object Hll {
     // exact across the whole advertised p range (same move as
     // ops.Eval's rank sums; at p <= 10 the value fits a BIGINT, which
     // is what the committed p=8 oracles cast to)
+    // clamp registers to the valid [0,53] BEFORE the 2^(53−r) shift:
+    // estimate is a public column API (unlike HllMerge's update path it
+    // has no range guard), and a malformed sketch row with r < 0 or
+    // r > 53 would otherwise feed shiftleft a negative/overlarge
+    // distance and return a silently-garbage estimate. On valid
+    // Hll/HllMerge output the clamp is the identity, so every
+    // committed SQL twin (which replays only valid registers) is
+    // unaffected.
     val s2 = aggregate(sketchCol, lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"),
       (acc, r) => acc +
-        call_function("shiftleft", lit(1L), lit(53) - r).cast("decimal(38,0)"))
-    val v = size(filter(sketchCol, r => r === 0))
+        call_function("shiftleft", lit(1L),
+          lit(53) - least(greatest(r, lit(0)), lit(53))).cast("decimal(38,0)"))
+    val v = size(filter(sketchCol, r => r <= 0))
     val alphaNum =
       0.7213 / (1.0 + 1.079 / m) * (m.toLong * m).toDouble * 9007199254740992.0
     val raw = lit(alphaNum) / s2.cast("double")

@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   *    scan-order-dependent border assignment
   *  - noise: everything else (cluster = null)
   *
+  * Cache lifetime (the [[KCore]] family contract): the returned plan
+  * references four cached intermediates (site, ssym, core, lbl), each
+  * read by 2+ downstream branches of the SAME plan — unpersisting
+  * before return would recompute the radius join per branch. They stay
+  * persisted until the caller's `GraftSession.withQueryCaches` scope
+  * exits (or `spark.catalog.clearCache()`); direct library callers
+  * outside such a scope should wrap the call, or the cached frames
+  * live for the session.
+  *
   * @return (id, role∈{core,border,noise}, cluster: long or null) —
   *         one row per in-bounds input point
   */

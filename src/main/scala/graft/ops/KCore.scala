@@ -73,14 +73,20 @@ object KCore {
     * single sweep yields the whole decomposition).
     *
     * Per round: neighbors' values arrive by one hash join on the edge
-    * list; the h-index folds with a node-partitioned window
-    * (row_number desc) as max(least(val, rn)) — exact, and invariant
-    * to tie order inside the window since the h-index depends only on
-    * the value MULTISET. The window's parallelism is per node, its
-    * per-node cost bounded by degree; a mega-hub (10^7 neighbors)
-    * would sort one partition's slice — the count-threshold
-    * reformulation (h = max t with count(val ≥ t) ≥ t) is the
-    * documented escape hatch, not needed at any tested scale.
+    * list; the h-index folds in the COUNT-THRESHOLD form. With S(v) =
+    * #neighbors holding value ≥ v, h = max over distinct values v of
+    * min(v, S(v)): every v ≤ h gives min ≤ v ≤ h; every v > h has
+    * S(v) ≤ S(h+1) < h+1 so min ≤ h; and the smallest distinct value
+    * v̂ ≥ h (which exists since S(h) ≥ h > 0) attains min(v̂, S(v̂)) =
+    * min(v̂, S(h)) ≥ h. So the fold is groupBy(node, val) → count
+    * (map-side partial combine collapses a mega-hub's 10^7 neighbor
+    * rows to ≤ #distinct-values rows per map partition BEFORE the
+    * shuffle), then one running-sum window over the collapsed frame —
+    * the per-node sort is over DISTINCT values, not neighbors, so the
+    * 10^7-neighbor hub that would have serialized one task under the
+    * naive row_number-over-all-neighbors fold now sorts at most its
+    * value-diversity (bounded by max degree, typically hundreds).
+    * Exact and tie-free: val is the window key and unique per node.
     *
     * Unlike [[kCore]]'s fixed rounds, this ITERATES TO THE TRUE FIXED
     * POINT, witnessed by one scalar per round: values are monotone
@@ -120,10 +126,16 @@ object KCore {
     def hStep(cur: DataFrame): DataFrame = {
       val nb = e.join(cur, e("__b") === cur("node"))
         .select(e("__a").as("node"), col("val"))
+      // count-threshold h-index (see scaladoc): collapse to
+      // (node, val, count) with map-side combine, then S(val) as a
+      // running sum over the distinct-value frame and
+      // h = max(min(val, S(val))) — no per-neighbor sort anywhere
+      val cnt = nb.groupBy("node", "val").agg(count(lit(1)).as("__c"))
       val w = Window.partitionBy("node").orderBy(col("val").desc)
-      nb.withColumn("__rn", row_number().over(w))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnt.withColumn("__s", sum(col("__c")).over(w))
         .groupBy("node")
-        .agg(max(least(col("val"), col("__rn"))).cast("int").as("val"))
+        .agg(max(least(col("val"), col("__s"))).cast("int").as("val"))
         .localCheckpoint(eager = false)
     }
     // One convergence check per round. A 2-rounds-per-action block

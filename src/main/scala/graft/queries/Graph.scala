@@ -152,6 +152,16 @@ object Graph {
   val TrussK = 3
   val TrussRounds = 5
 
+  /** q266 oracle's unrolled h-index round budget: measured convergence
+    * is 21/10/5 rounds at sf0.001/0.01/0.1, so 32 carries ~50% margin
+    * over the worst tested depth. Rounds past the fixed point are
+    * identity, so over-unrolling can never change the answer — only an
+    * input needing MORE than this budget diverges, and then loudly
+    * (Spark's coreness fails fast while the oracle would report
+    * non-converged upper bounds).
+    */
+  val HIndexOracleRounds = 32
+
   val defs: Seq[QueryDef] = Seq(
 
     // Weighted PageRank over the nation-level trade graph (edge weight =
@@ -516,12 +526,16 @@ object Graph {
     // sequential, the h-operator is one join + one per-node fold per
     // round). Spark iterates to the TRUE fixed point with a one-scalar
     // convergence witness (sum(val) is monotone, unchanged ⟺ done) and
-    // fails fast on budget exhaustion; the oracle unrolls a FIXED 24
-    // rounds — strictly more than any tested scale needs (21 at
-    // sf0.001, 10 at sf0.01, 5 at sf0.1, measured) — and extra rounds
-    // past the fixed point are identity, so both sides agree exactly.
+    // fails fast on budget exhaustion; the oracle unrolls a FIXED
+    // HIndexOracleRounds rounds — measured convergence is 21/10/5 at
+    // sf0.001/0.01/0.1, so 32 carries a ~50% margin over the worst
+    // tested depth (24 left only 3 rounds of headroom) — and extra
+    // rounds past the fixed point are identity, so both sides agree
+    // exactly; a dataset exceeding the budget diverges LOUDLY (the
+    // oracle returns non-converged upper bounds while Spark fails
+    // fast), never silently.
     QueryDef("q266_kcore", Some {
-      val rounds = (1 to 24).map { i =>
+      val rounds = (1 to HIndexOracleRounds).map { i =>
         s"""v$i AS MATERIALIZED (
           SELECT node, CAST(max(least(val, rn)) AS INTEGER) AS val
           FROM (SELECT e.a AS node, p.val,
@@ -539,7 +553,8 @@ object Graph {
       v0 AS MATERIALIZED (SELECT a AS node, CAST(count(*) AS INTEGER) AS val
                           FROM e GROUP BY 1),
       $rounds
-      SELECT CAST(node AS BIGINT) AS node, val AS coreness FROM v24"""
+      SELECT CAST(node AS BIGINT) AS node, val AS coreness
+      FROM v$HIndexOracleRounds"""
     },
       (spark, dir) =>
         graft.ops.KCore.coreness(coEdges(spark, dir), "pa", "pb")

@@ -1010,10 +1010,12 @@ object Text {
     // agreement a skewed class mix demands; Cohen 1960). All three are
     // engine-exact: per-class F1 is quantized to integer micro-units
     // via INTEGER division (floor(2·tp·10⁶/(pred+sup)) — the q212
-    // fixed-point move, so the macro sum is an exact BIGINT with
-    // map-side partials, no ordered float fold), and kappa reduces to
-    // ONE division of exact longs via
-    // (n·correct − Σ sup·pred) / (n² − Σ sup·pred).
+    // fixed-point move, so the macro sum is exact with map-side
+    // partials, no ordered float fold), and kappa reduces to ONE
+    // division of exact integers via
+    // (n·correct − Σ sup·pred) / (n² − Σ sup·pred), every count
+    // product carried in decimal(38,0) (the ops.Eval idiom) so nothing
+    // wraps past ~3e9 rows.
     QueryDef("q270_classifier_report", Some(s"""
       WITH $LangIdCtes,
       t AS (SELECT true_lang AS lang, count(*) AS sup FROM lid GROUP BY 1),
@@ -1026,13 +1028,14 @@ object Text {
       agg AS (SELECT CAST(sum(sup) AS BIGINT) AS n,
                      CAST(count(*) AS INTEGER) AS n_classes,
                      CAST(sum(tp) AS BIGINT) AS correct,
-                     CAST(sum(sup * pred) AS BIGINT) AS stg,
-                     CAST(sum((2 * tp * 1000000) // (pred + sup)) AS BIGINT) AS f1fp
+                     CAST(sum(CAST(sup AS DECIMAL(38,0)) * pred) AS DECIMAL(38,0)) AS stg,
+                     CAST(sum((2 * CAST(tp AS DECIMAL(38,0)) * 1000000) // (pred + sup)) AS DECIMAL(38,0)) AS f1fp
               FROM per)
       SELECT n, n_classes,
              round(CAST(correct AS DOUBLE) / n, 6) AS accuracy,
              round(CAST(f1fp AS DOUBLE) / n_classes / 1000000, 6) AS macro_f1,
-             round(CAST(n * correct - stg AS DOUBLE) / (n * n - stg), 6) AS kappa
+             round(CAST(CAST(n AS DECIMAL(38,0)) * correct - stg AS DOUBLE)
+                   / CAST(CAST(n AS DECIMAL(38,0)) * n - stg AS DOUBLE), 6) AS kappa
       FROM agg"""),
       (spark, dir) => {
         val lid = langIdFrame(spark, dir)
@@ -1046,18 +1049,27 @@ object Text {
           .select(col("lang"), col("sup"),
             coalesce(col("pred"), lit(0L)).as("pred"),
             coalesce(col("tp"), lit(0L)).as("tp"))
+        // decimal(38,0) for every product of row counts (the ops.Eval
+        // idiom): n·n, Σ sup·pred and 2·tp·10⁶ all wrap a silent Long
+        // past ~3e9 rows — the one overflow class a 100 TB corpus
+        // actually reaches — and DuckDB's BIGINT errors rather than
+        // wraps, so without the casts the engines would also diverge
+        // in FAILURE MODE at scale.
         per.agg(
             sum(col("sup")).as("n"),
             count(lit(1)).cast("int").as("n_classes"),
             sum(col("tp")).as("correct"),
-            sum(col("sup") * col("pred")).as("stg"),
-            sum(expr("(2 * tp * 1000000) div (pred + sup)")).as("f1fp"))
+            sum(col("sup").cast("decimal(38,0)") * col("pred"))
+              .cast("decimal(38,0)").as("stg"),
+            sum(expr("(2 * cast(tp as decimal(38,0)) * 1000000) div (pred + sup)"))
+              .cast("decimal(38,0)").as("f1fp"))
           .select(col("n"), col("n_classes"),
             round(col("correct").cast("double") / col("n"), 6).as("accuracy"),
             round(col("f1fp").cast("double") / col("n_classes") / 1000000, 6)
               .as("macro_f1"),
-            round((col("n") * col("correct") - col("stg")).cast("double")
-              / (col("n") * col("n") - col("stg")), 6).as("kappa"))
+            round((col("n").cast("decimal(38,0)") * col("correct") - col("stg")).cast("double")
+              / (col("n").cast("decimal(38,0)") * col("n") - col("stg")).cast("double"), 6)
+              .as("kappa"))
       }),
 
     // Flesch reading ease (llm.TextOps.fleschEase) — the readability
