@@ -1157,6 +1157,54 @@ object Events {
           .select(lit("day").as("level"), col("day").as("bucket"),
             col("n_exact"), round(Hll.estimate(col("sk"), 8), 4).as("est"))
         hrows.unionByName(drows)
+      }),
+
+    // Windowed quantile sketches with a rollup that never rescans —
+    // q269's twin for the LAST sketch axis (distributions): hourly
+    // dyadic grids of the fixed-point event value (floor(value·100):
+    // the multiply and floor are IEEE-identical on both engines, so
+    // the quantized longs match exactly), folded to daily sketches by
+    // QuantileSketchMerge (elementwise SUM — linear, so the fold is
+    // BIT-IDENTICAL to a sketch built from the base rows, which is
+    // exactly what the oracle replays at day grain before unrolling
+    // the integer descent per day). At 100 TB the raw events are read
+    // once at the finest grain and every coarser p50/p99 (day/week/
+    // global) is a grid add over sketch rows. The exact rank of each
+    // returned value rides alongside (the n_exact discipline).
+    QueryDef("q273_quantile_window_rollup", Some(s"""
+      WITH vals AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                           least(greatest(CAST(floor(value * 100) AS BIGINT), 0),
+                                 65535) AS v
+                    FROM events),
+      ${QuantileOracle.ctes(Seq("day"), Seq(50, 99))}
+      SELECT st0.day, phi_pct, n, t AS target_rank, s AS est_q,
+             (SELECT CAST(count(*) AS BIGINT) FROM vals
+              WHERE vals.day = st0.day AND vals.v <= st0.s) AS exact_rank_at_est
+      FROM st0"""),
+      (spark, dir) => {
+        import graft.engine.expressions.QuantileSketch
+        QuantileSketch.register(spark)
+        val ev = T(spark, dir, "events").select(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          floor(col("value") * 100).cast("long").as("v"))
+        val hourly = ev.groupBy("day", "hour").agg(
+          QuantileSketch.sketch(col("v")).as("sk"), count(col("v")).as("n"))
+        // the day grid folds from HOURLY SKETCH ROWS, never base data
+        val daily = hourly.groupBy("day").agg(
+          QuantileSketch.merge(col("sk")).as("sk"), sum(col("n")).as("n"))
+        val per = daily.select(col("day"), col("sk"), col("n"),
+            explode(array(lit(50), lit(99))).as("phi_pct"))
+          .withColumn("target_rank", expr("(phi_pct * n + 99) div 100"))
+          .withColumn("est_q",
+            QuantileSketch.quantile(col("sk"), col("target_rank")))
+          .select("day", "phi_pct", "n", "target_rank", "est_q")
+        val vals = ev.select(col("day"),
+          least(greatest(col("v"), lit(0L)), lit(65535L)).as("v"))
+        vals.join(broadcast(per), Seq("day"))
+          .groupBy("day", "phi_pct", "n", "target_rank", "est_q")
+          .agg(sum(when(col("v") <= col("est_q"), 1L).otherwise(0L))
+            .as("exact_rank_at_est"))
       })
   )
 }

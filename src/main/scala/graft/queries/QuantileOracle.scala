@@ -1,0 +1,90 @@
+package graft.queries
+
+/** DuckDB twin of [[graft.engine.expressions.QuantileSketch]]'s read
+  * path, generated rather than hand-unrolled (the q266 discipline —
+  * builder-authored CTE chains so the level count cannot drift from
+  * the engine's constant). Callers define a `vals(<groupCols...>, v)`
+  * CTE upstream (v already clamped to [0, 65535] with the SAME
+  * least/greatest the sketch applies), splice in [[ctes]], and select
+  * from `st0`, which carries one row per (group, phi): the exact n,
+  * the integer rank target t = ceil(phi·n/100), and the descent
+  * result s (the estimated quantile value).
+  *
+  * The rebuild is cell-for-cell the aggregate's definition: exact
+  * per-(level, prefix) counts; hashed levels (< 6) re-bucket each
+  * prefix with the md5("r:level:prefix") recipe and sum; identity
+  * levels read the exact count. The descent then unrolls domainBits
+  * CTE steps of the same integer CASE walk the engine folds with
+  * `aggregate` — every op integer, so the gate is a full hash match.
+  */
+private[queries] object QuantileOracle {
+
+  private val DomainBits = 16
+  private val HashedLevels = 6 // DomainBits - log2(Width)
+  private val Width = 1024
+  private val Depth = 3
+
+  /** CTE chain `nn, pfx, hcell, tgt, st16..st0` (no WITH keyword, no
+    * leading/trailing comma) over an upstream `vals` CTE.
+    *
+    * @param groupCols vals' group columns (empty = one global sketch)
+    * @param phis      integer percents, e.g. Seq(50, 90, 99)
+    */
+  def ctes(groupCols: Seq[String], phis: Seq[Int]): String = {
+    val g = groupCols
+    def cols(a: String) =
+      if (g.isEmpty) "" else g.map(c => s"$a.$c").mkString(", ") + ", "
+    def bare = if (g.isEmpty) "" else g.mkString(", ") + ", "
+    def gMatch(a: String) = g.map(c => s" AND $a.$c = st.$c").mkString
+    def byFirst(k: Int) = (1 to k).mkString(", ")
+
+    val nn =
+      if (g.isEmpty) "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals)"
+      else s"nn AS (SELECT ${g.mkString(", ")}, CAST(count(*) AS BIGINT) AS n " +
+        s"FROM vals GROUP BY ${byFirst(g.size)})"
+
+    val pfx = s"""pfx AS MATERIALIZED (
+      SELECT ${bare}lv.lvl, v >> lv.lvl AS p, CAST(count(*) AS BIGINT) AS c
+      FROM vals CROSS JOIN (SELECT unnest(range(0, $DomainBits)) AS lvl) lv
+      GROUP BY ${byFirst(g.size + 2)})"""
+
+    val hcell = s"""hcell AS MATERIALIZED (
+      SELECT ${cols("p")}p.lvl, rw.r,
+             ('0x' || substr(md5(CAST(rw.r AS VARCHAR) || ':' ||
+               CAST(p.lvl AS VARCHAR) || ':' || CAST(p.p AS VARCHAR)),
+               1, 15))::BIGINT % $Width AS b,
+             CAST(sum(p.c) AS BIGINT) AS cv
+      FROM pfx p CROSS JOIN (SELECT unnest(range(0, $Depth)) AS r) rw
+      WHERE p.lvl < $HashedLevels
+      GROUP BY ${byFirst(g.size + 3)})"""
+
+    val tgt = s"""tgt AS (
+      SELECT ${cols("nn")}ph.phi_pct, nn.n,
+             (ph.phi_pct * nn.n + 99) // 100 AS t
+      FROM nn CROSS JOIN (SELECT unnest([${phis.mkString(", ")}]) AS phi_pct) ph)"""
+
+    val st16 = s"st$DomainBits AS (SELECT *, CAST(0 AS BIGINT) AS c, " +
+      "CAST(0 AS BIGINT) AS s FROM tgt)"
+
+    val steps = (DomainBits - 1 to 0 by -1).map { l =>
+      val e =
+        if (l >= HashedLevels)
+          s"coalesce((SELECT p2.c FROM pfx p2 WHERE p2.lvl = $l " +
+            s"AND p2.p = (st.s >> $l)${gMatch("p2")}), 0)"
+        else
+          "least(" + (0 until Depth).map { r =>
+            s"coalesce((SELECT hc.cv FROM hcell hc WHERE hc.lvl = $l " +
+              s"AND hc.r = $r${gMatch("hc")} AND hc.b = ('0x' || " +
+              s"substr(md5('$r:$l:' || CAST(st.s >> $l AS VARCHAR)), 1, 15)" +
+              s")::BIGINT % $Width), 0)"
+          }.mkString(", ") + ")"
+      s"""st$l AS (
+      SELECT ${bare}phi_pct, n, t,
+             CASE WHEN c + e >= t THEN c ELSE c + e END AS c,
+             CASE WHEN c + e >= t THEN s ELSE s + (CAST(1 AS BIGINT) << $l) END AS s
+      FROM (SELECT st.*, $e AS e FROM st${l + 1} st))"""
+    }
+
+    (Seq(nn, pfx, hcell, tgt, st16) ++ steps).mkString(",\n      ")
+  }
+}

@@ -12,8 +12,10 @@ object Relational3 {
   val defs: Seq[QueryDef] = Seq(
 
     // Exact (interpolating) quantiles per group — Spark `percentile` ==
-    // DuckDB `quantile_cont`. (percentile_approx/approx sketches are NOT
-    // oracle-able and are covered by spec instead.)
+    // DuckDB `quantile_cont`. (Spark's own percentile_approx is NOT
+    // oracle-able — its sketch state is merge-order-dependent; the
+    // engine's mergeable quantile sketch, q271's LINEAR dyadic grid,
+    // IS, and carries the full hash gate.)
     QueryDef("q58_quantiles", Some("""
       SELECT c_mktsegment,
              round(median(c_acctbal), 4) AS med_bal,

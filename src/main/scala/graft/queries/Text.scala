@@ -106,6 +106,131 @@ object Text {
                         ELSE e.raw END, 4) AS est
       FROM ex JOIN e ON ex.g = e.g AND ex.kind = e.kind"""
 
+  /** q272's bench-production steady-state stores, keyed by sf dir
+    * (the q233/q253/q265 pattern).
+    */
+  private val q272ProdStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Dyadic-quantile oracle shared verbatim by q271 (one-shot sketch)
+    * and q272 (incremental store): grid cells are commutative integer
+    * sums, so the 3-batch store is bit-identical to the one-shot grid
+    * and both gate against the same cell-rebuild + unrolled-descent
+    * SQL (QuantileOracle). n_chars is clamped with the identical
+    * least/greatest the sketch applies internally.
+    */
+  private val docQuantileOracleSql: String = s"""
+      WITH vals AS (SELECT least(greatest(CAST(n_chars AS BIGINT), 0), 65535) AS v
+                    FROM documents),
+      ${QuantileOracle.ctes(Nil, Seq(50, 90, 99))}
+      SELECT phi_pct, n, t AS target_rank, s AS est_q,
+             (SELECT CAST(count(*) AS BIGINT) FROM vals
+              WHERE vals.v <= st0.s) AS exact_rank_at_est
+      FROM st0"""
+
+  /** q274's nDCG@10 position discounts as FIXED-POINT INTEGER LITERALS:
+    * floor(10⁹ / log2(i+1)) for positions 1..10, precomputed once and
+    * inlined verbatim on BOTH engine and oracle sides — so no libm
+    * log2 call ever crosses the engine boundary (the one place a
+    * textbook nDCG would risk a 1-ulp disagreement). Gains are the
+    * standard 2^rel − 1 over the planted graded relevance.
+    */
+  val NdcgDiscFp: Seq[Long] = Seq(1000000000L, 630929753L, 500000000L,
+    430676558L, 386852807L, 356207187L, 333333333L, 315464876L,
+    301029995L, 289064826L)
+
+  /** q274's planted graded relevance: total query-term tf thresholds
+    * (≥14 → rel 3, ≥11 → rel 2, ≥8 → rel 1) — fixed constants of the
+    * eval definition, selective at every test SF (44 of 500 docs reach
+    * rel ≥ 2 at sf0.01).
+    */
+  val RelT3 = 14
+  val RelT2 = 11
+  val RelT1 = 8
+
+  /** Hybrid-retrieval quality gate (q274): recall@10 and fixed-point
+    * nDCG@10 of BM25-only, hashed-bag-cosine-only ("ann"), and their
+    * RRF fusion against the planted graded relevance. Every ranked
+    * list, the relevance grades, the DCG sums and IDCG are exact
+    * integers; the only floats are the two final divisions (rounded 6)
+    * and BM25's own scores (the established q134 float contract).
+    */
+  private val retrievalEvalSql: String = {
+    val discRows = NdcgDiscFp.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    s"""
+      WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      base AS (SELECT doc_id, len(toks) AS dl,
+                      len(list_filter(toks, x -> x = 'spark')) AS tf0,
+                      len(list_filter(toks, x -> x = 'vector')) AS tf1,
+                      len(list_filter(toks, x -> x = 'stream')) AS tf2
+               FROM tok),
+      rel AS (SELECT doc_id,
+                     CASE WHEN tf0 + tf1 + tf2 >= $RelT3 THEN 3
+                          WHEN tf0 + tf1 + tf2 >= $RelT2 THEN 2
+                          WHEN tf0 + tf1 + tf2 >= $RelT1 THEN 1
+                          ELSE 0 END AS rel
+              FROM base),
+      stats AS (SELECT count(*) AS n, avg(dl) AS avgdl,
+                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+                FROM base),
+      bm AS (SELECT doc_id,
+                    round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                        + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                        + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+             FROM base CROSS JOIN stats),
+      abm AS (SELECT doc_id, rnk FROM (
+                SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm)
+              WHERE rnk <= 10),
+      tb AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+      hbk AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b,
+                     CAST(count(*) AS BIGINT) AS a
+              FROM tb GROUP BY 1, 2),
+      qbk AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b,
+                     CAST(count(*) AS BIGINT) AS q
+              FROM (SELECT unnest(['spark', 'vector', 'stream']) AS t)
+              GROUP BY 1),
+      nqv AS (SELECT CAST(sum(q * q) AS BIGINT) AS nq FROM qbk),
+      nav AS (SELECT doc_id, CAST(sum(a * a) AS BIGINT) AS na FROM hbk GROUP BY 1),
+      dp AS (SELECT hbk.doc_id, CAST(sum(hbk.a * qbk.q) AS BIGINT) AS dot
+             FROM hbk JOIN qbk USING (b) GROUP BY 1),
+      anns AS (SELECT nav.doc_id,
+                      (coalesce(dp.dot, 0) * coalesce(dp.dot, 0) * 1000000)
+                        // (nav.na * nqv.nq) AS score
+               FROM nav CROSS JOIN nqv LEFT JOIN dp ON nav.doc_id = dp.doc_id),
+      aann AS (SELECT doc_id, rnk FROM (
+                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM anns)
+               WHERE rnk <= 10),
+      fus AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                     coalesce(1.0 / (60 + a.rnk), 0.0) + coalesce(1.0 / (60 + b.rnk), 0.0) AS s
+              FROM abm a FULL OUTER JOIN aann b ON a.doc_id = b.doc_id),
+      afus AS (SELECT doc_id, rnk FROM (
+                 SELECT doc_id, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rnk FROM fus)
+               WHERE rnk <= 10),
+      lists AS (SELECT 'bm25' AS system, doc_id, rnk FROM abm
+                UNION ALL SELECT 'ann', doc_id, rnk FROM aann
+                UNION ALL SELECT 'rrf_fused', doc_id, rnk FROM afus),
+      disc AS (SELECT pos, CAST(d AS BIGINT) AS d
+               FROM (VALUES $discRows) AS t(pos, d)),
+      nrel AS (SELECT CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel FROM rel),
+      ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos FROM rel),
+      idcg AS (SELECT CAST(sum(disc.d * (CASE ideal.rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)) AS BIGINT) AS idcg_fp
+               FROM ideal JOIN disc ON ideal.pos = disc.pos),
+      met AS (SELECT l.system,
+                     CAST(sum(CASE WHEN r.rel >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+                     CAST(sum(disc.d * (CASE r.rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)) AS BIGINT) AS dcg_fp
+              FROM lists l JOIN rel r ON l.doc_id = r.doc_id
+              JOIN disc ON l.rnk = disc.pos
+              GROUP BY 1)
+      SELECT m.system, nrel.n_rel, m.hits,
+             round(CAST(m.hits AS DOUBLE) / nrel.n_rel, 6) AS recall,
+             m.dcg_fp, idcg.idcg_fp,
+             round(CAST(m.dcg_fp AS DOUBLE) / idcg.idcg_fp, 6) AS ndcg
+      FROM met m CROSS JOIN nrel CROSS JOIN idcg"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens, distinct tokens, stopword hits.
@@ -489,8 +614,8 @@ object Text {
     // DuckDB's `quantile_cont` share the (n-1)·p rank + linear
     // interpolation definition, so the values are comparable directly;
     // one hash-shuffle groupBy, state per group is the sorted length
-    // sample (at true scale, swap in approx_percentile's fixed-size
-    // sketch — documented in SCALE.md, same plan shape).
+    // sample (at true scale, swap in the engine's own mergeable
+    // fixed-size sketch — q271's QuantileSketch, same plan shape).
     QueryDef("q121_length_percentiles", Some("""
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
              round(quantile_cont(n_chars, 0.25), 6) AS p25,
@@ -1334,8 +1459,147 @@ object Text {
         ex.join(sk, Seq("grp", "kind"))
           .select(col("grp"), col("kind"), col("n_exact"),
             round(Hll.estimate(col("__sk"), 8), 4).as("est"))
+      }),
+
+    // Mergeable quantile sketch (engine.expressions.QuantileSketch —
+    // dyadic Count-Min, Cormode & Muthukrishnan 2005 §4.2): the
+    // doc-length distribution monitor the corpus-health suite was
+    // missing — p50/p90/p99 from one fixed-size grid where exact
+    // percentiles (q58) sort-shuffle the full column. The sketch is
+    // LINEAR (cells are sums of a pure per-row function), so unlike a
+    // KLL/t-digest compactor its state is partition- and merge-order-
+    // invariant and the oracle rebuilds every cell with GROUP BYs over
+    // the same md5 recipe, then replays the integer binary descent CTE
+    // by CTE (QuantileOracle) — a full hash gate, no floats anywhere.
+    // The exact rank of each returned value rides alongside to expose
+    // the (one-sided: Count-Min only overcounts) estimator error.
+    QueryDef("q271_quantile_sketch", Some(docQuantileOracleSql),
+      (spark, dir) => {
+        import graft.engine.expressions.QuantileSketch
+        QuantileSketch.register(spark)
+        val docs = T(spark, dir, "documents")
+        docQuantileReport(docs.agg(
+          QuantileSketch.sketch(col("n_chars")).as("sk"),
+          count(col("n_chars")).as("n")), docs)
+      }),
+
+    // Incremental quantile store (streaming.IncrementalQuantile): the
+    // documents feed arrives as 3 UNORDERED doc_id-mod batches — grid
+    // cells are plain integer sums, commutative across any batch split,
+    // so the 3-batch store is bit-identical to the one-shot sketch and
+    // gates against q271's oracle VERBATIM (the q264/q265 pairing).
+    // Exactly-once comes from the version-overwrite protocol, not
+    // row idempotence (sums double-count a re-delivered row; v=N is
+    // rebuilt from v=N-1 + the batch, so replays rewrite instead).
+    QueryDef("q272_incremental_quantile", Some(docQuantileOracleSql),
+      (spark, dir) => {
+        import graft.engine.expressions.QuantileSketch
+        QuantileSketch.register(spark)
+        val docs = T(spark, dir, "documents")
+        val feed = docs.select(col("doc_id"), lit("all").as("g"), col("n_chars"))
+        def batch(store: String, i: Long): Unit =
+          graft.streaming.IncrementalQuantile.processBatch(
+            feed.filter(pmod(col("doc_id"), lit(3)) === i),
+            i, store, Seq("g"), "n_chars"): Unit
+        val store =
+          if (sys.props.get("graft.bench.production").contains("true"))
+            q272ProdStores.computeIfAbsent(dir, _ => {
+              val s = java.nio.file.Files
+                .createTempDirectory("graft_q272_quant_prod").toString
+              batch(s, 0L); batch(s, 1L); s
+            })
+          else {
+            val s = java.nio.file.Files
+              .createTempDirectory("graft_q272_quant").toString
+            batch(s, 0L); batch(s, 1L); s
+          }
+        batch(store, 2L)
+        docQuantileReport(
+          spark.read.parquet(s"$store/v=2").select("sk", "n"), docs)
+      }),
+
+    // Hybrid-retrieval quality gate: recall@10 + nDCG@10 of BM25-only,
+    // hashed-bag-cosine-only (llm.HashedCosine — a genuinely different
+    // retrieval family: fixed-dimension embedding geometry, integer
+    // fixed-point cos², the shape an ANN index serves), and their RRF
+    // fusion (llm.Fusion — q134's operator), all against a PLANTED
+    // graded relevance (query-term tf thresholds — known ground truth,
+    // so the metrics themselves are what's under test). The q270
+    // exact-integer discipline: gains 2^rel−1 are ints, position
+    // discounts are precomputed floor(1e9/log2(i+1)) LITERALS shared
+    // by both engines (no libm crosses the boundary), DCG/IDCG are
+    // exact integer sums with map-side partials, and the only floats
+    // are the two final one-division ratios (rounded 6) plus BM25's
+    // own q134-contract scores.
+    QueryDef("q274_retrieval_eval", Some(retrievalEvalSql),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val terms = Seq("spark", "vector", "stream")
+        val docs = T(spark, dir, "documents")
+          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+        val rel = docs.select(col("doc_id"),
+            terms.map(t => size(filter(col("toks"), x => x === t)))
+              .reduce(_ + _).as("tfs"))
+          .select(col("doc_id"),
+            when(col("tfs") >= RelT3, 3).when(col("tfs") >= RelT2, 2)
+              .when(col("tfs") >= RelT1, 1).otherwise(0).as("rel"))
+        val bm = graft.llm.Bm25.topK(docs, "doc_id", "toks", terms, 10)
+          .select("doc_id", "rnk")
+        val ann = graft.llm.HashedCosine.topK(docs, "doc_id", "toks", terms, 64, 10)
+          .select("doc_id", "rnk")
+        val fused = graft.llm.Fusion.rrf(Seq(bm, ann), "doc_id", "rnk", 60, 10)
+          .select("doc_id", "rnk")
+        val lists = bm.withColumn("system", lit("bm25"))
+          .unionByName(ann.withColumn("system", lit("ann")))
+          .unionByName(fused.withColumn("system", lit("rrf_fused")))
+        val dtab = spark.range(1)
+          .select(posexplode(array(NdcgDiscFp.map(lit): _*)))
+          .select((col("pos") + 1).cast("int").as("pos"), col("col").as("d"))
+        def gain(r: org.apache.spark.sql.Column) =
+          when(r === 3, 7L).when(r === 2, 3L).when(r === 1, 1L).otherwise(0L)
+        val met = lists.join(rel, "doc_id")
+          .join(broadcast(dtab), col("rnk") === col("pos"))
+          .groupBy("system")
+          .agg(sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("hits"),
+            sum(gain(col("rel")) * col("d")).as("dcg_fp"))
+        val nrel = rel.agg(
+          sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("n_rel"))
+        // ideal ranking: TakeOrderedAndProject + k-row window (the
+        // Bm25.rankTop bounded pattern), never a corpus-wide window
+        val ideal = rel.orderBy(col("rel").desc, col("doc_id").asc).limit(10)
+          .withColumn("pos", row_number()
+            .over(Window.orderBy(col("rel").desc, col("doc_id").asc)).cast("int"))
+        val idcg = ideal.join(broadcast(dtab), "pos")
+          .agg(sum(gain(col("rel")) * col("d")).as("idcg_fp"))
+        met.crossJoin(broadcast(nrel)).crossJoin(broadcast(idcg))
+          .select(col("system"), col("n_rel"), col("hits"),
+            round(col("hits").cast("double") / col("n_rel"), 6).as("recall"),
+            col("dcg_fp"), col("idcg_fp"),
+            round(col("dcg_fp").cast("double") / col("idcg_fp"), 6).as("ndcg"))
       })
   )
+
+  /** q271/q272's shared read path: one (sk, n) row → the three phi
+    * targets, the integer descent, and the exact-rank cross-check
+    * column (one conditional count over the clamped base values — the
+    * n_exact discipline of the HLL family).
+    */
+  private def docQuantileReport(sketchRow: org.apache.spark.sql.DataFrame,
+                                docs: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    import graft.engine.expressions.QuantileSketch
+    val per = sketchRow.select(col("sk"), col("n"),
+        explode(array(lit(50), lit(90), lit(99))).as("phi_pct"))
+      .withColumn("target_rank", expr("(phi_pct * n + 99) div 100"))
+      .withColumn("est_q", QuantileSketch.quantile(col("sk"), col("target_rank")))
+      .select("phi_pct", "n", "target_rank", "est_q")
+    val vals = docs.select(
+      least(greatest(col("n_chars").cast("long"), lit(0L)), lit(65535L)).as("v"))
+    vals.crossJoin(broadcast(per))
+      .groupBy("phi_pct", "n", "target_rank", "est_q")
+      .agg(sum(when(col("v") <= col("est_q"), 1L).otherwise(0L))
+        .as("exact_rank_at_est"))
+  }
 
   /** Ordered float fold over a pre-sorted `__s` array of structs — sum
     * the `valCol` field left-to-right so both engines add in the

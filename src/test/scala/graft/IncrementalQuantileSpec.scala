@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.expressions.QuantileSketch
+import graft.streaming.IncrementalQuantile
+
+/** Dyadic-quantile grids are plain integer sums — commutative across
+  * any batch split, so the store must be bit-identical to the one-shot
+  * sketch of the union; exactly-once comes from the version-overwrite
+  * protocol (re-processing a batch rewrites its own version rather
+  * than double-counting), and a missing predecessor fails fast.
+  */
+class IncrementalQuantileSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def rows = (0 until 3000)
+    .map(i => (s"g${i % 3}", (i * 37L + 11) % 60000L)).toDF("g", "v")
+
+  private def grids(df: org.apache.spark.sql.DataFrame): Map[String, (Seq[Seq[Seq[Long]]], Long)] =
+    df.collect().map { r =>
+      r.getString(0) -> (r.getSeq[scala.collection.Seq[scala.collection.Seq[Long]]](1)
+        .map(_.map(_.toSeq).toSeq).toSeq, r.getLong(2))
+    }.toMap
+
+  test("3-batch store == one-shot sketch of the union, in any batch order; replay rewrites, never double-counts") {
+    QuantileSketch.register(spark)
+    val store = Files.createTempDirectory("graft_incq").toString
+    def part(i: Int) = rows.filter(pmod(col("v"), lit(3)) === i)
+    // deliberately scrambled batch content order relative to ids
+    IncrementalQuantile.processBatch(part(2), 0L, store, Seq("g"), "v")
+    IncrementalQuantile.processBatch(part(0), 1L, store, Seq("g"), "v")
+    val v2 = IncrementalQuantile.processBatch(part(1), 2L, store, Seq("g"), "v")
+      .select("g", "sk", "n")
+    val oneShot = rows.groupBy("g")
+      .agg(QuantileSketch.sketch(col("v")).as("sk"), count(col("v")).as("n"))
+    assert(grids(v2) == grids(oneShot), "store != one-shot sketch")
+    // crash replay of the LAST batch: v=2 is rebuilt from v=1 + batch,
+    // so the result is unchanged (no double count)
+    val replay = IncrementalQuantile.processBatch(part(1), 2L, store, Seq("g"), "v")
+      .select("g", "sk", "n")
+    assert(grids(replay) == grids(oneShot), "replayed batch double-counted")
+    // the committed store answers quantiles per group (read from
+    // `replay`: the overwrite invalidated v2's snapshot of the files)
+    val q = replay.select(col("g"),
+      QuantileSketch.quantile(col("sk"),
+        ((col("n") + 1L) / 2L).cast("long")).as("p50")).collect()
+    assert(q.forall(_.getLong(1) > 0L), "store quantile degenerate")
+  }
+
+  test("missing predecessor version fails fast") {
+    val store = Files.createTempDirectory("graft_incq_gap").toString
+    val err = intercept[IllegalStateException] {
+      IncrementalQuantile.processBatch(rows, 3L, store, Seq("g"), "v")
+    }
+    assert(err.getMessage.contains("store version missing"))
+  }
+}

@@ -40,6 +40,26 @@ object ProfileScaling {
     }
     buildScaledDocs(spark, src, dst, copies)
     buildScaledEmbeddings(spark, src, dst, copies)
+    buildScaledEvents(spark, src, dst, copies)
+  }
+
+  /** Scale the events table: event_id/user_id-shifted copies with
+    * timestamps UNCHANGED — the right scaling for windowed workloads
+    * (per-hour density grows ×copies, the window count stays fixed,
+    * exactly what a busier feed looks like), while shifted user_ids
+    * grow the distinct-count space the HLL rollups measure.
+    */
+  def buildScaledEvents(spark: SparkSession, src: String, dst: String,
+                        copies: Int): Unit = {
+    val ev = T(spark, src, "events")
+    val idShift = ev.agg(max("event_id")).head.getLong(0) + 1
+    val userShift = ev.agg(max("user_id")).head.getLong(0) + 1
+    (0 until copies).map { i =>
+      if (i == 0) ev
+      else ev.withColumn("event_id", col("event_id") + lit(i * idShift))
+        .withColumn("user_id", col("user_id") + lit(i * userShift))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
   }
 
   /** Scale the embeddings table: vec_id-shifted verbatim copies. The
@@ -112,6 +132,11 @@ object ProfileScaling {
               java.nio.file.Paths.get(s"$d/embeddings.parquet"))) {
             println(s"[scale] adding scaled embeddings to x$c at $d")
             buildScaledEmbeddings(spark, src, d, c)
+          }
+          if (!java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"$d/events.parquet"))) {
+            println(s"[scale] adding scaled events to x$c at $d")
+            buildScaledEvents(spark, src, d, c)
           }
         }
         c -> d
