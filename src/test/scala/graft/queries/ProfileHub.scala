@@ -47,13 +47,53 @@ object ProfileHub {
 
     def once(): Double = {
       val t0 = System.nanoTime()
-      val n = graft.ops.KCore.coreness(edges, "src", "dst").count()
+      val n =
+        if (sys.env.get("SPARK_GRAFT_HUB_OLD").contains("true"))
+          oldFoldCoreness(edges).count()
+        else graft.ops.KCore.coreness(edges, "src", "dst").count()
       val t = (System.nanoTime() - t0) / 1e9
       println(f"[hub] coreness over ${n} nodes in $t%.2f s")
       t
     }
     val t = math.min(once(), once())
-    println(f"[hub] cores=$cpus min=$t%.2f s")
+    val variant = if (sys.env.get("SPARK_GRAFT_HUB_OLD").contains("true"))
+      "old-rownum-fold" else "count-threshold"
+    println(f"[hub] cores=$cpus variant=$variant min=$t%.2f s")
     spark.stop()
+  }
+
+  /** The PRE-r15 h-index fold, kept here (dev-only) as the A/B
+    * baseline: row_number over EVERY neighbor row per node — the
+    * mega-hub serializes one task sorting its full adjacency slice.
+    */
+  private def oldFoldCoreness(edges: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("src").as("__a"), col("dst").as("__b"))
+      .unionByName(edges.select(col("dst").as("__a"), col("src").as("__b")))
+      .localCheckpoint(eager = false)
+    var v = e.groupBy(col("__a").as("node"))
+      .agg(count(lit(1)).cast("int").as("val"))
+      .localCheckpoint(eager = false)
+    def valSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(coalesce(sum(col("val")), lit(0L))).head.getLong(0)
+    var prevSum = valSum(v)
+    var converged = prevSum == 0L
+    var i = 0
+    while (!converged && i < 64) {
+      val nb = e.join(v, e("__b") === v("node"))
+        .select(e("__a").as("node"), col("val"))
+      val w = Window.partitionBy("node").orderBy(col("val").desc)
+      val next = nb.withColumn("__rn", row_number().over(w))
+        .groupBy("node")
+        .agg(max(least(col("val"), col("__rn"))).cast("int").as("val"))
+        .localCheckpoint(eager = false)
+      val s = valSum(next)
+      converged = s == prevSum
+      prevSum = s
+      v = next
+      i += 1
+    }
+    v.select(col("node"), col("val").as("coreness"))
   }
 }
