@@ -1576,6 +1576,58 @@ object Text {
             round(col("hits").cast("double") / col("n_rel"), 6).as("recall"),
             col("dcg_fp"), col("idcg_fp"),
             round(col("dcg_fp").cast("double") / col("idcg_fp"), 6).as("ndcg"))
+      }),
+
+    // Relative-error quantiles on an UNBOUNDED domain (ops.LogHistogram
+    // — HdrHistogram-style log-scale buckets): per-source doc-length
+    // p50/p90/p99 where every bucket spans ≤ 2^-5 relative width and
+    // the whole 62-bit range fits ~1.9k EXACT counters per group. The
+    // complementary axis to q271's dyadic grid (absolute rank error,
+    // bounded domain): latencies/token counts/byte sizes are heavy-
+    // tailed and "p99 within 3%" is the contract a 2^16 clamp cannot
+    // give. All integer ops — the exponent is length(bin(v))−1, never
+    // float log2 — so the gate is a full hash match; the exact rank of
+    // each returned value rides alongside (the q271 discipline).
+    QueryDef("q275_log_histogram_quantiles", Some("""
+      WITH vals AS (SELECT source, greatest(CAST(n_chars AS BIGINT), 0) AS v
+                    FROM documents),
+      bk AS (SELECT source, sh * 32 + (v >> sh) AS bucket
+             FROM (SELECT source, v,
+                          greatest(length(bin(v)) - 1 - 5, 0) AS sh
+                   FROM vals)),
+      h AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM bk GROUP BY 1, 2),
+      cum AS (SELECT source, bucket,
+                     sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum
+              FROM h),
+      nn AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+      tgt AS (SELECT nn.source, ph.phi_pct, nn.n,
+                     (ph.phi_pct * nn.n + 99) // 100 AS t
+              FROM nn CROSS JOIN (SELECT unnest([50, 90, 99]) AS phi_pct) ph),
+      sel AS (SELECT t.source, t.phi_pct, t.n, t.t, min(c.bucket) AS b
+              FROM tgt t JOIN cum c ON c.source = t.source AND c.cum >= t.t
+              GROUP BY 1, 2, 3, 4),
+      est AS (SELECT source, phi_pct, n, t AS target_rank,
+                     CASE WHEN greatest((b >> 5) - 1, 0) = 0 THEN b
+                          ELSE (b - ((b >> 5) - 1) * 32) << ((b >> 5) - 1)
+                     END AS est_q
+              FROM sel)
+      SELECT e.source, e.phi_pct, e.n, e.target_rank, e.est_q,
+             (SELECT CAST(count(*) AS BIGINT) FROM vals
+              WHERE vals.source = e.source AND vals.v <= e.est_q)
+               AS exact_rank_at_est
+      FROM est e"""),
+      (spark, dir) => {
+        import graft.ops.LogHistogram
+        val docs = T(spark, dir, "documents")
+        val hist = LogHistogram.histogram(docs, Seq("source"), "n_chars", 5)
+        val q = LogHistogram.quantiles(hist, Seq("source"), Seq(50, 90, 99), 5)
+        val vals = docs.select(col("source"),
+          greatest(col("n_chars").cast("long"), lit(0L)).as("v"))
+        vals.join(broadcast(q), Seq("source"))
+          .groupBy("source", "phi_pct", "n", "target_rank", "est_q")
+          .agg(sum(when(col("v") <= col("est_q"), 1L).otherwise(0L))
+            .as("exact_rank_at_est"))
       })
   )
 
