@@ -56,9 +56,13 @@ object LogHistogram {
     */
   def lowerBound(b: Column, m: Int): Column = {
     // b div 2^m as a SHIFT, not a float division: Long/Long in Column
-    // algebra is a double divide, which misrounds past 2^53
-    val s = greatest(call_function("shiftright", b, lit(m)) - 1L, lit(0L))
-      .cast("int")
+    // algebra is a double divide, which misrounds past 2^53. The shift
+    // clamps to [0, 62]: lowerBound is a public column API (the
+    // Hll.estimate lesson), and a malformed bucket value would
+    // otherwise feed shiftleft an overlarge distance and wrap silently
+    // — on valid bucket() output the clamp is the identity.
+    val s = least(greatest(call_function("shiftright", b, lit(m)) - 1L,
+      lit(0L)), lit(62L)).cast("int")
     when(s === 0, b)
       .otherwise(call_function("shiftleft", b - s.cast("long") * (1L << m), s))
       .cast("long")

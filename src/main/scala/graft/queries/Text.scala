@@ -231,6 +231,48 @@ object Text {
       FROM met m CROSS JOIN nrel CROSS JOIN idcg"""
   }
 
+  /** q276's bench-production steady-state stores, keyed by sf dir
+    * (the q233/q253/q265/q272 pattern).
+    */
+  private val q276ProdStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Log-histogram quantile oracle shared verbatim by q275 (one-shot)
+    * and q276 (incremental store): bucket counts are commutative
+    * integer sums, so the 3-batch store is bit-identical to the
+    * one-shot histogram and both gate against the same bucket-rebuild
+    * + cumsum + lower-bound SQL.
+    */
+  private val logHistQuantileOracleSql: String = """
+      WITH vals AS (SELECT source, greatest(CAST(n_chars AS BIGINT), 0) AS v
+                    FROM documents),
+      bk AS (SELECT source, sh * 32 + (v >> sh) AS bucket
+             FROM (SELECT source, v,
+                          greatest(length(bin(v)) - 1 - 5, 0) AS sh
+                   FROM vals)),
+      h AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM bk GROUP BY 1, 2),
+      cum AS (SELECT source, bucket,
+                     sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum
+              FROM h),
+      nn AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+      tgt AS (SELECT nn.source, ph.phi_pct, nn.n,
+                     (ph.phi_pct * nn.n + 99) // 100 AS t
+              FROM nn CROSS JOIN (SELECT unnest([50, 90, 99]) AS phi_pct) ph),
+      sel AS (SELECT t.source, t.phi_pct, t.n, t.t, min(c.bucket) AS b
+              FROM tgt t JOIN cum c ON c.source = t.source AND c.cum >= t.t
+              GROUP BY 1, 2, 3, 4),
+      est AS (SELECT source, phi_pct, n, t AS target_rank,
+                     CASE WHEN greatest((b >> 5) - 1, 0) = 0 THEN b
+                          ELSE (b - ((b >> 5) - 1) * 32) << ((b >> 5) - 1)
+                     END AS est_q
+              FROM sel)
+      SELECT e.source, e.phi_pct, e.n, e.target_rank, e.est_q,
+             (SELECT CAST(count(*) AS BIGINT) FROM vals
+              WHERE vals.source = e.source AND vals.v <= e.est_q)
+               AS exact_rank_at_est
+      FROM est e"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens, distinct tokens, stopword hits.
@@ -1588,48 +1630,63 @@ object Text {
     // give. All integer ops — the exponent is length(bin(v))−1, never
     // float log2 — so the gate is a full hash match; the exact rank of
     // each returned value rides alongside (the q271 discipline).
-    QueryDef("q275_log_histogram_quantiles", Some("""
-      WITH vals AS (SELECT source, greatest(CAST(n_chars AS BIGINT), 0) AS v
-                    FROM documents),
-      bk AS (SELECT source, sh * 32 + (v >> sh) AS bucket
-             FROM (SELECT source, v,
-                          greatest(length(bin(v)) - 1 - 5, 0) AS sh
-                   FROM vals)),
-      h AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt
-            FROM bk GROUP BY 1, 2),
-      cum AS (SELECT source, bucket,
-                     sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum
-              FROM h),
-      nn AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
-      tgt AS (SELECT nn.source, ph.phi_pct, nn.n,
-                     (ph.phi_pct * nn.n + 99) // 100 AS t
-              FROM nn CROSS JOIN (SELECT unnest([50, 90, 99]) AS phi_pct) ph),
-      sel AS (SELECT t.source, t.phi_pct, t.n, t.t, min(c.bucket) AS b
-              FROM tgt t JOIN cum c ON c.source = t.source AND c.cum >= t.t
-              GROUP BY 1, 2, 3, 4),
-      est AS (SELECT source, phi_pct, n, t AS target_rank,
-                     CASE WHEN greatest((b >> 5) - 1, 0) = 0 THEN b
-                          ELSE (b - ((b >> 5) - 1) * 32) << ((b >> 5) - 1)
-                     END AS est_q
-              FROM sel)
-      SELECT e.source, e.phi_pct, e.n, e.target_rank, e.est_q,
-             (SELECT CAST(count(*) AS BIGINT) FROM vals
-              WHERE vals.source = e.source AND vals.v <= e.est_q)
-               AS exact_rank_at_est
-      FROM est e"""),
+    QueryDef("q275_log_histogram_quantiles", Some(logHistQuantileOracleSql),
       (spark, dir) => {
         import graft.ops.LogHistogram
         val docs = T(spark, dir, "documents")
         val hist = LogHistogram.histogram(docs, Seq("source"), "n_chars", 5)
-        val q = LogHistogram.quantiles(hist, Seq("source"), Seq(50, 90, 99), 5)
-        val vals = docs.select(col("source"),
-          greatest(col("n_chars").cast("long"), lit(0L)).as("v"))
-        vals.join(broadcast(q), Seq("source"))
-          .groupBy("source", "phi_pct", "n", "target_rank", "est_q")
-          .agg(sum(when(col("v") <= col("est_q"), 1L).otherwise(0L))
-            .as("exact_rank_at_est"))
+        logHistQuantileReport(spark, dir, hist)
+      }),
+
+    // Incremental log-histogram store (streaming.IncrementalLogHistogram):
+    // the documents feed arrives as 3 UNORDERED doc_id-mod batches —
+    // bucket counts are commutative integer sums, so the 3-batch store
+    // is bit-identical to the one-shot histogram and gates against
+    // q275's oracle VERBATIM (the q264/q265 and q271/q272 pairing).
+    // Exactly-once from the version-overwrite protocol.
+    QueryDef("q276_incremental_log_histogram", Some(logHistQuantileOracleSql),
+      (spark, dir) => {
+        val docs = T(spark, dir, "documents")
+        val feed = docs.select(col("doc_id"), col("source"), col("n_chars"))
+        def batch(store: String, i: Long): Unit =
+          graft.streaming.IncrementalLogHistogram.processBatch(
+            feed.filter(pmod(col("doc_id"), lit(3)) === i),
+            i, store, Seq("source"), "n_chars", 5): Unit
+        val store =
+          if (sys.props.get("graft.bench.production").contains("true"))
+            q276ProdStores.computeIfAbsent(dir, _ => {
+              val s = java.nio.file.Files
+                .createTempDirectory("graft_q276_loghist_prod").toString
+              batch(s, 0L); batch(s, 1L); s
+            })
+          else {
+            val s = java.nio.file.Files
+              .createTempDirectory("graft_q276_loghist").toString
+            batch(s, 0L); batch(s, 1L); s
+          }
+        batch(store, 2L)
+        logHistQuantileReport(spark, dir,
+          spark.read.parquet(s"$store/v=2").select("source", "bucket", "cnt"))
       })
   )
+
+  /** q275/q276's shared read path: a (source, bucket, cnt) histogram →
+    * the three phi targets + integer quantile descent + the exact-rank
+    * cross-check over the base values.
+    */
+  private def logHistQuantileReport(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String,
+                                    hist: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.DataFrame = {
+    import graft.ops.LogHistogram
+    val q = LogHistogram.quantiles(hist, Seq("source"), Seq(50, 90, 99), 5)
+    val vals = T(spark, dir, "documents").select(col("source"),
+      greatest(col("n_chars").cast("long"), lit(0L)).as("v"))
+    vals.join(broadcast(q), Seq("source"))
+      .groupBy("source", "phi_pct", "n", "target_rank", "est_q")
+      .agg(sum(when(col("v") <= col("est_q"), 1L).otherwise(0L))
+        .as("exact_rank_at_est"))
+  }
 
   /** q271/q272's shared read path: one (sk, n) row → the three phi
     * targets, the integer descent, and the exact-rank cross-check
