@@ -1205,6 +1205,62 @@ object Events {
           .groupBy("day", "phi_pct", "n", "target_rank", "est_q")
           .agg(sum(when(col("v") <= col("est_q"), 1L).otherwise(0L))
             .as("exact_rank_at_est"))
+      }),
+
+    // q273's twin on the SECOND quantile representation: hourly
+    // log-bucket histograms (ops.LogHistogram — relative error,
+    // unbounded domain) folded to daily by a plain (bucket → sum)
+    // re-aggregation over histogram rows, never base data. Counts are
+    // linear, so the fold is bit-identical to day-grain histograms of
+    // the raw rows — which is exactly what the oracle rebuilds. Both
+    // mergeable quantile forms now carry the read-once/roll-up-
+    // anywhere evidence (dyadic grid: q273; log buckets: here).
+    QueryDef("q277_loghist_window_rollup", Some("""
+      WITH vals AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                           greatest(CAST(floor(value * 100) AS BIGINT), 0) AS v
+                    FROM events),
+      bk AS (SELECT day, sh * 32 + (v >> sh) AS bucket
+             FROM (SELECT day, v,
+                          greatest(length(bin(v)) - 1 - 5, 0) AS sh
+                   FROM vals)),
+      h AS (SELECT day, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM bk GROUP BY 1, 2),
+      cum AS (SELECT day, bucket,
+                     sum(cnt) OVER (PARTITION BY day ORDER BY bucket) AS cum
+              FROM h),
+      nn AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+      tgt AS (SELECT nn.day, ph.phi_pct, nn.n,
+                     (ph.phi_pct * nn.n + 99) // 100 AS t
+              FROM nn CROSS JOIN (SELECT unnest([50, 99]) AS phi_pct) ph),
+      sel AS (SELECT t.day, t.phi_pct, t.n, t.t, min(c.bucket) AS b
+              FROM tgt t JOIN cum c ON c.day = t.day AND c.cum >= t.t
+              GROUP BY 1, 2, 3, 4),
+      est AS (SELECT day, phi_pct, n, t AS target_rank,
+                     CASE WHEN greatest((b >> 5) - 1, 0) = 0 THEN b
+                          ELSE (b - ((b >> 5) - 1) * 32) << ((b >> 5) - 1)
+                     END AS est_q
+              FROM sel)
+      SELECT e.day, e.phi_pct, e.n, e.target_rank, e.est_q,
+             (SELECT CAST(count(*) AS BIGINT) FROM vals
+              WHERE vals.day = e.day AND vals.v <= e.est_q)
+               AS exact_rank_at_est
+      FROM est e"""),
+      (spark, dir) => {
+        import graft.ops.LogHistogram
+        val ev = T(spark, dir, "events").select(
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+          greatest(floor(col("value") * 100).cast("long"), lit(0L)).as("v"))
+        val hourly = LogHistogram.histogram(ev, Seq("day", "hour"), "v", 5)
+        // the day histogram folds from HOURLY ROWS, never base data
+        val daily = hourly.groupBy("day", "bucket")
+          .agg(sum(col("cnt")).as("cnt"))
+        val per = LogHistogram.quantiles(daily, Seq("day"), Seq(50, 99), 5)
+        val vals = ev.select(col("day"), col("v"))
+        vals.join(broadcast(per), Seq("day"))
+          .groupBy("day", "phi_pct", "n", "target_rank", "est_q")
+          .agg(sum(when(col("v") <= col("est_q"), 1L).otherwise(0L))
+            .as("exact_rank_at_est"))
       })
   )
 }
