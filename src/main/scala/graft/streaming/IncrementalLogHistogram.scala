@@ -49,6 +49,9 @@ object IncrementalLogHistogram {
   def processBatch(batch: Dataset[Row], batchId: Long, storeDir: String,
                    groupCols: Seq[String], valueCol: String,
                    m: Int = 5): DataFrame = {
+    // the store joins versions on (groupCols, bucket) — bucket alone
+    // suffices, so unlike IncrementalQuantile a GLOBAL histogram works
+    // with groupCols = Nil
     val spark = batch.sparkSession
     val bs = LogHistogram.histogram(batch.toDF(), groupCols, valueCol, m)
     val keys = groupCols :+ "bucket"

@@ -54,6 +54,11 @@ object IncrementalQuantile {
                    groupCols: Seq[String], valueCol: String,
                    domainBits: Int = 16, depth: Int = 3,
                    width: Int = 1024): DataFrame = {
+    // a zero-column full-outer join is not expressible — a GLOBAL
+    // store passes one constant group column (the q272 shape)
+    require(groupCols.nonEmpty,
+      "IncrementalQuantile needs >= 1 group column; for a global " +
+        "sketch add a constant column (lit(\"all\"))")
     val spark = batch.sparkSession
     QuantileSketch.register(spark)
     val bs = batch.toDF().groupBy(groupCols.map(col): _*)
