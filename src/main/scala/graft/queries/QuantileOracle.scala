@@ -24,18 +24,14 @@ private[queries] object QuantileOracle {
   private val Width = 1024
   private val Depth = 3
 
-  /** CTE chain `nn, pfx, hcell, tgt, st16..st0` (no WITH keyword, no
-    * leading/trailing comma) over an upstream `vals` CTE.
-    *
-    * @param groupCols vals' group columns (empty = one global sketch)
-    * @param phis      integer percents, e.g. Seq(50, 90, 99)
+  /** The grid-rebuild CTEs `nn, pfx, hcell` shared by the descent
+    * ([[ctes]]) and the literal-decomposition rank oracle
+    * ([[rankCtes]]).
     */
-  def ctes(groupCols: Seq[String], phis: Seq[Int]): String = {
-    val g = groupCols
+  private def gridCtes(g: Seq[String]): Seq[String] = {
     def cols(a: String) =
       if (g.isEmpty) "" else g.map(c => s"$a.$c").mkString(", ") + ", "
     def bare = if (g.isEmpty) "" else g.mkString(", ") + ", "
-    def gMatch(a: String) = g.map(c => s" AND $a.$c = st.$c").mkString
     def byFirst(k: Int) = (1 to k).mkString(", ")
 
     val nn =
@@ -57,6 +53,63 @@ private[queries] object QuantileOracle {
       FROM pfx p CROSS JOIN (SELECT unnest(range(0, $Depth)) AS r) rw
       WHERE p.lvl < $HashedLevels
       GROUP BY ${byFirst(g.size + 3)})"""
+
+    Seq(nn, pfx, hcell)
+  }
+
+  /** Point-estimate SQL at a LITERAL (level, prefix) — identity levels
+    * read the exact pfx cell; hashed levels take the min of depth
+    * md5-bucket lookups whose md5 arguments are full literals.
+    */
+  private def estLiteral(l: Int, p: Long): String =
+    if (l >= HashedLevels)
+      s"coalesce((SELECT p2.c FROM pfx p2 WHERE p2.lvl = $l AND p2.p = $p), 0)"
+    else
+      "least(" + (0 until Depth).map { r =>
+        s"coalesce((SELECT hc.cv FROM hcell hc WHERE hc.lvl = $l " +
+          s"AND hc.r = $r AND hc.b = ('0x' || " +
+          s"substr(md5('$r:$l:$p'), 1, 15))::BIGINT % $Width), 0)"
+      }.mkString(", ") + ")"
+
+  /** The canonical dyadic decomposition of [0, x] — the literal
+    * (level, prefix) pieces [[graft.engine.expressions.QuantileSketch.rank]]
+    * folds at runtime, precomputed here because the oracle's probes
+    * are constants.
+    */
+  private[queries] def rankPieces(x: Long): Seq[(Int, Long)] = {
+    val b = x + 1
+    (DomainBits - 1 to 0 by -1)
+      .filter(l => ((b >> l) & 1L) == 1L)
+      .map(l => (l, 2L * (b >> (l + 1))))
+  }
+
+  /** CTE chain `nn, pfx, hcell, rk` for GLOBAL rank probes at literal
+    * points: rk(probe, est_rank) with est_rank the sum of the probe's
+    * literal decomposition pieces — no descent needed.
+    */
+  def rankCtes(probes: Seq[Long]): String = {
+    require(probes.forall(x => x >= 0 && x < (1L << DomainBits) - 1),
+      "rank probes must sit strictly inside the domain")
+    val rows = probes.map { x =>
+      val sum = rankPieces(x).map { case (l, p) => estLiteral(l, p) }
+        .mkString(" + ")
+      s"SELECT CAST($x AS BIGINT) AS probe, CAST($sum AS BIGINT) AS est_rank"
+    }.mkString("\n      UNION ALL ")
+    (gridCtes(Nil) :+ s"rk AS (\n      $rows)").mkString(",\n      ")
+  }
+
+  /** CTE chain `nn, pfx, hcell, tgt, st16..st0` (no WITH keyword, no
+    * leading/trailing comma) over an upstream `vals` CTE.
+    *
+    * @param groupCols vals' group columns (empty = one global sketch)
+    * @param phis      integer percents, e.g. Seq(50, 90, 99)
+    */
+  def ctes(groupCols: Seq[String], phis: Seq[Int]): String = {
+    val g = groupCols
+    def cols(a: String) =
+      if (g.isEmpty) "" else g.map(c => s"$a.$c").mkString(", ") + ", "
+    def bare = if (g.isEmpty) "" else g.mkString(", ") + ", "
+    def gMatch(a: String) = g.map(c => s" AND $a.$c = st.$c").mkString
 
     val tgt = s"""tgt AS (
       SELECT ${cols("nn")}ph.phi_pct, nn.n,
@@ -85,6 +138,6 @@ private[queries] object QuantileOracle {
       FROM (SELECT st.*, $e AS e FROM st${l + 1} st))"""
     }
 
-    (Seq(nn, pfx, hcell, tgt, st16) ++ steps).mkString(",\n      ")
+    (gridCtes(g) ++ Seq(tgt, st16) ++ steps).mkString(",\n      ")
   }
 }

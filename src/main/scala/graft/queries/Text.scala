@@ -273,6 +273,12 @@ object Text {
                AS exact_rank_at_est
       FROM est e"""
 
+  /** q278's fixed rank probes — spanning the committed n_chars
+    * envelope [44, 577] plus one point below and one above it.
+    * Declared BEFORE defs (eager-interpolation discipline).
+    */
+  val RankProbes: Seq[Long] = Seq(30L, 64L, 256L, 300L, 600L)
+
   val defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace tokens, distinct tokens, stopword hits.
@@ -1667,6 +1673,44 @@ object Text {
         batch(store, 2L)
         logHistQuantileReport(spark, dir,
           spark.read.parquet(s"$store/v=2").select("source", "bucket", "cnt"))
+      }),
+
+    // The sketch's RANK read path (q271 gates quantile-by-descent;
+    // this gates count-below-by-decomposition): estimated #docs with
+    // length ≤ probe for five fixed probes, next to the exact count.
+    // Because the probes are literals, the oracle needs NO descent —
+    // each probe's canonical dyadic decomposition is precomputed by
+    // the generator into literal (level, prefix) cell lookups
+    // (QuantileOracle.rankPieces), summed in plain SQL. Estimates are
+    // one-sided ≥ exact by construction (identity levels exact,
+    // Count-Min overcounts) — visible in the output pairs.
+    QueryDef("q278_quantile_rank", Some(s"""
+      WITH vals AS (SELECT least(greatest(CAST(n_chars AS BIGINT), 0), 65535) AS v
+                    FROM documents),
+      ${QuantileOracle.rankCtes(RankProbes)}
+      SELECT rk.probe, nn.n, rk.est_rank,
+             (SELECT CAST(count(*) AS BIGINT) FROM vals
+              WHERE vals.v <= rk.probe) AS exact_rank
+      FROM rk CROSS JOIN nn"""),
+      (spark, dir) => {
+        import graft.engine.expressions.QuantileSketch
+        QuantileSketch.register(spark)
+        val docs = T(spark, dir, "documents")
+        val per = docs
+          .agg(QuantileSketch.sketch(col("n_chars")).as("sk"),
+            count(col("n_chars")).as("n"))
+          .select(col("sk"), col("n"),
+            explode(array(RankProbes.map(lit): _*)).as("probe"))
+          .select(col("probe"), col("n"),
+            QuantileSketch.rank(col("sk"), col("probe"), col("n"))
+              .as("est_rank"))
+        val vals = docs.select(
+          least(greatest(col("n_chars").cast("long"), lit(0L)), lit(65535L))
+            .as("v"))
+        vals.crossJoin(broadcast(per))
+          .groupBy("probe", "n", "est_rank")
+          .agg(sum(when(col("v") <= col("probe"), 1L).otherwise(0L))
+            .as("exact_rank"))
       })
   )
 
