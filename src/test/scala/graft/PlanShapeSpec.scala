@@ -273,4 +273,34 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
         s"$name pairs outside the gram join:\n${p.take(2000)}")
     }
   }
+
+  test("q271 quantile sketch: map-side partial grid, pruned scan, broadcast cross-check") {
+    val p = planOf(q("q271_quantile_sketch"))
+    // the grid merges map-side (one 160KB buffer per partition crosses
+    // the wire, not the corpus), like q264's registers
+    assert(p.contains("ObjectHashAggregate") &&
+      p.toLowerCase.contains("partial_dyadic_quantile"),
+      s"q271 lost the map-side partial grid:\n${p.take(2000)}")
+    // the exact-rank cross-check joins the 3-row per-phi frame as the
+    // BROADCAST side of the cross join — the corpus scan streams
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q271 cross-check no longer broadcasts the tiny side:\n${p.take(2000)}")
+    assert(p.contains("ReadSchema: struct<n_chars:bigint>") &&
+      !p.contains("text:string"),
+      s"q271 reads columns beyond n_chars:\n${p.take(2000)}")
+  }
+
+  test("q273/q277 window rollups fold sketch rows, never rescanning base data for the day grain") {
+    // the day aggregate's input must be the HOURLY aggregate's output:
+    // a plan that recomputed day grids from events would carry TWO
+    // partial passes over the events scan for the same grid function
+    val p273 = planOf(q("q273_quantile_window_rollup"))
+    assert(p273.toLowerCase.contains("partial_dyadic_quantile_merge"),
+      s"q273 day rollup no longer merges hourly sketch rows:\n${p273.take(2000)}")
+    val p275 = planOf(q("q275_log_histogram_quantiles"))
+    // LogHistogram.quantiles broadcasts the per-(group, phi) target
+    // frame onto the cumulative histogram — bucket rows stream
+    assert(p275.contains("BroadcastHashJoin") || p275.contains("BroadcastExchange"),
+      s"q275 target join lost its broadcast:\n${p275.take(2000)}")
+  }
 }
