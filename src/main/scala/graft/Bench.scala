@@ -140,9 +140,13 @@ object Bench {
     // q200 joins in r15: it sits alphabetically right after the q2xx
     // graph heavies' debt window and ran 2.2x its isolated min in the
     // r14 official artifact — the last >2x residue.
-    val heavy = Set("q40", "q41", "q99", "q101", "q102", "q115", "q120",
-      "q128", "q131", "q139", "q157", "q159", "q164", "q166", "q200", "q214",
-      "q215", "q217", "q226", "q233", "q235", "q236", "q249", "q251")
+    // q76 joins in r16: media fingerprinting (mapPartitions binary
+    // decode) ran 1.87x its isolated min in the r15 official artifact —
+    // the largest >1s inflation — while q214 (the same decode family)
+    // was already in the set and stayed clean.
+    val heavy = Set("q40", "q41", "q76", "q99", "q101", "q102", "q115",
+      "q120", "q128", "q131", "q139", "q157", "q159", "q164", "q166", "q200",
+      "q214", "q215", "q217", "q226", "q233", "q235", "q236", "q249", "q251")
 
     var i = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -36,11 +36,43 @@ object Bpe {
 
   /** The shared merge loop behind [[learnMerges]] and [[encodeWords]]:
     * runs `steps` greedy merges over the symbolized word table and
-    * returns (final word table `(wordCol, cnt, s)` — CACHED, caller
-    * releases it — plus the learned rules in order).
+    * returns (final word table `(wordCol, cnt, s)` — materialized
+    * (cache or local checkpoint), caller releases it — plus the
+    * learned rules in order).
+    *
+    * MERGE BATCHING (r15 advice — the 32k-merge job-count problem):
+    * one Spark job per merge makes a real tokenizer training run 32k
+    * sequential jobs. Each round therefore pulls the top-`batch`
+    * candidate pairs (plus, per candidate, the neighbor-pair maxima)
+    * and accepts a PREFIX of them that is provably the same sequence
+    * classic one-at-a-time greedy would pick:
+    *
+    *  - '''disjointness''': an accepted rule (l,r) bans l, r, and the
+    *    new token l+r from later accepts — so no later pattern matches
+    *    text an earlier replace produced or destroyed, and every
+    *    accepted rule's pre-batch count IS its classic-time count
+    *    (which also keeps the recorded pair_count column identical).
+    *  - '''creation ceiling''': applying (l,r) can create only pairs
+    *    (x, l+r) or (l+r, y), whose counts are bounded by the parent
+    *    pairs (x, l) / (r, y) — so by A = max(max_x c(x,l),
+    *    max_y c(r,y)). A later candidate is accepted only while its
+    *    count strictly exceeds every accepted rule's A: anything a
+    *    batched merge could have created ranks strictly below it, so
+    *    classic greedy would have picked it next too. (Strict — a tie
+    *    against a created pair would classic-tie-break lexicographically
+    *    against a pair we never counted.)
+    *
+    * The first failed check STOPS the batch (beyond it, classic's next
+    * argmax is unknowable without recounting). Worst case the batch is
+    * 1 and the loop degenerates to the old per-merge behavior; the
+    * per-round job count is 2 (candidate collect + applied checkpoint)
+    * regardless of batch size, so vocab-scale training shrinks by the
+    * measured mean batch size (spec-pinned batched ≡ sequential).
     */
   private def mergeLoop(words: DataFrame, wordCol: String, cntCol: String,
-                        steps: Int): (DataFrame, Seq[(Int, String, String, Long)]) = {
+                        steps: Int, batch: Int = 64)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    require(batch >= 1, s"batch must be >= 1, got $batch")
     // The '(symbol)' wrapping reserves parentheses as delimiters: a word
     // containing '(' or ')' would make SymbolPattern mis-parse silently
     // (paren symbols dropped from pair counts, replace firing across
@@ -52,8 +84,9 @@ object Bpe {
       .select(col(wordCol), col(cntCol).cast("long").as("cnt"),
         symbolize(col(wordCol)).as("s")).cache()
     val rules = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
     var exhausted = false
-    for (step <- 1 to steps if !exhausted) {
+    while (step <= steps && !exhausted) {
       val pairs = w
         .select(col("cnt"),
           regexp_extract_all(col("s"), lit(SymbolPattern), lit(1)).as("a"))
@@ -64,16 +97,54 @@ object Bpe {
         }).as("p"))
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum("cnt").as("c"))
-      val top = pairs.orderBy(col("c").desc, col("lhs"), col("rhs")).limit(1).collect()
-      if (top.isEmpty) exhausted = true
+      val k = math.min(batch, steps - step + 1)
+      val topK = pairs.orderBy(col("c").desc, col("lhs"), col("rhs")).limit(k)
+      // neighbor maxima: in_max(sym) = max count of pairs (·, sym),
+      // out_max(sym) = max count of pairs (sym, ·) — both vocab-bounded
+      val inMax = pairs.groupBy(col("rhs").as("__li")).agg(max("c").as("in_max"))
+      val outMax = pairs.groupBy(col("lhs").as("__ro")).agg(max("c").as("out_max"))
+      val cand = topK
+        .join(broadcast(inMax), topK("lhs") === inMax("__li"), "left")
+        .join(broadcast(outMax), topK("rhs") === outMax("__ro"), "left")
+        .select(topK("lhs"), topK("rhs"), topK("c"),
+          coalesce(col("in_max"), lit(0L)).as("in_max"),
+          coalesce(col("out_max"), lit(0L)).as("out_max"))
+        .orderBy(col("c").desc, col("lhs"), col("rhs"))
+        .collect()
+      if (cand.isEmpty) exhausted = true
       else {
-        val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        rules += ((step, l, r, c))
+        val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.HashSet.empty[String]
+        var ceiling = Long.MinValue
+        var stop = false
+        for (row <- cand if !stop) {
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          val a = math.max(row.getLong(3), row.getLong(4))
+          if (accepted.nonEmpty &&
+              (used(l) || used(r) || used(l + r) || c <= ceiling)) stop = true
+          else {
+            accepted += ((l, r, c))
+            used += l; used += r; used += (l + r)
+            ceiling = math.max(ceiling, a)
+          }
+        }
         val prev = w
-        w = prev.select(col(wordCol), col("cnt"),
-          replace(col("s"), lit(s"($l)($r)"), lit(s"($l$r)")).as("s")).cache()
-        w.count()
+        val merged = accepted.foldLeft(col("s")) { case (e, (l, r, _)) =>
+          replace(e, lit(s"($l)($r)"), lit(s"($l$r)")) }
+        // localCheckpoint, not cache: each round's candidate plan
+        // references the word table three times (topK + the two
+        // neighbor-maxima aggregates), and over a nested
+        // InMemoryRelation chain that makes analysis cost GROW with the
+        // round number (measured: 19 s/round by round 16 vs 0.6 s flat
+        // truncated). The iterative-checkpoint discipline
+        // (ConnectedComponents.scala) cuts the plan to a Scan-
+        // ExistingRDD every round, so per-round cost is constant at any
+        // vocab-scale step count.
+        w = prev.select(col(wordCol), col("cnt"), merged.as("s"))
+          .localCheckpoint()
         prev.unpersist()
+        accepted.foreach { case (l, r, c) =>
+          rules += ((step, l, r, c)); step += 1 }
       }
     }
     (w, rules.result())
@@ -87,10 +158,10 @@ object Bpe {
     * no pairs remain (all words single-symbol).
     */
   def learnMerges(words: DataFrame, wordCol: String, cntCol: String,
-                  steps: Int): DataFrame = {
+                  steps: Int, batch: Int = 64): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
-    val (w, rules) = mergeLoop(words, wordCol, cntCol, steps)
+    val (w, rules) = mergeLoop(words, wordCol, cntCol, steps, batch)
     w.unpersist()
     rules.toDF("step", "lhs", "rhs", "pair_count")
   }
@@ -105,8 +176,8 @@ object Bpe {
     * callers release via GraftSession.withQueryCaches).
     */
   def encodeWords(words: DataFrame, wordCol: String, cntCol: String,
-                  steps: Int): DataFrame =
-    mergeLoop(words, wordCol, cntCol, steps)._1
+                  steps: Int, batch: Int = 64): DataFrame =
+    mergeLoop(words, wordCol, cntCol, steps, batch)._1
       .select(col(wordCol), col("cnt"),
         col("s").as("encoded"),
         size(regexp_extract_all(col("s"), lit(SymbolPattern), lit(1)))

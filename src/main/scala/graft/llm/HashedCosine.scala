@@ -50,9 +50,13 @@ object HashedCosine {
     val na = hb.groupBy(col(idCol)).agg(sum(col("__a") * col("__a")).as("__na"))
     val dp = hb.join(broadcast(qb), Seq("__b")).groupBy(col(idCol))
       .agg(sum(col("__a") * col("__q")).as("__dot"))
+    // dot²·10⁶ and ‖a‖²·‖q‖² are carried in decimal(38,0): as BIGINT
+    // products they wrap silently past 2⁶³ (a doc with ~3e6 query-term
+    // hits), where DuckDB BIGINT errors — the q270/ops.Eval idiom.
     val scored = na.join(dp, Seq(idCol), "left").crossJoin(broadcast(nq))
       .select(col(idCol),
-        expr("(coalesce(__dot, 0) * coalesce(__dot, 0) * 1000000) div (__na * __nq)")
+        expr("""(cast(coalesce(__dot, 0) as decimal(38,0)) * coalesce(__dot, 0)
+                 * 1000000) div (cast(__na as decimal(38,0)) * __nq)""")
           .as("score"))
     import org.apache.spark.sql.expressions.Window
     scored.orderBy(col("score").desc, col(idCol).asc).limit(k)

@@ -138,12 +138,28 @@ object EntityResolution {
     * Ground truth needs the unblocked quadratic join, so this runs on
     * the ENTITY VOCABULARY (or a sample of it) — the standard ER
     * evaluation protocol; never point it at a fact table. One row out.
+    *
+    * That contract is ENFORCED, not advisory: the distinct-name count
+    * is gated by `maxEntities` before the quadratic stage is built, so
+    * pointing this at a fact table fails fast with the pair count it
+    * would have attempted instead of silently launching n² comparisons.
+    * The pre-flight count is one narrow extra job — the right trade
+    * for an evaluation-protocol operator whose body is quadratic.
+    * Raise the cap deliberately, or pre-sample the vocabulary, when a
+    * larger ground-truth set is the point.
     */
   def blockingQuality(entities: DataFrame, nameCol: String,
                       blockKey: Column, threshold: Double,
-                      maxLenDiff: Int = 3): DataFrame = {
+                      maxLenDiff: Int = 3,
+                      maxEntities: Long = 100000L): DataFrame = {
     JaroWinkler.register(entities.sparkSession)
     val e = entities.select(col(nameCol)).distinct()
+    val n = e.count()
+    require(n <= maxEntities,
+      s"blockingQuality is an all-pairs ground-truth evaluation: $n distinct" +
+        s" names would mean ~${n * (n - 1) / 2} JW comparisons (cap" +
+        s" $maxEntities). Sample the entity vocabulary first, or raise" +
+        s" maxEntities deliberately.")
     val a = e.select(col(nameCol).as("name_a"), blockKey.as("__ba"),
       length(col(nameCol)).as("__la"))
     val b = e.select(col(nameCol).as("name_b"), blockKey.as("__bb"),

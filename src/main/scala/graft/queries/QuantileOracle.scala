@@ -34,14 +34,19 @@ private[queries] object QuantileOracle {
     def bare = if (g.isEmpty) "" else g.mkString(", ") + ", "
     def byFirst(k: Int) = (1 to k).mkString(", ")
 
+    // count(v) / WHERE v IS NOT NULL: the sketch's imperative fold
+    // skips NULL inputs, so the oracle's n (hence every rank target)
+    // and every grid cell must share that null-skipping semantics —
+    // count(*) would diverge on the first NULL row.
     val nn =
-      if (g.isEmpty) "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals)"
-      else s"nn AS (SELECT ${g.mkString(", ")}, CAST(count(*) AS BIGINT) AS n " +
+      if (g.isEmpty) "nn AS (SELECT CAST(count(v) AS BIGINT) AS n FROM vals)"
+      else s"nn AS (SELECT ${g.mkString(", ")}, CAST(count(v) AS BIGINT) AS n " +
         s"FROM vals GROUP BY ${byFirst(g.size)})"
 
     val pfx = s"""pfx AS MATERIALIZED (
       SELECT ${bare}lv.lvl, v >> lv.lvl AS p, CAST(count(*) AS BIGINT) AS c
       FROM vals CROSS JOIN (SELECT unnest(range(0, $DomainBits)) AS lvl) lv
+      WHERE v IS NOT NULL
       GROUP BY ${byFirst(g.size + 2)})"""
 
     val hcell = s"""hcell AS MATERIALIZED (

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.llm.TextOps
 import graft.ops.TopK
@@ -128,16 +129,19 @@ object Text {
               WHERE vals.v <= st0.s) AS exact_rank_at_est
       FROM st0"""
 
-  /** q274's nDCG@10 position discounts as FIXED-POINT INTEGER LITERALS:
-    * floor(10⁹ / log2(i+1)) for positions 1..10, precomputed once and
+  /** nDCG position discounts as FIXED-POINT INTEGER LITERALS:
+    * floor(10⁹ / log2(i+1)) for positions 1..20, precomputed once and
     * inlined verbatim on BOTH engine and oracle sides — so no libm
     * log2 call ever crosses the engine boundary (the one place a
     * textbook nDCG would risk a 1-ulp disagreement). Gains are the
-    * standard 2^rel − 1 over the planted graded relevance.
+    * standard 2^rel − 1 over the planted graded relevance. q274 reads
+    * the first 10 (k=10), q279 all 20 (k=20).
     */
   val NdcgDiscFp: Seq[Long] = Seq(1000000000L, 630929753L, 500000000L,
     430676558L, 386852807L, 356207187L, 333333333L, 315464876L,
-    301029995L, 289064826L)
+    301029995L, 289064826L, 278942945L, 270238154L, 262649535L,
+    255958024L, 250000000L, 244650542L, 239812466L, 235408913L,
+    231378213L, 227670248L)
 
   /** q274's planted graded relevance: total query-term tf thresholds
     * (≥14 → rel 3, ≥11 → rel 2, ≥8 → rel 1) — fixed constants of the
@@ -148,67 +152,77 @@ object Text {
   val RelT2 = 11
   val RelT1 = 8
 
-  /** Hybrid-retrieval quality gate (q274): recall@10 and fixed-point
-    * nDCG@10 of BM25-only, hashed-bag-cosine-only ("ann"), and their
-    * RRF fusion against the planted graded relevance. Every ranked
-    * list, the relevance grades, the DCG sums and IDCG are exact
-    * integers; the only floats are the two final divisions (rounded 6)
-    * and BM25's own scores (the established q134 float contract).
+  /** Hybrid-retrieval quality gate SQL (q274/q279): recall@k and
+    * fixed-point nDCG@k of BM25-only, hashed-bag-cosine-only ("ann"),
+    * and their RRF fusion against the planted graded relevance. Every
+    * ranked list, the relevance grades, the DCG sums and IDCG are
+    * exact integers; the only floats are the two final divisions
+    * (rounded 6) and BM25's own scores (the established q134 float
+    * contract). Parameterized over terms/k/thresholds/dims so a second
+    * configuration (q279) proves the metric machinery isn't tuned to
+    * one fixture.
     */
-  private val retrievalEvalSql: String = {
-    val discRows = NdcgDiscFp.zipWithIndex
+  private def retrievalEvalSql(terms: Seq[String], k: Int,
+                               t3: Int, t2: Int, t1: Int,
+                               dims: Int): String = {
+    val discRows = NdcgDiscFp.take(k).zipWithIndex
       .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+    val is = terms.indices
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }.mkString(",\n                      ")
+    val tfSum = is.map(i => s"tf$i").mkString(" + ")
+    val dfCols = is.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n                       ")
+    val bmSum = is.map(i =>
+      s"ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5)) * (tf$i * 2.2) / (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))")
+      .mkString("\n                        + ")
+    val termList = terms.map(t => s"'$t'").mkString(", ")
     s"""
       WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       base AS (SELECT doc_id, len(toks) AS dl,
-                      len(list_filter(toks, x -> x = 'spark')) AS tf0,
-                      len(list_filter(toks, x -> x = 'vector')) AS tf1,
-                      len(list_filter(toks, x -> x = 'stream')) AS tf2
+                      $tfCols
                FROM tok),
       rel AS (SELECT doc_id,
-                     CASE WHEN tf0 + tf1 + tf2 >= $RelT3 THEN 3
-                          WHEN tf0 + tf1 + tf2 >= $RelT2 THEN 2
-                          WHEN tf0 + tf1 + tf2 >= $RelT1 THEN 1
+                     CASE WHEN $tfSum >= $t3 THEN 3
+                          WHEN $tfSum >= $t2 THEN 2
+                          WHEN $tfSum >= $t1 THEN 1
                           ELSE 0 END AS rel
               FROM base),
       stats AS (SELECT count(*) AS n, avg(dl) AS avgdl,
-                       CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+                       $dfCols
                 FROM base),
       bm AS (SELECT doc_id,
-                    round(ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-                        + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
-                        + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+                    round($bmSum, 6) AS score
              FROM base CROSS JOIN stats),
       abm AS (SELECT doc_id, rnk FROM (
                 SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM bm)
-              WHERE rnk <= 10),
+              WHERE rnk <= $k),
       tb AS (SELECT doc_id, unnest(toks) AS t FROM tok),
-      hbk AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b,
+      hbk AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT % $dims AS b,
                      CAST(count(*) AS BIGINT) AS a
               FROM tb GROUP BY 1, 2),
-      qbk AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % 64 AS b,
+      qbk AS (SELECT ('0x' || substr(md5(t), 1, 15))::BIGINT % $dims AS b,
                      CAST(count(*) AS BIGINT) AS q
-              FROM (SELECT unnest(['spark', 'vector', 'stream']) AS t)
+              FROM (SELECT unnest([$termList]) AS t)
               GROUP BY 1),
       nqv AS (SELECT CAST(sum(q * q) AS BIGINT) AS nq FROM qbk),
       nav AS (SELECT doc_id, CAST(sum(a * a) AS BIGINT) AS na FROM hbk GROUP BY 1),
       dp AS (SELECT hbk.doc_id, CAST(sum(hbk.a * qbk.q) AS BIGINT) AS dot
              FROM hbk JOIN qbk USING (b) GROUP BY 1),
       anns AS (SELECT nav.doc_id,
-                      (coalesce(dp.dot, 0) * coalesce(dp.dot, 0) * 1000000)
-                        // (nav.na * nqv.nq) AS score
+                      (CAST(coalesce(dp.dot, 0) AS DECIMAL(38,0)) * coalesce(dp.dot, 0) * 1000000)
+                        // (CAST(nav.na AS DECIMAL(38,0)) * nqv.nq) AS score
                FROM nav CROSS JOIN nqv LEFT JOIN dp ON nav.doc_id = dp.doc_id),
       aann AS (SELECT doc_id, rnk FROM (
                  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM anns)
-               WHERE rnk <= 10),
+               WHERE rnk <= $k),
       fus AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
                      coalesce(1.0 / (60 + a.rnk), 0.0) + coalesce(1.0 / (60 + b.rnk), 0.0) AS s
               FROM abm a FULL OUTER JOIN aann b ON a.doc_id = b.doc_id),
       afus AS (SELECT doc_id, rnk FROM (
                  SELECT doc_id, row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rnk FROM fus)
-               WHERE rnk <= 10),
+               WHERE rnk <= $k),
       lists AS (SELECT 'bm25' AS system, doc_id, rnk FROM abm
                 UNION ALL SELECT 'ann', doc_id, rnk FROM aann
                 UNION ALL SELECT 'rrf_fused', doc_id, rnk FROM afus),
@@ -229,6 +243,63 @@ object Text {
              m.dcg_fp, idcg.idcg_fp,
              round(CAST(m.dcg_fp AS DOUBLE) / idcg.idcg_fp, 6) AS ndcg
       FROM met m CROSS JOIN nrel CROSS JOIN idcg"""
+  }
+
+  /** Engine side of the hybrid-retrieval quality gate (q274/q279):
+    * recall@k + fixed-point nDCG@k of BM25, hashed-bag cosine, and
+    * their RRF fusion against planted graded relevance (query-term tf
+    * thresholds t3/t2/t1). All ranked lists and DCG/IDCG sums are
+    * exact integers (gains 2^rel−1, discounts from [[NdcgDiscFp]]);
+    * the only floats are the two final one-division ratios.
+    */
+  private def retrievalEval(spark: SparkSession, dir: String,
+                            terms: Seq[String], k: Int,
+                            t3: Int, t2: Int, t1: Int,
+                            dims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k <= NdcgDiscFp.size,
+      s"k=$k exceeds the ${NdcgDiscFp.size}-entry precomputed discount table")
+    val docs = T(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
+    val rel = docs.select(col("doc_id"),
+        terms.map(t => size(filter(col("toks"), x => x === t)))
+          .reduce(_ + _).as("tfs"))
+      .select(col("doc_id"),
+        when(col("tfs") >= t3, 3).when(col("tfs") >= t2, 2)
+          .when(col("tfs") >= t1, 1).otherwise(0).as("rel"))
+    val bm = graft.llm.Bm25.topK(docs, "doc_id", "toks", terms, k)
+      .select("doc_id", "rnk")
+    val ann = graft.llm.HashedCosine.topK(docs, "doc_id", "toks", terms, dims, k)
+      .select("doc_id", "rnk")
+    val fused = graft.llm.Fusion.rrf(Seq(bm, ann), "doc_id", "rnk", 60, k)
+      .select("doc_id", "rnk")
+    val lists = bm.withColumn("system", lit("bm25"))
+      .unionByName(ann.withColumn("system", lit("ann")))
+      .unionByName(fused.withColumn("system", lit("rrf_fused")))
+    val dtab = spark.range(1)
+      .select(posexplode(array(NdcgDiscFp.take(k).map(lit): _*)))
+      .select((col("pos") + 1).cast("int").as("pos"), col("col").as("d"))
+    def gain(r: org.apache.spark.sql.Column) =
+      when(r === 3, 7L).when(r === 2, 3L).when(r === 1, 1L).otherwise(0L)
+    val met = lists.join(rel, "doc_id")
+      .join(broadcast(dtab), col("rnk") === col("pos"))
+      .groupBy("system")
+      .agg(sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("hits"),
+        sum(gain(col("rel")) * col("d")).as("dcg_fp"))
+    val nrel = rel.agg(
+      sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("n_rel"))
+    // ideal ranking: TakeOrderedAndProject + k-row window (the
+    // Bm25.rankTop bounded pattern), never a corpus-wide window
+    val ideal = rel.orderBy(col("rel").desc, col("doc_id").asc).limit(k)
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(col("rel").desc, col("doc_id").asc)).cast("int"))
+    val idcg = ideal.join(broadcast(dtab), "pos")
+      .agg(sum(gain(col("rel")) * col("d")).as("idcg_fp"))
+    met.crossJoin(broadcast(nrel)).crossJoin(broadcast(idcg))
+      .select(col("system"), col("n_rel"), col("hits"),
+        round(col("hits").cast("double") / col("n_rel"), 6).as("recall"),
+        col("dcg_fp"), col("idcg_fp"),
+        round(col("dcg_fp").cast("double") / col("idcg_fp"), 6).as("ndcg"))
   }
 
   /** q276's bench-production steady-state stores, keyed by sf dir
@@ -1579,52 +1650,23 @@ object Text {
     // exact integer sums with map-side partials, and the only floats
     // are the two final one-division ratios (rounded 6) plus BM25's
     // own q134-contract scores.
-    QueryDef("q274_retrieval_eval", Some(retrievalEvalSql),
-      (spark, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val terms = Seq("spark", "vector", "stream")
-        val docs = T(spark, dir, "documents")
-          .select(col("doc_id"), TextOps.tokenize(col("text")).as("toks"))
-        val rel = docs.select(col("doc_id"),
-            terms.map(t => size(filter(col("toks"), x => x === t)))
-              .reduce(_ + _).as("tfs"))
-          .select(col("doc_id"),
-            when(col("tfs") >= RelT3, 3).when(col("tfs") >= RelT2, 2)
-              .when(col("tfs") >= RelT1, 1).otherwise(0).as("rel"))
-        val bm = graft.llm.Bm25.topK(docs, "doc_id", "toks", terms, 10)
-          .select("doc_id", "rnk")
-        val ann = graft.llm.HashedCosine.topK(docs, "doc_id", "toks", terms, 64, 10)
-          .select("doc_id", "rnk")
-        val fused = graft.llm.Fusion.rrf(Seq(bm, ann), "doc_id", "rnk", 60, 10)
-          .select("doc_id", "rnk")
-        val lists = bm.withColumn("system", lit("bm25"))
-          .unionByName(ann.withColumn("system", lit("ann")))
-          .unionByName(fused.withColumn("system", lit("rrf_fused")))
-        val dtab = spark.range(1)
-          .select(posexplode(array(NdcgDiscFp.map(lit): _*)))
-          .select((col("pos") + 1).cast("int").as("pos"), col("col").as("d"))
-        def gain(r: org.apache.spark.sql.Column) =
-          when(r === 3, 7L).when(r === 2, 3L).when(r === 1, 1L).otherwise(0L)
-        val met = lists.join(rel, "doc_id")
-          .join(broadcast(dtab), col("rnk") === col("pos"))
-          .groupBy("system")
-          .agg(sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("hits"),
-            sum(gain(col("rel")) * col("d")).as("dcg_fp"))
-        val nrel = rel.agg(
-          sum(when(col("rel") >= 2, 1L).otherwise(0L)).as("n_rel"))
-        // ideal ranking: TakeOrderedAndProject + k-row window (the
-        // Bm25.rankTop bounded pattern), never a corpus-wide window
-        val ideal = rel.orderBy(col("rel").desc, col("doc_id").asc).limit(10)
-          .withColumn("pos", row_number()
-            .over(Window.orderBy(col("rel").desc, col("doc_id").asc)).cast("int"))
-        val idcg = ideal.join(broadcast(dtab), "pos")
-          .agg(sum(gain(col("rel")) * col("d")).as("idcg_fp"))
-        met.crossJoin(broadcast(nrel)).crossJoin(broadcast(idcg))
-          .select(col("system"), col("n_rel"), col("hits"),
-            round(col("hits").cast("double") / col("n_rel"), 6).as("recall"),
-            col("dcg_fp"), col("idcg_fp"),
-            round(col("dcg_fp").cast("double") / col("idcg_fp"), 6).as("ndcg"))
-      }),
+    QueryDef("q274_retrieval_eval",
+      Some(retrievalEvalSql(Seq("spark", "vector", "stream"), 10,
+        RelT3, RelT2, RelT1, 64)),
+      (spark, dir) => retrievalEval(spark, dir,
+        Seq("spark", "vector", "stream"), 10, RelT3, RelT2, RelT1, 64)),
+
+    // The SECOND retrieval-eval configuration (the r15 advice): a
+    // disjoint query-term set, k=20 (exercising discount positions
+    // 11..20 of the shared literal table), shifted relevance
+    // thresholds, and a 128-bucket hashed-cosine space — proving the
+    // recall/nDCG machinery is the metric, not a fixture tuned to one
+    // term set. Same exact-integer discipline throughout.
+    QueryDef("q279_retrieval_eval_k20",
+      Some(retrievalEvalSql(Seq("join", "hash", "window"), 20,
+        13, 10, 7, 128)),
+      (spark, dir) => retrievalEval(spark, dir,
+        Seq("join", "hash", "window"), 20, 13, 10, 7, 128)),
 
     // Relative-error quantiles on an UNBOUNDED domain (ops.LogHistogram
     // — HdrHistogram-style log-scale buckets): per-source doc-length

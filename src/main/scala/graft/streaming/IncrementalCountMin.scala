@@ -41,6 +41,7 @@ object IncrementalCountMin {
         s"but batch $batchId is not the first. Refusing to restart the " +
         "counts from only the live batch — restore the store or reset " +
         "checkpoint+store together.")
+    StoreProtocol.requireCommitted(fs, prevPath, "IncrementalCountMin", batchId)
     Some(spark.read.parquet(prev))
   }
 

@@ -38,6 +38,7 @@ object IncrementalLogHistogram {
         s"exist but batch $batchId is not the first. Refusing to restart " +
         "the counts from only the live batch — restore the store or reset " +
         "checkpoint+store together.")
+    StoreProtocol.requireCommitted(fs, prevPath, "IncrementalLogHistogram", batchId)
     Some(spark.read.parquet(prev))
   }
 

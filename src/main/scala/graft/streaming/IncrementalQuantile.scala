@@ -41,6 +41,7 @@ object IncrementalQuantile {
         s"but batch $batchId is not the first. Refusing to restart the " +
         "grids from only the live batch — restore the store or reset " +
         "checkpoint+store together.")
+    StoreProtocol.requireCommitted(fs, prevPath, "IncrementalQuantile", batchId)
     Some(spark.read.parquet(prev))
   }
 

@@ -51,5 +51,16 @@ class IncrementalCountMinSpec extends SparkSuite {
         "token", 3, 32)
     }
     assert(orphan.getMessage.contains("store version missing"))
+    // a TORN predecessor (dir without its _SUCCESS commit marker — a
+    // crash mid-write) also refuses: summed counters would silently
+    // under-count forever if a partial grid folded forward
+    Files.delete(java.nio.file.Paths.get(s"$dir/v=1/_SUCCESS"))
+    val torn = intercept[IllegalStateException] {
+      b(2L, 2L)
+    }
+    assert(torn.getMessage.contains("store version torn"), torn.getMessage)
+    // replaying batch 1 rewrites v=1 whole; batch 2 then commits
+    assert(grid(b(1L, 1L)) == first, "replay after torn write drifted")
+    b(2L, 2L): Unit
   }
 }

@@ -48,4 +48,20 @@ class IncrementalLogHistogramSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("store version missing"))
   }
+
+  test("torn predecessor (no _SUCCESS marker) fails fast; replay recovers") {
+    val store = Files.createTempDirectory("graft_incloghist_torn").toString
+    def part(i: Int) = rows.filter(pmod(col("v"), lit(3)) === i)
+    IncrementalLogHistogram.processBatch(part(0), 0L, store, Seq("g"), "v")
+    IncrementalLogHistogram.processBatch(part(1), 1L, store, Seq("g"), "v")
+    Files.delete(java.nio.file.Paths.get(s"$store/v=1/_SUCCESS"))
+    val err = intercept[IllegalStateException] {
+      IncrementalLogHistogram.processBatch(part(2), 2L, store, Seq("g"), "v")
+    }
+    assert(err.getMessage.contains("store version torn"), err.getMessage)
+    IncrementalLogHistogram.processBatch(part(1), 1L, store, Seq("g"), "v")
+    val v2 = IncrementalLogHistogram.processBatch(part(2), 2L, store, Seq("g"), "v")
+    assert(table(v2) == table(LogHistogram.histogram(rows, Seq("g"), "v", 5)),
+      "recovered store != one-shot histogram")
+  }
 }

@@ -58,4 +58,30 @@ class IncrementalQuantileSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("store version missing"))
   }
+
+  test("torn predecessor (no _SUCCESS marker) fails fast; replaying the torn batch recovers the store") {
+    // simulate a crash mid-write of v=1: the directory exists but the
+    // commit marker (written LAST by the FileOutputCommitter) does not —
+    // folding such a partial grid forward would under-count forever
+    QuantileSketch.register(spark)
+    val store = Files.createTempDirectory("graft_incq_torn").toString
+    def part(i: Int) = rows.filter(pmod(col("v"), lit(3)) === i)
+    IncrementalQuantile.processBatch(part(0), 0L, store, Seq("g"), "v")
+    IncrementalQuantile.processBatch(part(1), 1L, store, Seq("g"), "v")
+    Files.delete(java.nio.file.Paths.get(s"$store/v=1/_SUCCESS"))
+    val err = intercept[IllegalStateException] {
+      IncrementalQuantile.processBatch(part(2), 2L, store, Seq("g"), "v")
+    }
+    assert(err.getMessage.contains("store version torn") &&
+      err.getMessage.contains("Replay batch 1"), err.getMessage)
+    // recovery IS the overwrite protocol: replaying batch 1 rewrites
+    // v=1 whole, after which batch 2 commits and the store equals the
+    // one-shot sketch of the union
+    IncrementalQuantile.processBatch(part(1), 1L, store, Seq("g"), "v")
+    val v2 = IncrementalQuantile.processBatch(part(2), 2L, store, Seq("g"), "v")
+      .select("g", "sk", "n")
+    val oneShot = rows.groupBy("g")
+      .agg(QuantileSketch.sketch(col("v")).as("sk"), count(col("v")).as("n"))
+    assert(grids(v2) == grids(oneShot), "recovered store != one-shot sketch")
+  }
 }

@@ -1014,6 +1014,35 @@ class LlmOpsSpec extends SparkSuite {
     assert(got == Seq((1, "a", "a", 9L), (2, "a", "b", 5L), (3, "aa", "aa", 3L)))
   }
 
+  test("Bpe merge batching is bit-identical to one-at-a-time greedy (rules AND encodings)") {
+    // A vocabulary wide enough that rounds accept multi-rule batches
+    // (disjoint alphabets across word families) yet adversarial enough
+    // to exercise every rejection path: shared symbols (the aaaa family
+    // self-conflicts via its own new token), count ties broken
+    // lexicographically, and creation ceilings (frequent pairs whose
+    // neighbors are themselves frequent). batch=1 IS classic greedy —
+    // the batched run must reproduce its rule sequence, counts, step
+    // numbers, and final encodings exactly.
+    val words = (
+      (1 to 26).map(i => (s"${('a' + (i % 13)).toChar}${('n' + (i % 7)).toChar}ing", (i * 7 % 19 + 1).toLong)) ++
+      Seq(("aaaa", 9L), ("aaab", 9L), ("banana", 8L), ("bandana", 8L),
+          ("stream", 7L), ("streams", 7L), ("upstream", 6L),
+          ("xyxyxy", 5L), ("xyxy", 5L), ("zzzz", 4L))
+    ).toDF("w", "cnt")
+    def rulesOf(batch: Int) =
+      graft.llm.Bpe.learnMerges(words, "w", "cnt", steps = 40, batch = batch)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val sequential = rulesOf(1)
+    val batched = rulesOf(64)
+    assert(sequential.size == 40, s"fixture exhausted early: ${sequential.size}")
+    assert(batched == sequential,
+      s"batched diverged from sequential greedy:\n seq=$sequential\n bat=$batched")
+    def encOf(batch: Int) =
+      graft.llm.Bpe.encodeWords(words, "w", "cnt", steps = 40, batch = batch)
+        .orderBy("w").collect().map(r => (r.getString(0), r.getString(2), r.getInt(3))).toSeq
+    assert(encOf(64) == encOf(1), "batched encodings diverged")
+  }
+
   test("KmvDistinct: exact below k, bounded error above, partition-independent") {
     import graft.engine.expressions.KmvDistinct
     KmvDistinct.register(spark)

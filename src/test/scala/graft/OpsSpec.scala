@@ -969,6 +969,20 @@ class OpsSpec extends SparkSuite {
     assert(b.getDouble(4) <= 1.0)
   }
 
+  test("EntityResolution.blockingQuality: fact-table-scale input fails fast, never launches n²") {
+    val wide = spark.range(10).select(concat(lit("n"), col("id")).as("name"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.EntityResolution.blockingQuality(
+        wide, "name", lit(1), 0.8, maxEntities = 5L)
+    }
+    assert(ex.getMessage.contains("all-pairs") &&
+      ex.getMessage.contains("cap 5"), ex.getMessage)
+    // at the cap it still runs
+    val ok = graft.ops.EntityResolution.blockingQuality(
+      wide.limit(5), "name", lit(1), 0.8, maxEntities = 5L).head
+    assert(ok.getLong(0) == 10)                // C(5,2)
+  }
+
   test("EntityResolution.canonicalize: min name per component, singletons self") {
     val names = Seq("aa", "ab", "ac", "zz", "qq").toDF("name")
     val pairs = Seq(("aa", "ab"), ("ab", "ac")).toDF("name_a", "name_b")

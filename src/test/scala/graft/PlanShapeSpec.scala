@@ -302,5 +302,30 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // frame onto the cumulative histogram — bucket rows stream
     assert(p275.contains("BroadcastHashJoin") || p275.contains("BroadcastExchange"),
       s"q275 target join lost its broadcast:\n${p275.take(2000)}")
+    // q277's day histogram folds HOURLY HISTOGRAM ROWS (groupBy(day,
+    // bucket).sum(cnt)): the whole query touches the events parquet
+    // exactly twice — the hourly-grain histogram build plus the
+    // exact-rank vals branch. A day grain that recomputed its buckets
+    // from base data would add a third scan.
+    // Counted as PHYSICAL nodes (the plan string repeats subtrees per
+    // AQE stage): exactly 2 events scans — the hourly histogram build
+    // and the exact-rank vals branch — plus a ReusedExchange where the
+    // quantile read's n-branch re-consumes the daily histogram's
+    // shuffle output instead of recomputing it from base data.
+    val df277 = q("q277_loghist_window_rollup")
+    df277.collect()
+    val plan277 = df277.queryExecution.executedPlan
+    val scans277 = collectWithSubqueries(plan277) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    val reused277 = collectWithSubqueries(plan277) {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }.size
+    assert(scans277 == 2,
+      s"q277 expected exactly 2 events scans (hourly histogram + exact-rank" +
+        s" vals), saw $scans277:\n${plan277.toString.take(2000)}")
+    assert(reused277 >= 1,
+      s"q277 quantile n-branch no longer reuses the daily histogram" +
+        s" exchange:\n${plan277.toString.take(2000)}")
   }
 }
