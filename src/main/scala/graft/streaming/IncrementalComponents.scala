@@ -58,6 +58,7 @@ object IncrementalComponents {
       s"IncrementalComponents store version missing: $prev does not exist " +
         s"but batch $batchId is not the first. Refusing to relabel from only " +
         "the live batch — restore the store or reset checkpoint+store together.")
+    StoreProtocol.requireCommitted(fs, prevPath, "IncrementalComponents", batchId)
     spark.read.parquet(prev)
   }
 

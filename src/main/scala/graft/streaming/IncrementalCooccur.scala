@@ -73,6 +73,12 @@ object IncrementalCooccur {
         s"IncrementalCooccur store version missing: $prev does not exist but " +
           s"batch $batchId is not the first. Refusing to restart counts from " +
           "zero — restore the store or reset checkpoint+store together.")
+      // all three legs commit independently — each carries its own marker
+      Seq("pairs", "parts", "meta").foreach { leg =>
+        StoreProtocol.requireCommitted(fs,
+          new org.apache.hadoop.fs.Path(s"$prev/$leg"), "IncrementalCooccur",
+          batchId)
+      }
       (spark.read.parquet(s"$prev/pairs"), spark.read.parquet(s"$prev/parts"),
         spark.read.parquet(s"$prev/meta"))
     }

@@ -54,6 +54,7 @@ object IncrementalForecast {
         s"but batch $batchId is not the first. Refusing to restart the " +
         "series from only the live batch — restore the store or reset " +
         "checkpoint+store together.")
+    StoreProtocol.requireCommitted(fs, prevPath, "IncrementalForecast", batchId)
     Some(spark.read.parquet(prev))
   }
 

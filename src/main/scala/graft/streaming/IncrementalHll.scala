@@ -41,6 +41,7 @@ object IncrementalHll {
         s"but batch $batchId is not the first. Refusing to restart the " +
         "registers from only the live batch — restore the store or reset " +
         "checkpoint+store together.")
+    StoreProtocol.requireCommitted(fs, prevPath, "IncrementalHll", batchId)
     Some(spark.read.parquet(prev))
   }
 

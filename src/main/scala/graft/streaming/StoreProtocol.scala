@@ -2,13 +2,19 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 
-/** Version-commit discipline shared by the add-based incremental
-  * stores ([[IncrementalQuantile]], [[IncrementalCountMin]],
-  * [[IncrementalLogHistogram]] — the families whose cells are plain
-  * sums, so folding a PARTIAL predecessor forward would silently
-  * under-count forever). The version-overwrite protocol makes replays
-  * rewrite their own `v=N`; this adds the missing crash case: a torn
-  * write, where `v=N` exists on disk but the job died mid-commit.
+/** Version-commit discipline shared by the versioned incremental
+  * stores. The add-based families ([[IncrementalQuantile]],
+  * [[IncrementalCountMin]], [[IncrementalLogHistogram]]) are the
+  * sharpest case — summed cells fold a PARTIAL predecessor into a
+  * silent permanent under-count — but the guard protects every
+  * versioned reader ([[IncrementalHll]], [[IncrementalComponents]],
+  * [[IncrementalCooccur]], [[IncrementalForecast]]) the same way:
+  * idempotent merge ops (register max, label union) do NOT defend
+  * against a torn directory, because torn means ROWS ARE MISSING —
+  * groups absent from the partial files vanish from every later
+  * version. The version-overwrite protocol makes replays rewrite
+  * their own `v=N`; this adds the missing crash case: a torn write,
+  * where `v=N` exists on disk but the job died mid-commit.
   *
   * Completeness is read off the `_SUCCESS` marker Spark's
   * FileOutputCommitter writes LAST (after every task file is moved

@@ -107,5 +107,14 @@ class IncrementalHllSpec extends SparkSuite {
         Seq("g"), "item", 6)
     }
     assert(orphan.getMessage.contains("store version missing"))
+    // a TORN predecessor (no _SUCCESS commit marker) also refuses —
+    // register maxes are idempotent, but torn means ROWS MISSING: a
+    // group absent from the partial files would vanish from every
+    // later version. Replaying the torn batch recovers (overwrite).
+    Files.delete(java.nio.file.Paths.get(s"$dir/v=1/_SUCCESS"))
+    val torn = intercept[IllegalStateException] { b(2L, 2L) }
+    assert(torn.getMessage.contains("store version torn"), torn.getMessage)
+    assert(grid(b(1L, 1L)) == first, "replay after torn write drifted")
+    assert(grid(b(2L, 2L)) == oneShot, "recovered store != one-shot")
   }
 }
