@@ -71,7 +71,7 @@ object Bpe {
     */
   private def mergeLoop(words: DataFrame, wordCol: String, cntCol: String,
                         steps: Int, batch: Int = 64)
-      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+      : (DataFrame, Seq[(Int, String, String, Long)], Option[Int]) = {
     require(batch >= 1, s"batch must be >= 1, got $batch")
     // The '(symbol)' wrapping reserves parentheses as delimiters: a word
     // containing '(' or ')' would make SymbolPattern mis-parse silently
@@ -83,6 +83,18 @@ object Bpe {
       .filter(!col(wordCol).contains("(") && !col(wordCol).contains(")"))
       .select(col(wordCol), col(cntCol).cast("long").as("cnt"),
         symbolize(col(wordCol)).as("s")).cache()
+    // Dataset.unpersist is a NO-OP on a localCheckpointed frame (the
+    // blocks live outside the CacheManager), so each round's checkpoint
+    // id is tracked through sc.getPersistentRDDs and the PREDECESSOR's
+    // blocks are dropped explicitly once the new checkpoint has
+    // materialized — without this, a vocab-scale run accumulates one
+    // resident word-table copy per round until GC + ContextCleaner
+    // catch up. (Safe: localCheckpoint lineage is already truncated, so
+    // the freed predecessor was never a recompute source.) The FINAL
+    // table's checkpoint is returned live and reclaimed by the cleaner
+    // when callers drop the frame — the ConnectedComponents discipline.
+    val sc = words.sparkSession.sparkContext
+    var lastCkptId: Option[Int] = None
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
     var exhausted = false
@@ -140,14 +152,21 @@ object Bpe {
         // (ConnectedComponents.scala) cuts the plan to a Scan-
         // ExistingRDD every round, so per-round cost is constant at any
         // vocab-scale step count.
+        val prevCkptId = lastCkptId
+        val before = sc.getPersistentRDDs.keySet
         w = prev.select(col(wordCol), col("cnt"), merged.as("s"))
           .localCheckpoint()
-        prev.unpersist()
+        lastCkptId = (sc.getPersistentRDDs.keySet -- before)
+          .headOption.orElse(prevCkptId)
+        if (lastCkptId != prevCkptId)
+          prevCkptId.foreach(id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+        prev.unpersist() // round 1: releases the initial cache; later: no-op
         accepted.foreach { case (l, r, c) =>
           rules += ((step, l, r, c)); step += 1 }
       }
     }
-    (w, rules.result())
+    (w, rules.result(), lastCkptId)
   }
 
   /** Learn `steps` merge rules from `words(wordCol, cntCol)` (distinct
@@ -161,8 +180,10 @@ object Bpe {
                   steps: Int, batch: Int = 64): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
-    val (w, rules) = mergeLoop(words, wordCol, cntCol, steps, batch)
-    w.unpersist()
+    val (w, rules, ckptId) = mergeLoop(words, wordCol, cntCol, steps, batch)
+    w.unpersist() // the round-0 cache path (no merge ever applied)
+    ckptId.foreach(id => spark.sparkContext.getPersistentRDDs.get(id)
+      .foreach(_.unpersist(false))) // the checkpointed final table
     rules.toDF("step", "lhs", "rhs", "pair_count")
   }
 
@@ -172,8 +193,10 @@ object Bpe {
     * step a pipeline ships alongside the learned rules: corpus text
     * encodes by word lookup into this vocabulary-sized table (a
     * broadcast or gram-keyed join), never by re-running merges per
-    * document. Returned frame keeps the loop's final cache (resident
-    * callers release via GraftSession.withQueryCaches).
+    * document. Returned frame rides the loop's final materialization
+    * (round-0 cache, or the last round's local checkpoint — reclaimed
+    * by the ContextCleaner when callers drop the frame, the
+    * ConnectedComponents return discipline).
     */
   def encodeWords(words: DataFrame, wordCol: String, cntCol: String,
                   steps: Int, batch: Int = 64): DataFrame =

@@ -53,6 +53,9 @@ object HashedCosine {
     // dot²·10⁶ and ‖a‖²·‖q‖² are carried in decimal(38,0): as BIGINT
     // products they wrap silently past 2⁶³ (a doc with ~3e6 query-term
     // hits), where DuckDB BIGINT errors — the q270/ops.Eval idiom.
+    // Spark's decimal `div` is exact integral division (spot-proven
+    // past 2^53); the SQL twin must use HUGEINT `//`, NOT decimal —
+    // DuckDB degrades decimal `//` to double floor-division.
     val scored = na.join(dp, Seq(idCol), "left").crossJoin(broadcast(nq))
       .select(col(idCol),
         expr("""(cast(coalesce(__dot, 0) as decimal(38,0)) * coalesce(__dot, 0)

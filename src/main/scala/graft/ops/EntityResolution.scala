@@ -153,13 +153,20 @@ object EntityResolution {
                       maxLenDiff: Int = 3,
                       maxEntities: Long = 100000L): DataFrame = {
     JaroWinkler.register(entities.sparkSession)
-    val e = entities.select(col(nameCol)).distinct()
+    // cached: the pre-flight count fills it, and both cross-join sides
+    // read it — without the cache the distinct aggregation would run
+    // three times per call. Released below once the one-row result is
+    // materialized (the canonicalize lazy-return-cache idiom).
+    val e = entities.select(col(nameCol)).distinct().cache()
     val n = e.count()
-    require(n <= maxEntities,
-      s"blockingQuality is an all-pairs ground-truth evaluation: $n distinct" +
-        s" names would mean ~${n * (n - 1) / 2} JW comparisons (cap" +
-        s" $maxEntities). Sample the entity vocabulary first, or raise" +
-        s" maxEntities deliberately.")
+    if (n > maxEntities) {
+      e.unpersist()
+      throw new IllegalArgumentException(
+        s"requirement failed: blockingQuality is an all-pairs ground-truth" +
+          s" evaluation: $n distinct names would mean ~${n * (n - 1) / 2}" +
+          s" JW comparisons (cap $maxEntities). Sample the entity" +
+          s" vocabulary first, or raise maxEntities deliberately.")
+    }
     val a = e.select(col(nameCol).as("name_a"), blockKey.as("__ba"),
       length(col(nameCol)).as("__la"))
     val b = e.select(col(nameCol).as("name_b"), blockKey.as("__bb"),
@@ -169,7 +176,7 @@ object EntityResolution {
         abs(col("__la") - col("__lb")) <= maxLenDiff)
       .withColumn("isTrue",
         JaroWinkler.jaroWinkler(col("name_a"), col("name_b")) >= threshold)
-    all.agg(
+    val out = all.agg(
       count(lit(1)).as("n_all_pairs"),
       sum(when(col("cand"), 1L).otherwise(0L)).as("n_candidates"),
       sum(when(col("isTrue"), 1L).otherwise(0L)).as("n_true_pairs"),
@@ -180,6 +187,13 @@ object EntityResolution {
           / greatest(col("n_true_pairs"), lit(1L)), 6).as("pair_completeness"),
         round(lit(1.0) - col("n_candidates").cast("double")
           / col("n_all_pairs"), 6).as("reduction_ratio"))
+      // one row out: cache + eager fill while `e` is still cached, so
+      // the vocabulary cache can be released HERE (the canonicalize
+      // lazy-return-cache idiom) instead of leaking per call
+      .cache()
+    out.count()
+    e.unpersist()
+    out
   }
 
   /** Canonical-name mapping from a fuzzy pair graph: connected

@@ -211,8 +211,8 @@ object Text {
       dp AS (SELECT hbk.doc_id, CAST(sum(hbk.a * qbk.q) AS BIGINT) AS dot
              FROM hbk JOIN qbk USING (b) GROUP BY 1),
       anns AS (SELECT nav.doc_id,
-                      (CAST(coalesce(dp.dot, 0) AS DECIMAL(38,0)) * coalesce(dp.dot, 0) * 1000000)
-                        // (CAST(nav.na AS DECIMAL(38,0)) * nqv.nq) AS score
+                      (CAST(coalesce(dp.dot, 0) AS HUGEINT) * coalesce(dp.dot, 0) * 1000000)
+                        // (CAST(nav.na AS HUGEINT) * nqv.nq) AS score
                FROM nav CROSS JOIN nqv LEFT JOIN dp ON nav.doc_id = dp.doc_id),
       aann AS (SELECT doc_id, rnk FROM (
                  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk FROM anns)
@@ -1259,7 +1259,11 @@ object Text {
     // division of exact integers via
     // (n·correct − Σ sup·pred) / (n² − Σ sup·pred), every count
     // product carried in decimal(38,0) (the ops.Eval idiom) so nothing
-    // wraps past ~3e9 rows.
+    // wraps past ~3e9 rows. The per-class F1 division is HUGEINT on
+    // the oracle side: DuckDB's `//` between DECIMAL operands degrades
+    // to double floor-division (exact only below 2^53), while HUGEINT
+    // `//` is exact 128-bit integer division — the twin of the
+    // engine's decimal `div`.
     QueryDef("q270_classifier_report", Some(s"""
       WITH $LangIdCtes,
       t AS (SELECT true_lang AS lang, count(*) AS sup FROM lid GROUP BY 1),
@@ -1273,7 +1277,7 @@ object Text {
                      CAST(count(*) AS INTEGER) AS n_classes,
                      CAST(sum(tp) AS BIGINT) AS correct,
                      CAST(sum(CAST(sup AS DECIMAL(38,0)) * pred) AS DECIMAL(38,0)) AS stg,
-                     CAST(sum((2 * CAST(tp AS DECIMAL(38,0)) * 1000000) // (pred + sup)) AS DECIMAL(38,0)) AS f1fp
+                     CAST(sum((2 * CAST(tp AS HUGEINT) * 1000000) // (pred + sup)) AS DECIMAL(38,0)) AS f1fp
               FROM per)
       SELECT n, n_classes,
              round(CAST(correct AS DOUBLE) / n, 6) AS accuracy,
