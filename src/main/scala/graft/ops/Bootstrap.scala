@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Poisson bootstrap — the single-pass, resample-free bootstrap for
+  * massive data (Chamandy, Muralidharan, Najmi & Naidu, "Estimating
+  * Uncertainty for Massive Data Streams", Google 2012; the streaming
+  * special case of Kleiner et al.'s Bag of Little Bootstraps). The
+  * classical bootstrap redraws n rows WITH replacement B times — B full
+  * shuffles of the corpus. The Poisson form observes that each row's
+  * multiplicity in a resample is Binomial(n, 1/n) ≈ Poisson(1), so B
+  * replicate aggregates ride ONE pass: every row contributes a
+  * deterministic Poisson(1) weight per replicate, and each replicate is
+  * a weighted aggregate keyed by its replicate id — B counters per
+  * group, map-side combined, never a data reshuffle.
+  *
+  * Determinism discipline: the Poisson draw inverts the CDF on
+  * [[Sampling.hashRank]]'s md5-derived integer rank (uniform on
+  * [1, 1000003]) against PRE-SCALED integer thresholds, so the weight
+  * is a pure function of (row id, replicate id) that any SQL engine
+  * replays bit-identically — no RNG, no partition dependence. Replicate
+  * statistics stay in exact integer fixed point: a mean is computed as
+  * `(s + n·OffsetFp) div n − OffsetFp` (numerator forced positive so
+  * floor-division agrees across engines even for negative means), and
+  * the percentile CI picks exact ranks of the replicate distribution —
+  * no float enters until the final display rounding.
+  */
+object Bootstrap {
+
+  /** Cumulative Poisson(1) probabilities scaled by hashRank's modulus
+    * 1000003 (`round(cdf_k · 1000003)`, k = 0..7): a rank r maps to
+    * weight = #{k : r > T_k}, capping the tail at 8 (P ≈ 10⁻⁵).
+    */
+  val PoissonThresholds: Seq[Long] =
+    Seq(367881L, 735761L, 919701L, 981015L, 996343L, 999409L, 999920L, 999993L)
+
+  /** Fixed-point offset (10⁴ units at 10⁶ fp/unit) added per-count to
+    * mean numerators so floor division only ever sees positive values;
+    * callers' values must satisfy |value_fp| < OffsetFp per row.
+    */
+  val OffsetFp: Long = 10000000000L
+
+  /** Deterministic Poisson(1) weight for a (row, replicate) key. */
+  def poissonWeight(key: Column): Column = {
+    val r = Sampling.hashRank(key)
+    PoissonThresholds.map(t => when(r > t, 1L).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** Percentile-bootstrap CI for the difference of means between two
+    * arms. Input: one row per unit with an integer id, `armCol` ∈
+    * {1, 2}, and an exact integer fixed-point `valueFpCol`. One
+    * generate-then-partial-agg pass builds all `reps` replicate sums
+    * (shuffle = reps rows per map partition, never the data), exact
+    * integer means per replicate, and the CI as the `loRank`-th /
+    * `hiRank`-th replicate diff by row_number (ties broken by replicate
+    * id — a total order). Replicates where either arm drew zero total
+    * weight are dropped on both engines alike (P ≈ e^{−n_arm}).
+    *
+    * @return single row: n_reps, n1, n2, point_fp, lo_fp, hi_fp (all
+    *         exact integers; callers apply display rounding)
+    */
+  def meanDiffCI(df: DataFrame, idCol: String, armCol: String,
+                 valueFpCol: String, reps: Int, loRank: Int,
+                 hiRank: Int): DataFrame = {
+    val base = df.select(col(idCol).cast("string").as("__id"),
+      col(armCol).as("__arm"), col(valueFpCol).cast("long").as("__v"))
+    val rep = base
+      .select(col("*"),
+        explode(sequence(lit(0), lit(reps - 1))).as("__b"))
+      .withColumn("__w", poissonWeight(
+        concat(col("__id"), lit(":"), col("__b").cast("string"))))
+      .groupBy("__b")
+      .agg(sum(when(col("__arm") === 1, col("__w") * col("__v"))
+            .otherwise(0L)).as("s1"),
+        sum(when(col("__arm") === 1, col("__w")).otherwise(0L)).as("n1"),
+        sum(when(col("__arm") === 2, col("__w") * col("__v"))
+          .otherwise(0L)).as("s2"),
+        sum(when(col("__arm") === 2, col("__w")).otherwise(0L)).as("n2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("__m1",
+        expr(s"(s1 + n1 * $OffsetFp) div n1 - $OffsetFp"))
+      .withColumn("__m2",
+        expr(s"(s2 + n2 * $OffsetFp) div n2 - $OffsetFp"))
+      .withColumn("__d", col("__m1") - col("__m2"))
+    // reps rows total: the single-partition window is the cheap part
+    val byDiff = Window.orderBy(col("__d").asc, col("__b").asc)
+    val ci = rep.withColumn("__rn", row_number().over(byDiff))
+      .agg(count(lit(1)).cast("int").as("n_reps"),
+        max(when(col("__rn") === loRank, col("__d"))).as("lo_fp"),
+        max(when(col("__rn") === hiRank, col("__d"))).as("hi_fp"))
+    val point = base.agg(
+      sum(when(col("__arm") === 1, col("__v")).otherwise(0L)).as("ps1"),
+      count(when(col("__arm") === 1, lit(1))).as("pn1"),
+      sum(when(col("__arm") === 2, col("__v")).otherwise(0L)).as("ps2"),
+      count(when(col("__arm") === 2, lit(1))).as("pn2"))
+      .select(
+        expr(s"(ps1 + pn1 * $OffsetFp) div pn1 - $OffsetFp").as("pm1"),
+        expr(s"(ps2 + pn2 * $OffsetFp) div pn2 - $OffsetFp").as("pm2"),
+        col("pn1").as("n1"), col("pn2").as("n2"))
+      .select(col("n1"), col("n2"), (col("pm1") - col("pm2")).as("point_fp"))
+    ci.crossJoin(broadcast(point))
+      .select(col("n_reps"), col("n1"), col("n2"), col("point_fp"),
+        col("lo_fp"), col("hi_fp"))
+  }
+}

@@ -1261,6 +1261,85 @@ object Events {
           .groupBy("day", "phi_pct", "n", "target_rank", "est_q")
           .agg(sum(when(col("v") <= col("est_q"), 1L).otherwise(0L))
             .as("exact_rank_at_est"))
+      }),
+
+    // SLIDING-window distinct users (trailing 7 days per day) from
+    // daily HLL sketch rows — the q269 rollup generalized from nested
+    // grains (hour→day) to OVERLAPPING windows, which no single
+    // re-group can produce: each day's window merges the 7 daily
+    // sketches via register max (associative + IDEMPOTENT — the
+    // overlap between consecutive windows double-counts nothing, the
+    // property sum-based sketches lack). Base data is read once at day
+    // grain; the window fold touches only #days × 7 sketch rows (a
+    // broadcast nested-loop of the tiny day grid onto sketch rows), so
+    // at 100 TB the sliding MAU/WAU dashboard never rescans events.
+    // The exact window distinct rides alongside (the q269 discipline —
+    // at scale you would drop it; it is the estimator-error witness).
+    QueryDef("q282_sliding_hll", Some("""
+      WITH ev AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                         CAST(user_id AS VARCHAR) AS uid
+                  FROM events),
+      dd AS (SELECT DISTINCT day, uid FROM ev),
+      days AS (SELECT DISTINCT day FROM dd),
+      win AS (SELECT g.day AS day, dd.uid
+              FROM days g JOIN dd ON dd.day <= g.day AND dd.day >= g.day - 6),
+      wd AS (SELECT DISTINCT day, uid FROM win),
+      h AS (SELECT day, uid,
+              ('0x' || substr(md5(uid), 1, 15))::BIGINT AS hv FROM wd),
+      r AS (SELECT day, hv % 256 AS j,
+              CASE WHEN hv // 256 = 0 THEN 53
+                   ELSE CAST(round(log2((hv // 256) & (-(hv // 256))))
+                        AS INTEGER) + 1
+              END AS rho
+            FROM h),
+      reg AS (SELECT day, j, max(rho) AS mj FROM r GROUP BY 1, 2),
+      grid AS (SELECT k.day, b.j, coalesce(reg.mj, 0) AS mj
+               FROM days k
+               CROSS JOIN (SELECT unnest(range(0, 256)) AS j) b
+               LEFT JOIN reg ON reg.day = k.day AND reg.j = b.j),
+      s AS (SELECT day,
+              CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT) AS s2,
+              CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS INTEGER) AS v
+            FROM grid GROUP BY 1),
+      e AS (SELECT day, v,
+              0.7213 / (1 + 1.079 / 256) * 65536 * 9007199254740992
+                / CAST(s2 AS DOUBLE) AS raw
+            FROM s),
+      ex AS (SELECT day, CAST(count(DISTINCT uid) AS BIGINT) AS n_exact_7d
+             FROM win GROUP BY 1),
+      nd AS (SELECT g.day, CAST(count(*) AS INTEGER) AS n_days
+             FROM days g JOIN days s2 ON s2.day <= g.day AND s2.day >= g.day - 6
+             GROUP BY 1)
+      SELECT ex.day, nd.n_days, ex.n_exact_7d,
+             round(CASE WHEN e.raw <= 640.0 AND e.v > 0
+                        THEN 256 * ln(256 / CAST(e.v AS DOUBLE))
+                        ELSE e.raw END, 4) AS est
+      FROM ex JOIN e ON ex.day = e.day JOIN nd ON ex.day = nd.day"""),
+      (spark, dir) => {
+        import graft.engine.expressions.Hll
+        Hll.register(spark)
+        val ev = T(spark, dir, "events").select(
+          to_date(date_trunc("day", col("ts"))).as("day"),
+          col("user_id").cast("string").as("uid"))
+        // lazy localCheckpoint: the day grid AND the window fold both
+        // consume the daily sketch rows — without it Spark re-derives
+        // the grid from a third events scan instead of the (tiny)
+        // aggregated frame
+        val daily = ev.groupBy("day").agg(Hll.sketch(col("uid"), 8).as("sk"))
+          .localCheckpoint(eager = false)
+        val days = daily.select(col("day").as("gday"))
+        // the 7-day window folds DAILY SKETCH ROWS, never base data
+        val win = daily.join(broadcast(days),
+            datediff(col("gday"), col("day")).between(0, 6))
+          .groupBy("gday")
+          .agg(Hll.merge(col("sk"), 8).as("sk"),
+            count(lit(1)).cast("int").as("n_days"))
+        val exact = ev.dropDuplicates("day", "uid")
+          .join(broadcast(days), datediff(col("gday"), col("day")).between(0, 6))
+          .groupBy("gday").agg(countDistinct(col("uid")).as("n_exact_7d"))
+        win.join(exact, Seq("gday"))
+          .select(col("gday").as("day"), col("n_days"), col("n_exact_7d"),
+            round(Hll.estimate(col("sk"), 8), 4).as("est"))
       })
   )
 }

@@ -55,6 +55,14 @@ object Graph {
   val KCoreK = 3
   val KCoreRounds = 4
 
+  /** q280 peel cap: the ε=1/2 batch peel removes a ≥ 1/3 node fraction
+    * per round (Bahmani et al. 2012), so log₁.₅ n rounds suffice — 32
+    * covers n up to 4·10⁵ even at the worst-case bound, far beyond the
+    * test SFs. Correctness does not depend on the cap because engine
+    * AND oracle truncate at the SAME cap.
+    */
+  val DensestRounds = 32
+
   /** q204 seed nations. */
   private val PprSeeds = Seq(0L, 1L, 2L)
 
@@ -1139,8 +1147,62 @@ object Graph {
               JOIN deg dv ON ne.v = dv.node"""),
       (spark, dir) =>
         graft.ops.LinkPrediction.scores(
-          coEdges(spark, dir), "pa", "pb", hubCap = 32))
+          coEdges(spark, dir), "pa", "pb", hubCap = 32)),
+
+    // Densest subgraph over the part co-occurrence graph: Charikar's
+    // greedy 2-approximation in the Bahmani/Kumar/Vassilvitskii batched
+    // (1+ε)=3/2 form (ops.DensestSubgraph) — every round removes ALL
+    // nodes with 2·deg·|V| ≤ 3·Σdeg (exact integers, no float
+    // boundary), O(log₁.₅ n) rounds to empty. Output is the full peel trace (the
+    // density knee a curation pipeline reads for link-farm/bot cluster
+    // mining) with the first max-density round flagged; density rides
+    // as the fixed-point integer (10⁶·|E|) div |V|, so the oracle's
+    // unrolled replay hash-matches bit for bit.
+    QueryDef("q280_densest_subgraph", Some(densestSql),
+      (spark, dir) =>
+        graft.ops.DensestSubgraph.peelTrace(
+          coEdges(spark, dir), "pa", "pb", maxRounds = DensestRounds))
   )
+
+  /** q280 oracle: the identical ε=1 batch peel unrolled CTE by CTE
+    * (the q203/q266 discipline — every round MATERIALIZED because each
+    * eN feeds its degree agg plus both IN probes of the next round).
+    * Rounds after the graph empties contribute zero trace rows on both
+    * sides, so the shared [[DensestRounds]] cap never diverges.
+    */
+  private def densestSql: String = {
+    val rounds = (0 until DensestRounds).map { i =>
+      s"""d$i AS (SELECT node, count(*) AS d
+            FROM (SELECT a AS node FROM e$i UNION ALL SELECT b FROM e$i)
+            GROUP BY node),
+      s$i AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS v,
+                  CAST(coalesce(sum(d), 0) AS BIGINT) AS d2 FROM d$i),
+      k$i AS MATERIALIZED (SELECT node FROM d$i, s$i WHERE 2 * d * v > 3 * d2),
+      e${i + 1} AS MATERIALIZED (SELECT a, b FROM e$i
+                    WHERE a IN (SELECT node FROM k$i)
+                      AND b IN (SELECT node FROM k$i))"""
+    }.mkString(",\n      ")
+    val trace = (0 until DensestRounds)
+      .map(i => s"SELECT $i AS round, v, d2 FROM s$i WHERE v > 0")
+      .mkString("\n      UNION ALL ")
+    s"""
+      WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      pairs AS (SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pairs WHERE n_ab >= 2),
+      $rounds,
+      tr AS ($trace),
+      t2 AS (SELECT round, v AS n_nodes, d2 // 2 AS n_edges,
+                    (1000000 * (d2 // 2)) // v AS density_fp FROM tr)
+      SELECT CAST(round AS INTEGER) AS round,
+             CAST(n_nodes AS BIGINT) AS n_nodes,
+             CAST(n_edges AS BIGINT) AS n_edges,
+             CAST(density_fp AS BIGINT) AS density_fp,
+             round = (SELECT min(round) FROM t2 x
+                      WHERE x.density_fp = (SELECT max(density_fp) FROM t2))
+               AS is_best
+      FROM t2"""
+  }
 
   private def pprSql: String = {
     val seedList = PprSeeds.mkString(", ")

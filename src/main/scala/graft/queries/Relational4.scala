@@ -1011,6 +1011,73 @@ object Relational4 {
             o, "o_orderpriority", "o_orderdate", "cents")
           .select("o_orderkey", "o_orderpriority", "o_orderdate",
             "o_totalprice")
+      }),
+
+    // Poisson-bootstrap percentile CI for the BUILDING − MACHINERY mean
+    // acctbal difference (ops.Bootstrap) — the nonparametric uncertainty
+    // companion to q86's Welch t: 200 replicates ride ONE pass (each
+    // row's per-replicate multiplicity is a deterministic md5-derived
+    // Poisson(1) draw; replicate sums partial-aggregate map-side, so the
+    // shuffle is 200 rows per partition — never a data resample). Means
+    // are exact integer fixed point with a positivity offset, the CI is
+    // exact ranks 5/196 of the replicate diffs — the oracle replays the
+    // draw, the division, and the rank selection bit for bit.
+    QueryDef("q281_bootstrap_ci", Some(s"""
+      WITH base AS (SELECT CAST(c_custkey AS VARCHAR) AS id,
+                      CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS arm,
+                      CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000 AS v
+                    FROM customer
+                    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      reps AS (SELECT unnest(range(0, 200)) AS b),
+      h AS (SELECT base.arm, base.v, reps.b,
+              ('0x' || substr(md5(base.id || ':' || CAST(reps.b AS VARCHAR)), 1, 15))::BIGINT
+                % 1000003 + 1 AS r
+            FROM base CROSS JOIN reps),
+      w AS (SELECT arm, v, b, ${graft.ops.Bootstrap.PoissonThresholds
+        .map(t => s"CAST(r > $t AS INT)").mkString(" + ")} AS w
+            FROM h),
+      rep AS (SELECT b,
+                CAST(sum(CASE WHEN arm = 1 THEN w * v ELSE 0 END) AS BIGINT) AS s1,
+                CAST(sum(CASE WHEN arm = 1 THEN w ELSE 0 END) AS BIGINT) AS n1,
+                CAST(sum(CASE WHEN arm = 2 THEN w * v ELSE 0 END) AS BIGINT) AS s2,
+                CAST(sum(CASE WHEN arm = 2 THEN w ELSE 0 END) AS BIGINT) AS n2
+              FROM w GROUP BY b),
+      m AS (SELECT b,
+              (s1 + n1 * 10000000000) // n1 - 10000000000 AS m1,
+              (s2 + n2 * 10000000000) // n2 - 10000000000 AS m2
+            FROM rep WHERE n1 > 0 AND n2 > 0),
+      d AS (SELECT b, m1 - m2 AS dd,
+              row_number() OVER (ORDER BY m1 - m2, b) AS rn FROM m),
+      ci AS (SELECT CAST(count(*) AS INTEGER) AS n_reps,
+               max(CASE WHEN rn = 5 THEN dd END) AS lo_fp,
+               max(CASE WHEN rn = 196 THEN dd END) AS hi_fp FROM d),
+      pt AS (SELECT
+               CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1,
+               CAST(count(CASE WHEN arm = 2 THEN 1 END) AS BIGINT) AS n2,
+               (CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT)
+                 + count(CASE WHEN arm = 1 THEN 1 END) * 10000000000)
+                 // count(CASE WHEN arm = 1 THEN 1 END) - 10000000000 AS pm1,
+               (CAST(sum(CASE WHEN arm = 2 THEN v ELSE 0 END) AS BIGINT)
+                 + count(CASE WHEN arm = 2 THEN 1 END) * 10000000000)
+                 // count(CASE WHEN arm = 2 THEN 1 END) - 10000000000 AS pm2
+             FROM base)
+      SELECT ci.n_reps, pt.n1, pt.n2,
+             round(CAST(pt.pm1 - pt.pm2 AS DOUBLE) / 1000000, 6) AS point_diff,
+             round(CAST(ci.lo_fp AS DOUBLE) / 1000000, 6) AS ci_lo,
+             round(CAST(ci.hi_fp AS DOUBLE) / 1000000, 6) AS ci_hi
+      FROM ci, pt"""),
+      (spark, dir) => {
+        val base = T(spark, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_custkey").as("id"),
+            when(col("c_mktsegment") === "BUILDING", 1).otherwise(2).as("arm"),
+            (round(col("c_acctbal") * 100, 0).cast("long") * 10000L).as("v_fp"))
+        graft.ops.Bootstrap.meanDiffCI(base, "id", "arm", "v_fp",
+            reps = 200, loRank = 5, hiRank = 196)
+          .select(col("n_reps"), col("n1"), col("n2"),
+            round(col("point_fp").cast("double") / 1000000, 6).as("point_diff"),
+            round(col("lo_fp").cast("double") / 1000000, 6).as("ci_lo"),
+            round(col("hi_fp").cast("double") / 1000000, 6).as("ci_hi"))
       }))
 
   /** The q176 history build, shared with q179's as-of join. */

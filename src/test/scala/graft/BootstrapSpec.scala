@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Bootstrap
+
+class BootstrapSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("poissonWeight: deterministic, bounded, mean ≈ 1 over many keys") {
+    val w = spark.range(100000)
+      .select(Bootstrap.poissonWeight(concat(col("id").cast("string"), lit(":0")))
+        .as("w"))
+      .agg(min("w"), max("w"), avg("w"), sum(when(col("w") === 0, 1).otherwise(0)))
+      .head()
+    assert(w.getLong(0) >= 0L && w.getLong(1) <= 8L)
+    assert(math.abs(w.getDouble(2) - 1.0) < 0.02,
+      s"Poisson(1) mean drifted: ${w.getDouble(2)}")
+    // P(w=0) = 1/e ≈ 0.368
+    assert(math.abs(w.getLong(3) / 100000.0 - 0.368) < 0.01)
+  }
+
+  test("meanDiffCI is exact on constant arms, including negative means") {
+    // mean of a constant is that constant for EVERY replicate with n>0,
+    // so lo = hi = point — this pins the offset floor-division path on
+    // both positive (10) and negative (−4) fixed-point means
+    val df = (1L to 300L).map(i => (i, if (i % 2 == 0) 1 else 2,
+      if (i % 2 == 0) 10000000L else -4000000L)).toDF("id", "arm", "v_fp")
+    val r = Bootstrap.meanDiffCI(df, "id", "arm", "v_fp",
+      reps = 50, loRank = 2, hiRank = 49).head()
+    assert(r.getAs[Int]("n_reps") == 50)
+    assert(r.getAs[Long]("n1") == 150L && r.getAs[Long]("n2") == 150L)
+    assert(r.getAs[Long]("point_fp") == 14000000L)
+    assert(r.getAs[Long]("lo_fp") == 14000000L)
+    assert(r.getAs[Long]("hi_fp") == 14000000L)
+  }
+
+  test("meanDiffCI: percentile interval brackets the point estimate on noisy arms") {
+    // deterministic (hash-driven) so this is a fixed fact, not a flake
+    val df = (1L to 400L).map { i =>
+      val arm = if (i % 2 == 0) 1 else 2
+      val v = ((i * 7919) % 1000) * 10000L + (if (arm == 1) 3000000L else 0L)
+      (i, arm, v)
+    }.toDF("id", "arm", "v_fp")
+    val r = Bootstrap.meanDiffCI(df, "id", "arm", "v_fp",
+      reps = 200, loRank = 5, hiRank = 196).head()
+    val (lo, hi, pt) = (r.getAs[Long]("lo_fp"), r.getAs[Long]("hi_fp"),
+      r.getAs[Long]("point_fp"))
+    assert(lo < hi, s"degenerate interval [$lo, $hi]")
+    assert(lo <= pt && pt <= hi, s"point $pt outside [$lo, $hi]")
+    assert(r.getAs[Int]("n_reps") == 200)
+  }
+}

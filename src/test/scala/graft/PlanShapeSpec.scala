@@ -328,4 +328,38 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
       s"q277 quantile n-branch no longer reuses the daily histogram" +
         s" exchange:\n${plan277.toString.take(2000)}")
   }
+
+  test("q281 bootstrap replicates partial-aggregate map-side after the explode") {
+    val p = planOf(q("q281_bootstrap_ci"))
+    assert(p.contains("Generate explode"),
+      s"q281 lost its replicate generator:\n${p.take(2000)}")
+    // the replicate sums must combine BEFORE the shuffle on __b — a plan
+    // that shuffles the exploded rows moves reps× the data
+    val partial = p.indexOf("partial_sum")
+    val exchange = p.indexOf("Exchange hashpartitioning(__b")
+    assert(partial >= 0 && exchange >= 0 && partial > exchange,
+      s"q281 replicate sums no longer map-side combine (partial at $partial, " +
+        s"exchange at $exchange — executedPlan prints consumers above " +
+        s"producers, so partial must index AFTER its exchange):\n${p.take(3000)}")
+  }
+
+  test("q282 sliding window folds daily sketch rows, never rescanning events for the grid") {
+    val df = q("q282_sliding_hll")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // exactly 1 events file scan in the main plan (the exact-count
+    // witness branch); the sketch branch AND the day grid both consume
+    // the lazily-checkpointed daily sketch frame
+    val scans = collectWithSubqueries(plan) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    assert(scans == 1,
+      s"q282 expected 1 events scan (exact witness), saw $scans:\n" +
+        plan.toString.take(2000))
+    val p = plan.toString
+    assert(p.contains("partial_hll_merge"),
+      s"q282 window fold lost its map-side partial:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q282 day-grid join no longer broadcasts the tiny grid:\n${p.take(2000)}")
+  }
 }
