@@ -37,8 +37,13 @@ object Bootstrap {
     Seq(367881L, 735761L, 919701L, 981015L, 996343L, 999409L, 999920L, 999993L)
 
   /** Fixed-point offset (10⁴ units at 10⁶ fp/unit) added per-count to
-    * mean numerators so floor division only ever sees positive values;
-    * callers' values must satisfy |value_fp| < OffsetFp per row.
+    * mean numerators so floor division only ever sees positive values:
+    * `s + n·OffsetFp = n·(mean + OffsetFp) > 0` whenever every row's
+    * value exceeds −OffsetFp (nonnegative metrics satisfy it trivially;
+    * signed ones must stay above −10⁴ units). Overflow headroom: with
+    * w ≤ 8 the sum magnitude is ≤ 8·n·max|v|, inside Long for any
+    * realistic (n, fixed-point scale) pairing — callers at extreme
+    * scales drop the fp resolution, not the offset.
     */
   val OffsetFp: Long = 10000000000L
 
@@ -67,7 +72,15 @@ object Bootstrap {
                  hiRank: Int): DataFrame = {
     val base = df.select(col(idCol).cast("string").as("__id"),
       col(armCol).as("__arm"), col(valueFpCol).cast("long").as("__v"))
-    val rep = base
+    // spread the pre-explode rows across all cores: the generate+hash
+    // stage is reps× the input and inherits the INPUT's partitioning —
+    // a small parquet arriving in 1-2 splits would run the reps·n md5
+    // evaluations nearly single-threaded at every scale (measured: flat
+    // 10 s x1→x16 before, ~1 s after). The repartition shuffles only
+    // the n base rows, 1/reps of the generated volume.
+    val spread = base.repartition(
+      base.sparkSession.sessionState.conf.numShufflePartitions)
+    val rep = spread
       .select(col("*"),
         explode(sequence(lit(0), lit(reps - 1))).as("__b"))
       .withColumn("__w", poissonWeight(

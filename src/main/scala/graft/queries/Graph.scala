@@ -1164,7 +1164,7 @@ object Graph {
           coEdges(spark, dir), "pa", "pb", maxRounds = DensestRounds))
   )
 
-  /** q280 oracle: the identical ε=1 batch peel unrolled CTE by CTE
+  /** q280 oracle: the identical ε=1/2 batch peel unrolled CTE by CTE
     * (the q203/q266 discipline — every round MATERIALIZED because each
     * eN feeds its degree agg plus both IN probes of the next round).
     * Rounds after the graph empties contribute zero trace rows on both

@@ -1022,12 +1022,72 @@ object Relational4 {
     // are exact integer fixed point with a positivity offset, the CI is
     // exact ranks 5/196 of the replicate diffs — the oracle replays the
     // draw, the division, and the rank selection bit for bit.
-    QueryDef("q281_bootstrap_ci", Some(s"""
-      WITH base AS (SELECT CAST(c_custkey AS VARCHAR) AS id,
-                      CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS arm,
-                      CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000 AS v
-                    FROM customer
-                    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+    QueryDef("q281_bootstrap_ci", Some(bootstrapSql(
+      """SELECT CAST(c_custkey AS VARCHAR) AS id,
+                CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS arm,
+                CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000 AS v
+         FROM customer
+         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')""")),
+      (spark, dir) => {
+        val base = T(spark, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_custkey").as("id"),
+            when(col("c_mktsegment") === "BUILDING", 1).otherwise(2).as("arm"),
+            (round(col("c_acctbal") * 100, 0).cast("long") * 10000L).as("v_fp"))
+        graft.ops.Bootstrap.meanDiffCI(base, "id", "arm", "v_fp",
+            reps = 200, loRank = 5, hiRank = 196)
+          .select(col("n_reps"), col("n1"), col("n2"),
+            round(col("point_fp").cast("double") / 1000000, 6).as("point_diff"),
+            round(col("lo_fp").cast("double") / 1000000, 6).as("ci_lo"),
+            round(col("hi_fp").cast("double") / 1000000, 6).as("ci_hi"))
+      }),
+
+    // CLUSTER bootstrap: CI for the BUILDING − MACHINERY mean ORDER
+    // total, resampled at the CUSTOMER level — every order inherits its
+    // customer's Poisson weight (the id passed to meanDiffCI is the
+    // cluster key, so the multiplicity is shared across the cluster for
+    // free). This is the statistically distinct estimator for
+    // correlated rows: a customer's orders co-move, and the row-level
+    // bootstrap (q281's shape) would understate the variance by
+    // treating them as independent. Same one-pass plan — the cluster
+    // weight is a pure function of (custkey, b), no per-cluster state.
+    QueryDef("q283_cluster_bootstrap", Some(bootstrapSql(
+      """SELECT CAST(o.o_custkey AS VARCHAR) AS id, c.arm,
+                CAST(round(o.o_totalprice * 100, 0) AS BIGINT) * 10000 AS v
+         FROM orders o
+         JOIN (SELECT c_custkey,
+                      CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS arm
+               FROM customer
+               WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')) c
+           ON o.o_custkey = c.c_custkey""")),
+      (spark, dir) => {
+        val cust = T(spark, dir, "customer")
+          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+          .select(col("c_custkey"),
+            when(col("c_mktsegment") === "BUILDING", 1).otherwise(2).as("arm"))
+        val base = T(spark, dir, "orders")
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .select(col("o_custkey").as("id"), col("arm"),
+            (round(col("o_totalprice") * 100, 0).cast("long") * 10000L)
+              .as("v_fp"))
+        graft.ops.Bootstrap.meanDiffCI(base, "id", "arm", "v_fp",
+            reps = 200, loRank = 5, hiRank = 196)
+          .select(col("n_reps"), col("n1"), col("n2"),
+            round(col("point_fp").cast("double") / 1000000, 6).as("point_diff"),
+            round(col("lo_fp").cast("double") / 1000000, 6).as("ci_lo"),
+            round(col("hi_fp").cast("double") / 1000000, 6).as("ci_hi"))
+      }))
+
+  /** Shared q281/q283 oracle chain — everything downstream of `base`
+    * (id VARCHAR = resampling-unit key, arm ∈ {1,2}, v BIGINT fixed
+    * point): the md5 Poisson(1) draw against ops.Bootstrap's integer
+    * thresholds, per-replicate weighted sums, offset floor-division
+    * means, exact-rank percentile CI, and the unweighted point
+    * estimate. One definition so the two bootstrap variants cannot
+    * drift.
+    */
+  private def bootstrapSql(baseCte: String): String = s"""
+      WITH base AS ($baseCte),
       reps AS (SELECT unnest(range(0, 200)) AS b),
       h AS (SELECT base.arm, base.v, reps.b,
               ('0x' || substr(md5(base.id || ':' || CAST(reps.b AS VARCHAR)), 1, 15))::BIGINT
@@ -1065,20 +1125,7 @@ object Relational4 {
              round(CAST(pt.pm1 - pt.pm2 AS DOUBLE) / 1000000, 6) AS point_diff,
              round(CAST(ci.lo_fp AS DOUBLE) / 1000000, 6) AS ci_lo,
              round(CAST(ci.hi_fp AS DOUBLE) / 1000000, 6) AS ci_hi
-      FROM ci, pt"""),
-      (spark, dir) => {
-        val base = T(spark, dir, "customer")
-          .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
-          .select(col("c_custkey").as("id"),
-            when(col("c_mktsegment") === "BUILDING", 1).otherwise(2).as("arm"),
-            (round(col("c_acctbal") * 100, 0).cast("long") * 10000L).as("v_fp"))
-        graft.ops.Bootstrap.meanDiffCI(base, "id", "arm", "v_fp",
-            reps = 200, loRank = 5, hiRank = 196)
-          .select(col("n_reps"), col("n1"), col("n2"),
-            round(col("point_fp").cast("double") / 1000000, 6).as("point_diff"),
-            round(col("lo_fp").cast("double") / 1000000, 6).as("ci_lo"),
-            round(col("hi_fp").cast("double") / 1000000, 6).as("ci_hi"))
-      }))
+      FROM ci, pt"""
 
   /** The q176 history build, shared with q179's as-of join. */
   private def scd2History(spark: org.apache.spark.sql.SparkSession,

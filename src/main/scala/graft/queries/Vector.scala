@@ -1679,7 +1679,68 @@ object Vector {
         DedupOps.containmentPairs(
           T(spark, dir, "documents").select(col("doc_id"),
             TextOps.shingles(TextOps.tokenize(col("text")), 2).as("sh")),
-          "doc_id", "sh", maxDf = SimMaxDfV, minContain = 0.5))
+          "doc_id", "sh", maxDf = SimMaxDfV, minContain = 0.5)),
+
+    // Embedding-space drift monitor: per-dimension fixed-point moments
+    // (the multimodal pipeline's "did source X's encoder shift?" check).
+    // Each vector posexplodes to (label, dim, v_fp) with v_fp =
+    // round(e·10⁶) — floats are quantized BEFORE any sum, so every
+    // aggregate is an exact integer and partition/merge order cannot
+    // perturb it (float sums are the one thing a distributed engine and
+    // a single-threaded oracle never fold identically). Per-dim global
+    // means derive from the per-label sums (never a second pass over
+    // vectors — the rollup discipline), and the output flags, per
+    // dimension, the label whose mean deviates most from the global
+    // mean: the dims/sources an embedding-drift alert would fire on.
+    // At 100 TB: one pass over N·d exploded rows with map-side partial
+    // aggregation into labels×dims cells; everything after is
+    // cell-sized.
+    QueryDef("q284_embedding_drift", Some("""
+      WITH x AS (SELECT label, i - 1 AS dim,
+                   CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                        AS BIGINT) AS v
+                 FROM (SELECT label, embedding,
+                              unnest(range(1, len(embedding) + 1)) AS i
+                       FROM embeddings)),
+      lm AS (SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(v) AS BIGINT) AS s
+             FROM x GROUP BY 1, 2),
+      g AS (SELECT dim, CAST(sum(n) AS BIGINT) AS gn,
+                   CAST(sum(s) AS BIGINT) AS gs
+            FROM lm GROUP BY dim),
+      mm AS (SELECT lm.label, lm.dim, g.gn,
+                    (lm.s + lm.n * 10000000000) // lm.n - 10000000000 AS lmean,
+                    (g.gs + g.gn * 10000000000) // g.gn - 10000000000 AS gmean
+             FROM lm JOIN g USING (dim)),
+      top AS (SELECT label, dim, gn, gmean, abs(lmean - gmean) AS dev,
+                     row_number() OVER (PARTITION BY dim
+                                        ORDER BY abs(lmean - gmean) DESC, label)
+                       AS rn
+              FROM mm)
+      SELECT CAST(dim AS INTEGER) AS dim, gn AS n, gmean AS gmean_fp,
+             dev AS max_dev_fp, CAST(label AS INTEGER) AS top_label
+      FROM top WHERE rn = 1"""),
+      (spark, dir) => {
+        val x = T(spark, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")))
+          .select(col("label"), col("pos").as("dim"),
+            round(col("col").cast("double") * 1000000, 0).cast("long").as("v"))
+        val lm = x.groupBy("label", "dim")
+          .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        val g = lm.groupBy("dim").agg(sum("n").as("gn"), sum("s").as("gs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("dim").orderBy(col("dev").desc, col("label").asc)
+        lm.join(g, "dim")
+          .withColumn("lmean", expr("(s + n * 10000000000) div n - 10000000000"))
+          .withColumn("gmean",
+            expr("(gs + gn * 10000000000) div gn - 10000000000"))
+          .withColumn("dev", abs(col("lmean") - col("gmean")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("dim").cast("int").as("dim"), col("gn").as("n"),
+            col("gmean").as("gmean_fp"), col("dev").as("max_dev_fp"),
+            col("label").cast("int").as("top_label"))
+      })
   )
 
 

@@ -34,6 +34,34 @@ class BootstrapSpec extends SparkSuite {
     assert(r.getAs[Long]("hi_fp") == 14000000L)
   }
 
+  test("cluster resampling widens the CI under planted intra-cluster correlation") {
+    // 40 clusters × 10 rows; each cluster carries a shared ±2.0 offset —
+    // rows co-move within a cluster, so unit-level resampling understates
+    // the variance. Same rows, same machinery; only the resampling key
+    // differs (cluster id vs row id). Deterministic (md5 draws), so the
+    // widths are fixed facts, not a statistical flake.
+    val rows = for {
+      c <- 1L to 40L
+      j <- 0L until 10L
+    } yield {
+      val arm = if (c % 2 == 0) 1 else 2
+      val clusterShift = (if (c % 4 < 2) 2000000L else -2000000L)
+      val noise = ((c * 31 + j * 7) % 11) * 100000L
+      (c, c * 100 + j, arm, clusterShift + noise)
+    }
+    val df = rows.toDF("cluster", "row_id", "arm", "v_fp")
+    def width(idCol: String): Long = {
+      val r = Bootstrap.meanDiffCI(df, idCol, "arm", "v_fp",
+        reps = 200, loRank = 5, hiRank = 196).head()
+      r.getAs[Long]("hi_fp") - r.getAs[Long]("lo_fp")
+    }
+    val wCluster = width("cluster")
+    val wRow = width("row_id")
+    assert(wCluster > wRow,
+      s"cluster CI width $wCluster must exceed row CI width $wRow when " +
+        "rows co-move within clusters")
+  }
+
   test("meanDiffCI: percentile interval brackets the point estimate on noisy arms") {
     // deterministic (hash-driven) so this is a fixed fact, not a flake
     val df = (1L to 400L).map { i =>
