@@ -118,4 +118,49 @@ object Bootstrap {
       .select(col("n_reps"), col("n1"), col("n2"), col("point_fp"),
         col("lo_fp"), col("hi_fp"))
   }
+
+  /** Per-group percentile-bootstrap mean CI — the dashboard form of
+    * [[meanDiffCI]]: one replicate-weighted pass builds groups × reps
+    * cells (map-side combined), exact integer means per cell, and each
+    * group's CI from exact ranks of ITS replicate distribution (the
+    * rank window partitions by group, so groups rank in parallel —
+    * never a global sort). The weight key is (unit id, replicate) only,
+    * NOT the group: a unit keeps one multiplicity wherever it appears,
+    * and groups are independently honest panels.
+    *
+    * @return one row per group: group, n, n_reps, point_fp, lo_fp, hi_fp
+    */
+  def groupMeanCI(df: DataFrame, groupCol: String, idCol: String,
+                  valueFpCol: String, reps: Int, loRank: Int,
+                  hiRank: Int): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      col(idCol).cast("string").as("__id"),
+      col(valueFpCol).cast("long").as("__v"))
+    // same spread rationale as meanDiffCI: keep the generate+hash stage
+    // wide regardless of how few splits the input arrives in
+    val spread = base.repartition(
+      base.sparkSession.sessionState.conf.numShufflePartitions)
+    val rep = spread
+      .select(col("*"), explode(sequence(lit(0), lit(reps - 1))).as("__b"))
+      .withColumn("__w", poissonWeight(
+        concat(col("__id"), lit(":"), col("__b").cast("string"))))
+      .groupBy("__g", "__b")
+      .agg(sum(col("__w") * col("__v")).as("s"), sum(col("__w")).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("__m", expr(s"(s + n * $OffsetFp) div n - $OffsetFp"))
+    val byG = Window.partitionBy("__g")
+      .orderBy(col("__m").asc, col("__b").asc)
+    val ci = rep.withColumn("__rn", row_number().over(byG))
+      .groupBy("__g")
+      .agg(count(lit(1)).cast("int").as("n_reps"),
+        max(when(col("__rn") === loRank, col("__m"))).as("lo_fp"),
+        max(when(col("__rn") === hiRank, col("__m"))).as("hi_fp"))
+    val point = base.groupBy("__g")
+      .agg(sum("__v").as("ps"), count(lit(1)).as("pn"))
+      .select(col("__g"), col("pn").as("n"),
+        expr(s"(ps + pn * $OffsetFp) div pn - $OffsetFp").as("point_fp"))
+    ci.join(point, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("n_reps"),
+        col("point_fp"), col("lo_fp"), col("hi_fp"))
+  }
 }

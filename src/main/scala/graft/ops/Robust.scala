@@ -110,4 +110,41 @@ object Robust {
       .filter(col("__dev") > lit(k) * col("mad"))
       .select(col(groupCol), col(tieCol), col(valCol), col("med"), col("mad"))
   }
+
+  /** Theil–Sen robust trend: the LOWER median of all pairwise slopes
+    * (Theil 1950 / Sen 1968 — 29.3% breakdown point where OLS has 0%;
+    * one wild month cannot drag it). Input contract: `points` is an
+    * AGGREGATED series (time buckets), not raw rows — the pair set is
+    * T·(T−1)/2 over the bucket count, so the quadratic part is bounded
+    * by the series length while the raw data contributes only the one
+    * bucketing pass upstream. Slopes are exact integer fixed point:
+    * `(dy·scale + dx·offset) div dx − offset` (the offset forces the
+    * numerator positive so floor division agrees across engines for
+    * negative slopes; offset must exceed max|dy·scale/dx|), and the
+    * median picks rank ⌊(n+1)/2⌋ under the total order
+    * (slope, x1, x2) — deterministic, replayable.
+    *
+    * @return single row: n_points, n_pairs, slope_fp (dy·scale/dx units)
+    */
+  def theilSen(points: DataFrame, xCol: String, yCol: String,
+               scaleNum: Long, offset: Long): DataFrame = {
+    val p = points.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val pairs = p.as("a").join(p.as("b"), col("b.x") > col("a.x"))
+      .select(col("a.x").as("x1"), col("b.x").as("x2"),
+        (col("b.y") - col("a.y")).as("dy"),
+        (col("b.x") - col("a.x")).as("dx"))
+      .withColumn("slope_fp",
+        expr(s"(dy * ${scaleNum}L + dx * ${offset}L) div dx - ${offset}L"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val byS = org.apache.spark.sql.expressions.Window
+      .orderBy(col("slope_fp").asc, col("x1").asc, col("x2").asc)
+    val med = pairs
+      .withColumn("rn", row_number().over(byS))
+      .withColumn("cnt", count(lit(1)).over(all))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("cnt").as("n_pairs"), col("slope_fp"))
+    med.crossJoin(broadcast(p.agg(count(lit(1)).as("n_points"))))
+      .select(col("n_points"), col("n_pairs"), col("slope_fp"))
+  }
 }

@@ -1076,6 +1076,101 @@ object Relational4 {
             round(col("point_fp").cast("double") / 1000000, 6).as("point_diff"),
             round(col("lo_fp").cast("double") / 1000000, 6).as("ci_lo"),
             round(col("hi_fp").cast("double") / 1000000, 6).as("ci_hi"))
+      }),
+
+    // Per-group bootstrap: a mean CI for EVERY nation in one pass (the
+    // dashboard form — "is segment X's metric move real?" needs the
+    // uncertainty band per segment, not one global test). groups × reps
+    // replicate cells, map-side combined; each group's CI from exact
+    // ranks of its own replicate distribution via a group-partitioned
+    // rank window (groups rank in parallel, never a global sort).
+    QueryDef("q285_group_bootstrap", Some(s"""
+      WITH base AS (SELECT n.n_name AS nation, CAST(c_custkey AS VARCHAR) AS id,
+                      CAST(round(c_acctbal * 100, 0) AS BIGINT) * 10000 AS v
+                    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      reps AS (SELECT unnest(range(0, 200)) AS b),
+      h AS (SELECT base.nation, base.v, reps.b,
+              ('0x' || substr(md5(base.id || ':' || CAST(reps.b AS VARCHAR)), 1, 15))::BIGINT
+                % 1000003 + 1 AS r
+            FROM base CROSS JOIN reps),
+      w AS (SELECT nation, v, b, ${graft.ops.Bootstrap.PoissonThresholds
+        .map(t => s"CAST(r > $t AS INT)").mkString(" + ")} AS w
+            FROM h),
+      rep AS (SELECT nation, b,
+                CAST(sum(w * v) AS BIGINT) AS s,
+                CAST(sum(w) AS BIGINT) AS n
+              FROM w GROUP BY nation, b),
+      m AS (SELECT nation, b,
+              (s + n * 10000000000) // n - 10000000000 AS mm
+            FROM rep WHERE n > 0),
+      d AS (SELECT nation, b, mm,
+              row_number() OVER (PARTITION BY nation ORDER BY mm, b) AS rn
+            FROM m),
+      ci AS (SELECT nation, CAST(count(*) AS INTEGER) AS n_reps,
+               max(CASE WHEN rn = 5 THEN mm END) AS lo_fp,
+               max(CASE WHEN rn = 196 THEN mm END) AS hi_fp
+             FROM d GROUP BY nation),
+      pt AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
+               (CAST(sum(v) AS BIGINT) + count(*) * 10000000000)
+                 // count(*) - 10000000000 AS pm
+             FROM base GROUP BY nation)
+      SELECT ci.nation, pt.n, ci.n_reps,
+             round(CAST(pt.pm AS DOUBLE) / 1000000, 6) AS point_mean,
+             round(CAST(ci.lo_fp AS DOUBLE) / 1000000, 6) AS ci_lo,
+             round(CAST(ci.hi_fp AS DOUBLE) / 1000000, 6) AS ci_hi
+      FROM ci JOIN pt ON ci.nation = pt.nation"""),
+      (spark, dir) => {
+        val base = T(spark, dir, "customer")
+          .join(broadcast(T(spark, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name").as("nation"), col("c_custkey").as("id"),
+            (round(col("c_acctbal") * 100, 0).cast("long") * 10000L).as("v_fp"))
+        graft.ops.Bootstrap.groupMeanCI(base, "nation", "id", "v_fp",
+            reps = 200, loRank = 5, hiRank = 196)
+          .select(col("nation"), col("n"), col("n_reps"),
+            round(col("point_fp").cast("double") / 1000000, 6).as("point_mean"),
+            round(col("lo_fp").cast("double") / 1000000, 6).as("ci_lo"),
+            round(col("hi_fp").cast("double") / 1000000, 6).as("ci_hi"))
+      }),
+
+    // Theil-Sen robust trend over monthly revenue (ops.Robust.theilSen):
+    // the LOWER median of all pairwise slopes — 29.3% breakdown where
+    // OLS (the q180/q247/q250 family) has 0%, so one crazy month cannot
+    // drag the trend. The quadratic pair set is over TIME BUCKETS
+    // (84 months → 3486 pairs), never raw rows — the raw pass is one
+    // month groupBy. Slopes in exact integer fixed point with the
+    // positivity offset (floor division agrees across engines on
+    // negative slopes too); median = rank ⌊(n+1)/2⌋ under the total
+    // order (slope, x1, x2).
+    QueryDef("q286_theil_sen", Some("""
+      WITH pts AS (SELECT (year(o_orderdate) - 1992) * 12
+                            + month(o_orderdate) - 1 AS x,
+                     CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                          AS BIGINT) AS y
+                   FROM orders GROUP BY 1),
+      pr AS (SELECT a.x AS x1, b.x AS x2, b.y - a.y AS dy, b.x - a.x AS dx
+             FROM pts a JOIN pts b ON b.x > a.x),
+      s AS (SELECT x1, x2,
+              (dy * 1000 + dx * 1000000000000000) // dx - 1000000000000000
+                AS slope_fp
+            FROM pr),
+      r AS (SELECT slope_fp,
+              row_number() OVER (ORDER BY slope_fp, x1, x2) AS rn,
+              count(*) OVER () AS cnt
+            FROM s),
+      np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts)
+      SELECT np.n_points, CAST(r.cnt AS BIGINT) AS n_pairs,
+             round(CAST(r.slope_fp AS DOUBLE) / 100000.0, 4) AS ts_slope
+      FROM r, np WHERE rn = (cnt + 1) // 2"""),
+      (spark, dir) => {
+        val pts = T(spark, dir, "orders")
+          .groupBy(((year(col("o_orderdate")) - 1992) * 12
+            + month(col("o_orderdate")) - 1).as("x"))
+          .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
+        graft.ops.Robust.theilSen(pts, "x", "y",
+            scaleNum = 1000L, offset = 1000000000000000L)
+          .select(col("n_points"), col("n_pairs"),
+            round(col("slope_fp").cast("double") / 100000.0, 4).as("ts_slope"))
       }))
 
   /** Shared q281/q283 oracle chain — everything downstream of `base`

@@ -62,6 +62,31 @@ class BootstrapSpec extends SparkSuite {
         "rows co-move within clusters")
   }
 
+  test("groupMeanCI: exact on constants; groups are independent panels") {
+    // constant group → every replicate mean IS the constant → lo = hi =
+    // point; and because the draw keys on (id, b) only, removing group B
+    // must leave group A's CI bit-identical
+    val two = ((1L to 120L).map(i => ("A", i, 5000000L)) ++
+      (1000L to 1150L).map(i => ("B", i, -2000000L))).toDF("g", "id", "v_fp")
+    val both = Bootstrap.groupMeanCI(two, "g", "id", "v_fp",
+      reps = 60, loRank = 2, hiRank = 59).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("point_fp"),
+        r.getAs[Long]("lo_fp"), r.getAs[Long]("hi_fp")))).toMap
+    assert(both("A") == ((5000000L, 5000000L, 5000000L)))
+    assert(both("B") == ((-2000000L, -2000000L, -2000000L)))
+    val noisy = (1L to 300L).map(i =>
+      (if (i % 3 == 0) "A" else "B", i, ((i * 37) % 100) * 10000L))
+      .toDF("g", "id", "v_fp")
+    def rowA(df: org.apache.spark.sql.DataFrame) =
+      Bootstrap.groupMeanCI(df, "g", "id", "v_fp", 100, 3, 98)
+        .filter(col("g") === "A").head()
+    val full = rowA(noisy)
+    val alone = rowA(noisy.filter(col("g") === "A"))
+    assert(full.getAs[Long]("lo_fp") == alone.getAs[Long]("lo_fp") &&
+      full.getAs[Long]("hi_fp") == alone.getAs[Long]("hi_fp"),
+      "group A's CI must not depend on group B's presence")
+  }
+
   test("meanDiffCI: percentile interval brackets the point estimate on noisy arms") {
     // deterministic (hash-driven) so this is a fixed fact, not a flake
     val df = (1L to 400L).map { i =>

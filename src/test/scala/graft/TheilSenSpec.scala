@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Robust
+
+class TheilSenSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val Scale = 1000L
+  private val Offset = 1000000000000L
+
+  /** In-spec sequential replay of the exact fixed-point median rule. */
+  private def refSlope(pts: Seq[(Long, Long)]): Long = {
+    val slopes = for {
+      (x1, y1) <- pts; (x2, y2) <- pts if x2 > x1
+    } yield {
+      val dy = y2 - y1; val dx = x2 - x1
+      (Math.floorDiv(dy * Scale + dx * Offset, dx) - Offset, x1, x2)
+    }
+    val sorted = slopes.sortBy(identity)
+    sorted((sorted.size + 1) / 2 - 1)._1
+  }
+
+  test("theilSen matches the sequential replay and shrugs off a wild outlier") {
+    // clean line y = 3x + 7 (slope_fp = 3000 at scale 1000)
+    val clean = (0L until 12L).map(x => (x, 3 * x + 7))
+    val got = Robust.theilSen(clean.toDF("x", "y"), "x", "y", Scale, Offset)
+      .head()
+    assert(got.getAs[Long]("n_points") == 12L)
+    assert(got.getAs[Long]("n_pairs") == 66L)
+    assert(got.getAs[Long]("slope_fp") == 3000L)
+    assert(got.getAs[Long]("slope_fp") == refSlope(clean))
+
+    // one wild point (+10^6 at x=5): 11 of 66 pairwise slopes are
+    // contaminated — the median moves by at most one order statistic,
+    // while the OLS slope would swing by thousands
+    val dirty = clean.map { case (x, y) => if (x == 5) (x, y + 1000000L) else (x, y) }
+    val d = Robust.theilSen(dirty.toDF("x", "y"), "x", "y", Scale, Offset).head()
+    assert(d.getAs[Long]("slope_fp") == refSlope(dirty))
+    assert(math.abs(d.getAs[Long]("slope_fp") - 3000L) < 100L,
+      s"median slope ${d.getAs[Long]("slope_fp")} dragged by a single outlier")
+  }
+
+  test("theilSen: negative slopes floor-divide identically to the replay") {
+    val pts = (0L until 9L).map(x => (x, 100L - 7 * x + (x % 3)))
+    val got = Robust.theilSen(pts.toDF("x", "y"), "x", "y", Scale, Offset).head()
+    assert(got.getAs[Long]("slope_fp") == refSlope(pts))
+    assert(got.getAs[Long]("slope_fp") < 0L)
+  }
+}
