@@ -1267,9 +1267,10 @@ object Events {
     // daily HLL sketch rows — the q269 rollup generalized from nested
     // grains (hour→day) to OVERLAPPING windows, which no single
     // re-group can produce: each day's window merges the 7 daily
-    // sketches via register max (associative + IDEMPOTENT — the
-    // overlap between consecutive windows double-counts nothing, the
-    // property sum-based sketches lack). Base data is read once at day
+    // sketches via register max (associative + IDEMPOTENT — a user
+    // active on several days of one window still counts ONCE, which no
+    // additive sketch can give: the distinct-count metric itself is
+    // non-additive across days). Base data is read once at day
     // grain; the window fold touches only #days × 7 sketch rows (a
     // broadcast nested-loop of the tiny day grid onto sketch rows), so
     // at 100 TB the sliding MAU/WAU dashboard never rescans events.
@@ -1340,6 +1341,63 @@ object Events {
         win.join(exact, Seq("gday"))
           .select(col("gday").as("day"), col("n_days"), col("n_exact_7d"),
             round(Hll.estimate(col("sk"), 8), 4).as("est"))
+      }),
+
+    // q282's twin for DISTRIBUTIONS: trailing-7-day p50/p99 from daily
+    // dyadic quantile grids. Here the SUM fold is exactly right where
+    // it was wrong for distinct counts: each window's days are DISJOINT
+    // row partitions, so summing the 7 daily grids IS the window's grid
+    // (rank mass is additive across disjoint inputs; it was the
+    // metric — distinct users — that was non-additive in q282, not the
+    // fold). Daily grids are lazily localCheckpointed and the window
+    // fold touches #days × 7 sketch rows via the broadcast day grid —
+    // at 100 TB the trailing-week latency dashboard never rescans
+    // events. Exact rank of each returned value rides alongside (the
+    // q273 witness discipline).
+    QueryDef("q287_sliding_quantile", Some(s"""
+      WITH ev AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS sday,
+                         least(greatest(CAST(floor(value * 100) AS BIGINT), 0),
+                               65535) AS v
+                  FROM events),
+      days AS (SELECT DISTINCT sday FROM ev),
+      vals AS (SELECT g.sday AS day, ev.v
+               FROM days g
+               JOIN ev ON ev.sday <= g.sday AND ev.sday >= g.sday - 6),
+      ${QuantileOracle.ctes(Seq("day"), Seq(50, 99))}
+      SELECT st0.day, phi_pct, n, t AS target_rank, s AS est_q,
+             (SELECT CAST(count(*) AS BIGINT) FROM vals
+              WHERE vals.day = st0.day AND vals.v <= st0.s)
+               AS exact_rank_at_est
+      FROM st0"""),
+      (spark, dir) => {
+        import graft.engine.expressions.QuantileSketch
+        QuantileSketch.register(spark)
+        val ev = T(spark, dir, "events").select(
+          to_date(date_trunc("day", col("ts"))).as("day"),
+          least(greatest(floor(col("value") * 100).cast("long"), lit(0L)),
+            lit(65535L)).as("v"))
+        val daily = ev.groupBy("day").agg(
+            QuantileSketch.sketch(col("v")).as("sk"), count(col("v")).as("n"))
+          .localCheckpoint(eager = false)
+        val days = daily.select(col("day").as("gday"))
+        // the trailing week folds DAILY GRID ROWS, never base data
+        val win = daily.join(broadcast(days),
+            datediff(col("gday"), col("day")).between(0, 6))
+          .groupBy("gday")
+          .agg(QuantileSketch.merge(col("sk")).as("sk"), sum(col("n")).as("n"))
+        val per = win.select(col("gday"), col("sk"), col("n"),
+            explode(array(lit(50), lit(99))).as("phi_pct"))
+          .withColumn("target_rank", expr("(phi_pct * n + 99) div 100"))
+          .withColumn("est_q",
+            QuantileSketch.quantile(col("sk"), col("target_rank")))
+          .select("gday", "phi_pct", "n", "target_rank", "est_q")
+        ev.join(broadcast(days), datediff(col("gday"), col("day")).between(0, 6))
+          .select(col("gday"), col("v"))
+          .join(broadcast(per), Seq("gday"))
+          .groupBy("gday", "phi_pct", "n", "target_rank", "est_q")
+          .agg(sum(when(col("v") <= col("est_q"), 1L).otherwise(0L))
+            .as("exact_rank_at_est"))
+          .withColumnRenamed("gday", "day")
       })
   )
 }

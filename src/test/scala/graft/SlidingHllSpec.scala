@@ -32,4 +32,33 @@ class SlidingHllSpec extends SparkSuite {
       "window fold of daily sketches must be bit-identical to a direct window sketch")
     assert(folded.count() == 20)
   }
+
+  test("sliding window SUM fold of daily quantile grids == direct grid of the window's rows") {
+    // the dual witness to the HLL case: days are DISJOINT row
+    // partitions, so rank mass is additive and the sum fold is exact
+    // for overlapping windows — it was the distinct-count METRIC, not
+    // the fold, that was non-additive in q282
+    import graft.engine.expressions.QuantileSketch
+    QuantileSketch.register(spark)
+    val rows = for {
+      d <- 0 until 15
+      k <- 0 until 40
+    } yield (d, ((d * 997 + k * 131) % 70000).toLong)
+    val df = rows.toDF("day", "v")
+      .select(col("day"),
+        least(greatest(col("v"), lit(0L)), lit(65535L)).as("v"))
+    val daily = df.groupBy("day").agg(QuantileSketch.sketch(col("v")).as("sk"))
+    val days = daily.select(col("day").as("gday"))
+    def winJoin(base: org.apache.spark.sql.DataFrame) =
+      base.join(broadcast(days),
+        col("gday") - col("day") >= 0 && col("gday") - col("day") <= 6)
+    val folded = winJoin(daily).groupBy("gday")
+      .agg(QuantileSketch.merge(col("sk")).as("sk"))
+    val direct = winJoin(df).groupBy("gday")
+      .agg(QuantileSketch.sketch(col("v")).as("sk"))
+    val cmp = folded.as("f").join(direct.as("d"), Seq("gday"))
+      .filter(col("f.sk") =!= col("d.sk"))
+    assert(cmp.count() == 0,
+      "sum fold of disjoint-day grids must be bit-identical to the direct window grid")
+  }
 }
