@@ -1090,18 +1090,16 @@ object Relational4 {
                     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
       reps AS (SELECT unnest(range(0, 200)) AS b),
       h AS (SELECT base.nation, base.v, reps.b,
-              ('0x' || substr(md5(base.id || ':' || CAST(reps.b AS VARCHAR)), 1, 15))::BIGINT
-                % 1000003 + 1 AS r
+              ${drawRankSql("base.id", "reps.b")} AS r
             FROM base CROSS JOIN reps),
-      w AS (SELECT nation, v, b, ${graft.ops.Bootstrap.PoissonThresholds
-        .map(t => s"CAST(r > $t AS INT)").mkString(" + ")} AS w
+      w AS (SELECT nation, v, b, $poissonWSql AS w
             FROM h),
       rep AS (SELECT nation, b,
                 CAST(sum(w * v) AS BIGINT) AS s,
                 CAST(sum(w) AS BIGINT) AS n
               FROM w GROUP BY nation, b),
       m AS (SELECT nation, b,
-              (s + n * 10000000000) // n - 10000000000 AS mm
+              ${meanFpSql("s", "n")} AS mm
             FROM rep WHERE n > 0),
       d AS (SELECT nation, b, mm,
               row_number() OVER (PARTITION BY nation ORDER BY mm, b) AS rn
@@ -1111,8 +1109,7 @@ object Relational4 {
                max(CASE WHEN rn = 196 THEN mm END) AS hi_fp
              FROM d GROUP BY nation),
       pt AS (SELECT nation, CAST(count(*) AS BIGINT) AS n,
-               (CAST(sum(v) AS BIGINT) + count(*) * 10000000000)
-                 // count(*) - 10000000000 AS pm
+               ${meanFpSql("CAST(sum(v) AS BIGINT)", "count(*)")} AS pm
              FROM base GROUP BY nation)
       SELECT ci.nation, pt.n, ci.n_reps,
              round(CAST(pt.pm AS DOUBLE) / 1000000, 6) AS point_mean,
@@ -1151,7 +1148,7 @@ object Relational4 {
       pr AS (SELECT a.x AS x1, b.x AS x2, b.y - a.y AS dy, b.x - a.x AS dx
              FROM pts a JOIN pts b ON b.x > a.x),
       s AS (SELECT x1, x2,
-              (dy * 1000 + dx * 1000000000000000) // dx - 1000000000000000
+              (dy * 1000 + dx * 100000000000000000) // dx - 100000000000000000
                 AS slope_fp
             FROM pr),
       r AS (SELECT slope_fp,
@@ -1168,10 +1165,36 @@ object Relational4 {
             + month(col("o_orderdate")) - 1).as("x"))
           .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
         graft.ops.Robust.theilSen(pts, "x", "y",
-            scaleNum = 1000L, offset = 1000000000000000L)
+            // offset must exceed max|dy·scale/dx| (theilSen contract):
+            // dy is a monthly revenue diff in cents — ~2.85e11·SF with
+            // the partial 1998-08 month — so 10¹⁵ held only to SF≈7.
+            // 10¹⁷ holds to SF≈3000 and stays inside Long: dx ≤ 83 ⇒
+            // dx·offset ≤ 8.3e18 < 2⁶³ (the r16 review catch).
+            scaleNum = 1000L, offset = 100000000000000000L)
           .select(col("n_points"), col("n_pairs"),
             round(col("slope_fp").cast("double") / 100000.0, 4).as("ts_slope"))
       }))
+
+  /** DuckDB twin of ops.Sampling.hashRank over the draw key
+    * `id:replicate` — shared by every bootstrap oracle so the draw
+    * recipe has ONE definition next to its engine counterpart.
+    */
+  private def drawRankSql(id: String, b: String): String =
+    s"('0x' || substr(md5($id || ':' || CAST($b AS VARCHAR)), 1, 15))::BIGINT % 1000003 + 1"
+
+  /** DuckDB twin of ops.Bootstrap's offset floor-division mean
+    * `(s + n·OffsetFp) div n − OffsetFp` — references OffsetFp itself,
+    * never a re-typed literal.
+    */
+  private def meanFpSql(s: String, n: String): String = {
+    val c = graft.ops.Bootstrap.OffsetFp
+    s"($s + $n * $c) // $n - $c"
+  }
+
+  /** DuckDB twin of ops.Bootstrap.poissonWeight over a rank column `r`. */
+  private def poissonWSql: String =
+    graft.ops.Bootstrap.PoissonThresholds
+      .map(t => s"CAST(r > $t AS INT)").mkString(" + ")
 
   /** Shared q281/q283 oracle chain — everything downstream of `base`
     * (id VARCHAR = resampling-unit key, arm ∈ {1,2}, v BIGINT fixed
@@ -1179,17 +1202,15 @@ object Relational4 {
     * thresholds, per-replicate weighted sums, offset floor-division
     * means, exact-rank percentile CI, and the unweighted point
     * estimate. One definition so the two bootstrap variants cannot
-    * drift.
+    * drift; q285's grouped chain shares the same fragment helpers.
     */
   private def bootstrapSql(baseCte: String): String = s"""
       WITH base AS ($baseCte),
       reps AS (SELECT unnest(range(0, 200)) AS b),
       h AS (SELECT base.arm, base.v, reps.b,
-              ('0x' || substr(md5(base.id || ':' || CAST(reps.b AS VARCHAR)), 1, 15))::BIGINT
-                % 1000003 + 1 AS r
+              ${drawRankSql("base.id", "reps.b")} AS r
             FROM base CROSS JOIN reps),
-      w AS (SELECT arm, v, b, ${graft.ops.Bootstrap.PoissonThresholds
-        .map(t => s"CAST(r > $t AS INT)").mkString(" + ")} AS w
+      w AS (SELECT arm, v, b, $poissonWSql AS w
             FROM h),
       rep AS (SELECT b,
                 CAST(sum(CASE WHEN arm = 1 THEN w * v ELSE 0 END) AS BIGINT) AS s1,
@@ -1198,8 +1219,8 @@ object Relational4 {
                 CAST(sum(CASE WHEN arm = 2 THEN w ELSE 0 END) AS BIGINT) AS n2
               FROM w GROUP BY b),
       m AS (SELECT b,
-              (s1 + n1 * 10000000000) // n1 - 10000000000 AS m1,
-              (s2 + n2 * 10000000000) // n2 - 10000000000 AS m2
+              ${meanFpSql("s1", "n1")} AS m1,
+              ${meanFpSql("s2", "n2")} AS m2
             FROM rep WHERE n1 > 0 AND n2 > 0),
       d AS (SELECT b, m1 - m2 AS dd,
               row_number() OVER (ORDER BY m1 - m2, b) AS rn FROM m),
@@ -1209,12 +1230,10 @@ object Relational4 {
       pt AS (SELECT
                CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1,
                CAST(count(CASE WHEN arm = 2 THEN 1 END) AS BIGINT) AS n2,
-               (CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT)
-                 + count(CASE WHEN arm = 1 THEN 1 END) * 10000000000)
-                 // count(CASE WHEN arm = 1 THEN 1 END) - 10000000000 AS pm1,
-               (CAST(sum(CASE WHEN arm = 2 THEN v ELSE 0 END) AS BIGINT)
-                 + count(CASE WHEN arm = 2 THEN 1 END) * 10000000000)
-                 // count(CASE WHEN arm = 2 THEN 1 END) - 10000000000 AS pm2
+               ${meanFpSql("CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS BIGINT)",
+                           "count(CASE WHEN arm = 1 THEN 1 END)")} AS pm1,
+               ${meanFpSql("CAST(sum(CASE WHEN arm = 2 THEN v ELSE 0 END) AS BIGINT)",
+                           "count(CASE WHEN arm = 2 THEN 1 END)")} AS pm2
              FROM base)
       SELECT ci.n_reps, pt.n1, pt.n2,
              round(CAST(pt.pm1 - pt.pm2 AS DOUBLE) / 1000000, 6) AS point_diff,

@@ -1725,8 +1725,15 @@ object Vector {
           .select(col("label"), posexplode(col("embedding")))
           .select(col("label"), col("pos").as("dim"),
             round(col("col").cast("double") * 1000000, 0).cast("long").as("v"))
+        // lazy localCheckpoint: the join consumes lm on BOTH sides (per-
+        // label rows + the per-dim rollup g) — without it the "derive
+        // global means from label sums" promise depends on exchange
+        // reuse canonicalizing, and a miss would re-run the N·d
+        // posexplode twice (the q282/q287 discipline; lm is labels×dims
+        // rows, so the checkpoint is ~free)
         val lm = x.groupBy("label", "dim")
           .agg(count(lit(1)).as("n"), sum("v").as("s"))
+          .localCheckpoint(eager = false)
         val g = lm.groupBy("dim").agg(sum("n").as("gn"), sum("s").as("gs"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("dim").orderBy(col("dev").desc, col("label").asc)

@@ -71,7 +71,8 @@ class DensestSubgraphSpec extends SparkSuite {
       .orderBy("round").collect().map(_.getLong(1))
     assert(vs.zip(vs.tail).forall { case (a, b) => b < a },
       s"node count must strictly decrease: ${vs.toSeq}")
-    // ε = 1 batch peel: rounds ≤ log2 n with slack (Bahmani et al. 2012)
+    // ε = 1/2 batch peel: rounds ≤ log₁.₅ n with slack (Bahmani et al.
+    // 2012) — log₁.₅ 22 ≈ 7.6, so 10 bounds it comfortably
     assert(vs.length <= 10, s"planted 22-node graph peeled in ${vs.length} rounds")
   }
 

@@ -7,7 +7,9 @@ class TheilSenSpec extends SparkSuite {
   import spark.implicits._
 
   private val Scale = 1000L
-  private val Offset = 1000000000000L
+  // the q286 production offset — exercised here so the spec replay and
+  // the registered query share the exact floor-division regime
+  private val Offset = 100000000000000000L
 
   /** In-spec sequential replay of the exact fixed-point median rule. */
   private def refSlope(pts: Seq[(Long, Long)]): Long = {
