@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CUPED — Controlled-experiment Using Pre-Experiment Data (Deng, Xu,
+  * Kohavi & Walker, WSDM 2013): adjust each unit's outcome by its
+  * pre-period covariate, Y′ = Y − θ(X − X̄) with θ = cov(X,Y)/var(X),
+  * so persistent per-unit level differences cancel out of the arm
+  * comparison and the experiment's variance drops by the factor
+  * (1 − ρ²) — the standard sensitivity lever of large experimentation
+  * platforms, where weeks of extra traffic are the alternative.
+  *
+  * Determinism discipline: inputs are exact integer fixed point; all
+  * moments accumulate in decimal(38,0) (sums of squares overflow Long
+  * at plausible unit counts), and θ, the per-arm means, and the
+  * adjustment term ride positivity-offset floor divisions — an
+  * external engine replays every intermediate bit for bit (HUGEINT
+  * `//` twins Spark's decimal `div` on the offset-positive
+  * numerators). Scale shape: one aggregate over units for the pooled
+  * moments, one two-group aggregate for the arms — nothing after the
+  * per-unit frame is larger than a handful of rows.
+  */
+object Cuped {
+
+  /** Adjusted arm-1 − arm-2 mean-outcome difference. Input: one row
+    * per unit with `arm` ∈ {1, 2} and exact integer `x` (pre-period
+    * covariate) / `y` (outcome). Fixed point: θ at 10⁶, means at 10⁶ ×
+    * the input unit. Returns one row:
+    * (n1, n2, theta_fp, raw_diff_fp, adj_diff_fp).
+    */
+  def adjustedDiff(per: DataFrame, armCol: String, xCol: String,
+                   yCol: String): DataFrame = {
+    val p = per.select(col(armCol).as("arm"), col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val theta = p.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
+      .select(expr("""(((n * sxy - sx * sy) * 1000000
+                       + (n * sxx - sx * sx) * 1000000000000)
+                      div (n * sxx - sx * sx)) - 1000000000000""")
+        .as("theta_fp"))
+    val wide = p.groupBy("arm")
+      .agg(count(lit(1)).as("na"), sum("x").as("sxa"), sum("y").as("sya"))
+      // sums are offset-lifted so negative covariates/outcomes still
+      // floor-divide identically across engines
+      .select(col("arm"), col("na"),
+        expr("""(cast(sxa as decimal(38,0)) * 1000000
+                 + cast(na as decimal(38,0)) * 10000000000000000) div na
+                - 10000000000000000""").as("mx"),
+        expr("""(cast(sya as decimal(38,0)) * 1000000
+                 + cast(na as decimal(38,0)) * 10000000000000000) div na
+                - 10000000000000000""").as("my"))
+      .agg(max(when(col("arm") === 1, col("na"))).as("n1"),
+        max(when(col("arm") === 2, col("na"))).as("n2"),
+        (max(when(col("arm") === 1, col("my")))
+          - max(when(col("arm") === 2, col("my")))).as("dy"),
+        (max(when(col("arm") === 1, col("mx")))
+          - max(when(col("arm") === 2, col("mx")))).as("dx"))
+    wide.crossJoin(broadcast(theta))
+      .withColumn("adj_term",
+        expr("""((cast(theta_fp as decimal(38,0)) * dx
+                  + cast(1000000000000000 as decimal(38,0)) * 1000000)
+                 div 1000000) - 1000000000000000"""))
+      .select(col("n1"), col("n2"), col("theta_fp").cast("long").as("theta_fp"),
+        col("dy").cast("long").as("raw_diff_fp"),
+        (col("dy") - col("adj_term")).cast("long").as("adj_diff_fp"))
+  }
+}

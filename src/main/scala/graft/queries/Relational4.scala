@@ -1173,7 +1173,89 @@ object Relational4 {
             scaleNum = 1000L, offset = 100000000000000000L)
           .select(col("n_points"), col("n_pairs"),
             round(col("slope_fp").cast("double") / 100000.0, 4).as("ts_slope"))
-      }))
+      }),
+
+    cupedQuery)
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
+    * the experimentation-platform standard): adjust each unit's outcome
+    * by its PRE-period covariate, Y' = Y − θ(X − X̄), θ = cov(X,Y)/var(X),
+    * so persistent per-unit level differences cancel and the same
+    * experiment needs ~(1−ρ²)× the sample. Here: per-user event value,
+    * first half of the month as X, second half as Y, arms by md5 parity
+    * (a synthetic assignment that is pure data, engine-replayable). One
+    * pass builds per-user (x, y); one aggregate builds the pooled
+    * moments; everything downstream is exact decimal(38,0) integer
+    * arithmetic — θ and every mean ride positivity-offset floor
+    * divisions, so the oracle's HUGEINT `//` replays Spark's decimal
+    * `div` bit for bit (the q270/q274 idiom). Output: raw vs adjusted
+    * BUILDING−… arm-1−arm-2 diff in dollars, plus θ.
+    */
+  // lazy: defs (declared above) references this during object init —
+  // a plain val would still be null there (the Scd2Ctes/slidingHllSql
+  // ordering trap)
+  private lazy val cupedQuery: QueryDef = QueryDef("q289_cuped", Some("""
+      WITH per AS (SELECT user_id,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                             THEN CAST(round(value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS x,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                             THEN CAST(round(value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS y
+             FROM events GROUP BY user_id),
+      pa AS (SELECT x, y,
+               CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000003 + 1) % 2 + 1 AS INTEGER) AS arm
+             FROM per),
+      st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+               CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+             FROM pa),
+      th AS (SELECT (((n * sxy - sx * sy) * 1000000
+                      + (n * sxx - sx * sx) * 1000000000000)
+                     // (n * sxx - sx * sx)) - 1000000000000 AS theta_fp
+             FROM st),
+      arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS na,
+                 CAST(sum(x) AS HUGEINT) AS sxa,
+                 CAST(sum(y) AS HUGEINT) AS sya
+               FROM pa GROUP BY arm),
+      mm AS (SELECT arm, na, (sxa * 1000000) // na AS mx,
+                    (sya * 1000000) // na AS my
+             FROM arms),
+      dd AS (SELECT (SELECT na FROM mm WHERE arm = 1) AS n1,
+                    (SELECT na FROM mm WHERE arm = 2) AS n2,
+                    (SELECT my FROM mm WHERE arm = 1)
+                      - (SELECT my FROM mm WHERE arm = 2) AS dy,
+                    (SELECT mx FROM mm WHERE arm = 1)
+                      - (SELECT mx FROM mm WHERE arm = 2) AS dx),
+      aj AS (SELECT dd.n1, dd.n2, dd.dy,
+               ((th.theta_fp * dd.dx
+                 + CAST(1000000000000000 AS HUGEINT) * 1000000) // 1000000)
+                 - 1000000000000000 AS adj_term,
+               th.theta_fp
+             FROM th, dd)
+      SELECT n1, n2,
+             round(CAST(theta_fp AS DOUBLE) / 1000000, 6) AS theta,
+             round(CAST(dy AS DOUBLE) / 100000000, 6) AS raw_diff,
+             round(CAST(dy - adj_term AS DOUBLE) / 100000000, 6) AS adj_diff
+      FROM aj"""),
+    (spark, dir) => {
+      import graft.ops.Sampling
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val cents = round(col("value") * 100, 0).cast("long")
+      val per = T(spark, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(when(col("ts") < cut, cents).otherwise(0L)).as("x"),
+          sum(when(col("ts") >= cut, cents).otherwise(0L)).as("y"))
+        .withColumn("arm",
+          (Sampling.hashRank(col("user_id")) % 2 + 1).cast("int"))
+      graft.ops.Cuped.adjustedDiff(per, "arm", "x", "y")
+        .select(col("n1"), col("n2"),
+          round(col("theta_fp").cast("double") / 1000000, 6).as("theta"),
+          round(col("raw_diff_fp").cast("double") / 100000000, 6).as("raw_diff"),
+          round(col("adj_diff_fp").cast("double") / 100000000, 6).as("adj_diff"))
+    })
 
   /** DuckDB twin of ops.Sampling.hashRank over the draw key
     * `id:replicate` — shared by every bootstrap oracle so the draw
