@@ -104,13 +104,30 @@ object Bootstrap {
       .agg(count(lit(1)).cast("int").as("n_reps"),
         max(when(col("__rn") === loRank, col("__d"))).as("lo_fp"),
         max(when(col("__rn") === hiRank, col("__d"))).as("hi_fp"))
+      // too many dropped replicates (an arm drew zero weight in more
+      // than reps − hiRank of them) would silently NULL hi_fp — fail
+      // loudly instead (r16 advice)
+      .select(expr(s"""case when n_reps < $hiRank
+               then cast(raise_error(concat('meanDiffCI: ',
+                 cast(n_reps as string),
+                 ' surviving replicates < hiRank $hiRank')) as int)
+               else n_reps end""").as("n_reps"),
+        col("lo_fp"), col("hi_fp"))
     val point = base.agg(
       sum(when(col("__arm") === 1, col("__v")).otherwise(0L)).as("ps1"),
       count(when(col("__arm") === 1, lit(1))).as("pn1"),
       sum(when(col("__arm") === 2, col("__v")).otherwise(0L)).as("ps2"),
       count(when(col("__arm") === 2, lit(1))).as("pn2"))
+      // An absent arm must FAIL, not null: Spark's integer div would
+      // yield a silent NULL row here while the oracle replay raises a
+      // division-by-zero — fail fast so degenerate inputs behave
+      // identically on both engines (r16 advice).
       .select(
-        expr(s"(ps1 + pn1 * $OffsetFp) div pn1 - $OffsetFp").as("pm1"),
+        expr(s"""case when pn1 = 0 or pn2 = 0
+                 then cast(raise_error('meanDiffCI: an arm has no rows')
+                   as bigint)
+                 else (ps1 + pn1 * $OffsetFp) div pn1 - $OffsetFp
+                 end""").as("pm1"),
         expr(s"(ps2 + pn2 * $OffsetFp) div pn2 - $OffsetFp").as("pm2"),
         col("pn1").as("n1"), col("pn2").as("n2"))
       .select(col("n1"), col("n2"), (col("pm1") - col("pm2")).as("point_fp"))
@@ -155,6 +172,15 @@ object Bootstrap {
       .agg(count(lit(1)).cast("int").as("n_reps"),
         max(when(col("__rn") === loRank, col("__m"))).as("lo_fp"),
         max(when(col("__rn") === hiRank, col("__m"))).as("hi_fp"))
+      // a group too small to retain hiRank replicates would silently
+      // NULL its CI bounds — fail loudly per group instead (r16 advice)
+      .select(col("__g"),
+        expr(s"""case when n_reps < $hiRank
+                 then cast(raise_error(concat('groupMeanCI: group ',
+                   cast(__g as string), ' has ', cast(n_reps as string),
+                   ' surviving replicates < hiRank $hiRank')) as int)
+                 else n_reps end""").as("n_reps"),
+        col("lo_fp"), col("hi_fp"))
     val point = base.groupBy("__g")
       .agg(sum("__v").as("ps"), count(lit(1)).as("pn"))
       .select(col("__g"), col("pn").as("n"),

@@ -39,9 +39,18 @@ object Cuped {
       sum(col("y")).cast("decimal(38,0)").as("sy"),
       sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
       sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"))
-      .select(expr("""(((n * sxy - sx * sy) * 1000000
-                       + (n * sxx - sx * sx) * 1000000000000)
-                      div (n * sxx - sx * sx)) - 1000000000000""")
+      // var(x)=0 (constant covariate) must FAIL, not null: Spark's
+      // decimal div would yield a silent NULL row here while an exact
+      // replay in another engine (the DuckDB oracle) raises a
+      // division-by-zero error — fail fast so both engines agree on
+      // degenerate input (r16 advice).
+      .select(expr("""case when (n * sxx - sx * sx) <= 0
+                      then cast(raise_error(
+                        'CUPED requires var(x) > 0: constant pre-period covariate')
+                        as decimal(38,0))
+                      else (((n * sxy - sx * sy) * 1000000
+                             + (n * sxx - sx * sx) * 1000000000000)
+                            div (n * sxx - sx * sx)) - 1000000000000 end""")
         .as("theta_fp"))
     val wide = p.groupBy("arm")
       .agg(count(lit(1)).as("na"), sum("x").as("sxa"), sum("y").as("sya"))

@@ -134,8 +134,30 @@ object Robust {
       .select(col("a.x").as("x1"), col("b.x").as("x2"),
         (col("b.y") - col("a.y")).as("dy"),
         (col("b.x") - col("a.x")).as("dx"))
+      // Enforce the documented (scaleNum, offset) contract per pair, in
+      // decimal so the CHECK itself can't wrap (r16 advice): (a) the
+      // offset must dominate |dy|·scale/dx or the numerator goes
+      // negative and floor division diverges across engines; (b) the
+      // Long numerator must not overflow — non-ANSI Long arithmetic
+      // would wrap silently into a wrong median. Pairs are bounded by
+      // the bucket count squared, so the decimal guard is cheap.
       .withColumn("slope_fp",
-        expr(s"(dy * ${scaleNum}L + dx * ${offset}L) div dx - ${offset}L"))
+        expr(s"""case
+          when cast(abs(dy) as decimal(38,0)) * ${scaleNum}L
+               >= cast(dx as decimal(38,0)) * ${offset}L
+            then cast(raise_error(concat(
+              'theilSen: offset too small for observed slopes: |dy|*scale=',
+              cast(cast(abs(dy) as decimal(38,0)) * ${scaleNum}L as string),
+              ' >= dx*offset=',
+              cast(cast(dx as decimal(38,0)) * ${offset}L as string)))
+              as bigint)
+          when cast(abs(dy) as decimal(38,0)) * ${scaleNum}L
+               + cast(dx as decimal(38,0)) * ${offset}L > 9223372036854775807
+            then cast(raise_error(
+              'theilSen: dy*scale + dx*offset exceeds Long range')
+              as bigint)
+          else (dy * ${scaleNum}L + dx * ${offset}L) div dx - ${offset}L
+          end"""))
     val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     val byS = org.apache.spark.sql.expressions.Window
       .orderBy(col("slope_fp").asc, col("x1").asc, col("x2").asc)

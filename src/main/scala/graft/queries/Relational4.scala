@@ -1220,8 +1220,11 @@ object Relational4 {
                  CAST(sum(x) AS HUGEINT) AS sxa,
                  CAST(sum(y) AS HUGEINT) AS sya
                FROM pa GROUP BY arm),
-      mm AS (SELECT arm, na, (sxa * 1000000) // na AS mx,
-                    (sya * 1000000) // na AS my
+      mm AS (SELECT arm, na,
+               ((sxa * 1000000 + CAST(na AS HUGEINT) * 10000000000000000)
+                 // na) - 10000000000000000 AS mx,
+               ((sya * 1000000 + CAST(na AS HUGEINT) * 10000000000000000)
+                 // na) - 10000000000000000 AS my
              FROM arms),
       dd AS (SELECT (SELECT na FROM mm WHERE arm = 1) AS n1,
                     (SELECT na FROM mm WHERE arm = 2) AS n2,

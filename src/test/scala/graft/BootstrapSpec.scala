@@ -102,4 +102,29 @@ class BootstrapSpec extends SparkSuite {
     assert(lo <= pt && pt <= hi, s"point $pt outside [$lo, $hi]")
     assert(r.getAs[Int]("n_reps") == 200)
   }
+
+  test("meanDiffCI: an absent arm fails fast instead of nulling") {
+    val oneArm = (1L to 50L).map(i => (i, 1, i * 1000L)).toDF("id", "arm", "v_fp")
+    val ex = intercept[Exception] {
+      Bootstrap.meanDiffCI(oneArm, "id", "arm", "v_fp",
+        reps = 50, loRank = 2, hiRank = 49).collect()
+    }
+    assert(ex.getMessage.contains("arm has no rows") ||
+      ex.getMessage.contains("surviving replicates"),
+      s"expected an emptiness guard, got: ${ex.getMessage}")
+  }
+
+  test("groupMeanCI: a group too small to retain hiRank replicates errors") {
+    // a 1-unit group drops every replicate whose single Poisson weight
+    // is 0 (~37%), so n_reps < hiRank = reps is near-certain; before
+    // the guard this silently returned NULL CI bounds
+    val df = ((1L to 60L).map(i => ("big", i, i * 1000L)) :+ (("tiny", 999L, 5000L)))
+      .toDF("g", "id", "v_fp")
+    val ex = intercept[Exception] {
+      Bootstrap.groupMeanCI(df, "g", "id", "v_fp",
+        reps = 100, loRank = 3, hiRank = 98).collect()
+    }
+    assert(ex.getMessage.contains("surviving replicates"),
+      s"expected the per-group replicate guard, got: ${ex.getMessage}")
+  }
 }

@@ -79,4 +79,14 @@ class CupedSpec extends SparkSuite {
     assert(r.getAs[Long]("raw_diff_fp") == raw)
     assert(r.getAs[Long]("adj_diff_fp") == adj)
   }
+
+  test("constant covariate (var(x)=0) fails fast instead of nulling") {
+    val rows = (1L to 40L).map(u => (u, if (u % 2 == 0) 1 else 2, 5L, u * 3))
+    val ex = intercept[Exception] {
+      Cuped.adjustedDiff(rows.toDF("u", "arm", "x", "y"),
+        "arm", "x", "y").collect()
+    }
+    assert(ex.getMessage.contains("var(x) > 0"),
+      s"expected the var(x) guard, got: ${ex.getMessage}")
+  }
 }

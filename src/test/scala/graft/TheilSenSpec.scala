@@ -49,4 +49,27 @@ class TheilSenSpec extends SparkSuite {
     assert(got.getAs[Long]("slope_fp") == refSlope(pts))
     assert(got.getAs[Long]("slope_fp") < 0L)
   }
+
+  test("theilSen: violated offset contract fails fast, not a wrapped median") {
+    // |dy|·scale = 5e6·1000 = 5e9 over dx = 1 — an offset of 10^6 is
+    // far below the required max|dy·scale/dx| and would have produced a
+    // silently-wrong floor division before the guard
+    val pts = Seq((0L, 0L), (1L, 5000000L), (2L, 5000001L))
+    val ex = intercept[Exception] {
+      Robust.theilSen(pts.toDF("x", "y"), "x", "y", Scale, 1000000L).collect()
+    }
+    assert(ex.getMessage.contains("offset too small"),
+      s"expected the offset guard, got: ${ex.getMessage}")
+
+    // dy·scale + dx·offset > Long.MAX: overflow must error, not wrap —
+    // dx=92 puts dx·offset at 9.2e18 (so the offset check passes:
+    // |dy|·scale = 1e18 < 9.2e18) while the summed numerator reaches
+    // 1.02e19 > 2^63−1
+    val big = Seq((0L, 0L), (92L, 1000000000000000L))
+    val ex2 = intercept[Exception] {
+      Robust.theilSen(big.toDF("x", "y"), "x", "y", Scale, Offset).collect()
+    }
+    assert(ex2.getMessage.contains("Long range"),
+      s"expected the overflow guard, got: ${ex2.getMessage}")
+  }
 }
