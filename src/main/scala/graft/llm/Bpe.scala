@@ -47,20 +47,40 @@ object Bpe {
     * and accepts a PREFIX of them that is provably the same sequence
     * classic one-at-a-time greedy would pick:
     *
-    *  - '''disjointness''': an accepted rule (l,r) bans l, r, and the
-    *    new token l+r from later accepts — so no later pattern matches
-    *    text an earlier replace produced or destroyed, and every
-    *    accepted rule's pre-batch count IS its classic-time count
-    *    (which also keeps the recorded pair_count column identical).
+    *  - '''count stability''' (directional — the r17 widening of the
+    *    r16 symmetric symbol ban): applying (l,r) destroys an existing
+    *    adjacency (x, y) only when the merge CONSUMES one of its
+    *    members — the x of (x, l) when that l is the left of a match
+    *    (so any candidate ENDING in l is stale), or the y of (r, y)
+    *    when that r is the right of a match (any candidate STARTING
+    *    with r is stale). A candidate (l, y≠r) is safe: its l is
+    *    followed by y, never by r, so no match consumes it; likewise
+    *    (x≠l, r). When l == r the same token is both sides of the
+    *    match, so both directions ban it. Candidates
+    *    touching the created token l+r were never counted pre-batch
+    *    (banned both sides). Merges also never CREATE an adjacency
+    *    between two pre-batch symbols (the new token sits between its
+    *    neighbors), so a surviving candidate's pre-batch count IS its
+    *    classic-time count — including the recorded pair_count column.
     *  - '''creation ceiling''': applying (l,r) can create only pairs
-    *    (x, l+r) or (l+r, y), whose counts are bounded by the parent
-    *    pairs (x, l) / (r, y) — so by A = max(max_x c(x,l),
-    *    max_y c(r,y)). A later candidate is accepted only while its
-    *    count strictly exceeds every accepted rule's A: anything a
+    *    (X, l+r) or (l+r, Y). Every adjacency of a created pair sits on
+    *    a pre-batch occurrence of a TRIPLE containing the merged (l,r):
+    *    (X, l+r) has, immediately left of the merged pair, the last
+    *    original symbol u of X (u = X when X is original, u = the
+    *    right part of X when X was itself created this batch) — a
+    *    pre-batch triple (u, l, r); symmetrically (l+r, Y) rides
+    *    (l, r, y). Chains ((l+r)(l+r) from l r l r) are covered by
+    *    y = l. So created counts are bounded by
+    *    T = max(max_u c3(u,l,r), max_y c3(l,r,y)) — strictly tighter
+    *    than the parent-pair bound max(in_max(l), out_max(r)) used
+    *    through r16 (that one maxed over ALL pairs touching a shared
+    *    letter, which on a shared-alphabet vocabulary froze realized
+    *    batch width at ~2). A later candidate is accepted only while
+    *    its count strictly exceeds every accepted rule's T: anything a
     *    batched merge could have created ranks strictly below it, so
-    *    classic greedy would have picked it next too. (Strict — a tie
-    *    against a created pair would classic-tie-break lexicographically
-    *    against a pair we never counted.)
+    *    classic greedy would have picked the candidate next too.
+    *    (Strict — a tie against a created pair would classic-tie-break
+    *    lexicographically against a pair we never counted.)
     *
     * The first failed check STOPS the batch (beyond it, classic's next
     * argmax is unknowable without recounting). Worst case the batch is
@@ -97,8 +117,10 @@ object Bpe {
     var lastCkptId: Option[Int] = None
     val rules = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
+    var round = 0
     var exhausted = false
     while (step <= steps && !exhausted) {
+      round += 1
       val pairs = w
         .select(col("cnt"),
           regexp_extract_all(col("s"), lit(SymbolPattern), lit(1)).as("a"))
@@ -111,13 +133,32 @@ object Bpe {
         .agg(sum("cnt").as("c"))
       val k = math.min(batch, steps - step + 1)
       val topK = pairs.orderBy(col("c").desc, col("lhs"), col("rhs")).limit(k)
-      // neighbor maxima: in_max(sym) = max count of pairs (·, sym),
-      // out_max(sym) = max count of pairs (sym, ·) — both vocab-bounded
-      val inMax = pairs.groupBy(col("rhs").as("__li")).agg(max("c").as("in_max"))
-      val outMax = pairs.groupBy(col("lhs").as("__ro")).agg(max("c").as("out_max"))
+      // creation-ceiling maxima from TRIPLES, keyed by the specific
+      // candidate pair (see the creation-ceiling note above):
+      // in3(l,r) = max_u c3(u,l,r), out3(l,r) = max_y c3(l,r,y) — both
+      // vocab-bounded (one row per distinct adjacent pair with a
+      // neighbor), and far tighter than the per-symbol parent-pair
+      // maxima they replace.
+      val trips = w
+        .select(col("cnt"),
+          regexp_extract_all(col("s"), lit(SymbolPattern), lit(1)).as("a"))
+        .select(col("cnt"), explode(graft.engine.functions.let(col("a")) { a =>
+          when(size(a) >= 3, transform(sequence(lit(1), size(a) - 2),
+            i => struct(element_at(a, i).as("t1"), element_at(a, i + 1).as("t2"),
+              element_at(a, i + 2).as("t3"))))
+            .otherwise(array().cast("array<struct<t1:string,t2:string,t3:string>>"))
+        }).as("t"))
+        .groupBy(col("t.t1").as("t1"), col("t.t2").as("t2"), col("t.t3").as("t3"))
+        .agg(sum("cnt").as("c3"))
+      val in3 = trips.groupBy(col("t2").as("__l"), col("t3").as("__r"))
+        .agg(max("c3").as("in_max"))
+      val out3 = trips.groupBy(col("t1").as("__l2"), col("t2").as("__r2"))
+        .agg(max("c3").as("out_max"))
       val cand = topK
-        .join(broadcast(inMax), topK("lhs") === inMax("__li"), "left")
-        .join(broadcast(outMax), topK("rhs") === outMax("__ro"), "left")
+        .join(broadcast(in3),
+          topK("lhs") === in3("__l") && topK("rhs") === in3("__r"), "left")
+        .join(broadcast(out3),
+          topK("lhs") === out3("__l2") && topK("rhs") === out3("__r2"), "left")
         .select(topK("lhs"), topK("rhs"), topK("c"),
           coalesce(col("in_max"), lit(0L)).as("in_max"),
           coalesce(col("out_max"), lit(0L)).as("out_max"))
@@ -126,17 +167,23 @@ object Bpe {
       if (cand.isEmpty) exhausted = true
       else {
         val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-        val used = scala.collection.mutable.HashSet.empty[String]
+        // directional staleness bans (count-stability note above):
+        // lhsBan = symbols invalid as a later candidate's LHS,
+        // rhsBan = invalid as its RHS
+        val lhsBan = scala.collection.mutable.HashSet.empty[String]
+        val rhsBan = scala.collection.mutable.HashSet.empty[String]
         var ceiling = Long.MinValue
         var stop = false
         for (row <- cand if !stop) {
           val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
           val a = math.max(row.getLong(3), row.getLong(4))
           if (accepted.nonEmpty &&
-              (used(l) || used(r) || used(l + r) || c <= ceiling)) stop = true
+              (lhsBan(l) || rhsBan(r) || c <= ceiling)) stop = true
           else {
             accepted += ((l, r, c))
-            used += l; used += r; used += (l + r)
+            lhsBan += r; rhsBan += l             // consumption directions
+            if (l == r) { lhsBan += l; rhsBan += r }
+            lhsBan += (l + r); rhsBan += (l + r) // the created token
             ceiling = math.max(ceiling, a)
           }
         }
@@ -166,8 +213,15 @@ object Bpe {
           rules += ((step, l, r, c)); step += 1 }
       }
     }
+    lastRounds = round
     (w, rules.result(), lastCkptId)
   }
+
+  /** Dev metric: candidate-pull rounds of the most recent merge loop in
+    * this thread — realized mean batch width = rules / rounds (read by
+    * ProfileBpeVocab; no production consumer).
+    */
+  @volatile private[graft] var lastRounds: Int = 0
 
   /** Learn `steps` merge rules from `words(wordCol, cntCol)` (distinct
     * words with occurrence counts). Returns (step, lhs, rhs,

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Always-valid sequential monitoring — the mixture sequential
+  * probability ratio test (mSPRT) of Johari, Koomen, Pekelis & Walsh
+  * ("Peeking at A/B Tests: Why It Matters, and What to Do About It",
+  * KDD 2017; "Always Valid Inference", Ops. Res. 2022). A fixed-horizon
+  * t-test read daily inflates false positives several-fold (the
+  * "peeking problem"); the mSPRT's mixture likelihood ratio
+  * Λ_n = √(V_n/(V_n+τ²)) · exp(d_n²·τ²/(2·V_n·(V_n+τ²))) is a
+  * martingale under H₀, so p_n = min_{m≤n} min(1, 1/Λ_m) is a valid
+  * p-value at EVERY checkpoint simultaneously — the experimenter may
+  * stop the moment it crosses α.
+  *
+  * Determinism discipline (the [[Cuped]] idiom): every sufficient
+  * statistic is exact — per-day-per-arm counts/sums/sums-of-squares
+  * accumulate in decimal(38,0), cumulative checkpoints are plain
+  * integer window sums, the mean difference rides the positivity-offset
+  * floor division at 10⁶ fixed point, and the pooled variance is a
+  * nonnegative-numerator integer division. Doubles enter only in the
+  * final per-checkpoint likelihood readout, built from those exact
+  * integers with an expression an external SQL engine replays verbatim
+  * (+,−,×,÷,sqrt are IEEE-correctly-rounded everywhere; ln/exp ride the
+  * same display-rounding absorption as the haversine/t-stat queries).
+  * Degenerate inputs fail fast: a pooled variance of zero (constant
+  * metric) raises rather than feeding ±Inf downstream.
+  *
+  * Scale shape: ONE corpus-sized pass (the day×arm aggregate,
+  * map-side combined); everything after runs on ~days×2 rows.
+  */
+object Sequential {
+
+  /** Fixed-point offset for the mean divisions (the Cuped constant). */
+  private val OffFp = "10000000000000000" // 10^16
+
+  /** mSPRT readout at day-grain checkpoints. Input: one row per event
+    * with a day string, `arm` ∈ {1, 2}, and an exact integer metric
+    * (e.g. cents). The mixture variance τ² is set to the pooled outcome
+    * variance at each checkpoint (the scale-free τ = σ choice; any
+    * fixed multiple only shifts power, not validity). Checkpoints
+    * before both arms have data are not monitorable and are dropped —
+    * identically on any engine, since the filter is on exact counts.
+    *
+    * @return one row per monitorable day: day, n1, n2, mean_diff
+    *         (metric units, 4 dp), ln_lambda (6 dp), p_av (always-valid
+    *         p, 6 dp), rejected (p_av < alpha)
+    */
+  def msprt(perEvent: DataFrame, dayCol: String, armCol: String,
+            valCol: String, alpha: Double = 0.05): DataFrame = {
+    val ev = perEvent.select(col(dayCol).as("day"), col(armCol).as("arm"),
+      col(valCol).cast("long").as("v"))
+    // the one corpus-sized pass
+    val dayArm = ev.groupBy("day", "arm").agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).cast("decimal(38,0)").as("s"),
+      sum(col("v").cast("decimal(38,0)") * col("v")).as("ss"))
+    // dense day x arm grid so cumulative sums carry across days where
+    // one arm is silent (days-count rows; trivially small)
+    val days = dayArm.select("day").distinct()
+    val grid = days.crossJoin(broadcast(
+        ev.sparkSession.range(1, 3).select(col("id").cast("int").as("arm"))))
+      .join(dayArm, Seq("day", "arm"), "left")
+      .select(col("day"), col("arm"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("s"), lit(0L).cast("decimal(38,0)")).as("s"),
+        coalesce(col("ss"), lit(0L).cast("decimal(38,0)")).as("ss"))
+    val wCum = Window.partitionBy("arm").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.select(col("day"), col("arm"),
+      sum("n").over(wCum).as("cn"),
+      sum("s").over(wCum).as("cs"),
+      sum("ss").over(wCum).as("css"))
+    val byDay = cum.groupBy("day").agg(
+        max(when(col("arm") === 1, col("cn"))).as("n1"),
+        max(when(col("arm") === 1, col("cs"))).as("s1"),
+        max(when(col("arm") === 1, col("css"))).as("ss1"),
+        max(when(col("arm") === 2, col("cn"))).as("n2"),
+        max(when(col("arm") === 2, col("cs"))).as("s2"),
+        max(when(col("arm") === 2, col("css"))).as("ss2"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      // exact fixed-point means (10^6 per metric unit) and mean diff
+      .withColumn("m1_fp", expr(
+        s"(s1 * 1000000 + cast(n1 as decimal(38,0)) * $OffFp) div n1 - $OffFp"))
+      .withColumn("m2_fp", expr(
+        s"(s2 * 1000000 + cast(n2 as decimal(38,0)) * $OffFp) div n2 - $OffFp"))
+      .withColumn("d_fp", col("m1_fp") - col("m2_fp"))
+      // exact pooled variance (metric units squared): numerator
+      // n*ss - s^2 = n^2 * var >= 0, so plain floor division agrees
+      // across engines; zero variance (constant metric) fails fast
+      .withColumn("var_u2", expr(
+        """case when ((n1 + n2) * (ss1 + ss2) - (s1 + s2) * (s1 + s2)) <= 0
+           then cast(raise_error(
+             'msprt: pooled variance is zero (constant metric)')
+             as decimal(38,0))
+           else ((n1 + n2) * (ss1 + ss2) - (s1 + s2) * (s1 + s2))
+                div (cast(n1 + n2 as decimal(38,0)) * (n1 + n2)) end"""))
+    // the double-valued readout, from exact integers only; expression
+    // order mirrors the SQL twin token for token
+    val readout = byDay
+      .withColumn("vn", expr(
+        """cast(var_u2 as double) * (cast(n1 as double) + cast(n2 as double))
+           / (cast(n1 as double) * cast(n2 as double))"""))
+      .withColumn("tau2", expr("cast(var_u2 as double)"))
+      .withColumn("dd", expr("cast(d_fp as double) / 1000000.0"))
+      .withColumn("ln_lambda_raw", expr(
+        """0.5 * ln(vn / (vn + tau2))
+           + dd * dd * tau2 / (2.0 * vn * (vn + tau2))"""))
+      .withColumn("p_inst", expr("least(1.0, exp(-ln_lambda_raw))"))
+    val wMin = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    readout
+      .withColumn("p_av_raw", min(col("p_inst")).over(wMin))
+      .select(col("day"), col("n1"), col("n2"),
+        round(col("dd"), 4).as("mean_diff"),
+        round(col("ln_lambda_raw"), 6).as("ln_lambda"),
+        round(col("p_av_raw"), 6).as("p_av"),
+        (col("p_av_raw") < lit(alpha)).as("rejected"))
+      .orderBy("day")
+  }
+}

@@ -1175,7 +1175,9 @@ object Relational4 {
             round(col("slope_fp").cast("double") / 100000.0, 4).as("ts_slope"))
       }),
 
-    cupedQuery)
+    cupedQuery,
+
+    msprtQuery)
 
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
     * the experimentation-platform standard): adjust each unit's outcome
@@ -1258,6 +1260,82 @@ object Relational4 {
           round(col("theta_fp").cast("double") / 1000000, 6).as("theta"),
           round(col("raw_diff_fp").cast("double") / 100000000, 6).as("raw_diff"),
           round(col("adj_diff_fp").cast("double") / 100000000, 6).as("adj_diff"))
+    })
+
+  /** Always-valid sequential monitoring (mSPRT — Johari, Koomen,
+    * Pekelis & Walsh, KDD 2017): the anytime-valid readout the
+    * experimentation suite was missing next to Welch t (q86), the
+    * bootstrap CIs (q281/283/285) and CUPED (q289). Day-grain
+    * checkpoints over the events month, arms by the q289 md5-parity
+    * assignment; sufficient statistics exact (decimal moments, lifted
+    * floor-division means — the Cuped discipline), doubles only in the
+    * final likelihood readout whose expression the oracle replays
+    * token for token (ln/exp ride display rounding, the q20/q86
+    * precedent; sqrt-free). p_av is monotone by construction — the
+    * running min over checkpoints — so a dashboard may stop at first
+    * crossing without inflating alpha.
+    */
+  private lazy val msprtQuery: QueryDef = QueryDef("q290_msprt", Some("""
+      WITH ev AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000003 + 1) % 2 + 1 AS INTEGER) AS arm,
+               CAST(round(value * 100, 0) AS BIGINT) AS v
+             FROM events),
+      da AS (SELECT day, arm, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS HUGEINT) AS s,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS ss
+             FROM ev GROUP BY 1, 2),
+      grid AS (SELECT d.day, a.arm, coalesce(da.n, 0) AS n,
+                 coalesce(da.s, 0) AS s, coalesce(da.ss, 0) AS ss
+               FROM (SELECT DISTINCT day FROM da) d
+               CROSS JOIN (SELECT unnest([1, 2]) AS arm) a
+               LEFT JOIN da ON da.day = d.day AND da.arm = a.arm),
+      cum AS (SELECT day, arm, sum(n) OVER w AS cn, sum(s) OVER w AS cs,
+                sum(ss) OVER w AS css
+              FROM grid
+              WINDOW w AS (PARTITION BY arm ORDER BY day ROWS UNBOUNDED PRECEDING)),
+      bd AS (SELECT day,
+               max(CASE WHEN arm = 1 THEN cn END) AS n1,
+               max(CASE WHEN arm = 1 THEN cs END) AS s1,
+               max(CASE WHEN arm = 1 THEN css END) AS ss1,
+               max(CASE WHEN arm = 2 THEN cn END) AS n2,
+               max(CASE WHEN arm = 2 THEN cs END) AS s2,
+               max(CASE WHEN arm = 2 THEN css END) AS ss2
+             FROM cum GROUP BY day),
+      mt AS (SELECT day, n1, n2,
+               (s1 * 1000000 + CAST(n1 AS HUGEINT) * 10000000000000000) // n1
+                 - 10000000000000000 AS m1_fp,
+               (s2 * 1000000 + CAST(n2 AS HUGEINT) * 10000000000000000) // n2
+                 - 10000000000000000 AS m2_fp,
+               ((n1 + n2) * (ss1 + ss2) - (s1 + s2) * (s1 + s2))
+                 // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)) AS var_u2
+             FROM bd WHERE n1 > 0 AND n2 > 0),
+      rd AS (SELECT day, n1, n2,
+               CAST(m1_fp - m2_fp AS DOUBLE) / 1000000.0 AS dd,
+               CAST(var_u2 AS DOUBLE)
+                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS vn,
+               CAST(var_u2 AS DOUBLE) AS tau2
+             FROM mt),
+      ll AS (SELECT day, n1, n2, dd,
+               0.5 * ln(vn / (vn + tau2))
+                 + dd * dd * tau2 / (2.0 * vn * (vn + tau2)) AS lnl
+             FROM rd),
+      pp AS (SELECT day, n1, n2, dd, lnl,
+               min(least(1.0, exp(-lnl)))
+                 OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p_av_raw
+             FROM ll)
+      SELECT day, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             round(dd, 4) AS mean_diff, round(lnl, 6) AS ln_lambda,
+             round(p_av_raw, 6) AS p_av, p_av_raw < 0.05 AS rejected
+      FROM pp"""),
+    (spark, dir) => {
+      import graft.ops.Sampling
+      val ev = T(spark, dir, "events").select(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        (Sampling.hashRank(col("user_id")) % 2 + 1).cast("int").as("arm"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      graft.ops.Sequential.msprt(ev, "day", "arm", "v", alpha = 0.05)
     })
 
   /** DuckDB twin of ops.Sampling.hashRank over the draw key

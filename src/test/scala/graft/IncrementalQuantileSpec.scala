@@ -84,4 +84,61 @@ class IncrementalQuantileSpec extends SparkSuite {
       .agg(QuantileSketch.sketch(col("v")).as("sk"), count(col("v")).as("n"))
     assert(grids(v2) == grids(oneShot), "recovered store != one-shot sketch")
   }
+
+  test("adversarial heavy-tail fixture: incremental store and window rollup carry the one-shot error envelope bit for bit") {
+    // QuantileSketchSpec witnesses a NONZERO-error regime on the
+    // one-shot sketch (all 65536 domain values present, Zipf mass →
+    // structural Count-Min collisions). Grid adds are linear, so the
+    // incremental store (q272's read path) and the merge rollup
+    // (q273/q287's read path) must reproduce the SAME grid — any
+    // divergence is a bug, and bit-identity transfers the witnessed
+    // envelope to both paths verbatim. Both are asserted here, plus a
+    // direct probe of the envelope through the STORE's grid.
+    QuantileSketch.register(spark)
+    val df = spark.range(65536).select(
+      col("id").as("v"),
+      explode(sequence(lit(1L),
+        expr("greatest(1L, 2000L div (id + 1))"))).as("__rep"))
+      .select(col("v"), lit("all").as("g")).repartition(8)
+    val oneShot = df.groupBy("g")
+      .agg(QuantileSketch.sketch(col("v")).as("sk"), count(col("v")).as("n"))
+      .cache()
+    // (a) incremental: the fixture split across 3 store batches
+    val store = Files.createTempDirectory("graft_incq_adv").toString
+    def part(i: Int) = df.filter(pmod(col("v"), lit(3)) === i)
+    IncrementalQuantile.processBatch(part(0), 0L, store, Seq("g"), "v")
+    IncrementalQuantile.processBatch(part(1), 1L, store, Seq("g"), "v")
+    val inc = IncrementalQuantile.processBatch(part(2), 2L, store, Seq("g"), "v")
+      .select("g", "sk", "n").cache()
+    assert(grids(inc) == grids(oneShot),
+      "incremental store grid diverged from one-shot under the adversarial fixture")
+    // (b) window rollup: 24 synthetic hour-grain sketches merged to the
+    // day grain from SKETCH ROWS (q273's fold), never base data
+    val rolled = df.withColumn("h", pmod(col("v"), lit(24)))
+      .groupBy("g", "h")
+      .agg(QuantileSketch.sketch(col("v")).as("sk"), count(col("v")).as("n"))
+      .groupBy("g")
+      .agg(QuantileSketch.merge(col("sk")).as("sk"), sum(col("n")).as("n"))
+    assert(grids(rolled) == grids(oneShot),
+      "merge rollup grid diverged from one-shot under the adversarial fixture")
+    // direct envelope probe through the STORE grid: one-sided and
+    // inside hashedLevels*n/width, same as the one-shot witness
+    val cnt = new Array[Long](65536)
+    df.groupBy("v").count().collect()
+      .foreach(r => cnt(r.getLong(0).toInt) = r.getLong(1))
+    val cum = cnt.scanLeft(0L)(_ + _).tail
+    val n = cum.last
+    val bound = 6L * n / 1024L
+    val probes = Seq(0L, 63L, 1023L, 8191L, 65534L)
+    val got = inc.select(probes.map(x =>
+      QuantileSketch.rank(col("sk"), lit(x), col("n")).as(s"r$x")): _*).head
+    val errs = probes.zipWithIndex.map { case (x, i) =>
+      val est = got.getLong(i); val truth = cum(x.toInt)
+      assert(est >= truth, s"store rank($x): $est under truth $truth")
+      assert(est - truth <= bound, s"store rank($x): overcount ${est - truth} > $bound")
+      est - truth
+    }
+    assert(errs.max > 0L, "store probes never overcounted — fixture left the error regime")
+    oneShot.unpersist(); inc.unpersist()
+  }
 }
