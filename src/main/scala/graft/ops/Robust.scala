@@ -169,4 +169,70 @@ object Robust {
     med.crossJoin(broadcast(p.agg(count(lit(1)).as("n_points"))))
       .select(col("n_points"), col("n_pairs"), col("slope_fp"))
   }
+
+  /** Mann–Whitney U / Wilcoxon rank-sum — the nonparametric twin of
+    * the Welch t comparison (q86): ranks are immune to the heavy tails
+    * and outliers that drag a mean-based test, the right default for
+    * revenue-like metrics. Everything up to the z readout is EXACT
+    * integer arithmetic on doubled ranks (average ranks of ties are
+    * half-integers, so 2·rank is a whole number): per distinct value,
+    * the tie group contributes cnt₁·(2·below + at + 1) to 2R₁, giving
+    * 2U = 2R₁ − n₁(n₁+1); the tie correction T = Σ(t³−t) accumulates
+    * in decimal(38,0). The normal approximation
+    * z = (2U − n₁n₂) / √(n₁n₂/3 · ((n+1) − T/(n(n−1)))) enters doubles
+    * only at the readout (√ is IEEE-correctly-rounded), and the
+    * significance flag at α=.05 two-sided is decided in EXACT decimal:
+    * (2U−n₁n₂)²·3·10⁴·n(n−1) > 38416·n₁n₂·((n+1)·n(n−1) − T)
+    * (1.96² = 3.8416 is rational) — no float near the boundary.
+    * Domain: the decimal comparison needs n⁴·n₁n₂ ≲ 10³⁸, i.e.
+    * n ≲ 10⁶ per comparison cell; larger cells should pre-aggregate
+    * or subsample (documented contract, like theilSen's offset).
+    *
+    * Scale shape: one value-grain aggregate (map-side combined) over
+    * the input, one window over DISTINCT values, two scalar folds.
+    *
+    * @return one row: n1, n2, u2x (= 2·U₁), z (6 dp), significant
+    */
+  def mannWhitney(df: DataFrame, armCol: String, valCol: String): DataFrame = {
+    val v = df.select(col(armCol).as("arm"), col(valCol).cast("long").as("v"))
+    val byVal = v.groupBy("v").agg(
+      count(when(col("arm") === 1, 1)).as("c1"),
+      count(lit(1)).as("ct"))
+    val wOrd = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = byVal
+      .withColumn("cum", sum(col("ct")).over(wOrd))
+      .withColumn("below", col("cum") - col("ct"))
+      // arm-1 mass at this value x (2·average rank of the tie group)
+      .withColumn("r2_contrib",
+        col("c1").cast("decimal(38,0)")
+          * (lit(2L) * col("below") + col("ct") + lit(1L)))
+      .withColumn("tie_term",
+        col("ct").cast("decimal(38,0)") * col("ct") * col("ct") - col("ct"))
+    val agg = ranked.agg(
+      sum("r2_contrib").as("r2x"),
+      sum("tie_term").as("tsum"),
+      sum("c1").as("n1"),
+      sum(col("ct") - col("c1")).as("n2"))
+    agg
+      .withColumn("n", col("n1") + col("n2"))
+      .withColumn("u2x", expr(
+        "cast(r2x - cast(n1 as decimal(38,0)) * (n1 + 1) as decimal(38,0))"))
+      .withColumn("z", round(expr(
+        """(cast(u2x as double) - cast(n1 as double) * cast(n2 as double))
+           / sqrt(cast(n1 as double) * cast(n2 as double) / 3.0
+                  * ((cast(n as double) + 1.0)
+                     - cast(tsum as double)
+                       / (cast(n as double) * (cast(n as double) - 1.0))))"""),
+        6))
+      .withColumn("significant", expr(
+        """(u2x - cast(n1 as decimal(38,0)) * n2)
+             * (u2x - cast(n1 as decimal(38,0)) * n2) * 3 * 10000
+             * (cast(n as decimal(38,0)) * (n - 1))
+           > 38416 * cast(n1 as decimal(38,0)) * n2
+             * ((cast(n as decimal(38,0)) + 1) * (cast(n as decimal(38,0)) * (n - 1))
+                - tsum)"""))
+      .select(col("n1"), col("n2"), col("u2x").cast("long").as("u2x"),
+        col("z"), col("significant"))
+  }
 }

@@ -120,4 +120,80 @@ object Sequential {
         (col("p_av_raw") < lit(alpha)).as("rejected"))
       .orderBy("day")
   }
+
+  /** Sample-ratio-mismatch check — the first diagnostic any
+    * experimentation platform runs (Fabijan et al., "Diagnosing Sample
+    * Ratio Mismatch in Online Controlled Experiments", KDD 2019): a
+    * chi-square goodness-of-fit of the realized arm counts against the
+    * designed 1:1 split, per segment, because a mismatch localized to
+    * one segment (a crashing variant on one platform) is the common
+    * failure. For 1:1 the statistic collapses to χ² = (n1−n2)²/n, so
+    * the decision is EXACT integer arithmetic against the pre-scaled
+    * critical value (χ²₍df=1,α=.05₎ = 3.841459 → the flag is
+    * (n1−n2)²·10⁶ > 3841459·n, no float anywhere near the boundary);
+    * the χ² readout itself is one double division, display-rounded.
+    * Scale: one map-side-combinable aggregate over units.
+    *
+    * @return one row per group: group, n1, n2, chi2 (6 dp), srm flag
+    */
+  def srmCheck(perUnit: DataFrame, groupCol: String,
+               armCol: String): DataFrame = {
+    perUnit.select(col(groupCol).as("g"), col(armCol).as("arm"))
+      .groupBy("g")
+      .agg(count(when(col("arm") === 1, 1)).as("n1"),
+        count(when(col("arm") === 2, 1)).as("n2"))
+      .select(col("g"), col("n1"), col("n2"),
+        round(expr("""cast((n1 - n2) * (n1 - n2) as double)
+                      / cast(n1 + n2 as double)"""), 6).as("chi2"),
+        expr("(n1 - n2) * (n1 - n2) * 1000000 > 3841459 * (n1 + n2)")
+          .as("srm"))
+  }
+
+  /** Page's CUSUM drift monitor over a daily metric series (Page,
+    * Biometrika 1954) — the standard sequential change-point alarm for
+    * a pipeline metric (mean document quality, mean order value): the
+    * one-sided statistics S⁺ₜ = max(0, S⁺ₜ₋₁ + (xₜ − μ₀ − κ)) and
+    * S⁻ₜ = max(0, S⁻ₜ₋₁ − (xₜ − μ₀ + κ)) accumulate only sustained
+    * drift (κ absorbs noise), alarming when either exceeds h.
+    *
+    * The recursion is not a window aggregate, but it IS a prefix-sum
+    * identity: S⁺ₜ = Pₜ − min_{j≤t} Pⱼ over the plain cumulative sum
+    * Pₜ = Σ(xᵢ − μ₀ − κ) (and S⁻ from the max prefix of the +κ sum) —
+    * so the whole monitor is two exact-integer window sums over the
+    * day-grain rows, replayable bit for bit in any engine. Zero
+    * transcendentals. Input is an already-aggregated daily series in
+    * fixed point; the corpus pass that built it is the caller's one
+    * heavy stage.
+    *
+    * `params` is a ONE-ROW frame (mu0_fp, kappa_fp, h_fp) so the
+    * reference level and thresholds can be data-derived (a baseline
+    * week's mean) without any driver-side collect — it rides a
+    * broadcast scalar fold like every other one-row config join.
+    *
+    * @return one row per day: day, x_fp, s_hi_fp, s_lo_fp, alarm
+    */
+  def cusum(daily: DataFrame, dayCol: String, xFpCol: String,
+            params: DataFrame): DataFrame = {
+    val w = Window.orderBy(dayCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.select(col(dayCol).as("day"), col(xFpCol).cast("long").as("x_fp"))
+      .crossJoin(broadcast(params.select(
+        col("mu0_fp").cast("long").as("mu0_fp"),
+        col("kappa_fp").cast("long").as("kappa_fp"),
+        col("h_fp").cast("long").as("h_fp"))))
+      .withColumn("p_hi",
+        sum(col("x_fp") - col("mu0_fp") - col("kappa_fp")).over(w))
+      .withColumn("p_lo",
+        sum(col("x_fp") - col("mu0_fp") + col("kappa_fp")).over(w))
+      // min/max prefix INCLUDING the virtual P₀ = 0 start (an all-up
+      // series must not reset against its own first element)
+      .withColumn("s_hi_fp",
+        col("p_hi") - least(min(col("p_hi")).over(w), lit(0L)))
+      .withColumn("s_lo_fp",
+        greatest(max(col("p_lo")).over(w), lit(0L)) - col("p_lo"))
+      .select(col("day"), col("x_fp"), col("s_hi_fp"), col("s_lo_fp"),
+        (col("s_hi_fp") > col("h_fp") || col("s_lo_fp") > col("h_fp"))
+          .as("alarm"))
+      .orderBy("day")
+  }
 }

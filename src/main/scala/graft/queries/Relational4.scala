@@ -1177,7 +1177,13 @@ object Relational4 {
 
     cupedQuery,
 
-    msprtQuery)
+    msprtQuery,
+
+    srmQuery,
+
+    mannWhitneyQuery,
+
+    cusumQuery)
 
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
     * the experimentation-platform standard): adjust each unit's outcome
@@ -1336,6 +1342,152 @@ object Relational4 {
         (Sampling.hashRank(col("user_id")) % 2 + 1).cast("int").as("arm"),
         round(col("value") * 100, 0).cast("long").as("v"))
       graft.ops.Sequential.msprt(ev, "day", "arm", "v", alpha = 0.05)
+    })
+
+  /** Sample-ratio-mismatch diagnostics per nation (Fabijan et al., KDD
+    * 2019 — the first gate of any experiment readout): chi-square of
+    * the realized md5-parity arm counts against the designed 1:1
+    * split, per segment. The flag is EXACT integer arithmetic against
+    * the pre-scaled critical value; only the chi2 display column
+    * touches doubles.
+    */
+  private lazy val srmQuery: QueryDef = QueryDef("q291_srm_check", Some("""
+      WITH per AS (SELECT n.n_name AS nation,
+               CAST((('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000003 + 1) % 2 + 1 AS INTEGER) AS arm
+             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      ag AS (SELECT nation,
+               CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1,
+               CAST(count(CASE WHEN arm = 2 THEN 1 END) AS BIGINT) AS n2
+             FROM per GROUP BY nation)
+      SELECT nation, n1, n2,
+             round(CAST((n1 - n2) * (n1 - n2) AS DOUBLE)
+                   / CAST(n1 + n2 AS DOUBLE), 6) AS chi2,
+             (n1 - n2) * (n1 - n2) * 1000000 > 3841459 * (n1 + n2) AS srm
+      FROM ag"""),
+    (spark, dir) => {
+      import graft.ops.Sampling
+      val per = T(spark, dir, "customer")
+        .join(broadcast(T(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          (Sampling.hashRank(col("c_custkey")) % 2 + 1).cast("int").as("arm"))
+      graft.ops.Sequential.srmCheck(per, "nation", "arm")
+        .select(col("g").as("nation"), col("n1"), col("n2"),
+          col("chi2"), col("srm"))
+    })
+
+  /** Mann–Whitney rank-sum between the BUILDING and MACHINERY
+    * segments' balances — the nonparametric twin of q86's Welch t on
+    * the same arms (rank-based, immune to the heavy tails that drag a
+    * mean): exact doubled-rank integers end to end, doubles only in
+    * the z readout, significance decided in exact decimal (see
+    * ops.Robust.mannWhitney).
+    */
+  private lazy val mannWhitneyQuery: QueryDef =
+    QueryDef("q292_mann_whitney", Some("""
+      WITH v AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS arm,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+             FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      bv AS (SELECT v, CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS ct
+             FROM v GROUP BY v),
+      rk AS (SELECT v, c1, ct,
+               sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+             FROM bv),
+      ag AS (SELECT
+               CAST(sum(CAST(c1 AS HUGEINT) * (2 * (cum - ct) + ct + 1)) AS HUGEINT) AS r2x,
+               CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT) AS tsum,
+               CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(ct - c1) AS BIGINT) AS n2
+             FROM rk),
+      fin AS (SELECT n1, n2, n1 + n2 AS n,
+                r2x - CAST(n1 AS HUGEINT) * (n1 + 1) AS u2x, tsum
+              FROM ag)
+      SELECT n1, n2, CAST(u2x AS BIGINT) AS u2x,
+        round((CAST(u2x AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+              / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 3.0
+                     * ((CAST(n AS DOUBLE) + 1.0)
+                        - CAST(tsum AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))),
+              6) AS z,
+        (u2x - CAST(n1 AS HUGEINT) * n2) * (u2x - CAST(n1 AS HUGEINT) * n2)
+          * 3 * 10000 * (CAST(n AS HUGEINT) * (n - 1))
+        > 38416 * CAST(n1 AS HUGEINT) * n2
+          * ((CAST(n AS HUGEINT) + 1) * (CAST(n AS HUGEINT) * (n - 1)) - tsum)
+          AS significant
+      FROM fin"""),
+    (spark, dir) => {
+      val c = T(spark, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(when(col("c_mktsegment") === "BUILDING", 1).otherwise(2)
+          .as("arm"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("v"))
+      graft.ops.Robust.mannWhitney(c, "arm", "v")
+    })
+
+  /** Page's CUSUM drift monitor over the daily mean event value:
+    * baseline week's mean as the reference level, κ = 1% and h = 5% of
+    * it (integer divisions of the exact lifted-mean scalar). The
+    * recursion rides the prefix-sum identity S⁺ₜ = Pₜ − min_{j≤t} Pⱼ —
+    * two exact-integer window sums, zero transcendentals (see
+    * ops.Sequential.cusum).
+    */
+  private lazy val cusumQuery: QueryDef = QueryDef("q293_cusum", Some("""
+      WITH ev AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(round(value * 100, 0) AS BIGINT) AS v
+             FROM events),
+      da AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS HUGEINT) AS s
+             FROM ev GROUP BY day),
+      dm AS (SELECT day,
+               CAST((s * 1000000 + CAST(n AS HUGEINT) * 10000000000000000) // n
+                    - 10000000000000000 AS BIGINT) AS x_fp
+             FROM da),
+      pr AS (SELECT CAST((sb * 1 + CAST(nb AS HUGEINT) * 10000000000000000) // nb
+                         - 10000000000000000 AS BIGINT) AS mu0_fp
+             FROM (SELECT CAST(count(*) AS BIGINT) AS nb,
+                     CAST(sum(x_fp) AS HUGEINT) AS sb
+                   FROM dm WHERE day < '2024-01-08')),
+      pp AS (SELECT mu0_fp, mu0_fp // 100 AS kappa_fp, mu0_fp // 20 AS h_fp
+             FROM pr),
+      se AS (SELECT dm.day, dm.x_fp,
+               sum(dm.x_fp - pp.mu0_fp - pp.kappa_fp)
+                 OVER (ORDER BY dm.day ROWS UNBOUNDED PRECEDING) AS p_hi,
+               sum(dm.x_fp - pp.mu0_fp + pp.kappa_fp)
+                 OVER (ORDER BY dm.day ROWS UNBOUNDED PRECEDING) AS p_lo,
+               pp.h_fp
+             FROM dm CROSS JOIN pp),
+      st AS (SELECT day, x_fp,
+               p_hi - least(min(p_hi) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
+                            0) AS s_hi_fp,
+               greatest(max(p_lo) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
+                        0) - p_lo AS s_lo_fp,
+               h_fp
+             FROM se)
+      SELECT day, x_fp, CAST(s_hi_fp AS BIGINT) AS s_hi_fp,
+             CAST(s_lo_fp AS BIGINT) AS s_lo_fp,
+             s_hi_fp > h_fp OR s_lo_fp > h_fp AS alarm
+      FROM st"""),
+    (spark, dir) => {
+      val ev = T(spark, dir, "events").select(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      val dm = ev.groupBy("day")
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("decimal(38,0)").as("s"))
+        .select(col("day"), expr(
+          """cast((s * 1000000 + cast(n as decimal(38,0)) * 10000000000000000)
+                  div n - 10000000000000000 as bigint)""").as("x_fp"))
+      val params = dm.filter(col("day") < "2024-01-08")
+        .agg(count(lit(1)).as("nb"),
+          sum(col("x_fp")).cast("decimal(38,0)").as("sb"))
+        .select(expr(
+          """cast((sb * 1 + cast(nb as decimal(38,0)) * 10000000000000000)
+                  div nb - 10000000000000000 as bigint)""").as("mu0_fp"))
+        .select(col("mu0_fp"),
+          expr("mu0_fp div 100").as("kappa_fp"),
+          expr("mu0_fp div 20").as("h_fp"))
+      graft.ops.Sequential.cusum(dm, "day", "x_fp", params)
     })
 
   /** DuckDB twin of ops.Sampling.hashRank over the draw key

@@ -52,6 +52,56 @@ class SequentialSpec extends SparkSuite {
       s"expected the variance guard, got: ${ex.getMessage}")
   }
 
+  test("srmCheck: fires exactly at the chi-square critical boundary, per segment") {
+    // n = 1000 per segment; chi2 = d^2/n crosses 3.841459 between
+    // d = 61 (3.721) and d = 62 (3.844) — the exact-integer flag must
+    // agree with that boundary with no float in the decision
+    def seg(name: String, n1: Int, n2: Int) =
+      (1 to n1).map(_ => (name, 1)) ++ (1 to n2).map(_ => (name, 2))
+    val df = (seg("ok", 500, 500) ++ seg("близко", 530, 470) ++
+      seg("srm", 531, 469)).toDF("g", "arm")
+    val r = graft.ops.Sequential.srmCheck(df, "g", "arm")
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Double]("chi2"), x.getAs[Boolean]("srm"))).toMap
+    assert(!r("ok")._2 && r("ok")._1 == 0.0)
+    assert(!r("близко")._2, s"d=60 must not flag: chi2=${r("близко")._1}")
+    assert(r("srm")._2, s"d=62 must flag: chi2=${r("srm")._1}")
+    assert(math.abs(r("srm")._1 - 62.0 * 62.0 / 1000.0) < 1e-9)
+  }
+
+  test("cusum: prefix-sum form equals the classic recursion; planted shift alarms, baseline does not") {
+    // 10 flat days at 1000, then a +60 level shift (kappa = 20,
+    // h = 150): S+ accumulates 40/day post-shift -> alarm on day 14
+    val xs = (1 to 10).map(_ => 1000L) ++ (11 to 20).map(_ => 1060L)
+    val daily = xs.zipWithIndex.map { case (x, i) => (f"d${i + 1}%02d", x) }
+      .toDF("day", "x_fp")
+    val params = Seq((1000L, 20L, 150L)).toDF("mu0_fp", "kappa_fp", "h_fp")
+    val r = graft.ops.Sequential.cusum(daily, "day", "x_fp", params)
+      .orderBy("day").collect()
+    // classic recursion replay
+    var sHi = 0L; var sLo = 0L
+    val want = xs.map { x =>
+      sHi = math.max(0L, sHi + (x - 1000L - 20L))
+      sLo = math.max(0L, sLo - (x - 1000L + 20L))
+      (sHi, sLo, sHi > 150L || sLo > 150L)
+    }
+    r.zip(want).zipWithIndex.foreach { case ((row, (whi, wlo, walarm)), i) =>
+      assert(row.getAs[Long]("s_hi_fp") == whi,
+        s"day ${i + 1}: s_hi ${row.getAs[Long]("s_hi_fp")} != replay $whi")
+      assert(row.getAs[Long]("s_lo_fp") == wlo)
+      assert(row.getAs[Boolean]("alarm") == walarm)
+    }
+    assert(!r(9).getAs[Boolean]("alarm"), "alarm before the shift")
+    assert(r.indexWhere(_.getAs[Boolean]("alarm")) == 13,
+      "expected first alarm on day 14 (4 days x 40 excess > 150)")
+    // downward drift trips the LOW side
+    val down = (1 to 6).map(i => (f"d$i%02d", 900L)).toDF("day", "x_fp")
+    val rd = graft.ops.Sequential.cusum(down, "day", "x_fp", params)
+      .orderBy("day").collect()
+    assert(rd.last.getAs[Long]("s_lo_fp") == 6L * 80L)
+    assert(rd.last.getAs[Boolean]("alarm"))
+  }
+
   test("a day where one arm is silent still carries cumulative stats forward") {
     val base = stream(6, 20, effect = 25L)
     // drop arm 2 entirely on day 3: the dense grid must carry arm 2's

@@ -72,4 +72,46 @@ class TheilSenSpec extends SparkSuite {
     assert(ex2.getMessage.contains("Long range"),
       s"expected the overflow guard, got: ${ex2.getMessage}")
   }
+
+  test("mannWhitney matches an exact BigInt replay on a tie-heavy fixture") {
+    // many ties (values mod 7) so the doubled-rank and tie-correction
+    // arithmetic is genuinely exercised; arm 1 shifted by +2
+    val rows = (1 to 300).map { i =>
+      val arm = if (i % 2 == 0) 1 else 2
+      (arm, (i * 13 % 7).toLong + (if (arm == 1) 2L else 0L))
+    }
+    def replay(rs: Seq[(Int, Long)]): (Long, Long, Long, Double, Boolean) = {
+      val n1 = rs.count(_._1 == 1).toLong; val n2 = rs.size - n1
+      val n = n1 + n2
+      val byV = rs.groupBy(_._2).toSeq.sortBy(_._1)
+      var below = 0L; var r2x = BigInt(0); var tsum = BigInt(0)
+      byV.foreach { case (_, g) =>
+        val ct = g.size.toLong; val c1 = g.count(_._1 == 1).toLong
+        r2x += BigInt(c1) * (2 * below + ct + 1)
+        tsum += BigInt(ct) * ct * ct - ct
+        below += ct
+      }
+      val u2x = r2x - BigInt(n1) * (n1 + 1)
+      val z = (u2x.toDouble - n1.toDouble * n2.toDouble) /
+        math.sqrt(n1.toDouble * n2.toDouble / 3.0 *
+          ((n.toDouble + 1.0) - tsum.toDouble / (n.toDouble * (n.toDouble - 1.0))))
+      val lhs = (u2x - BigInt(n1) * n2).pow(2) * 3 * 10000 * (BigInt(n) * (n - 1))
+      val rhs = BigInt(38416) * n1 * n2 * ((BigInt(n) + 1) * (BigInt(n) * (n - 1)) - tsum)
+      (n1, n2, u2x.toLong, math.rint(z * 1e6) / 1e6, lhs > rhs)
+    }
+    val got = graft.ops.Robust.mannWhitney(rows.toDF("arm", "v"), "arm", "v").head()
+    val (n1, n2, u2x, _, sig) = replay(rows)
+    assert(got.getAs[Long]("n1") == n1 && got.getAs[Long]("n2") == n2)
+    assert(got.getAs[Long]("u2x") == u2x, s"u2x ${got.getAs[Long]("u2x")} != $u2x")
+    assert(got.getAs[Boolean]("significant") == sig)
+    assert(sig, "planted +2 shift on a 0..6 tie lattice should be significant")
+    assert(math.abs(got.getAs[Double]("z") - replay(rows)._4) < 2e-6)
+
+    // identical arms: U sits at its null center exactly, not significant
+    val nullRows = (1 to 200).map(i => (if (i % 2 == 0) 1 else 2, (i % 5).toLong))
+    val g0 = graft.ops.Robust.mannWhitney(nullRows.toDF("arm", "v"), "arm", "v").head()
+    assert(g0.getAs[Long]("u2x") == 100L * 100L,
+      "symmetric arms must center 2U at n1*n2")
+    assert(!g0.getAs[Boolean]("significant"))
+  }
 }
