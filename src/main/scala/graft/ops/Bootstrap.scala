@@ -189,4 +189,75 @@ object Bootstrap {
       .select(col("__g").as(groupCol), col("n"), col("n_reps"),
         col("point_fp"), col("lo_fp"), col("hi_fp"))
   }
+
+  /** Delete-one-bucket jackknife for a RATIO metric (numerator sum /
+    * denominator sum — CTR, revenue-per-session, tokens-per-doc): the
+    * production-standard variance estimate for the metric class where
+    * per-unit ratios are undefined or wild (Quenouille 1956; the
+    * bucketed form every large experimentation platform ships, because
+    * the delta method needs covariances and the unit-level bootstrap
+    * needs per-unit resampling — B hash buckets give an
+    * embarrassingly-parallel leave-one-out). Units land in `buckets`
+    * deterministic md5 buckets ([[Sampling.hashRank]] mod B, the
+    * engine-replayable draw); R_b = (Σnum − num_b)/(Σden − den_b);
+    * var_jk = (B−1)/B · Σ_b (R_b − R̄)².
+    *
+    * Exactness: bucket sums are exact longs (ONE corpus pass,
+    * map-side combined); the B leave-one-out ratios and the variance
+    * fold are double arithmetic on those exact integers (÷, ×, √ —
+    * IEEE-correctly-rounded), rounded at the readout.
+    *
+    * @return one row: n_buckets, num_total, den_total, ratio (6 dp),
+    *         se_jk (6 dp), lo/hi (ratio ± 1.96·se, 6 dp)
+    */
+  def jackknifeRatio(df: DataFrame, idCol: String, numCol: String,
+                     denCol: String, buckets: Int = 50): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val per = df.select(
+      (Sampling.hashRank(col(idCol).cast("string")) % buckets).as("b"),
+      col(numCol).cast("long").as("num"), col(denCol).cast("long").as("den"))
+    val byB = per.groupBy("b")
+      .agg(sum("num").as("nb"), sum("den").as("db"))
+    val tot = byB.agg(sum("nb").as("nt"), sum("db").as("dt"),
+      count(lit(1)).as("bpresent"))
+    // leave-one-out ratios as EXACT 10^9 fixed-point integers (lifted
+    // floor division): a double r_b here would make the variance fold
+    // depend on float summation ORDER across partitions — the moments
+    // below must be exact decimals so the fold is deterministic and
+    // engine-replayable. Empty leave-one-out denominators fail fast.
+    val loo = byB.crossJoin(broadcast(tot))
+      .withColumn("r_fp", expr(
+        s"""case when dt - db <= 0
+           then cast(raise_error(
+             'jackknifeRatio: a leave-one-out denominator is empty')
+             as decimal(38,0))
+           else (cast(nt - nb as decimal(38,0)) * 1000000000
+                 + cast(dt - db as decimal(38,0)) * $OffsetFp) div (dt - db)
+                - $OffsetFp end"""))
+    val folded = loo.agg(
+      max("bpresent").as("n_buckets"), max("nt").as("num_total"),
+      max("dt").as("den_total"),
+      sum(col("r_fp")).as("s1"),
+      sum(col("r_fp") * col("r_fp")).as("s2"),
+      count(lit(1)).cast("long").as("bcnt"))
+    // exact integer moments -> one scalar double readout; the jackknife
+    // variance in fp^2 units is (B-1)/B * (S2 - S1^2/B), se back in
+    // ratio units via the 10^9 descale
+    val seExpr =
+      """sqrt((cast(bcnt as double) - 1.0) / cast(bcnt as double)
+              * (cast(s2 as double)
+                 - cast(s1 as double) * cast(s1 as double)
+                   / cast(bcnt as double)))
+         / 1000000000.0"""
+    folded.select(col("n_buckets"), col("num_total"), col("den_total"),
+      round(expr("cast(num_total as double) / cast(den_total as double)"), 6)
+        .as("ratio"),
+      round(expr(seExpr), 6).as("se_jk"),
+      round(expr(
+        s"""cast(num_total as double) / cast(den_total as double)
+           - 1.96 * $seExpr"""), 6).as("lo"),
+      round(expr(
+        s"""cast(num_total as double) / cast(den_total as double)
+           + 1.96 * $seExpr"""), 6).as("hi"))
+  }
 }

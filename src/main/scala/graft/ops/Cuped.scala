@@ -78,4 +78,55 @@ object Cuped {
         col("dy").cast("long").as("raw_diff_fp"),
         (col("dy") - col("adj_term")).cast("long").as("adj_diff_fp"))
   }
+
+  /** Difference-in-differences — the quasi-experimental panel
+    * estimator (Card & Krueger 1994 canonical form): when assignment
+    * is NOT randomized, the treated−control gap confounds with
+    * pre-existing level differences; under parallel trends the
+    * interaction δ = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre)
+    * removes both group levels and the common period shock. The
+    * complement of [[adjustedDiff]]: CUPED needs randomized arms and
+    * reduces variance; DiD needs no randomization and removes bias.
+    *
+    * Same exactness discipline: one two-key aggregate over rows, four
+    * cell means via positivity-offset floor division in decimal(38,0),
+    * δ as their exact integer combination.
+    *
+    * @return one row: n_t_pre, n_t_post, n_c_pre, n_c_post,
+    *         pre_gap_fp, post_gap_fp, did_fp (value units × 10⁶)
+    */
+  def diffInDiff(rows: DataFrame, groupCol: String, postCol: String,
+                 yCol: String): DataFrame = {
+    val cells = rows.select(col(groupCol).cast("int").as("g"),
+        col(postCol).cast("int").as("p"), col(yCol).cast("long").as("y"))
+      .groupBy("g", "p")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("decimal(38,0)").as("s"))
+      .withColumn("m_fp", expr(
+        """(s * 1000000 + cast(n as decimal(38,0)) * 10000000000000000) div n
+           - 10000000000000000"""))
+    cells.agg(
+        max(when(col("g") === 1 && col("p") === 0, col("n"))).as("n_t_pre"),
+        max(when(col("g") === 1 && col("p") === 1, col("n"))).as("n_t_post"),
+        max(when(col("g") === 0 && col("p") === 0, col("n"))).as("n_c_pre"),
+        max(when(col("g") === 0 && col("p") === 1, col("n"))).as("n_c_post"),
+        max(when(col("g") === 1 && col("p") === 0, col("m_fp"))).as("mtp0"),
+        max(when(col("g") === 1 && col("p") === 1, col("m_fp"))).as("mtp1"),
+        max(when(col("g") === 0 && col("p") === 0, col("m_fp"))).as("mcp0"),
+        max(when(col("g") === 0 && col("p") === 1, col("m_fp"))).as("mcp1"))
+      // all four cells must exist: a missing one silently NULLs delta
+      // where a SQL replay may instead surface an empty aggregate —
+      // the family's fail-fast parity rule
+      .select(
+        expr("""case when n_t_pre is null or n_t_post is null
+                       or n_c_pre is null or n_c_post is null
+                then cast(raise_error(
+                  'diffInDiff: all four group x period cells must be non-empty')
+                  as bigint)
+                else n_t_pre end""").as("n_t_pre"),
+        col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        (col("mtp0") - col("mcp0")).cast("long").as("pre_gap_fp"),
+        (col("mtp1") - col("mcp1")).cast("long").as("post_gap_fp"),
+        ((col("mtp1") - col("mtp0")) - (col("mcp1") - col("mcp0")))
+          .cast("long").as("did_fp"))
+  }
 }

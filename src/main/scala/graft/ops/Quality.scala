@@ -154,4 +154,55 @@ object Quality {
     based.select(groupCols.map(col) :+
       round(col("__n") + noise, 6).as("noisy_count"): _*)
   }
+
+  /** Benford first-significant-digit expectation, scaled 10⁻⁹
+    * (p_d = log10(1 + 1/d)) — FIXED integer literals shared with any
+    * SQL twin, so the audit's arithmetic is exact end to end; the
+    * irrational logs are frozen here once, not recomputed by either
+    * engine.
+    */
+  val BenfordP9: Seq[Long] = Seq(301029996L, 176091259L, 124938737L,
+    96910013L, 79181246L, 66946790L, 57991947L, 51152522L, 45757491L)
+
+  /** Benford's-law audit of a positive integer-grained column — the
+    * classic forensic screen for fabricated or truncated numeric data
+    * (Benford 1938; Nigrini's fraud-audit practice): multi-decade
+    * natural amounts put digit d first with probability log10(1+1/d),
+    * and a chi-square against that expectation flags synthetic,
+    * capped, or re-priced populations. Counts are exact (one
+    * map-side-combinable aggregate over the column); the expected
+    * masses ride the frozen [[BenfordP9]] integers, so both the
+    * chi-square readout and its decision input (obs·10⁹ − n·p_d) are
+    * engine-replayable; only the final display division is a double.
+    *
+    * @return 9 rows: digit, observed, expected_fp (count × 10⁹ scale),
+    *         chi2_term (6 dp); plus the caller sums chi2_term against
+    *         the df=8 critical value
+    */
+  def benford(df: DataFrame, valCol: String): DataFrame = {
+    val v = df.select(col(valCol).cast("long").as("v")).filter(col("v") > 0)
+    val digits = v
+      .select(substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val pLit = BenfordP9.zipWithIndex
+      .map { case (p, i) => s"when digit = ${i + 1} then ${p}L" }
+      .mkString("case ", " ", " end")
+    digits
+      .crossJoin(broadcast(v.agg(count(lit(1)).as("n"))))
+      .withColumn("p9", expr(pLit))
+      // expected count at 10^9 scale — exact long/decimal product
+      .withColumn("expected_fp",
+        col("n").cast("decimal(38,0)") * col("p9"))
+      // chi2 term (obs - n·p)^2 / (n·p): numerator exact at 10^9 scale,
+      // one double division at the readout
+      .withColumn("chi2_term", round(expr(
+        """cast((cast(observed as decimal(38,0)) * 1000000000 - expected_fp)
+                * (cast(observed as decimal(38,0)) * 1000000000 - expected_fp)
+                as double)
+           / (cast(expected_fp as double) * 1000000000.0)"""), 6))
+      .select(col("digit"), col("observed"),
+        col("expected_fp").cast("long").as("expected_fp"),
+        col("chi2_term"))
+      .orderBy("digit")
+  }
 }

@@ -1183,7 +1183,13 @@ object Relational4 {
 
     mannWhitneyQuery,
 
-    cusumQuery)
+    cusumQuery,
+
+    didQuery,
+
+    benfordQuery,
+
+    jackknifeQuery)
 
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
     * the experimentation-platform standard): adjust each unit's outcome
@@ -1488,6 +1494,147 @@ object Relational4 {
           expr("mu0_fp div 100").as("kappa_fp"),
           expr("mu0_fp div 20").as("h_fp"))
       graft.ops.Sequential.cusum(dm, "day", "x_fp", params)
+    })
+
+  /** Difference-in-differences over the events month (Card & Krueger
+    * 1994 canonical form): md5-parity "rollout" group × pre/post
+    * 2024-01-16 period, δ = the interaction of the four exact cell
+    * means — the quasi-experimental complement of q289's CUPED (no
+    * randomization assumed; parallel trends instead). Exact decimal
+    * cell means, fail-fast on an empty cell (ops.Cuped.diffInDiff).
+    */
+  private lazy val didQuery: QueryDef = QueryDef("q294_diff_in_diff", Some("""
+      WITH ev AS (SELECT
+               CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000003 + 1) % 2 AS INTEGER) AS g,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END AS p,
+               CAST(round(value * 100, 0) AS BIGINT) AS y
+             FROM events),
+      cells AS (SELECT g, p, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(y) AS HUGEINT) AS s
+                FROM ev GROUP BY g, p),
+      m AS (SELECT g, p, n,
+              (s * 1000000 + CAST(n AS HUGEINT) * 10000000000000000) // n
+                - 10000000000000000 AS m_fp
+            FROM cells),
+      pv AS (SELECT
+               max(CASE WHEN g = 1 AND p = 0 THEN n END) AS n_t_pre,
+               max(CASE WHEN g = 1 AND p = 1 THEN n END) AS n_t_post,
+               max(CASE WHEN g = 0 AND p = 0 THEN n END) AS n_c_pre,
+               max(CASE WHEN g = 0 AND p = 1 THEN n END) AS n_c_post,
+               max(CASE WHEN g = 1 AND p = 0 THEN m_fp END) AS mtp0,
+               max(CASE WHEN g = 1 AND p = 1 THEN m_fp END) AS mtp1,
+               max(CASE WHEN g = 0 AND p = 0 THEN m_fp END) AS mcp0,
+               max(CASE WHEN g = 0 AND p = 1 THEN m_fp END) AS mcp1
+             FROM m)
+      SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+             round(CAST(mtp0 - mcp0 AS DOUBLE) / 100000000, 6) AS pre_gap,
+             round(CAST(mtp1 - mcp1 AS DOUBLE) / 100000000, 6) AS post_gap,
+             round(CAST((mtp1 - mtp0) - (mcp1 - mcp0) AS DOUBLE) / 100000000, 6)
+               AS did
+      FROM pv"""),
+    (spark, dir) => {
+      import graft.ops.Sampling
+      val ev = T(spark, dir, "events").select(
+        (Sampling.hashRank(col("user_id")) % 2).cast("int").as("g"),
+        when(col("ts") >= to_timestamp(lit("2024-01-16 00:00:00")), 1)
+          .otherwise(0).as("p"),
+        round(col("value") * 100, 0).cast("long").as("y"))
+      graft.ops.Cuped.diffInDiff(ev, "g", "p", "y")
+        .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+          round(col("pre_gap_fp").cast("double") / 100000000, 6).as("pre_gap"),
+          round(col("post_gap_fp").cast("double") / 100000000, 6).as("post_gap"),
+          round(col("did_fp").cast("double") / 100000000, 6).as("did"))
+    })
+
+  /** Benford first-digit audit of order totals (Nigrini's forensic
+    * screen): exact digit counts against the frozen 10⁻⁹ expectation
+    * integers (ops.Quality.BenfordP9 — the irrational logs live in ONE
+    * place, interpolated into this SQL), chi-square terms per digit.
+    */
+  private lazy val benfordQuery: QueryDef = QueryDef("q295_benford", Some(s"""
+      WITH v AS (SELECT v FROM (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+                                FROM orders) WHERE v > 0),
+      d AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM v),
+      ob AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY digit),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      p AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS digit,
+                   unnest([${graft.ops.Quality.BenfordP9.mkString(", ")}]) AS p9)
+      SELECT ob.digit, ob.observed,
+             CAST(CAST(nn.n AS HUGEINT) * p.p9 AS BIGINT) AS expected_fp,
+             round(CAST((CAST(ob.observed AS HUGEINT) * 1000000000
+                         - CAST(nn.n AS HUGEINT) * p.p9)
+                        * (CAST(ob.observed AS HUGEINT) * 1000000000
+                           - CAST(nn.n AS HUGEINT) * p.p9) AS DOUBLE)
+                   / (CAST(CAST(nn.n AS HUGEINT) * p.p9 AS DOUBLE) * 1000000000.0),
+                   6) AS chi2_term
+      FROM ob JOIN p ON ob.digit = p.digit CROSS JOIN nn
+      ORDER BY ob.digit"""),
+    (spark, dir) => {
+      val o = T(spark, dir, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+      graft.ops.Quality.benford(o, "v")
+    })
+
+  /** Delete-one-bucket jackknife CI for the click-through ratio — the
+    * production variance recipe for ratio metrics (sum/sum over units,
+    * where per-unit ratios are undefined): 50 md5 buckets, exact
+    * fixed-point leave-one-out ratios so the variance fold is
+    * order-independent, doubles only in the scalar readout
+    * (ops.Bootstrap.jackknifeRatio).
+    */
+  private lazy val jackknifeQuery: QueryDef =
+    QueryDef("q296_jackknife_ratio", Some(s"""
+      WITH per AS (SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views
+             FROM events GROUP BY user_id),
+      pb AS (SELECT (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                     % 1000003 + 1) % 50 AS b, clicks, views
+             FROM per),
+      byb AS (SELECT b, CAST(sum(clicks) AS BIGINT) AS nb,
+                CAST(sum(views) AS BIGINT) AS db
+              FROM pb GROUP BY b),
+      tot AS (SELECT CAST(sum(nb) AS BIGINT) AS nt, CAST(sum(db) AS BIGINT) AS dt,
+                CAST(count(*) AS BIGINT) AS bpresent
+              FROM byb),
+      loo AS (SELECT byb.b,
+                (CAST(tot.nt - byb.nb AS HUGEINT) * 1000000000
+                 + CAST(tot.dt - byb.db AS HUGEINT) * ${graft.ops.Bootstrap.OffsetFp})
+                  // (tot.dt - byb.db) - ${graft.ops.Bootstrap.OffsetFp} AS r_fp,
+                tot.nt, tot.dt, tot.bpresent
+              FROM byb, tot),
+      fold AS (SELECT max(bpresent) AS n_buckets, max(nt) AS num_total,
+                 max(dt) AS den_total,
+                 CAST(sum(r_fp) AS HUGEINT) AS s1,
+                 CAST(sum(r_fp * r_fp) AS HUGEINT) AS s2,
+                 CAST(count(*) AS BIGINT) AS bcnt
+               FROM loo)
+      SELECT n_buckets, num_total, den_total,
+        round(CAST(num_total AS DOUBLE) / CAST(den_total AS DOUBLE), 6) AS ratio,
+        round(sqrt((CAST(bcnt AS DOUBLE) - 1.0) / CAST(bcnt AS DOUBLE)
+                   * (CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                        / CAST(bcnt AS DOUBLE)))
+              / 1000000000.0, 6) AS se_jk,
+        round(CAST(num_total AS DOUBLE) / CAST(den_total AS DOUBLE)
+              - 1.96 * sqrt((CAST(bcnt AS DOUBLE) - 1.0) / CAST(bcnt AS DOUBLE)
+                            * (CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                 / CAST(bcnt AS DOUBLE)))
+                     / 1000000000.0, 6) AS lo,
+        round(CAST(num_total AS DOUBLE) / CAST(den_total AS DOUBLE)
+              + 1.96 * sqrt((CAST(bcnt AS DOUBLE) - 1.0) / CAST(bcnt AS DOUBLE)
+                            * (CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                 / CAST(bcnt AS DOUBLE)))
+                     / 1000000000.0, 6) AS hi
+      FROM fold"""),
+    (spark, dir) => {
+      val per = T(spark, dir, "events").groupBy("user_id").agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"))
+      graft.ops.Bootstrap.jackknifeRatio(per, "user_id", "clicks", "views", 50)
     })
 
   /** DuckDB twin of ops.Sampling.hashRank over the draw key

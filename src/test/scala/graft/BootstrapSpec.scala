@@ -114,6 +114,53 @@ class BootstrapSpec extends SparkSuite {
       s"expected an emptiness guard, got: ${ex.getMessage}")
   }
 
+  test("jackknifeRatio: exact BigInt replay; homogeneous buckets give a tight CI") {
+    // 400 units, clicks/views planted so the true ratio is ~0.25 with
+    // mild per-unit variation; replay recomputes the exact fixed-point
+    // leave-one-out moments and the double readout formula
+    val rows = (1L to 400L).map(u => (u, (u % 3) + 1L, 4L + (u % 5)))
+    val df = rows.toDF("id", "clicks", "views")
+    def hashRankLong(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1000003L + 1L
+    }
+    val b = 50
+    val byB = rows.groupBy(r => hashRankLong(r._1.toString) % b)
+      .map { case (k, g) => k -> (g.map(_._2).sum, g.map(_._3).sum) }
+    val nt = byB.values.map(_._1).sum; val dt = byB.values.map(_._2).sum
+    val off = BigInt(graft.ops.Bootstrap.OffsetFp)
+    val rfps = byB.values.toSeq.map { case (nb, db) =>
+      (BigInt(nt - nb) * 1000000000L + BigInt(dt - db) * off) / BigInt(dt - db) - off
+    }
+    val bcnt = rfps.size.toDouble
+    val s1 = rfps.sum; val s2 = rfps.map(x => x * x).sum
+    val se = math.sqrt((bcnt - 1.0) / bcnt *
+      (s2.toDouble - s1.toDouble * s1.toDouble / bcnt)) / 1e9
+    val got = graft.ops.Bootstrap.jackknifeRatio(df, "id", "clicks", "views", b)
+      .head()
+    assert(got.getAs[Long]("n_buckets") == rfps.size.toLong)
+    assert(got.getAs[Long]("num_total") == nt && got.getAs[Long]("den_total") == dt)
+    assert(got.getAs[Double]("ratio") == math.rint(nt.toDouble / dt * 1e6) / 1e6)
+    assert(math.abs(got.getAs[Double]("se_jk") - se) < 2e-6,
+      s"se ${got.getAs[Double]("se_jk")} != replay $se")
+    assert(got.getAs[Double]("lo") < got.getAs[Double]("ratio") &&
+      got.getAs[Double]("ratio") < got.getAs[Double]("hi"))
+    // homogeneous buckets: the jackknife se must be small vs the ratio
+    assert(got.getAs[Double]("se_jk") < 0.05 * got.getAs[Double]("ratio"))
+  }
+
+  test("jackknifeRatio: an empty leave-one-out denominator fails fast") {
+    // all views land in whichever single bucket id=1 hashes to ->
+    // removing that bucket empties the denominator
+    val df = Seq((1L, 3L, 10L), (1L, 2L, 5L)).toDF("id", "clicks", "views")
+    val ex = intercept[Exception] {
+      graft.ops.Bootstrap.jackknifeRatio(df, "id", "clicks", "views", 50).collect()
+    }
+    assert(ex.getMessage.contains("leave-one-out denominator"),
+      s"expected the denominator guard, got: ${ex.getMessage}")
+  }
+
   test("groupMeanCI: a group too small to retain hiRank replicates errors") {
     // a 1-unit group drops every replicate whose single Poisson weight
     // is 0 (~37%), so n_reps < hiRank = reps is near-certain; before

@@ -80,6 +80,35 @@ class CupedSpec extends SparkSuite {
     assert(r.getAs[Long]("adj_diff_fp") == adj)
   }
 
+  test("diffInDiff recovers a planted effect under group levels AND a period shock") {
+    // group level +400 on treated, common period shock +150 on post,
+    // true effect +70 on treated-post only; noise identical across
+    // cells so the interaction is EXACT: did_fp = 70 * 10^6
+    val rows = (for {
+      g <- Seq(0, 1); p <- Seq(0, 1); i <- 1 to 50
+    } yield {
+      val noise = ((i * 17) % 13).toLong - 6
+      (g, p, 1000L + noise + (if (g == 1) 400L else 0L) +
+        (if (p == 1) 150L else 0L) + (if (g == 1 && p == 1) 70L else 0L))
+    }).toDF("g", "p", "y")
+    val r = graft.ops.Cuped.diffInDiff(rows, "g", "p", "y").head()
+    assert(r.getAs[Long]("n_t_pre") == 50L && r.getAs[Long]("n_c_post") == 50L)
+    // identical noise per cell cancels exactly in every difference
+    assert(r.getAs[Long]("pre_gap_fp") == 400L * 1000000L)
+    assert(r.getAs[Long]("post_gap_fp") == 470L * 1000000L)
+    assert(r.getAs[Long]("did_fp") == 70L * 1000000L,
+      s"did_fp ${r.getAs[Long]("did_fp")} != 70e6")
+  }
+
+  test("diffInDiff fails fast when a group x period cell is empty") {
+    val rows = Seq((1, 0, 10L), (1, 1, 12L), (0, 0, 9L)).toDF("g", "p", "y")
+    val ex = intercept[Exception] {
+      graft.ops.Cuped.diffInDiff(rows, "g", "p", "y").collect()
+    }
+    assert(ex.getMessage.contains("four group x period cells"),
+      s"expected the empty-cell guard, got: ${ex.getMessage}")
+  }
+
   test("constant covariate (var(x)=0) fails fast instead of nulling") {
     val rows = (1L to 40L).map(u => (u, if (u % 2 == 0) 1 else 2, 5L, u * 3))
     val ex = intercept[Exception] {

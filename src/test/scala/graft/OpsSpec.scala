@@ -400,6 +400,34 @@ class OpsSpec extends SparkSuite {
       (4L, None, None, 2L, true), (5L, None, None, 2L, true)))
   }
 
+  test("Quality.benford: log-uniform population conforms, capped population flags digit 1") {
+    // geometric ladder 10^(i/1000) for i in [3000, 6000): first-digit
+    // mass converges to log10(1+1/d) by equidistribution — every
+    // chi2 term should be small. Deterministic (integer powers).
+    val ladder = (3000 until 6000)
+      .map(i => math.pow(10.0, i / 1000.0).toLong).toDF("v")
+    val conform = graft.ops.Quality.benford(ladder, "v")
+      .collect().map(r => r.getAs[Int]("digit") -> r.getAs[Double]("chi2_term"))
+    assert(conform.map(_._1).toSeq == (1 to 9), "all nine digits present")
+    assert(conform.map(_._2).sum < 15.51,
+      s"log-uniform data should pass the df=8 5% gate: ${conform.toSeq}")
+    // uniform [10000, 99999]: each first digit gets 1/9 of the mass —
+    // digit 1 alone (expected 30.1%, observed 11.1%) blows the gate
+    val uniform = (0 until 9000).map(i => 10000L + i * 10L).toDF("v")
+    val flagged = graft.ops.Quality.benford(uniform, "v")
+      .collect().map(r => r.getAs[Int]("digit") -> r.getAs[Double]("chi2_term"))
+      .toMap
+    assert(flagged.values.sum > 15.51 * 10,
+      s"uniform data must fail the Benford gate decisively: $flagged")
+    // exact count bookkeeping: observed sums to n; expected_fp to n*1e9
+    // within the frozen constants' rounding residue
+    val obs = graft.ops.Quality.benford(uniform, "v").collect()
+    assert(obs.map(_.getAs[Long]("observed")).sum == 9000L)
+    val expSum = obs.map(_.getAs[Long]("expected_fp")).sum
+    assert(math.abs(expSum - 9000L * 1000000000L) <= 9000L,
+      s"expected mass drifted: $expSum")
+  }
+
   test("EntityResolution: blocked pairs find exactly the in-block fuzzy matches") {
     val names = Seq("jon's pizza", "jons pizza", "jonas pizzeria",
       "burger barn", "burger bern", "zebra cafe").toDF("name")
