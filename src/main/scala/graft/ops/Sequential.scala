@@ -52,11 +52,15 @@ object Sequential {
             valCol: String, alpha: Double = 0.05): DataFrame = {
     val ev = perEvent.select(col(dayCol).as("day"), col(armCol).as("arm"),
       col(valCol).cast("long").as("v"))
-    // the one corpus-sized pass
+    // the one corpus-sized pass — lazily localCheckpointed (the q282
+    // idiom) because both the day spine and the grid join consume it:
+    // without truncation each consumer would re-run the corpus
+    // aggregate, doubling the only expensive scan
     val dayArm = ev.groupBy("day", "arm").agg(
-      count(lit(1)).as("n"),
-      sum(col("v")).cast("decimal(38,0)").as("s"),
-      sum(col("v").cast("decimal(38,0)") * col("v")).as("ss"))
+        count(lit(1)).as("n"),
+        sum(col("v")).cast("decimal(38,0)").as("s"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("ss"))
+      .localCheckpoint(eager = false)
     // dense day x arm grid so cumulative sums carry across days where
     // one arm is silent (days-count rows; trivially small)
     val days = dayArm.select("day").distinct()

@@ -1479,11 +1479,15 @@ object Relational4 {
       val ev = T(spark, dir, "events").select(
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
         round(col("value") * 100, 0).cast("long").as("v"))
+      // lazy checkpoint (q282 idiom): the baseline params AND the CUSUM
+      // series both consume the daily frame — truncation keeps the
+      // corpus aggregate to ONE scan
       val dm = ev.groupBy("day")
         .agg(count(lit(1)).as("n"), sum(col("v")).cast("decimal(38,0)").as("s"))
         .select(col("day"), expr(
           """cast((s * 1000000 + cast(n as decimal(38,0)) * 10000000000000000)
                   div n - 10000000000000000 as bigint)""").as("x_fp"))
+        .localCheckpoint(eager = false)
       val params = dm.filter(col("day") < "2024-01-08")
         .agg(count(lit(1)).as("nb"),
           sum(col("x_fp")).cast("decimal(38,0)").as("sb"))

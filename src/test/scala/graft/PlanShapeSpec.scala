@@ -362,4 +362,34 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"q282 day-grid join no longer broadcasts the tiny grid:\n${p.take(2000)}")
   }
+
+  test("r17 experiment family: one corpus scan each, map-side partials, broadcast scalar joins") {
+    // q290 mSPRT / q293 CUSUM / q296 jackknife: the ONLY corpus-sized
+    // stage is one events aggregate (map-side combined); everything
+    // downstream runs on days/buckets. Two scans would mean the
+    // checkpoint/window chain re-reads the corpus; a missing partial_
+    // means the groupBy ships raw rows.
+    Seq("q290_msprt" -> 1, "q293_cusum" -> 1, "q296_jackknife_ratio" -> 1)
+      .foreach { case (name, maxScans) =>
+        val df = q(name)
+        df.collect()
+        val plan = df.queryExecution.executedPlan
+        val scans = collectWithSubqueries(plan) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.size
+        assert(scans <= maxScans,
+          s"$name reads the corpus $scans times (max $maxScans):\n" +
+            plan.toString.take(2000))
+        assert(plan.toString.contains("partial_"),
+          s"$name lost its map-side partial aggregate:\n" +
+            plan.toString.take(2000))
+      }
+    // q291 SRM: the decision is a pure aggregate — no join, no window,
+    // one customer scan plus the broadcast nation dim
+    val p291 = planOf(q("q291_srm_check"))
+    assert(p291.contains("BroadcastHashJoin"),
+      s"q291 nation dim no longer broadcasts:\n${p291.take(2000)}")
+    assert(!p291.contains("Window"),
+      s"q291 grew a window it never needed:\n${p291.take(2000)}")
+  }
 }
