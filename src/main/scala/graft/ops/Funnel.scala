@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis — the product-analytics primitive behind
+  * every conversion dashboard: of the users who performed step 1, how
+  * many went on to perform step 2 AFTER it, then step 3 after that,
+  * strictly ordered within each user's own timeline (first-touch
+  * semantics: each step matches at its earliest eligible instant, the
+  * deterministic choice that makes the count replayable).
+  *
+  * Spark-first shape: ONE corpus scan groups each user's event times
+  * per step into a sorted array (collect_list + array_sort — per-user
+  * arrays are bounded by that user's own activity, never corpus-sized),
+  * then the step chain is pure array algebra: t₁ = first(s₁ times),
+  * tₖ = min of sₖ's times strictly after tₖ₋₁ (`filter` + `array_min`,
+  * codegen'd, no UDF). A join-per-step formulation would rescan the
+  * corpus k times and still need the per-step time lists; this pays
+  * one shuffle on user_id and k array scans of tiny per-user lists.
+  *
+  * Exactness: timestamps ride as epoch microseconds (long); every
+  * comparison is integer; the conversion percentages are one double
+  * division at the readout from exact counts.
+  */
+object Funnel {
+
+  /** Funnel readout. Input: raw events with a user, an event-type
+    * string, and a timestamp. `steps` is the ordered step list (2+).
+    *
+    * @return one row per step, in order: step_idx, step, users_reached,
+    *         pct_of_first (6 dp), pct_of_prev (6 dp)
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val spark = events.sparkSession
+    val ev = events
+      .filter(col(typeCol).isin(steps: _*))
+      // epoch MICROseconds (not the second-grain timestamp->long cast):
+      // strict "after" comparisons must not collapse same-second events
+      .select(col(userCol).as("u"), col(typeCol).as("t"),
+        unix_micros(col(tsCol).cast("timestamp")).as("ts"))
+    // one corpus pass: per (user, step) sorted time arrays, pivoted to
+    // one row per user (arrays bounded by the user's own activity)
+    val perUser = ev.groupBy("u").agg(
+      steps.zipWithIndex.map { case (s, i) =>
+        array_sort(collect_list(when(col("t") === s, col("ts"))))
+          .as(s"ts$i")
+      }.head,
+      steps.zipWithIndex.drop(1).map { case (s, i) =>
+        array_sort(collect_list(when(col("t") === s, col("ts"))))
+          .as(s"ts$i")
+      }: _*)
+    // the strict-order chain: m0 = first s0 time; mk = min sk time > m(k-1)
+    val withMatches = steps.indices.foldLeft(perUser) { (df, i) =>
+      // size guard: a user with later-step events but no step-1 event
+      // has an EMPTY ts0, and ANSI element_at throws on it — the null
+      // must flow instead (the user simply never entered the funnel)
+      if (i == 0) df.withColumn("m0",
+        when(size(col("ts0")) > 0, element_at(col("ts0"), 1)))
+      // a null m(k-1) nulls every comparison, the filter keeps nothing,
+      // and array_min(empty) stays null — non-reaching users propagate
+      else df.withColumn(s"m$i",
+        array_min(filter(col(s"ts$i"), x => x > col(s"m${i - 1}"))))
+    }
+    // exact per-step reach counts in one aggregate
+    val counts = withMatches.agg(
+      count(col("m0")).as("r0"),
+      steps.indices.drop(1).map(i => count(col(s"m$i")).as(s"r$i")): _*)
+    // unpivot to one row per step with the two conversion readouts
+    val stepRows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(s).as("step"),
+        col(s"r$i").as("users_reached"),
+        round(col(s"r$i").cast("double")
+          / when(col("r0") === 0L, lit(null)).otherwise(col("r0")) * 100, 6)
+          .as("pct_of_first"),
+        round(col(s"r$i").cast("double")
+          / when(col(s"r${math.max(i - 1, 0)}") === 0L, lit(null))
+            .otherwise(col(s"r${math.max(i - 1, 0)}")) * 100, 6)
+          .as("pct_of_prev"))
+    }
+    counts.select(explode(array(stepRows: _*)).as("s"))
+      .select(col("s.step_idx"), col("s.step"), col("s.users_reached"),
+        col("s.pct_of_first"), col("s.pct_of_prev"))
+      .orderBy("step_idx")
+  }
+}

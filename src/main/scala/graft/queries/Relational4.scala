@@ -1189,7 +1189,11 @@ object Relational4 {
 
     benfordQuery,
 
-    jackknifeQuery)
+    jackknifeQuery,
+
+    funnelQuery,
+
+    kaplanMeierQuery)
 
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
     * the experimentation-platform standard): adjust each unit's outcome
@@ -1639,6 +1643,109 @@ object Relational4 {
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"))
       graft.ops.Bootstrap.jackknifeRatio(per, "user_id", "clicks", "views", 50)
+    })
+
+  /** Ordered conversion funnel signup → view → click → purchase over
+    * each user's own timeline (first-touch: every step matches at its
+    * earliest instant strictly after the previous step's match) — ONE
+    * corpus scan into per-user per-step sorted time arrays, then pure
+    * array algebra; see ops.Funnel. The oracle replays the identical
+    * list pipeline with DuckDB lambdas (list_filter/list_min).
+    */
+  private lazy val funnelQuery: QueryDef = QueryDef("q297_funnel", Some("""
+      WITH ev AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts
+                  FROM events
+                  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+      pu AS (SELECT u,
+               list_sort(list(ts) FILTER (WHERE t = 'signup')) AS ts0,
+               list_sort(list(ts) FILTER (WHERE t = 'view')) AS ts1,
+               list_sort(list(ts) FILTER (WHERE t = 'click')) AS ts2,
+               list_sort(list(ts) FILTER (WHERE t = 'purchase')) AS ts3
+             FROM ev GROUP BY u),
+      c0 AS (SELECT u, ts0[1] AS m0, ts1, ts2, ts3 FROM pu),
+      c1 AS (SELECT u, m0, list_min(list_filter(ts1, x -> x > m0)) AS m1,
+               ts2, ts3 FROM c0),
+      c2 AS (SELECT u, m0, m1, list_min(list_filter(ts2, x -> x > m1)) AS m2,
+               ts3 FROM c1),
+      c3 AS (SELECT u, m0, m1, m2,
+               list_min(list_filter(ts3, x -> x > m2)) AS m3 FROM c2),
+      r AS (SELECT CAST(count(m0) AS BIGINT) AS r0,
+              CAST(count(m1) AS BIGINT) AS r1,
+              CAST(count(m2) AS BIGINT) AS r2,
+              CAST(count(m3) AS BIGINT) AS r3
+            FROM c3)
+      SELECT * FROM (
+        SELECT 1 AS step_idx, 'signup' AS step, r0 AS users_reached,
+               round(CAST(r0 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) AS pct_of_first,
+               round(CAST(r0 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) AS pct_of_prev
+        FROM r
+        UNION ALL
+        SELECT 2, 'view', r1, round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6),
+               round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) FROM r
+        UNION ALL
+        SELECT 3, 'click', r2, round(CAST(r2 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6),
+               round(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE) * 100, 6) FROM r
+        UNION ALL
+        SELECT 4, 'purchase', r3, round(CAST(r3 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6),
+               round(CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE) * 100, 6) FROM r)
+      ORDER BY step_idx"""),
+    (spark, dir) =>
+      graft.ops.Funnel.funnel(T(spark, dir, "events"), "user_id",
+        "event_type", "ts", Seq("signup", "view", "click", "purchase")))
+
+  /** Kaplan–Meier user-retention curve over the events month: per-user
+    * lifetime = days between first and last activity, right-censored at
+    * the observation edge (active-on-last-day users are NOT churn —
+    * the classic dashboard bias). Exact integer risk sets and 10⁹
+    * fixed-point factor folds in a defined order; see ops.Survival.
+    * The oracle replays the fold with list_slice + list_reduce.
+    */
+  private lazy val kaplanMeierQuery: QueryDef =
+    QueryDef("q298_kaplan_meier", Some("""
+      WITH pu AS (SELECT user_id,
+               CAST(date_diff('day', DATE '2024-01-01', min(CAST(ts AS DATE))) AS BIGINT) AS fd,
+               CAST(date_diff('day', DATE '2024-01-01', max(CAST(ts AS DATE))) AS BIGINT) AS ld
+             FROM events GROUP BY user_id),
+      mx AS (SELECT max(ld) AS endd FROM pu),
+      subj AS (SELECT ld - fd AS t, ld = endd AS cen FROM pu, mx),
+      byt AS (SELECT t,
+                CAST(count(CASE WHEN NOT cen THEN 1 END) AS BIGINT) AS churned,
+                CAST(count(CASE WHEN cen THEN 1 END) AS BIGINT) AS censored
+              FROM subj GROUP BY t),
+      rk AS (SELECT t, churned, censored,
+               CAST(sum(churned + censored) OVER ()
+                    - coalesce(sum(churned + censored)
+                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+             FROM byt),
+      ff AS (SELECT t, churned, censored, n_at_risk,
+               CAST((n_at_risk - churned) * 1000000000 // n_at_risk AS BIGINT) AS f,
+               CAST(row_number() OVER (ORDER BY t) AS INTEGER) AS rn
+             FROM rk),
+      fl AS (SELECT list(f ORDER BY t) AS fs FROM ff),
+      o AS (SELECT ff.t, ff.n_at_risk, ff.churned, ff.censored,
+              CAST(list_reduce(
+                     list_prepend(CAST(1000000000 AS HUGEINT),
+                       list_transform(list_slice(fl.fs, 1, ff.rn),
+                                      x -> CAST(x AS HUGEINT))),
+                     (a, b) -> (a * b) // 1000000000) AS BIGINT) AS survival_fp
+            FROM ff, fl)
+      SELECT t, n_at_risk, churned, censored, survival_fp,
+             round(CAST(survival_fp AS DOUBLE) / 1000000000.0, 6) AS survival
+      FROM o ORDER BY t"""),
+    (spark, dir) => {
+      // lazy checkpoint (q282 idiom): the censoring edge is the max of
+      // the per-user frame itself — one corpus scan, reused
+      val pu = T(spark, dir, "events").groupBy("user_id")
+        .agg(datediff(min(to_date(col("ts"))), lit("2024-01-01").cast("date"))
+          .cast("long").as("fd"),
+          datediff(max(to_date(col("ts"))), lit("2024-01-01").cast("date"))
+            .cast("long").as("ld"))
+        .localCheckpoint(eager = false)
+      val subj = pu.crossJoin(broadcast(pu.agg(max(col("ld")).as("endd"))))
+        .select((col("ld") - col("fd")).as("t"),
+          (col("ld") === col("endd")).as("cen"))
+      graft.ops.Survival.kaplanMeier(subj, "t", "cen")
     })
 
   /** DuckDB twin of ops.Sampling.hashRank over the draw key

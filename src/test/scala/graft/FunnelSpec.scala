@@ -1,0 +1,62 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.Funnel
+
+class FunnelSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def t(s: Long) = new Timestamp(1700000000000L + s * 1000L)
+
+  test("strict-order first-touch semantics: out-of-order and missing steps don't count") {
+    val rows = Seq(
+      // u1: clean full funnel
+      (1L, "signup", t(0)), (1L, "view", t(10)), (1L, "click", t(20)),
+      (1L, "purchase", t(30)),
+      // u2: view BEFORE signup — that view must not count; a later view
+      // rescues the chain but there is no click after it
+      (2L, "view", t(0)), (2L, "signup", t(5)), (2L, "view", t(9)),
+      (2L, "click", t(7)),   // click before the qualifying view: dead
+      // u3: never signed up — enters no step even with later activity
+      (3L, "view", t(1)), (3L, "click", t(2)), (3L, "purchase", t(3)),
+      // u4: same-second events — strict "after" rejects the tie
+      (4L, "signup", t(4)), (4L, "view", t(4)),
+      // u5: signup only
+      (5L, "signup", t(8)),
+      // u6: multiple signups — first-touch anchors at the EARLIEST, so
+      // the view between them still counts
+      (6L, "signup", t(0)), (6L, "view", t(1)), (6L, "signup", t(2)),
+      (6L, "click", t(3))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Funnel.funnel(rows, "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(r("signup") == 5L, s"u1,u2,u4,u5,u6 signed up: $r")  // not u3
+    assert(r("view") == 3L, s"u1, u2 (the t9 view), u6: $r")    // u4 tied
+    assert(r("click") == 2L, s"u1 and u6 only: $r")
+    assert(r("purchase") == 1L, s"only u1 completes: $r")
+  }
+
+  test("conversion percentages read from exact counts; zero-entry funnel yields null rates") {
+    val rows = Seq(
+      (1L, "signup", t(0)), (1L, "view", t(1)),
+      (2L, "signup", t(0)), (3L, "signup", t(0)), (4L, "signup", t(0))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Funnel.funnel(rows, "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase")).collect()
+    assert(r(0).getDouble(3) == 100.0 && r(0).getDouble(4) == 100.0)
+    assert(r(1).getDouble(3) == 25.0 && r(1).getDouble(4) == 25.0)
+    assert(r(2).getLong(2) == 0L && r(2).getDouble(3) == 0.0)
+    // pct_of_prev for click divides by view's 1 -> 0.0; purchase
+    // divides by click's 0 -> null, not a division error
+    assert(r(3).isNullAt(4), "0/0 step rate must be null, not an error")
+
+    // nobody enters the funnel at all: every rate is null
+    val empty = Seq((1L, "view", t(0))).toDF("user_id", "event_type", "ts")
+    val e = Funnel.funnel(empty, "user_id", "event_type", "ts",
+      Seq("signup", "view", "click", "purchase")).collect()
+    assert(e.forall(_.getLong(2) == 0L || !e.head.isNullAt(2)))
+    assert(e.head.isNullAt(3), "0-entry funnel must null its rates")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Survival
+
+class SurvivalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("Kaplan-Meier matches the hand-computed textbook curve with censoring") {
+    // 10 subjects: deaths at t=1 (2), t=3 (1), t=5 (2); censored at
+    // t=2 (1), t=4 (1), t=5 (3, the observation edge).
+    // n(1)=10, S(1) = 8/10
+    // t=2: censoring only, S unchanged, risk drops to 7 after
+    // n(3)=7,  S(3) = S(1) * 6/7
+    // t=4: censoring only; n(5)=5, S(5) = S(3) * 3/5
+    val subjects = Seq(
+      (1L, false), (1L, false), (2L, true), (3L, false), (4L, true),
+      (5L, false), (5L, false), (5L, true), (5L, true), (5L, true)
+    ).toDF("t", "cen")
+    val r = Survival.kaplanMeier(subjects, "t", "cen")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L) == ((10L, 2L, 0L, 800000000L)))
+    // fold: floor(8e8 * floor(1e9) / 1e9) = 8e8; t=2 factor = 7/7 = 1e9
+    assert(r(2L) == ((8L, 0L, 1L, 800000000L)))
+    // t=3: factor floor(6e9/7) = 857142857; S = floor(8e8 * 857142857 / 1e9)
+    val s3 = 800000000L * 857142857L / 1000000000L
+    assert(r(3L) == ((7L, 1L, 0L, s3)), s"got ${r(3L)} want S=$s3")
+    assert(r(4L)._4 == s3, "censoring-only time must not move S")
+    // t=5: n=5, d=2 -> factor 6e8; S = floor(s3 * 6e8 / 1e9)
+    val s5 = s3 * 600000000L / 1000000000L
+    assert(r(5L) == ((5L, 2L, 3L, s5)))
+    // the 6-dp display column tracks the fp column
+    val disp = Survival.kaplanMeier(subjects, "t", "cen")
+      .collect().map(x => x.getLong(0) -> x.getDouble(5)).toMap
+    assert(math.abs(disp(5L) - s5.toDouble / 1e9) < 5e-7)
+  }
+
+  test("no censoring tracks the empirical survival function within the documented fold drift") {
+    // 8 subjects, one death per t=1..8: true S(t) = (8-t)/8. The
+    // defined estimator compounds PRE-FLOORED per-step factors, so it
+    // may sit up to (steps) ulps of 1e-9 below the real product —
+    // pinned here both ways: exact equality against the defined fold's
+    // BigInt replay, and closeness to the real-valued curve.
+    val subjects = (1L to 8L).map(t => (t, false)).toDF("t", "cen")
+    val r = Survival.kaplanMeier(subjects, "t", "cen")
+      .collect().map(x => x.getLong(0) -> x.getLong(4)).toMap
+    var acc = BigInt(1000000000L)
+    (1L to 8L).foreach { t =>
+      val n = 8L - (t - 1); val f = BigInt((n - 1) * 1000000000L / n)
+      acc = acc * f / 1000000000L
+      assert(r(t) == acc.toLong, s"t=$t: ${r(t)} != defined fold $acc")
+      val truth = (8L - t).toDouble / 8.0 * 1e9
+      assert(r(t) <= truth && truth - r(t) <= 8,
+        s"t=$t: fold ${r(t)} drifted >8 ulps from true $truth")
+    }
+  }
+}
