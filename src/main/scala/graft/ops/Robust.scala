@@ -235,4 +235,50 @@ object Robust {
       .select(col("n1"), col("n2"), col("u2x").cast("long").as("u2x"),
         col("z"), col("significant"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov — the distribution-shape companion
+    * of [[mannWhitney]] (which sees only location): D = sup|F₁ − F₂|
+    * over the pooled empirical CDFs catches variance, tail, and
+    * multimodality shifts a rank-sum misses. EVERYTHING is exact
+    * integers: at each distinct value the ECDF gap is
+    * |cum₁·n₂ − cum₂·n₁| (common denominator n₁n₂ deferred), D's
+    * numerator is an integer max, and the two-sided α=.05 decision
+    * (Smirnov asymptotic c(α)=1.358) is the exact decimal comparison
+    * Dnum²·10⁶ > 1358²·(n₁+n₂)·n₁·n₂ — only the display division is a
+    * double. Domain: the decision needs (n₁n₂)²·10⁶ ≲ 10³⁸, i.e.
+    * ~10⁸ rows per arm per comparison cell (the mannWhitney-style
+    * documented contract). Scale shape: one value-grain aggregate
+    * (map-side combined), one window over distinct values, one max
+    * fold.
+    *
+    * @return one row: n1, n2, d_num (= D·n₁n₂, exact), d (6 dp),
+    *         significant
+    */
+  def ksTest(df: DataFrame, armCol: String, valCol: String): DataFrame = {
+    val v = df.select(col(armCol).as("arm"), col(valCol).cast("long").as("v"))
+    val byVal = v.groupBy("v").agg(
+      count(when(col("arm") === 1, 1)).as("c1"),
+      count(when(col("arm") === 2, 1)).as("c2"))
+    val wOrd = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    val gaps = byVal
+      .withColumn("cum1", sum(col("c1")).over(wOrd))
+      .withColumn("cum2", sum(col("c2")).over(wOrd))
+      .withColumn("n1", sum(col("c1")).over(wAll))
+      .withColumn("n2", sum(col("c2")).over(wAll))
+      .withColumn("gap", abs(
+        col("cum1").cast("decimal(38,0)") * col("n2")
+          - col("cum2").cast("decimal(38,0)") * col("n1")))
+    gaps
+      .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        max(col("gap")).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num").cast("long").as("d_num"),
+        round(expr(
+          """cast(d_num as double)
+             / (cast(n1 as double) * cast(n2 as double))"""), 6).as("d"),
+        expr("""cast(d_num as decimal(38,0)) * d_num * 1000000
+                > 1844164 * cast(n1 + n2 as decimal(38,0)) * n1 * n2""")
+          .as("significant"))
+  }
 }

@@ -153,6 +153,51 @@ object Sequential {
           .as("srm"))
   }
 
+  /** Chi-square test of independence over an R×C contingency table —
+    * the generalization of [[srmCheck]] from "is the split 1:1" to
+    * "does the categorical outcome depend on the arm" (sign-up plan
+    * chosen, error-vs-success, device class): χ² = Σ (o−e)²/e with
+    * e_ij = rowᵢ·colⱼ/n. Exactness: each cell's term freezes as the
+    * 10⁶ fixed-point floor division (o·n − r·c)² · 10⁶ div (n·r·c) —
+    * all decimal(38,0) — and the statistic is the exact integer SUM of
+    * those terms (a float per-cell term would make the total depend on
+    * aggregation order). The α=.05 decision compares that integer to
+    * the caller's pre-scaled critical value for the table's df — no
+    * float near the boundary; per-cell flooring understates χ² by
+    * < cells·10⁻⁶, negligible against any critical value. Domain: the
+    * squared residual needs n⁴·10⁶ ≲ 10³⁸ worst case, i.e. n ≲ 10⁸
+    * observations per table (the documented-contract idiom).
+    *
+    * @param critFp χ²-critical at 10⁶ scale for df=(R−1)(C−1), e.g.
+    *               9487729 for df=4 at α=.05
+    * @return one row: n, n_rows, n_cols, df, chi2 (6 dp), dependent
+    */
+  def chiSquareIndependence(df: DataFrame, rowCol: String, colCol: String,
+                            critFp: Long): DataFrame = {
+    val cells = df.select(col(rowCol).as("r"), col(colCol).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = false) // margins + terms share one pass
+    val rowM = cells.groupBy("r").agg(sum("o").as("rm"))
+    val colM = cells.groupBy("c").agg(sum("o").as("cm"))
+    val tot = cells.agg(sum("o").as("n"),
+      countDistinct("r").as("n_rows"), countDistinct("c").as("n_cols"))
+    val terms = cells
+      .join(broadcast(rowM), "r").join(broadcast(colM), "c")
+      .crossJoin(broadcast(tot))
+      .withColumn("term_fp", expr(
+        """((cast(o as decimal(38,0)) * n - cast(rm as decimal(38,0)) * cm)
+            * (cast(o as decimal(38,0)) * n - cast(rm as decimal(38,0)) * cm)
+            * 1000000)
+           div (cast(n as decimal(38,0)) * rm * cm)"""))
+    terms.agg(max(col("n")).as("n"), max(col("n_rows")).as("n_rows"),
+        max(col("n_cols")).as("n_cols"),
+        sum(col("term_fp")).as("chi2_fp"))
+      .select(col("n"), col("n_rows"), col("n_cols"),
+        ((col("n_rows") - 1) * (col("n_cols") - 1)).as("df"),
+        round(col("chi2_fp").cast("double") / 1000000.0, 6).as("chi2"),
+        (col("chi2_fp") > lit(critFp)).as("dependent"))
+  }
+
   /** Page's CUSUM drift monitor over a daily metric series (Page,
     * Biometrika 1954) — the standard sequential change-point alarm for
     * a pipeline metric (mean document quality, mean order value): the

@@ -1193,7 +1193,11 @@ object Relational4 {
 
     funnelQuery,
 
-    kaplanMeierQuery)
+    kaplanMeierQuery,
+
+    ksQuery,
+
+    chi2IndepQuery)
 
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
     * the experimentation-platform standard): adjust each unit's outcome
@@ -1746,6 +1750,83 @@ object Relational4 {
         .select((col("ld") - col("fd")).as("t"),
           (col("ld") === col("endd")).as("cen"))
       graft.ops.Survival.kaplanMeier(subj, "t", "cen")
+    })
+
+  /** Two-sample Kolmogorov–Smirnov on the same BUILDING/MACHINERY arms
+    * as q86 (Welch t) and q292 (rank-sum) — the shape-sensitive third
+    * member of the comparison toolkit: sup-gap of the ECDFs in EXACT
+    * integers (common denominator n₁n₂ deferred to the display), the
+    * Smirnov α=.05 decision in exact decimal. See ops.Robust.ksTest.
+    */
+  private lazy val ksQuery: QueryDef = QueryDef("q299_ks_test", Some("""
+      WITH v AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS arm,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+             FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      bv AS (SELECT v, CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS c1,
+               CAST(count(CASE WHEN arm = 2 THEN 1 END) AS BIGINT) AS c2
+             FROM v GROUP BY v),
+      g AS (SELECT v, sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2,
+              sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+            FROM bv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+      a AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+              max(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1))
+                AS d_num
+            FROM g)
+      SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num,
+             round(CAST(d_num AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d,
+             d_num * d_num * 1000000
+               > 1844164 * CAST(n1 + n2 AS HUGEINT) * n1 * n2 AS significant
+      FROM a"""),
+    (spark, dir) => {
+      val c = T(spark, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(when(col("c_mktsegment") === "BUILDING", 1).otherwise(2)
+          .as("arm"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("v"))
+      graft.ops.Robust.ksTest(c, "arm", "v")
+    })
+
+  /** Chi-square independence of nation × market segment over customers
+    * (df = 24·4 = 96, critical 119.871 at α=.05 frozen at 10⁶ scale):
+    * the R×C generalization of q291's SRM gate. Exact integer cell
+    * terms summed exactly; see ops.Sequential.chiSquareIndependence.
+    * Synthetic data IS independent here — the deterministic null
+    * readout is the point (the oracle must agree on 'no dependence').
+    */
+  private lazy val chi2IndepQuery: QueryDef =
+    QueryDef("q300_chi2_independence", Some("""
+      WITH cells AS (SELECT n.n_name AS r, c.c_mktsegment AS c,
+               CAST(count(*) AS BIGINT) AS o
+             FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+             GROUP BY 1, 2),
+      rm AS (SELECT r, CAST(sum(o) AS BIGINT) AS rm FROM cells GROUP BY r),
+      cm AS (SELECT c, CAST(sum(o) AS BIGINT) AS cm FROM cells GROUP BY c),
+      tt AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+               CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT c) AS BIGINT) AS n_cols
+             FROM cells),
+      tm AS (SELECT ((CAST(o AS HUGEINT) * n - CAST(rm.rm AS HUGEINT) * cm.cm)
+                     * (CAST(o AS HUGEINT) * n - CAST(rm.rm AS HUGEINT) * cm.cm)
+                     * 1000000)
+                    // (CAST(n AS HUGEINT) * rm.rm * cm.cm) AS term_fp,
+               tt.n, tt.n_rows, tt.n_cols
+             FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tt),
+      agg AS (SELECT max(n) AS n, max(n_rows) AS n_rows, max(n_cols) AS n_cols,
+                CAST(sum(term_fp) AS HUGEINT) AS chi2_fp
+              FROM tm)
+      SELECT n, n_rows, n_cols,
+             (n_rows - 1) * (n_cols - 1) AS df,
+             round(CAST(chi2_fp AS DOUBLE) / 1000000.0, 6) AS chi2,
+             chi2_fp > 119871000 AS dependent
+      FROM agg"""),
+    (spark, dir) => {
+      val per = T(spark, dir, "customer")
+        .join(broadcast(T(spark, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("r"), col("c_mktsegment").as("c"))
+      graft.ops.Sequential.chiSquareIndependence(per, "r", "c",
+        critFp = 119871000L)
     })
 
   /** DuckDB twin of ops.Sampling.hashRank over the draw key

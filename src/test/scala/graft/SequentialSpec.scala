@@ -69,6 +69,35 @@ class SequentialSpec extends SparkSuite {
     assert(math.abs(r("srm")._1 - 62.0 * 62.0 / 1000.0) < 1e-9)
   }
 
+  test("chiSquareIndependence: planted dependence fires, independence stays silent; exact fold") {
+    // dependent: outcome skews hard with the row label (df=1, crit
+    // 3.841459 -> critFp 3841459)
+    val dep = ((1 to 90).map(_ => ("a", "x")) ++ (1 to 10).map(_ => ("a", "y")) ++
+      (1 to 30).map(_ => ("b", "x")) ++ (1 to 70).map(_ => ("b", "y")))
+      .toDF("r", "c")
+    val d = graft.ops.Sequential.chiSquareIndependence(dep, "r", "c", 3841459L)
+      .head()
+    assert(d.getAs[Long]("df") == 1L && d.getAs[Boolean]("dependent"),
+      s"planted 90/10-vs-30/70 split must be dependent: $d")
+    // exact BigInt replay of the fixed-point fold
+    val cells = Seq(("a","x",90L), ("a","y",10L), ("b","x",30L), ("b","y",70L))
+    val n = BigInt(200); val rm = Map("a" -> BigInt(100), "b" -> BigInt(100))
+    val cm = Map("x" -> BigInt(120), "y" -> BigInt(80))
+    val want = cells.map { case (r, c, o) =>
+      val num = BigInt(o) * n - rm(r) * cm(c)
+      num * num * 1000000 / (n * rm(r) * cm(c))
+    }.sum
+    assert(math.abs(d.getAs[Double]("chi2") - want.toDouble / 1e6) < 1e-9)
+    // independent: identical outcome mix in both rows -> chi2 == 0
+    val ind = ((1 to 60).map(_ => ("a", "x")) ++ (1 to 40).map(_ => ("a", "y")) ++
+      (1 to 30).map(_ => ("b", "x")) ++ (1 to 20).map(_ => ("b", "y")))
+      .toDF("r", "c")
+    val i = graft.ops.Sequential.chiSquareIndependence(ind, "r", "c", 3841459L)
+      .head()
+    assert(i.getAs[Double]("chi2") == 0.0 && !i.getAs[Boolean]("dependent"),
+      s"proportional table must read exactly zero: $i")
+  }
+
   test("cusum: prefix-sum form equals the classic recursion; planted shift alarms, baseline does not") {
     // 10 flat days at 1000, then a +60 level shift (kappa = 20,
     // h = 150): S+ accumulates 40/day post-shift -> alarm on day 14

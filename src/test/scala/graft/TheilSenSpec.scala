@@ -114,4 +114,44 @@ class TheilSenSpec extends SparkSuite {
       "symmetric arms must center 2U at n1*n2")
     assert(!g0.getAs[Boolean]("significant"))
   }
+
+  test("ksTest: sees a pure VARIANCE shift the rank test centers on zero; exact replay") {
+    // arm 2 = arm 1 stretched 3x around the same center: medians equal
+    // (Mann-Whitney-invisible by symmetry), but the ECDFs separate in
+    // the shoulders — KS must fire. 300 units per arm, deterministic.
+    val rows = (1 to 600).map { i =>
+      val arm = if (i % 2 == 0) 1 else 2
+      val base = ((i / 2 * 7) % 101).toLong - 50   // symmetric in [-50, 50]
+      (arm, if (arm == 1) base else base * 3)
+    }
+    def replay(rs: Seq[(Int, Long)]): (Long, Boolean) = {
+      val n1 = rs.count(_._1 == 1).toLong; val n2 = rs.size - n1
+      var c1 = 0L; var c2 = 0L; var best = BigInt(0)
+      rs.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (_, g) =>
+        c1 += g.count(_._1 == 1); c2 += g.count(_._1 == 2)
+        val gap = (BigInt(c1) * n2 - BigInt(c2) * n1).abs
+        if (gap > best) best = gap
+      }
+      val sig = best.pow(2) * 1000000 >
+        BigInt(1844164) * (n1 + n2) * n1 * n2
+      (best.toLong, sig)
+    }
+    val df = rows.toDF("arm", "v")
+    val got = graft.ops.Robust.ksTest(df, "arm", "v").head()
+    val (dnum, sig) = replay(rows)
+    assert(got.getAs[Long]("d_num") == dnum,
+      s"d_num ${got.getAs[Long]("d_num")} != replay $dnum")
+    assert(got.getAs[Boolean]("significant") == sig && sig,
+      "a 3x variance stretch must separate the ECDFs")
+    // the same arms under Mann-Whitney: centered, silent (the pairing
+    // that motivates carrying BOTH tests)
+    val mw = graft.ops.Robust.mannWhitney(df, "arm", "v").head()
+    assert(!mw.getAs[Boolean]("significant"),
+      "rank test should not fire on a symmetric variance shift")
+
+    // truly identical arms (every value mirrored once per arm): D = 0
+    val same = (1 to 100).flatMap(i => Seq((1, (i % 7).toLong), (2, (i % 7).toLong)))
+    val g0 = graft.ops.Robust.ksTest(same.toDF("arm", "v"), "arm", "v").head()
+    assert(g0.getAs[Long]("d_num") == 0L && !g0.getAs[Boolean]("significant"))
+  }
 }
