@@ -1197,7 +1197,9 @@ object Relational4 {
 
     ksQuery,
 
-    chi2IndepQuery)
+    chi2IndepQuery,
+
+    cusumStoreQuery)
 
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
     * the experimentation-platform standard): adjust each unit's outcome
@@ -1447,7 +1449,14 @@ object Relational4 {
     * two exact-integer window sums, zero transcendentals (see
     * ops.Sequential.cusum).
     */
-  private lazy val cusumQuery: QueryDef = QueryDef("q293_cusum", Some("""
+  /** Shared by q293 (one-shot) and q301 (store-served): counts and sums
+    * are linear, so the incrementally-maintained store is bit-identical
+    * to the one-shot daily aggregate and the SAME oracle gates both —
+    * the q282/q288 one-definition idiom. Lazy: `defs` forces the
+    * (lazy) QueryDefs at object init, BEFORE later plain vals assign —
+    * the exact Scd2Ctes/slidingHllSql ordering trap this file documents.
+    */
+  private lazy val cusumSql: String = """
       WITH ev AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                CAST(round(value * 100, 0) AS BIGINT) AS v
              FROM events),
@@ -1482,7 +1491,10 @@ object Relational4 {
       SELECT day, x_fp, CAST(s_hi_fp AS BIGINT) AS s_hi_fp,
              CAST(s_lo_fp AS BIGINT) AS s_lo_fp,
              s_hi_fp > h_fp OR s_lo_fp > h_fp AS alarm
-      FROM st"""),
+      FROM st"""
+
+  private lazy val cusumQuery: QueryDef = QueryDef("q293_cusum",
+    Some(cusumSql),
     (spark, dir) => {
       val ev = T(spark, dir, "events").select(
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
@@ -1507,6 +1519,60 @@ object Relational4 {
           expr("mu0_fp div 20").as("h_fp"))
       graft.ops.Sequential.cusum(dm, "day", "x_fp", params)
     })
+
+  /** q293's CUSUM monitor SERVED FROM the incremental daily-moments
+    * store (streaming.IncrementalDailyMoments): three unordered
+    * event_id-mod batches fold into per-day exact (n, s) — counts and
+    * sums are linear, so the store is bit-identical to the one-shot
+    * daily aggregate and q293's ORACLE gates this query verbatim (the
+    * q288 shared-definition idiom). The monitor read path touches
+    * store rows only — 31 days — never the event corpus.
+    */
+  private lazy val cusumStoreQuery: QueryDef = QueryDef("q301_cusum_store",
+    Some(cusumSql),
+    (spark, dir) => {
+      val ev = T(spark, dir, "events").select(col("event_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      def batch(store: String, i: Long): Unit =
+        graft.streaming.IncrementalDailyMoments.processBatch(
+          ev.filter(pmod(col("event_id"), lit(3)) === i),
+          i, store, Seq("day"), "v"): Unit
+      // bench-production steady state (the q288/q233 idiom): versions
+      // 0-1 built once per process; the measured body is one batch +
+      // the 31-row monitor read
+      val store =
+        if (sys.props.get("graft.bench.production").contains("true"))
+          q301ProdStores.computeIfAbsent(dir, _ => {
+            val s = java.nio.file.Files
+              .createTempDirectory("graft_q301_prod").toString
+            batch(s, 0L); batch(s, 1L); s
+          })
+        else {
+          val s = java.nio.file.Files
+            .createTempDirectory("graft_q301").toString
+          batch(s, 0L); batch(s, 1L); s
+        }
+      batch(store, 2L)
+      val dm = spark.read.parquet(s"$store/v=2")
+        .select(col("day"), expr(
+          """cast((s * 1000000 + cast(n as decimal(38,0)) * 10000000000000000)
+                  div n - 10000000000000000 as bigint)""").as("x_fp"))
+      val params = dm.filter(col("day") < "2024-01-08")
+        .agg(count(lit(1)).as("nb"),
+          sum(col("x_fp")).cast("decimal(38,0)").as("sb"))
+        .select(expr(
+          """cast((sb * 1 + cast(nb as decimal(38,0)) * 10000000000000000)
+                  div nb - 10000000000000000 as bigint)""").as("mu0_fp"))
+        .select(col("mu0_fp"),
+          expr("mu0_fp div 100").as("kappa_fp"),
+          expr("mu0_fp div 20").as("h_fp"))
+      graft.ops.Sequential.cusum(dm, "day", "x_fp", params)
+    })
+
+  /** q301's bench-production steady-state stores, keyed by sf dir. */
+  private val q301ProdStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Difference-in-differences over the events month (Card & Krueger
     * 1994 canonical form): md5-parity "rollout" group × pre/post
