@@ -78,6 +78,49 @@ object LogHistogram {
     df.groupBy((groupCols.map(col) :+ bucket(col(valueCol), m).as("bucket")): _*)
       .agg(count(lit(1)).as("cnt"))
 
+  /** Population Stability Index between a reference and a current
+    * histogram — THE production drift gate for a model feature or
+    * pipeline metric (credit-scoring lineage; PSI < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 act): Σ_bins (p−q)·ln(p/q) over the
+    * shared log-bucket layout, add-one smoothed so a bin present on
+    * only one side contributes a finite term (p = (c+1)/(n+B), B =
+    * bins in the UNION — exact integers into every double).
+    *
+    * Float discipline: the per-bin terms are doubles (ln), and a
+    * groupBy SUM of doubles would depend on aggregation order — so the
+    * total is an ORDERED FOLD over the bucket-sorted term list
+    * (aggregate over a collected array, the Survival.kaplanMeier
+    * idiom), which any engine replays left-to-right identically. Both
+    * input histograms are bucket-grain (≤ layout-bounded rows), so the
+    * fold is tiny regardless of corpus size.
+    *
+    * @return one row: n_ref, n_cur, n_bins, psi (6 dp)
+    */
+  def psi(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val j = ref.select(col("bucket"), col("cnt").as("cr"))
+      .join(cur.select(col("bucket"), col("cnt").as("cc")),
+        Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val tot = j.agg(sum("cr").as("nr"), sum("cc").as("nc"),
+      count(lit(1)).as("b"))
+    val terms = j.crossJoin(broadcast(tot))
+      .withColumn("term", expr(
+        """((cast(cr as double) + 1.0) / (cast(nr as double) + cast(b as double))
+            - (cast(cc as double) + 1.0) / (cast(nc as double) + cast(b as double)))
+           * ln(((cast(cr as double) + 1.0) * (cast(nc as double) + cast(b as double)))
+                / ((cast(cc as double) + 1.0) * (cast(nr as double) + cast(b as double))))"""))
+    terms
+      .agg(max("nr").as("n_ref"), max("nc").as("n_cur"),
+        max("b").as("n_bins"),
+        transform(array_sort(collect_list(struct(col("bucket"), col("term")))),
+          x => x.getField("term")).as("ts"))
+      .select(col("n_ref"), col("n_cur"), col("n_bins"),
+        round(expr(
+          "aggregate(ts, cast(0.0 as double), (acc, x) -> acc + x)"), 6)
+          .as("psi"))
+  }
+
   /** Quantiles from a histogram: per (group, phi ∈ integer percents),
     * the lower bound of the smallest bucket whose running count
     * reaches t = ceil(phi·n/100). The window sorts ≤ bucket-count rows

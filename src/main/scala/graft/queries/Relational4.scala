@@ -1199,7 +1199,9 @@ object Relational4 {
 
     chi2IndepQuery,
 
-    cusumStoreQuery)
+    cusumStoreQuery,
+
+    psiQuery)
 
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
     * the experimentation-platform standard): adjust each unit's outcome
@@ -1573,6 +1575,53 @@ object Relational4 {
   /** q301's bench-production steady-state stores, keyed by sf dir. */
   private val q301ProdStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Population Stability Index between the month's halves over event
+    * values (cents), binned by the q275-277 log-bucket recipe — the
+    * production drift gate for a pipeline metric (PSI < 0.1 stable).
+    * Exact bucket counts; doubles only in the per-bin terms, summed by
+    * an ORDERED fold over the bucket-sorted list so the total never
+    * depends on float aggregation order (ops.LogHistogram.psi). The
+    * oracle replays the fold with list_reduce over list(term ORDER BY
+    * bucket).
+    */
+  private lazy val psiQuery: QueryDef = QueryDef("q302_psi", Some("""
+      WITH ev AS (SELECT ts < TIMESTAMP '2024-01-16 00:00:00' AS is_ref,
+               greatest(CAST(round(value * 100, 0) AS BIGINT), 0) AS v
+             FROM events),
+      bk AS (SELECT is_ref, sh * 32 + (v >> sh) AS bucket
+             FROM (SELECT is_ref, v,
+                          greatest(length(bin(v)) - 1 - 5, 0) AS sh
+                   FROM ev)),
+      h AS (SELECT bucket,
+              CAST(count(CASE WHEN is_ref THEN 1 END) AS BIGINT) AS cr,
+              CAST(count(CASE WHEN NOT is_ref THEN 1 END) AS BIGINT) AS cc
+            FROM bk GROUP BY bucket),
+      tt AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(cc) AS BIGINT) AS nc,
+               CAST(count(*) AS BIGINT) AS b
+             FROM h),
+      tm AS (SELECT h.bucket,
+               ((CAST(cr AS DOUBLE) + 1.0) / (CAST(nr AS DOUBLE) + CAST(b AS DOUBLE))
+                - (CAST(cc AS DOUBLE) + 1.0) / (CAST(nc AS DOUBLE) + CAST(b AS DOUBLE)))
+               * ln(((CAST(cr AS DOUBLE) + 1.0) * (CAST(nc AS DOUBLE) + CAST(b AS DOUBLE)))
+                    / ((CAST(cc AS DOUBLE) + 1.0) * (CAST(nr AS DOUBLE) + CAST(b AS DOUBLE))))
+                 AS term,
+               tt.nr, tt.nc, tt.b
+             FROM h CROSS JOIN tt)
+      SELECT max(nr) AS n_ref, max(nc) AS n_cur, max(b) AS n_bins,
+             round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(term ORDER BY bucket)), (a, x) -> a + x), 6) AS psi
+      FROM tm"""),
+    (spark, dir) => {
+      import graft.ops.LogHistogram
+      val cut = to_timestamp(lit("2024-01-16 00:00:00"))
+      val ev = T(spark, dir, "events").select(
+        (col("ts") < cut).as("is_ref"),
+        greatest(round(col("value") * 100, 0).cast("long"), lit(0L)).as("v"))
+      val ref = LogHistogram.histogram(ev.filter(col("is_ref")), Nil, "v", 5)
+      val cur = LogHistogram.histogram(ev.filter(!col("is_ref")), Nil, "v", 5)
+      LogHistogram.psi(ref, cur)
+    })
 
   /** Difference-in-differences over the events month (Card & Krueger
     * 1994 canonical form): md5-parity "rollout" group × pre/post

@@ -75,4 +75,38 @@ class LogHistogramSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(merged == hs, "union-of-histograms != histogram-of-union")
   }
+
+  test("psi: identical distributions read exactly 0; a planted scale shift crosses the 0.25 action gate") {
+    import org.apache.spark.sql.functions.col
+    val base = (1 to 8000).map(i => ((i * 37L) % 5000L) + 1L)
+    val ref = LogHistogram.histogram(base.toDF("v"), Nil, "v", 5)
+    // p = q in every bin -> every term is exactly (x - x)*ln(1) = 0
+    val same = LogHistogram.psi(ref, ref).head()
+    assert(same.getAs[Double]("psi") == 0.0, s"identical psi: $same")
+    assert(same.getAs[Long]("n_ref") == 8000L && same.getAs[Long]("n_cur") == 8000L)
+    // current = reference scaled 8x in VALUE (mass moves ~3 log-buckets
+    // up): severe distribution drift, PSI far beyond the 0.25 gate
+    val shifted = base.map(_ * 8L)
+    val cur = LogHistogram.histogram(shifted.toDF("v"), Nil, "v", 5)
+    val drift = LogHistogram.psi(ref, cur).head()
+    assert(drift.getAs[Double]("psi") > 0.25,
+      s"8x scale shift must breach the action gate: $drift")
+    // replay the ordered double fold exactly
+    def counts(vs: Seq[Long]) = vs.groupBy { v =>
+      val sh = math.max(64 - java.lang.Long.numberOfLeadingZeros(v) - 1 - 5, 0)
+      sh.toLong * 32 + (v >> sh)
+    }.view.mapValues(_.size.toLong).toMap
+    val (crm, ccm) = (counts(base), counts(shifted))
+    val buckets = (crm.keySet ++ ccm.keySet).toSeq.sorted
+    val b = buckets.size.toDouble; val nr = 8000.0; val nc = 8000.0
+    var acc = 0.0
+    buckets.foreach { k =>
+      val cr = crm.getOrElse(k, 0L).toDouble; val cc = ccm.getOrElse(k, 0L).toDouble
+      acc += ((cr + 1.0) / (nr + b) - (cc + 1.0) / (nc + b)) *
+        math.log(((cr + 1.0) * (nc + b)) / ((cc + 1.0) * (nr + b)))
+    }
+    assert(math.abs(drift.getAs[Double]("psi") - acc) < 1e-6,
+      s"psi ${drift.getAs[Double]("psi")} != replay $acc")
+    assert(drift.getAs[Long]("n_bins") == buckets.size.toLong)
+  }
 }
