@@ -61,11 +61,22 @@ object Sequential {
         sum(col("v")).cast("decimal(38,0)").as("s"),
         sum(col("v").cast("decimal(38,0)") * col("v")).as("ss"))
       .localCheckpoint(eager = false)
+    msprtFromMoments(dayArm, alpha)
+  }
+
+  /** The mSPRT monitor body over an ALREADY-AGGREGATED day×arm moments
+    * frame (day, arm, n, s, ss) — the serving-path entry: an
+    * incrementally maintained store (streaming.IncrementalDailyMoments,
+    * q303) hands its rows straight here, so the monitor never touches
+    * the event corpus. Moments are linear, so a store-fed readout is
+    * bit-identical to [[msprt]] over the raw events.
+    */
+  def msprtFromMoments(dayArm: DataFrame, alpha: Double = 0.05): DataFrame = {
     // dense day x arm grid so cumulative sums carry across days where
     // one arm is silent (days-count rows; trivially small)
     val days = dayArm.select("day").distinct()
     val grid = days.crossJoin(broadcast(
-        ev.sparkSession.range(1, 3).select(col("id").cast("int").as("arm"))))
+        dayArm.sparkSession.range(1, 3).select(col("id").cast("int").as("arm"))))
       .join(dayArm, Seq("day", "arm"), "left")
       .select(col("day"), col("arm"),
         coalesce(col("n"), lit(0L)).as("n"),

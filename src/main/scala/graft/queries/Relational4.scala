@@ -1201,7 +1201,9 @@ object Relational4 {
 
     cusumStoreQuery,
 
-    psiQuery)
+    psiQuery,
+
+    msprtStoreQuery)
 
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
     * the experimentation-platform standard): adjust each unit's outcome
@@ -1299,7 +1301,12 @@ object Relational4 {
     * running min over checkpoints — so a dashboard may stop at first
     * crossing without inflating alpha.
     */
-  private lazy val msprtQuery: QueryDef = QueryDef("q290_msprt", Some("""
+  /** Shared by q290 (one-shot) and q303 (store-served): moments are
+    * linear, so the incrementally-maintained day×arm store is
+    * bit-identical to the one-shot aggregate and the SAME oracle gates
+    * both. Lazy — the defs-forces-lazy-QueryDefs init-order trap.
+    */
+  private lazy val msprtSql: String = """
       WITH ev AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
                      % 1000003 + 1) % 2 + 1 AS INTEGER) AS arm,
@@ -1352,7 +1359,10 @@ object Relational4 {
       SELECT day, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
              round(dd, 4) AS mean_diff, round(lnl, 6) AS ln_lambda,
              round(p_av_raw, 6) AS p_av, p_av_raw < 0.05 AS rejected
-      FROM pp"""),
+      FROM pp"""
+
+  private lazy val msprtQuery: QueryDef = QueryDef("q290_msprt",
+    Some(msprtSql),
     (spark, dir) => {
       import graft.ops.Sampling
       val ev = T(spark, dir, "events").select(
@@ -1574,6 +1584,47 @@ object Relational4 {
 
   /** q301's bench-production steady-state stores, keyed by sf dir. */
   private val q301ProdStores =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q290's always-valid mSPRT monitor SERVED FROM the incremental
+    * day×arm moments store: the experimentation dashboard's read path
+    * touches days×2 store rows — never the event corpus — and moments
+    * are linear, so q290's ORACLE gates this verbatim (the q301
+    * discipline, now for the variance-consuming monitor).
+    */
+  private lazy val msprtStoreQuery: QueryDef = QueryDef("q303_msprt_store",
+    Some(msprtSql),
+    (spark, dir) => {
+      import graft.ops.Sampling
+      val ev = T(spark, dir, "events").select(col("event_id"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        (Sampling.hashRank(col("user_id")) % 2 + 1).cast("int").as("arm"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      def batch(store: String, i: Long): Unit =
+        graft.streaming.IncrementalDailyMoments.processBatch(
+          ev.filter(pmod(col("event_id"), lit(3)) === i),
+          i, store, Seq("day", "arm"), "v"): Unit
+      val store =
+        if (sys.props.get("graft.bench.production").contains("true"))
+          q303ProdStores.computeIfAbsent(dir, _ => {
+            val s = java.nio.file.Files
+              .createTempDirectory("graft_q303_prod").toString
+            batch(s, 0L); batch(s, 1L); s
+          })
+        else {
+          val s = java.nio.file.Files
+            .createTempDirectory("graft_q303").toString
+          batch(s, 0L); batch(s, 1L); s
+        }
+      batch(store, 2L)
+      graft.ops.Sequential.msprtFromMoments(
+        spark.read.parquet(s"$store/v=2")
+          .select(col("day"), col("arm"), col("n"), col("s"), col("ss")),
+        alpha = 0.05)
+    })
+
+  /** q303's bench-production steady-state stores, keyed by sf dir. */
+  private val q303ProdStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Population Stability Index between the month's halves over event

@@ -3,9 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Incrementally maintained per-key exact moments (count + sum in
-  * decimal(38,0)) — the store behind serving-path monitors (CUSUM
-  * q301, and any mean/total dashboard): each batch folds its own
+/** Incrementally maintained per-key exact moments (count, sum, sum of
+  * squares in decimal(38,0)) — the store behind serving-path monitors
+  * (CUSUM q301, mSPRT q303, and any mean/variance dashboard): each batch folds its own
   * key-grain partial aggregate into the store with one full-outer add,
   * so the monitor read path touches STORE ROWS ONLY (days × keys), not
   * the event corpus. The add-based member of the family: counts and
@@ -40,9 +40,12 @@ object IncrementalDailyMoments {
   }
 
   /** Fold one batch of (key..., value) rows into the store: version N's
-    * (n, s) = version N−1's + the batch's own partial per key,
-    * full-outer on the keys. Pure in (v=N−1, batch) — replay-idempotent.
-    * Returns the committed frame (keyCols..., n, s).
+    * (n, s, ss) = version N−1's + the batch's own partial per key,
+    * full-outer on the keys. The second moment rides along so
+    * variance-consuming monitors (mSPRT q303) serve from the same
+    * store rows as the mean-consuming ones (CUSUM q301). Pure in
+    * (v=N−1, batch) — replay-idempotent. Returns the committed frame
+    * (keyCols..., n, s, ss).
     */
   def processBatch(batch: Dataset[Row], batchId: Long, storeDir: String,
                    keyCols: Seq[String], valueCol: String): DataFrame = {
@@ -50,21 +53,27 @@ object IncrementalDailyMoments {
       "IncrementalDailyMoments needs >= 1 key column; for a global " +
         "store add a constant column (lit(\"all\"))")
     val spark = batch.sparkSession
+    val v = col(valueCol)
     val bs = batch.toDF().groupBy(keyCols.map(col): _*)
-      .agg(count(col(valueCol)).as("n"),
-        sum(col(valueCol).cast("decimal(38,0)")).as("s"))
+      .agg(count(v).as("n"),
+        sum(v.cast("decimal(38,0)")).as("s"),
+        sum(v.cast("decimal(38,0)") * v).as("ss"))
+    def z = lit(0L).cast("decimal(38,0)")
     val merged = readMoments(spark, storeDir, batchId) match {
       case None => bs
       case Some(prev) =>
         bs.withColumnRenamed("n", "__bn").withColumnRenamed("s", "__bs")
+          .withColumnRenamed("ss", "__bq")
           .join(prev.withColumnRenamed("n", "__pn")
-            .withColumnRenamed("s", "__ps"), keyCols, "full_outer")
+            .withColumnRenamed("s", "__ps").withColumnRenamed("ss", "__pq"),
+            keyCols, "full_outer")
           .select(keyCols.map(col) ++ Seq(
             (coalesce(col("__bn"), lit(0L)) + coalesce(col("__pn"), lit(0L)))
               .as("n"),
-            (coalesce(col("__bs"), lit(0L).cast("decimal(38,0)"))
-              + coalesce(col("__ps"), lit(0L).cast("decimal(38,0)")))
-              .cast("decimal(38,0)").as("s")): _*)
+            (coalesce(col("__bs"), z) + coalesce(col("__ps"), z))
+              .cast("decimal(38,0)").as("s"),
+            (coalesce(col("__bq"), z) + coalesce(col("__pq"), z))
+              .cast("decimal(38,0)").as("ss")): _*)
     }
     merged.write.mode("overwrite").parquet(versionDir(storeDir, batchId))
     spark.read.parquet(versionDir(storeDir, batchId))

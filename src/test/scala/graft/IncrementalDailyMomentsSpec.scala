@@ -19,7 +19,8 @@ class IncrementalDailyMomentsSpec extends SparkSuite {
 
   private def asMap(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => r.getString(0) ->
-      (r.getLong(1), r.getDecimal(2).toBigInteger)).toMap
+      (r.getLong(1), r.getDecimal(2).toBigInteger,
+        r.getDecimal(3).toBigInteger)).toMap
 
   test("3-batch store == one-shot aggregate, any batch order; replay rewrites") {
     val store = Files.createTempDirectory("graft_incdm").toString
@@ -28,14 +29,15 @@ class IncrementalDailyMomentsSpec extends SparkSuite {
     IncrementalDailyMoments.processBatch(part(0), 1L, store, Seq("day"), "v")
     val v2 = IncrementalDailyMoments
       .processBatch(part(1), 2L, store, Seq("day"), "v")
-      .select("day", "n", "s")
+      .select("day", "n", "s", "ss")
     val oneShot = rows.groupBy("day").agg(count(col("v")).as("n"),
-      sum(col("v").cast("decimal(38,0)")).as("s"))
+      sum(col("v").cast("decimal(38,0)")).as("s"),
+      sum(col("v").cast("decimal(38,0)") * col("v")).as("ss"))
     assert(asMap(v2) == asMap(oneShot), "store != one-shot aggregate")
     // replaying the LAST batch rewrites v=2 — no double count
     val replay = IncrementalDailyMoments
       .processBatch(part(1), 2L, store, Seq("day"), "v")
-      .select("day", "n", "s")
+      .select("day", "n", "s", "ss")
     assert(asMap(replay) == asMap(oneShot), "replayed batch double-counted")
   }
 
@@ -57,9 +59,10 @@ class IncrementalDailyMomentsSpec extends SparkSuite {
     IncrementalDailyMoments.processBatch(part(1), 1L, store, Seq("day"), "v")
     val v2 = IncrementalDailyMoments
       .processBatch(part(2), 2L, store, Seq("day"), "v")
-      .select("day", "n", "s")
+      .select("day", "n", "s", "ss")
     val oneShot = rows.groupBy("day").agg(count(col("v")).as("n"),
-      sum(col("v").cast("decimal(38,0)")).as("s"))
+      sum(col("v").cast("decimal(38,0)")).as("s"),
+      sum(col("v").cast("decimal(38,0)") * col("v")).as("ss"))
     assert(asMap(v2) == asMap(oneShot), "recovered store != one-shot")
   }
 }
