@@ -1669,8 +1669,13 @@ object Relational4 {
       val ev = T(spark, dir, "events").select(
         (col("ts") < cut).as("is_ref"),
         greatest(round(col("value") * 100, 0).cast("long"), lit(0L)).as("v"))
-      val ref = LogHistogram.histogram(ev.filter(col("is_ref")), Nil, "v", 5)
-      val cur = LogHistogram.histogram(ev.filter(!col("is_ref")), Nil, "v", 5)
+      // ONE corpus scan: both sides come from the same side-grouped
+      // histogram, lazily checkpointed so the ref/cur splits read the
+      // aggregated rows instead of re-scanning events (the q282 idiom)
+      val both = LogHistogram.histogram(ev, Seq("is_ref"), "v", 5)
+        .localCheckpoint(eager = false)
+      val ref = both.filter(col("is_ref")).select("bucket", "cnt")
+      val cur = both.filter(!col("is_ref")).select("bucket", "cnt")
       LogHistogram.psi(ref, cur)
     })
 

@@ -369,7 +369,9 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // downstream runs on days/buckets. Two scans would mean the
     // checkpoint/window chain re-reads the corpus; a missing partial_
     // means the groupBy ships raw rows.
-    Seq("q290_msprt" -> 1, "q293_cusum" -> 1, "q296_jackknife_ratio" -> 1)
+    Seq("q290_msprt" -> 1, "q293_cusum" -> 1, "q296_jackknife_ratio" -> 1,
+        "q297_funnel" -> 1, "q298_kaplan_meier" -> 1, "q299_ks_test" -> 1,
+        "q302_psi" -> 1)
       .foreach { case (name, maxScans) =>
         val df = q(name)
         df.collect()
