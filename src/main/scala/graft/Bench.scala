@@ -198,8 +198,19 @@ object Bench {
       // direct evidence the host was unstable during at least one run,
       // so one more sample is bought exactly where it pays; an agreeing
       // pair (the common case) costs nothing extra.
+      // Heavy-set members take a STRAIGHT third sample (min-of-3):
+      // BENCH_r17 still carried q139/q101/q102 at 1.8-3.3x their
+      // same-code mins because a contention window outlasted both
+      // back-to-back samples, and the adaptive retry below only fires
+      // when the pair DISAGREES — a stall spanning both samples
+      // produces an agreeing-but-inflated pair it cannot see. A third
+      // unconditional sample for the ~30 heavy names costs seconds and
+      // buys the artifact its honest floor exactly where it has
+      // repeatedly paid inflation.
       val a = once(); val b = once()
-      val t0min = math.min(a, b)
+      val pairMin = math.min(a, b)
+      val t0min = if (isHeavy && pairMin > 0.05) math.min(pairMin, once())
+        else pairMin
       val t = if (math.max(a, b) > 1.4 * t0min && t0min > 0.05)
         math.min(t0min, once()) else t0min
       i += 1

@@ -80,7 +80,12 @@ object Bpe {
     *    batched merge could have created ranks strictly below it, so
     *    classic greedy would have picked the candidate next too.
     *    (Strict — a tie against a created pair would classic-tie-break
-    *    lexicographically against a pair we never counted.)
+    *    lexicographically against a pair we never counted.) The
+    *    never-counted premise fails if the created STRING l+r aliases
+    *    a symbol that already exists via a different merge path, where
+    *    created occurrences ADD to an already-counted pair — such an
+    *    acceptance ends the batch (the `known` collision guard in the
+    *    loop body).
     *
     * The first failed check STOPS the batch (beyond it, classic's next
     * argmax is unknowable without recounting). Worst case the batch is
@@ -116,6 +121,24 @@ object Bpe {
     val sc = words.sparkSession.sparkContext
     var lastCkptId: Option[Int] = None
     val rules = Seq.newBuilder[(Int, String, String, Long)]
+    // Collision guard for the ceiling argument (r17 advice): the
+    // creation ceiling assumes a created pair was NEVER counted
+    // pre-batch — false when the created token string l+r ALIASES a
+    // symbol that already exists via a different merge path ('abab'
+    // from (a,bab) while ab+ab survivors are around), where created
+    // occurrences ADD to an existing counted pair and can push it past
+    // a later-accepted candidate. `known` tracks a SUPERSET of the
+    // live symbol strings (alphabet + every token ever created; a
+    // superset only stops batches early, never wrongly accepts), and
+    // an accepted rule whose l+r is already known ENDS the batch —
+    // the rule itself is still classic-correct, everything after it
+    // waits for the recount. batch == 1 recounts every round, so the
+    // alphabet pull is skipped there.
+    val known = scala.collection.mutable.HashSet.empty[String]
+    if (batch > 1)
+      known ++= w.select(explode(split(col(wordCol), "")).as("ch"))
+        .filter(length(col("ch")) === 1).distinct()
+        .collect().map(_.getString(0))
     var step = 1
     var round = 0
     var exhausted = false
@@ -185,6 +208,9 @@ object Bpe {
             if (l == r) { lhsBan += l; rhsBan += r }
             lhsBan += (l + r); rhsBan += (l + r) // the created token
             ceiling = math.max(ceiling, a)
+            // created-string collision with a pre-existing symbol ends
+            // the batch (see the `known` note above)
+            if (batch > 1 && !known.add(l + r)) stop = true
           }
         }
         val prev = w
@@ -213,15 +239,19 @@ object Bpe {
           rules += ((step, l, r, c)); step += 1 }
       }
     }
-    lastRounds = round
+    lastRounds.set(round)
     (w, rules.result(), lastCkptId)
   }
 
   /** Dev metric: candidate-pull rounds of the most recent merge loop in
     * this thread — realized mean batch width = rules / rounds (read by
-    * ProfileBpeVocab; no production consumer).
+    * ProfileBpeVocab; no production consumer). Genuinely thread-local
+    * (r17 advice): a single shared field would be clobbered by
+    * concurrent learnMerges calls, making the profile reading
+    * unreliable under parallel use.
     */
-  @volatile private[graft] var lastRounds: Int = 0
+  private[graft] val lastRounds: ThreadLocal[Int] =
+    ThreadLocal.withInitial(() => 0)
 
   /** Learn `steps` merge rules from `words(wordCol, cntCol)` (distinct
     * words with occurrence counts). Returns (step, lhs, rhs,

@@ -26,35 +26,63 @@ object PrefixSum {
     * semantics), so the appended column is always non-null.
     */
   def withRunningSum(df: DataFrame, valueCol: String, outCol: String,
-                     order: Seq[Column]): DataFrame = {
+                     order: Seq[Column]): DataFrame =
+    withRunningSums(df, Seq(valueCol), Seq(outCol), order)
+
+  /** [[withRunningSum]] over SEVERAL integral columns at once — one
+    * range sort, one per-partition pass, k accumulators: a caller
+    * needing two running totals over the same order (the two-arm ECDF
+    * pair in Robust.ksTest) must not pay two sorts. `outCols(j)` is the
+    * exclusive running sum of `valueCols(j)`.
+    */
+  def withRunningSums(df: DataFrame, valueCols: Seq[String],
+                      outCols: Seq[String], order: Seq[Column]): DataFrame = {
+    require(valueCols.nonEmpty && valueCols.size == outCols.size,
+      s"need matching non-empty column lists, got $valueCols -> $outCols")
     val spark = df.sparkSession
     val sorted = df.orderBy(order: _*)
-    val idx = sorted.schema.fieldIndex(valueCol)
+    val idxs = valueCols.map(sorted.schema.fieldIndex).toArray
+    val k = idxs.length
     val rdd = sorted.rdd
     // Function value (not a local def) so the RDD closures capture only
-    // `idx`, never the enclosing module.
-    val valueAt: Row => Long = r => r.get(idx) match {
-      case null => 0L
-      case n: Number => n.longValue()
+    // `idxs`/`k`, never the enclosing module.
+    val valuesAt: (Row, Array[Long]) => Unit = (r, into) => {
+      var j = 0
+      while (j < k) {
+        into(j) = r.get(idxs(j)) match {
+          case null => 0L
+          case n: Number => n.longValue()
+        }
+        j += 1
+      }
     }
     val partSums = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
-      it.foreach(r => s += valueAt(r))
+      val s = new Array[Long](k)
+      val v = new Array[Long](k)
+      it.foreach { r =>
+        valuesAt(r, v)
+        var j = 0; while (j < k) { s(j) += v(j); j += 1 }
+      }
       Iterator((i, s))
     }.collect().sortBy(_._1).map(_._2)
     // offsets(i) = total of partitions 0..i-1 (scanLeft drops the last)
-    val offsets = partSums.scanLeft(0L)(_ + _)
+    val offsets = partSums.scanLeft(new Array[Long](k)) { (a, b) =>
+      Array.tabulate(k)(j => a(j) + b(j))
+    }
     val bc = spark.sparkContext.broadcast(offsets)
     val out = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = bc.value(i)
+      val acc = bc.value(i).clone()
+      val v = new Array[Long](k)
       it.map { r =>
-        val before = acc
-        acc += valueAt(r)
-        Row.fromSeq(r.toSeq :+ before)
+        val before = java.util.Arrays.copyOf(acc, k)
+        valuesAt(r, v)
+        var j = 0; while (j < k) { acc(j) += v(j); j += 1 }
+        Row.fromSeq(r.toSeq ++ before)
       }
     }
     spark.createDataFrame(out, StructType(
-      sorted.schema.fields :+ StructField(outCol, LongType, nullable = false)))
+      sorted.schema.fields ++ outCols.map(c =>
+        StructField(c, LongType, nullable = false))))
   }
 
   /** Append the EXCLUSIVE running MAX of `valueCol` (an integral

@@ -175,15 +175,26 @@ object Quality {
     * chi-square readout and its decision input (obs·10⁹ − n·p_d) are
     * engine-replayable; only the final display division is a double.
     *
+    * ALWAYS 9 rows: observed counts join onto a fixed 1..9 digit spine
+    * with observed = 0 for absent digits — a digit that never occurs
+    * is the STRONGEST fraud signal (its full n·p_d mass lands in the
+    * chi-square), so an observed-only frame that silently dropped its
+    * term would understate the statistic exactly where it matters
+    * (r17 advice).
+    *
     * @return 9 rows: digit, observed, expected_fp (count × 10⁹ scale),
     *         chi2_term (6 dp); plus the caller sums chi2_term against
     *         the df=8 critical value
     */
   def benford(df: DataFrame, valCol: String): DataFrame = {
     val v = df.select(col(valCol).cast("long").as("v")).filter(col("v") > 0)
-    val digits = v
+    val observed = v
       .select(substring(col("v").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("observed"))
+    val spine = v.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val digits = spine.join(observed, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("observed"), lit(0L)).as("observed"))
     val pLit = BenfordP9.zipWithIndex
       .map { case (p, i) => s"when digit = ${i + 1} then ${p}L" }
       .mkString("case ", " ", " end")

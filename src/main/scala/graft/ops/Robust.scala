@@ -188,21 +188,36 @@ object Robust {
     * n ≲ 10⁶ per comparison cell; larger cells should pre-aggregate
     * or subsample (documented contract, like theilSen's offset).
     *
+    * Arm contract (r17 advice): only rows with arm ∈ {1, 2} enter the
+    * comparison — a stray arm value (3, null, a typo) is DROPPED, not
+    * silently counted into arm 2. Degenerate inputs fail fast, the
+    * msprt discipline: an empty arm or an all-tied metric (zero rank
+    * variance) raises rather than emitting a NaN z.
+    *
     * Scale shape: one value-grain aggregate (map-side combined) over
-    * the input, one window over DISTINCT values, two scalar folds.
+    * the input, then the rank cumulative rides [[PrefixSum]]'s
+    * two-phase per-partition scan over the DISTINCT values — NOT an
+    * unpartitioned window, which would funnel every distinct value of
+    * a high-cardinality metric through one task — then two scalar
+    * folds.
     *
     * @return one row: n1, n2, u2x (= 2·U₁), z (6 dp), significant
     */
   def mannWhitney(df: DataFrame, armCol: String, valCol: String): DataFrame = {
     val v = df.select(col(armCol).as("arm"), col(valCol).cast("long").as("v"))
+      .filter(col("arm") === 1 || col("arm") === 2)
+    // lazily truncated (the q282 idiom): the two-phase scan's partial
+    // and seeded passes both consume this corpus aggregate — without
+    // truncation each would re-run the heavy upstream scan
     val byVal = v.groupBy("v").agg(
       count(when(col("arm") === 1, 1)).as("c1"),
       count(lit(1)).as("ct"))
-    val wOrd = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = byVal
-      .withColumn("cum", sum(col("ct")).over(wOrd))
-      .withColumn("below", col("cum") - col("ct"))
+      .localCheckpoint(eager = false)
+    // exclusive running count of ALL arms over the value order = the
+    // mass strictly below each tie group (the two-phase scan keeps the
+    // rank stage partitioned at any metric cardinality)
+    val ranked = PrefixSum
+      .withRunningSum(byVal, "ct", "below", Seq(col("v")))
       // arm-1 mass at this value x (2·average rank of the tie group)
       .withColumn("r2_contrib",
         col("c1").cast("decimal(38,0)")
@@ -218,13 +233,23 @@ object Robust {
       .withColumn("n", col("n1") + col("n2"))
       .withColumn("u2x", expr(
         "cast(r2x - cast(n1 as decimal(38,0)) * (n1 + 1) as decimal(38,0))"))
-      .withColumn("z", round(expr(
-        """(cast(u2x as double) - cast(n1 as double) * cast(n2 as double))
-           / sqrt(cast(n1 as double) * cast(n2 as double) / 3.0
-                  * ((cast(n as double) + 1.0)
-                     - cast(tsum as double)
-                       / (cast(n as double) * (cast(n as double) - 1.0))))"""),
-        6))
+      .withColumn("z", expr(
+        """case
+           when coalesce(n1, 0) = 0 or coalesce(n2, 0) = 0
+             then cast(raise_error(
+               'mannWhitney: both arms need data') as double)
+           when (cast(n as decimal(38,0)) + 1)
+                  * (cast(n as decimal(38,0)) * (n - 1)) - tsum <= 0
+             then cast(raise_error(
+               'mannWhitney: zero rank variance (all values tied)') as double)
+           else round(
+             (cast(u2x as double) - cast(n1 as double) * cast(n2 as double))
+             / sqrt(cast(n1 as double) * cast(n2 as double) / 3.0
+                    * ((cast(n as double) + 1.0)
+                       - cast(tsum as double)
+                         / (cast(n as double) * (cast(n as double) - 1.0)))),
+             6)
+           end"""))
       .withColumn("significant", expr(
         """(u2x - cast(n1 as decimal(38,0)) * n2)
              * (u2x - cast(n1 as decimal(38,0)) * n2) * 3 * 10000
@@ -248,35 +273,44 @@ object Robust {
     * double. Domain: the decision needs (n₁n₂)²·10⁶ ≲ 10³⁸, i.e.
     * ~10⁸ rows per arm per comparison cell (the mannWhitney-style
     * documented contract). Scale shape: one value-grain aggregate
-    * (map-side combined), one window over distinct values, one max
-    * fold.
+    * (map-side combined), then BOTH ECDF cumulatives ride ONE
+    * [[PrefixSum]] two-phase scan over the distinct values (not an
+    * unpartitioned window — the single-task-funnel hazard the
+    * mannWhitney note describes) with the arm totals as a broadcast
+    * one-row scalar fold, then one max fold.
     *
     * @return one row: n1, n2, d_num (= D·n₁n₂, exact), d (6 dp),
     *         significant
     */
   def ksTest(df: DataFrame, armCol: String, valCol: String): DataFrame = {
     val v = df.select(col(armCol).as("arm"), col(valCol).cast("long").as("v"))
+      .filter(col("arm") === 1 || col("arm") === 2)
+    // lazily truncated: the scan's two passes plus the totals fold all
+    // consume this corpus aggregate (the mannWhitney note)
     val byVal = v.groupBy("v").agg(
       count(when(col("arm") === 1, 1)).as("c1"),
       count(when(col("arm") === 2, 1)).as("c2"))
-    val wOrd = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(lit(1))
-    val gaps = byVal
-      .withColumn("cum1", sum(col("c1")).over(wOrd))
-      .withColumn("cum2", sum(col("c2")).over(wOrd))
-      .withColumn("n1", sum(col("c1")).over(wAll))
-      .withColumn("n2", sum(col("c2")).over(wAll))
+      .localCheckpoint(eager = false)
+    // one scan, two accumulators: exclusive prefixes + own counts give
+    // the inclusive ECDF numerators at every distinct value
+    val cum = PrefixSum.withRunningSums(byVal,
+      Seq("c1", "c2"), Seq("b1", "b2"), Seq(col("v")))
+    val tot = byVal.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val gaps = cum
+      .crossJoin(broadcast(tot))
       .withColumn("gap", abs(
-        col("cum1").cast("decimal(38,0)") * col("n2")
-          - col("cum2").cast("decimal(38,0)") * col("n1")))
+        (col("b1") + col("c1")).cast("decimal(38,0)") * col("n2")
+          - (col("b2") + col("c2")).cast("decimal(38,0)") * col("n1")))
     gaps
       .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
         max(col("gap")).as("d_num"))
       .select(col("n1"), col("n2"), col("d_num").cast("long").as("d_num"),
-        round(expr(
-          """cast(d_num as double)
-             / (cast(n1 as double) * cast(n2 as double))"""), 6).as("d"),
+        expr(
+          """case when coalesce(n1, 0) = 0 or coalesce(n2, 0) = 0
+             then cast(raise_error('ksTest: both arms need data') as double)
+             else round(cast(d_num as double)
+                        / (cast(n1 as double) * cast(n2 as double)), 6)
+             end""").as("d"),
         expr("""cast(d_num as decimal(38,0)) * d_num * 1000000
                 > 1844164 * cast(n1 + n2 as decimal(38,0)) * n1 * n2""")
           .as("significant"))

@@ -1338,8 +1338,14 @@ object Relational4 {
                  - 10000000000000000 AS m1_fp,
                (s2 * 1000000 + CAST(n2 AS HUGEINT) * 10000000000000000) // n2
                  - 10000000000000000 AS m2_fp,
-               ((n1 + n2) * (ss1 + ss2) - (s1 + s2) * (s1 + s2))
-                 // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)) AS var_u2
+               -- fail-fast parity with ops.Sequential.msprt (r17
+               -- advice): a zero pooled variance must ERROR here too,
+               -- not feed ln(0/0) = NaN rows the Spark path never emits
+               CASE WHEN ((n1 + n2) * (ss1 + ss2) - (s1 + s2) * (s1 + s2)) <= 0
+                 THEN CAST(error('msprt: pooled variance is zero (constant metric)')
+                           AS HUGEINT)
+                 ELSE ((n1 + n2) * (ss1 + ss2) - (s1 + s2) * (s1 + s2))
+                      // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)) END AS var_u2
              FROM bd WHERE n1 > 0 AND n2 > 0),
       rd AS (SELECT day, n1, n2,
                CAST(m1_fp - m2_fp AS DOUBLE) / 1000000.0 AS dd,
@@ -1433,12 +1439,20 @@ object Relational4 {
                 r2x - CAST(n1 AS HUGEINT) * (n1 + 1) AS u2x, tsum
               FROM ag)
       SELECT n1, n2, CAST(u2x AS BIGINT) AS u2x,
-        round((CAST(u2x AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        -- fail-fast parity with ops.Robust.mannWhitney: degenerate
+        -- input must ERROR identically in both engines, never NaN
+        CASE
+          WHEN coalesce(n1, 0) = 0 OR coalesce(n2, 0) = 0
+            THEN CAST(error('mannWhitney: both arms need data') AS DOUBLE)
+          WHEN (CAST(n AS HUGEINT) + 1) * (CAST(n AS HUGEINT) * (n - 1)) - tsum <= 0
+            THEN CAST(error('mannWhitney: zero rank variance (all values tied)')
+                      AS DOUBLE)
+          ELSE round((CAST(u2x AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
               / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 3.0
                      * ((CAST(n AS DOUBLE) + 1.0)
                         - CAST(tsum AS DOUBLE)
                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))),
-              6) AS z,
+              6) END AS z,
         (u2x - CAST(n1 AS HUGEINT) * n2) * (u2x - CAST(n1 AS HUGEINT) * n2)
           * 3 * 10000 * (CAST(n AS HUGEINT) * (n - 1))
         > 38416 * CAST(n1 AS HUGEINT) * n2
@@ -1742,17 +1756,22 @@ object Relational4 {
       ob AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY digit),
       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
       p AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS digit,
-                   unnest([${graft.ops.Quality.BenfordP9.mkString(", ")}]) AS p9)
-      SELECT ob.digit, ob.observed,
-             CAST(CAST(nn.n AS HUGEINT) * p.p9 AS BIGINT) AS expected_fp,
-             round(CAST((CAST(ob.observed AS HUGEINT) * 1000000000
-                         - CAST(nn.n AS HUGEINT) * p.p9)
-                        * (CAST(ob.observed AS HUGEINT) * 1000000000
-                           - CAST(nn.n AS HUGEINT) * p.p9) AS DOUBLE)
-                   / (CAST(CAST(nn.n AS HUGEINT) * p.p9 AS DOUBLE) * 1000000000.0),
+                   unnest([${graft.ops.Quality.BenfordP9.mkString(", ")}]) AS p9),
+      -- fixed digit spine (r17 advice): an UNOBSERVED digit still
+      -- contributes its full n*p_d chi2 term, so all 9 rows emit
+      sp AS (SELECT p.digit, p.p9,
+               coalesce(ob.observed, CAST(0 AS BIGINT)) AS observed
+             FROM p LEFT JOIN ob ON ob.digit = p.digit)
+      SELECT sp.digit, sp.observed,
+             CAST(CAST(nn.n AS HUGEINT) * sp.p9 AS BIGINT) AS expected_fp,
+             round(CAST((CAST(sp.observed AS HUGEINT) * 1000000000
+                         - CAST(nn.n AS HUGEINT) * sp.p9)
+                        * (CAST(sp.observed AS HUGEINT) * 1000000000
+                           - CAST(nn.n AS HUGEINT) * sp.p9) AS DOUBLE)
+                   / (CAST(CAST(nn.n AS HUGEINT) * sp.p9 AS DOUBLE) * 1000000000.0),
                    6) AS chi2_term
-      FROM ob JOIN p ON ob.digit = p.digit CROSS JOIN nn
-      ORDER BY ob.digit"""),
+      FROM sp CROSS JOIN nn
+      ORDER BY sp.digit"""),
     (spark, dir) => {
       val o = T(spark, dir, "orders")
         .select(round(col("o_totalprice") * 100, 0).cast("long").as("v"))
@@ -1944,8 +1963,11 @@ object Relational4 {
                 AS d_num
             FROM g)
       SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num,
-             round(CAST(d_num AS DOUBLE)
-                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d,
+             -- fail-fast parity with ops.Robust.ksTest on an empty arm
+             CASE WHEN coalesce(n1, 0) = 0 OR coalesce(n2, 0) = 0
+               THEN CAST(error('ksTest: both arms need data') AS DOUBLE)
+               ELSE round(CAST(d_num AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) END AS d,
              d_num * d_num * 1000000
                > 1844164 * CAST(n1 + n2 AS HUGEINT) * n1 * n2 AS significant
       FROM a"""),

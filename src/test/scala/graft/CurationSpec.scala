@@ -100,6 +100,29 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("PrefixSum.withRunningSums: k columns in one scan match k single scans") {
+    // the KS rewrite needs TWO running totals over one order — the
+    // multi-column scan must agree column-for-column with independent
+    // single-column scans, under any input partitioning
+    import spark.implicits._
+    val rows = (1 to 500).map(i =>
+      (i.toLong, (i * 13 % 29).toLong, (i * 7 % 17).toLong))
+    val df = rows.toDF("id", "a", "b")
+    val viaSingles = {
+      val wa = graft.ops.PrefixSum.withRunningSum(df, "a", "ra", Seq(col("id")))
+      graft.ops.PrefixSum.withRunningSum(wa, "b", "rb", Seq(col("id")))
+        .select("id", "ra", "rb").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    }
+    Seq(df, df.repartition(11), df.coalesce(1)).foreach { d =>
+      val got = graft.ops.PrefixSum
+        .withRunningSums(d, Seq("a", "b"), Seq("ra", "rb"), Seq(col("id")))
+        .select("id", "ra", "rb").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got == viaSingles)
+    }
+  }
+
   test("q108 packing is lossless and every pack except the last is full") {
     val out = q("q108_pack_concat").cache()
     try {

@@ -1043,6 +1043,26 @@ class LlmOpsSpec extends SparkSuite {
     assert(encOf(64) == encOf(1), "batched encodings diverged")
   }
 
+  test("Bpe batching: created-string collisions cannot diverge from sequential greedy") {
+    // An {a,b}-only vocabulary where merge products ALIAS each other
+    // (e.g. (a)(bab) would create 'abab' while (ab)(ab) survivors are
+    // around): the r17 collision guard must end a batch at such an
+    // acceptance rather than let a later candidate ride a ceiling
+    // argument whose never-counted premise just broke. batch=1 IS
+    // classic greedy — rule sequences and counts must match exactly.
+    val words = Seq(("abab", 11L), ("ababab", 9L), ("bab", 10L),
+      ("aabab", 7L), ("abba", 6L), ("babab", 5L), ("aab", 4L),
+      ("bb", 3L), ("abababab", 2L), ("baba", 2L)).toDF("w", "cnt")
+    def rulesOf(batch: Int) =
+      graft.llm.Bpe.learnMerges(words, "w", "cnt", steps = 14, batch = batch)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+    val sequential = rulesOf(1)
+    val batched = rulesOf(64)
+    assert(batched == sequential,
+      s"alias-prone batching diverged:\n seq=$sequential\n bat=$batched")
+  }
+
   test("KmvDistinct: exact below k, bounded error above, partition-independent") {
     import graft.engine.expressions.KmvDistinct
     KmvDistinct.register(spark)

@@ -428,6 +428,28 @@ class OpsSpec extends SparkSuite {
       s"expected mass drifted: $expSum")
   }
 
+  test("Quality.benford: an ABSENT digit still emits its full expected-mass term") {
+    // every value starts with 1..4 — digits 5..9 never occur. A zero
+    // count is the strongest fraud signal (its whole n*p_d mass lands
+    // in the chi-square); the fixed digit spine must emit all 9 rows
+    // with observed = 0 rather than dropping the term (r17 advice).
+    val vals = (1 to 400).map(i => (i % 4 + 1).toLong).toDF("v")
+    val rows = graft.ops.Quality.benford(vals, "v").collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9),
+      "all nine digits must emit")
+    val byDigit = rows.map(r => r.getAs[Int]("digit") ->
+      (r.getAs[Long]("observed"), r.getAs[Double]("chi2_term"))).toMap
+    (5 to 9).foreach { d =>
+      val (obs, term) = byDigit(d)
+      assert(obs == 0L, s"digit $d should be unobserved")
+      // (0 - n*p)^2 / (n*p) = n*p exactly (up to the frozen-constant
+      // rounding residue): digit 9's 400 * 0.045757... ≈ 18.3
+      val np = 400.0 * graft.ops.Quality.BenfordP9(d - 1) / 1e9
+      assert(math.abs(term - np) < 1e-3,
+        s"digit $d term $term should be its full expected mass $np")
+    }
+  }
+
   test("EntityResolution: blocked pairs find exactly the in-block fuzzy matches") {
     val names = Seq("jon's pizza", "jons pizza", "jonas pizzeria",
       "burger barn", "burger bern", "zebra cafe").toDF("name")

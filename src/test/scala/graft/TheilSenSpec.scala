@@ -154,4 +154,62 @@ class TheilSenSpec extends SparkSuite {
     val g0 = graft.ops.Robust.ksTest(same.toDF("arm", "v"), "arm", "v").head()
     assert(g0.getAs[Long]("d_num") == 0L && !g0.getAs[Boolean]("significant"))
   }
+
+  test("mannWhitney/ksTest: stray arms are dropped, not counted as arm 2") {
+    // r17 advice: a row whose arm is 3 (or null) is NOT part of the
+    // 1-vs-2 comparison — silently folding it into arm 2 shifts every
+    // rank. The noisy input must produce the clean input's readout.
+    val clean = (1 to 120).map(i => (if (i % 2 == 0) 1 else 2,
+      (i * 13 % 11).toLong + (if (i % 2 == 0) 1L else 0L)))
+    val noisy = clean ++ (1 to 50).map(i => (3, 9999L + i))
+    def mw(rs: Seq[(Int, Long)]) =
+      graft.ops.Robust.mannWhitney(rs.toDF("arm", "v"), "arm", "v").head()
+    def ks(rs: Seq[(Int, Long)]) =
+      graft.ops.Robust.ksTest(rs.toDF("arm", "v"), "arm", "v").head()
+    assert(mw(noisy) == mw(clean), "stray arm 3 leaked into Mann-Whitney")
+    assert(ks(noisy) == ks(clean), "stray arm 3 leaked into KS")
+    // null arms likewise drop (a join miss upstream must not become
+    // phantom arm-2 mass)
+    val withNull = clean.map { case (a, v) => (Option(a), v) } ++
+      Seq((Option.empty[Int], 50L), (Option.empty[Int], 51L))
+    val gn = graft.ops.Robust.mannWhitney(
+      withNull.toDF("arm", "v"), "arm", "v").head()
+    assert(gn == mw(clean), "null arm leaked into Mann-Whitney")
+  }
+
+  test("mannWhitney/ksTest: degenerate inputs fail fast instead of emitting NaN") {
+    // all values tied: the rank variance is exactly zero — the z
+    // denominator would be 0/0; the msprt-style guard must raise
+    val tied = (1 to 40).map(i => (if (i % 2 == 0) 1 else 2, 7L))
+    val exTied = intercept[Exception] {
+      graft.ops.Robust.mannWhitney(tied.toDF("arm", "v"), "arm", "v").collect()
+    }
+    assert(exTied.getMessage.contains("zero rank variance"),
+      s"expected the all-tied guard, got: ${exTied.getMessage}")
+    // one arm absent entirely
+    val oneArm = (1 to 20).map(i => (1, i.toLong))
+    val exMw = intercept[Exception] {
+      graft.ops.Robust.mannWhitney(oneArm.toDF("arm", "v"), "arm", "v").collect()
+    }
+    assert(exMw.getMessage.contains("both arms need data"))
+    val exKs = intercept[Exception] {
+      graft.ops.Robust.ksTest(oneArm.toDF("arm", "v"), "arm", "v").collect()
+    }
+    assert(exKs.getMessage.contains("both arms need data"))
+  }
+
+  test("mannWhitney/ksTest rank stage is the two-phase scan, not a single-task window") {
+    // r17 advice: Window.orderBy with no partitionBy ships every
+    // distinct metric value through ONE task. The rank/ECDF cumulative
+    // now rides PrefixSum's per-partition scan — the final plan must
+    // carry no Window operator at all.
+    val rows = (1 to 300).map(i => (if (i % 2 == 0) 1 else 2, (i * 17 % 97).toLong))
+    val df = rows.toDF("arm", "v")
+    val mwPlan = graft.ops.Robust.mannWhitney(df, "arm", "v")
+      .queryExecution.executedPlan.toString
+    assert(!mwPlan.contains("Window"), s"Mann-Whitney still plans a window:\n$mwPlan")
+    val ksPlan = graft.ops.Robust.ksTest(df, "arm", "v")
+      .queryExecution.executedPlan.toString
+    assert(!ksPlan.contains("Window"), s"KS still plans a window:\n$ksPlan")
+  }
 }

@@ -29,7 +29,7 @@ object ProfileBpeVocab {
     for (batch <- Seq(64, 1)) {
       val t0 = System.nanoTime()
       val n = graft.llm.Bpe.learnMerges(words, "w", "cnt", steps, batch).count()
-      val rounds = graft.llm.Bpe.lastRounds
+      val rounds = graft.llm.Bpe.lastRounds.get()
       println(f"[bpev] batch=$batch%-3d rules=$n rounds=$rounds " +
         f"meanWidth=${n.toDouble / rounds}%.2f ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
