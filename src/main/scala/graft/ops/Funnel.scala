@@ -32,7 +32,32 @@ object Funnel {
     *         pct_of_first (6 dp), pct_of_prev (6 dp)
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
-             tsCol: String, steps: Seq[String]): DataFrame = {
+             tsCol: String, steps: Seq[String]): DataFrame =
+    funnelImpl(events, userCol, typeCol, tsCol, steps, None)
+
+  /** [[funnel]] with a CONVERSION WINDOW — the other half of every
+    * production funnel dashboard: step k counts only when it lands in
+    * (tₖ₋₁, tₖ₋₁ + window] of the step-k−1 match ("purchased within 7
+    * days of the click"), so stale conversions stop inflating the
+    * readout. Same first-touch greedy semantics (each step matches at
+    * its EARLIEST in-window instant — the standard dashboard
+    * convention; a backtracking variant that sacrifices an early match
+    * to rescue a later step is a different, costlier estimator), same
+    * one-scan array-algebra plan — the window is one extra integer
+    * bound in the codegen'd array filter.
+    *
+    * @param windowMicros per-transition window in MICROseconds (> 0)
+    */
+  def funnelWindowed(events: DataFrame, userCol: String, typeCol: String,
+                     tsCol: String, steps: Seq[String],
+                     windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, s"window must be positive, got $windowMicros")
+    funnelImpl(events, userCol, typeCol, tsCol, steps, Some(windowMicros))
+  }
+
+  private def funnelImpl(events: DataFrame, userCol: String, typeCol: String,
+                         tsCol: String, steps: Seq[String],
+                         windowMicros: Option[Long]): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
     val spark = events.sparkSession
@@ -63,7 +88,11 @@ object Funnel {
       // a null m(k-1) nulls every comparison, the filter keeps nothing,
       // and array_min(empty) stays null — non-reaching users propagate
       else df.withColumn(s"m$i",
-        array_min(filter(col(s"ts$i"), x => x > col(s"m${i - 1}"))))
+        array_min(filter(col(s"ts$i"), x => windowMicros match {
+          case Some(w) => x > col(s"m${i - 1}") &&
+            x <= col(s"m${i - 1}") + lit(w)
+          case None => x > col(s"m${i - 1}")
+        })))
     }
     // exact per-step reach counts in one aggregate
     val counts = withMatches.agg(

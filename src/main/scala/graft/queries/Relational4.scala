@@ -1193,7 +1193,11 @@ object Relational4 {
 
     funnelQuery,
 
+    funnelWindowedQuery,
+
     kaplanMeierQuery,
+
+    kmGreenwoodQuery,
 
     ksQuery,
 
@@ -1887,6 +1891,65 @@ object Relational4 {
       graft.ops.Funnel.funnel(T(spark, dir, "events"), "user_id",
         "event_type", "ts", Seq("signup", "view", "click", "purchase")))
 
+  /** q297's funnel with a 3-DAY conversion window per transition —
+    * step k counts only inside (tₖ₋₁, tₖ₋₁ + 72h] of the previous
+    * match ("clicked within 3 days of the view"), the other half of
+    * every production funnel dashboard. Identical one-scan array plan;
+    * the window is one extra integer bound in the list filter on both
+    * engines (ops.Funnel.funnelWindowed).
+    */
+  // lazy — `defs` forces the lazy QueryDefs at object init, BEFORE
+  // later plain vals assign (the Scd2Ctes ordering trap this file
+  // documents); a plain val here would interpolate 0 into the SQL
+  private lazy val FunnelWindowMicros: Long = 3L * 86400L * 1000000L
+  private lazy val funnelWindowedQuery: QueryDef =
+    QueryDef("q304_funnel_windowed", Some(s"""
+      WITH ev AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts
+                  FROM events
+                  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+      pu AS (SELECT u,
+               list_sort(list(ts) FILTER (WHERE t = 'signup')) AS ts0,
+               list_sort(list(ts) FILTER (WHERE t = 'view')) AS ts1,
+               list_sort(list(ts) FILTER (WHERE t = 'click')) AS ts2,
+               list_sort(list(ts) FILTER (WHERE t = 'purchase')) AS ts3
+             FROM ev GROUP BY u),
+      c0 AS (SELECT u, ts0[1] AS m0, ts1, ts2, ts3 FROM pu),
+      c1 AS (SELECT u, m0,
+               list_min(list_filter(ts1,
+                 x -> x > m0 AND x <= m0 + ${FunnelWindowMicros})) AS m1,
+               ts2, ts3 FROM c0),
+      c2 AS (SELECT u, m0, m1,
+               list_min(list_filter(ts2,
+                 x -> x > m1 AND x <= m1 + ${FunnelWindowMicros})) AS m2,
+               ts3 FROM c1),
+      c3 AS (SELECT u, m0, m1, m2,
+               list_min(list_filter(ts3,
+                 x -> x > m2 AND x <= m2 + ${FunnelWindowMicros})) AS m3 FROM c2),
+      r AS (SELECT CAST(count(m0) AS BIGINT) AS r0,
+              CAST(count(m1) AS BIGINT) AS r1,
+              CAST(count(m2) AS BIGINT) AS r2,
+              CAST(count(m3) AS BIGINT) AS r3
+            FROM c3)
+      SELECT * FROM (
+        SELECT 1 AS step_idx, 'signup' AS step, r0 AS users_reached,
+               round(CAST(r0 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) AS pct_of_first,
+               round(CAST(r0 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) AS pct_of_prev
+        FROM r
+        UNION ALL
+        SELECT 2, 'view', r1, round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6),
+               round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) FROM r
+        UNION ALL
+        SELECT 3, 'click', r2, round(CAST(r2 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6),
+               round(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE) * 100, 6) FROM r
+        UNION ALL
+        SELECT 4, 'purchase', r3, round(CAST(r3 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6),
+               round(CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE) * 100, 6) FROM r)
+      ORDER BY step_idx"""),
+    (spark, dir) =>
+      graft.ops.Funnel.funnelWindowed(T(spark, dir, "events"), "user_id",
+        "event_type", "ts", Seq("signup", "view", "click", "purchase"),
+        FunnelWindowMicros))
+
   /** Kaplan–Meier user-retention curve over the events month: per-user
     * lifetime = days between first and last activity, right-censored at
     * the observation edge (active-on-last-day users are NOT churn —
@@ -1940,6 +2003,73 @@ object Relational4 {
         .select((col("ld") - col("fd")).as("t"),
           (col("ld") === col("endd")).as("cen"))
       graft.ops.Survival.kaplanMeier(subj, "t", "cen")
+    })
+
+  /** q298's retention curve WITH its Greenwood 95% confidence band —
+    * var(S) = S²·Σ d/(n(n−d)) as a 10¹⁸ fixed-point integer cumulative
+    * over the same ≤T rows, the se/CI as the one double readout
+    * (ops.Survival.kaplanMeierGreenwood). Same subject derivation as
+    * q298, so the curves coincide and only the band is new.
+    */
+  private lazy val kmGreenwoodQuery: QueryDef =
+    QueryDef("q305_km_greenwood", Some("""
+      WITH pu AS (SELECT user_id,
+               CAST(date_diff('day', DATE '2024-01-01', min(CAST(ts AS DATE))) AS BIGINT) AS fd,
+               CAST(date_diff('day', DATE '2024-01-01', max(CAST(ts AS DATE))) AS BIGINT) AS ld
+             FROM events GROUP BY user_id),
+      mx AS (SELECT max(ld) AS endd FROM pu),
+      subj AS (SELECT ld - fd AS t, ld = endd AS cen FROM pu, mx),
+      byt AS (SELECT t,
+                CAST(count(CASE WHEN NOT cen THEN 1 END) AS BIGINT) AS churned,
+                CAST(count(CASE WHEN cen THEN 1 END) AS BIGINT) AS censored
+              FROM subj GROUP BY t),
+      rk AS (SELECT t, churned, censored,
+               CAST(sum(churned + censored) OVER ()
+                    - coalesce(sum(churned + censored)
+                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
+             FROM byt),
+      ff AS (SELECT t, churned, censored, n_at_risk,
+               CAST((n_at_risk - churned) * 1000000000 // n_at_risk AS BIGINT) AS f,
+               CASE WHEN churned < n_at_risk
+                 THEN CAST(churned AS HUGEINT) * 1000000000000000000
+                      // (CAST(n_at_risk AS HUGEINT) * (n_at_risk - churned))
+                 ELSE CAST(0 AS HUGEINT) END AS g_term,
+               CAST(row_number() OVER (ORDER BY t) AS INTEGER) AS rn
+             FROM rk),
+      gc AS (SELECT *, sum(g_term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                       AS greenwood_fp
+             FROM ff),
+      fl AS (SELECT list(f ORDER BY t) AS fs FROM ff),
+      o AS (SELECT gc.t, gc.n_at_risk, gc.churned, gc.censored,
+              gc.greenwood_fp,
+              CAST(list_reduce(
+                     list_prepend(CAST(1000000000 AS HUGEINT),
+                       list_transform(list_slice(fl.fs, 1, gc.rn),
+                                      x -> CAST(x AS HUGEINT))),
+                     (a, b) -> (a * b) // 1000000000) AS BIGINT) AS survival_fp
+            FROM gc, fl),
+      rd AS (SELECT t, n_at_risk, churned, censored,
+               CAST(survival_fp AS DOUBLE) / 1000000000.0 AS s_d,
+               CAST(survival_fp AS DOUBLE) / 1000000000.0
+                 * sqrt(CAST(greenwood_fp AS DOUBLE) / 1e18) AS se_raw
+             FROM o)
+      SELECT t, n_at_risk, churned, censored,
+             round(s_d, 6) AS survival, round(se_raw, 6) AS se,
+             round(greatest(0.0, s_d - 1.96 * se_raw), 6) AS lo95,
+             round(least(1.0, s_d + 1.96 * se_raw), 6) AS hi95
+      FROM rd ORDER BY t"""),
+    (spark, dir) => {
+      val pu = T(spark, dir, "events").groupBy("user_id")
+        .agg(datediff(min(to_date(col("ts"))), lit("2024-01-01").cast("date"))
+          .cast("long").as("fd"),
+          datediff(max(to_date(col("ts"))), lit("2024-01-01").cast("date"))
+            .cast("long").as("ld"))
+        .localCheckpoint(eager = false)
+      val subj = pu.crossJoin(broadcast(pu.agg(max(col("ld")).as("endd"))))
+        .select((col("ld") - col("fd")).as("t"),
+          (col("ld") === col("endd")).as("cen"))
+      graft.ops.Survival.kaplanMeierGreenwood(subj, "t", "cen")
     })
 
   /** Two-sample Kolmogorov–Smirnov on the same BUILDING/MACHINERY arms

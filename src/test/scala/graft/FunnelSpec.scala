@@ -59,4 +59,38 @@ class FunnelSpec extends SparkSuite {
     assert(e.forall(_.getLong(2) == 0L || !e.head.isNullAt(2)))
     assert(e.head.isNullAt(3), "0-entry funnel must null its rates")
   }
+
+  test("funnelWindowed: the conversion window binds per transition, first-touch stays greedy") {
+    // t(s) steps are 1 s apart; window = 5 s
+    val rows = Seq(
+      // u1: every transition within 5 s — converts fully
+      (1L, "signup", t(0)), (1L, "view", t(3)), (1L, "click", t(6)),
+      (1L, "purchase", t(9)),
+      // u2: view 10 s after signup — outside the window, chain dies at
+      // signup even though a click follows the view quickly
+      (2L, "signup", t(0)), (2L, "view", t(10)), (2L, "click", t(11)),
+      // u3: first-touch anchors at the FIRST in-window view (t4), so
+      // the click at t12 > t4+5 dies — even though anchoring at the
+      // second view (t8) would have rescued it (the documented greedy
+      // convention, same as the unwindowed funnel)
+      (3L, "signup", t(0)), (3L, "view", t(4)), (3L, "view", t(8)),
+      (3L, "click", t(12)),
+      // u4: view at EXACTLY signup + window — the bound is inclusive
+      (4L, "signup", t(0)), (4L, "view", t(5))
+    ).toDF("user_id", "event_type", "ts")
+    val w5 = 5L * 1000000L
+    val r = Funnel.funnelWindowed(rows, "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"), w5)
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(r("signup") == 4L)
+    assert(r("view") == 3L, s"u1, u3 (t4), u4 boundary: $r")
+    assert(r("click") == 1L, s"only u1; u2 out-of-window, u3 greedy-dead: $r")
+    assert(r("purchase") == 1L)
+    // the unwindowed funnel rescues u2 and u3 — the window is the only
+    // difference between the two readouts
+    val u = Funnel.funnel(rows, "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))
+      .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
+    assert(u("view") == 4L && u("click") == 3L)
+  }
 }

@@ -35,6 +35,51 @@ class SurvivalSpec extends SparkSuite {
     assert(math.abs(disp(5L) - s5.toDouble / 1e9) < 5e-7)
   }
 
+  test("Greenwood band: hand-computed variance terms, clamped CI, degenerate S=0 point") {
+    // same 10-subject fixture as the curve test; Greenwood terms
+    // d·10¹⁸ div (n(n−d)) replayed by hand:
+    //   t=1: 2/(10·8)  → 25000000000000000
+    //   t=2: censoring only → 0
+    //   t=3: 1/(7·6)   → floor(1e18/42)
+    //   t=5: 2/(5·3)   → floor(2e18/15)
+    val subjects = Seq(
+      (1L, false), (1L, false), (2L, true), (3L, false), (4L, true),
+      (5L, false), (5L, false), (5L, true), (5L, true), (5L, true)
+    ).toDF("t", "cen")
+    val r = Survival.kaplanMeierGreenwood(subjects, "t", "cen")
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(4), x.getDouble(5), x.getDouble(6), x.getDouble(7)))
+      .toMap
+    val g1 = 25000000000000000L
+    val se1 = 0.8 * math.sqrt(g1.toDouble / 1e18)
+    assert(math.abs(r(1L)._1 - 0.8) < 5.1e-7)
+    assert(math.abs(r(1L)._2 - se1) < 5.1e-7, s"se(1) ${r(1L)._2} != $se1")
+    assert(math.abs(r(1L)._3 - (0.8 - 1.96 * se1)) < 5.1e-7)
+    assert(r(1L)._4 == 1.0, s"upper band must clamp to 1: ${r(1L)._4}")
+    // censoring-only point: S, se, and the band are all unchanged
+    assert(r(2L) == r(1L), "censoring must not move the band")
+    // t=3 and t=5: exact fixed-point replay of Σ and S feeding the se
+    val g3 = g1 + 1000000000000000000L / 42L
+    val s3fp = 800000000L * 857142857L / 1000000000L
+    val se3 = (s3fp.toDouble / 1e9) * math.sqrt(g3.toDouble / 1e18)
+    assert(math.abs(r(3L)._2 - se3) < 5.1e-7, s"se(3) ${r(3L)._2} != $se3")
+    val g5 = g3 + 2000000000000000000L / 15L
+    val s5fp = s3fp * 600000000L / 1000000000L
+    val se5 = (s5fp.toDouble / 1e9) * math.sqrt(g5.toDouble / 1e18)
+    assert(math.abs(r(5L)._2 - se5) < 5.1e-7, s"se(5) ${r(5L)._2} != $se5")
+    assert(math.abs(r(5L)._3 - (s5fp / 1e9 - 1.96 * se5)) < 5.1e-7)
+    assert(math.abs(r(5L)._4 - (s5fp / 1e9 + 1.96 * se5)) < 5.1e-7)
+    // everyone at risk churns at the end (n = d, S = 0): the undefined
+    // Greenwood increment freezes to 0 and the band collapses to [0,0]
+    val all = Seq((1L, false), (2L, false)).toDF("t", "cen")
+    val last = Survival.kaplanMeierGreenwood(all, "t", "cen")
+      .collect().map(x => x.getLong(0) ->
+        (x.getDouble(4), x.getDouble(5), x.getDouble(6), x.getDouble(7)))
+      .toMap
+    assert(last(2L) == ((0.0, 0.0, 0.0, 0.0)),
+      s"S=0 point must carry a zero band: ${last(2L)}")
+  }
+
   test("no censoring tracks the empirical survival function within the documented fold drift") {
     // 8 subjects, one death per t=1..8: true S(t) = (8-t)/8. The
     // defined estimator compounds PRE-FLOORED per-step factors, so it
