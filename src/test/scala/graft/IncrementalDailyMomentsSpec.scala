@@ -41,6 +41,38 @@ class IncrementalDailyMomentsSpec extends SparkSuite {
     assert(asMap(replay) == asMap(oneShot), "replayed batch double-counted")
   }
 
+  test("late-arriving day folds out of order; the store-served mSPRT equals the batch rebuild") {
+    // The one incremental-correctness surface the batch≡incremental
+    // family didn't pin for moments (r17 advice): a whole day landing
+    // LATE (and another day split across batches) must leave the store
+    // — and the monitor READ from it — bit-identical to a one-shot
+    // rebuild, because moments are linear and the full-outer add is
+    // day-order-blind. Compares the actual q303-style monitor output,
+    // not just the store rows.
+    val ev = (0 until 4000).map { i =>
+      val day = f"2024-01-${i % 10 + 1}%02d"
+      val arm = i % 2 + 1
+      (day, arm, (i * 37L + 11) % 6000L)
+    }.toDF("day", "arm", "v")
+    val store = Files.createTempDirectory("graft_incdm_late").toString
+    // batch 0: everything except day 04, plus only HALF of day 07;
+    // batch 1: the rest of day 07; batch 2: day 04 arrives last
+    val b0 = ev.filter(col("day") =!= "2024-01-04" &&
+      !(col("day") === "2024-01-07" && pmod(col("v"), lit(2)) === 0))
+    val b1 = ev.filter(col("day") === "2024-01-07" &&
+      pmod(col("v"), lit(2)) === 0)
+    val b2 = ev.filter(col("day") === "2024-01-04")
+    IncrementalDailyMoments.processBatch(b0, 0L, store, Seq("day", "arm"), "v")
+    IncrementalDailyMoments.processBatch(b1, 1L, store, Seq("day", "arm"), "v")
+    val served = IncrementalDailyMoments
+      .processBatch(b2, 2L, store, Seq("day", "arm"), "v")
+    val fromStore = graft.ops.Sequential.msprtFromMoments(served).collect()
+    val oneShot = graft.ops.Sequential.msprt(ev, "day", "arm", "v").collect()
+    assert(fromStore.toSeq == oneShot.toSeq,
+      "store-served monitor diverged from the one-shot rebuild after " +
+        "out-of-order day delivery")
+  }
+
   test("missing and torn predecessors fail fast; replay recovers a torn store") {
     val store = Files.createTempDirectory("graft_incdm_torn").toString
     def part(i: Int) = rows.filter(pmod(col("v"), lit(3)) === i)
