@@ -607,15 +607,60 @@ object SimSearch {
     ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
   }
 
-  /** Nearest-`n` centroid assignment of (`id`, `emb`) rows. */
+  /** Nearest-`n` centroid assignment of (`id`, `emb`) rows.
+    *
+    * n = 1 (the corpus-assignment path, also every Lloyd iteration) is
+    * a SHUFFLE-FREE unrolled argmax: the bounded centroid set (known
+    * small — it is broadcast either way) is collected once and unrolled
+    * into nCentroids codegen'd literal-array dot products plus a
+    * when-chain argmax, so a corpus assignment is ONE narrow map over
+    * the scan — no row×centroid crossJoin blow-up, no per-id exchange,
+    * no window sort. The old window shape shuffled |corpus|·nCentroids
+    * rows per assignment pass; at 3 assignment passes (2 Lloyd + final)
+    * that dominated q43's floor. Selection semantics are identical:
+    * highest dot wins, ties to the smallest cent_id (strict `>` over
+    * the cent_id-ascending unroll = first-max-wins), the same total
+    * order the window form used, so every oracle replay is unchanged.
+    *
+    * n > 1 (query probing — a few hundred rows) keeps the join+window
+    * form; an empty centroid frame also falls back so the result
+    * schema/emptiness semantics stay exactly the join's.
+    */
   private[graft] def nearestBuckets(df: DataFrame, cents: DataFrame,
-                             id: String, emb: String, n: Int): DataFrame =
-    TopK.exactPerKey(
-      df.crossJoin(broadcast(cents))
-        .select(col(id), col(emb), col("cent_id"),
-          dot(col(emb), col("cent_emb")).as("__c")),
-      Seq(id), Seq(col("__c").desc, col("cent_id").asc), n, "__cr")
-      .select(col(id), col(emb), col("cent_id").as("bucket"))
+                             id: String, emb: String, n: Int): DataFrame = {
+    val centRows = if (n == 1)
+      cents.select(col("cent_id"), col("cent_emb")).collect()
+    else Array.empty[org.apache.spark.sql.Row]
+    if (n == 1 && centRows.nonEmpty) {
+      // the SAME asc order the window form used: numeric ids sort
+      // numerically, anything else by string form
+      val byId = centRows.head.get(0) match {
+        case _: java.lang.Number => centRows.sortBy(_.getAs[Number](0).longValue())
+        case _ => centRows.sortBy(r => String.valueOf(r.get(0)))
+      }
+      // one codegen'd projection computes all nCentroids dots into an
+      // array; the argmax is array_max + array_position (FIRST index
+      // holding the max = smallest cent_id, the window's tie order).
+      // Deliberately array-shaped: per-column dots with an unrolled
+      // when-chain argmax duplicates the dot expressions under
+      // CollapseProject into a codegen tree big enough to OOM the JIT
+      // (measured); the array form is referenced at most twice.
+      val dotsArr = array(byId.map(r =>
+        dot(col(emb), lit(r.getSeq[Double](1).toArray))).toIndexedSeq: _*)
+      val cidArr = array(byId.map(r => lit(r.get(0))).toIndexedSeq: _*)
+      df.select(col(id), col(emb), dotsArr.as("__ds"))
+        .select(col(id), col(emb),
+          element_at(cidArr,
+            array_position(col("__ds"), array_max(col("__ds"))).cast("int"))
+            .as("bucket"))
+    } else
+      TopK.exactPerKey(
+        df.crossJoin(broadcast(cents))
+          .select(col(id), col(emb), col("cent_id"),
+            dot(col(emb), col("cent_emb")).as("__c")),
+        Seq(id), Seq(col("__c").desc, col("cent_id").asc), n, "__cr")
+        .select(col(id), col(emb), col("cent_id").as("bucket"))
+  }
 
   /** Probe the bucketed corpus with probed queries, rank exact cosine. */
   private[graft] def probeRank(probed: DataFrame, bucketed: DataFrame,
