@@ -55,12 +55,102 @@ object Funnel {
     funnelImpl(events, userCol, typeCol, tsCol, steps, Some(windowMicros))
   }
 
+  /** Per-transition time-to-convert: for each step k ≥ 2, among users
+    * who reached it, the count and the EXACT p50/p90 of
+    * (tₖ − tₖ₋₁) — the "how long does the click→purchase hop take"
+    * panel next to every funnel. Quantiles are exact order statistics
+    * at rank ⌈p·n⌉ computed WITHOUT a per-step window: the duration
+    * grain aggregates to (step, delta) counts, ONE [[PrefixSum]]
+    * two-phase scan over the (step, delta) total order yields in-step
+    * cumulatives after subtracting the per-step offsets (a
+    * broadcast-size frame of steps−1 rows), and the quantile is the
+    * min delta whose cumulative reaches the rank — the scale-safe
+    * grouped-quantile shape when the group count is a handful (a
+    * per-step window would funnel each step's whole distinct-delta
+    * set through one task; see Robust.winsorizedStats' few-groups
+    * caveat).
+    *
+    * @return one row per transition: step_idx (2-based), step,
+    *         n_converted, p50_us, p90_us (exact micros), p50_sec,
+    *         p90_sec (6 dp)
+    */
+  def stepDurations(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, steps: Seq[String],
+                    windowMicros: Option[Long] = None): DataFrame = {
+    val matches = matchTimes(events, userCol, typeCol, tsCol, steps,
+      windowMicros)
+    // unpivot converting users' per-transition durations (one array
+    // build per user — tiny), then aggregate to the (step, delta) grain
+    val deltas = matches.select(explode(array(
+        steps.indices.drop(1).map(i => struct(lit(i + 1).as("i"),
+          (col(s"m$i") - col(s"m${i - 1}")).as("d"))): _*)).as("x"))
+      .select(col("x.i").as("i"), col("x.d").as("d"))
+      .filter(col("d").isNotNull)
+    val byVal = deltas.groupBy("i", "d").agg(count(lit(1)).as("ct"))
+      .localCheckpoint(eager = false) // scan passes + totals share it
+    val cum = PrefixSum.withRunningSum(byVal, "ct", "below",
+      Seq(col("i"), col("d")))
+    // per-step totals and the global-prefix offset at each step's start
+    // (steps−1 rows; the window here is over THAT tiny frame)
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val off = byVal.groupBy("i").agg(sum("ct").as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wOff), lit(0L)))
+    val ranked = cum.join(broadcast(off), Seq("i"))
+      .withColumn("cum_in", col("below") + col("ct") - col("off"))
+    val out = ranked.groupBy("i").agg(
+      max(col("n")).as("n_converted"),
+      // rank ⌈p·n⌉ in exact integers: ceil(a/b) = (a + b − 1) div b
+      min(when(col("cum_in") >= expr("(n + 1) div 2"), col("d"))).as("p50_us"),
+      min(when(col("cum_in") >= expr("(9 * n + 9) div 10"), col("d")))
+        .as("p90_us"))
+    val session = events.sparkSession
+    import session.implicits._
+    val names = steps.zipWithIndex.drop(1)
+      .map { case (s, i) => (i + 1, s) }.toDF("i", "step")
+    out.join(broadcast(names), Seq("i"))
+      .select(col("i").as("step_idx"), col("step"), col("n_converted"),
+        col("p50_us"), col("p90_us"),
+        round(col("p50_us").cast("double") / 1e6, 6).as("p50_sec"),
+        round(col("p90_us").cast("double") / 1e6, 6).as("p90_sec"))
+      .orderBy("step_idx")
+  }
+
   private def funnelImpl(events: DataFrame, userCol: String, typeCol: String,
+                         tsCol: String, steps: Seq[String],
+                         windowMicros: Option[Long]): DataFrame = {
+    val withMatches = matchTimes(events, userCol, typeCol, tsCol, steps,
+      windowMicros)
+    // exact per-step reach counts in one aggregate
+    val counts = withMatches.agg(
+      count(col("m0")).as("r0"),
+      steps.indices.drop(1).map(i => count(col(s"m$i")).as(s"r$i")): _*)
+    // unpivot to one row per step with the two conversion readouts
+    val stepRows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(s).as("step"),
+        col(s"r$i").as("users_reached"),
+        round(col(s"r$i").cast("double")
+          / when(col("r0") === 0L, lit(null)).otherwise(col("r0")) * 100, 6)
+          .as("pct_of_first"),
+        round(col(s"r$i").cast("double")
+          / when(col(s"r${math.max(i - 1, 0)}") === 0L, lit(null))
+            .otherwise(col(s"r${math.max(i - 1, 0)}")) * 100, 6)
+          .as("pct_of_prev"))
+    }
+    counts.select(explode(array(stepRows: _*)).as("s"))
+      .select(col("s.step_idx"), col("s.step"), col("s.users_reached"),
+        col("s.pct_of_first"), col("s.pct_of_prev"))
+      .orderBy("step_idx")
+  }
+
+  /** The shared one-scan chain: one row per user with the first-touch
+    * match instants m0..m(n−1) (null once the chain breaks).
+    */
+  private def matchTimes(events: DataFrame, userCol: String, typeCol: String,
                          tsCol: String, steps: Seq[String],
                          windowMicros: Option[Long]): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps, got ${steps.size}")
     require(steps.distinct.size == steps.size, "funnel steps must be distinct")
-    val spark = events.sparkSession
     val ev = events
       .filter(col(typeCol).isin(steps: _*))
       // epoch MICROseconds (not the second-grain timestamp->long cast):
@@ -94,25 +184,6 @@ object Funnel {
           case None => x > col(s"m${i - 1}")
         })))
     }
-    // exact per-step reach counts in one aggregate
-    val counts = withMatches.agg(
-      count(col("m0")).as("r0"),
-      steps.indices.drop(1).map(i => count(col(s"m$i")).as(s"r$i")): _*)
-    // unpivot to one row per step with the two conversion readouts
-    val stepRows = steps.zipWithIndex.map { case (s, i) =>
-      struct(lit(i + 1).as("step_idx"), lit(s).as("step"),
-        col(s"r$i").as("users_reached"),
-        round(col(s"r$i").cast("double")
-          / when(col("r0") === 0L, lit(null)).otherwise(col("r0")) * 100, 6)
-          .as("pct_of_first"),
-        round(col(s"r$i").cast("double")
-          / when(col(s"r${math.max(i - 1, 0)}") === 0L, lit(null))
-            .otherwise(col(s"r${math.max(i - 1, 0)}")) * 100, 6)
-          .as("pct_of_prev"))
-    }
-    counts.select(explode(array(stepRows: _*)).as("s"))
-      .select(col("s.step_idx"), col("s.step"), col("s.users_reached"),
-        col("s.pct_of_first"), col("s.pct_of_prev"))
-      .orderBy("step_idx")
+    withMatches
   }
 }

@@ -64,6 +64,23 @@ object Sequential {
     msprtFromMoments(dayArm, alpha)
   }
 
+  /** [[mdeFromMoments]] over raw events — the [[msprt]]-shaped
+    * convenience: one map-side-combinable day×arm moments pass (lazily
+    * truncated, both grid consumers share it), then the days-sized MDE
+    * readout.
+    */
+  def mde(perEvent: DataFrame, dayCol: String, armCol: String,
+          valCol: String): DataFrame = {
+    val ev = perEvent.select(col(dayCol).as("day"), col(armCol).as("arm"),
+      col(valCol).cast("long").as("v"))
+    val dayArm = ev.groupBy("day", "arm").agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).cast("decimal(38,0)").as("s"),
+        sum(col("v").cast("decimal(38,0)") * col("v")).as("ss"))
+      .localCheckpoint(eager = false)
+    mdeFromMoments(dayArm)
+  }
+
   /** The mSPRT monitor body over an ALREADY-AGGREGATED day×arm moments
     * frame (day, arm, n, s, ss) — the serving-path entry: an
     * incrementally maintained store (streaming.IncrementalDailyMoments,
@@ -72,6 +89,36 @@ object Sequential {
     * bit-identical to [[msprt]] over the raw events.
     */
   def msprtFromMoments(dayArm: DataFrame, alpha: Double = 0.05): DataFrame = {
+    // the double-valued readout, from exact integers only; expression
+    // order mirrors the SQL twin token for token
+    val readout = cumCheckpoints(dayArm)
+      .withColumn("vn", expr(
+        """cast(var_u2 as double) * (cast(n1 as double) + cast(n2 as double))
+           / (cast(n1 as double) * cast(n2 as double))"""))
+      .withColumn("tau2", expr("cast(var_u2 as double)"))
+      .withColumn("dd", expr("cast(d_fp as double) / 1000000.0"))
+      .withColumn("ln_lambda_raw", expr(
+        """0.5 * ln(vn / (vn + tau2))
+           + dd * dd * tau2 / (2.0 * vn * (vn + tau2))"""))
+      .withColumn("p_inst", expr("least(1.0, exp(-ln_lambda_raw))"))
+    val wMin = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    readout
+      .withColumn("p_av_raw", min(col("p_inst")).over(wMin))
+      .select(col("day"), col("n1"), col("n2"),
+        round(col("dd"), 4).as("mean_diff"),
+        round(col("ln_lambda_raw"), 6).as("ln_lambda"),
+        round(col("p_av_raw"), 6).as("p_av"),
+        (col("p_av_raw") < lit(alpha)).as("rejected"))
+      .orderBy("day")
+  }
+
+  /** Shared checkpoint builder for [[msprtFromMoments]] and
+    * [[mdeFromMoments]]: dense day×arm grid, cumulative exact moments,
+    * per-day pivot with fixed-point means, mean diff, and the pooled
+    * variance (fail-fast on zero).
+    */
+  private def cumCheckpoints(dayArm: DataFrame): DataFrame = {
     // dense day x arm grid so cumulative sums carry across days where
     // one arm is silent (days-count rows; trivially small)
     val days = dayArm.select("day").distinct()
@@ -88,7 +135,7 @@ object Sequential {
       sum("n").over(wCum).as("cn"),
       sum("s").over(wCum).as("cs"),
       sum("ss").over(wCum).as("css"))
-    val byDay = cum.groupBy("day").agg(
+    cum.groupBy("day").agg(
         max(when(col("arm") === 1, col("cn"))).as("n1"),
         max(when(col("arm") === 1, col("cs"))).as("s1"),
         max(when(col("arm") === 1, col("css"))).as("ss1"),
@@ -112,29 +159,40 @@ object Sequential {
              as decimal(38,0))
            else ((n1 + n2) * (ss1 + ss2) - (s1 + s2) * (s1 + s2))
                 div (cast(n1 + n2 as decimal(38,0)) * (n1 + n2)) end"""))
-    // the double-valued readout, from exact integers only; expression
-    // order mirrors the SQL twin token for token
-    val readout = byDay
+  }
+
+  /** Minimum detectable effect per checkpoint — the sample-size panel
+    * of every experimentation dashboard: with the exact cumulative
+    * moments at day t, the absolute effect a fixed-horizon two-sample
+    * z-test would detect at α = .05 two-sided with power .80 is
+    * MDE = (z₀.₀₂₅ + z₀.₈)·√(σ²·(1/n₁ + 1/n₂)); the z-sum is FROZEN at
+    * 2.801585 (1.959964 + 0.841621, the standard normal quantiles) so
+    * both engines read the same literal — the readout is one sqrt over
+    * the same exact vn the mSPRT uses. `detectable` flags checkpoints
+    * where the OBSERVED |mean diff| already exceeds the MDE — both
+    * sides of the compare derive from identical exact integers, so the
+    * flag replays bit-for-bit.
+    *
+    * Scale shape: identical to [[msprtFromMoments]] — store-rows in,
+    * days-sized out, one corpus pass only if the caller aggregates raw
+    * events.
+    *
+    * @return one row per monitorable day: day, n1, n2, mean_diff
+    *         (4 dp), sigma (6 dp), mde (6 dp), detectable
+    */
+  def mdeFromMoments(dayArm: DataFrame): DataFrame =
+    cumCheckpoints(dayArm)
       .withColumn("vn", expr(
         """cast(var_u2 as double) * (cast(n1 as double) + cast(n2 as double))
            / (cast(n1 as double) * cast(n2 as double))"""))
-      .withColumn("tau2", expr("cast(var_u2 as double)"))
       .withColumn("dd", expr("cast(d_fp as double) / 1000000.0"))
-      .withColumn("ln_lambda_raw", expr(
-        """0.5 * ln(vn / (vn + tau2))
-           + dd * dd * tau2 / (2.0 * vn * (vn + tau2))"""))
-      .withColumn("p_inst", expr("least(1.0, exp(-ln_lambda_raw))"))
-    val wMin = Window.orderBy("day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    readout
-      .withColumn("p_av_raw", min(col("p_inst")).over(wMin))
+      .withColumn("mde_raw", expr("2.801585 * sqrt(vn)"))
       .select(col("day"), col("n1"), col("n2"),
         round(col("dd"), 4).as("mean_diff"),
-        round(col("ln_lambda_raw"), 6).as("ln_lambda"),
-        round(col("p_av_raw"), 6).as("p_av"),
-        (col("p_av_raw") < lit(alpha)).as("rejected"))
+        round(expr("sqrt(cast(var_u2 as double))"), 6).as("sigma"),
+        round(col("mde_raw"), 6).as("mde"),
+        expr("abs(dd) > mde_raw").as("detectable"))
       .orderBy("day")
-  }
 
   /** Sample-ratio-mismatch check — the first diagnostic any
     * experimentation platform runs (Fabijan et al., "Diagnosing Sample

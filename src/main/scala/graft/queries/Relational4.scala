@@ -1195,6 +1195,8 @@ object Relational4 {
 
     funnelWindowedQuery,
 
+    stepDurationsQuery,
+
     kaplanMeierQuery,
 
     kmGreenwoodQuery,
@@ -1207,7 +1209,9 @@ object Relational4 {
 
     psiQuery,
 
-    msprtStoreQuery)
+    msprtStoreQuery,
+
+    mdeQuery)
 
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
     * the experimentation-platform standard): adjust each unit's outcome
@@ -1310,7 +1314,11 @@ object Relational4 {
     * bit-identical to the one-shot aggregate and the SAME oracle gates
     * both. Lazy — the defs-forces-lazy-QueryDefs init-order trap.
     */
-  private lazy val msprtSql: String = """
+  /** q290/q303's CTE chain up through the exact per-day cumulative
+    * moments and pooled variance — shared verbatim with q307's MDE
+    * readout (the same vn feeds both).
+    */
+  private lazy val msprtCtes: String = """
       WITH ev AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
                CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
                      % 1000003 + 1) % 2 + 1 AS INTEGER) AS arm,
@@ -1350,7 +1358,9 @@ object Relational4 {
                            AS HUGEINT)
                  ELSE ((n1 + n2) * (ss1 + ss2) - (s1 + s2) * (s1 + s2))
                       // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2)) END AS var_u2
-             FROM bd WHERE n1 > 0 AND n2 > 0),
+             FROM bd WHERE n1 > 0 AND n2 > 0)"""
+
+  private lazy val msprtSql: String = msprtCtes + """,
       rd AS (SELECT day, n1, n2,
                CAST(m1_fp - m2_fp AS DOUBLE) / 1000000.0 AS dd,
                CAST(var_u2 AS DOUBLE)
@@ -1644,6 +1654,38 @@ object Relational4 {
   /** q303's bench-production steady-state stores, keyed by sf dir. */
   private val q303ProdStores =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Minimum detectable effect per checkpoint — the sample-size panel
+    * next to q290's monitor: MDE = 2.801585·√vn (the frozen
+    * z₀.₀₂₅+z₀.₈ sum over the SAME exact cumulative vn the mSPRT
+    * reads), with a `detectable` flag where the observed |mean diff|
+    * already clears it (ops.Sequential.mdeFromMoments; oracle shares
+    * q290's CTE chain verbatim through msprtCtes).
+    */
+  private lazy val mdeQuery: QueryDef = QueryDef("q307_mde", Some(
+    msprtCtes + """,
+      rd AS (SELECT day, n1, n2,
+               CAST(m1_fp - m2_fp AS DOUBLE) / 1000000.0 AS dd,
+               CAST(var_u2 AS DOUBLE)
+                 * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS vn,
+               CAST(var_u2 AS DOUBLE) AS v2
+             FROM mt),
+      md AS (SELECT day, n1, n2, dd, sqrt(v2) AS sigma_raw,
+               2.801585 * sqrt(vn) AS mde_raw
+             FROM rd)
+      SELECT day, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+             round(dd, 4) AS mean_diff, round(sigma_raw, 6) AS sigma,
+             round(mde_raw, 6) AS mde, abs(dd) > mde_raw AS detectable
+      FROM md"""),
+    (spark, dir) => {
+      import graft.ops.Sampling
+      val ev = T(spark, dir, "events").select(
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        (Sampling.hashRank(col("user_id")) % 2 + 1).cast("int").as("arm"),
+        round(col("value") * 100, 0).cast("long").as("v"))
+      graft.ops.Sequential.mde(ev, "day", "arm", "v")
+    })
 
   /** Population Stability Index between the month's halves over event
     * values (cents), binned by the q275-277 log-bucket recipe — the
@@ -1949,6 +1991,55 @@ object Relational4 {
       graft.ops.Funnel.funnelWindowed(T(spark, dir, "events"), "user_id",
         "event_type", "ts", Seq("signup", "view", "click", "purchase"),
         FunnelWindowMicros))
+
+  /** Time-to-convert per funnel transition: among users who reached
+    * step k, the exact p50/p90 of tₖ − tₖ₋₁ — the latency panel next
+    * to q297's conversion counts. Quantiles are exact order statistics
+    * at rank ⌈p·n⌉ over the (step, delta) grain; the Spark side rides
+    * ONE PrefixSum scan (no per-step window funnel — only 3 transition
+    * groups), the oracle the equivalent per-step cumulative.
+    */
+  private lazy val stepDurationsQuery: QueryDef =
+    QueryDef("q306_funnel_durations", Some("""
+      WITH ev AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts
+                  FROM events
+                  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+      pu AS (SELECT u,
+               list_sort(list(ts) FILTER (WHERE t = 'signup')) AS ts0,
+               list_sort(list(ts) FILTER (WHERE t = 'view')) AS ts1,
+               list_sort(list(ts) FILTER (WHERE t = 'click')) AS ts2,
+               list_sort(list(ts) FILTER (WHERE t = 'purchase')) AS ts3
+             FROM ev GROUP BY u),
+      c0 AS (SELECT u, ts0[1] AS m0, ts1, ts2, ts3 FROM pu),
+      c1 AS (SELECT u, m0, list_min(list_filter(ts1, x -> x > m0)) AS m1,
+               ts2, ts3 FROM c0),
+      c2 AS (SELECT u, m0, m1, list_min(list_filter(ts2, x -> x > m1)) AS m2,
+               ts3 FROM c1),
+      c3 AS (SELECT u, m0, m1, m2,
+               list_min(list_filter(ts3, x -> x > m2)) AS m3 FROM c2),
+      dl AS (SELECT 2 AS i, m1 - m0 AS d FROM c3 WHERE m1 IS NOT NULL
+             UNION ALL SELECT 3, m2 - m1 FROM c3 WHERE m2 IS NOT NULL
+             UNION ALL SELECT 4, m3 - m2 FROM c3 WHERE m3 IS NOT NULL),
+      bv AS (SELECT i, d, CAST(count(*) AS BIGINT) AS ct FROM dl GROUP BY i, d),
+      tot AS (SELECT i, CAST(sum(ct) AS BIGINT) AS n FROM bv GROUP BY i),
+      cm AS (SELECT i, d, ct,
+               sum(ct) OVER (PARTITION BY i ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS cum
+             FROM bv),
+      q AS (SELECT cm.i, max(tot.n) AS n_converted,
+              min(CASE WHEN cm.cum >= (tot.n + 1) // 2 THEN cm.d END) AS p50_us,
+              min(CASE WHEN cm.cum >= (9 * tot.n + 9) // 10 THEN cm.d END) AS p90_us
+            FROM cm JOIN tot ON cm.i = tot.i GROUP BY cm.i)
+      SELECT i AS step_idx,
+             CASE i WHEN 2 THEN 'view' WHEN 3 THEN 'click'
+                    ELSE 'purchase' END AS step,
+             n_converted, p50_us, p90_us,
+             round(CAST(p50_us AS DOUBLE) / 1e6, 6) AS p50_sec,
+             round(CAST(p90_us AS DOUBLE) / 1e6, 6) AS p90_sec
+      FROM q ORDER BY step_idx"""),
+    (spark, dir) =>
+      graft.ops.Funnel.stepDurations(T(spark, dir, "events"), "user_id",
+        "event_type", "ts", Seq("signup", "view", "click", "purchase")))
 
   /** Kaplan–Meier user-retention curve over the events month: per-user
     * lifetime = days between first and last activity, right-censored at

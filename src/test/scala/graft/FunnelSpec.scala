@@ -93,4 +93,23 @@ class FunnelSpec extends SparkSuite {
       .collect().map(x => x.getString(1) -> x.getLong(2)).toMap
     assert(u("view") == 4L && u("click") == 3L)
   }
+
+  test("stepDurations: exact rank-⌈p·n⌉ quantiles per transition; empty transitions emit no row") {
+    // signup→view deltas: u1 10 s, u2 20 s, u3 30 s (n = 3:
+    // p50 rank ⌈1.5⌉ = 2 → 20 s; p90 rank ⌈2.7⌉ = 3 → 30 s);
+    // view→click: only u1 converts (5 s); click→purchase: nobody
+    val rows = Seq(
+      (1L, "signup", t(0)), (1L, "view", t(10)), (1L, "click", t(15)),
+      (2L, "signup", t(0)), (2L, "view", t(20)),
+      (3L, "signup", t(0)), (3L, "view", t(30)),
+      (4L, "signup", t(0))
+    ).toDF("user_id", "event_type", "ts")
+    val r = Funnel.stepDurations(rows, "user_id", "event_type", "ts",
+        Seq("signup", "view", "click", "purchase"))
+      .collect().map(x => x.getInt(0) ->
+        (x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(2) == (("view", 3L, 20000000L, 30000000L)), s"got ${r.get(2)}")
+    assert(r(3) == (("click", 1L, 5000000L, 5000000L)))
+    assert(!r.contains(4), "a transition nobody completes must emit no row")
+  }
 }

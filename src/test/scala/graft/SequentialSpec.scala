@@ -52,6 +52,35 @@ class SequentialSpec extends SparkSuite {
       s"expected the variance guard, got: ${ex.getMessage}")
   }
 
+  test("mde: hand-replayed first checkpoint, monotone shrink, planted-vs-null detectable") {
+    val r = Sequential.mde(stream(12, 50, effect = 30L), "day", "arm", "v")
+      .orderBy("day").collect()
+    assert(r.length == 12)
+    // equal daily batches: vn ~ 1/t, so the MDE strictly shrinks
+    val mdes = r.map(_.getAs[Double]("mde"))
+    assert(mdes.zip(mdes.tail).forall { case (a, b) => b < a },
+      s"mde not shrinking: ${mdes.mkString(",")}")
+    // hand replay of checkpoint 1 from the exact integer moments
+    val day1 = (for { arm <- 1 to 2; i <- 1 to 50 } yield (arm,
+      1000L + (((131 + i * 7) % 21) - 10) * 5 + (if (arm == 1) 30L else 0L)))
+    val s = day1.groupBy(_._1).view.mapValues(_.map(x => BigInt(x._2)).sum).toMap
+    val ss = day1.groupBy(_._1).view
+      .mapValues(_.map(x => BigInt(x._2) * x._2).sum).toMap
+    val varU2 = (BigInt(100) * (ss(1) + ss(2))
+      - (s(1) + s(2)) * (s(1) + s(2))) / BigInt(10000)
+    val vn = varU2.toDouble * 100.0 / (50.0 * 50.0)
+    val want = 2.801585 * math.sqrt(vn)
+    assert(math.abs(mdes.head - want) < 5.1e-7,
+      s"day-1 mde ${mdes.head} != replay $want")
+    // the 30-unit planted effect eventually clears its own MDE...
+    assert(r.last.getAs[Boolean]("detectable"),
+      s"planted effect never detectable: mde=${mdes.last}")
+    // ...and an exactly-null effect never does
+    val r0 = Sequential.mde(stream(12, 50, effect = 0L), "day", "arm", "v")
+      .collect()
+    assert(r0.forall(!_.getAs[Boolean]("detectable")))
+  }
+
   test("srmCheck: fires exactly at the chi-square critical boundary, per segment") {
     // n = 1000 per segment; chi2 = d^2/n crosses 3.841459 between
     // d = 61 (3.721) and d = 62 (3.844) — the exact-integer flag must
