@@ -394,4 +394,43 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(!p291.contains("Window"),
       s"q291 grew a window it never needed:\n${p291.take(2000)}")
   }
+
+  test("r18 additions: one corpus scan each; q306's quantile never windows; q43 assignment never shuffles") {
+    // q304/q305/q307 share the r17 family shape: ONE corpus-sized
+    // aggregate (map-side combined), tiny tails
+    Seq("q304_funnel_windowed" -> 1, "q305_km_greenwood" -> 1,
+        "q307_mde" -> 1)
+      .foreach { case (name, maxScans) =>
+        val df = q(name)
+        df.collect()
+        val plan = df.queryExecution.executedPlan
+        val scans = collectWithSubqueries(plan) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+        }.size
+        assert(scans <= maxScans,
+          s"$name reads the corpus $scans times (max $maxScans):\n" +
+            plan.toString.take(2000))
+        assert(plan.toString.contains("partial_"),
+          s"$name lost its map-side partial aggregate:\n" +
+            plan.toString.take(2000))
+      }
+    // q306's grouped quantile rides the PrefixSum scan: the ONLY
+    // window allowed is the per-step offset cumulative over the `off`
+    // frame (|steps|−1 rows); a second Window node would mean the
+    // per-(step,delta) single-task funnel came back
+    val df306 = q("q306_funnel_durations"); df306.collect()
+    val w306 = collectWithSubqueries(df306.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.size
+    assert(w306 <= 1,
+      s"q306 quantile grew a second window ($w306):\n" +
+        df306.queryExecution.executedPlan.toString.take(2000))
+    // q43's corpus bucket assignment is the unrolled literal-centroid
+    // argmax (one narrow projection per assignment pass); losing
+    // array_max means the crossJoin+window shape came back
+    val df43 = q("q43_ivf_ann"); df43.collect()
+    val p43 = df43.queryExecution.executedPlan.toString
+    assert(p43.contains("array_max"),
+      s"q43 lost the unrolled argmax assignment:\n${p43.take(2000)}")
+  }
 }
