@@ -77,6 +77,88 @@ object Survival {
         round(least(lit(1.0), expr("s_d + 1.96 * se_raw")), 6).as("hi95"))
       .orderBy("t")
 
+  /** Two-sample log-rank test (Mantel 1966 / Peto & Peto 1972) — "did
+    * retention differ between the arms": at each distinct exit time,
+    * under H₀ the arm-1 deaths are hypergeometric with mean
+    * E₁ = n₁·d/n and variance V = d·(n₁/n)·(n₂/n)·(n−d)/(n−1); the
+    * statistic χ² = (ΣO₁ − ΣE₁)² / ΣV is χ²₁ under H₀. The survival
+    * twin of the Welch-t / Mann-Whitney / KS comparison toolkit —
+    * mean- and rank-based tests cannot see censoring; this is the
+    * standard two-cohort retention readout.
+    *
+    * Exactness discipline (the msprt/chi² family): per-time counts and
+    * suffix-sum risk sets are exact integer window arithmetic on ~T
+    * rows; E₁ and V freeze as 10⁹ fixed-point floor divisions in
+    * decimal(38,0) and are SUMMED EXACTLY (a float per-term sum would
+    * depend on aggregation order); the α=.05 decision is the exact
+    * decimal comparison (ΣO₁·10⁹ − ΣE₁)²·10⁶ > 3841459·ΣV·10⁹ — no
+    * float near the boundary; the χ² display is the one double. Domain
+    * (COVERAGE.md table): the variance numerator needs n⁴·10⁹ ≲ 10³⁸
+    * and the decision square n²·10²⁴ ≲ 10³⁸ ⇒ n ≲ 10⁶ subjects per
+    * comparison — the chi-square family's documented contract. Arms
+    * outside {1, 2} are dropped (the mannWhitney rule); an empty arm
+    * fails fast.
+    *
+    * Scale shape: ONE subject aggregate (map-side combined) down to ≤T
+    * rows, two tiny window passes, one scalar fold.
+    *
+    * @return one row: n1, n2, o1, e1 (6 dp), chi2 (6 dp), significant
+    */
+  def logRank(subjects: DataFrame, armCol: String, tCol: String,
+              censoredCol: String): DataFrame = {
+    val s = subjects.select(col(armCol).as("arm"),
+        col(tCol).cast("long").as("t"),
+        col(censoredCol).cast("boolean").as("cen"))
+      .filter(col("arm") === 1 || col("arm") === 2)
+    val byT = s.groupBy("t").agg(
+      count(when(col("arm") === 1 && !col("cen"), 1)).as("d1"),
+      count(when(col("arm") === 1 && col("cen"), 1)).as("c1"),
+      count(when(col("arm") === 2 && !col("cen"), 1)).as("d2"),
+      count(when(col("arm") === 2 && col("cen"), 1)).as("c2"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val wAll = Window.partitionBy(lit(1))
+    val risk = byT
+      .withColumn("n1t", sum(col("d1") + col("c1")).over(wAll)
+        - coalesce(sum(col("d1") + col("c1")).over(wPrev), lit(0L)))
+      .withColumn("n2t", sum(col("d2") + col("c2")).over(wAll)
+        - coalesce(sum(col("d2") + col("c2")).over(wPrev), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1t") + col("n2t"))
+      // contribution only at times with deaths and a two-sided risk
+      // set (n > 1; V's n−1 denominator) — the standard convention
+      .filter(col("d") > 0 && col("n") > 1)
+      .withColumn("e1_fp", expr(
+        """cast(n1t as decimal(38,0)) * d * 1000000000 div n"""))
+      .withColumn("v_fp", expr(
+        """(cast(d as decimal(38,0)) * n1t * n2t * (n - d) * 1000000000)
+           div (cast(n as decimal(38,0)) * n * (n - 1))"""))
+    val tot = risk.agg(
+      sum(col("d1")).as("o1"),
+      sum(col("e1_fp")).as("e1_fp"),
+      sum(col("v_fp")).as("v_fp"))
+    val counts = s.agg(
+      count(when(col("arm") === 1, 1)).as("n1"),
+      count(when(col("arm") === 2, 1)).as("n2"))
+    counts.crossJoin(broadcast(tot))
+      .select(
+        expr("""case when n1 = 0 or n2 = 0
+                then cast(raise_error('logRank: both arms need subjects')
+                  as bigint) else n1 end""").as("n1"),
+        col("n2"), col("o1"),
+        round(col("e1_fp").cast("double") / 1e9, 6).as("e1"),
+        round(expr(
+          """(cast(o1 as double) - cast(e1_fp as double) / 1e9)
+             * (cast(o1 as double) - cast(e1_fp as double) / 1e9)
+             / (cast(v_fp as double) / 1e9)"""), 6).as("chi2"),
+        // Spark `div` returns BIGINT, so the summed moments re-enter
+        // decimal here — the decision must never ride Long arithmetic
+        expr("""(cast(o1 as decimal(38,0)) * 1000000000 - e1_fp)
+                  * (cast(o1 as decimal(38,0)) * 1000000000 - e1_fp) * 1000000
+                > 3841459 * cast(v_fp as decimal(38,0)) * 1000000000""")
+          .as("significant"))
+  }
+
   /** Shared curve builder: per-distinct-time exits, at-risk sets, the
     * 10⁹ fixed-point survival fold, and the 10¹⁸ fixed-point Greenwood
     * cumulative — all exact integers on ~T rows.

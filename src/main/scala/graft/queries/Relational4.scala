@@ -1201,6 +1201,8 @@ object Relational4 {
 
     kmGreenwoodQuery,
 
+    logRankQuery,
+
     ksQuery,
 
     chi2IndepQuery,
@@ -2161,6 +2163,79 @@ object Relational4 {
         .select((col("ld") - col("fd")).as("t"),
           (col("ld") === col("endd")).as("cen"))
       graft.ops.Survival.kaplanMeierGreenwood(subj, "t", "cen")
+    })
+
+  /** Two-sample log-rank over the q298 lifetimes with q290's md5-parity
+    * arms — "did retention differ between the arms", the survival twin
+    * of the Welch/Mann-Whitney/KS toolkit (mean- and rank-based tests
+    * cannot see censoring). Exact 10⁹ fixed-point hypergeometric
+    * moments summed exactly, decision in exact decimal against the
+    * df=1 critical; synthetic parity arms SHOULD read null — the
+    * deterministic no-difference readout is the point
+    * (ops.Survival.logRank).
+    */
+  private lazy val logRankQuery: QueryDef = QueryDef("q308_logrank", Some("""
+      WITH pu AS (SELECT user_id,
+               CAST(date_diff('day', DATE '2024-01-01', min(CAST(ts AS DATE))) AS BIGINT) AS fd,
+               CAST(date_diff('day', DATE '2024-01-01', max(CAST(ts AS DATE))) AS BIGINT) AS ld
+             FROM events GROUP BY user_id),
+      mx AS (SELECT max(ld) AS endd FROM pu),
+      subj AS (SELECT CAST((('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                            % 1000003 + 1) % 2 + 1 AS INTEGER) AS arm,
+                 ld - fd AS t, ld = endd AS cen
+               FROM pu, mx),
+      byt AS (SELECT t,
+                CAST(count(CASE WHEN arm = 1 AND NOT cen THEN 1 END) AS BIGINT) AS d1,
+                CAST(count(CASE WHEN arm = 1 AND cen THEN 1 END) AS BIGINT) AS c1,
+                CAST(count(CASE WHEN arm = 2 AND NOT cen THEN 1 END) AS BIGINT) AS d2,
+                CAST(count(CASE WHEN arm = 2 AND cen THEN 1 END) AS BIGINT) AS c2
+              FROM subj GROUP BY t),
+      rk AS (SELECT t, d1, d2,
+               CAST(sum(d1 + c1) OVER ()
+                    - coalesce(sum(d1 + c1)
+                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS n1t,
+               CAST(sum(d2 + c2) OVER ()
+                    - coalesce(sum(d2 + c2)
+                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS n2t
+             FROM byt),
+      tm AS (SELECT d1, n1t, n2t, d1 + d2 AS d, n1t + n2t AS n
+             FROM rk WHERE d1 + d2 > 0 AND n1t + n2t > 1),
+      ag AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(CAST(n1t AS HUGEINT) * d * 1000000000 // n) AS HUGEINT) AS e1_fp,
+               CAST(sum((CAST(d AS HUGEINT) * n1t * n2t * (n - d) * 1000000000)
+                        // (CAST(n AS HUGEINT) * n * (n - 1))) AS HUGEINT) AS v_fp
+             FROM tm),
+      cn AS (SELECT CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1,
+               CAST(count(CASE WHEN arm = 2 THEN 1 END) AS BIGINT) AS n2
+             FROM subj)
+      SELECT CASE WHEN n1 = 0 OR n2 = 0
+               THEN CAST(error('logRank: both arms need subjects') AS BIGINT)
+               ELSE n1 END AS n1,
+             n2, o1,
+             round(CAST(e1_fp AS DOUBLE) / 1e9, 6) AS e1,
+             round((CAST(o1 AS DOUBLE) - CAST(e1_fp AS DOUBLE) / 1e9)
+                   * (CAST(o1 AS DOUBLE) - CAST(e1_fp AS DOUBLE) / 1e9)
+                   / (CAST(v_fp AS DOUBLE) / 1e9), 6) AS chi2,
+             (CAST(o1 AS HUGEINT) * 1000000000 - e1_fp)
+               * (CAST(o1 AS HUGEINT) * 1000000000 - e1_fp) * 1000000
+               > 3841459 * v_fp * 1000000000 AS significant
+      FROM ag, cn"""),
+    (spark, dir) => {
+      import graft.ops.Sampling
+      val pu = T(spark, dir, "events").groupBy("user_id")
+        .agg(datediff(min(to_date(col("ts"))), lit("2024-01-01").cast("date"))
+          .cast("long").as("fd"),
+          datediff(max(to_date(col("ts"))), lit("2024-01-01").cast("date"))
+            .cast("long").as("ld"))
+        .localCheckpoint(eager = false)
+      val subj = pu.crossJoin(broadcast(pu.agg(max(col("ld")).as("endd"))))
+        .select((Sampling.hashRank(col("user_id")) % 2 + 1).cast("int")
+          .as("arm"),
+          (col("ld") - col("fd")).as("t"),
+          (col("ld") === col("endd")).as("cen"))
+      graft.ops.Survival.logRank(subj, "arm", "t", "cen")
     })
 
   /** Two-sample Kolmogorov–Smirnov on the same BUILDING/MACHINERY arms

@@ -80,6 +80,44 @@ class SurvivalSpec extends SparkSuite {
       s"S=0 point must carry a zero band: ${last(2L)}")
   }
 
+  test("logRank: hand-computed hypergeometric moments, mirrored arms read zero, guards") {
+    // planted difference: arm 1 all censored at t=10, arm 2 all dead at
+    // t=1. Only t=1 contributes (d=5, n1t=n2t=5, n=10):
+    //   E1 = 5*5/10 = 2.5 exactly, V = 5*25*5/(100*9) = 0.694444444
+    //   chi2 = (0-2.5)^2/V = 9.0 > 3.841 -> significant
+    val planted = (1 to 5).map(_ => (1, 10L, true)) ++
+      (1 to 5).map(_ => (2, 1L, false))
+    val r = Survival.logRank(planted.toDF("arm", "t", "cen"),
+      "arm", "t", "cen").head()
+    assert(r.getAs[Long]("n1") == 5L && r.getAs[Long]("n2") == 5L)
+    assert(r.getAs[Long]("o1") == 0L)
+    assert(math.abs(r.getAs[Double]("e1") - 2.5) < 1e-9)
+    val vExact = (BigInt(5) * 5 * 5 * 5 * 1000000000L) / (10L * 10L * 9L)
+    val chi2 = 2.5 * 2.5 / (vExact.toDouble / 1e9)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 5.1e-7,
+      s"chi2 ${r.getAs[Double]("chi2")} != $chi2")
+    assert(r.getAs[Boolean]("significant"))
+    // stray arm 3 must not perturb anything (the mannWhitney rule)
+    val noisy = planted ++ (1 to 4).map(_ => (3, 2L, false))
+    assert(Survival.logRank(noisy.toDF("arm", "t", "cen"),
+      "arm", "t", "cen").head() == r)
+    // mirrored arms: O1 = E1 exactly at every time (all divisions land
+    // on integers), chi2 = 0, silent
+    val same = Seq(1L -> false, 2L -> false, 3L -> false, 4L -> true,
+      4L -> true).flatMap { case (t, c) => Seq((1, t, c), (2, t, c)) }
+    val r0 = Survival.logRank(same.toDF("arm", "t", "cen"),
+      "arm", "t", "cen").head()
+    assert(r0.getAs[Double]("chi2") == 0.0 && !r0.getAs[Boolean]("significant"),
+      s"mirrored arms must read exactly null: $r0")
+    // one arm absent fails fast
+    val oneArm = (1 to 5).map(_ => (1, 3L, false))
+    val ex = intercept[Exception] {
+      Survival.logRank(oneArm.toDF("arm", "t", "cen"),
+        "arm", "t", "cen").collect()
+    }
+    assert(ex.getMessage.contains("both arms need subjects"))
+  }
+
   test("no censoring tracks the empirical survival function within the documented fold drift") {
     // 8 subjects, one death per t=1..8: true S(t) = (8-t)/8. The
     // defined estimator compounds PRE-FLOORED per-step factors, so it
