@@ -356,13 +356,34 @@ object Forecast {
         (col("__wsum").cast("double") -
           (col("__yl") + col("__yr")).cast("double") / 2.0) / season.toDouble)
       .withColumn("__phase", pmod(col("__t"), lit(season.toLong)))
-      .withColumn("__detr", col("__y").cast("double") - col("__trend"))
+      // detrended residual at EXACT 2·season fixed point:
+      // y − trend = (y·2·season − 2·wsum + yl + yr) / (2·season) — the
+      // numerator is a plain long, so the phase mean rides an exact
+      // integer sum: order- and partition-count-independent (the old
+      // unordered avg(double) flipped a 6-dp rounding at sf0.1 when
+      // the session core count changed; this is the q284
+      // quantize-before-sum rule, except the quantization here is
+      // LOSSLESS)
+      .withColumn("__detr_fp",
+        col("__y") * lit(2L * season) - col("__wsum") * lit(2L)
+          + col("__yl") + col("__yr"))
     val phaseMeans = trended.groupBy(keys.map(col) :+ col("__phase"): _*)
-      .agg(avg(col("__detr")).as("__s_raw"))
-    val centered = phaseMeans
-      .withColumn("__s_mean",
-        avg(col("__s_raw")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*)))
+      .agg(sum(col("__detr_fp")).as("__s_sum"),
+        count(lit(1)).as("__s_cnt"))
+      .withColumn("__s_raw", col("__s_sum").cast("double")
+        / (col("__s_cnt").cast("double") * (2.0 * season)))
+    // cross-phase centering: an ORDERED fold over the ≤season phase
+    // means (the kaplanMeier/psi list_reduce idiom) — a plain avg over
+    // an unordered window would re-introduce order sensitivity
+    val sMeans = phaseMeans
+      .groupBy(keys.map(col): _*)
+      .agg(transform(array_sort(collect_list(
+          struct(col("__phase"), col("__s_raw")))),
+        x => x.getField("__s_raw")).as("__ss"))
+      .select(keys.map(col) :+
+        expr("""aggregate(__ss, cast(0.0 as double), (a, x) -> a + x)
+                / size(__ss)""").as("__s_mean"): _*)
+    val centered = phaseMeans.join(broadcast(sMeans), keys)
       .withColumn("__seasonal", round(col("__s_raw") - col("__s_mean"), 6))
       .select(keys.map(col) :+ col("__phase") :+ col("__seasonal"): _*)
     trended.join(broadcast(centered), keys :+ "__phase")

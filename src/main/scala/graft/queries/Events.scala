@@ -102,15 +102,25 @@ object Events {
       tr AS (SELECT event_type, t, y,
                (CAST(wsum AS DOUBLE)
                   - CAST(yl + yr AS DOUBLE) / 2.0::DOUBLE) / ${m.toDouble}::DOUBLE AS trend,
-               t % $m AS phase
+               t % $m AS phase,
+               -- EXACT 2m-fixed-point detrend (engine-mirrored):
+               -- y - trend = (y*2m - 2*wsum + yl + yr) / (2m)
+               y * ${2 * m} - 2 * wsum + yl + yr AS detr_fp
              FROM w WHERE wcnt = ${m + 1}),
-      dt AS (SELECT *, CAST(y AS DOUBLE) - trend AS detr FROM tr),
-      pm AS (SELECT event_type, phase, avg(detr) AS s_raw
+      dt AS (SELECT * FROM tr),
+      pm AS (SELECT event_type, phase,
+               CAST(sum(detr_fp) AS DOUBLE)
+                 / (CAST(count(*) AS DOUBLE) * ${(2 * m).toDouble}::DOUBLE)
+                 AS s_raw
              FROM dt GROUP BY 1, 2),
-      ctr AS (SELECT event_type, phase,
-                round(s_raw - avg(s_raw) OVER (PARTITION BY event_type),
-                      6) AS seasonal
-              FROM pm),
+      sm AS (SELECT event_type,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   list(s_raw ORDER BY phase)), (a, x) -> a + x)
+                 / count(*) AS s_mean
+             FROM pm GROUP BY event_type),
+      ctr AS (SELECT pm.event_type, pm.phase,
+                round(pm.s_raw - sm.s_mean, 6) AS seasonal
+              FROM pm JOIN sm ON sm.event_type = pm.event_type),
       stl AS (SELECT dt.event_type, CAST(dt.t AS BIGINT) AS t,
                 CAST(dt.y AS BIGINT) AS y,
                 round(dt.trend, 6) AS trend, ctr.seasonal,
