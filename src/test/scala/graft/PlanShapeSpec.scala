@@ -399,7 +399,7 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     // q304/q305/q307 share the r17 family shape: ONE corpus-sized
     // aggregate (map-side combined), tiny tails
     Seq("q304_funnel_windowed" -> 1, "q305_km_greenwood" -> 1,
-        "q307_mde" -> 1)
+        "q307_mde" -> 1, "q308_logrank" -> 1)
       .foreach { case (name, maxScans) =>
         val df = q(name)
         df.collect()
