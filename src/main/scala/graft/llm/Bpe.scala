@@ -128,17 +128,15 @@ object Bpe {
     // from (a,bab) while ab+ab survivors are around), where created
     // occurrences ADD to an existing counted pair and can push it past
     // a later-accepted candidate. `known` tracks a SUPERSET of the
-    // live symbol strings (alphabet + every token ever created; a
+    // live MULTI-CHAR symbol strings (every token ever created; a
     // superset only stops batches early, never wrongly accepts), and
     // an accepted rule whose l+r is already known ENDS the batch —
     // the rule itself is still classic-correct, everything after it
-    // waits for the recount. batch == 1 recounts every round, so the
-    // alphabet pull is skipped there.
+    // waits for the recount. Single-char alphabet entries need no
+    // seeding: a created token l+r always has length ≥ 2, so it can
+    // only collide with another CREATED token, never with an alphabet
+    // symbol (the r18 alphabet pull was a dead extra distinct job).
     val known = scala.collection.mutable.HashSet.empty[String]
-    if (batch > 1)
-      known ++= w.select(explode(split(col(wordCol), "")).as("ch"))
-        .filter(length(col("ch")) === 1).distinct()
-        .collect().map(_.getString(0))
     var step = 1
     var round = 0
     var exhausted = false

@@ -632,10 +632,17 @@ object SimSearch {
       cents.select(col("cent_id"), col("cent_emb")).collect()
     else Array.empty[org.apache.spark.sql.Row]
     if (n == 1 && centRows.nonEmpty) {
-      // the SAME asc order the window form used: numeric ids sort
-      // numerically, anything else by string form
+      // the SAME asc order the window form used: integral ids sort by
+      // exact long value, fractional ids by double (Number.longValue
+      // would TRUNCATE 1.5 and 1.9 to the same key and the argmax tie
+      // order could diverge from the window's native numeric asc),
+      // anything else by string form
       val byId = centRows.head.get(0) match {
-        case _: java.lang.Number => centRows.sortBy(_.getAs[Number](0).longValue())
+        case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+             _: java.lang.Byte =>
+          centRows.sortBy(_.getAs[Number](0).longValue())
+        case _: java.lang.Number =>
+          centRows.sortBy(_.getAs[Number](0).doubleValue())
         case _ => centRows.sortBy(r => String.valueOf(r.get(0)))
       }
       // one codegen'd projection computes all nCentroids dots into an

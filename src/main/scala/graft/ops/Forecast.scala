@@ -367,11 +367,17 @@ object Forecast {
       .withColumn("__detr_fp",
         col("__y") * lit(2L * season) - col("__wsum") * lit(2L)
           + col("__yl") + col("__yr"))
-    val phaseMeans = trended.groupBy(keys.map(col) :+ col("__phase"): _*)
+    // trended feeds phaseMeans AND the final join; phaseMeans feeds
+    // sMeans AND centered — without truncation the corpus window pass
+    // recomputes up to three times (the mannWhitney/ksTest shared-
+    // consumer idiom: lazy local checkpoint at each fan-out point)
+    val trendedCk = trended.localCheckpoint(eager = false)
+    val phaseMeans = trendedCk.groupBy(keys.map(col) :+ col("__phase"): _*)
       .agg(sum(col("__detr_fp")).as("__s_sum"),
         count(lit(1)).as("__s_cnt"))
       .withColumn("__s_raw", col("__s_sum").cast("double")
         / (col("__s_cnt").cast("double") * (2.0 * season)))
+      .localCheckpoint(eager = false)
     // cross-phase centering: an ORDERED fold over the ≤season phase
     // means (the kaplanMeier/psi list_reduce idiom) — a plain avg over
     // an unordered window would re-introduce order sensitivity
@@ -386,7 +392,7 @@ object Forecast {
     val centered = phaseMeans.join(broadcast(sMeans), keys)
       .withColumn("__seasonal", round(col("__s_raw") - col("__s_mean"), 6))
       .select(keys.map(col) :+ col("__phase") :+ col("__seasonal"): _*)
-    trended.join(broadcast(centered), keys :+ "__phase")
+    trendedCk.join(broadcast(centered), keys :+ "__phase")
       .select(keys.map(col) :+ col("__t").as("t") :+ col("__y").as("y") :+
         round(col("__trend"), 6).as("trend") :+
         col("__seasonal").as("seasonal") :+

@@ -125,14 +125,22 @@ object Survival {
         - coalesce(sum(col("d2") + col("c2")).over(wPrev), lit(0L)))
       .withColumn("d", col("d1") + col("d2"))
       .withColumn("n", col("n1t") + col("n2t"))
-      // contribution only at times with deaths and a two-sided risk
-      // set (n > 1; V's n−1 denominator) — the standard convention
-      .filter(col("d") > 0 && col("n") > 1)
+      // O₁ and E₁ sum over ALL death times (d > 0) — the conventional
+      // observed/expected readout (R survdiff). At an n = 1 time the
+      // lone at-risk subject dies, so d1 and e1 = n1t·d/n contribute
+      // EQUALLY (both 1 if it's arm 1, both 0 if arm 2): (O₁ − E₁) is
+      // identical to the old n > 1-filtered sum, only the reported o1
+      // and e1 columns shift to the standard convention. V's n − 1
+      // denominator still needs n > 1; its n = 1 contribution is
+      // conventionally 0 (n1t·n2t = 0), frozen via the guard.
+      .filter(col("d") > 0)
       .withColumn("e1_fp", expr(
         """cast(n1t as decimal(38,0)) * d * 1000000000 div n"""))
       .withColumn("v_fp", expr(
-        """(cast(d as decimal(38,0)) * n1t * n2t * (n - d) * 1000000000)
-           div (cast(n as decimal(38,0)) * n * (n - 1))"""))
+        """case when n > 1 then
+             (cast(d as decimal(38,0)) * n1t * n2t * (n - d) * 1000000000)
+             div (cast(n as decimal(38,0)) * n * (n - 1))
+           else cast(0 as bigint) end"""))
     val tot = risk.agg(
       sum(col("d1")).as("o1"),
       sum(col("e1_fp")).as("e1_fp"),

@@ -1918,18 +1918,18 @@ object Relational4 {
             FROM c3)
       SELECT * FROM (
         SELECT 1 AS step_idx, 'signup' AS step, r0 AS users_reached,
-               round(CAST(r0 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) AS pct_of_first,
-               round(CAST(r0 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) AS pct_of_prev
+               CASE WHEN r0 = 0 THEN NULL ELSE round(CAST(r0 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) END AS pct_of_first,
+               CASE WHEN r0 = 0 THEN NULL ELSE round(CAST(r0 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) END AS pct_of_prev
         FROM r
         UNION ALL
-        SELECT 2, 'view', r1, round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6),
-               round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) FROM r
+        SELECT 2, 'view', r1, CASE WHEN r0 = 0 THEN NULL ELSE round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) END,
+               CASE WHEN r0 = 0 THEN NULL ELSE round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) END FROM r
         UNION ALL
-        SELECT 3, 'click', r2, round(CAST(r2 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6),
-               round(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE) * 100, 6) FROM r
+        SELECT 3, 'click', r2, CASE WHEN r0 = 0 THEN NULL ELSE round(CAST(r2 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) END,
+               CASE WHEN r1 = 0 THEN NULL ELSE round(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE) * 100, 6) END FROM r
         UNION ALL
-        SELECT 4, 'purchase', r3, round(CAST(r3 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6),
-               round(CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE) * 100, 6) FROM r)
+        SELECT 4, 'purchase', r3, CASE WHEN r0 = 0 THEN NULL ELSE round(CAST(r3 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) END,
+               CASE WHEN r2 = 0 THEN NULL ELSE round(CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE) * 100, 6) END FROM r)
       ORDER BY step_idx"""),
     (spark, dir) =>
       graft.ops.Funnel.funnel(T(spark, dir, "events"), "user_id",
@@ -1976,18 +1976,18 @@ object Relational4 {
             FROM c3)
       SELECT * FROM (
         SELECT 1 AS step_idx, 'signup' AS step, r0 AS users_reached,
-               round(CAST(r0 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) AS pct_of_first,
-               round(CAST(r0 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) AS pct_of_prev
+               CASE WHEN r0 = 0 THEN NULL ELSE round(CAST(r0 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) END AS pct_of_first,
+               CASE WHEN r0 = 0 THEN NULL ELSE round(CAST(r0 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) END AS pct_of_prev
         FROM r
         UNION ALL
-        SELECT 2, 'view', r1, round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6),
-               round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) FROM r
+        SELECT 2, 'view', r1, CASE WHEN r0 = 0 THEN NULL ELSE round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) END,
+               CASE WHEN r0 = 0 THEN NULL ELSE round(CAST(r1 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) END FROM r
         UNION ALL
-        SELECT 3, 'click', r2, round(CAST(r2 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6),
-               round(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE) * 100, 6) FROM r
+        SELECT 3, 'click', r2, CASE WHEN r0 = 0 THEN NULL ELSE round(CAST(r2 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) END,
+               CASE WHEN r1 = 0 THEN NULL ELSE round(CAST(r2 AS DOUBLE) / CAST(r1 AS DOUBLE) * 100, 6) END FROM r
         UNION ALL
-        SELECT 4, 'purchase', r3, round(CAST(r3 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6),
-               round(CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE) * 100, 6) FROM r)
+        SELECT 4, 'purchase', r3, CASE WHEN r0 = 0 THEN NULL ELSE round(CAST(r3 AS DOUBLE) / CAST(r0 AS DOUBLE) * 100, 6) END,
+               CASE WHEN r2 = 0 THEN NULL ELSE round(CAST(r3 AS DOUBLE) / CAST(r2 AS DOUBLE) * 100, 6) END FROM r)
       ORDER BY step_idx"""),
     (spark, dir) =>
       graft.ops.Funnel.funnelWindowed(T(spark, dir, "events"), "user_id",
@@ -2201,11 +2201,13 @@ object Relational4 {
                               AND 1 PRECEDING), 0) AS BIGINT) AS n2t
              FROM byt),
       tm AS (SELECT d1, n1t, n2t, d1 + d2 AS d, n1t + n2t AS n
-             FROM rk WHERE d1 + d2 > 0 AND n1t + n2t > 1),
+             FROM rk WHERE d1 + d2 > 0),
       ag AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
                CAST(sum(CAST(n1t AS HUGEINT) * d * 1000000000 // n) AS HUGEINT) AS e1_fp,
-               CAST(sum((CAST(d AS HUGEINT) * n1t * n2t * (n - d) * 1000000000)
-                        // (CAST(n AS HUGEINT) * n * (n - 1))) AS HUGEINT) AS v_fp
+               CAST(sum(CASE WHEN n > 1 THEN
+                          (CAST(d AS HUGEINT) * n1t * n2t * (n - d) * 1000000000)
+                          // (CAST(n AS HUGEINT) * n * (n - 1))
+                        ELSE 0 END) AS HUGEINT) AS v_fp
              FROM tm),
       cn AS (SELECT CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1,
                CAST(count(CASE WHEN arm = 2 THEN 1 END) AS BIGINT) AS n2

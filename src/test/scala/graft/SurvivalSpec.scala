@@ -101,6 +101,20 @@ class SurvivalSpec extends SparkSuite {
     val noisy = planted ++ (1 to 4).map(_ => (3, 2L, false))
     assert(Survival.logRank(noisy.toDF("arm", "t", "cen"),
       "arm", "t", "cen").head() == r)
+    // a lone arm-1 death at an n = 1 time counts in the CONVENTIONAL
+    // o1/e1 readout (r18 advice): d1 and e1 = n1t·d/n both contribute
+    // exactly 1 there, so O1 − E1 and V (guarded to 0 at n = 1) are
+    // what the old n > 1-filtered sum read. Hand-computed: arm 2 dies
+    // at t=1 (n=2: E1 = 0.5, V = 0.25), arm 1 dies alone at t=5
+    // (n = 1: o1 += 1, e1 += 1, v += 0) → o1 = 1, e1 = 1.5,
+    // chi2 = (1 − 1.5)² / 0.25 = 1.0, silent.
+    val lateDeath = Seq((1, 5L, false), (2, 1L, false))
+    val rl = Survival.logRank(lateDeath.toDF("arm", "t", "cen"),
+      "arm", "t", "cen").head()
+    assert(rl.getAs[Long]("o1") == 1L, s"n=1 death must count in o1: $rl")
+    assert(math.abs(rl.getAs[Double]("e1") - 1.5) < 1e-9)
+    assert(math.abs(rl.getAs[Double]("chi2") - 1.0) < 1e-9, s"chi2: $rl")
+    assert(!rl.getAs[Boolean]("significant"))
     // mirrored arms: O1 = E1 exactly at every time (all divisions land
     // on integers), chi2 = 0, silent
     val same = Seq(1L -> false, 2L -> false, 3L -> false, 4L -> true,
