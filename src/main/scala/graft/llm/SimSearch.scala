@@ -607,31 +607,56 @@ object SimSearch {
     ivfWithCentroids(c, queries, cents, idCol, embCol, k, nProbe)
   }
 
+  /** Doubles cap on the flattened-codebook plan literal of the n = 1
+    * fast path (nCentroids · dim). The default (2²² = 4.19 M doubles,
+    * 32 MB — a 65k-centroid 64-dim production codebook exactly) bounds
+    * what rides the plan/task-binary broadcast; past it the assignment
+    * reverts to the broadcast-join + group-limit form, whose centroid
+    * payload ships via torrent broadcast instead. Session-overridable:
+    * `spark.graft.ivf.maxCodebookLiteralDoubles`.
+    */
+  private val MaxCodebookLiteralDoubles = 1L << 22
+
   /** Nearest-`n` centroid assignment of (`id`, `emb`) rows.
     *
     * n = 1 (the corpus-assignment path, also every Lloyd iteration) is
-    * a SHUFFLE-FREE unrolled argmax: the bounded centroid set (known
-    * small — it is broadcast either way) is collected once and unrolled
-    * into nCentroids codegen'd literal-array dot products plus a
-    * when-chain argmax, so a corpus assignment is ONE narrow map over
-    * the scan — no row×centroid crossJoin blow-up, no per-id exchange,
-    * no window sort. The old window shape shuffled |corpus|·nCentroids
-    * rows per assignment pass; at 3 assignment passes (2 Lloyd + final)
-    * that dominated q43's floor. Selection semantics are identical:
-    * highest dot wins, ties to the smallest cent_id (strict `>` over
-    * the cent_id-ascending unroll = first-max-wins), the same total
-    * order the window form used, so every oracle replay is unchanged.
+    * a SHUFFLE-FREE argmax: the bounded centroid set (known small — it
+    * is broadcast either way) is collected once, flattened row-major
+    * into ONE `array<double>` literal, and scanned by the codegen'd
+    * [[graft.engine.expressions.NearestCentroid]] two-level loop — a
+    * corpus assignment is ONE narrow map over the scan: no
+    * row×centroid crossJoin blow-up, no per-id exchange, no window
+    * sort. The old window shape shuffled |corpus|·nCentroids rows per
+    * assignment pass; at 3 assignment passes (2 Lloyd + final) that
+    * dominated q43's floor. The r18 intermediate (one expression node
+    * per centroid: `array(dot…)` + array_max/array_position) generated
+    * O(nCentroids) code — fine at 16 centroids, JIT-hostile at a
+    * production 4k–64k codebook; the flattened literal keeps generated
+    * code CONSTANT-size at any codebook scale. Selection semantics are
+    * identical across all three forms: highest dot wins, ties to the
+    * smallest cent_id (strict Double.compare over the cent_id-asc
+    * flattening = first-max-wins), NaN ranks greatest — so every
+    * oracle replay is unchanged (IvfCodebookSpec pins bit-identity
+    * against the join+window form at 4096 centroids).
     *
     * n > 1 (query probing — a few hundred rows) keeps the join+window
-    * form; an empty centroid frame also falls back so the result
-    * schema/emptiness semantics stay exactly the join's.
+    * form; an empty centroid frame, a ragged/oversized codebook (>
+    * [[MaxCodebookLiteralDoubles]], conf-overridable) also fall back so
+    * result semantics stay exactly the join's.
     */
   private[graft] def nearestBuckets(df: DataFrame, cents: DataFrame,
                              id: String, emb: String, n: Int): DataFrame = {
     val centRows = if (n == 1)
       cents.select(col("cent_id"), col("cent_emb")).collect()
     else Array.empty[org.apache.spark.sql.Row]
-    if (n == 1 && centRows.nonEmpty) {
+    val dim = if (centRows.nonEmpty) centRows.head.getSeq[Double](1).length else 0
+    val maxDoubles = df.sparkSession.conf
+      .getOption("spark.graft.ivf.maxCodebookLiteralDoubles")
+      .map(_.toLong).getOrElse(MaxCodebookLiteralDoubles)
+    val literalFits = dim > 0 &&
+      centRows.forall(_.getSeq[Double](1).length == dim) &&
+      centRows.length.toLong * dim <= maxDoubles
+    if (n == 1 && centRows.nonEmpty && literalFits) {
       // the SAME asc order the window form used: integral ids sort by
       // exact long value, fractional ids by double (Number.longValue
       // would TRUNCATE 1.5 and 1.9 to the same key and the argmax tie
@@ -645,21 +670,21 @@ object SimSearch {
           centRows.sortBy(_.getAs[Number](0).doubleValue())
         case _ => centRows.sortBy(r => String.valueOf(r.get(0)))
       }
-      // one codegen'd projection computes all nCentroids dots into an
-      // array; the argmax is array_max + array_position (FIRST index
-      // holding the max = smallest cent_id, the window's tie order).
-      // Deliberately array-shaped: per-column dots with an unrolled
-      // when-chain argmax duplicates the dot expressions under
-      // CollapseProject into a codegen tree big enough to OOM the JIT
-      // (measured); the array form is referenced at most twice.
-      val dotsArr = array(byId.map(r =>
-        dot(col(emb), lit(r.getSeq[Double](1).toArray))).toIndexedSeq: _*)
+      val flat = new Array[Double](byId.length * dim)
+      byId.iterator.zipWithIndex.foreach { case (r, j) =>
+        val e = r.getSeq[Double](1)
+        var i = 0
+        while (i < dim) { flat(j * dim + i) = e(i); i += 1 }
+      }
+      graft.engine.expressions.NearestCentroid.register(df.sparkSession)
+      // cidArr is all-literal CreateArray → constant-folded to ONE
+      // array literal by the optimizer; element_at is 1-based
       val cidArr = array(byId.map(r => lit(r.get(0))).toIndexedSeq: _*)
-      df.select(col(id), col(emb), dotsArr.as("__ds"))
-        .select(col(id), col(emb),
-          element_at(cidArr,
-            array_position(col("__ds"), array_max(col("__ds"))).cast("int"))
-            .as("bucket"))
+      df.select(col(id), col(emb),
+        element_at(cidArr,
+          graft.engine.expressions.NearestCentroid
+            .nearest(col(emb), flat, dim) + 1)
+          .as("bucket"))
     } else
       TopK.exactPerKey(
         df.crossJoin(broadcast(cents))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -60,8 +61,8 @@ object Betweenness {
           "left_anti")
         .withColumn("__d", lit(d))
         .select("__src", "node", "__d", "__sigma")
-        .localCheckpoint(eager = false)
-      visited = visited.unionByName(next).localCheckpoint(eager = false)
+        .truncated
+      visited = visited.unionByName(next).truncated
       frontier = next
     }
     visited
@@ -73,7 +74,7 @@ object Betweenness {
     require(maxDepth >= 1, s"maxDepth must be at least 1, got $maxDepth")
     // One lazy checkpoint serves all 2·maxDepth joins (the Bfs lesson).
     val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().truncated
     val visited = perSourceBfs(e, sources, sourceCol, maxDepth)
     // Backward sweep: delta by decreasing depth; horizon starts at 0.
     var deltas = visited.filter(col("__d") === maxDepth)
@@ -96,7 +97,7 @@ object Betweenness {
           Seq("__src", "node"), "left")
         .select(col("__src"), col("node"), col("__sigma"),
           coalesce(col("__c"), lit(0.0)).as("__delta"))
-        .localCheckpoint(eager = false)
+        .truncated
       acc = acc.unionByName(next)
       deltas = next
     }

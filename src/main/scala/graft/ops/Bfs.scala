@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -51,7 +52,7 @@ object Bfs {
     val e =
       (if (undirected)
          fwd.unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
-       else fwd).localCheckpoint(eager = false)
+       else fwd).truncated
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("hops", lit(0))
     var frontier = dist.select("node")
@@ -59,9 +60,9 @@ object Bfs {
       val next = e.join(frontier, e("__a") === frontier("node"))
         .select(col("__b").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
-        .localCheckpoint(eager = false)
+        .truncated
       dist = dist.unionByName(next.withColumn("hops", lit(i)))
-        .localCheckpoint(eager = false)
+        .truncated
       frontier = next
     }
     dist.withColumn("hops", col("hops").cast("int"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -35,7 +36,7 @@ object Centrality {
                           maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be at least 1, got $maxDepth")
     val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
-      .distinct().localCheckpoint(eager = false)
+      .distinct().truncated
     Betweenness.perSourceBfs(e, sources, sourceCol, maxDepth)
       .filter(col("__d") >= 1)
       .select(col("node"),

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -84,7 +85,7 @@ object ConnectedComponents {
       // materializes it; periodic — a checkpoint boundary erases size
       // stats and demotes optimizer choices, so only cut every few
       // rounds. Dedup graphs converge in 2-3 rounds and never hit it.
-      if ((i + 1) % 5 == 0) next = next.localCheckpoint(false)
+      if ((i + 1) % 5 == 0) next = next.truncated
       val s = next.agg(sum(col("component"))).head.getLong(0)
       converged = prevSum.contains(s)
       prevSum = Some(s)
@@ -112,7 +113,7 @@ object ConnectedComponents {
     // action. One cheap job here (≤ 5 rounds from the last checkpoint,
     // edge cache hot) buys a Scan-ExistingRDD return plan; released by
     // GraftSession.withQueryCaches.
-    val out = labels.localCheckpoint()
+    val out = labels.truncated(eager = true)
     sym.unpersist()
     out
   }
@@ -194,7 +195,7 @@ object ConnectedComponents {
     var i = 0
     var lastRound: DataFrame = null
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val next = smallStar(largeStar(e)).truncated
       val w = next.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head
       val witness = (w.getLong(0),
         if (w.isNullAt(1)) 0L else w.getLong(1),

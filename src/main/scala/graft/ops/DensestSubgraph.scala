@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -52,7 +53,7 @@ object DensestSubgraph {
                 maxRounds: Int): DataFrame = {
     val spark = edges.sparkSession
     var alive = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .localCheckpoint(eager = false)
+      .truncated
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var round = 0
     var emptied = false
@@ -75,7 +76,7 @@ object DensestSubgraph {
         alive = alive
           .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
           .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
-          .localCheckpoint(eager = false)
+          .truncated
         round += 1
       }
     }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -59,7 +60,7 @@ object Hits {
     // rebuild the edge projection. The checkpoint materializes once at
     // the caller's first action; withQueryCaches releases it.
     val e = edges.select(col(hubCol).as("__c"), col(authCol).as("__s"),
-      col(weightCol).cast("double").as("__w")).localCheckpoint(eager = false)
+      col(weightCol).cast("double").as("__w")).truncated
     val hubs = e.select(col("__c").as("node")).distinct()
     var h = hubs.crossJoin(broadcast(hubs.agg(count(lit(1)).as("__n"))))
       .select(col("node"), (lit(1.0) / col("__n")).as("score"))
@@ -73,7 +74,7 @@ object Hits {
     // (measured 22 s vs 3 s at sf0.1, iters = 5). Truncation every
     // half-step also keeps the analyzer's plan depth constant.
     def normalized(rawIn: DataFrame, roundTo: Int): DataFrame = {
-      val raw = rawIn.localCheckpoint(eager = false)
+      val raw = rawIn.truncated
       raw.crossJoin(broadcast(raw.agg(sum(col("__raw")).as("__tot"))))
         .select(col("node"), round(col("__raw") / col("__tot"), roundTo).as("score"))
     }
@@ -94,7 +95,7 @@ object Hits {
           else aRaw.select(col("node"), col("__raw").as("score"))
       val hRaw = half(a, "__s", "__c")
       h = if (exactRounding) normalized(hRaw, 10)
-          else hRaw.localCheckpoint(eager = false)
+          else hRaw.truncated
             .select(col("node"), col("__raw").as("score"))
     }
     val (hOut, aOut) =

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -56,7 +57,7 @@ object KCore {
       alive = alive
         .join(keep, Seq("a"), "left_semi")
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
-        .localCheckpoint(eager = false)
+        .truncated
     }
     alive.groupBy(col("a").as("node")).agg(count(lit(1)).cast("int").as("deg"))
       .filter(col("deg") >= k)
@@ -108,10 +109,10 @@ object KCore {
     val e =
       (if (undirected)
          fwd.unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
-       else fwd).localCheckpoint(eager = false)
+       else fwd).truncated
     var v = e.groupBy(col("__a").as("node"))
       .agg(count(lit(1)).cast("int").as("val"))
-      .localCheckpoint(eager = false)
+      .truncated
     // coalesce: sum() over an EMPTY degree frame is null (an edgeless
     // input — e.g. a support threshold that filtered every pair — must
     // return the empty result, not NPE)
@@ -136,7 +137,7 @@ object KCore {
       cnt.withColumn("__s", sum(col("__c")).over(w))
         .groupBy("node")
         .agg(max(least(col("val"), col("__s"))).cast("int").as("val"))
-        .localCheckpoint(eager = false)
+        .truncated
     }
     // One convergence check per round. A 2-rounds-per-action block
     // check (exact under per-node monotonicity) was tried and measured

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -52,7 +53,7 @@ object LabelProp {
     val e =
       (if (undirected)
          fwd.unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
-       else fwd).localCheckpoint(eager = false)
+       else fwd).truncated
     val nodes =
       (if (undirected) e.select(col("__a").as("node"))
        else e.select(col("__a").as("node"))
@@ -74,7 +75,7 @@ object LabelProp {
       lab = lab
         .join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("__new"), col("label")).as("label"))
-        .localCheckpoint(eager = false)
+        .truncated
     }
     lab
   }

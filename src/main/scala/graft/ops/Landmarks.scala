@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -43,7 +44,7 @@ object Landmarks {
     val e =
       (if (undirected)
          fwd.unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
-       else fwd).localCheckpoint(eager = false) // serves every hop's
+       else fwd).truncated // serves every hop's
     // frontier join at the caller's first action (the Bfs note: a cache
     // unpersisted before return never serves); withQueryCaches releases
     var dist = landmarks.select(col(landmarkCol).as("landmark")).distinct()
@@ -54,9 +55,9 @@ object Landmarks {
       val next = e.join(frontier, e("__a") === frontier("node"))
         .select(col("__b").as("node"), col("landmark")).distinct()
         .join(dist, Seq("node", "landmark"), "left_anti")
-        .localCheckpoint(eager = false)
+        .truncated
       dist = dist.unionByName(next.withColumn("hops", lit(i)))
-        .localCheckpoint(eager = false)
+        .truncated
       frontier = next
     }
     dist.withColumn("hops", col("hops").cast("int"))

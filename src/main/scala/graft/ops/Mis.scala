@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -42,9 +43,9 @@ object Mis {
     // each of the 2·rounds edge joins would rebuild the symmetrization.
     val e = edges.select(col(srcCol).as("__a"), col(dstCol).as("__b"))
       .unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
-      .localCheckpoint(eager = false)
+      .truncated
     val nodes = e.select(col("__a").as("node")).distinct()
-      .localCheckpoint(eager = false)
+      .truncated
     var u = nodes.withColumn("pr", Sampling.hashRank(col("node")))
     var ins = nodes.limit(0).select(col("node"))
     for (_ <- 1 to rounds) {
@@ -60,7 +61,7 @@ object Mis {
         .filter(col("__mx").isNull ||
           struct(col("pr").as("p"), col("node").as("n")) > col("__mx"))
         .select("node")
-        .localCheckpoint(eager = false)
+        .truncated
       // neighbors of the winners drop out. Adjacent winners are
       // impossible under a strict total order, so anti-joining the RAW
       // neighbor set (no c-exclusion, no u-restriction — an anti join
@@ -75,7 +76,7 @@ object Mis {
       ins = ins.unionByName(c)
       u = u.join(c, Seq("node"), "left_anti")
         .join(kill, Seq("node"), "left_anti")
-        .localCheckpoint(eager = false)
+        .truncated
     }
     ins.select(col("node"), lit("in").as("status"))
       .unionByName(u.select(col("node"), lit("undecided").as("status")))

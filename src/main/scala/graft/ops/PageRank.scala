@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,13 +45,13 @@ object PageRank {
     // the caller's first action; withQueryCaches releases both.
     val nodes = edges.select(col(src).as("node"))
       .union(edges.select(col(dst).as("node"))).distinct()
-      .localCheckpoint(eager = false)
+      .truncated
     val n = nodes.count()
     val outW = edges.groupBy(col(src)).agg(sum(col(weight)).as("__out_w"))
     val trans = edges.join(outW, src)
       .select(col(src).as("__u"), col(dst).as("__v"),
         (col(weight) / col("__out_w")).as("__p"))
-      .localCheckpoint(eager = false)
+      .truncated
     val teleport = (1.0 - damping) / n
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
     for (i <- 1 to iters) {
@@ -60,7 +61,7 @@ object PageRank {
         .select(col("node"),
           round(lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)), 10).as("rank"))
       if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint(false)
+        ranks = ranks.truncated
     }
     ranks
   }
@@ -84,14 +85,14 @@ object PageRank {
       .union(edges.select(col(dst).as("node"))).distinct()
       .join(seedSet.withColumn("__s", lit(1)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0)).as("__s"))
-      .localCheckpoint(eager = false) // materialized by the count below
+      .truncated // materialized by the count below
     val nSeeds = nodes.filter(col("__s") === 1).count()
     require(nSeeds > 0, "personalized PageRank needs at least one seed present in the graph")
     val outW = edges.groupBy(col(src)).agg(sum(col(weight)).as("__out_w"))
     val trans = edges.join(outW, src)
       .select(col(src).as("__u"), col(dst).as("__v"),
         (col(weight) / col("__out_w")).as("__p"))
-      .localCheckpoint(eager = false) // serves all iters at the caller's action
+      .truncated // serves all iters at the caller's action
     val teleport = (1.0 - damping) / nSeeds
     var ranks = nodes.select(col("node"),
       (col("__s") * lit(1.0 / nSeeds)).as("rank"))
@@ -103,7 +104,7 @@ object PageRank {
           round(col("__s") * lit(teleport)
             + lit(damping) * coalesce(col("__in"), lit(0.0)), 10).as("rank"))
       if (i % checkpointEvery == 0 && i < iters)
-        ranks = ranks.localCheckpoint(false)
+        ranks = ranks.truncated
     }
     ranks
   }

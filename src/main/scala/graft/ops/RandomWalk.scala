@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,7 +46,7 @@ object RandomWalk {
       .withColumn("__idx", row_number()
         .over(Window.partitionBy("__a").orderBy(col("__b"))))
       .withColumn("__deg", count(lit(1)).over(Window.partitionBy("__a")))
-      .localCheckpoint(eager = false)
+      .truncated
     var cur = seeds.select(col(seedCol).as("walker")).distinct()
       .withColumn("node", col("walker"))
     var out = cur.withColumn("step", lit(0))
@@ -58,7 +59,7 @@ object RandomWalk {
       cur = cur.join(adj, cur("node") === adj("__a"))
         .filter(col("__idx") === (hr - 1) % col("__deg") + 1)
         .select(col("walker"), col("__b").as("node"))
-        .localCheckpoint(eager = false)
+        .truncated
       out = out.unionByName(cur.withColumn("step", lit(i)))
     }
     out.withColumn("step", col("step").cast("int"))
@@ -114,12 +115,12 @@ object RandomWalk {
     val e =
       (if (undirected)
          fwd.unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
-       else fwd).distinct().localCheckpoint(eager = false)
+       else fwd).distinct().truncated
     val adj = e
       .withColumn("__idx", row_number()
         .over(Window.partitionBy("__a").orderBy(col("__b"))))
       .withColumn("__deg", count(lit(1)).over(Window.partitionBy("__a")))
-      .localCheckpoint(eager = false)
+      .truncated
     var cur = seeds.select(col(seedCol).as("walker")).distinct()
       .withColumn("node", col("walker"))
       .withColumn("prev", col("walker")) // placeholder until the first hop
@@ -134,7 +135,7 @@ object RandomWalk {
             .filter(col("__idx") === (hr - 1) % col("__deg") + 1)
             .select(col("walker"), col("__b").as("node"),
               col("node").as("prev"))
-            .localCheckpoint(eager = false)
+            .truncated
         } else {
           val nearEdges = e.select(col("__a").as("__pa"),
             col("__b").as("__xb"), lit(true).as("__near"))
@@ -157,7 +158,7 @@ object RandomWalk {
               u * col("__tot") <= col("__cum"))
             .select(col("walker"), col("__b").as("node"),
               col("node").as("prev"))
-            .localCheckpoint(eager = false)
+            .truncated
         }
       out = out.unionByName(
         cur.select(col("walker"), col("node")).withColumn("step", lit(i)))

@@ -203,7 +203,27 @@ object Robust {
     *
     * @return one row: n1, n2, u2x (= 2·U₁), z (6 dp), significant
     */
-  def mannWhitney(df: DataFrame, armCol: String, valCol: String): DataFrame = {
+  def mannWhitney(df: DataFrame, armCol: String, valCol: String): DataFrame =
+    mannWhitneyImpl(df, armCol, valCol, exactDecision = true)
+
+  /** [[mannWhitney]] with the significance DECISION in double — the
+    * documented large-n escape hatch (r18 verdict item 3): the exact
+    * decimal comparison needs n⁴·n₁n₂ ≲ 10³⁸ (n ≲ 10⁶ per cell) and
+    * FAILS FAST past it via decimal overflow; a 100 TB experiment
+    * readout lands there on day one. Here every rank/tie SUM stays
+    * exact decimal (r2x ≤ 2n², tsum ≤ n³ — in-range to n ≈ 10¹²); only
+    * the α=.05 decision rides the double z against 1.96, with a
+    * BOUNDARY-DISTANCE GUARD: if ||z| − 1.96| < 10⁻⁹ — inside double
+    * rounding noise of the critical value, where the approximation
+    * could flip the call — the query raises instead of guessing
+    * (approximate, never silently wrong). Selected explicitly by
+    * calling this method; the default stays exact.
+    */
+  def mannWhitneyApprox(df: DataFrame, armCol: String, valCol: String): DataFrame =
+    mannWhitneyImpl(df, armCol, valCol, exactDecision = false)
+
+  private def mannWhitneyImpl(df: DataFrame, armCol: String, valCol: String,
+                              exactDecision: Boolean): DataFrame = {
     val v = df.select(col(armCol).as("arm"), col(valCol).cast("long").as("v"))
       .filter(col("arm") === 1 || col("arm") === 2)
     // lazily truncated (the q282 idiom): the two-phase scan's partial
@@ -250,13 +270,37 @@ object Robust {
                          / (cast(n as double) * (cast(n as double) - 1.0)))),
              6)
            end"""))
-      .withColumn("significant", expr(
-        """(u2x - cast(n1 as decimal(38,0)) * n2)
-             * (u2x - cast(n1 as decimal(38,0)) * n2) * 3 * 10000
-             * (cast(n as decimal(38,0)) * (n - 1))
-           > 38416 * cast(n1 as decimal(38,0)) * n2
-             * ((cast(n as decimal(38,0)) + 1) * (cast(n as decimal(38,0)) * (n - 1))
-                - tsum)"""))
+      .withColumn("significant",
+        if (exactDecision) expr(
+          """(u2x - cast(n1 as decimal(38,0)) * n2)
+               * (u2x - cast(n1 as decimal(38,0)) * n2) * 3 * 10000
+               * (cast(n as decimal(38,0)) * (n - 1))
+             > 38416 * cast(n1 as decimal(38,0)) * n2
+               * ((cast(n as decimal(38,0)) + 1) * (cast(n as decimal(38,0)) * (n - 1))
+                  - tsum)""")
+        else expr(
+          // UNROUNDED z for the decision; the displayed z is 6 dp.
+          // The guard band (1e-9 absolute on |z|) is orders past the
+          // ~1e-15-relative error of the double pipeline, so a pass
+          // through it can never be a rounding artifact.
+          """case
+             when abs(abs(
+                 (cast(u2x as double) - cast(n1 as double) * cast(n2 as double))
+                 / sqrt(cast(n1 as double) * cast(n2 as double) / 3.0
+                        * ((cast(n as double) + 1.0)
+                           - cast(tsum as double)
+                             / (cast(n as double) * (cast(n as double) - 1.0))))
+               ) - 1.96) < 1e-9
+               then cast(raise_error(
+                 'mannWhitneyApprox: |z| within 1e-9 of the 1.96 boundary — use the exact mode') as boolean)
+             else abs(
+                 (cast(u2x as double) - cast(n1 as double) * cast(n2 as double))
+                 / sqrt(cast(n1 as double) * cast(n2 as double) / 3.0
+                        * ((cast(n as double) + 1.0)
+                           - cast(tsum as double)
+                             / (cast(n as double) * (cast(n as double) - 1.0))))
+               ) > 1.96
+             end"""))
       .select(col("n1"), col("n2"), col("u2x").cast("long").as("u2x"),
         col("z"), col("significant"))
   }
@@ -282,7 +326,24 @@ object Robust {
     * @return one row: n1, n2, d_num (= D·n₁n₂, exact), d (6 dp),
     *         significant
     */
-  def ksTest(df: DataFrame, armCol: String, valCol: String): DataFrame = {
+  def ksTest(df: DataFrame, armCol: String, valCol: String): DataFrame =
+    ksTestImpl(df, armCol, valCol, exactDecision = true)
+
+  /** [[ksTest]] with the significance DECISION in double — the large-n
+    * escape hatch (the mannWhitneyApprox contract): the exact decimal
+    * decision needs (n₁n₂)²·10⁶ ≲ 10³⁸ (~10⁸ rows per arm) and fails
+    * fast past it; here D's integer numerator and the ECDF gaps stay
+    * EXACT (in-range to ~10¹⁹ per arm) and only the Smirnov threshold
+    * comparison rides doubles, guarded: a D within 10⁻⁹ RELATIVE of
+    * the critical value raises instead of guessing. Explicit opt-in;
+    * deterministic (the double inputs are exact integers, no
+    * order-dependent float sums).
+    */
+  def ksTestApprox(df: DataFrame, armCol: String, valCol: String): DataFrame =
+    ksTestImpl(df, armCol, valCol, exactDecision = false)
+
+  private def ksTestImpl(df: DataFrame, armCol: String, valCol: String,
+                         exactDecision: Boolean): DataFrame = {
     val v = df.select(col(armCol).as("arm"), col(valCol).cast("long").as("v"))
       .filter(col("arm") === 1 || col("arm") === 2)
     // lazily truncated: the scan's two passes plus the totals fold all
@@ -311,8 +372,25 @@ object Robust {
              else round(cast(d_num as double)
                         / (cast(n1 as double) * cast(n2 as double)), 6)
              end""").as("d"),
-        expr("""cast(d_num as decimal(38,0)) * d_num * 1000000
-                > 1844164 * cast(n1 + n2 as decimal(38,0)) * n1 * n2""")
-          .as("significant"))
+        (if (exactDecision)
+          expr("""cast(d_num as decimal(38,0)) * d_num * 1000000
+                  > 1844164 * cast(n1 + n2 as decimal(38,0)) * n1 * n2""")
+        else expr(
+          // D and the Smirnov critical value in double, relative guard:
+          // crit = 1.358·√((n1+n2)/(n1·n2))
+          """case
+             when abs(cast(d_num as double)
+                      / (cast(n1 as double) * cast(n2 as double))
+                    - 1.358 * sqrt(cast(n1 + n2 as double)
+                                   / (cast(n1 as double) * cast(n2 as double))))
+                  < 1e-9 * 1.358 * sqrt(cast(n1 + n2 as double)
+                                        / (cast(n1 as double) * cast(n2 as double)))
+               then cast(raise_error(
+                 'ksTestApprox: D within 1e-9 of the Smirnov boundary — use the exact mode') as boolean)
+             else cast(d_num as double)
+                    / (cast(n1 as double) * cast(n2 as double))
+                  > 1.358 * sqrt(cast(n1 + n2 as double)
+                                 / (cast(n1 as double) * cast(n2 as double)))
+             end""")).as("significant"))
   }
 }

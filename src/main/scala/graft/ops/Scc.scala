@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -72,10 +73,10 @@ object Scc {
     var decided = spark.range(0).select(col("id").as("node"),
       col("id").as("component"))
     // self-edges never certify anything the trivial path doesn't
-    var active = e0.filter(col("a") =!= col("b")).localCheckpoint(eager = false)
+    var active = e0.filter(col("a") =!= col("b")).truncated
     var activeNodes = e0.select(col("a").as("node"))
       .union(e0.select(col("b").as("node"))).distinct()
-      .localCheckpoint(eager = false)
+      .truncated
     var outer = 0
     var done = activeNodes.limit(1).count() == 0L
     while (!done && outer < maxOuter) {
@@ -87,16 +88,16 @@ object Scc {
       // condensation layer into bulk decisions.
       val both = active.select(col("b").as("node")).distinct()
         .join(active.select(col("a").as("node")).distinct(), Seq("node"))
-        .localCheckpoint(eager = false)
+        .truncated
       val trivial = activeNodes.join(both, Seq("node"), "left_anti")
         .select(col("node"), col("node").as("component"))
-        .localCheckpoint() // eager: read by the union AND the peels below
+        .truncated(eager = true) // eager: read by the union AND the peels below
       decided = decided.unionByName(trivial)
       activeNodes = both
       active = active
         .join(both.select(col("node").as("a")), Seq("a"))
         .join(both.select(col("node").as("b")), Seq("b"))
-        .select("a", "b").localCheckpoint(eager = false)
+        .select("a", "b").truncated
       done = activeNodes.limit(1).count() == 0L
       if (done) { outer += 1 }
       else {
@@ -111,7 +112,7 @@ object Scc {
           .select(col("b").as("node"), col("color"))
         val next = color.select("node", "color").union(via)
           .groupBy("node").agg(min(col("color")).as("color"))
-          .localCheckpoint(eager = false)
+          .truncated
         val s = next.agg(sum(col("color"))).head.getLong(0)
         converged = prevSum.contains(s)
         prevSum = Some(s)
@@ -129,7 +130,7 @@ object Scc {
         .join(color.select(col("node").as("b"), col("color").as("__cb")), "b")
         .filter(col("__ca") === col("__cb"))
         .select(col("b").as("from"), col("a").as("to"))
-        .localCheckpoint(eager = false)
+        .truncated
       var reached = color.filter(col("color") === col("node")).select("node")
       var frontier = reached
       var growing = true
@@ -139,11 +140,11 @@ object Scc {
           .join(frontier.select(col("node").as("from")), "from")
           .select(col("to").as("node")).distinct()
           .join(reached, Seq("node"), "left_anti")
-          .localCheckpoint(eager = false)
+          .truncated
         val n = newly.limit(1).count()
         if (n == 0L) growing = false
         else {
-          reached = reached.union(newly).localCheckpoint(eager = false)
+          reached = reached.union(newly).truncated
           frontier = newly
         }
         j += 1
@@ -154,15 +155,15 @@ object Scc {
       // ---- 3. decide, peel, recurse ----
       val roundDecided = reached.join(color, "node")
         .select(col("node"), col("color").as("component"))
-        .localCheckpoint() // eager: everything below and the return reads it
+        .truncated(eager = true) // eager: everything below and the return reads it
       decided = decided.unionByName(roundDecided)
       activeNodes = activeNodes
         .join(roundDecided.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(eager = false)
+        .truncated
       active = active
         .join(roundDecided.select(col("node").as("a")), Seq("a"), "left_anti")
         .join(roundDecided.select(col("node").as("b")), Seq("b"), "left_anti")
-        .localCheckpoint(eager = false)
+        .truncated
       done = activeNodes.limit(1).count() == 0L
       outer += 1
       }

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -60,7 +61,7 @@ object Sequential {
         count(lit(1)).as("n"),
         sum(col("v")).cast("decimal(38,0)").as("s"),
         sum(col("v").cast("decimal(38,0)") * col("v")).as("ss"))
-      .localCheckpoint(eager = false)
+      .truncated
     msprtFromMoments(dayArm, alpha)
   }
 
@@ -77,7 +78,7 @@ object Sequential {
         count(lit(1)).as("n"),
         sum(col("v")).cast("decimal(38,0)").as("s"),
         sum(col("v").cast("decimal(38,0)") * col("v")).as("ss"))
-      .localCheckpoint(eager = false)
+      .truncated
     mdeFromMoments(dayArm)
   }
 
@@ -245,7 +246,7 @@ object Sequential {
                             critFp: Long): DataFrame = {
     val cells = df.select(col(rowCol).as("r"), col(colCol).as("c"))
       .groupBy("r", "c").agg(count(lit(1)).as("o"))
-      .localCheckpoint(eager = false) // margins + terms share one pass
+      .truncated // margins + terms share one pass
     val rowM = cells.groupBy("r").agg(sum("o").as("rm"))
     val colM = cells.groupBy("c").agg(sum("o").as("cm"))
     val tot = cells.agg(sum("o").as("n"),

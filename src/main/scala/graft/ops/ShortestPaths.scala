@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -49,7 +50,7 @@ object ShortestPaths {
       (if (undirected)
          fwd.unionByName(edges.select(col(dstCol).as("__a"),
            col(srcCol).as("__b"), col(weightCol).cast("long").as("__w")))
-       else fwd).localCheckpoint(eager = false) // serves every round's
+       else fwd).truncated // serves every round's
     // relax join at the caller's first action (the Bfs note: a cache
     // unpersisted before return never serves); withQueryCaches releases
     var dist = seeds.select(col(seedCol).as("node")).distinct()
@@ -62,7 +63,7 @@ object ShortestPaths {
       // doubles the logical plan per round
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = false)
+        .truncated
     }
     dist
   }

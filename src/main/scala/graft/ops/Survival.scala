@@ -105,7 +105,28 @@ object Survival {
     * @return one row: n1, n2, o1, e1 (6 dp), chi2 (6 dp), significant
     */
   def logRank(subjects: DataFrame, armCol: String, tCol: String,
-              censoredCol: String): DataFrame = {
+              censoredCol: String): DataFrame =
+    logRankImpl(subjects, armCol, tCol, censoredCol, exactDecision = true)
+
+  /** [[logRank]]'s large-n escape hatch (the mannWhitneyApprox
+    * contract): the exact form's V numerator d·n₁ₜ·n₂ₜ·(n−d)·10⁹ ≲
+    * 10³⁸ caps the cell at n ≲ 10⁶ subjects and fails fast past it.
+    * Here V freezes through a STAGED fixed-point division —
+    * a = n₁ₜ·n₂ₜ·10⁹ div n, then v = d·(n−d)·a div (n·(n−1)) — whose
+    * intermediates stay ≲ n³·10⁹/16 (in-range to n ≈ 3·10⁹), still
+    * EXACT-INTEGER and order/partition-independent (no float sums; the
+    * staged floor loses < 2 ulp of the 10⁻⁹ grid per time vs the
+    * single division). The α=.05 decision rides the double χ² against
+    * 3.841459 with a 10⁻⁹ boundary guard that raises instead of
+    * guessing. Explicit opt-in; the default stays exact.
+    */
+  def logRankApprox(subjects: DataFrame, armCol: String, tCol: String,
+                    censoredCol: String): DataFrame =
+    logRankImpl(subjects, armCol, tCol, censoredCol, exactDecision = false)
+
+  private def logRankImpl(subjects: DataFrame, armCol: String, tCol: String,
+                          censoredCol: String,
+                          exactDecision: Boolean): DataFrame = {
     val s = subjects.select(col(armCol).as("arm"),
         col(tCol).cast("long").as("t"),
         col(censoredCol).cast("boolean").as("cen"))
@@ -136,11 +157,19 @@ object Survival {
       .filter(col("d") > 0)
       .withColumn("e1_fp", expr(
         """cast(n1t as decimal(38,0)) * d * 1000000000 div n"""))
-      .withColumn("v_fp", expr(
-        """case when n > 1 then
-             (cast(d as decimal(38,0)) * n1t * n2t * (n - d) * 1000000000)
-             div (cast(n as decimal(38,0)) * n * (n - 1))
-           else cast(0 as bigint) end"""))
+      .withColumn("v_fp",
+        if (exactDecision) expr(
+          """case when n > 1 then
+               (cast(d as decimal(38,0)) * n1t * n2t * (n - d) * 1000000000)
+               div (cast(n as decimal(38,0)) * n * (n - 1))
+             else cast(0 as bigint) end""")
+        else expr(
+          // staged division keeps every intermediate ≲ n³·10⁹/16
+          """case when n > 1 then
+               (cast(d as decimal(38,0)) * (n - d)
+                 * (cast(n1t as decimal(38,0)) * n2t * 1000000000 div n))
+               div (cast(n as decimal(38,0)) * (n - 1))
+             else cast(0 as bigint) end"""))
     val tot = risk.agg(
       sum(col("d1")).as("o1"),
       sum(col("e1_fp")).as("e1_fp"),
@@ -161,10 +190,24 @@ object Survival {
              / (cast(v_fp as double) / 1e9)"""), 6).as("chi2"),
         // Spark `div` returns BIGINT, so the summed moments re-enter
         // decimal here — the decision must never ride Long arithmetic
-        expr("""(cast(o1 as decimal(38,0)) * 1000000000 - e1_fp)
-                  * (cast(o1 as decimal(38,0)) * 1000000000 - e1_fp) * 1000000
-                > 3841459 * cast(v_fp as decimal(38,0)) * 1000000000""")
-          .as("significant"))
+        (if (exactDecision)
+          expr("""(cast(o1 as decimal(38,0)) * 1000000000 - e1_fp)
+                    * (cast(o1 as decimal(38,0)) * 1000000000 - e1_fp) * 1000000
+                  > 3841459 * cast(v_fp as decimal(38,0)) * 1000000000""")
+        else expr(
+          // double χ² vs the df=1 critical, 1e-9 absolute guard band
+          // (χ² near 3.84 ⇒ absolute ≈ relative; inputs are exact ints,
+          // so the band can only be crossed by a genuine boundary case)
+          """case
+             when abs((cast(o1 as double) - cast(e1_fp as double) / 1e9)
+                      * (cast(o1 as double) - cast(e1_fp as double) / 1e9)
+                      / (cast(v_fp as double) / 1e9) - 3.841459) < 1e-9
+               then cast(raise_error(
+                 'logRankApprox: chi2 within 1e-9 of the 3.841459 boundary — use the exact mode') as boolean)
+             else (cast(o1 as double) - cast(e1_fp as double) / 1e9)
+                  * (cast(o1 as double) - cast(e1_fp as double) / 1e9)
+                  / (cast(v_fp as double) / 1e9) > 3.841459
+             end""")).as("significant"))
   }
 
   /** Shared curve builder: per-distinct-time exits, at-risk sets, the

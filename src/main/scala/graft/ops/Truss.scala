@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.Checkpoints.TruncateOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -47,7 +48,7 @@ object Truss {
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = false)
+      .truncated
     var n = e.count()
     var converged = false
     var i = 0
@@ -55,7 +56,7 @@ object Truss {
       val next = e.join(edgeSupport(e), Seq("a", "b"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
         .select("a", "b")
-        .localCheckpoint(eager = false)
+        .truncated
       val m = next.count()
       converged = m == n // supports only fall: same size ⟺ nothing dropped
       n = m
@@ -84,7 +85,7 @@ object Truss {
       when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
       when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),
       when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kv"))
-      .localCheckpoint(eager = false) // read 3x below (two wedge sides + closer)
+      .truncated // read 3x below (two wedge sides + closer)
     val wedges = oriented.select(col("u"), col("v").as("x"), col("kv").as("kx"))
       .join(oriented.select(col("u"), col("v").as("y"), col("kv").as("ky")), "u")
       .filter(col("kx") < col("ky"))

@@ -1183,6 +1183,12 @@ object Relational4 {
 
     mannWhitneyQuery,
 
+    mannWhitneyLargeQuery,
+
+    logRankLargeQuery,
+
+    ksApproxQuery,
+
     cusumQuery,
 
     didQuery,
@@ -1196,6 +1202,8 @@ object Relational4 {
     funnelWindowedQuery,
 
     stepDurationsQuery,
+
+    stepDurationsWindowedQuery,
 
     kaplanMeierQuery,
 
@@ -2043,6 +2051,62 @@ object Relational4 {
       graft.ops.Funnel.stepDurations(T(spark, dir, "events"), "user_id",
         "event_type", "ts", Seq("signup", "view", "click", "purchase")))
 
+  /** q306's time-to-convert panel under q304's 3-DAY conversion window
+    * — the matched dashboard pair: windowed conversion COUNTS (q304)
+    * next to windowed conversion LATENCY (this). Same one-scan
+    * matchTimes plan; the window is one extra integer bound in the
+    * codegen'd list filter on both engines, and every reported delta
+    * is ≤ the window by construction (ops.Funnel.stepDurations with
+    * windowMicros).
+    */
+  private lazy val stepDurationsWindowedQuery: QueryDef =
+    QueryDef("q309_funnel_durations_windowed", Some(s"""
+      WITH ev AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS ts
+                  FROM events
+                  WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+      pu AS (SELECT u,
+               list_sort(list(ts) FILTER (WHERE t = 'signup')) AS ts0,
+               list_sort(list(ts) FILTER (WHERE t = 'view')) AS ts1,
+               list_sort(list(ts) FILTER (WHERE t = 'click')) AS ts2,
+               list_sort(list(ts) FILTER (WHERE t = 'purchase')) AS ts3
+             FROM ev GROUP BY u),
+      c0 AS (SELECT u, ts0[1] AS m0, ts1, ts2, ts3 FROM pu),
+      c1 AS (SELECT u, m0,
+               list_min(list_filter(ts1,
+                 x -> x > m0 AND x <= m0 + ${FunnelWindowMicros})) AS m1,
+               ts2, ts3 FROM c0),
+      c2 AS (SELECT u, m0, m1,
+               list_min(list_filter(ts2,
+                 x -> x > m1 AND x <= m1 + ${FunnelWindowMicros})) AS m2,
+               ts3 FROM c1),
+      c3 AS (SELECT u, m0, m1, m2,
+               list_min(list_filter(ts3,
+                 x -> x > m2 AND x <= m2 + ${FunnelWindowMicros})) AS m3 FROM c2),
+      dl AS (SELECT 2 AS i, m1 - m0 AS d FROM c3 WHERE m1 IS NOT NULL
+             UNION ALL SELECT 3, m2 - m1 FROM c3 WHERE m2 IS NOT NULL
+             UNION ALL SELECT 4, m3 - m2 FROM c3 WHERE m3 IS NOT NULL),
+      bv AS (SELECT i, d, CAST(count(*) AS BIGINT) AS ct FROM dl GROUP BY i, d),
+      tot AS (SELECT i, CAST(sum(ct) AS BIGINT) AS n FROM bv GROUP BY i),
+      cm AS (SELECT i, d, ct,
+               sum(ct) OVER (PARTITION BY i ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS cum
+             FROM bv),
+      q AS (SELECT cm.i, max(tot.n) AS n_converted,
+              min(CASE WHEN cm.cum >= (tot.n + 1) // 2 THEN cm.d END) AS p50_us,
+              min(CASE WHEN cm.cum >= (9 * tot.n + 9) // 10 THEN cm.d END) AS p90_us
+            FROM cm JOIN tot ON cm.i = tot.i GROUP BY cm.i)
+      SELECT i AS step_idx,
+             CASE i WHEN 2 THEN 'view' WHEN 3 THEN 'click'
+                    ELSE 'purchase' END AS step,
+             n_converted, p50_us, p90_us,
+             round(CAST(p50_us AS DOUBLE) / 1e6, 6) AS p50_sec,
+             round(CAST(p90_us AS DOUBLE) / 1e6, 6) AS p90_sec
+      FROM q ORDER BY step_idx"""),
+    (spark, dir) =>
+      graft.ops.Funnel.stepDurations(T(spark, dir, "events"), "user_id",
+        "event_type", "ts", Seq("signup", "view", "click", "purchase"),
+        Some(FunnelWindowMicros)))
+
   /** Kaplan–Meier user-retention curve over the events month: per-user
     * lifetime = days between first and last activity, right-censored at
     * the observation edge (active-on-last-day users are NOT churn —
@@ -2276,6 +2340,164 @@ object Relational4 {
           .as("arm"),
           round(col("c_acctbal") * 100, 0).cast("long").as("v"))
       graft.ops.Robust.ksTest(c, "arm", "v")
+    })
+
+  /** q292's rank-sum PAST the exact-decimal domain: a deterministic
+    * synthetic 2×10⁷-row cell (10⁷ per arm — the exact decision's
+    * n⁴·n₁n₂ product would overflow decimal(38,0), so ops.Robust
+    * .mannWhitney FAILS FAST there by contract) read out through the
+    * explicit approximate mode: all rank/tie sums stay exact decimal,
+    * only the α=.05 decision rides the double z vs 1.96 with a 10⁻⁹
+    * boundary guard (ops.Robust.mannWhitneyApprox — r18 verdict item
+    * 3). Both engines generate the identical cell with pure integer
+    * arithmetic — no hash, no float, no row-order dependence.
+    */
+  private lazy val mannWhitneyLargeQuery: QueryDef =
+    QueryDef("q310_mann_whitney_large", Some("""
+      WITH src AS (SELECT CAST(i % 2 + 1 AS INTEGER) AS arm,
+               CAST((i % 9973 + i % 313) % 500 AS BIGINT) AS v
+             FROM range(0, 20000000) t(i)),
+      bv AS (SELECT v, CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS ct
+             FROM src GROUP BY v),
+      rk AS (SELECT v, c1, ct,
+               sum(ct) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+             FROM bv),
+      ag AS (SELECT
+               CAST(sum(CAST(c1 AS HUGEINT) * (2 * (cum - ct) + ct + 1)) AS HUGEINT) AS r2x,
+               CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS HUGEINT) AS tsum,
+               CAST(sum(c1) AS BIGINT) AS n1,
+               CAST(sum(ct - c1) AS BIGINT) AS n2
+             FROM rk),
+      fin AS (SELECT n1, n2, n1 + n2 AS n,
+                r2x - CAST(n1 AS HUGEINT) * (n1 + 1) AS u2x, tsum
+              FROM ag),
+      zr AS (SELECT n1, n2, u2x, tsum, n,
+               (CAST(u2x AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+               / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 3.0
+                      * ((CAST(n AS DOUBLE) + 1.0)
+                         - CAST(tsum AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))) AS z_raw
+             FROM fin)
+      SELECT n1, n2, CAST(u2x AS BIGINT) AS u2x, round(z_raw, 6) AS z,
+        CASE WHEN abs(abs(z_raw) - 1.96) < 1e-9
+          THEN CAST(error('mannWhitneyApprox: |z| within 1e-9 of the 1.96 boundary — use the exact mode') AS BOOLEAN)
+          ELSE abs(z_raw) > 1.96 END AS significant
+      FROM zr"""),
+    (spark, dir) => {
+      val cell = spark.range(0, 20000000L)
+        .select(((col("id") % 2) + 1).cast("int").as("arm"),
+          ((col("id") % 9973 + col("id") % 313) % 500).cast("long").as("v"))
+      graft.ops.Robust.mannWhitneyApprox(cell, "arm", "v")
+    })
+
+  /** q308's log-rank PAST the exact domain: 3×10⁷ synthetic subjects
+    * concentrated on TWO exit times, so the per-time hypergeometric
+    * variance numerator d·n₁ₜ·n₂ₜ·(n−d)·10⁹ ≈ 5·10⁴⁶ overflows the
+    * exact form's decimal(38,0) by eight orders — the staged
+    * fixed-point V (intermediates ≲ n³·10⁹/16) and the guarded double
+    * χ² decision of ops.Survival.logRankApprox carry the readout,
+    * still exact-integer and order-independent below the decision.
+    */
+  private lazy val logRankLargeQuery: QueryDef =
+    QueryDef("q311_logrank_large", Some("""
+      WITH subj AS (SELECT CAST(i % 2 + 1 AS INTEGER) AS arm,
+               CAST((i // 2) % 2 AS BIGINT) AS t,
+               i % 97 = 0 AS cen
+             FROM range(0, 30000000) t(i)),
+      byt AS (SELECT t,
+                CAST(count(CASE WHEN arm = 1 AND NOT cen THEN 1 END) AS BIGINT) AS d1,
+                CAST(count(CASE WHEN arm = 1 AND cen THEN 1 END) AS BIGINT) AS c1,
+                CAST(count(CASE WHEN arm = 2 AND NOT cen THEN 1 END) AS BIGINT) AS d2,
+                CAST(count(CASE WHEN arm = 2 AND cen THEN 1 END) AS BIGINT) AS c2
+              FROM subj GROUP BY t),
+      rk AS (SELECT t, d1, d2,
+               CAST(sum(d1 + c1) OVER ()
+                    - coalesce(sum(d1 + c1)
+                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS n1t,
+               CAST(sum(d2 + c2) OVER ()
+                    - coalesce(sum(d2 + c2)
+                        OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS n2t
+             FROM byt),
+      tm AS (SELECT d1, n1t, n2t, d1 + d2 AS d, n1t + n2t AS n
+             FROM rk WHERE d1 + d2 > 0),
+      ag AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+               CAST(sum(CAST(n1t AS HUGEINT) * d * 1000000000 // n) AS HUGEINT) AS e1_fp,
+               CAST(sum(CASE WHEN n > 1 THEN
+                          (CAST(d AS HUGEINT) * (n - d)
+                            * (CAST(n1t AS HUGEINT) * n2t * 1000000000 // n))
+                          // (CAST(n AS HUGEINT) * (n - 1))
+                        ELSE 0 END) AS HUGEINT) AS v_fp
+             FROM tm),
+      cn AS (SELECT CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n1,
+               CAST(count(CASE WHEN arm = 2 THEN 1 END) AS BIGINT) AS n2
+             FROM subj),
+      fin AS (SELECT n1, n2, o1, e1_fp, v_fp,
+                (CAST(o1 AS DOUBLE) - CAST(e1_fp AS DOUBLE) / 1e9)
+                * (CAST(o1 AS DOUBLE) - CAST(e1_fp AS DOUBLE) / 1e9)
+                / (CAST(v_fp AS DOUBLE) / 1e9) AS chi2_raw
+              FROM ag, cn)
+      SELECT CASE WHEN n1 = 0 OR n2 = 0
+               THEN CAST(error('logRank: both arms need subjects') AS BIGINT)
+               ELSE n1 END AS n1,
+             n2, o1,
+             round(CAST(e1_fp AS DOUBLE) / 1e9, 6) AS e1,
+             round(chi2_raw, 6) AS chi2,
+             CASE WHEN abs(chi2_raw - 3.841459) < 1e-9
+               THEN CAST(error('logRankApprox: chi2 within 1e-9 of the 3.841459 boundary — use the exact mode') AS BOOLEAN)
+               ELSE chi2_raw > 3.841459 END AS significant
+      FROM fin"""),
+    (spark, dir) => {
+      val subj = spark.range(0, 30000000L)
+        .select(((col("id") % 2) + 1).cast("int").as("arm"),
+          ((col("id") / 2) % 2).cast("long").as("t"),
+          (col("id") % 97 === 0).as("cen"))
+      graft.ops.Survival.logRankApprox(subj, "arm", "t", "cen")
+    })
+
+  /** q299's KS readout through the explicit approximate decision
+    * (ops.Robust.ksTestApprox): D's integer numerator and the ECDF
+    * gaps stay exact; only the Smirnov threshold comparison rides
+    * doubles with a relative 10⁻⁹ boundary guard. Same arms as q299 —
+    * away from the boundary the two modes must agree, and the oracle
+    * replays the double decision verbatim.
+    */
+  private lazy val ksApproxQuery: QueryDef = QueryDef("q312_ks_approx", Some("""
+      WITH v AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 2 END AS arm,
+               CAST(round(c_acctbal * 100, 0) AS BIGINT) AS v
+             FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      bv AS (SELECT v, CAST(count(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS c1,
+               CAST(count(CASE WHEN arm = 2 THEN 1 END) AS BIGINT) AS c2
+             FROM v GROUP BY v),
+      g AS (SELECT v, sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2,
+              sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+            FROM bv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+      a AS (SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+              max(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1))
+                AS d_num
+            FROM g),
+      f AS (SELECT n1, n2, d_num,
+              CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_raw,
+              1.358 * sqrt(CAST(n1 + n2 AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS crit
+            FROM a)
+      SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num,
+             CASE WHEN coalesce(n1, 0) = 0 OR coalesce(n2, 0) = 0
+               THEN CAST(error('ksTest: both arms need data') AS DOUBLE)
+               ELSE round(d_raw, 6) END AS d,
+             CASE WHEN abs(d_raw - crit) < 1e-9 * crit
+               THEN CAST(error('ksTestApprox: D within 1e-9 of the Smirnov boundary — use the exact mode') AS BOOLEAN)
+               ELSE d_raw > crit END AS significant
+      FROM f"""),
+    (spark, dir) => {
+      val c = T(spark, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(when(col("c_mktsegment") === "BUILDING", 1).otherwise(2)
+          .as("arm"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("v"))
+      graft.ops.Robust.ksTestApprox(c, "arm", "v")
     })
 
   /** Chi-square independence of nation × market segment over customers

@@ -115,6 +115,12 @@ class SurvivalSpec extends SparkSuite {
     assert(math.abs(rl.getAs[Double]("e1") - 1.5) < 1e-9)
     assert(math.abs(rl.getAs[Double]("chi2") - 1.0) < 1e-9, s"chi2: $rl")
     assert(!rl.getAs[Boolean]("significant"))
+    // the approximate mode (staged fixed-point V + double decision)
+    // must agree with exact away from the 3.841459 boundary — here the
+    // staged division even lands on the identical v_fp grid point
+    assert(Survival.logRankApprox(planted.toDF("arm", "t", "cen"),
+      "arm", "t", "cen").head() == r,
+      "logRankApprox must match logRank away from the boundary")
     // mirrored arms: O1 = E1 exactly at every time (all divisions land
     // on integers), chi2 = 0, silent
     val same = Seq(1L -> false, 2L -> false, 3L -> false, 4L -> true,

@@ -198,6 +198,37 @@ class TheilSenSpec extends SparkSuite {
     assert(exKs.getMessage.contains("both arms need data"))
   }
 
+  test("approx modes: agree with exact away from the boundary; exact fails fast past its domain") {
+    // agreement: identical n1/n2/u2x/z and the same decision on the
+    // tie-heavy fixture (the approx decision only differs inside a
+    // 1e-9 band around the critical value)
+    val rows = (1 to 400).map(i =>
+      (if (i % 2 == 0) 1 else 2, (i * 13 % 41).toLong + (if (i % 2 == 0) 3L else 0L)))
+    val df = rows.toDF("arm", "v")
+    val ex = graft.ops.Robust.mannWhitney(df, "arm", "v").head()
+    val ap = graft.ops.Robust.mannWhitneyApprox(df, "arm", "v").head()
+    assert(ex == ap, s"approx must match exact away from the boundary: $ex vs $ap")
+    val ks = graft.ops.Robust.ksTest(df, "arm", "v").head()
+    val ksA = graft.ops.Robust.ksTestApprox(df, "arm", "v").head()
+    assert(ks == ksA, s"KS approx must match exact: $ks vs $ksA")
+    // past the exact domain (2e7 rows: the decision's n⁴·n₁n₂ product
+    // overflows decimal(38,0)) the exact mode must RAISE, not return
+    // garbage — and the approx mode must read the same cell out fine
+    val big = spark.range(0, 20000000L)
+      .select(((col("id") % 2) + 1).cast("int").as("arm"),
+        ((col("id") % 9973 + col("id") % 313) % 500).cast("long").as("v"))
+    val exBig = intercept[Exception] {
+      graft.ops.Robust.mannWhitney(big, "arm", "v").collect()
+    }
+    assert(exBig.getMessage.toLowerCase.contains("cannot be represented as decimal")
+      || exBig.getMessage.toLowerCase.contains("overflow"),
+      s"expected decimal overflow past the domain, got: ${exBig.getMessage.take(200)}")
+    val apBig = graft.ops.Robust.mannWhitneyApprox(big, "arm", "v").head()
+    assert(apBig.getAs[Long]("n1") == 10000000L
+      && apBig.getAs[Long]("n2") == 10000000L)
+    assert(!apBig.getAs[Double]("z").isNaN)
+  }
+
   test("mannWhitney/ksTest rank stage is the two-phase scan, not a single-task window") {
     // r17 advice: Window.orderBy with no partitionBy ships every
     // distinct metric value through ONE task. The rank/ECDF cumulative
