@@ -246,6 +246,12 @@ object Bench {
     }
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","cal":${fmt(cal)},"queries":$qs,"sf":"$sfDir"}"""
     println(json)
+    // Echo the same line on stderr LAST: the driver's BENCH_rN.json
+    // keeps only a 2000-char tail of the captured (interleaved) output,
+    // and rounds 1-18 showed the stdout line can scroll out of that
+    // window behind buffered [bench-diag] stderr — landing it on both
+    // streams at the very end makes the tail self-contained either way.
+    System.err.println(json)
     // Full-name full-precision map for local protocol merging. NOT
     // BENCH_LOCAL.json: that file is the curated min-across-protocols
     // artifact (SCALE.md "Re-measure protocol") — writing it from every
@@ -253,9 +259,23 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LASTRUN.json")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","cal":$cal,"queries":$fullQs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outPath),
-      s"""{"metric":"total","value":$total,"unit":"sec","cal":$cal,"queries":$fullQs,"sf":"$sfDir"}""" + "\n")
+      java.nio.file.Paths.get(outPath), fullJson + "\n")
+    catch { case _: Throwable => () }
+    // Append-only run ledger (committed): BENCH_LASTRUN is overwritten
+    // by every local iteration run, so the round's OFFICIAL sf0.1 run
+    // was never in git and judges re-derived per-query numbers from the
+    // truncated tail (r18 verdict item 8). One line per run with a
+    // wall-clock stamp + cpu count makes every run — including the
+    // driver's end-of-round one — a durable, parseable record.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_RUNS.jsonl"),
+      s"""{"ts":${System.currentTimeMillis / 1000},"cpus":$cpus,""" +
+        fullJson.drop(1) + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
     spark.stop()
   }

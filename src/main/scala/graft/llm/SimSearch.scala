@@ -715,6 +715,29 @@ object SimSearch {
     probeRank(probed, bucketed, idCol, k)
   }
 
+  /** ORACLE-replayable BUILD of the build-once / probe-many serving
+    * shape (r18 verdict item 4): same bucket-partitioned postings
+    * layout as [[buildIvfIndex]] (probes prune to `nProbe` posting
+    * directories), but with [[ivfTopKLloyd]]'s ordered-fold Lloyd
+    * centroids instead of KMeans‖ — so a [[queryIvfIndex]] probe over
+    * the PERSISTED index is bit-identical to the in-memory
+    * [[ivfTopKLloyd]] answer and a SQL twin can hash-gate both halves
+    * (q313 gates the on-disk assignment, q314's oracle is literally
+    * q43's SQL). [[ivfTopKLloyd]] retrains inside every call — right
+    * for a one-shot, wrong for serving, where build cost must amortize
+    * across query batches.
+    */
+  def buildIvfIndexLloyd(corpus: DataFrame, idCol: String, embCol: String,
+                         path: String, nCentroids: Int = 16,
+                         iters: Int = 2): Unit = {
+    val c = unitized(corpus, idCol, embCol, idCol, "__ne").cache()
+    val cents = lloydCentroids(c, idCol, nCentroids, iters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    nearestBuckets(c, cents, idCol, "__ne", 1)
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
+    c.unpersist()
+  }
+
   /** Product-quantization ANN (the FAISS-PQ shape, dot-product variant):
     * each unit vector splits into `nSub` subvectors; per subspace a
     * `nCodes`-entry codebook is learned (id-order seeds + `iters`

@@ -778,6 +778,51 @@ object Vector {
           .select("query_id", "vec_id", "cos_sim", "rnk")
       }),
 
+    // BUILD-once half of the IVF serving pair (r18 verdict item 4):
+    // train q43's Lloyd centroids ONCE, assign the corpus, persist both
+    // frames as parquet — the batch index-build job of a production
+    // deployment. The readout (and the hash oracle) is the per-bucket
+    // occupancy + id checksum of what landed ON DISK, so the oracle
+    // gates the persisted assignment itself, not an in-memory twin.
+    QueryDef("q313_ivf_build", Some(s"""
+      WITH $unitSql,
+      ${lloydCentCtes(16, 2)},
+      assign AS (
+        SELECT u.vec_id, c.cent_id, ${dotSql("u.ne", "c.ce")} AS s
+        FROM un u CROSS JOIN cents2 c),
+      bucketed AS (
+        SELECT vec_id, cent_id AS bucket
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM assign)
+        WHERE rn = 1)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(vec_id) AS BIGINT) AS id_sum
+      FROM bucketed GROUP BY bucket ORDER BY bucket"""),
+      (spark, dir) => {
+        val p = buildIvfIndexFiles(spark, dir)
+        spark.read.parquet(s"$p/postings")
+          .groupBy(col("bucket").cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(col("vec_id")).as("id_sum"))
+          .orderBy("bucket")
+      }),
+
+    // PROBE-only half: read the q313 index back from parquet and answer
+    // the q43 query batch against it — no centroid training, no corpus
+    // assignment, just the per-batch serving cost. The oracle is
+    // LITERALLY q43's SQL: the persisted-index path must reproduce the
+    // in-memory path bit for bit (builds on miss, so the query is
+    // self-contained when run alone).
+    QueryDef("q314_ivf_probe", Some(ivfLloydSql(nCent = 16, nProbe = 4, k = 10, iters = 2)),
+      (spark, dir) => {
+        val p = ensureIvfIndexFiles(spark, dir)
+        val emb = T(spark, dir, "embeddings")
+        SimSearch.queryIvfIndex(emb.filter(col("vec_id") % 50 === 0),
+            "vec_id", "embedding", p, 10, nProbe = 4)
+          .select(col("query_id"), col("vec_id"), col("cos_sim"),
+            col("rnk").cast("int").as("rnk"))
+      }),
+
     // Metadata-FILTERED ANN — vector search with a WHERE clause:
     // pre-filtered semantics (only label=1 rows are ranked, a query is
     // never starved by post-filtering), filter-agnostic index (Lloyd
@@ -1787,5 +1832,39 @@ object Vector {
     val shingled = T(spark, dir, "documents").select(col("doc_id"),
       TextOps.shingles(TextOps.tokenize(col("text")), 2).as("sh"))
     DedupOps.lshCandidates(shingled, "doc_id", "sh", bands = 4, rowsPerBand = 2)
+  }
+
+  /** Where the q313/q314 pair persists the IVF index for `dir` (one
+    * index per source dataset; /tmp so repeated runs and both gates
+    * share it). Bump [[IvfIndexVersion]] whenever the build semantics
+    * change — a stale marker must never serve an old layout.
+    */
+  private val IvfIndexVersion = "v1-lloyd16x2"
+  private def ivfIndexPath(dir: String): String =
+    "/tmp/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Unconditional index (re)build + persist — the q313 body. */
+  private def buildIvfIndexFiles(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): String = {
+    val p = ivfIndexPath(dir)
+    SimSearch.buildIvfIndexLloyd(T(spark, dir, "embeddings"),
+      "vec_id", "embedding", p, nCentroids = 16, iters = 2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(p, "_built"), IvfIndexVersion)
+    p
+  }
+
+  /** Build-on-miss — q314 stays self-contained when run alone, while a
+    * preceding q313 (the verify/bench name order) leaves only the pure
+    * probe cost to measure.
+    */
+  private def ensureIvfIndexFiles(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): String = {
+    val p = ivfIndexPath(dir)
+    val marker = java.nio.file.Paths.get(p, "_built")
+    if (!java.nio.file.Files.exists(marker)
+        || java.nio.file.Files.readString(marker) != IvfIndexVersion)
+      buildIvfIndexFiles(spark, dir)
+    else p
   }
 }

@@ -715,6 +715,19 @@ class LlmOpsSpec extends SparkSuite {
     val dirs = new java.io.File(s"$path/postings").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket="))
     assert(dirs.length > 1, s"expected bucket=* partition dirs, got ${dirs.mkString(",")}")
+    // the Lloyd build (q313/q314's oracle-replayable variant) must be
+    // bit-identical to the in-memory ivfTopKLloyd through the SAME
+    // persisted layout — build-once / probe-many loses nothing
+    val lp = java.nio.file.Files.createTempDirectory("graft_ivf_l").toString + "/idx"
+    SimSearch.buildIvfIndexLloyd(emb, "vec_id", "embedding", lp,
+      nCentroids = 8, iters = 2)
+    val lloydIdx = SimSearch.queryIvfIndex(queries, "vec_id", "embedding", lp, 5, nProbe = 4)
+      .select("query_id", "vec_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    val lloydMem = SimSearch.ivfTopKLloyd(emb, queries, "vec_id", "embedding", 5,
+        nCentroids = 8, nProbe = 4, iters = 2)
+      .select("query_id", "vec_id", "cos_sim").as[(Long, Long, Double)].collect().toSet
+    assert(lloydIdx == lloydMem && lloydIdx.nonEmpty,
+      "persisted Lloyd index diverged from the in-memory path")
   }
 
   test("hyperplaneLshPairs finds planted near-duplicate vectors, deterministically") {
@@ -1041,6 +1054,17 @@ class LlmOpsSpec extends SparkSuite {
       graft.llm.Bpe.encodeWords(words, "w", "cnt", steps = 40, batch = batch)
         .orderBy("w").collect().map(r => (r.getString(0), r.getString(2), r.getInt(3))).toSeq
     assert(encOf(64) == encOf(1), "batched encodings diverged")
+    // encode output must be independent of input partitioning (r18
+    // verdict item 6: the daily corpus-encode path) — the merge loop's
+    // pair counts are map-side-combined sums and the argmax tie-break
+    // is (count desc, lhs, rhs), none of which may see partition layout
+    val enc1 = graft.llm.Bpe
+      .encodeWords(words.repartition(1), "w", "cnt", steps = 40)
+      .orderBy("w").collect().toSeq
+    val enc7 = graft.llm.Bpe
+      .encodeWords(words.repartition(7, col("cnt")), "w", "cnt", steps = 40)
+      .orderBy("w").collect().toSeq
+    assert(enc1 == enc7, "encode output depends on partition count/layout")
   }
 
   test("Bpe batching: created-string collisions cannot diverge from sequential greedy") {
