@@ -425,12 +425,13 @@ class PlanShapeSpec extends SparkSuite with AdaptiveSparkPlanHelper {
     assert(w306 <= 1,
       s"q306 quantile grew a second window ($w306):\n" +
         df306.queryExecution.executedPlan.toString.take(2000))
-    // q43's corpus bucket assignment is the unrolled literal-centroid
-    // argmax (one narrow projection per assignment pass); losing
-    // array_max means the crossJoin+window shape came back
+    // q43's corpus bucket assignment is the flattened-codebook codegen
+    // argmax (r19: NearestCentroid — one narrow projection per
+    // assignment pass, constant generated-code size at any codebook);
+    // losing it means the crossJoin+window shape came back
     val df43 = q("q43_ivf_ann"); df43.collect()
     val p43 = df43.queryExecution.executedPlan.toString
-    assert(p43.contains("array_max"),
-      s"q43 lost the unrolled argmax assignment:\n${p43.take(2000)}")
+    assert(p43.contains("nearest_centroid"),
+      s"q43 lost the flattened-codebook argmax assignment:\n${p43.take(2000)}")
   }
 }
