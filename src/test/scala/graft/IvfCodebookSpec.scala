@@ -90,6 +90,28 @@ class IvfCodebookSpec extends SparkSuite {
     assert(assign(df, cents, 1L << 22) == assign(df, cents, 1L))
   }
 
+  test("interpreted eval matches codegen (fallback path parity)") {
+    // Spark falls back to interpreted expression eval under codegen
+    // failure/pressure; NearestCentroid.eval must select identically
+    val cents = centFrame(64)
+    val df = corpus(300, 64)
+    val viaCodegen = assign(df, cents, 1L << 22)
+    val factoryKey = "spark.sql.codegen.factoryMode"
+    val wholeKey = "spark.sql.codegen.wholeStage"
+    val oldWhole = spark.conf.get(wholeKey)
+    spark.conf.set(factoryKey, "NO_CODEGEN")
+    spark.conf.set(wholeKey, "false")
+    try {
+      val interpreted = assign(df, cents, 1L << 22)
+      assert(interpreted == viaCodegen,
+        "interpreted NearestCentroid.eval diverged from codegen")
+    } finally {
+      spark.conf.set(factoryKey, "CODEGEN_ONLY")
+      spark.conf.unset(factoryKey)
+      spark.conf.set(wholeKey, oldWhole)
+    }
+  }
+
   test("ragged codebook falls back to the join form instead of mis-flattening") {
     import spark.implicits._
     val ragged = Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0, 0.5)))
