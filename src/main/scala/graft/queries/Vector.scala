@@ -823,6 +823,42 @@ object Vector {
             col("rnk").cast("int").as("rnk"))
       }),
 
+    // PRODUCTION-SIZE codebook assignment, hash-oracled: the flat
+    // literal-codebook `NearestCentroid` path is exercised by the q43
+    // family only at 16 centroids; this query runs the SAME n=1
+    // assignment at 256 centroids (the size where the r18 unrolled
+    // form collapsed 300x, SCALE.md r19 #1) so the scan-loop argmax is
+    // DuckDB-gated at the JIT-cliff size, not just spec-pinned at
+    // 4096. Codebook = the first 256 normalized embeddings by id
+    // (deterministic, SQL-expressible); readout = integer per-bucket
+    // occupancy + id checksum, so the hash gates every assignment
+    // decision without floats in the output.
+    QueryDef("q315_large_codebook_assign", Some(s"""
+      WITH $unitSql,
+      cents AS (SELECT vec_id AS cent_id, ne AS ce FROM un ORDER BY vec_id LIMIT 256),
+      assign AS (
+        SELECT u.vec_id, c.cent_id, ${dotSql("u.ne", "c.ce")} AS s
+        FROM un u CROSS JOIN cents c),
+      b AS (
+        SELECT vec_id, cent_id AS bucket
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn FROM assign)
+        WHERE rn = 1)
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_vectors,
+             CAST(sum(vec_id) AS BIGINT) AS id_sum
+      FROM b GROUP BY bucket ORDER BY bucket"""),
+      (spark, dir) => {
+        val emb = T(spark, dir, "embeddings")
+        val un = SimSearch.unitized(emb, "vec_id", "embedding", "vec_id", "__ne")
+        val cents = un.orderBy("vec_id").limit(256)
+          .select(col("vec_id").as("cent_id"), col("__ne").as("cent_emb"))
+        SimSearch.nearestBuckets(un, cents, "vec_id", "__ne", 1)
+          .groupBy(col("bucket").cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n_vectors"),
+            sum(col("vec_id")).as("id_sum"))
+          .orderBy("bucket")
+      }),
+
     // Metadata-FILTERED ANN — vector search with a WHERE clause:
     // pre-filtered semantics (only label=1 rows are ranked, a query is
     // never starved by post-filtering), filter-agnostic index (Lloyd
