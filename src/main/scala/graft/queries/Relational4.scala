@@ -1104,7 +1104,12 @@ object Relational4 {
       d AS (SELECT nation, b, mm,
               row_number() OVER (PARTITION BY nation ORDER BY mm, b) AS rn
             FROM m),
-      ci AS (SELECT nation, CAST(count(*) AS INTEGER) AS n_reps,
+      ci AS (SELECT nation,
+               CAST(CASE WHEN count(*) < 196
+                 THEN error(concat('groupMeanCI: group ', nation, ' has ',
+                   CAST(count(*) AS VARCHAR),
+                   ' surviving replicates < hiRank 196'))
+                 ELSE count(*) END AS INTEGER) AS n_reps,
                max(CASE WHEN rn = 5 THEN mm END) AS lo_fp,
                max(CASE WHEN rn = 196 THEN mm END) AS hi_fp
              FROM d GROUP BY nation),
@@ -2591,7 +2596,10 @@ object Relational4 {
             FROM rep WHERE n1 > 0 AND n2 > 0),
       d AS (SELECT b, m1 - m2 AS dd,
               row_number() OVER (ORDER BY m1 - m2, b) AS rn FROM m),
-      ci AS (SELECT CAST(count(*) AS INTEGER) AS n_reps,
+      ci AS (SELECT CAST(CASE WHEN count(*) < 196
+                 THEN error(concat('meanDiffCI: ', CAST(count(*) AS VARCHAR),
+                   ' surviving replicates < hiRank 196'))
+                 ELSE count(*) END AS INTEGER) AS n_reps,
                max(CASE WHEN rn = 5 THEN dd END) AS lo_fp,
                max(CASE WHEN rn = 196 THEN dd END) AS hi_fp FROM d),
       pt AS (SELECT
