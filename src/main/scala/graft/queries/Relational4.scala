@@ -1785,7 +1785,11 @@ object Relational4 {
                max(CASE WHEN g = 0 AND p = 0 THEN m_fp END) AS mcp0,
                max(CASE WHEN g = 0 AND p = 1 THEN m_fp END) AS mcp1
              FROM m)
-      SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+      SELECT CAST(CASE WHEN n_t_pre IS NULL OR n_t_post IS NULL
+                         OR n_c_pre IS NULL OR n_c_post IS NULL
+               THEN error('diffInDiff: all four group x period cells must be non-empty')
+               ELSE n_t_pre END AS BIGINT) AS n_t_pre,
+             n_t_post, n_c_pre, n_c_post,
              round(CAST(mtp0 - mcp0 AS DOUBLE) / 100000000, 6) AS pre_gap,
              round(CAST(mtp1 - mcp1 AS DOUBLE) / 100000000, 6) AS post_gap,
              round(CAST((mtp1 - mtp0) - (mcp1 - mcp0) AS DOUBLE) / 100000000, 6)
