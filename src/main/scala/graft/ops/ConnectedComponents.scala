@@ -195,11 +195,15 @@ object ConnectedComponents {
     var i = 0
     var lastRound: DataFrame = null
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(e)).truncated
-      val w = next.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head
-      val witness = (w.getLong(0),
-        if (w.isNullAt(1)) 0L else w.getLong(1),
-        if (w.isNullAt(2)) 0L else w.getLong(2))
+      // witness rides the checkpoint materialization (observe): one
+      // action and ONE pass per round instead of checkpoint-then-agg's
+      // two — the separate witness job re-read the whole frame
+      val (next, m) = smallStar(largeStar(e)).truncatedObserving(
+        count(lit(1)).as("__n"), sum(col("a")).as("__sa"),
+        sum(col("b")).as("__sb"))
+      val witness = (m("__n").asInstanceOf[Long],
+        Option(m("__sa")).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(m("__sb")).map(_.asInstanceOf[Long]).getOrElse(0L))
       converged = prev.contains(witness)
       prev = Some(witness)
       if (lastRound != null) lastRound.unpersist(blocking = false)

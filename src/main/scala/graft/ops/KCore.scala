@@ -110,15 +110,19 @@ object KCore {
       (if (undirected)
          fwd.unionByName(edges.select(col(dstCol).as("__a"), col(srcCol).as("__b")))
        else fwd).truncated
-    var v = e.groupBy(col("__a").as("node"))
+    // The sum witness rides each checkpoint materialization (observe,
+    // the Checkpoints.truncatedObserving idiom): one action and one
+    // pass per round instead of checkpoint-then-agg's two. The
+    // getOrElse(0L) keeps the empty-frame semantics: sum() over an
+    // edgeless input observes null and must yield the empty result,
+    // not NPE.
+    def sumVal(m: Map[String, Any]): Long =
+      Option(m("__s")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val (v0, m0) = e.groupBy(col("__a").as("node"))
       .agg(count(lit(1)).cast("int").as("val"))
-      .truncated
-    // coalesce: sum() over an EMPTY degree frame is null (an edgeless
-    // input — e.g. a support threshold that filtered every pair — must
-    // return the empty result, not NPE)
-    def valSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("val")), lit(0L))).head.getLong(0)
-    var prevSum = valSum(v)
+      .truncatedObserving(sum(col("val")).as("__s"))
+    var v = v0
+    var prevSum = sumVal(m0)
     var converged = prevSum == 0L
     // one h-operator round; superseded rounds' checkpoint frames stay
     // persisted until the caller's withQueryCaches scope exits (the
@@ -137,7 +141,6 @@ object KCore {
       cnt.withColumn("__s", sum(col("__c")).over(w))
         .groupBy("node")
         .agg(max(least(col("val"), col("__s"))).cast("int").as("val"))
-        .truncated
     }
     // One convergence check per round. A 2-rounds-per-action block
     // check (exact under per-node monotonicity) was tried and measured
@@ -145,8 +148,8 @@ object KCore {
     // so the simpler loop stays.
     var i = 0
     while (!converged && i < maxIter) {
-      val next = hStep(v)
-      val s = valSum(next)
+      val (next, m) = hStep(v).truncatedObserving(sum(col("val")).as("__s"))
+      val s = sumVal(m)
       converged = s == prevSum
       prevSum = s
       v = next

@@ -110,10 +110,12 @@ object Scc {
         val via = active
           .join(color.select(col("node").as("a"), col("color")), "a")
           .select(col("b").as("node"), col("color"))
-        val next = color.select("node", "color").union(via)
+        // witness rides the checkpoint pass (truncatedObserving): one
+        // action/pass per round, not checkpoint-then-agg's two
+        val (next, m) = color.select("node", "color").union(via)
           .groupBy("node").agg(min(col("color")).as("color"))
-          .truncated
-        val s = next.agg(sum(col("color"))).head.getLong(0)
+          .truncatedObserving(sum(col("color")).as("__s"))
+        val s = m("__s").asInstanceOf[Long]
         converged = prevSum.contains(s)
         prevSum = Some(s)
         color = next

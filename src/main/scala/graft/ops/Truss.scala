@@ -53,11 +53,13 @@ object Truss {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = e.join(edgeSupport(e), Seq("a", "b"), "left")
+      // count witness rides the checkpoint pass (truncatedObserving):
+      // one action/pass per round, not checkpoint-then-count's two
+      val (next, obs) = e.join(edgeSupport(e), Seq("a", "b"), "left")
         .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
         .select("a", "b")
-        .truncated
-      val m = next.count()
+        .truncatedObserving(count(lit(1)).as("__n"))
+      val m = obs("__n").asInstanceOf[Long]
       converged = m == n // supports only fall: same size ⟺ nothing dropped
       n = m
       e = next

@@ -90,4 +90,38 @@ class CheckpointModeSpec extends SparkSuite {
     // leave mode=local pinned: the shared session keeps its dir, and
     // this restores default truncation behavior for every later suite
   }
+
+  test("truncatedObserving: observed witness equals a separate aggregation, both modes") {
+    import graft.ops.Checkpoints.TruncateOps
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i * 3)).toDF("a", "b")
+      .filter(col("a") % 7 =!= 0)
+    val expect = df.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head
+    for (mode <- Seq("local", "reliable")) {
+      spark.conf.set("spark.graft.checkpoint.mode", mode)
+      try {
+        val (out, m) = df.truncatedObserving(count(lit(1)).as("n"),
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"))
+        assert(m("n") == expect.getLong(0) && m("sa") == expect.getLong(1) &&
+          m("sb") == expect.getLong(2),
+          s"observed witness must equal the separate agg under mode=$mode")
+        assert(out.count() == expect.getLong(0),
+          "truncated frame must hold the same rows")
+        assert(out.queryExecution.optimizedPlan.collectLeaves().size == 1 &&
+          out.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+          "the returned frame must be lineage-truncated (LogicalRDD leaf)")
+      } finally spark.conf.set("spark.graft.checkpoint.mode", "local")
+    }
+  }
+
+  test("truncatedObserving: empty frame observes SQL semantics (count 0, null sum)") {
+    import graft.ops.Checkpoints.TruncateOps
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (out, m) = Seq.empty[(Long, Long)].toDF("a", "b")
+      .truncatedObserving(count(lit(1)).as("n"), sum(col("a")).as("sa"))
+    assert(m("n") == 0L && m("sa") == null)
+    assert(out.count() == 0L)
+  }
 }
