@@ -58,15 +58,19 @@ object DensestSubgraph {
     var round = 0
     var emptied = false
     while (round < maxRounds && !emptied) {
-      val deg = alive.select(col("a").as("node"))
+      // 2 scalars per round to the driver — bounded, the iterative-op
+      // budget (KCore peels collect nothing; CC collects a count).
+      // They ride the degree frame's checkpoint pass (truncatedObserving):
+      // deg previously fed TWO consumers — the scalar readout action and
+      // the next round's semi-join lineage — and, unmaterialized, the
+      // degree aggregation ran twice per round. One pass now computes,
+      // checkpoints and measures it.
+      val (deg, m) = alive.select(col("a").as("node"))
         .unionByName(alive.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("__d"))
-      // 2 scalars per round to the driver — bounded, the iterative-op
-      // budget (KCore peels collect nothing; CC collects a count)
-      val s = deg.agg(count(lit(1)).as("v"),
-        coalesce(sum(col("__d")), lit(0L)).as("d2")).head()
-      val v = s.getLong(0)
-      val d2 = s.getLong(1)
+        .truncatedObserving(count(lit(1)).as("v"), sum(col("__d")).as("d2"))
+      val v = m("v").asInstanceOf[Long]
+      val d2 = Option(m("d2")).map(_.asInstanceOf[Long]).getOrElse(0L)
       if (v == 0L) emptied = true
       else {
         trace += ((round, v, d2 / 2))
