@@ -15,6 +15,9 @@ object ProfileJobCount {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = args.drop(1).toSeq
+    // measure the PRODUCTION plans, like Bench (q120/q226-style queries
+    // otherwise run their slower oracle-exact twins here)
+    sys.props("graft.bench.production") = "true"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
