@@ -69,9 +69,11 @@ object Itemsets {
     // 219 anchored rows / 7 candidates). Work now scales with
     // candidate-relevant basket rows, not |bf| (guide-style semi-join
     // pre-filter; AQE broadcasts the item set at runtime).
-    val candItems = cand.select(col("pa").as("p"))
-      .unionByName(cand.select(col("pb").as("p")))
-      .unionByName(cand.select(col("pc").as("p")))
+    // one reference to cand (explode, not a 3-way union of selects):
+    // keeps the analyzed plan linear — the union form nested the
+    // candidate subtree 3x into every bfc consumer below
+    val candItems = cand
+      .select(explode(array(col("pa"), col("pb"), col("pc"))).as("p"))
       .distinct()
     // cached: three consumers below (anchor + two semi probes), each a
     // scan of this candidate-items-only sliver
