@@ -718,13 +718,24 @@ object Graph {
         val labeled = e
           .join(lab.select(col("node").as("a"), col("label").as("la")), Seq("a"))
           .join(lab.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
-        val m2 = labeled.agg(count(lit(1)).as("m"))
-        val within = labeled.filter(col("la") === col("lb"))
-          .agg(count(lit(1)).as("w"))
-        val sq = labeled.groupBy("la").agg(count(lit(1)).as("d"))
-          .agg(sum(col("d") * col("d")).as("s2"),
+        // ONE pass over the labeled edge frame: the three readouts
+        // (m₂ = total rows, within = same-label rows, Σd²/community
+        // count) previously hung off `labeled` as three separate
+        // aggregate consumers, so the expensive e⋈la⋈lb join probe ran
+        // three times in the one final plan (shared exchanges, tripled
+        // join/merge work). Every per-edge row carries exactly one la,
+        // so m₂ = Σ_la d and within = Σ_la same-label counts — all
+        // four scalars fold out of a single groupBy(la) frame. Same
+        // integer arithmetic, same single final division.
+        labeled.groupBy("la")
+          .agg(count(lit(1)).as("d"),
+            count(when(col("la") === col("lb"), 1)).as("w"))
+          // coalesce(…, 0): on an empty edge frame the old count()-based
+          // m/w read 0 (as does the SQL twin) — sum() alone would null
+          .agg(coalesce(sum(col("d")), lit(0L)).as("m"),
+            coalesce(sum(col("w")), lit(0L)).as("w"),
+            sum(col("d") * col("d")).as("s2"),
             count(lit(1)).as("n_comm"))
-        m2.crossJoin(within).crossJoin(sq)
           .select(col("n_comm").as("n_communities"),
             col("m").as("m_directed"),
             round((col("m") * col("w") - col("s2")).cast("double") /
