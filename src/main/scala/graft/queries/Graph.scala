@@ -1249,13 +1249,25 @@ object Graph {
 
   /** Shared part co-occurrence graph (support ≥ 2), hub-guarded pair
     * generation (ops.Cooccur — the q157/q196 discipline).
+    *
+    * Lazily checkpointed: every consumer references this frame at
+    * least twice (query-level symmetrize unions, plus the graph ops'
+    * own internal fwd ∪ reverse), and unmaterialized each reference
+    * re-ran the FULL 13M-row pair self-join + aggregation — q235
+    * paid it 4× (2× in its union, 2× inside LabelProp). The
+    * checkpoint computes once per query invocation and every
+    * reference reads the ~0.5M-row filtered edge blocks; fresh per
+    * call, released by GraftSession.withQueryCaches — within-query
+    * reuse only, never a cross-run cache.
     */
   private def coEdges(spark: org.apache.spark.sql.SparkSession, dir: String) = {
+    import graft.ops.Checkpoints.TruncateOps
     val li = T(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     graft.ops.Cooccur.groupPairs(li, "o", "p")
       .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
       .select("pa", "pb")
+      .truncated
   }
 }
