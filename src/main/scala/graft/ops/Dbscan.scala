@@ -54,8 +54,14 @@ object Dbscan {
       .agg(min("id").as("sid"), count(lit(1)).as("mult")).cache()
     val sp = GeoJoin.radiusPairs(site, "sid", "lat", "lon",
       radiusKm = epsKm, maxAbsLat = maxAbsLat)
-    val ssym = sp.select(col("a_id").as("sa"), col("b_id").as("sb"))
-      .unionByName(sp.select(col("b_id").as("sa"), col("a_id").as("sb")))
+    // symmetrize with ONE reference to the radius join (explode, not a
+    // union of two selects): the union form embedded the expensive
+    // cell-collision + haversine subtree twice, so filling this cache
+    // paid the radius join twice
+    val ssym = sp.select(explode(array(
+        struct(col("a_id").as("sa"), col("b_id").as("sb")),
+        struct(col("b_id").as("sa"), col("a_id").as("sb")))).as("__e"))
+      .select(col("__e.sa").as("sa"), col("__e.sb").as("sb"))
       .cache()
     val nbm = ssym
       .join(site.select(col("sid").as("sb"), col("mult").as("__tm")), Seq("sb"))
